@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Join surface (J1/J2 shapes) + relational aggregates on the TPC-H-ish
+  * tables. All money/quantity sums go through exact integer cents. */
+object JoinQueries {
+
+  val queries: Map[String, QFn] = Map(
+    // J2 shape: capped key set ⋈ full table, key side broadcast — the
+    // trace-fetch join (`analyzer.py:1021-1046`), keys ≤ 100 rows
+    "j2_key_broadcast_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val keys = ev.orderBy(desc("value"), asc("event_id"))
+        .limit(100).select("event_id")
+      ev.join(broadcast(keys), Seq("event_id"))
+        .select(col("event_id"), col("value")).orderBy("event_id")
+    }),
+
+    // J1: left-semi join (mask back-projection shape) on orders
+    "j1_semijoin_orders" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val keys = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000.0).select("o_orderkey")
+      li.join(keys, li("l_orderkey") === keys("o_orderkey"), "left_semi")
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // TPC-H Q1 shape: wide aggregate, exact cents arithmetic
+    "tpch_q1_pricing" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("qc", cents(col("l_quantity")))
+        .withColumn("epc", cents(col("l_extendedprice")))
+        .withColumn("dc", cents(col("l_discount")))
+        .withColumn("tc", cents(col("l_tax")))
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("qc")).as("sq"),
+          sum(col("epc")).as("sp"),
+          sum(col("epc") * (lit(100L) - col("dc"))).as("sdp"),
+          sum(col("epc") * (lit(100L) - col("dc")) * (lit(100L) + col("tc")))
+            .as("scp"),
+          sum(col("dc")).as("sd"),
+          count(lit(1)).as("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          (col("sq") / 100.0).as("sum_qty"),
+          (col("sp") / 100.0).as("sum_base_price"),
+          (col("sdp") / 10000.0).as("sum_disc_price"),
+          (col("scp") / 1000000.0).as("sum_charge"),
+          (col("sq") / 100.0 / col("count_order")).as("avg_qty"),
+          (col("sp") / 100.0 / col("count_order")).as("avg_price"),
+          (col("sd") / 100.0 / col("count_order")).as("avg_disc"),
+          col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // 3-way join with small-side broadcast: revenue by market segment
+    "tpch_join_revenue" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+        .withColumn("epc", cents(col("l_extendedprice")))
+        .withColumn("dc", cents(col("l_discount")))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg((sum(col("epc") * (lit(100L) - col("dc"))) / 10000.0)
+          .as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Broadcast dimension chain: supplier → nation → region
+    "dim_broadcast_chain" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region")
+      sup.join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy("r_name").agg(count(lit(1)).as("cnt"))
+        .orderBy("r_name")
+    }),
+
+    // Grouped join: order count and exact total by priority
+    "orders_by_priority" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("tpc", cents(col("o_totalprice")))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          (sum(col("tpc")) / 100.0).as("total_price"))
+        .orderBy("o_orderpriority"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "j2_key_broadcast_join" ->
+      """SELECT e.event_id AS event_id, e.value AS value FROM events e JOIN (SELECT event_id FROM events ORDER BY value DESC, event_id LIMIT 100) k USING (event_id) ORDER BY event_id""",
+    "j1_semijoin_orders" ->
+      "SELECT count(*) AS cnt FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)",
+    "tpch_q1_pricing" ->
+      """WITH c AS (SELECT l_returnflag, l_linestatus, CAST(round(l_quantity*100) AS BIGINT) qc, CAST(round(l_extendedprice*100) AS BIGINT) epc, CAST(round(l_discount*100) AS BIGINT) dc, CAST(round(l_tax*100) AS BIGINT) tc FROM lineitem),
+        |g AS (SELECT l_returnflag, l_linestatus, CAST(sum(qc) AS BIGINT) sq, CAST(sum(epc) AS BIGINT) sp, CAST(sum(epc*(100 - dc)) AS BIGINT) sdp, CAST(sum(epc*(100 - dc)*(100 + tc)) AS BIGINT) scp, CAST(sum(dc) AS BIGINT) sd, count(*) count_order FROM c GROUP BY l_returnflag, l_linestatus)
+        |SELECT l_returnflag, l_linestatus, sq/100.0 AS sum_qty, sp/100.0 AS sum_base_price, sdp/10000.0 AS sum_disc_price, scp/1000000.0 AS sum_charge, sq/100.0/count_order AS avg_qty, sp/100.0/count_order AS avg_price, sd/100.0/count_order AS avg_disc, count_order FROM g ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "tpch_join_revenue" ->
+      """SELECT c_mktsegment, CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)*(100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)/10000.0 AS revenue, count(*) AS n FROM lineitem l JOIN orders o ON l_orderkey = o_orderkey JOIN customer c ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "dim_broadcast_chain" ->
+      """SELECT r_name, count(*) AS cnt FROM supplier s JOIN nation n ON s_nationkey = n_nationkey JOIN region r ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name""",
+    "orders_by_priority" ->
+      """SELECT o_orderpriority, count(*) AS cnt, CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS total_price FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+  )
+}

@@ -1,0 +1,69 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Quantile/robust-scale estimators.
+  *
+  * Reference mixes exact `np.percentile` in threshold paths
+  * (`detanalysis/semiautocuts.py:565-585`) with vaex `percentile_approx`
+  * for equal-count time bins (`semiautocuts.py:253`). Thresholds feed cut
+  * predicates, so the exact form matters for oracle hash-equality
+  * (SURVEY.md §7.3 item 3): we use Spark's exact `percentile` aggregate in
+  * every threshold path and reserve `percentile_approx` for bin-edge
+  * estimation where the reference itself was approximate.
+  */
+object Quantiles {
+
+  /** A4: exact percentiles (linear interpolation, numpy-compatible).
+    * `ps` in [0,1]. Returns one array column. */
+  def exact(df: DataFrame, c: Column, ps: Seq[Double]): Seq[Double] = {
+    val r = df
+      .agg(percentile(c, array(ps.map(lit): _*)).as("q"))
+      .head()
+    r.getSeq[Double](0)
+  }
+
+  def exact1(df: DataFrame, c: Column, p: Double): Double =
+    exact(df, c, Seq(p)).head
+
+  /** A5: approximate percentile (t-digest-free Greenwald-Khanna in Spark)
+    * — direct equivalent of vaex `percentile_approx`
+    * (`semiautocuts.py:253`). */
+  def approx(df: DataFrame, c: Column, ps: Seq[Double], acc: Int = 10000)
+      : Seq[Double] = {
+    val r = df
+      .agg(percentile_approx(c, array(ps.map(lit): _*), lit(acc)).as("q"))
+      .head()
+    r.getSeq[Double](0)
+  }
+
+  /** A6: median + robust sigma from the 15.865/50/84.135 percentiles —
+    * sigma = mean of the two one-sided distances
+    * (`_get_cut_mask` sigma branch, `semiautocuts.py:588-627`).
+    * One exact-percentile pass. */
+  def medianRobustSigma(df: DataFrame, c: Column): (Double, Double) = {
+    val Seq(q1, med, q3) = exact(df, c, Seq(0.15865, 0.5, 0.84135))
+    val sigma = ((med - q1) + (q3 - med)) / 2.0
+    (med, sigma)
+  }
+
+  /** W2: equal-count bin edges at percentiles of `c`
+    * (`semiautocuts.py:244-255`) — returns bins+1 edges including min/max. */
+  def equalCountEdges(df: DataFrame, c: Column, bins: Int): Seq[Double] = {
+    val ps = (0 to bins).map(i => i.toDouble / bins)
+    exact(df, c, ps)
+  }
+
+  /** Bucketize by explicit (sorted) edges: index of the right-open
+    * interval, last interval closed — SQL `width_bucket`-style but with
+    * numpy's last-bin-closed convention. */
+  def bucketByEdges(x: Column, edges: Seq[Double]): Column = {
+    val n = edges.size - 1
+    val base = (0 until n).map { i =>
+      when(x >= edges(i) && (if (i == n - 1) x <= edges(i + 1)
+                             else x < edges(i + 1)), i.toLong)
+    }
+    coalesce(base :+ lit(null.asInstanceOf[java.lang.Long]): _*)
+  }
+}
