@@ -1,0 +1,204 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators, designed for the 100 TB regime: every variant
+  * is bucketed — candidate pairs come from hash buckets (exact hash,
+  * MinHash LSH bands, SimHash bands), NEVER from an all-pairs cross join.
+  * Verification (exact Jaccard) runs only within candidate pairs.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: content-hash groups. `keep` = min(idCol) per group —
+    * the canonical survivor. One shuffle on the hash. */
+  def exactGroups(df: DataFrame, text: Column, idCol: Column): DataFrame =
+    df.groupBy(md5(text).as("content_hash"))
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("cnt"))
+
+  /** Rows surviving exact dedup (first-id-wins). */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keep = df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // ------------------------------------------------------------- shingles
+
+  /** Word n-gram shingles (distinct), the MinHash/Jaccard unit. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val count = size(toks) - (n - 1)
+    when(count > 0,
+      array_distinct(transform(sequence(lit(0), count - 1),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  // -------------------------------------------------------------- minhash
+
+  /** MinHash signature table: one row per doc, `sig` = array of k minima
+    * of independently-seeded 64-bit hashes over the shingle set.
+    *
+    * Shape: explode(shingles) → k min-aggregations with map-side partial
+    * aggregation — one shuffle of k·|docs| longs, no UDF, whole-stage
+    * codegen throughout. Scales linearly in corpus size.
+    */
+  def minhashSignatures(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 64,
+      shingleN: Int = 3): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("sh"))
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"m$i"))
+    exploded.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** Banded-LSH candidate pairs from signatures: b bands of r rows
+    * (k = b·r); docs sharing any band bucket become candidates. The
+    * self-join is on (band, bandHash) — co-partitioned, no cross join.
+    * `maxBucket` caps pathological buckets (near-identical boilerplate)
+    * to bound the within-bucket pair blow-up at scale. */
+  def lshCandidates(
+      sigs: DataFrame,
+      idCol: String,
+      bands: Int,
+      rows: Int,
+      maxBucket: Int = 1000): DataFrame = {
+    val banded = sigs.select(
+      col(idCol),
+      explode(transform(sequence(lit(0), lit(bands - 1)), j =>
+        struct(j.as("band"),
+          // rotate-xor fold: overflow-free under ANSI mode, well-mixed
+          aggregate(slice(col("sig"), j * rows + 1, lit(rows)),
+            lit(17L), (acc, x) =>
+              shiftleft(acc, 13).bitwiseOR(shiftrightunsigned(acc, 51))
+                .bitwiseXOR(x)).as("bhash"))))
+        .as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bhash"))
+    val pruned = banded
+      .withColumn("bsize",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bhash")))
+      .filter(col("bsize") <= maxBucket)
+      .drop("bsize")
+    val a = pruned.select(col(idCol).as("ida"), col("band"), col("bhash"))
+    val b = pruned.select(col(idCol).as("idb"), col("band"), col("bhash"))
+    a.join(b, Seq("band", "bhash"))
+      .filter(col("ida") < col("idb"))
+      .select("ida", "idb").distinct()
+  }
+
+  /** Estimated Jaccard from signatures for candidate pairs (fraction of
+    * matching signature positions). Signature tables are re-joined by id —
+    * broadcast when the candidate set is small. */
+  def estimateJaccard(cands: DataFrame, sigs: DataFrame, idCol: String)
+      : DataFrame = {
+    val sa = sigs.select(col(idCol).as("ida"), col("sig").as("siga"))
+    val sb = sigs.select(col(idCol).as("idb"), col("sig").as("sigb"))
+    cands.join(sa, "ida").join(sb, "idb")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("siga"), col("sigb"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / size(col("siga")))
+      .select("ida", "idb", "est_jaccard")
+  }
+
+  /** Exact n-gram Jaccard verification for given pairs: explode both
+    * shingle sets, count intersection via join, divide by union size.
+    * Runs ONLY over candidate pairs (J-verify stage of the pipeline). */
+  def verifyJaccard(
+      cands: DataFrame,
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleN).as("shs"))
+      .withColumn("nsh", size(col("shs")).cast("long"))
+    val ex = sh.select(col("id"), col("nsh"), explode(col("shs")).as("sh"))
+    val ea = ex.select(col("id").as("ida"), col("nsh").as("na"), col("sh"))
+    val eb = ex.select(col("id").as("idb"), col("nsh").as("nb"), col("sh"))
+    cands.join(ea, "ida").join(eb.hint("shuffle_hash"), Seq("idb", "sh"))
+      .groupBy("ida", "idb")
+      .agg(count(lit(1)).as("inter"), first("na").as("na"),
+        first("nb").as("nb"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")))
+      .select("ida", "idb", "jaccard")
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash per doc: per-token 64-bit hash, frequency-weighted
+    * bit votes, sign-assembled. Declarative: explode → 64 conditional
+    * sums → bit assembly. */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tf = df
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("freq"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("freq"))
+        .otherwise(-col("freq"))).as(s"b$i")
+    }
+    tf.groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(i =>
+          when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L): Column)
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: band the 64 bits into 4×16-bit chunks;
+    * docs sharing any chunk are candidates (guarantees recall for
+    * hamming distance ≤ 3); verify with exact popcount distance. */
+  def simhashCandidates(sh: DataFrame, idCol: String, maxHamming: Int = 3)
+      : DataFrame = {
+    val banded = sh.select(col(idCol), col("simhash"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("band"),
+          shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL))
+            .as("chunk"))): _*)).as("bb"))
+      .select(col(idCol), col("simhash"), col("bb.band"), col("bb.chunk"))
+    val a = banded.select(col(idCol).as("ida"), col("simhash").as("sha"),
+      col("band"), col("chunk"))
+    val b = banded.select(col(idCol).as("idb"), col("simhash").as("shb"),
+      col("band"), col("chunk"))
+    a.join(b, Seq("band", "chunk")).filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        bit_count(col("sha").bitwiseXOR(col("shb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // --------------------------------------------- embedding near-duplicate
+
+  /** Embedding cosine near-dup: LSH-bucketed (random hyperplane signs)
+    * candidates + exact cosine verify — see [[Similarity]] for the
+    * shared machinery. */
+  def embeddingNearDups(
+      df: DataFrame,
+      embCol: String,
+      idCol: String,
+      planes: Int = 12,
+      minCosine: Double = 0.95): DataFrame = {
+    val sigs = Similarity.hyperplaneSignature(df, embCol, planes)
+    val a = sigs.select(col(idCol).as("ida"), col(embCol).as("ea"),
+      col("lsh_sig"))
+    val b = sigs.select(col(idCol).as("idb"), col(embCol).as("eb"),
+      col("lsh_sig"))
+    a.join(b, Seq("lsh_sig")).filter(col("ida") < col("idb"))
+      .withColumn("cosine", Similarity.cosine(col("ea"), col("eb")))
+      .filter(col("cosine") >= minCosine)
+      .select("ida", "idb", "cosine")
+  }
+}

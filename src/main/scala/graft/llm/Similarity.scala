@@ -1,0 +1,113 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k — a single scan with a size-k
+  * ordered take (no shuffle of the full score set, no driver collect of
+  * data-sized results). Scale path: random-hyperplane LSH buckets with
+  * exact rerank inside candidate buckets (multi-probe over neighboring
+  * signatures for recall).
+  */
+object Similarity {
+
+  /** dot(a, b) in double precision via sequential fold (deterministic
+    * evaluation order — matters for oracle comparison). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Brute-force cosine top-k against one query vector (driver-held,
+    * inlined as a literal — the broadcast-small-side pattern). */
+  def bruteForceTopK(
+      df: DataFrame,
+      embCol: String,
+      idCol: String,
+      query: Array[Float],
+      k: Int): DataFrame = {
+    val q = typedlit(query)
+    df.select(col(idCol), cosine(col(embCol), q).as("cosine"))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random ±1 hyperplanes (splitmix64 over
+    * (plane, dim) — no RNG state, reproducible across runs/cluster). */
+  def planes(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim) { (j, d) =>
+      var z = (j.toLong * 0x9E3779B97F4A7C15L) + (d.toLong * 0xBF58476D1CE4E5B9L) + 0x94D049BB133111EBL
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      if ((z & 1L) == 0L) 1.0 else -1.0
+    }
+
+  /** LSH signature: sign bits of projections onto the deterministic
+    * hyperplanes, packed into one long (`lsh_sig`). */
+  def hyperplaneSignature(df: DataFrame, embCol: String, nPlanes: Int)
+      : DataFrame = {
+    require(nPlanes <= 63, "signature packs into one long")
+    // dim read from the first row only (schema-level constant)
+    val dim = df.select(size(col(embCol))).head().getInt(0)
+    val ps = planes(nPlanes, dim)
+    val bits = (0 until nPlanes).map { j =>
+      when(dot(col(embCol), typedlit(ps(j))) >= 0, lit(1L << j))
+        .otherwise(0L): Column
+    }
+    df.withColumn("lsh_sig", bits.reduce(_ + _))
+  }
+
+  /** ANN top-k for one query: probe the query's LSH bucket plus all
+    * buckets at hamming distance 1 (multi-probe), exact-rerank inside.
+    * At 100 TB the bucketed scan prunes ~(1 - (1+P)/2^P) of the corpus
+    * while the rerank stays exact. */
+  def annTopK(
+      df: DataFrame,
+      embCol: String,
+      idCol: String,
+      query: Array[Float],
+      k: Int,
+      nPlanes: Int = 12): DataFrame = {
+    val sigs = hyperplaneSignature(df, embCol, nPlanes)
+    val dim = query.length
+    val ps = planes(nPlanes, dim)
+    val qSig = (0 until nPlanes).map { j =>
+      val d = ps(j).zip(query).map { case (p, x) => p * x }.sum
+      if (d >= 0) 1L << j else 0L
+    }.sum
+    val probeSigs = qSig +: (0 until nPlanes).map(j => qSig ^ (1L << j))
+    sigs.filter(col("lsh_sig").isin(probeSigs: _*))
+      .select(col(idCol), cosine(col(embCol), typedlit(query)).as("cosine"))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+  }
+
+  /** All-pairs top-k joins for a QUERY TABLE (not all-pairs over the
+    * corpus): bucket both sides by signature, join on bucket, rerank —
+    * the batch-ANN shape used for corpus-vs-corpus linking. */
+  def annJoin(
+      corpus: DataFrame,
+      queries: DataFrame,
+      embCol: String,
+      idCol: String,
+      nPlanes: Int = 12): DataFrame = {
+    val cs = hyperplaneSignature(corpus, embCol, nPlanes)
+      .select(col(idCol).as("corpus_id"), col(embCol).as("ce"),
+        col("lsh_sig"))
+    val qs = hyperplaneSignature(queries, embCol, nPlanes)
+      .select(col(idCol).as("query_id"), col(embCol).as("qe"),
+        col("lsh_sig"))
+    qs.join(cs, Seq("lsh_sig"))
+      .withColumn("cosine", cosine(col("qe"), col("ce")))
+      .select("query_id", "corpus_id", "cosine")
+  }
+}

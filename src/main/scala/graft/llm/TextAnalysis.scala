@@ -1,0 +1,84 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language identification, document
+  * fingerprinting. All hot-path expressions are built-in `functions._`
+  * (codegen'd); the only UDFs are the lang-ID scorer and the rolling-hash
+  * fingerprint, both simple per-row scalar functions.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (the baseline tokenizer; a BPE-ish regex
+    * variant is [[subwordCount]]). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column =
+    size(tokens(text)).cast("long")
+
+  /** Rough subword/BPE-style token estimate: word-piece regex split on
+    * letter-digit-punct boundaries, ~chars/4 floor for CJK-free text. */
+  def subwordCount(text: Column): Column =
+    size(split(trim(text), "[\\s]+|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])"))
+      .cast("long")
+
+  /** Quality metrics (length / punctuation / whitespace ratios — the
+    * heuristic-filter family used by pretraining pipelines). Integer
+    * counts divided as doubles → deterministic. */
+  def qualityMetrics(df: DataFrame, text: Column): DataFrame = {
+    val n = length(text)
+    val nonSpace = length(regexp_replace(text, " ", ""))
+    val ntok = tokenCount(text)
+    df.withColumn("n_chars_measured", n.cast("long"))
+      .withColumn("alpha_ratio", nonSpace.cast("double") / n)
+      .withColumn("avg_token_len", nonSpace.cast("double") / ntok)
+      .withColumn("n_tokens", ntok)
+  }
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "pour"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "den"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  /** Language ID: stopword-count heuristic over whitespace tokens (the
+    * n-gram-free fast path; ties break lexicographically → deterministic).
+    * Returns a string column. Unknown → "und". */
+  val langIdUdf = udf { text: String =>
+    if (text == null) "und"
+    else {
+      val toks = text.toLowerCase.split("\\s+").toSeq
+      val counts = stopwords.view.mapValues(sw =>
+        toks.count(sw.contains)).toMap
+      val best = counts.toSeq.sortBy { case (l, c) => (-c, l) }.head
+      if (best._2 == 0) "und" else best._1
+    }
+  }
+
+  /** Rolling polynomial fingerprint (Rabin-Karp style, 64-bit wrapping):
+    * fp = Σ c_i · B^(n-i), B = 1000003. Stable across partitioning. */
+  val fingerprintUdf = udf { text: String =>
+    if (text == null) 0L
+    else {
+      var h = 17L
+      var i = 0
+      while (i < text.length) { h = h * 1000003L + text.charAt(i); i += 1 }
+      h
+    }
+  }
+
+  /** Winnowing-style k-gram fingerprint set: min token-hash per sliding
+    * window of `w` token hashes — the standard near-dup sketch for code /
+    * text plagiarism detection. Declarative (no UDF). */
+  def winnowed(text: Column, w: Int): Column = {
+    val hs = transform(tokens(text), t => xxhash64(t))
+    val nwin = size(hs) - (w - 1)
+    when(nwin > 0,
+      array_distinct(transform(sequence(lit(0), nwin - 1),
+        i => array_min(slice(hs, i + 1, lit(w))))))
+      .otherwise(array(array_min(hs)))
+  }
+}
