@@ -29,11 +29,14 @@ object CutSpec {
       pars: CutPars,
       binning: Option[BinSpec] = None) extends CutSpec
 
+  /** One [lo, hi] time interval (tuples don't round-trip in json4s). */
+  final case class Interval(lo: Double, hi: Double)
+
   /** Time-interval form (T5). */
   final case class TimeIntervals(
       name: String,
       rq: String,
-      pairs: List[(Double, Double)]) extends CutSpec
+      pairs: List[Interval]) extends CutSpec
 
   /** Binning descriptor for T6 binned cuts: bin on `binRq` with either
     * `nbins` equal-width bins over [lo,hi] or explicit percentile-derived

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** F1-F9 cut algebra: boolean-algebra laws, register→apply ≡ filter,
+  * global-filter identities (SURVEY §5.4). */
+class CutAlgebraSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = (0 until 200)
+    .map(i => (i.toLong, i * 0.5, if (i % 3 == 0) "a" else "b"))
+    .toDF("event_uid", "x", "tag")
+  private lazy val t = EventTable(df)
+
+  test("filter forms agree: Pred ≡ Sql ≡ Named") {
+    val byPred = t.filter(Cut.Pred(col("x") > 30.0)).count()
+    val bySql = t.filter(Cut.Sql("x > 30.0")).count()
+    val byName = t.registerCut("c", Cut.Pred(col("x") > 30.0))
+      .filter(Cut.Named("c")).count()
+    assert(byPred == bySql && bySql == byName)
+  }
+
+  test("KeyTable cut ≡ isin semi-join, and registration back-projects") {
+    val keys = df.filter(col("x") > 80.0).select("event_uid")
+    val n1 = t.filter(Cut.KeyTable(keys)).count()
+    val n2 = df.filter(col("x") > 80.0).count()
+    assert(n1 == n2)
+    val reg = t.registerCut("ck", Cut.KeyTable(keys))
+    assert(reg.filter(Cut.Named("ck")).count() == n2)
+    assert(reg.full.count() == df.count()) // full-length flag column
+  }
+
+  test("combine modes obey boolean algebra") {
+    val r = t.registerCut("p", Cut.Pred(col("x") > 30.0))
+      .registerCut("q", Cut.Pred(col("tag") === "a"))
+      .combineCuts("and", Seq("p", "q"), CombineMode.And)
+      .combineCuts("or", Seq("p", "q"), CombineMode.Or)
+      .combineCuts("xor", Seq("p", "q"), CombineMode.Xor)
+      .combineCuts("sub", Seq("p", "q"), CombineMode.Subtract)
+      .full.select("p", "q", "and", "or", "xor", "sub").collect()
+    r.foreach { row =>
+      val (p, q) = (row.getBoolean(0), row.getBoolean(1))
+      assert(row.getBoolean(2) == (p && q))
+      assert(row.getBoolean(3) == (p || q))
+      assert(row.getBoolean(4) == (p ^ q))
+      assert(row.getBoolean(5) == (p && !q))
+    }
+  }
+
+  test("global filter: replace then drop = identity; AND composes") {
+    val g = t.applyGlobalFilter(Cut.Pred(col("x") > 50.0))
+    assert(g.dropGlobalFilter.view.count() == df.count())
+    val g2 = g.applyGlobalFilter(Cut.Pred(col("tag") === "a"), CombineMode.And)
+    assert(g2.view.count() ==
+      df.filter(col("x") > 50.0 && col("tag") === "a").count())
+  }
+
+  test("box cut = conjunction of closed ranges") {
+    val n = t.filter(Cut.box(Seq(("x", 10.0, 60.0)))).count()
+    assert(n == df.filter(col("x") >= 10.0 && col("x") <= 60.0).count())
+  }
+
+  test("version gate skips older plugin, applies newer") {
+    val v1 = Plugin.cut("cut_v", 1.0)(_ => col("x") > 10)
+    val v2 = Plugin.cut("cut_v", 2.0)(_ => col("x") > 90)
+    val t1 = PluginRegistry(v1).applyAll(t)
+    val t2 = PluginRegistry(v2).applyAll(t1) // upgrades
+    val t3 = PluginRegistry(v1).applyAll(t2) // gated, stays v2
+    assert(t3.cutMeta("cut_v").version == 2.0)
+    assert(t3.filter(Cut.Named("cut_v")).count() ==
+      df.filter(col("x") > 90).count())
+  }
+
+  test("passage fraction = conditional mean of cut") {
+    val f = t.passageFraction(Cut.Pred(col("x") > 50.0),
+      Cut.Pred(col("tag") === "a")).head.getDouble(0)
+    val manual = {
+      val cond = df.filter(col("tag") === "a")
+      cond.filter(col("x") > 50.0).count().toDouble / cond.count()
+    }
+    assert(math.abs(f - manual) < 1e-12)
+  }
+}

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm._
+
+/** Dedup / similarity / text-analysis / multimodal kernels. */
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "completely different words appear in this sentence here"),
+    (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (4L, "spark catalyst optimizer plans declarative dataframe queries fast")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps first id per content group") {
+    val survivors = Dedup.exactDedup(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(survivors.toSeq == Seq(0L, 1L, 2L, 4L))
+  }
+
+  test("shingles produce distinct n-grams; short docs degrade gracefully") {
+    val sh = docs.filter(col("doc_id") === 0)
+      .select(Dedup.shingles(col("text"), 3).as("s"))
+      .head.getSeq[String](0)
+    assert(sh.contains("the quick brown"))
+    assert(sh.size == 7) // 9 tokens → 7 trigrams, all distinct
+    val short = Seq((9L, "two words")).toDF("doc_id", "text")
+      .select(Dedup.shingles(col("text"), 3).as("s")).head.getSeq[String](0)
+    assert(short == Seq("two words"))
+  }
+
+  test("minhash estimate tracks exact jaccard; LSH finds the near-dup") {
+    val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", k = 64)
+    val cands = Dedup.lshCandidates(sigs, "doc_id", bands = 16, rows = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((0L, 3L))) // exact dup always collides
+    assert(cands.contains((0L, 1L)) || cands.contains((1L, 3L))) // near-dup
+    val est = Dedup.estimateJaccard(
+      Dedup.lshCandidates(sigs, "doc_id", 16, 4), sigs, "doc_id")
+      .filter(col("ida") === 0 && col("idb") === 3)
+      .head.getDouble(2)
+    assert(est == 1.0) // identical docs → identical signatures
+    // exact verify agrees with hand jaccard for (0,1): 6 shared of 8 union
+    val ver = Dedup.verifyJaccard(
+      Seq((0L, 1L)).toDF("ida", "idb"), docs, "text", "doc_id")
+      .head.getDouble(2)
+    assert(math.abs(ver - 6.0 / 8.0) < 1e-12)
+  }
+
+  test("simhash: identical docs get identical hashes, near-dups are close") {
+    val sh = Dedup.simhash(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(3L))
+    assert(java.lang.Long.bitCount(sh(0L) ^ sh(1L)) <
+      java.lang.Long.bitCount(sh(0L) ^ sh(2L)))
+    val cands = Dedup.simhashCandidates(
+      Dedup.simhash(docs, "text", "doc_id"), "doc_id", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands == Set((0L, 3L)))
+  }
+
+  test("cosine and brute-force top-k") {
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(embs, "embedding", "vec_id",
+      Array(1.0f, 0.0f, 0.0f), 2).collect()
+    assert(top(0).getLong(0) == 0L && math.abs(top(0).getDouble(1) - 1.0) < 1e-12)
+    assert(top(1).getLong(0) == 1L)
+  }
+
+  test("hyperplane LSH: ANN finds the exact match and planes are stable") {
+    val embs = (0 until 50).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.9 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = embs.filter(col("vec_id") === 7)
+      .head.getSeq[Float](1).toArray
+    val top = Similarity.annTopK(embs, "embedding", "vec_id", q, 3, 8)
+      .collect()
+    assert(top(0).getLong(0) == 7L)
+    assert(math.abs(top(0).getDouble(1) - 1.0) < 1e-9)
+    // deterministic planes
+    val p1 = Similarity.planes(4, 8); val p2 = Similarity.planes(4, 8)
+    assert(p1.zip(p2).forall { case (a, b) => a.sameElements(b) })
+  }
+
+  test("text analysis: tokens, quality, lang-id, fingerprints") {
+    val q = TextAnalysis.qualityMetrics(docs, col("text"))
+      .filter(col("doc_id") === 0).head()
+    assert(q.getAs[Long]("n_tokens") == 9L)
+    val langs = docs.select(TextAnalysis.langIdUdf(col("text")).as("l"))
+      .as[String].collect()
+    assert(langs.take(4).forall(_ == "en")) // "the" hits en stopwords
+    // fingerprint: equal texts → equal, different → different
+    val fps = docs.select(col("doc_id"),
+      TextAnalysis.fingerprintUdf(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(0L) == fps(3L) && fps(0L) != fps(2L))
+    val w = docs.select(TextAnalysis.winnowed(col("text"), 4).as("w"))
+      .head.getSeq[Long](0)
+    assert(w.nonEmpty)
+  }
+
+  test("multimodal: batched feature extraction is deterministic, frames sample") {
+    val bin = docs.withColumn("payload", col("text").cast("binary"))
+    val f1 = Multimodal.extractFeatures(bin, "payload", "doc_id",
+      new Multimodal.FakeDecoder(8), batchSize = 2)
+      .orderBy("doc_id").collect().map(_.getSeq[Float](1))
+    val f2 = Multimodal.extractFeatures(bin, "payload", "doc_id",
+      new Multimodal.FakeDecoder(8), batchSize = 3)
+      .orderBy("doc_id").collect().map(_.getSeq[Float](1))
+    f1.zip(f2).foreach { case (a, b) => assert(a == b) } // batch-size invariant
+    assert(math.abs(f1(0).map(_.toDouble).sum - 1.0) < 1e-6) // normalized
+    val frames = Multimodal.sampleFrames(bin, "payload", 10, 2)
+      .select(size(col("frames"))).head.getInt(0)
+    assert(frames >= 1)
+    val meta = Multimodal.withBinaryMeta(bin, "payload")
+      .filter(col("doc_id") === 0).head()
+    assert(meta.getAs[Long]("n_bytes") == 43L)
+  }
+}
