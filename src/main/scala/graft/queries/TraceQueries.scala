@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.traces.TraceStore
+import graft.vibration.MomentAggregator
+import Q._
+
+/** Trace-store, windowing and vibration-moment operators (S5/J2, W4/W5,
+  * A13, A16/A18) exercised on deterministic synthetic traces derived from
+  * the events table (integer-valued samples → float sums are exact, so
+  * DuckDB oracles hash-match bit for bit). */
+object TraceQueries {
+
+  /** Synthetic 64-sample trace per event: k_i = (event_id·31 + i·17) mod
+    * 97 as double — integer-valued, order-independent sums. */
+  private def syntheticTraces(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).withColumn("trace",
+      transform(sequence(lit(0), lit(63)),
+        i => ((col("event_id") * 31 + i * 17) % 97).cast("double")))
+
+  val queries: Map[String, QFn] = Map(
+    // S5/J2/W5: capped broadcast key fetch + window slice + exact sum
+    "s5_trace_fetch_window" -> ((s, dir) => {
+      val tr = syntheticTraces(s, dir)
+        .withColumn("series_number", col("event_id") % 4)
+        .withColumn("event_number", col("event_id"))
+      val keys = events(s, dir)
+        .orderBy(desc("value"), asc("event_id")).limit(50)
+        .select((col("event_id") % 4).as("series_number"),
+          col("event_id").as("event_number"))
+      TraceStore.fetch(tr, keys, window = Some((8, 16)),
+          nbEventsLimit = 1000)
+        .select(col("event_id"),
+          aggregate(col("trace"), lit(0.0), (acc, x) => acc + x)
+            .as("window_sum"))
+        .orderBy("event_id")
+    }),
+
+    // A13: mean pulse over a cut ensemble (posexplode + grouped mean of
+    // integer-valued samples → exact)
+    "a13_mean_pulse" -> ((s, dir) =>
+      syntheticTraces(s, dir)
+        .filter(col("value") > 250.0)
+        .select(posexplode(col("trace")))
+        .groupBy("pos")
+        .agg((sum(col("col")) / count(lit(1))).as("mean_amp"))
+        .orderBy("pos")),
+
+    // A16/A18 sweep path: 2-channel complex moments per frequency group
+    // through the real MomentAggregator (udaf + groupBy), integer-valued
+    // phasors → exact means
+    "vib_moments_sweep" -> ((s, dir) => {
+      val amps = events(s, dir).select(
+        (col("event_id") % 8).as("freq"),
+        array(
+          array((col("event_id") % 13 - 6).cast("double"),
+            (col("event_id") % 7 - 3).cast("double")),
+          array((col("event_id") % 11 - 5).cast("double"),
+            (col("event_id") % 5 - 2).cast("double"))).as("chans"))
+      val agg = udaf(new MomentAggregator(nCh = 2, nFreq = 1))
+      amps.groupBy("freq")
+        .agg(agg(col("chans")).as("mo"))
+        .select(col("freq"),
+          col("mo.n").as("n"),
+          element_at(col("mo.m"), 1).as("m0_re"),
+          element_at(col("mo.m"), 2).as("m0_im"),
+          element_at(col("mo.s"), 3).as("s01_re"),
+          element_at(col("mo.s"), 4).as("s01_im"),
+          element_at(col("mo.r"), 2).as("r01"))
+        .orderBy("freq")
+    }),
+
+    // W4: ordered re-chunking with remainder discard, per-chunk exact sums
+    "w4_rechunk" -> ((s, dir) => {
+      val stream = events(s, dir).filter(col("event_id") < 50)
+        .select(col("event_id").as("event_index"), lit("ch1").as("channel"),
+          transform(sequence(lit(0), (lit(2) + col("event_id") % 3).cast("int")),
+            i => ((col("event_id") * 7 + i * 5) % 19).cast("double"))
+            .as("trace"))
+      TraceStore.rechunk(stream, chunkLen = 7)
+        .select(col("chunk_id"),
+          aggregate(col("trace"), lit(0.0), (acc, x) => acc + x)
+            .as("chunk_sum"))
+        .orderBy("chunk_id")
+    })
+  )
+
+  private val synth =
+    "list_transform(generate_series(0, 63), i -> CAST((event_id*31 + i*17) % 97 AS DOUBLE))"
+
+  val oracle: Map[String, String] = Map(
+    "s5_trace_fetch_window" ->
+      s"""WITH k AS (SELECT event_id FROM events ORDER BY value DESC, event_id LIMIT 50)
+        |SELECT e.event_id AS event_id, list_sum(list_transform(generate_series(8, 23), i -> CAST((e.event_id*31 + i*17) % 97 AS DOUBLE))) AS window_sum
+        |FROM events e JOIN k USING (event_id) ORDER BY event_id""".stripMargin,
+    "a13_mean_pulse" ->
+      s"""WITH t AS (SELECT event_id, $synth AS trace FROM events WHERE value > 250.0),
+        |u AS (SELECT generate_subscripts(trace, 1) - 1 AS pos, unnest(trace) AS x FROM t)
+        |SELECT CAST(pos AS INTEGER) AS pos, sum(x) / count(*) AS mean_amp FROM u GROUP BY pos ORDER BY pos""".stripMargin,
+    "vib_moments_sweep" ->
+      """WITH a AS (SELECT event_id % 8 AS freq,
+        |  CAST(event_id % 13 - 6 AS DOUBLE) a0r, CAST(event_id % 7 - 3 AS DOUBLE) a0i,
+        |  CAST(event_id % 11 - 5 AS DOUBLE) a1r, CAST(event_id % 5 - 2 AS DOUBLE) a1i FROM events)
+        |SELECT freq, count(*) AS n,
+        |  sum(a0r)/count(*) AS m0_re,
+        |  sum(a0i)/count(*) AS m0_im,
+        |  sum(a0r*a1r + a0i*a1i)/count(*) AS s01_re,
+        |  sum(a0i*a1r - a0r*a1i)/count(*) AS s01_im,
+        |  sum((a0r*a0r + a0i*a0i)*(a1r*a1r + a1i*a1i))/count(*) AS r01
+        |FROM a GROUP BY freq ORDER BY freq""".stripMargin,
+    "w4_rechunk" ->
+      """WITH t AS (SELECT event_id, list_transform(generate_series(0, CAST(2 + event_id % 3 AS INTEGER)), i -> CAST((event_id*7 + i*5) % 19 AS DOUBLE)) AS trace FROM events WHERE event_id < 50),
+        |s AS (SELECT event_id, unnest(trace) AS x, generate_subscripts(trace, 1) AS p FROM t),
+        |o AS (SELECT x, row_number() OVER (ORDER BY event_id, p) - 1 AS g FROM s),
+        |c AS (SELECT g // 7 AS chunk_id, x FROM o),
+        |ok AS (SELECT chunk_id FROM c GROUP BY chunk_id HAVING count(*) = 7)
+        |SELECT c.chunk_id AS chunk_id, sum(x) AS chunk_sum FROM c JOIN ok USING (chunk_id) GROUP BY c.chunk_id ORDER BY chunk_id""".stripMargin
+  )
+}

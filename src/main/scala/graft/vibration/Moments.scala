@@ -108,13 +108,13 @@ final class MomentAggregator(nCh: Int, nFreq: Int)
   }
 
   def finish(buf: Array[Double]): Moments = {
-    val n = buf(0)
-    val inv = if (n > 0) 1.0 / n else 0.0
+    val n = if (buf(0) > 0) buf(0) else 1.0
+    // direct division (not *1/n): bit-identical to sum/count semantics
     Moments(
-      n.toLong, nCh, nFreq,
-      Array.tabulate(mLen)(i => buf(mOff + i) * inv),
-      Array.tabulate(sLen)(i => buf(sOff + i) * inv),
-      Array.tabulate(rLen)(i => buf(rOff + i) * inv))
+      buf(0).toLong, nCh, nFreq,
+      Array.tabulate(mLen)(i => buf(mOff + i) / n),
+      Array.tabulate(sLen)(i => buf(sOff + i) / n),
+      Array.tabulate(rLen)(i => buf(rOff + i) / n))
   }
 
   def bufferEncoder: Encoder[Array[Double]] =
