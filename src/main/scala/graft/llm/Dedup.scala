@@ -40,25 +40,62 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
+  /** Deterministic 31-bit odd multipliers for the k universal hashes. */
+  private def mixers(k: Int): IndexedSeq[Long] =
+    (0 until k).map { i =>
+      var z = i.toLong * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0x94D049BB133111EBL
+      (z & 0x7FFFFFFFL) | 1L
+    }
+
+  /** FNV-1a 64-bit string hash (deterministic across JVMs). */
+  private def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
   /** MinHash signature table: one row per doc, `sig` = array of k minima
-    * of independently-seeded 64-bit hashes over the shingle set.
+    * of universal hashes h_i = (lo31(h)·a_i) xor hi33(h) over the shingle
+    * set.
     *
-    * Shape: explode(shingles) → k min-aggregations with map-side partial
-    * aggregation — one shuffle of k·|docs| longs, no UDF, whole-stage
-    * codegen throughout. Scales linearly in corpus size.
-    */
+    * Shape: a single map-only pass — one base hash per shingle, k cheap
+    * integer mixes, running minima in a tight loop. NO shuffle, NO
+    * explode: strictly better at scale than the explode + k-wide
+    * min-aggregation formulation (which shuffles k·|shingles| rows and
+    * blows past the whole-stage-codegen method-size limit at k = 64). */
   def minhashSignatures(
       df: DataFrame,
       textCol: String,
       idCol: String,
       k: Int = 64,
       shingleN: Int = 3): DataFrame = {
-    val exploded = df
-      .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("sh"))
-    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"m$i"))
-    exploded.groupBy(col(idCol))
-      .agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+    // CPU-bound map stage: if the input is coarser-partitioned than the
+    // cluster (single row-group file), fan out first. At real scale the
+    // scan already yields ≥cores splits and this is a no-op.
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val src =
+      if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+    val as = mixers(k).toArray
+    val sigUdf = udf { shs: Seq[String] =>
+      val sig = Array.fill(k)(Long.MaxValue)
+      var si = 0
+      while (si < shs.length) {
+        val h = fnv64(shs(si))
+        val lo = h & 0x7FFFFFFFL
+        val hi = h >>> 31
+        var i = 0
+        while (i < k) {
+          val v = (lo * as(i)) ^ hi
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+        si += 1
+      }
+      sig
+    }
+    src.select(col(idCol), sigUdf(shingles(col(textCol), shingleN)).as("sig"))
   }
 
   /** Banded-LSH candidate pairs from signatures: b bands of r rows
@@ -111,25 +148,26 @@ object Dedup {
       .select("ida", "idb", "est_jaccard")
   }
 
-  /** Exact n-gram Jaccard verification for given pairs: explode both
-    * shingle sets, count intersection via join, divide by union size.
-    * Runs ONLY over candidate pairs (J-verify stage of the pipeline). */
+  /** Exact n-gram Jaccard verification for given pairs: join each pair to
+    * its two (distinct) shingle arrays and intersect with the built-in
+    * `array_intersect` — per-pair cost linear in the shingle counts, and
+    * the joins move only |candidates| rows. Runs ONLY over candidate
+    * pairs (J-verify stage of the pipeline); never all-pairs. */
   def verifyJaccard(
       cands: DataFrame,
       df: DataFrame,
       textCol: String,
       idCol: String,
       shingleN: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
+    val sh = df.select(col(idCol),
       shingles(col(textCol), shingleN).as("shs"))
-      .withColumn("nsh", size(col("shs")).cast("long"))
-    val ex = sh.select(col("id"), col("nsh"), explode(col("shs")).as("sh"))
-    val ea = ex.select(col("id").as("ida"), col("nsh").as("na"), col("sh"))
-    val eb = ex.select(col("id").as("idb"), col("nsh").as("nb"), col("sh"))
-    cands.join(ea, "ida").join(eb.hint("shuffle_hash"), Seq("idb", "sh"))
-      .groupBy("ida", "idb")
-      .agg(count(lit(1)).as("inter"), first("na").as("na"),
-        first("nb").as("nb"))
+    val sa = sh.select(col(idCol).as("ida"), col("shs").as("sha"))
+    val sb = sh.select(col(idCol).as("idb"), col("shs").as("shb"))
+    cands.join(sa, "ida").join(sb, "idb")
+      .withColumn("inter",
+        size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("na", size(col("sha")).cast("long"))
+      .withColumn("nb", size(col("shb")).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")))

@@ -76,7 +76,10 @@ object LlmQueries {
     // pairs by estimated jaccard, with exact verification attached
     "llm_minhash_neardup" -> ((s, dir) => {
       val d = t(s, dir, "documents")
+      // signatures are consumed twice (banding + estimation): persist —
+      // at cluster scale this is a checkpoint of the signature table
       val sigs = Dedup.minhashSignatures(d, "text", "doc_id", k = 64)
+        .persist()
       val cands = Dedup.lshCandidates(sigs, "doc_id", bands = 16, rows = 4)
       val est = Dedup.estimateJaccard(cands, sigs, "doc_id")
       val ver = Dedup.verifyJaccard(cands, d, "text", "doc_id")

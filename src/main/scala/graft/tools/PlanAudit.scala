@@ -1,0 +1,53 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan audit (dev tool): prints formatted physical plans for key queries
+  * and flags scale anti-patterns — cartesian products where not expected,
+  * missing parquet filter pushdown, missing broadcast on capped key
+  * joins. Output reviewed in SCALE.md. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+
+    val interesting = Seq(
+      "f1_filter_expr", "f2_mask_semijoin", "j2_key_broadcast_join",
+      "tpch_join_revenue", "a7_hist1d", "t6_binned_percentile_cut",
+      "t7_rate_cut", "llm_minhash_neardup", "llm_sim_topk", "w4_rechunk")
+
+    // allowed nested-loop joins: tiny driver-generated pair sets
+    val nestedLoopAllowed = Set("llm_ngram_jaccard")
+
+    var bad = 0
+    interesting.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      println(s"\n========== $name ==========")
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode).take(4000))
+      if (plan.contains("CartesianProduct") &&
+          !nestedLoopAllowed.contains(name)) {
+        println(s"!! $name: CartesianProduct found"); bad += 1
+      }
+    }
+
+    // pushdown check: a filter on a parquet column must reach the scan
+    val f = graft.SparkEntry.queries("f1_filter_expr")(spark, dir)
+    val scan = f.queryExecution.executedPlan.toString
+    if (!scan.contains("PushedFilters: [")) {
+      println("!! f1: no PushedFilters in scan"); bad += 1
+    }
+    val j2 = graft.SparkEntry.queries("j2_key_broadcast_join")(spark, dir)
+    if (!j2.queryExecution.executedPlan.toString.contains("BroadcastHashJoin")) {
+      println("!! j2: key join is not broadcast"); bad += 1
+    }
+    println(s"\naudit ${if (bad == 0) "CLEAN" else s"$bad issue(s)"}")
+    spark.stop()
+  }
+}
