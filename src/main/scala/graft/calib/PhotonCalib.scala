@@ -9,6 +9,25 @@ import graft.traces.Dsp
   * driver fits. */
 object PhotonCalib {
 
+  /** S9: load a per-channel dPdI half-spectrum from a small "filter file"
+    * table `(channel, dpdi_re: array<double>, dpdi_im: array<double>)` —
+    * the `_extract_dPdI` path (`photon_calibration.py:1301-1326`).
+    * Driver-side read of a KB-scale artifact; returns interleaved
+    * [re, im, …] for [[deconvolveDpdi]]. */
+  def loadDpdi(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      channel: String): Array[Double] = {
+    import org.apache.spark.sql.functions.col
+    val row = spark.read.parquet(path)
+      .filter(col("channel") === channel)
+      .select("dpdi_re", "dpdi_im")
+      .head()
+    val re = row.getSeq[Double](0)
+    val im = row.getSeq[Double](1)
+    Array.tabulate(2 * re.length)(i => if (i % 2 == 0) re(i / 2) else im(i / 2))
+  }
+
   /** Fit an N-peak Poisson comb to a (binCenters, counts) histogram with
     * 1/√counts weights (`fit_spectrum`, `photon_calibration.py:516-581`;
     * empty bins get weight 1). Params: (norm, offset, spacing, sigma,

@@ -1,0 +1,38 @@
+package graft.stats
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sampling & plot-prep helpers (SURVEY L3, L5). */
+object Sampling {
+
+  /** L3: exact-n uniform sample without replacement, seeded —
+    * `df.sample(n=k)` / `np.random.choice(indices, k)` of the reference
+    * (`analyzer.py:770-771,966-967`, `semiautocuts.py:1760-1768`).
+    * `orderBy(rand(seed)).limit(n)` is an O(n log k) ordered take, not a
+    * full sort materialization. Deterministic for a fixed seed AND fixed
+    * input partitioning; documented divergence from numpy's RNG stream. */
+  def exactN(df: DataFrame, n: Int, seed: Long = 42L): DataFrame =
+    df.orderBy(rand(seed)).limit(n)
+
+  /** L3 approximate form: Bernoulli sample, fraction-based. */
+  def fraction(df: DataFrame, f: Double, seed: Long = 42L): DataFrame =
+    df.sample(withReplacement = false, f, seed)
+
+  /** L5: log-spaced index subset of an axis of length `n` — the plot
+    * downsampler (`_downsample_log`, `vibration_analyzer.py:1051-1102`,
+    * default 20,000 points). Driver-side: it prepares plot indices, not
+    * a table op. Always includes index 0 and n-1; strictly increasing. */
+  def logDownsampleIndices(n: Int, points: Int = 20000): Array[Int] = {
+    if (n <= points) Array.range(0, n)
+    else {
+      val lo = math.log(1.0)
+      val hi = math.log(n.toDouble)
+      val raw = Array.tabulate(points) { i =>
+        val f = i.toDouble / (points - 1)
+        math.min(n - 1, math.exp(lo + f * (hi - lo)).toInt - 1 + (if (i == 0) 1 else 0))
+      }
+      (Array(0) ++ raw).distinct.sorted
+    }
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.stats.Sampling
+import graft.streaming.StreamingMoments
+
+/** §2.9 streaming lift + L3/L5 sampling + S9 dPdI load. */
+class StreamingAndSamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming moment accumulation matches batch over the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = (0 until 40).map { i =>
+      (i % 4, Seq(Seq((i % 5).toDouble, (i % 3).toDouble)))
+    }
+    val stream = MemoryStream[(Int, Seq[Seq[Double]])]
+    stream.addData(events: _*)
+    val q = StreamingMoments.startToMemory(
+      stream.toDF().toDF("freq", "chans"), col("freq"), 1, 1, "mo_test")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql(
+      "SELECT freq, mo.n AS n, mo.m[0] AS m_re FROM mo_test ORDER BY freq")
+      .collect()
+    val batch = StreamingMoments.moments(
+      events.toDF("freq", "chans"), col("freq"), 1, 1)
+      .select(col("freq"), col("mo.n").as("n"),
+        element_at(col("mo.m"), 1).as("m_re"))
+      .orderBy("freq").collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getInt(0) == b.getInt(0))
+      assert(s.getLong(1) == b.getLong(1))
+      assert(math.abs(s.getDouble(2) - b.getDouble(2)) < 1e-12)
+    }
+  }
+
+  test("L3 exact-n seeded sample: size, determinism, no replacement") {
+    val df = (0 until 1000).map(Tuple1(_)).toDF("x")
+    val s1 = Sampling.exactN(df, 50, seed = 7).as[Int].collect()
+    val s2 = Sampling.exactN(df, 50, seed = 7).as[Int].collect()
+    assert(s1.length == 50)
+    assert(s1.toSeq == s2.toSeq)          // deterministic for fixed seed
+    assert(s1.distinct.length == 50)      // without replacement
+    val s3 = Sampling.exactN(df, 50, seed = 8).as[Int].collect()
+    assert(s3.toSeq != s1.toSeq)          // seed-sensitive
+  }
+
+  test("L5 log-downsample: identity below target, monotone above") {
+    assert(Sampling.logDownsampleIndices(100, 200).toSeq == (0 until 100))
+    val idx = Sampling.logDownsampleIndices(100000, 500)
+    assert(idx.head == 0 && idx.last == 99999)
+    assert(idx.length <= 501)
+    assert(idx.sliding(2).forall(p => p(0) < p(1)))
+  }
+
+  test("S9 dPdI load round-trips through parquet") {
+    val path = java.nio.file.Files
+      .createTempDirectory("dpdi").resolve("f.parquet").toString
+    Seq(("ch1", Seq(1.0, 2.0), Seq(0.5, -0.5)))
+      .toDF("channel", "dpdi_re", "dpdi_im")
+      .write.mode("overwrite").parquet(path)
+    val d = graft.calib.PhotonCalib.loadDpdi(spark, path, "ch1")
+    assert(d.toSeq == Seq(1.0, 0.5, 2.0, -0.5))
+  }
+}
