@@ -91,6 +91,90 @@ object Similarity {
       .limit(k)
   }
 
+  // ------------------------------------------------------------- IVF
+
+  /** IVF coarse quantizer: k centroids trained with a few Lloyd
+    * iterations over a bounded seeded sample (driver-side math over ≤
+    * `sampleN` vectors — the index build is cheap; the SCAN stays
+    * distributed). Deterministic: seeded sample + fixed init. */
+  def ivfCentroids(
+      df: DataFrame,
+      embCol: String,
+      k: Int,
+      iters: Int = 10,
+      sampleN: Int = 2000,
+      seed: Long = 42L): Array[Array[Double]] = {
+    val sample = graft.stats.Sampling.exactN(df.select(embCol), sampleN, seed)
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample.head.length
+    // deterministic init: evenly strided sample points
+    var cents = Array.tabulate(k)(i => sample(i * sample.length / k).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(Array.ofDim[Double](dim))
+      val counts = Array.ofDim[Int](k)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, cents)
+        counts(c) += 1
+        var d = 0
+        while (d < dim) { sums(c)(d) += v(d); d += 1 }
+      }
+      cents = Array.tabulate(k)(c =>
+        if (counts(c) > 0) sums(c).map(_ / counts(c)) else cents(c))
+    }
+    cents
+  }
+
+  private def nearestCentroid(v: Array[Double], cents: Array[Array[Double]])
+      : Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d = 0.0; var i = 0
+      while (i < v.length) {
+        val t = v(i) - cents(c)(i); d += t * t; i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Assign each vector its IVF list id (map-only; centroids broadcast
+    * as a closure constant). */
+  def ivfAssign(df: DataFrame, embCol: String, cents: Array[Array[Double]])
+      : DataFrame = {
+    val centsB = cents
+    val assignUdf = udf { v: Seq[Float] =>
+      nearestCentroid(v.map(_.toDouble).toArray, centsB)
+    }
+    df.withColumn("ivf_list", assignUdf(col(embCol)))
+  }
+
+  /** IVF ANN top-k: probe the `nprobe` nearest lists to the query, exact
+    * cosine rerank inside — scans nprobe/k of the corpus. At 100 TB the
+    * assignment is computed once at ingest and the list id is a Parquet
+    * partition column, making the probe a partition-pruned scan. */
+  def ivfTopK(
+      assigned: DataFrame,
+      embCol: String,
+      idCol: String,
+      query: Array[Float],
+      k: Int,
+      cents: Array[Array[Double]],
+      nprobe: Int = 2): DataFrame = {
+    val qd = query.map(_.toDouble)
+    val lists = cents.zipWithIndex.map { case (c, i) =>
+      var d = 0.0; var j = 0
+      while (j < qd.length) { val t = qd(j) - c(j); d += t * t; j += 1 }
+      (i, d)
+    }.sortBy(_._2).take(nprobe).map(_._1)
+    assigned.filter(col("ivf_list").isin(lists.toIndexedSeq: _*))
+      .select(col(idCol), cosine(col(embCol), typedlit(query)).as("cosine"))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+  }
+
   /** All-pairs top-k joins for a QUERY TABLE (not all-pairs over the
     * corpus): bucket both sides by signature, join on bucket, rerank —
     * the batch-ANN shape used for corpus-vs-corpus linking. */

@@ -121,6 +121,14 @@ object CoreQueries {
             .as("chi2_model"))
         .orderBy("event_id")),
 
+    // F9: column drop + overwrite (withColumn replace semantics)
+    "f9_drop_overwrite" -> ((s, dir) =>
+      EventTable(events(s, dir))
+        .dropColumns("props", "user_id")
+        .addFeature("value", col("value") * 2)
+        .view.select(col("event_id"), col("value"))
+        .orderBy("event_id")),
+
     // L2: deterministic limit
     "l2_limit" -> ((s, dir) =>
       events(s, dir).select(col("event_id"), col("value"))
@@ -161,6 +169,8 @@ object CoreQueries {
       "SELECT event_id, value - user_id AS diff FROM events ORDER BY event_id",
     "d3_polyval" ->
       "SELECT event_id, (0.5*value + 3.0)*value + 2.0 AS chi2_model FROM events ORDER BY event_id",
+    "f9_drop_overwrite" ->
+      "SELECT event_id, value * 2 AS value FROM events ORDER BY event_id",
     "l2_limit" ->
       "SELECT event_id, value FROM events ORDER BY event_id LIMIT 100",
     "l3_sample_hash" ->

@@ -133,6 +133,18 @@ object LlmQueries {
         .withColumn("cosine", round(col("cosine"), 6))
     }),
 
+    // IVF ANN: coarse-quantizer index + nprobe scan + exact rerank
+    // (rows-only: centroid training is Scala-side)
+    "llm_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val cents = Similarity.ivfCentroids(emb, "embedding", k = 8)
+      val assigned = Similarity.ivfAssign(emb, "embedding", cents)
+      Similarity.ivfTopK(assigned, "embedding", "vec_id", q, 5, cents)
+        .withColumn("cosine", round(col("cosine"), 6))
+    }),
+
     // multimodal binary plumbing: byte metadata over text-as-binary
     "mm_binary_meta" -> ((s, dir) =>
       Multimodal.withBinaryMeta(

@@ -71,6 +71,50 @@ object TraceQueries {
         .orderBy("freq")
     }),
 
+    // A14/A15/K10: complex ensemble mean + stdcomplex + mean power via the
+    // ComplexMeanStd aggregator over integer phasors (exact oracle)
+    "a14_complex_ensemble" -> ((s, dir) => {
+      val z = events(s, dir).select(
+        array(
+          (col("event_id") % 9 - 4).cast("double"),
+          (col("event_id") % 5 - 2).cast("double"),
+          (col("event_id") % 7 - 3).cast("double"),
+          (col("event_id") % 3 - 1).cast("double")).as("z"))
+      val agg = udaf(new graft.stats.VectorStats.ComplexMeanStd(2))
+      z.agg(agg(col("z")).as("ce"))
+        .select(
+          col("ce.n").as("n"),
+          element_at(col("ce.meanRe"), 1).as("mean_re_1"),
+          element_at(col("ce.meanIm"), 1).as("mean_im_1"),
+          element_at(col("ce.stdComplex"), 1).as("std_1"),
+          element_at(col("ce.meanRe"), 2).as("mean_re_2"),
+          element_at(col("ce.meanIm"), 2).as("mean_im_2"),
+          element_at(col("ce.stdComplex"), 2).as("std_2"))
+    }),
+
+    // K1/K2 (rows-only): one-sided PSD via the FFT UDF on synthetic traces
+    "k1_psd" -> ((s, dir) =>
+      syntheticTraces(s, dir).filter(col("event_id") < 20)
+        .select(col("event_id"),
+          round(aggregate(
+            graft.traces.Dsp.psdUdf(1000.0)(col("trace")),
+            lit(0.0), (acc, x) => acc + x), 6).as("total_power"))
+        .orderBy("event_id")),
+
+    // K3 (rows-only): Butterworth low-pass UDF
+    "k3_lowpass" -> ((s, dir) =>
+      syntheticTraces(s, dir).filter(col("event_id") < 20)
+        .select(col("event_id"),
+          round(element_at(
+            graft.traces.Dsp.lowpassUdf(100.0, 1000.0)(col("trace")), 64), 6)
+            .as("filtered_last"))
+        .orderBy("event_id")),
+
+    // L3: seeded exact-n sample — the deterministic size property
+    "l3_sample_seeded" -> ((s, dir) =>
+      graft.stats.Sampling.exactN(events(s, dir), 100, seed = 7L)
+        .agg(count(lit(1)).as("cnt"))),
+
     // W4: ordered re-chunking with remainder discard, per-chunk exact sums
     "w4_rechunk" -> ((s, dir) => {
       val stream = events(s, dir).filter(col("event_id") < 50)
@@ -90,6 +134,17 @@ object TraceQueries {
     "list_transform(generate_series(0, 63), i -> CAST((event_id*31 + i*17) % 97 AS DOUBLE))"
 
   val oracle: Map[String, String] = Map(
+    "a14_complex_ensemble" ->
+      """WITH z AS (SELECT CAST(event_id % 9 - 4 AS DOUBLE) r1, CAST(event_id % 5 - 2 AS DOUBLE) i1, CAST(event_id % 7 - 3 AS DOUBLE) r2, CAST(event_id % 3 - 1 AS DOUBLE) i2 FROM events),
+        |g AS (SELECT CAST(count(*) AS DOUBLE) n, sum(r1) sr1, sum(i1) si1, sum(r1*r1 + i1*i1) sa1, sum(r2) sr2, sum(i2) si2, sum(r2*r2 + i2*i2) sa2 FROM z)
+        |SELECT CAST(n AS BIGINT) AS n,
+        | sr1/n AS mean_re_1, si1/n AS mean_im_1,
+        | sqrt(greatest(sa1/n - ((sr1/n)*(sr1/n) + (si1/n)*(si1/n)), 0)) AS std_1,
+        | sr2/n AS mean_re_2, si2/n AS mean_im_2,
+        | sqrt(greatest(sa2/n - ((sr2/n)*(sr2/n) + (si2/n)*(si2/n)), 0)) AS std_2
+        |FROM g""".stripMargin,
+    "l3_sample_seeded" ->
+      "SELECT CAST(100 AS BIGINT) AS cnt",
     "s5_trace_fetch_window" ->
       s"""WITH k AS (SELECT event_id FROM events ORDER BY value DESC, event_id LIMIT 50)
         |SELECT e.event_id AS event_id, list_sum(list_transform(generate_series(8, 23), i -> CAST((e.event_id*31 + i*17) % 97 AS DOUBLE))) AS window_sum
