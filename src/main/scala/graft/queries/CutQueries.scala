@@ -98,6 +98,19 @@ object CutQueries {
         .agg(count(lit(1)).as("cnt")).orderBy("bin")
     }),
 
+    // T8: spec round trip — serialize, parse, re-estimate, apply; must
+    // select exactly what the direct cut selects
+    "t8_cutspec_roundtrip" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val spec = CutSpec.Estimated("cut_sig", "value",
+        CutPars(sigma = Some(2.5)))
+      val loaded = CutSpec.fromJsonOne(CutSpec.toJsonOne(spec))
+        .asInstanceOf[CutSpec.Estimated]
+      val pass = SemiAutoCut.cut(ev, loaded.rq, loaded.pars)
+      ev.filter(pass).groupBy("event_type")
+        .agg(count(lit(1)).as("cnt")).orderBy("event_type")
+    }),
+
     // MasterCuts: AND-fold with saturation override
     "master_combined_cut" -> ((s, dir) => {
       val ev = events(s, dir)
@@ -145,6 +158,10 @@ object CutQueries {
         |thr AS (SELECT quantile_cont(CAST(c AS DOUBLE), 0.75) AS t FROM counts),
         |verdict AS (SELECT bin, c <= t AS keep FROM counts, thr)
         |SELECT b.bin AS bin, count(*) AS cnt FROM b JOIN verdict USING (bin) WHERE keep GROUP BY b.bin ORDER BY bin""".stripMargin),
+    "t8_cutspec_roundtrip" ->
+      """WITH q AS (SELECT quantile_cont(value, 0.15865) q1, quantile_cont(value, 0.5) q2, quantile_cont(value, 0.84135) q3 FROM events),
+        |t AS (SELECT q2 AS med, ((q2 - q1) + (q3 - q2)) / 2.0 AS sigma FROM q)
+        |SELECT event_type, count(*) AS cnt FROM events, t WHERE value > med - 2.5*sigma AND value < med + 2.5*sigma GROUP BY event_type ORDER BY event_type""".stripMargin,
     "master_combined_cut" ->
       "SELECT event_type, count(*) AS cnt FROM events WHERE ((value > 50.0) AND (user_id % 3 <> 0)) OR (value > 480.0) GROUP BY event_type ORDER BY event_type"
   )

@@ -115,6 +115,28 @@ object TraceQueries {
       graft.stats.Sampling.exactN(events(s, dir), 100, seed = 7L)
         .agg(count(lit(1)).as("cnt"))),
 
+    // K12/K11: PSD, PSD variance and rms-ratio TF from accumulated
+    // moments — distributed aggregation, driver-side estimators, exact
+    // oracle thanks to integer phasors
+    "k12_psd_estimator" -> ((s, dir) => {
+      import graft.vibration.{Estimators, Moments}
+      val amps = events(s, dir).select(
+        array(
+          array((col("event_id") % 13 - 6).cast("double"),
+            (col("event_id") % 7 - 3).cast("double")),
+          array((col("event_id") % 11 - 5).cast("double"),
+            (col("event_id") % 5 - 2).cast("double"))).as("chans"))
+      val agg = udaf(new MomentAggregator(nCh = 2, nFreq = 1))
+      implicit val enc = org.apache.spark.sql.Encoders.product[Moments]
+      val mo = amps.agg(agg(col("chans")).as("mo"))
+        .select("mo.*").as[Moments].head()
+      import s.implicits._
+      Seq((mo.n, Estimators.psd(mo, 0)(0),
+        Estimators.psdVariance(mo, 0)(0),
+        Estimators.tfRmsRatio(mo, 0, 1)._1(0)))
+        .toDF("n", "psd0", "psd0_var", "tf_rms_01")
+    }),
+
     // W4: ordered re-chunking with remainder discard, per-chunk exact sums
     "w4_rechunk" -> ((s, dir) => {
       val stream = events(s, dir).filter(col("event_id") < 50)
@@ -145,6 +167,10 @@ object TraceQueries {
         |FROM g""".stripMargin,
     "l3_sample_seeded" ->
       "SELECT CAST(100 AS BIGINT) AS cnt",
+    "k12_psd_estimator" ->
+      """WITH a AS (SELECT CAST(event_id % 13 - 6 AS DOUBLE) a0r, CAST(event_id % 7 - 3 AS DOUBLE) a0i, CAST(event_id % 11 - 5 AS DOUBLE) a1r, CAST(event_id % 5 - 2 AS DOUBLE) a1i FROM events),
+        |g AS (SELECT count(*) n, sum(a0r*a0r + a0i*a0i) s00s, sum((a0r*a0r + a0i*a0i)*(a0r*a0r + a0i*a0i)) r00s, sum(a1r*a1r + a1i*a1i) s11s FROM a)
+        |SELECT CAST(n AS BIGINT) AS n, s00s/n AS psd0, (r00s/n - (s00s/n)*(s00s/n))/(n - 1) AS psd0_var, sqrt((s00s/n)/(s11s/n)) AS tf_rms_01 FROM g""".stripMargin,
     "s5_trace_fetch_window" ->
       s"""WITH k AS (SELECT event_id FROM events ORDER BY value DESC, event_id LIMIT 50)
         |SELECT e.event_id AS event_id, list_sum(list_transform(generate_series(8, 23), i -> CAST((e.event_id*31 + i*17) % 97 AS DOUBLE))) AS window_sum
