@@ -40,31 +40,14 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  /** Deterministic 31-bit odd multipliers for the k universal hashes. */
-  private def mixers(k: Int): IndexedSeq[Long] =
-    (0 until k).map { i =>
-      var z = i.toLong * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 30)) * 0x94D049BB133111EBL
-      (z & 0x7FFFFFFFL) | 1L
-    }
-
-  /** FNV-1a 64-bit string hash (deterministic across JVMs). */
-  private def fnv64(s: String): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
-    h
-  }
-
   /** MinHash signature table: one row per doc, `sig` = array of k minima
-    * of universal hashes h_i = (lo31(h)·a_i) xor hi33(h) over the shingle
-    * set.
+    * of universal hashes over the shingle set, computed by the native
+    * codegen'd [[graft.functions.MinHashSig]] expression.
     *
-    * Shape: a single map-only pass — one base hash per shingle, k cheap
-    * integer mixes, running minima in a tight loop. NO shuffle, NO
-    * explode: strictly better at scale than the explode + k-wide
-    * min-aggregation formulation (which shuffles k·|shingles| rows and
-    * blows past the whole-stage-codegen method-size limit at k = 64). */
+    * Shape: a single map-only pass — NO shuffle, NO explode: strictly
+    * better at scale than the explode + k-wide min-aggregation
+    * formulation (which shuffles k·|shingles| rows and blows past the
+    * whole-stage-codegen method-size limit at k = 64). */
   def minhashSignatures(
       df: DataFrame,
       textCol: String,
@@ -77,25 +60,9 @@ object Dedup {
     val cores = df.sparkSession.sparkContext.defaultParallelism
     val src =
       if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
-    val as = mixers(k).toArray
-    val sigUdf = udf { shs: Seq[String] =>
-      val sig = Array.fill(k)(Long.MaxValue)
-      var si = 0
-      while (si < shs.length) {
-        val h = fnv64(shs(si))
-        val lo = h & 0x7FFFFFFFL
-        val hi = h >>> 31
-        var i = 0
-        while (i < k) {
-          val v = (lo * as(i)) ^ hi
-          if (v < sig(i)) sig(i) = v
-          i += 1
-        }
-        si += 1
-      }
-      sig
-    }
-    src.select(col(idCol), sigUdf(shingles(col(textCol), shingleN)).as("sig"))
+    src.select(col(idCol),
+      graft.functions.MinHashSig(shingles(col(textCol), shingleN), k)
+        .as("sig"))
   }
 
   /** Banded-LSH candidate pairs from signatures: b bands of r rows
