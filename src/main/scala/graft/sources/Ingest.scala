@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Curated-store ingest: the replacement for the reference's HDF5
+  * memory-mapping (`vx.open_many`, `analyzer.py:560`) is a ONE-TIME
+  * conversion into a curated Parquet layout whose physical order
+  * substitutes for vaex's mmap locality (SURVEY §4):
+  *
+  *   - events partitioned by `series_number` → S3-style partition
+  *     pruning replaces the driver-side file-list pruning (S3);
+  *   - rows sorted within partitions by `(dump_number, event_number)` →
+  *     J2 key fetches and W4 ordered scans hit contiguous row groups;
+  *   - a stable `event_uid` stamped at ingest (S4) — hash of the natural
+  *     key, shuffle-free and reproducible across reruns.
+  *
+  * (The HDF5 → DataFrame decode itself needs an HDF5 reader library that
+  * this container doesn't ship; any columnar source works — the curation
+  * contract is this function's output layout, not its input format.)
+  */
+object Ingest {
+
+  val defaultUidCols: Seq[String] = Seq("series_number", "event_number")
+
+  /** Stamp the stable uid (idempotent — keeps an existing column). */
+  def withEventUid(df: DataFrame, uidCols: Seq[String] = defaultUidCols)
+      : DataFrame =
+    if (df.columns.contains("event_uid")) df
+    else df.withColumn("event_uid", xxhash64(uidCols.map(col): _*))
+
+  /** Write the curated event store. */
+  def writeEvents(
+      df: DataFrame,
+      path: String,
+      uidCols: Seq[String] = defaultUidCols): Unit =
+    withEventUid(df, uidCols)
+      .repartition(col("series_number"))
+      .sortWithinPartitions("dump_number", "event_number")
+      .write
+      .partitionBy("series_number")
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+
+  /** Write the curated trace store, co-laid-out with events so the J2
+    * broadcast fetch reads contiguous row groups per series. */
+  def writeTraces(df: DataFrame, path: String): Unit =
+    df.repartition(col("series_number"))
+      .sortWithinPartitions("dump_number", "event_number", "channel")
+      .write
+      .partitionBy("series_number")
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+
+  /** Read back with series pruning pushed to partition level (S3: the
+    * `series` filter becomes partition pruning, not a file-list loop). */
+  def readEvents(
+      spark: SparkSession,
+      path: String,
+      series: Seq[Long] = Nil): DataFrame = {
+    val df = spark.read.option("mergeSchema", "true").parquet(path)
+    if (series.isEmpty) df
+    else df.filter(col("series_number").isin(series: _*))
+  }
+}

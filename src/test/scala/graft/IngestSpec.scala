@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Ingest
+
+/** Curated-store ingest: layout, uid stability, partition pruning. */
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val raw = (0 until 400).map { i =>
+    (i.toLong % 4 + 1, i.toLong / 100, i.toLong, ((i * 37) % 100) / 10.0)
+  }.toDF("series_number", "dump_number", "event_number", "amp")
+
+  test("write/read round trip with partition pruning on series") {
+    val dir = java.nio.file.Files.createTempDirectory("curated").toString
+    Ingest.writeEvents(raw, dir)
+    val all = Ingest.readEvents(spark, dir)
+    assert(all.count() == 400)
+    assert(all.columns.contains("event_uid"))
+
+    val pruned = Ingest.readEvents(spark, dir, series = Seq(1L, 2L))
+    assert(pruned.count() == 200)
+    // the series filter must prune partitions, not scan-and-filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || !plan.contains("series_number=3"))
+  }
+
+  test("event_uid is stable across reruns and partitioning") {
+    val u1 = Ingest.withEventUid(raw).select("event_number", "event_uid")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val u2 = Ingest.withEventUid(raw.repartition(13))
+      .select("event_number", "event_uid")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(u1 == u2)
+    assert(u1.values.toSeq.distinct.size == 400)
+  }
+}
