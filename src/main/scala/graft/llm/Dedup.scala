@@ -185,6 +185,80 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ------------------------------------------------ components/survivors
+
+  /** Connected components over the near-dup pair graph via iterative
+    * min-label propagation (the scalable CC pattern: O(graph diameter)
+    * join rounds, each a shuffle on ids — near-dup components are
+    * shallow, so this converges in a handful of rounds). Returns
+    * `(id, component)` where component = min id in the component. */
+  def nearDupComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("ida").as("src"), col("idb").as("dst"))
+      .union(pairs.select(col("idb").as("src"), col("ida").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val prop = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min("component").as("neighborMin"))
+      val updated = labels.join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"),
+            coalesce(col("neighborMin"), col("component")))
+            .as("component"))
+        .persist()
+      val changed = updated.alias("u")
+        .join(labels.alias("l"), "id")
+        .filter(col("u.component") =!= col("l.component"))
+        .count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Rows surviving near-dup removal: one representative (min id) per
+    * component; docs not in any pair survive untouched. */
+  def nearDupSurvivors(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val drop = nearDupComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** End-to-end MinHash near-dup dedup: signatures → banded LSH →
+    * signature-estimate prefilter → exact-Jaccard verify → components →
+    * survivors. */
+  def dedupNearMinhash(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      jaccardThreshold: Double = 0.8,
+      k: Int = 64,
+      bands: Int = 16,
+      shingleN: Int = 3): DataFrame = {
+    val sigs = minhashSignatures(df, textCol, idCol, k, shingleN).persist()
+    val cands = lshCandidates(sigs, idCol, bands, k / bands)
+    val est = estimateJaccard(cands, sigs, idCol)
+      .filter(col("est_jaccard") >= jaccardThreshold * 0.5) // cheap prefilter
+      .select("ida", "idb")
+    val verified = verifyJaccard(est, df, textCol, idCol, shingleN)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("ida", "idb")
+    nearDupSurvivors(df, idCol, verified)
+  }
+
   // --------------------------------------------- embedding near-duplicate
 
   /** Embedding cosine near-dup: LSH-bucketed (random hyperplane signs)

@@ -89,6 +89,16 @@ object LlmQueries {
         .limit(20)
     }),
 
+    // end-to-end near-dup dedup: LSH candidates → verify → connected
+    // components → survivors (rows-only: hash-dependent pair set)
+    "llm_neardup_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val survivors = Dedup.dedupNearMinhash(d, "text", "doc_id",
+        jaccardThreshold = 0.8)
+      survivors.agg(count(lit(1)).as("survivors"),
+        (lit(d.count()) - count(lit(1))).as("removed"))
+    }),
+
     // SimHash signatures + banded hamming candidates (rows-only)
     "llm_simhash_neardup" -> ((s, dir) => {
       val sh = Dedup.simhash(t(s, dir, "documents"), "text", "doc_id")

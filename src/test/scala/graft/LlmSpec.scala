@@ -62,6 +62,28 @@ class LlmSpec extends SparkSpec {
     assert(cands == Set((0L, 3L)))
   }
 
+  test("connected components + near-dup survivors") {
+    // chain 10-11-12, pair 20-21, isolated 30
+    val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("ida", "idb")
+    val comps = Dedup.nearDupComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+    val corpus = Seq(10L, 11L, 12L, 20L, 21L, 30L).toDF("doc_id")
+    val survivors = Dedup.nearDupSurvivors(corpus, "doc_id", pairs)
+      .as[Long].collect().sorted
+    assert(survivors.toSeq == Seq(10L, 20L, 30L))
+  }
+
+  test("end-to-end minhash dedup keeps one copy per near-dup cluster") {
+    val survivors = Dedup.dedupNearMinhash(docs, "text", "doc_id",
+        jaccardThreshold = 0.7)
+      .select("doc_id").as[Long].collect().sorted
+    // 0 and 3 identical (jaccard 1.0) and 1 near-dup of both (0.75):
+    // one survivor (id 0) for {0,1,3}; 2 and 4 untouched
+    assert(survivors.toSeq == Seq(0L, 2L, 4L))
+  }
+
   test("cosine and brute-force top-k") {
     val embs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
