@@ -28,6 +28,21 @@ class StatsSpec extends SparkSpec {
     assert(h.agg(sum("cnt")).head.getLong(0) == 1000L)
   }
 
+  test("single-pass Histogram2D aggregate equals groupBy formulation") {
+    val d2 = xs.zipWithIndex.map { case (x, i) => (x, i.toDouble) }
+      .toDF("x", "y").repartition(6)
+    val dense = d2.select(graft.functions.Histogram2D(
+        col("x"), col("y"), (0.0, 100.0), 8, (0.0, 1000.0), 8).as("h"))
+      .head.getSeq[Long](0)
+    val sparse = Hist.hist2d(d2, col("x"), col("y"), 8, 8,
+        (0.0, 100.0), (0.0, 1000.0))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (i <- 0 until 8; j <- 0 until 8)
+      assert(dense(i * 8 + j) == sparse.getOrElse((i.toLong, j.toLong), 0L),
+        s"cell ($i,$j)")
+    assert(dense.sum == 1000L)
+  }
+
   test("exact percentile matches sorted-array linear interpolation") {
     val sorted = xs.sorted
     def npPercentile(p: Double): Double = {
