@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL-surface registration of the engine's native expressions, so
+  * `spark.sql("SELECT minhash_sig(shingles, 64) …")` works alongside the
+  * Column API.
+  *
+  * Two paths: [[GraftFunctions.register]] for an existing session, and
+  * [[GraftExtensions]] for cluster deploys via
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+object GraftFunctions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def minhashBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "minhash_sig(shingles, k)")
+    MinHashSig(exprs.head, intLit(exprs(1), "k"))
+  }
+
+  private def hist2dBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 8,
+      "histogram2d(x, y, xlo, xhi, xbins, ylo, yhi, ybins)")
+    def dbl(e: Expression, what: String): Double = e match {
+      case Literal(v: Double, _) => v
+      case Literal(v: Float, _)  => v.toDouble
+      case Literal(v: Int, _)    => v.toDouble
+      case Literal(v: Long, _)   => v.toDouble
+      case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$what must be a numeric literal, got $other")
+    }
+    Histogram2D(exprs(0), exprs(1),
+      dbl(exprs(2), "xlo"), dbl(exprs(3), "xhi"), intLit(exprs(4), "xbins"),
+      dbl(exprs(5), "ylo"), dbl(exprs(6), "yhi"), intLit(exprs(7), "ybins"))
+      .toAggregateExpression()
+  }
+
+  private[functions] def minhashBuilderPublic(exprs: Seq[Expression])
+      : Expression = minhashBuilder(exprs)
+  private[functions] def hist2dBuilderPublic(exprs: Seq[Expression])
+      : Expression = hist2dBuilder(exprs)
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("minhash_sig", minhashBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("histogram2d", hist2dBuilder, "scala_udf")
+  }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      GraftFunctions.minhashBuilderPublic _))
+    ext.injectFunction((
+      FunctionIdentifier("histogram2d"),
+      new ExpressionInfo(classOf[Histogram2D].getName, "histogram2d"),
+      GraftFunctions.hist2dBuilderPublic _))
+  }
+}

@@ -128,6 +128,20 @@ class LlmSpec extends SparkSpec {
     assert(w.nonEmpty)
   }
 
+  test("SQL surface: minhash_sig and histogram2d via functionRegistry") {
+    graft.functions.GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("docs_sql")
+    val sig = spark.sql(
+      """SELECT doc_id, minhash_sig(split(text, ' '), 16) AS sig
+        |FROM docs_sql WHERE doc_id IN (0, 3) ORDER BY doc_id""".stripMargin)
+      .collect().map(_.getSeq[Long](1))
+    assert(sig(0) == sig(1)) // identical docs → identical signatures
+    val h = spark.sql(
+      """SELECT histogram2d(doc_id, doc_id, 0.0, 4.0, 2, 0.0, 4.0, 2) AS h
+        |FROM docs_sql""".stripMargin).head.getSeq[Long](0)
+    assert(h.sum == 5L && h(0) == 3L && h(3) == 2L) // ids 0,1,2 | 3,4
+  }
+
   test("multimodal: batched feature extraction is deterministic, frames sample") {
     val bin = docs.withColumn("payload", col("text").cast("binary"))
     val f1 = Multimodal.extractFeatures(bin, "payload", "doc_id",

@@ -36,6 +36,53 @@ class StreamingAndSamplingSpec extends SparkSpec {
     }
   }
 
+  test("streaming rechunk equals batch rechunk across micro-batches") {
+    import graft.streaming.StreamingRechunk
+    import graft.streaming.StreamingRechunk.{Chunk, TraceSeg}
+    implicit val sqlCtx = spark.sqlContext
+    val segs = (0 until 7).map(i =>
+      TraceSeg("ch1", i.toLong, (0 until 5 + i % 3).map(s => i * 100.0 + s)))
+    val stream = MemoryStream[TraceSeg]
+    val q = StreamingRechunk.rechunkStream(stream.toDS(), chunkLen = 4)
+      .writeStream.format("memory").queryName("chunks")
+      .outputMode("append").start()
+    // two micro-batches to exercise the carry-over state
+    stream.addData(segs.take(3): _*)
+    q.processAllAvailable()
+    stream.addData(segs.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT * FROM chunks ORDER BY chunkId")
+      .as[Chunk].collect().map(_.trace.toSeq)
+    val serial = (0 until 7)
+      .flatMap(i => (0 until 5 + i % 3).map(s => i * 100.0 + s))
+      .grouped(4).filter(_.size == 4).toSeq
+    assert(got.length == serial.length)
+    got.zip(serial).foreach { case (g, s) => assert(g == s) }
+  }
+
+  test("watermarked rate monitor counts in-range events per window") {
+    import graft.streaming.StreamingRechunk
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, Double)]
+    val df = stream.toDF().toDF("ts", "value")
+    val q = StreamingRechunk.rateMonitor(df, "10 seconds", "10 seconds",
+        "5 seconds", 10.0, 20.0)
+      .writeStream.format("memory").queryName("rates")
+      .outputMode("complete").start()
+    val t0 = 1700000000000L
+    stream.addData(
+      (new java.sql.Timestamp(t0), 15.0),
+      (new java.sql.Timestamp(t0 + 1000), 25.0),
+      (new java.sql.Timestamp(t0 + 12000), 12.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql(
+      "SELECT in_range_cnt, total_cnt FROM rates ORDER BY window.start")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((1L, 2L), (1L, 1L)))
+  }
+
   test("L3 exact-n seeded sample: size, determinism, no replacement") {
     val df = (0 until 1000).map(Tuple1(_)).toDF("x")
     val s1 = Sampling.exactN(df, 50, seed = 7).as[Int].collect()
