@@ -39,7 +39,9 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"$what must be a numeric literal, got $other")
     }
-    Histogram2D(exprs(0), exprs(1),
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.DoubleType
+    Histogram2D(Cast(exprs(0), DoubleType), Cast(exprs(1), DoubleType),
       dbl(exprs(2), "xlo"), dbl(exprs(3), "xhi"), intLit(exprs(4), "xbins"),
       dbl(exprs(5), "ylo"), dbl(exprs(6), "yhi"), intLit(exprs(7), "ybins"))
       .toAggregateExpression()
