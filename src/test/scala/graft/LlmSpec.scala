@@ -139,7 +139,7 @@ class LlmSpec extends SparkSpec {
     val h = spark.sql(
       """SELECT histogram2d(doc_id, doc_id, 0.0, 4.0, 2, 0.0, 4.0, 2) AS h
         |FROM docs_sql""".stripMargin).head.getSeq[Long](0)
-    assert(h.sum == 5L && h(0) == 3L && h(3) == 2L) // ids 0,1,2 | 3,4
+    assert(h.sum == 5L && h(0) == 2L && h(3) == 3L) // ids 0,1 | 2,3,4
   }
 
   test("multimodal: batched feature extraction is deterministic, frames sample") {
