@@ -82,6 +82,30 @@ object JoinQueries {
         .orderBy("r_name")
     }),
 
+    // TPC-H Q5 shape: 6-table join, dims broadcast, facts shuffled,
+    // exact-cents revenue per nation
+    "tpch_q5_local_supplier" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+        .withColumn("epc", cents(col("l_extendedprice")))
+        .withColumn("dc", cents(col("l_discount")))
+      val sup = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(sup, li("l_suppkey") === sup("s_suppkey") &&
+          c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy("n_name")
+        .agg((sum(col("epc") * (lit(100L) - col("dc"))) / 10000.0)
+          .as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("n_name")
+    }),
+
     // Grouped join: order count and exact total by priority
     "orders_by_priority" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -105,6 +129,14 @@ object JoinQueries {
       """SELECT c_mktsegment, CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)*(100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)/10000.0 AS revenue, count(*) AS n FROM lineitem l JOIN orders o ON l_orderkey = o_orderkey JOIN customer c ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "dim_broadcast_chain" ->
       """SELECT r_name, count(*) AS cnt FROM supplier s JOIN nation n ON s_nationkey = n_nationkey JOIN region r ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name""",
+    "tpch_q5_local_supplier" ->
+      """SELECT n_name, CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)*(100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)/10000.0 AS revenue, count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "orders_by_priority" ->
       """SELECT o_orderpriority, count(*) AS cnt, CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS total_price FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
   )
