@@ -249,6 +249,7 @@ object Dedup {
       bands: Int = 16,
       shingleN: Int = 3): DataFrame = {
     val sigs = minhashSignatures(df, textCol, idCol, k, shingleN).persist()
+    sigs.count() // materialize once for the banding + estimation branches
     val cands = lshCandidates(sigs, idCol, bands, k / bands)
     val est = estimateJaccard(cands, sigs, idCol)
       .filter(col("est_jaccard") >= jaccardThreshold * 0.5) // cheap prefilter

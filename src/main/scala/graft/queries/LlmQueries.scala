@@ -80,6 +80,7 @@ object LlmQueries {
       // at cluster scale this is a checkpoint of the signature table
       val sigs = Dedup.minhashSignatures(d, "text", "doc_id", k = 64)
         .persist()
+      sigs.count() // materialize once; three downstream branches reuse
       val cands = Dedup.lshCandidates(sigs, "doc_id", bands = 16, rows = 4)
       val est = Dedup.estimateJaccard(cands, sigs, "doc_id")
       val ver = Dedup.verifyJaccard(cands, d, "text", "doc_id")
