@@ -159,6 +159,14 @@ final class EventTable private (
       cutMeta, featureMeta, None)
   }
 
+  /** Summary statistics (count/mean/std/min/max + quartiles) for the
+    * working view — the `df.describe()` surface of the demo notebooks
+    * (`demos/analyzer_example.ipynb`). Thin passthrough to Spark's
+    * `summary`, computed distributed. */
+  def describe(columns: String*): DataFrame =
+    (if (columns.isEmpty) view else view.select(columns.map(col): _*))
+      .summary()
+
   /** A10: passage fraction of a cut under an optional condition
     * (`get_passage_fraction`, `semiautocuts.py:1846-1896`):
     * mean of the boolean cut column over the conditioned view. */
