@@ -2,7 +2,6 @@ package graft.core
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Metadata attached to a registered cut or derived feature, mirroring the
   * reference's plugin metadata dicts (`detanalysis/analyzer.py:1125-1147`,
@@ -202,18 +201,23 @@ object EventTable {
     val withUid =
       if (df.columns.contains("event_uid")) df
       else if (uidCols.nonEmpty)
+        // preferred: hash of the natural key — shuffle-free, stable under
+        // any partitioning, no extra pass
         df.withColumn("event_uid", xxhash64(uidCols.map(col): _*))
-      else
-        // row_number over (file, offset-within-file): deterministic given a
-        // deterministic file list (L1), unlike bare
-        // monotonically_increasing_id (SURVEY.md S4).
-        df.withColumn("__file__", input_file_name())
-          .withColumn("__mid__", monotonically_increasing_id())
-          .withColumn(
-            "event_uid",
-            row_number().over(
-              Window.orderBy(col("__file__"), col("__mid__"))).cast("long"))
-          .drop("__file__", "__mid__")
+      else {
+        // fallback: positional id via zipWithIndex — deterministic for a
+        // fixed file list (L1) and scale-safe (per-partition offsets from
+        // one count job; NOT a global-sort window, which would funnel
+        // every row through a single partition). Mirrors the reference's
+        // `__event_index__ = np.arange(n)` load-order semantics
+        // (`analyzer.py:563-565`).
+        val spark0 = df.sparkSession
+        val schema = df.schema.add("event_uid", "long", nullable = false)
+        val rdd = df.rdd.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+        }
+        spark0.createDataFrame(rdd, schema)
+      }
     new EventTable(withUid, Map.empty, Map.empty, None)
   }
 

@@ -52,6 +52,18 @@ class GoldenWorkflowSpec extends SparkSpec {
     assert(t.full.select("event_uid").distinct().count() == 1000)
   }
 
+  test("load fallback uid (zipWithIndex): unique and stable across loads") {
+    val paths = Seq(s"$fixtureDir/file_1_0", s"$fixtureDir/file_2_1")
+    val t1 = EventTable.load(spark, paths)
+    val t2 = EventTable.load(spark, paths)
+    assert(t1.full.select("event_uid").distinct().count() == 1000)
+    val m1 = t1.full.select("event_number", "event_uid")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m2 = t2.full.select("event_number", "event_uid")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m1 == m2)
+  }
+
   test("golden flow: cuts → combine → passage fraction → histogram") {
     val t0 = EventTable.load(spark,
       Seq(s"$fixtureDir/file_1_0", s"$fixtureDir/file_2_1"),
