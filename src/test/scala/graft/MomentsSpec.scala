@@ -88,6 +88,32 @@ class MomentsSpec extends SparkSpec {
     m1.foreach(v => assert(math.abs(v - 5.0) < 1e-9))
   }
 
+  test("injected transfer function recovered by all three estimators") {
+    // drive-locked sweep: in = 1 + noise, out = H·in + noise, H = 2·e^{iπ/6}
+    val hMag = 2.0
+    val hPh = math.Pi / 6
+    val hRe = hMag * math.cos(hPh)
+    val hIm = hMag * math.sin(hPh)
+    def n(i: Int, s: Int): Double = 0.02 * math.sin(i * 1.7 + s * 0.9)
+    val events = (0 until 400).map { i =>
+      val ir = 1.0 + n(i, 1); val ii = n(i, 2)
+      val or = hRe * ir - hIm * ii + n(i, 3)
+      val oi = hRe * ii + hIm * ir + n(i, 4)
+      Seq(Seq(or, oi), Seq(ir, ii)) // ch0 = out, ch1 = in
+    }
+    val agg = new MomentAggregator(2, 1)
+    val mo = agg.finish(events.foldLeft(agg.zero)(agg.reduce))
+    val (rms, _) = Estimators.tfRmsRatio(mo, 0, 1)
+    assert(math.abs(rms(0) - hMag) < 0.05)
+    val (xMag, xPh, xErr) = Estimators.tfCross(mo, 0, 1)
+    assert(math.abs(xMag(0) - hMag) < 0.05)
+    assert(math.abs(xPh(0) - hPh) < 0.05)
+    assert(xErr(0) < 0.05)
+    val (pMag, pPh, _) = Estimators.tfPhaseLocked(mo, 0, 1)
+    assert(math.abs(pMag(0) - hMag) < 0.05)
+    assert(math.abs(pPh(0) - hPh) < 0.05)
+  }
+
   test("hermitian symmetry: S accessors for i > j return conjugate") {
     val events = (0 until 10).map(mkEvent)
     val mo = serialMoments(events)
