@@ -211,12 +211,17 @@ object EventTable {
         // every row through a single partition). Mirrors the reference's
         // `__event_index__ = np.arange(n)` load-order semantics
         // (`analyzer.py:563-565`).
+        // NOTE: this path severs the Parquet relation (no pushdown into
+        // the scan) and repeats the zipWithIndex count job per action —
+        // persist to pay it once. Prefer uidCols or ingest-time stamping
+        // ([[graft.sources.Ingest]]) on anything large.
         val spark0 = df.sparkSession
         val schema = df.schema.add("event_uid", "long", nullable = false)
         val rdd = df.rdd.zipWithIndex.map { case (r, i) =>
           org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
         }
         spark0.createDataFrame(rdd, schema)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
     new EventTable(withUid, Map.empty, Map.empty, None)
   }

@@ -176,9 +176,13 @@ object SemiAutoCut {
             .getOrElse(lit(null).cast("double")).as("__hi__"))
       }
 
-    // apply per-bin exception overrides (small driver map → union)
+    // apply per-bin exception overrides (small driver map). FULL outer:
+    // an exception for a bin absent from the estimation sample must still
+    // apply (the reference's exceptions_dict is unconditional,
+    // `semiautocuts.py:696-716`).
+    val thrMarked = thr.withColumn("__est__", lit(true))
     val thrFinal =
-      if (exceptions.isEmpty) thr
+      if (exceptions.isEmpty) thrMarked
       else {
         val spark = df.sparkSession
         import spark.implicits._
@@ -187,16 +191,21 @@ object SemiAutoCut {
             (b, t.lower.map(Double.box).orNull, t.upper.map(Double.box).orNull)
           }
           .toDF("__bin__", "__exlo__", "__exhi__")
-        thr.join(broadcast(ex), Seq("__bin__"), "left")
+          .withColumn("__exc__", lit(true))
+        thrMarked.join(broadcast(ex), Seq("__bin__"), "full_outer")
           .select(
             col("__bin__"),
-            when(col("__exlo__").isNotNull || col("__exhi__").isNotNull,
-              col("__exlo__")).otherwise(col("__lo__")).as("__lo__"),
-            when(col("__exlo__").isNotNull || col("__exhi__").isNotNull,
-              col("__exhi__")).otherwise(col("__hi__")).as("__hi__"))
+            when(col("__exc__").isNotNull, col("__exlo__"))
+              .otherwise(col("__lo__")).as("__lo__"),
+            when(col("__exc__").isNotNull, col("__exhi__"))
+              .otherwise(col("__hi__")).as("__hi__"),
+            coalesce(col("__est__"), col("__exc__")).as("__est__"))
       }
 
-    // broadcast join thresholds back; pass = strict inside (lo, hi)
+    // broadcast join thresholds back; pass = strict inside (lo, hi).
+    // Bins with NO threshold row (estimation sample empty there and no
+    // exception) FAIL the cut — matching the reference, where an empty
+    // estimation slice yields nan thresholds and an all-false mask.
     val pass =
       (col("__lo__").isNull || x > col("__lo__")) &&
         (col("__hi__").isNull || x < col("__hi__"))
@@ -204,9 +213,9 @@ object SemiAutoCut {
       .join(broadcast(thrFinal), Seq("__bin__"), "left")
       .withColumn(
         cutName,
-        when(col("__bin__").isNull, lit(false))
+        when(col("__bin__").isNull || col("__est__").isNull, lit(false))
           .otherwise(coalesce(pass, lit(false))))
-      .drop("__bin__", "__lo__", "__hi__")
+      .drop("__bin__", "__lo__", "__hi__", "__est__")
   }
 
   /** T7: rate cut — count events with `inRange` per time bin; cut WHOLE
@@ -228,7 +237,15 @@ object SemiAutoCut {
       inRange: Column,
       limit: Either[Double, (String, Double)],
       cutName: String): DataFrame = {
-    val counts = Hist.timeBinnedCount(df, time, tlo, thi, bins, inRange)
+    val spark = df.sparkSession
+    // ALL bins participate in the threshold estimation, empty ones with
+    // count 0 — the reference allocates a zeros array of nbins and takes
+    // the percentile over it (`semiautocuts.py:744,788`); dropping empty
+    // bins would bias the threshold upward.
+    val counts = spark.range(bins).toDF("bin")
+      .join(Hist.timeBinnedCount(df, time, tlo, thi, bins, inRange),
+        Seq("bin"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
     val threshold: Double = limit match {
       case Left(abs) => abs
       case Right(("percent", p)) =>
@@ -242,12 +259,15 @@ object SemiAutoCut {
     }
     val verdict = counts
       .select(col("bin"), (col("cnt") <= threshold).as("__keep__"))
-    val binCol = Hist.bucket(time, tlo, thi, bins)
+    // events OUTSIDE [tlo, thi] belong to no bin and always keep (the
+    // reference flips only events strictly inside a bin's window) — so
+    // the bucket is null out of range, never clamped into an edge bin.
+    val binCol = when(time >= tlo && time <= thi,
+      Hist.bucket(time, tlo, thi, bins)).otherwise(lit(null))
     df.withColumn("__bin__", binCol)
       .join(
         broadcast(verdict.withColumnRenamed("bin", "__bin__")),
         Seq("__bin__"), "left")
-      // bins with no in-range events never exceed the limit → keep
       .withColumn(cutName, coalesce(col("__keep__"), lit(true)))
       .drop("__bin__", "__keep__")
   }

@@ -222,6 +222,11 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    if (!converged)
+      // fail loudly: partially propagated labels would silently keep
+      // duplicate "survivors" — raise maxIters (diameter bound) instead
+      throw new IllegalStateException(
+        s"component propagation did not converge in $maxIters iterations")
     labels
   }
 
@@ -231,9 +236,13 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       pairs: DataFrame): DataFrame = {
-    val drop = nearDupComponents(pairs)
+    val comps = nearDupComponents(pairs)
+    val drop = comps
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
+      .persist()
+    drop.count() // materialize so the component frontier can be released
+    comps.unpersist()
     df.join(drop, Seq(idCol), "left_anti")
   }
 

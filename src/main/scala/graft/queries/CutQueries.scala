@@ -155,8 +155,9 @@ object CutQueries {
     "t7_rate_cut" ->
       (binCte(30) + """,
         |counts AS (SELECT bin, CAST(sum(CASE WHEN value >= 100.0 AND value <= 300.0 THEN 1 ELSE 0 END) AS BIGINT) AS c FROM b GROUP BY bin),
-        |thr AS (SELECT quantile_cont(CAST(c AS DOUBLE), 0.75) AS t FROM counts),
-        |verdict AS (SELECT bin, c <= t AS keep FROM counts, thr)
+        |counts0 AS (SELECT g.bin AS bin, COALESCE(c, 0) AS c FROM (SELECT unnest(generate_series(0, 29)) AS bin) g LEFT JOIN counts ON g.bin = counts.bin),
+        |thr AS (SELECT quantile_cont(CAST(c AS DOUBLE), 0.75) AS t FROM counts0),
+        |verdict AS (SELECT bin, c <= t AS keep FROM counts0, thr)
         |SELECT b.bin AS bin, count(*) AS cnt FROM b JOIN verdict USING (bin) WHERE keep GROUP BY b.bin ORDER BY bin""".stripMargin),
     "t8_cutspec_roundtrip" ->
       """WITH q AS (SELECT quantile_cont(value, 0.15865) q1, quantile_cont(value, 0.5) q2, quantile_cont(value, 0.84135) q3 FROM events),

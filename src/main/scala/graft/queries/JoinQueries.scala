@@ -34,13 +34,19 @@ object JoinQueries {
         .withColumn("epc", cents(col("l_extendedprice")))
         .withColumn("dc", cents(col("l_discount")))
         .withColumn("tc", cents(col("l_tax")))
+      // money sums accumulate in decimal(38,0): per-row products reach
+      // ~1e11, so a long accumulator overflows past ~8e7 rows per group —
+      // decimal is the 100 TB-safe exact accumulator (values are still
+      // exact integers; the final cast to double matches the oracle's
+      // hugeint→double conversion bit for bit)
       li.groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum(col("qc")).as("sq"),
-          sum(col("epc")).as("sp"),
-          sum(col("epc") * (lit(100L) - col("dc"))).as("sdp"),
-          sum(col("epc") * (lit(100L) - col("dc")) * (lit(100L) + col("tc")))
-            .as("scp"),
+          sum(col("epc").cast("decimal(38,0)")).cast("double").as("sp"),
+          sum((col("epc") * (lit(100L) - col("dc"))).cast("decimal(38,0)"))
+            .cast("double").as("sdp"),
+          sum((col("epc") * (lit(100L) - col("dc")) * (lit(100L) + col("tc")))
+            .cast("decimal(38,0)")).cast("double").as("scp"),
           sum(col("dc")).as("sd"),
           count(lit(1)).as("count_order"))
         .select(col("l_returnflag"), col("l_linestatus"),
@@ -65,8 +71,8 @@ object JoinQueries {
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy("c_mktsegment")
-        .agg((sum(col("epc") * (lit(100L) - col("dc"))) / 10000.0)
-          .as("revenue"),
+        .agg((sum((col("epc") * (lit(100L) - col("dc")))
+          .cast("decimal(38,0)")).cast("double") / 10000.0).as("revenue"),
           count(lit(1)).as("n"))
         .orderBy("c_mktsegment")
     }),
@@ -100,8 +106,8 @@ object JoinQueries {
         .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
         .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
         .groupBy("n_name")
-        .agg((sum(col("epc") * (lit(100L) - col("dc"))) / 10000.0)
-          .as("revenue"),
+        .agg((sum((col("epc") * (lit(100L) - col("dc")))
+          .cast("decimal(38,0)")).cast("double") / 10000.0).as("revenue"),
           count(lit(1)).as("n"))
         .orderBy("n_name")
     }),
@@ -123,14 +129,14 @@ object JoinQueries {
       "SELECT count(*) AS cnt FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)",
     "tpch_q1_pricing" ->
       """WITH c AS (SELECT l_returnflag, l_linestatus, CAST(round(l_quantity*100) AS BIGINT) qc, CAST(round(l_extendedprice*100) AS BIGINT) epc, CAST(round(l_discount*100) AS BIGINT) dc, CAST(round(l_tax*100) AS BIGINT) tc FROM lineitem),
-        |g AS (SELECT l_returnflag, l_linestatus, CAST(sum(qc) AS BIGINT) sq, CAST(sum(epc) AS BIGINT) sp, CAST(sum(epc*(100 - dc)) AS BIGINT) sdp, CAST(sum(epc*(100 - dc)*(100 + tc)) AS BIGINT) scp, CAST(sum(dc) AS BIGINT) sd, count(*) count_order FROM c GROUP BY l_returnflag, l_linestatus)
+        |g AS (SELECT l_returnflag, l_linestatus, CAST(sum(qc) AS BIGINT) sq, CAST(sum(epc) AS DOUBLE) sp, CAST(sum(epc*(100 - dc)) AS DOUBLE) sdp, CAST(sum(epc*(100 - dc)*(100 + tc)) AS DOUBLE) scp, CAST(sum(dc) AS BIGINT) sd, count(*) count_order FROM c GROUP BY l_returnflag, l_linestatus)
         |SELECT l_returnflag, l_linestatus, sq/100.0 AS sum_qty, sp/100.0 AS sum_base_price, sdp/10000.0 AS sum_disc_price, scp/1000000.0 AS sum_charge, sq/100.0/count_order AS avg_qty, sp/100.0/count_order AS avg_price, sd/100.0/count_order AS avg_disc, count_order FROM g ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "tpch_join_revenue" ->
-      """SELECT c_mktsegment, CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)*(100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)/10000.0 AS revenue, count(*) AS n FROM lineitem l JOIN orders o ON l_orderkey = o_orderkey JOIN customer c ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+      """SELECT c_mktsegment, CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)*(100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue, count(*) AS n FROM lineitem l JOIN orders o ON l_orderkey = o_orderkey JOIN customer c ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "dim_broadcast_chain" ->
       """SELECT r_name, count(*) AS cnt FROM supplier s JOIN nation n ON s_nationkey = n_nationkey JOIN region r ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name""",
     "tpch_q5_local_supplier" ->
-      """SELECT n_name, CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)*(100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)/10000.0 AS revenue, count(*) AS n
+      """SELECT n_name, CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)*(100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue, count(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey

@@ -100,10 +100,13 @@ object LlmQueries {
         (lit(d.count()) - count(lit(1))).as("removed"))
     }),
 
-    // SimHash signatures + banded hamming candidates (rows-only)
+    // SimHash signatures + banded hamming candidates (rows-only).
+    // maxHamming = 3 is the radius the 4×16-bit banding actually
+    // guarantees recall for (pigeonhole: ≤3 differing bits leave ≥1
+    // chunk untouched).
     "llm_simhash_neardup" -> ((s, dir) => {
       val sh = Dedup.simhash(t(s, dir, "documents"), "text", "doc_id")
-      Dedup.simhashCandidates(sh, "doc_id", maxHamming = 16)
+      Dedup.simhashCandidates(sh, "doc_id", maxHamming = 3)
         .orderBy("ida", "idb")
     }),
 

@@ -18,8 +18,10 @@ object StatsQueries {
     // A2: mean/std via exact integer-cents sums (order-independent)
     "a2_mean_std" -> ((s, dir) =>
       events(s, dir).groupBy("event_type")
-        .agg(sum(cents(col("value"))).as("s"),
-          sum(cents(col("value")) * cents(col("value"))).as("ssq"),
+        .agg(sum(cents(col("value")).cast("decimal(38,0)")).cast("double")
+          .as("s"),
+          sum((cents(col("value")) * cents(col("value")))
+            .cast("decimal(38,0)")).cast("double").as("ssq"),
           count(lit(1)).as("n"))
         .select(col("event_type"),
           (col("s") / 100.0 / col("n")).as("mean_val"),
@@ -132,7 +134,7 @@ object StatsQueries {
     "a1_count_groupby" ->
       "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type",
     "a2_mean_std" ->
-      """WITH g AS (SELECT event_type, sum(CAST(round(value*100) AS BIGINT)) AS s, sum(CAST(round(value*100) AS BIGINT)*CAST(round(value*100) AS BIGINT)) AS ssq, count(*) AS n FROM events GROUP BY event_type)
+      """WITH g AS (SELECT event_type, CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE) AS s, CAST(sum(CAST(round(value*100) AS BIGINT)*CAST(round(value*100) AS BIGINT)) AS DOUBLE) AS ssq, count(*) AS n FROM events GROUP BY event_type)
         |SELECT event_type, s/100.0/n AS mean_val, sqrt((ssq/10000.0 - (s/100.0)*(s/100.0)/n)/(n - 1)) AS std_val FROM g ORDER BY event_type""".stripMargin,
     "a3_min_max" ->
       "SELECT event_type, min(value) AS mn, max(value) AS mx FROM events GROUP BY event_type ORDER BY event_type",

@@ -34,9 +34,12 @@ object Ingest {
       df: DataFrame,
       path: String,
       uidCols: Seq[String] = defaultUidCols): Unit =
+    // leading series_number satisfies the writer's required partition-
+    // column ordering — otherwise FileFormatWriter inserts a second sort
+    // that can destabilize the (dump, event) intra-file order
     withEventUid(df, uidCols)
       .repartition(col("series_number"))
-      .sortWithinPartitions("dump_number", "event_number")
+      .sortWithinPartitions("series_number", "dump_number", "event_number")
       .write
       .partitionBy("series_number")
       .mode(SaveMode.Overwrite)
@@ -46,7 +49,8 @@ object Ingest {
     * broadcast fetch reads contiguous row groups per series. */
   def writeTraces(df: DataFrame, path: String): Unit =
     df.repartition(col("series_number"))
-      .sortWithinPartitions("dump_number", "event_number", "channel")
+      .sortWithinPartitions("series_number", "dump_number", "event_number",
+        "channel")
       .write
       .partitionBy("series_number")
       .mode(SaveMode.Overwrite)

@@ -138,7 +138,13 @@ object Dsp {
     aggregate(slice(trace, i0 + 1, i1 - i0), lit(0.0),
       (acc, x) => acc + x) / (i1 - i0)
 
-  /** Baseline-subtracted trace (S5's `baselinesub`). */
+  /** Baseline-subtracted trace (S5's `baselinesub`). The baseline mean is
+    * hoisted through a single-element array so it is computed ONCE per
+    * trace, not re-evaluated inside the per-sample lambda (HOF lambdas
+    * get no loop-invariant hoisting — inlining `baseline` there would be
+    * O(n·window) per row). */
   def baselineSubtract(trace: Column, i0: Int, i1: Int): Column =
-    transform(trace, x => x - baseline(trace, i0, i1))
+    transform(
+      array(baseline(trace, i0, i1)),
+      b => transform(trace, x => x - b)).getItem(0)
 }

@@ -77,6 +77,32 @@ class SemiAutoCutSpec extends SparkSpec {
       vals.count(v => v < 5.0 && v / 20.0 < 1))
   }
 
+  test("T6 bins absent from the estimation sample fail the cut") {
+    val bin = Hist.bucket(col("rq"), 0.0, 100.0, 5)
+    // estimation restricted to rq < 40 → bins 2..4 have no estimation rows
+    val out = SemiAutoCut.binnedCut(df, "rq", bin,
+      CutPars(percentUpper = Some(80.0)), "cut",
+      estimationCondition = col("rq") < 40.0)
+    assert(out.filter(col("cut") && col("rq") >= 40.0).count() == 0)
+    assert(out.filter(col("cut")).count() > 0) // bins 0-1 still estimated
+    // an exception override still applies to an unestimated bin
+    val out2 = SemiAutoCut.binnedCut(df, "rq", bin,
+      CutPars(percentUpper = Some(80.0)), "cut",
+      exceptions = Map(4L -> Thresholds(Some(85.0), None)),
+      estimationCondition = col("rq") < 40.0)
+    assert(out2.filter(col("cut") && col("rq") > 85.0).count() ==
+      vals.count(_ > 85.0))
+  }
+
+  test("T7 events outside [tlo, thi] always keep (no edge-bin clamping)") {
+    val d = (0 until 300).map(i => (i.toDouble, 0.0)).toDF("t", "v")
+    // limit 0 cuts every bin inside the window; outside must survive
+    val out = SemiAutoCut.rateCut(d, col("t"), 50.0, 250.0, 4,
+      col("v") === 0.0, Left(0.0), "keep")
+    assert(out.filter(col("keep")).count() ==
+      (0 until 300).count(i => i < 50 || i > 250))
+  }
+
   test("T7 rate cut keeps bins at/below the absolute limit") {
     val d = (0 until 300).map(i => (i.toDouble, (i % 3).toDouble))
       .toDF("t", "v")
