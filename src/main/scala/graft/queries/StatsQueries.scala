@@ -69,6 +69,24 @@ object StatsQueries {
     "a7_hist1d_auto" -> ((s, dir) =>
       Hist.hist1dAuto(events(s, dir), "value", 64).orderBy("bin")),
 
+    // A7 overlay: per-cut histogram counts in a single pass
+    "a7_hist1d_overlay" -> ((s, dir) =>
+      Hist.hist1dOverlay(events(s, dir), col("value"), 32, 0.0, 500.0,
+          Map("all" -> lit(true),
+            "click" -> (col("event_type") === "click"),
+            "hiuser" -> (col("user_id") >= 50)))
+        .orderBy("bin")),
+
+    // A8 what-variant: mean value per 2-D cell (exact cents)
+    "a8_hist2d_mean" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("tus", tsUs.cast("double"))
+      val (tlo, thi) = Hist.minmax(ev, "tus")
+      Hist.hist2dAgg(ev, col("value"), col("tus"), 8, 6,
+          (0.0, 500.0), (tlo, thi),
+          sum(cents(col("value"))).cast("double") / 100.0 / count(lit(1)))
+        .orderBy("xbin", "ybin")
+    }),
+
     // A8: 2-D histogram value × time
     "a8_hist2d" -> ((s, dir) => {
       val ev = events(s, dir).withColumn("tus", tsUs.cast("double"))
@@ -150,6 +168,15 @@ object StatsQueries {
     "a7_hist1d_auto" ->
       """WITH s AS (SELECT CAST(min(value) AS DOUBLE) AS lo, CAST(max(value) AS DOUBLE) AS hi FROM events)
         |SELECT CAST(least(floor((value - lo) / ((hi - lo) / 64)), 63) AS BIGINT) AS bin, count(*) AS cnt FROM events, s WHERE value >= lo AND value <= hi GROUP BY bin ORDER BY bin""".stripMargin,
+    "a7_hist1d_overlay" ->
+      """SELECT CAST(least(floor((value - 0.0) / 15.625), 31) AS BIGINT) AS bin,
+        | CAST(sum(1) AS BIGINT) AS cnt_all,
+        | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_click,
+        | CAST(sum(CASE WHEN user_id >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_hiuser
+        |FROM events WHERE value >= 0.0 AND value <= 500.0 GROUP BY bin ORDER BY bin""".stripMargin,
+    "a8_hist2d_mean" ->
+      """WITH s AS (SELECT CAST(min(epoch_us(ts)) AS DOUBLE) AS tlo, CAST(max(epoch_us(ts)) AS DOUBLE) AS thi FROM events)
+        |SELECT CAST(least(floor((value - 0.0) / 62.5), 7) AS BIGINT) AS xbin, CAST(least(floor((CAST(epoch_us(ts) AS DOUBLE) - tlo) / ((thi - tlo) / 6)), 5) AS BIGINT) AS ybin, CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0/count(*) AS what FROM events, s WHERE value >= 0.0 AND value <= 500.0 AND CAST(epoch_us(ts) AS DOUBLE) >= tlo AND CAST(epoch_us(ts) AS DOUBLE) <= thi GROUP BY xbin, ybin ORDER BY xbin, ybin""".stripMargin,
     "a8_hist2d" ->
       """WITH s AS (SELECT CAST(min(epoch_us(ts)) AS DOUBLE) AS tlo, CAST(max(epoch_us(ts)) AS DOUBLE) AS thi FROM events)
         |SELECT CAST(least(floor((value - 0.0) / 15.625), 31) AS BIGINT) AS xbin, CAST(least(floor((CAST(epoch_us(ts) AS DOUBLE) - tlo) / ((thi - tlo) / 24)), 23) AS BIGINT) AS ybin, count(*) AS cnt FROM events, s WHERE value >= 0.0 AND value <= 500.0 AND CAST(epoch_us(ts) AS DOUBLE) >= tlo AND CAST(epoch_us(ts) AS DOUBLE) <= thi GROUP BY xbin, ybin ORDER BY xbin, ybin""".stripMargin,

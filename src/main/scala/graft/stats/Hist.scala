@@ -82,6 +82,43 @@ object Hist {
     out
   }
 
+  /** A7 overlay variant: one histogram pass yielding counts per named
+    * cut simultaneously (`hist(..., cut=[c1, c2, …])` overlays,
+    * `analyzer.py:605-636`) — one scan + one ≤bins-row shuffle for N
+    * overlays instead of N passes. */
+  def hist1dOverlay(
+      df: DataFrame,
+      c: Column,
+      bins: Int,
+      lo: Double,
+      hi: Double,
+      cuts: Map[String, Column]): DataFrame = {
+    val aggs = cuts.toSeq.sortBy(_._1).map { case (name, pred) =>
+      sum(when(pred, 1L).otherwise(0L)).as(s"cnt_$name")
+    }
+    df.filter(c >= lo && c <= hi)
+      .groupBy(bucket(c, lo, hi, bins).as("bin"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** A8 `what=` variant: any aggregation per 2-D cell instead of a bare
+    * count (`heatmap(..., what=…)`, `analyzer.py:664-715`). */
+  def hist2dAgg(
+      df: DataFrame,
+      x: Column,
+      y: Column,
+      xbins: Int,
+      ybins: Int,
+      xlim: (Double, Double),
+      ylim: (Double, Double),
+      what: Column): DataFrame =
+    df.filter(
+        x >= xlim._1 && x <= xlim._2 && y >= ylim._1 && y <= ylim._2)
+      .groupBy(
+        bucket(x, xlim._1, xlim._2, xbins).as("xbin"),
+        bucket(y, ylim._1, ylim._2, ybins).as("ybin"))
+      .agg(what.as("what"))
+
   /** A9: per-time-bin count of events whose `value` falls in [vlo, vhi] —
     * the rate-estimation histogram
     * (`_do_time_binned_count_cut`, `semiautocuts.py:738-811`). Returns
