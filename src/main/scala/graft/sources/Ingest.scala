@@ -56,6 +56,24 @@ object Ingest {
       .mode(SaveMode.Overwrite)
       .parquet(path)
 
+  /** Bucketed form of the curated stores: events and traces bucketed on
+    * the SAME join key into the SAME bucket count, so the J2 fetch join
+    * (and any event⋈trace analytics) is co-located — SortMergeJoin with
+    * NO Exchange on either side. Worth it when trace fetches stop being
+    * key-capped (bulk reprocessing over 100 TB); the partitioned layout
+    * of [[writeEvents]] remains the default for interactive fetch.
+    * Bucketing requires the table catalog (`saveAsTable`). */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      nBuckets: Int): Unit =
+    df.write
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .mode(SaveMode.Overwrite)
+      .saveAsTable(table)
+
   /** Read back with series pruning pushed to partition level (S3: the
     * `series` filter becomes partition pruning, not a file-list loop). */
   def readEvents(

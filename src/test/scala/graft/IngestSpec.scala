@@ -25,6 +25,25 @@ class IngestSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") || !plan.contains("series_number=3"))
   }
 
+  test("bucketed event/trace tables join without an Exchange") {
+    import org.apache.spark.sql.functions.broadcast
+    Ingest.writeBucketed(raw, "ev_bucketed",
+      Seq("series_number", "event_number"), 4)
+    Ingest.writeBucketed(
+      raw.select(col("series_number"), col("event_number"),
+        (col("amp") * 2).as("trace_sum")),
+      "tr_bucketed", Seq("series_number", "event_number"), 4)
+    // hint merge so tiny test tables don't take the broadcast path —
+    // the property under test is the SortMergeJoin needing NO shuffle
+    val joined = spark.table("ev_bucketed").hint("merge")
+      .join(spark.table("tr_bucketed"), Seq("series_number", "event_number"))
+    assert(joined.count() == 400)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"co-located join should not shuffle:\n$plan")
+  }
+
   test("event_uid is stable across reruns and partitioning") {
     val u1 = Ingest.withEventUid(raw).select("event_number", "event_uid")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
