@@ -26,7 +26,16 @@ class IngestSpec extends SparkSpec {
   }
 
   test("bucketed event/trace tables join without an Exchange") {
-    import org.apache.spark.sql.functions.broadcast
+    for (t <- Seq("ev_bucketed", "tr_bucketed")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(loc)
+      }
+    }
     Ingest.writeBucketed(raw, "ev_bucketed",
       Seq("series_number", "event_number"), 4)
     Ingest.writeBucketed(
