@@ -72,6 +72,14 @@ class CutAlgebraSpec extends SparkSpec {
       df.filter(col("x") > 90).count())
   }
 
+  test("materialize preserves the working view and folds the filter in") {
+    val g = t.applyGlobalFilter(Cut.Pred(col("x") > 50.0))
+    val m = g.materialize()
+    assert(m.view.count() == g.view.count())
+    assert(m.globalFilter.isEmpty) // folded into the persisted frame
+    m.full.unpersist()
+  }
+
   test("passage fraction = conditional mean of cut") {
     val f = t.passageFraction(Cut.Pred(col("x") > 50.0),
       Cut.Pred(col("tag") === "a")).head.getDouble(0)
