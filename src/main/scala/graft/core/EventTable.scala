@@ -123,6 +123,31 @@ final class EventTable private (
   def dropGlobalFilter: EventTable =
     new EventTable(full, cutMeta, featureMeta, None)
 
+  /** Persist the CURRENT working view as a named cut
+    * (`save_current_selection`, `analyzer.py:359-377`) — the interactive
+    * flow's "freeze what I'm looking at". No-op flag (all-true) when no
+    * global filter is active. */
+  def saveCurrentSelection(name: String, meta: CutMeta = null): EventTable =
+    registerCut(name,
+      globalFilter.map(Cut.Pred).getOrElse(Cut.All), meta)
+
+  /** Per-column unit metadata (`df.unit(expr)`, `analyzer.py:135-136`),
+    * carried on the StructField Metadata so it survives Parquet
+    * round-trips. */
+  def withUnit(column: String, unit: String): EventTable = {
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(full.schema(column).metadata)
+      .putString("unit", unit).build()
+    new EventTable(
+      full.withColumn(column, full(column).as(column, md)),
+      cutMeta, featureMeta, globalFilter)
+  }
+
+  def unit(column: String): Option[String] = {
+    val md = full.schema(column).metadata
+    if (md.contains("unit")) Some(md.getString("unit")) else None
+  }
+
   /** D1: derived feature as a lazy virtual column
     * (`add_feature`, `analyzer.py:460-476`). */
   def addFeature(

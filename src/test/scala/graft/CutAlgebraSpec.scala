@@ -72,6 +72,25 @@ class CutAlgebraSpec extends SparkSpec {
       df.filter(col("x") > 90).count())
   }
 
+  test("saveCurrentSelection freezes the working view as a cut") {
+    val g = t.applyGlobalFilter(Cut.Pred(col("x") > 50.0))
+      .saveCurrentSelection("cut_sel")
+      .dropGlobalFilter
+    assert(g.filter(Cut.Named("cut_sel")).count() ==
+      df.filter(col("x") > 50.0).count())
+    // without a global filter the saved selection is all-true
+    assert(t.saveCurrentSelection("cut_all")
+      .filter(Cut.Named("cut_all")).count() == df.count())
+  }
+
+  test("unit metadata round-trips through parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("units").toString
+    t.withUnit("x", "amps").full.write.mode("overwrite").parquet(dir)
+    val back = EventTable(spark.read.parquet(dir))
+    assert(back.unit("x").contains("amps"))
+    assert(back.unit("tag").isEmpty)
+  }
+
   test("materialize preserves the working view and folds the filter in") {
     val g = t.applyGlobalFilter(Cut.Pred(col("x") > 50.0))
     val m = g.materialize()
