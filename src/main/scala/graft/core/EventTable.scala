@@ -257,10 +257,14 @@ object EventTable {
 
   /** S3: file/series pruning — select files by directory glob plus a
     * series predicate (`_extract_file_names`, `analyzer.py:1061-1100`):
-    * `series` may be a list of substrings, or "even"/"odd" on the trailing
-    * digits of the series token. Runs on the driver over the file listing,
-    * like the reference; at cluster scale prefer Parquet partitioning on
-    * `series_number` so Catalyst prunes partitions instead. */
+    * `series` is a list of substrings matched anywhere in the path, and
+    * `parity` = "even"/"odd" selects files whose BASENAME starts with
+    * that literal token (the reference globs `even_*.hdf5`/`odd_*.hdf5`,
+    * `analyzer.py:1069-1075` — it is a filename prefix, NOT digit
+    * parity, so `series_12_dump_3.parquet` matches neither). Runs on the
+    * driver over the file listing, like the reference; at cluster scale
+    * prefer Parquet partitioning on `series_number` so Catalyst prunes
+    * partitions instead. */
   def pruneFiles(
       files: Seq[String],
       series: Seq[String] = Nil,
@@ -270,12 +274,10 @@ object EventTable {
       else files.filter(f => series.exists(f.contains))
     val byParity = parity match {
       case Some(p) =>
+        require(p == "even" || p == "odd", s"parity must be even|odd: $p")
         bySeries.filter { f =>
-          val digits = f.replaceAll("[^0-9]", "")
-          digits.nonEmpty && {
-            val last = digits.last.asDigit
-            if (p == "even") last % 2 == 0 else last % 2 == 1
-          }
+          val base = f.substring(f.lastIndexOf('/') + 1)
+          base.startsWith(p + "_")
         }
       case None => bySeries
     }

@@ -52,13 +52,24 @@ object Similarity {
     }
 
   /** LSH signature: sign bits of projections onto the deterministic
-    * hyperplanes, packed into one long (`lsh_sig`). */
-  def hyperplaneSignature(df: DataFrame, embCol: String, nPlanes: Int)
-      : DataFrame = {
+    * hyperplanes, packed into one long (`lsh_sig`).
+    *
+    * `dim` > 0 pins the embedding dimensionality; the default (-1)
+    * derives it from the first row. Rows whose embedding length differs
+    * from `dim` would silently truncate in [[dot]] (zip_with stops at the
+    * shorter array), so heterogeneous corpora must pass `dim` explicitly
+    * after cleaning. */
+  def hyperplaneSignature(df: DataFrame, embCol: String, nPlanes: Int,
+      dim: Int = -1): DataFrame = {
     require(nPlanes <= 63, "signature packs into one long")
-    // dim read from the first row only (schema-level constant)
-    val dim = df.select(size(col(embCol))).head().getInt(0)
-    val ps = planes(nPlanes, dim)
+    val d = if (dim > 0) dim else {
+      val first = df.select(size(col(embCol))).limit(1).collect()
+      require(first.nonEmpty,
+        s"hyperplaneSignature: empty corpus — cannot derive embedding " +
+          s"dim from '$embCol'; pass dim explicitly")
+      first(0).getInt(0)
+    }
+    val ps = planes(nPlanes, d)
     val bits = (0 until nPlanes).map { j =>
       when(dot(col(embCol), typedlit(ps(j))) >= 0, lit(1L << j))
         .otherwise(0L): Column
@@ -77,8 +88,8 @@ object Similarity {
       query: Array[Float],
       k: Int,
       nPlanes: Int = 12): DataFrame = {
-    val sigs = hyperplaneSignature(df, embCol, nPlanes)
     val dim = query.length
+    val sigs = hyperplaneSignature(df, embCol, nPlanes, dim)
     val ps = planes(nPlanes, dim)
     val qSig = (0 until nPlanes).map { j =>
       val d = ps(j).zip(query).map { case (p, x) => p * x }.sum

@@ -26,13 +26,18 @@ object TextAnalysis {
 
   /** Quality metrics (length / punctuation / whitespace ratios — the
     * heuristic-filter family used by pretraining pipelines). Integer
-    * counts divided as doubles → deterministic. */
+    * counts divided as doubles → deterministic.
+    *   - alpha_ratio: Unicode-letter chars / total chars (true alphabetic
+    *     ratio, `[^\p{L}]` stripped — not merely non-space).
+    *   - avg_token_len: non-whitespace chars (all of `\s`, not just ' ')
+    *     per whitespace token. */
   def qualityMetrics(df: DataFrame, text: Column): DataFrame = {
     val n = length(text)
-    val nonSpace = length(regexp_replace(text, " ", ""))
+    val nAlpha = length(regexp_replace(text, "[^\\p{L}]", ""))
+    val nonSpace = length(regexp_replace(text, "\\s", ""))
     val ntok = tokenCount(text)
     df.withColumn("n_chars_measured", n.cast("long"))
-      .withColumn("alpha_ratio", nonSpace.cast("double") / n)
+      .withColumn("alpha_ratio", nAlpha.cast("double") / n)
       .withColumn("avg_token_len", nonSpace.cast("double") / ntok)
       .withColumn("n_tokens", ntok)
   }

@@ -178,8 +178,8 @@ object LlmQueries {
       "SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens FROM documents ORDER BY doc_id",
     "llm_text_quality" ->
       """SELECT doc_id,
-        | CAST(length(replace(text, ' ', '')) AS DOUBLE) / length(text) AS alpha_ratio,
-        | CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\s+')) AS avg_token_len,
+        | CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+        | CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\s+')) AS avg_token_len,
         | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "llm_lang_dist" ->

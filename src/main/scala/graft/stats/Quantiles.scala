@@ -21,6 +21,10 @@ object Quantiles {
     val r = df
       .agg(percentile(c, array(ps.map(lit): _*)).as("q"))
       .head()
+    if (r.isNullAt(0))
+      throw new IllegalArgumentException(
+        s"empty estimation sample for quantile over $c — the source " +
+          "DataFrame (or estimation condition) matched zero non-null rows")
     r.getSeq[Double](0)
   }
 

@@ -53,6 +53,28 @@ class IngestSpec extends SparkSpec {
       s"co-located join should not shuffle:\n$plan")
   }
 
+  test("pruneFiles parity matches the reference's even_/odd_ prefix glob") {
+    import graft.core.EventTable
+    val files = Seq(
+      "/data/even_20250101_000.parquet",
+      "/data/even_20250101_001.parquet",
+      "/data/odd_20250102_000.parquet",
+      // digit-bearing names that must NOT be classified by digit parity:
+      "/data/series_12_dump_3.parquet", // trailing digit 3 is a dump number
+      "/data/run_7.hdf5",               // extension-free trailing digit
+      "/data/series_14.hdf5")           // 'hdf5' contains digit 5
+    assert(EventTable.pruneFiles(files, parity = Some("even")) ==
+      Seq("/data/even_20250101_000.parquet", "/data/even_20250101_001.parquet"))
+    assert(EventTable.pruneFiles(files, parity = Some("odd")) ==
+      Seq("/data/odd_20250102_000.parquet"))
+    // series substring selection is independent of parity
+    assert(EventTable.pruneFiles(files, series = Seq("series_1")) ==
+      Seq("/data/series_12_dump_3.parquet", "/data/series_14.hdf5"))
+    intercept[IllegalArgumentException] {
+      EventTable.pruneFiles(files, parity = Some("both"))
+    }
+  }
+
   test("event_uid is stable across reruns and partitioning") {
     val u1 = Ingest.withEventUid(raw).select("event_number", "event_uid")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -111,6 +111,17 @@ class LlmSpec extends SparkSpec {
     assert(p1.zip(p2).forall { case (a, b) => a.sameElements(b) })
   }
 
+  test("hyperplane LSH on an empty corpus fails with a clear message") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.hyperplaneSignature(empty, "embedding", 8)
+    }
+    assert(e.getMessage.contains("empty corpus"))
+    // explicit dim sidesteps the first-row probe entirely
+    assert(Similarity.hyperplaneSignature(empty, "embedding", 8, dim = 4)
+      .count() == 0L)
+  }
+
   test("text analysis: tokens, quality, lang-id, fingerprints") {
     val q = TextAnalysis.qualityMetrics(docs, col("text"))
       .filter(col("doc_id") === 0).head()

@@ -85,4 +85,12 @@ class StatsSpec extends SparkSpec {
       .view.mapValues(_.count(i => i % 7 >= 3).toLong).toMap
     assert(tb == expected)
   }
+
+  test("exact percentile on an empty sample fails with a clear message") {
+    val empty = df.filter(col("x") < -1)
+    val e = intercept[IllegalArgumentException] {
+      Quantiles.exact(empty, col("x"), Seq(0.5))
+    }
+    assert(e.getMessage.contains("empty estimation sample"))
+  }
 }
