@@ -80,11 +80,11 @@ object Dedup {
       col(idCol),
       explode(transform(sequence(lit(0), lit(bands - 1)), j =>
         struct(j.as("band"),
-          // rotate-xor fold: overflow-free under ANSI mode, well-mixed
-          aggregate(slice(col("sig"), j * rows + 1, lit(rows)),
-            lit(17L), (acc, x) =>
-              shiftleft(acc, 13).bitwiseOR(shiftrightunsigned(acc, 51))
-                .bitwiseXOR(x)).as("bhash"))))
+          // bucket key = hash of the band's signature slice: any
+          // deterministic hash yields the same candidate set (docs
+          // collide iff slices are equal), so use the native codegen'd
+          // xxhash64 rather than a per-element fold expression
+          xxhash64(slice(col("sig"), j * rows + 1, lit(rows))).as("bhash"))))
         .as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bhash"))
     val pruned = banded
@@ -126,8 +126,19 @@ object Dedup {
       textCol: String,
       idCol: String,
       shingleN: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol),
-      shingles(col(textCol), shingleN).as("shs"))
+    // Shingle ONLY docs that appear in some candidate pair (semi-join
+    // pushdown), and only ONCE: without the cache, each side of the
+    // pair join recomputes the full shingle table — shingling is the
+    // dominant cost of the verify stage. The cache is bounded by the
+    // candidate-doc set (≪ corpus) and spills to disk at scale; callers
+    // release it via clearCache / unpersist after the verify output is
+    // consumed.
+    val ids = cands.select(col("ida").as(idCol))
+      .union(cands.select(col("idb").as(idCol))).distinct()
+    val sh = df.join(ids, Seq(idCol), "left_semi")
+      .select(col(idCol), shingles(col(textCol), shingleN).as("shs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count() // materialize before the two join branches race to fill it
     val sa = sh.select(col(idCol).as("ida"), col("shs").as("sha"))
     val sb = sh.select(col(idCol).as("idb"), col("shs").as("shb"))
     cands.join(sa, "ida").join(sb, "idb")
@@ -187,47 +198,115 @@ object Dedup {
 
   // ------------------------------------------------ components/survivors
 
-  /** Connected components over the near-dup pair graph via iterative
-    * min-label propagation (the scalable CC pattern: O(graph diameter)
-    * join rounds, each a shuffle on ids — near-dup components are
-    * shallow, so this converges in a handful of rounds). Returns
-    * `(id, component)` where component = min id in the component. */
-  def nearDupComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("ida").as("src"), col("idb").as("dst"))
-      .union(pairs.select(col("idb").as("src"), col("ida").as("dst")))
-      .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .persist()
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIters) {
-      val prop = edges
-        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min("component").as("neighborMin"))
-      val updated = labels.join(prop, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"),
-            coalesce(col("neighborMin"), col("component")))
-            .as("component"))
+  /** Connected components over the near-dup pair graph, size-aware:
+    *
+    *  - The verified near-dup edge set is orders of magnitude smaller than
+    *    the corpus (it only contains pairs above the Jaccard threshold).
+    *    When it fits comfortably on the driver (≤ `driverEdgeLimit`,
+    *    default 5M edges ≈ 80 MB), a single collect + union-find resolves
+    *    components in O(E α(E)) with ZERO extra Spark jobs — the same
+    *    "collect the already-reduced result" rule that applies to
+    *    histogram arrays and fit inputs.
+    *  - Above the cap (plausible at the 100 TB corpus scale) it falls back
+    *    to distributed iterative min-label propagation: O(graph diameter)
+    *    join rounds, each a shuffle on ids — near-dup components are
+    *    shallow, so this converges in a handful of rounds.
+    *
+    * Returns `(id, component)` where component = min id in the component.
+    */
+  def nearDupComponents(
+      pairs: DataFrame,
+      maxIters: Int = 20,
+      driverEdgeLimit: Long = 5000000L): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val spark = pairs.sparkSession
+    val ca = pairs.columns(0)
+    val cb = pairs.columns(1)
+    val idType = pairs.schema(ca).dataType
+    val integralId =
+      idType == LongType || idType == IntegerType ||
+        idType == ShortType || idType == ByteType
+    // Persist the caller's frame itself, not a rename-only projection of
+    // it: a pure-alias Project canonicalizes to the same plan, so
+    // persisting/unpersisting the projection would silently evict any
+    // cache the caller holds on `pairs` (and force a full recompute of
+    // the verify pipeline on every reuse).
+    val alreadyCached = pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    if (!alreadyCached) pairs.persist()
+    val nEdges = pairs.count()
+    if (integralId && nEdges <= driverEdgeLimit) {
+      val collected = pairs.collect().map(r =>
+        (r.get(0).asInstanceOf[Number].longValue,
+          r.get(1).asInstanceOf[Number].longValue))
+      if (!alreadyCached) pairs.unpersist()
+      // union-find, path-halving; union attaches the larger root under the
+      // smaller, so every root is the min id of its component by induction
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrDefault(x, x)
+        while (p != x) {
+          val gp = parent.getOrDefault(p, p)
+          parent.put(x, gp)
+          x = p
+          p = gp
+        }
+        x
+      }
+      collected.foreach { case (a, b) =>
+        val ra = find(a)
+        val rb = find(b)
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      val ids = collected.iterator
+        .flatMap(t => Iterator(t._1, t._2)).toArray.distinct
+      import spark.implicits._
+      ids.map(id => (id, find(id))).toSeq.toDF("id", "component")
+        .select(col("id").cast(idType).as("id"),
+          col("component").cast(idType).as("component"))
+    } else {
+      // distributed fallback: iterative min-label propagation
+      val edges = pairs.select(col(ca).as("src"), col(cb).as("dst"))
+      val bidi = edges
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
         .persist()
-      val changed = updated.alias("u")
-        .join(labels.alias("l"), "id")
-        .filter(col("u.component") =!= col("l.component"))
-        .count()
-      labels.unpersist()
-      labels = updated
-      converged = changed == 0
-      i += 1
+      var labels = bidi.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id"))
+        .withColumn("chg", lit(false))
+        .persist()
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIters) {
+        val prop = bidi
+          .join(labels.select(col("id").as("dst"), col("component")), Seq("dst"))
+          .groupBy(col("src").as("id"))
+          .agg(min("component").as("neighborMin"))
+        // the changed flag rides along in the same job — no second
+        // join-and-count action per iteration
+        val updated = labels.join(prop, Seq("id"), "left")
+          .select(col("id"),
+            least(col("component"),
+              coalesce(col("neighborMin"), col("component")))
+              .as("component"),
+            coalesce(col("neighborMin") < col("component"), lit(false))
+              .as("chg"))
+          .persist()
+        val changed = updated.filter(col("chg")).count()
+        labels.unpersist()
+        labels = updated
+        converged = changed == 0
+        i += 1
+      }
+      bidi.unpersist()
+      if (!alreadyCached) pairs.unpersist()
+      if (!converged)
+        // fail loudly: partially propagated labels would silently keep
+        // duplicate "survivors" — raise maxIters (diameter bound) instead
+        throw new IllegalStateException(
+          s"component propagation did not converge in $maxIters iterations")
+      labels.select("id", "component")
     }
-    edges.unpersist()
-    if (!converged)
-      // fail loudly: partially propagated labels would silently keep
-      // duplicate "survivors" — raise maxIters (diameter bound) instead
-      throw new IllegalStateException(
-        s"component propagation did not converge in $maxIters iterations")
-    labels
   }
 
   /** Rows surviving near-dup removal: one representative (min id) per
@@ -237,12 +316,20 @@ object Dedup {
       idCol: String,
       pairs: DataFrame): DataFrame = {
     val comps = nearDupComponents(pairs)
-    val drop = comps
+    val drop0 = comps
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
-      .persist()
-    drop.count() // materialize so the component frontier can be released
-    comps.unpersist()
+    // distributed CC returns a cached frame: materialize the (smaller)
+    // drop list so the component frontier can be released; the union-find
+    // fast path returns a driver-local relation — no extra job needed
+    val cached = comps.storageLevel.useMemory || comps.storageLevel.useDisk
+    val drop =
+      if (cached) {
+        val d = drop0.persist()
+        d.count()
+        comps.unpersist()
+        d
+      } else drop0
     df.join(drop, Seq(idCol), "left_anti")
   }
 

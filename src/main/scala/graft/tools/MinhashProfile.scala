@@ -4,15 +4,16 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.llm.Dedup
 
-/** Stage-by-stage timing of the minhash near-dup pipeline (dev tool). */
+/** Stage-by-stage timing of the near-dup pipelines (dev tool). */
 object MinhashProfile {
   def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
 
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -28,8 +29,25 @@ object MinhashProfile {
     println(s"candidate pairs: $nc")
     time("estimate")(
       Dedup.estimateJaccard(cands, sigs, "doc_id").count())
-    time("verify")(
-      Dedup.verifyJaccard(cands, d, "text", "doc_id").count())
+    val verified = Dedup.verifyJaccard(cands, d, "text", "doc_id")
+      .filter(col("jaccard") >= 0.8).select("ida", "idb").persist()
+    time("verify")(verified.count())
+    time("components")(
+      Dedup.nearDupComponents(verified).count())
+    time("survivors")(
+      Dedup.nearDupSurvivors(d, "doc_id", verified).count())
+    time("end-to-end dedupNearMinhash")(
+      Dedup.dedupNearMinhash(d, "text", "doc_id", 0.8).count())
+
+    val sh = time("simhash signatures")(
+      Dedup.simhash(d, "text", "doc_id").persist())
+    sh.count()
+    time("simhash candidates")(
+      Dedup.simhashCandidates(sh, "doc_id", 3).count())
+    time("simhash end-to-end (as in bench query)")(
+      Dedup.simhashCandidates(
+        Dedup.simhash(d, "text", "doc_id"), "doc_id", 3)
+        .orderBy("ida", "idb").count())
     spark.stop()
   }
 }

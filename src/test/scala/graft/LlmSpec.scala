@@ -62,6 +62,15 @@ class LlmSpec extends SparkSpec {
     assert(cands == Set((0L, 3L)))
   }
 
+  test("connected components: distributed fallback matches union-find") {
+    // driverEdgeLimit = 0 forces the iterative label-propagation path
+    val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("ida", "idb")
+    val it = Dedup.nearDupComponents(pairs, driverEdgeLimit = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(it == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
   test("connected components + near-dup survivors") {
     // chain 10-11-12, pair 20-21, isolated 30
     val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("ida", "idb")
