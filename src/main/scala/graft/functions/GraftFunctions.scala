@@ -47,15 +47,23 @@ object GraftFunctions {
       .toAggregateExpression()
   }
 
+  private def fingerprintBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "fingerprint64(text)")
+    Fingerprint64(exprs.head)
+  }
+
   private[functions] def minhashBuilderPublic(exprs: Seq[Expression])
       : Expression = minhashBuilder(exprs)
   private[functions] def hist2dBuilderPublic(exprs: Seq[Expression])
       : Expression = hist2dBuilder(exprs)
+  private[functions] def fingerprintBuilderPublic(exprs: Seq[Expression])
+      : Expression = fingerprintBuilder(exprs)
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("minhash_sig", minhashBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("histogram2d", hist2dBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("fingerprint64", fingerprintBuilder, "scala_udf")
   }
 }
 
@@ -70,5 +78,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("histogram2d"),
       new ExpressionInfo(classOf[Histogram2D].getName, "histogram2d"),
       GraftFunctions.hist2dBuilderPublic _))
+    ext.injectFunction((
+      FunctionIdentifier("fingerprint64"),
+      new ExpressionInfo(classOf[Fingerprint64].getName, "fingerprint64"),
+      GraftFunctions.fingerprintBuilderPublic _))
   }
 }

@@ -51,29 +51,27 @@ object TextAnalysis {
 
   /** Language ID: stopword-count heuristic over whitespace tokens (the
     * n-gram-free fast path; ties break lexicographically → deterministic).
-    * Returns a string column. Unknown → "und". */
-  val langIdUdf = udf { text: String =>
-    if (text == null) "und"
-    else {
-      val toks = text.toLowerCase.split("\\s+").toSeq
-      val counts = stopwords.view.mapValues(sw =>
-        toks.count(sw.contains)).toMap
-      val best = counts.toSeq.sortBy { case (l, c) => (-c, l) }.head
-      if (best._2 == 0) "und" else best._1
+    * Fully declarative — per-language `IN`-filter counts, argmax via a
+    * when-chain in lexicographic order — so it stays inside whole-stage
+    * codegen AND is mirrorable in ANSI SQL for the oracle gate. Unknown
+    * (all counts zero) → "und". */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val counts = stopwords.toSeq.sortBy(_._1).map { case (lang, sw) =>
+      lang -> size(filter(toks, t => t.isInCollection(sw)))
     }
+    val g = greatest(counts.map(_._2): _*)
+    counts.foldLeft(when(g <= 0, lit("und"))) { case (acc, (lang, c)) =>
+      acc.when(c === g, lit(lang))
+    }.otherwise(lit("und"))
   }
 
-  /** Rolling polynomial fingerprint (Rabin-Karp style, 64-bit wrapping):
-    * fp = Σ c_i · B^(n-i), B = 1000003. Stable across partitioning. */
-  val fingerprintUdf = udf { text: String =>
-    if (text == null) 0L
-    else {
-      var h = 17L
-      var i = 0
-      while (i < text.length) { h = h * 1000003L + text.charAt(i); i += 1 }
-      h
-    }
-  }
+  /** Rolling polynomial fingerprint (Rabin-Karp style, 64-bit wrapping)
+    * over UTF-8 bytes: the native codegen'd
+    * [[graft.functions.Fingerprint64]] expression. Stable across
+    * partitioning. */
+  def fingerprint(text: Column): Column =
+    graft.functions.Fingerprint64(text)
 
   /** Winnowing-style k-gram fingerprint set: min token-hash per sliding
     * window of `w` token hashes — the standard near-dup sketch for code /

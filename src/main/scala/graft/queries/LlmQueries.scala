@@ -45,20 +45,30 @@ object LlmQueries {
           sum(col("n_chars")).as("total_chars"))
         .orderBy("lang")),
 
-    // language-ID heuristic predictions (rows-only: Scala-side heuristic)
+    // language-ID heuristic predictions (declarative stopword argmax —
+    // codegen'd AND oracle-checked)
     "llm_langid_pred" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
-          TextAnalysis.langIdUdf(col("text")).as("predicted"))
+          TextAnalysis.langId(col("text")).as("predicted"))
         .groupBy("predicted").agg(count(lit(1)).as("cnt"))
         .orderBy("predicted")),
 
-    // rolling-hash fingerprints (rows-only: 64-bit wrap not in DuckDB)
+    // rolling-hash fingerprints via the native fingerprint64 expression
+    // (rows-only: 64-bit wrapping multiply not expressible in DuckDB)
     "llm_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
-          TextAnalysis.fingerprintUdf(col("text")).as("fingerprint"))
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")),
+
+    // embedding cosine near-dup: hyperplane-LSH buckets + exact cosine
+    // verify (rows-only: plane signs are Scala-side; kernel unit-tested)
+    "llm_emb_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDups(t(s, dir, "embeddings"), "embedding",
+          "vec_id", planes = 8, minCosine = 0.9)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("ida", "idb")),
 
     // exact 3-gram Jaccard over a small verified pair set (the J-verify
     // kernel, oracle-checked end to end)
@@ -184,6 +194,21 @@ object LlmQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "llm_lang_dist" ->
       "SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY lang ORDER BY lang",
+    "llm_langid_pred" ->
+      """WITH c AS (SELECT doc_id,
+        | len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t IN ('der','die','das','und','ist','ein','zu','den'))) AS c_de,
+        | len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t IN ('the','and','of','to','a','in','is','it'))) AS c_en,
+        | len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t IN ('el','la','de','que','y','en','un','es'))) AS c_es,
+        | len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t IN ('le','la','de','et','un','est','que','pour'))) AS c_fr,
+        | len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t IN ('的','是','了','在','我','有','和','不'))) AS c_zh
+        |FROM documents),
+        |p AS (SELECT CASE WHEN greatest(c_de,c_en,c_es,c_fr,c_zh) <= 0 THEN 'und'
+        | WHEN c_de = greatest(c_de,c_en,c_es,c_fr,c_zh) THEN 'de'
+        | WHEN c_en = greatest(c_de,c_en,c_es,c_fr,c_zh) THEN 'en'
+        | WHEN c_es = greatest(c_de,c_en,c_es,c_fr,c_zh) THEN 'es'
+        | WHEN c_fr = greatest(c_de,c_en,c_es,c_fr,c_zh) THEN 'fr'
+        | ELSE 'zh' END AS predicted FROM c)
+        |SELECT predicted, count(*) AS cnt FROM p GROUP BY predicted ORDER BY predicted""".stripMargin,
     "llm_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l FROM documents WHERE doc_id < 20),
         |tok AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i FROM d),

@@ -135,17 +135,37 @@ class LlmSpec extends SparkSpec {
     val q = TextAnalysis.qualityMetrics(docs, col("text"))
       .filter(col("doc_id") === 0).head()
     assert(q.getAs[Long]("n_tokens") == 9L)
-    val langs = docs.select(TextAnalysis.langIdUdf(col("text")).as("l"))
+    val langs = docs.select(TextAnalysis.langId(col("text")).as("l"))
       .as[String].collect()
     assert(langs.take(4).forall(_ == "en")) // "the" hits en stopwords
+    // all-zero stopword counts → "und"
+    val und = Seq("xyzzy plugh").toDF("text")
+      .select(TextAnalysis.langId(col("text"))).head.getString(0)
+    assert(und == "und")
     // fingerprint: equal texts → equal, different → different
     val fps = docs.select(col("doc_id"),
-      TextAnalysis.fingerprintUdf(col("text")).as("fp"))
+      TextAnalysis.fingerprint(col("text")).as("fp"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fps(0L) == fps(3L) && fps(0L) != fps(2L))
     val w = docs.select(TextAnalysis.winnowed(col("text"), 4).as("w"))
       .head.getSeq[Long](0)
     assert(w.nonEmpty)
+  }
+
+  test("embedding near-dup: LSH buckets find the duplicated vector") {
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // exact dup of 0
+      (2L, Array(0.99f, 0.14f, 0.0f, 0.0f)), // near-dup of 0 (cos≈0.99)
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 0.0f, -1.0f))).toDF("vec_id", "embedding")
+    val dups = Dedup.embeddingNearDups(embs, "embedding", "vec_id",
+        planes = 6, minCosine = 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical vectors share every LSH bucket → the (0,1) pair is
+    // guaranteed; distant pairs must not pass the cosine verify
+    assert(dups.contains((0L, 1L)))
+    assert(!dups.exists(p => p._1 == 3L || p._2 == 3L || p._2 == 4L))
   }
 
   test("SQL surface: minhash_sig and histogram2d via functionRegistry") {
@@ -160,6 +180,10 @@ class LlmSpec extends SparkSpec {
       """SELECT histogram2d(doc_id, doc_id, 0.0, 4.0, 2, 0.0, 4.0, 2) AS h
         |FROM docs_sql""".stripMargin).head.getSeq[Long](0)
     assert(h.sum == 5L && h(0) == 2L && h(3) == 3L) // ids 0,1 | 2,3,4
+    val fp = spark.sql(
+      "SELECT fingerprint64(text) AS fp FROM docs_sql ORDER BY doc_id")
+      .as[Long].collect()
+    assert(fp(0) == fp(3) && fp(0) != fp(2)) // matches the Column API
   }
 
   test("multimodal: batched feature extraction is deterministic, frames sample") {
