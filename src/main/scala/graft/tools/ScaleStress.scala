@@ -1,0 +1,81 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Similarity, TextAnalysis}
+
+/** Scaling stress (dev tool): replicates the sf0.1 documents/embeddings
+  * tables N× (ids shifted so replicas are distinct rows but text is
+  * repeated → heavy near-dup load), writes real parquet, and times the
+  * dedup/similarity pipelines at 1×/4×/16×. The point is the GROWTH
+  * CURVE, not the absolute numbers: a pipeline whose time scales
+  * sublinearly in rows at small SF is fixed-overhead-bound (fine — that
+  * overhead amortizes on a cluster); one that scales super-linearly has
+  * a quadratic term that would detonate at 100 TB. Results recorded in
+  * SCALE.md.
+  */
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nBase = base.count()
+
+    Seq(1, 4, 16).foreach { mult =>
+      val path = s"target/scale_stress/docs_x$mult"
+      // distinct ids per replica; text repeats → every replica group is a
+      // 100%-similar near-dup cluster on top of the organic ones
+      (0 until mult).map(i =>
+        base.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(path)
+      val d = spark.read.parquet(path)
+      println(s"\n--- x$mult (${nBase * mult} docs) ---")
+      time(s"exact dedup x$mult")(
+        Dedup.exactDedup(d, "text", "doc_id").count())
+      time(s"minhash near-dup dedup x$mult")(
+        Dedup.dedupNearMinhash(d, "text", "doc_id", 0.8).count())
+      spark.catalog.clearCache()
+      time(s"simhash candidates x$mult")(
+        Dedup.simhashCandidates(
+          Dedup.simhash(d, "text", "doc_id"), "doc_id", 3).count())
+      time(s"langid x$mult")(
+        d.select(TextAnalysis.langId(col("text")).as("p"))
+          .groupBy("p").count().count())
+      spark.catalog.clearCache()
+    }
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val nEmb = emb.count()
+    Seq(1, 4, 16).foreach { mult =>
+      val path = s"target/scale_stress/emb_x$mult"
+      (0 until mult).map(i =>
+        emb.withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(path)
+      val e = spark.read.parquet(path)
+      println(s"\n--- emb x$mult (${nEmb * mult} vectors) ---")
+      val q = e.orderBy("vec_id").select("embedding").head()
+        .getSeq[Float](0).toArray
+      time(s"ann lsh topk x$mult")(
+        Similarity.annTopK(e, "embedding", "vec_id", q, 5, nPlanes = 8)
+          .count())
+      time(s"emb near-dup x$mult")(
+        Dedup.embeddingNearDups(e, "embedding", "vec_id",
+          planes = 10, minCosine = 0.99).count())
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
