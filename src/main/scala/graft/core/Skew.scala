@@ -1,0 +1,73 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for hot keys that AQE's runtime skew-join
+  * splitting cannot fix alone (AQE splits oversized SHUFFLE partitions
+  * of a sort-merge join, but a single key whose group must be
+  * aggregated by one task, or a broadcast-ineligible skew join, still
+  * serializes on the hot key).
+  *
+  * - [[saltedJoin]]: explicit salting — the big side gets a random salt
+  *   in [0, salts), the small side is replicated `salts`×; joining on
+  *   (key, salt) spreads each hot key over `salts` tasks. Use when one
+  *   side is small enough to replicate but too big to broadcast.
+  * - [[saltedAgg]]: two-phase aggregation — partial aggregate on
+  *   (key, salt), final aggregate on key. The map-side combine already
+  *   does this for algebraic aggregates; the explicit form is for
+  *   aggregates whose partial state is wide (collect-style, exact
+  *   percentile multisets) where one reducer per hot key is the
+  *   bottleneck.
+  *
+  * The salt is `pmod(hash(monotonically_increasing_id()), salts)` —
+  * deterministic within a job, uniform, no RNG state.
+  */
+object Skew {
+
+  private def saltCol(salts: Int): Column =
+    pmod(hash(monotonically_increasing_id()), lit(salts))
+
+  /** Equi-join `big ⋈ small` on `key`, spreading each `big`-side key
+    * over `salts` tasks. `small` is replicated `salts`× (explode of a
+    * literal range — cheap for dimension-sized tables). */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      salts: Int = 16,
+      joinType: String = "inner"): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val b = big.withColumn("__salt__", saltCol(salts))
+    val s = small.withColumn("__salt__",
+      explode(sequence(lit(0), lit(salts - 1))))
+    b.join(s, Seq(key, "__salt__"), joinType).drop("__salt__")
+  }
+
+  /** Two-phase sum/count-style aggregation: partial on (keys, salt),
+    * final on keys. `partials` maps output column name → (partial
+    * aggregate over the input column, final combiner over the partial
+    * column). E.g. a skew-proof count-distinct-approx or sum:
+    * `Map("total" -> (sum(col("x")), ps => sum(ps)))`. */
+  def saltedAgg(
+      df: DataFrame,
+      keys: Seq[String],
+      salts: Int,
+      partials: Map[String, (Column, Column => Column)]): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val phase1 = df
+      .withColumn("__salt__", saltCol(salts))
+      .groupBy((keys :+ "__salt__").map(col): _*)
+      .agg(partials.head._2._1.as(s"__p_${partials.head._1}__"),
+        partials.tail.map { case (n, (p, _)) => p.as(s"__p_${n}__") }
+          .toSeq: _*)
+    phase1
+      .groupBy(keys.map(col): _*)
+      .agg(
+        partials.head._2._2(col(s"__p_${partials.head._1}__"))
+          .as(partials.head._1),
+        partials.tail.map { case (n, (_, f)) =>
+          f(col(s"__p_${n}__")).as(n)
+        }.toSeq: _*)
+  }
+}

@@ -27,14 +27,29 @@ object PlanAudit {
     var bad = 0
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
-      val plan = df.queryExecution.executedPlan.toString
       println(s"\n========== $name ==========")
       println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode).take(4000))
-      if (plan.contains("CartesianProduct") &&
-          !nestedLoopAllowed.contains(name)) {
-        println(s"!! $name: CartesianProduct found"); bad += 1
+    }
+
+    // full sweep: EVERY declared query must be free of all-pairs joins
+    // (cartesian / nested-loop) unless explicitly allow-listed
+    graft.SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      try {
+        val df = graft.SparkEntry.queries(name)(spark, dir)
+        val plan = df.queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct") &&
+            !nestedLoopAllowed.contains(name)) {
+          println(s"!! $name: CartesianProduct found"); bad += 1
+        }
+        if (plan.contains("BroadcastNestedLoopJoin") &&
+            !nestedLoopAllowed.contains(name)) {
+          println(s"!! $name: BroadcastNestedLoopJoin found"); bad += 1
+        }
+      } catch { case e: Throwable =>
+        println(s"!! $name: plan build failed: ${e.getMessage}"); bad += 1
       }
+      spark.catalog.clearCache()
     }
 
     // pushdown check: a filter on a parquet column must reach the scan

@@ -8,6 +8,32 @@ import graft.core._
 class CutAlgebraSpec extends SparkSpec {
   import spark.implicits._
 
+  test("salted join and salted agg match their unsalted forms") {
+    import graft.core.Skew
+    // heavy skew: 90% of rows share key 0
+    val big = (0 until 1000)
+      .map(i => (if (i < 900) 0L else i.toLong % 7, i.toDouble))
+      .toDF("k", "v")
+    val small = Seq((0L, "hot"), (1L, "a"), (2L, "b"), (6L, "c"))
+      .toDF("k", "name")
+    val salted = Skew.saltedJoin(big, small, "k", salts = 8)
+      .groupBy("k", "name").agg(sum("v").as("sv"), count(lit(1)).as("c"))
+      .orderBy("k").collect()
+    val plain = big.join(small, "k")
+      .groupBy("k", "name").agg(sum("v").as("sv"), count(lit(1)).as("c"))
+      .orderBy("k").collect()
+    assert(salted.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
+
+    val sAgg = Skew.saltedAgg(big, Seq("k"), salts = 8,
+      Map("total" -> (sum(col("v")), (p: org.apache.spark.sql.Column) => sum(p)),
+          "n" -> (count(lit(1)), (p: org.apache.spark.sql.Column) => sum(p))))
+      .orderBy("k").collect()
+    val pAgg = big.groupBy("k")
+      .agg(sum("v").as("total"), count(lit(1)).as("n"))
+      .orderBy("k").collect()
+    assert(sAgg.map(_.toSeq).toSeq == pAgg.map(_.toSeq).toSeq)
+  }
+
   private lazy val df = (0 until 200)
     .map(i => (i.toLong, i * 0.5, if (i % 3 == 0) "a" else "b"))
     .toDF("event_uid", "x", "tag")

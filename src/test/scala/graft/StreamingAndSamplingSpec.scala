@@ -83,6 +83,28 @@ class StreamingAndSamplingSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, 2L), (1L, 1L)))
   }
 
+  test("streaming exact dedup: first occurrence survives across batches") {
+    import graft.streaming.StreamingDedup
+    import graft.streaming.StreamingDedup.Doc
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Doc]
+    val q = StreamingDedup.exactDedupStream(stream.toDS())
+      .writeStream.format("memory").queryName("dedup_docs")
+      .outputMode("append").start()
+    stream.addData(Doc(3L, "aa"), Doc(1L, "aa"), Doc(2L, "bb"))
+    q.processAllAvailable()
+    // "aa" already seen (survivor id 1, min within the batch); "cc" new
+    stream.addData(Doc(4L, "aa"), Doc(5L, "cc"), Doc(6L, "bb"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT docId, text FROM dedup_docs ORDER BY docId")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "aa"), (2L, "bb"), (5L, "cc")))
+    // parity with the batch form when ids follow arrival order: one
+    // survivor per distinct text, min id each
+    assert(got.map(_._2).distinct.length == got.length)
+  }
+
   test("L3 exact-n seeded sample: size, determinism, no replacement") {
     val df = (0 until 1000).map(Tuple1(_)).toDF("x")
     val s1 = Sampling.exactN(df, 50, seed = 7).as[Int].collect()
