@@ -92,12 +92,18 @@ object LlmQueries {
         .persist()
       sigs.count() // materialize once; three downstream branches reuse
       val cands = Dedup.lshCandidates(sigs, "doc_id", bands = 16, rows = 4)
-      val est = Dedup.estimateJaccard(cands, sigs, "doc_id")
-      val ver = Dedup.verifyJaccard(cands, d, "text", "doc_id")
-      est.join(ver, Seq("ida", "idb"), "left")
+      // verify-what-you-report: rank by the cheap signature estimate
+      // first, run exact-Jaccard verification ONLY on the reported
+      // top-k pairs (the expensive stage scales with what is shown,
+      // not with the full candidate set)
+      val top = Dedup.estimateJaccard(cands, sigs, "doc_id")
+        .orderBy(desc("est_jaccard"), col("ida"), col("idb"))
+        .limit(20).persist()
+      val ver = Dedup.verifyJaccard(top.select("ida", "idb"), d,
+        "text", "doc_id")
+      top.join(ver, Seq("ida", "idb"), "left")
         .withColumn("jaccard", coalesce(col("jaccard"), lit(0.0)))
         .orderBy(desc("est_jaccard"), col("ida"), col("idb"))
-        .limit(20)
     }),
 
     // end-to-end near-dup dedup: LSH candidates → verify → connected

@@ -34,10 +34,31 @@ object TraceStore {
       .select("series_number", "event_number")
       .distinct()
       .limit(nbEventsLimit) // L2 cap
+    // The capped key set is driver-sized by construction (≤ nbEventsLimit
+    // pairs of numbers): collect it ONCE, then (a) push scan-prunable
+    // predicates — series IN-list + event-number range — into the
+    // parquet scan, so a store sorted by (series, dump, event) reads
+    // only matching row groups instead of the whole trace table (at
+    // 100 TB: a few files vs the full store); (b) broadcast the exact
+    // key set from the local relation, so the possibly-expensive
+    // selection plan is not executed a second time by the join.
+    val spark = traces.sparkSession
+    val keyRows = keys.collect()
+    val keysLocal = spark.createDataFrame(
+      java.util.Arrays.asList(keyRows: _*), keys.schema)
     val chanPruned =
       if (channels.isEmpty) traces
       else traces.filter(col("channel").isin(channels: _*))
-    val joined = chanPruned.join(broadcast(keys),
+    val scanPruned =
+      if (keyRows.isEmpty) chanPruned.filter(lit(false))
+      else {
+        val series = keyRows.map(_.get(0)).distinct.toSeq
+        val evs = keyRows.map(_.getAs[Number](1).longValue)
+        chanPruned
+          .filter(col("series_number").isInCollection(series))
+          .filter(col("event_number").between(evs.min, evs.max))
+      }
+    val joined = scanPruned.join(broadcast(keysLocal),
       Seq("series_number", "event_number"))
     val windowed = window match {
       case Some((start, len)) =>
