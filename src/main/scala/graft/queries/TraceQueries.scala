@@ -137,6 +137,50 @@ object TraceQueries {
         .toDF("n", "psd0", "psd0_var", "tf_rms_01")
     }),
 
+    // S6: single-event point lookup by (series, dump, event)
+    "s6_point_lookup" -> ((s, dir) => {
+      val tr = syntheticTraces(s, dir)
+        .withColumn("series_number", col("event_id") % 4)
+        .withColumn("dump_number", col("event_id") % 2)
+        .withColumn("event_number", col("event_id"))
+      TraceStore.fetchOne(tr, seriesNumber = 3, dumpNumber = 1,
+          eventNumber = 7)
+        .select(col("event_id"),
+          aggregate(col("trace"), lit(0.0), (acc, x) => acc + x)
+            .as("trace_sum"))
+    }),
+
+    // K11 (cross + phase-locked TF estimators) and A17 (variance of the
+    // mean phasor) from the same accumulated moments — outputs rounded
+    // to 6 decimals on both sides (hypot/atan2 may differ from the
+    // oracle's sqrt/atan2 by ulps)
+    "k11_tf_estimators" -> ((s, dir) => {
+      import graft.vibration.{Estimators, Moments}
+      val amps = events(s, dir).select(
+        array(
+          array((col("event_id") % 13 - 6).cast("double"),
+            (col("event_id") % 7 - 3).cast("double")),
+          array((col("event_id") % 11 - 5).cast("double"),
+            (col("event_id") % 5 - 2).cast("double"))).as("chans"))
+      val agg = udaf(new MomentAggregator(nCh = 2, nFreq = 1))
+      implicit val enc = org.apache.spark.sql.Encoders.product[Moments]
+      val mo = amps.agg(agg(col("chans")).as("mo"))
+        .select("mo.*").as[Moments].head()
+      val vom = Estimators.varianceOfMean(mo, 0)
+      val (cMag, cPh, cErr) = Estimators.tfCross(mo, 0, 1)
+      val (pMag, pPh, _) = Estimators.tfPhaseLocked(mo, 0, 1)
+      import s.implicits._
+      Seq((mo.n, vom(0), cMag(0), cPh(0), cErr(0), pMag(0), pPh(0)))
+        .toDF("n", "vom0", "tfc_mag", "tfc_phase", "tfc_err",
+          "tfp_mag", "tfp_phase")
+        .select(col("n"), round(col("vom0"), 6).as("vom0"),
+          round(col("tfc_mag"), 6).as("tfc_mag"),
+          round(col("tfc_phase"), 6).as("tfc_phase"),
+          round(col("tfc_err"), 6).as("tfc_err"),
+          round(col("tfp_mag"), 6).as("tfp_mag"),
+          round(col("tfp_phase"), 6).as("tfp_phase"))
+    }),
+
     // W4: ordered re-chunking with remainder discard, per-chunk exact sums
     "w4_rechunk" -> ((s, dir) => {
       val stream = events(s, dir).filter(col("event_id") < 50)
@@ -167,6 +211,27 @@ object TraceQueries {
         |FROM g""".stripMargin,
     "l3_sample_seeded" ->
       "SELECT CAST(100 AS BIGINT) AS cnt",
+    "s6_point_lookup" ->
+      s"SELECT event_id, list_sum($synth) AS trace_sum FROM events WHERE event_id = 7",
+    "k11_tf_estimators" ->
+      """WITH a AS (SELECT CAST(event_id % 13 - 6 AS DOUBLE) a0r, CAST(event_id % 7 - 3 AS DOUBLE) a0i, CAST(event_id % 11 - 5 AS DOUBLE) a1r, CAST(event_id % 5 - 2 AS DOUBLE) a1i FROM events),
+        |g AS (SELECT count(*) n, sum(a0r) m0rs, sum(a0i) m0is, sum(a1r) m1rs, sum(a1i) m1is,
+        |  sum(a0r*a0r + a0i*a0i) s00s, sum(a1r*a1r + a1i*a1i) s11s,
+        |  sum(a0r*a1r + a0i*a1i) s01rs, sum(a0i*a1r - a0r*a1i) s01is FROM a),
+        |m AS (SELECT n, m0rs/n m0r, m0is/n m0i, m1rs/n m1r, m1is/n m1i,
+        |  s00s/n s00, s11s/n s11, s01rs/n s01r, s01is/n s01i FROM g),
+        |e AS (SELECT n, s00, s11, s01r, s01i, m0r, m0i, m1r, m1i,
+        |  sqrt(s01r*s01r + s01i*s01i)/s11 AS cmag,
+        |  least(greatest((s01r*s01r + s01i*s01i)/(s00*s11), 1e-12), 1.0) AS c,
+        |  m1r*m1r + m1i*m1i AS den FROM m)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round((s00 - (m0r*m0r + m0i*m0i))/(n - 1), 6) AS vom0,
+        |  round(cmag, 6) AS tfc_mag,
+        |  round(atan2(s01i, s01r), 6) AS tfc_phase,
+        |  round(cmag * sqrt((1.0 - c)/(2.0*c*n)), 6) AS tfc_err,
+        |  round(sqrt(((m0r*m1r + m0i*m1i)/den)*((m0r*m1r + m0i*m1i)/den) + ((m0i*m1r - m0r*m1i)/den)*((m0i*m1r - m0r*m1i)/den)), 6) AS tfp_mag,
+        |  round(atan2((m0i*m1r - m0r*m1i)/den, (m0r*m1r + m0i*m1i)/den), 6) AS tfp_phase
+        |FROM e""".stripMargin,
     "k12_psd_estimator" ->
       """WITH a AS (SELECT CAST(event_id % 13 - 6 AS DOUBLE) a0r, CAST(event_id % 7 - 3 AS DOUBLE) a0i, CAST(event_id % 11 - 5 AS DOUBLE) a1r, CAST(event_id % 5 - 2 AS DOUBLE) a1i FROM events),
         |g AS (SELECT count(*) n, sum(a0r*a0r + a0i*a0i) s00s, sum((a0r*a0r + a0i*a0i)*(a0r*a0r + a0i*a0i)) r00s, sum(a1r*a1r + a1i*a1i) s11s FROM a)
