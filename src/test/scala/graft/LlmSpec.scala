@@ -62,6 +62,26 @@ class LlmSpec extends SparkSpec {
     assert(cands == Set((0L, 3L)))
   }
 
+  test("connected components: both paths agree on random graphs") {
+    // seeded random edge lists; the driver union-find and the
+    // distributed label propagation must produce identical labelings
+    val rnd = new scala.util.Random(42)
+    (0 until 8).foreach { _ =>
+      val n = 2 + rnd.nextInt(20)
+      val edges = (0 until (1 + rnd.nextInt(25)))
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      if (edges.nonEmpty) {
+        val df = edges.toDF("ida", "idb")
+        val fast = Dedup.nearDupComponents(df)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val dist = Dedup.nearDupComponents(df, driverEdgeLimit = 0)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(fast == dist, s"mismatch on edges $edges")
+      }
+    }
+  }
+
   test("connected components: distributed fallback matches union-find") {
     // driverEdgeLimit = 0 forces the iterative label-propagation path
     val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("ida", "idb")
@@ -150,6 +170,24 @@ class LlmSpec extends SparkSpec {
     val w = docs.select(TextAnalysis.winnowed(col("text"), 4).as("w"))
       .head.getSeq[Long](0)
     assert(w.nonEmpty)
+  }
+
+  test("annJoin links query table to corpus through shared buckets") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val queries = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f, 0.0f)), // exact copy of corpus 0
+      (101L, Array(0.0f, 0.98f, 0.2f, 0.0f))).toDF("vec_id", "embedding")
+    val linked = Similarity.annJoin(corpus, queries, "embedding", "vec_id",
+        nPlanes = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // identical vectors share every plane sign → guaranteed link
+    val exact = linked.filter(t => t._1 == 100L && t._2 == 0L)
+    assert(exact.length == 1 && math.abs(exact.head._3 - 1.0) < 1e-6)
+    // bucketed join must not produce all pairs
+    assert(linked.length < 2 * 3)
   }
 
   test("embedding near-dup: LSH buckets find the duplicated vector") {
