@@ -1,0 +1,47 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Scale paths for mask filters (F2/J1, `analyzer.py:218-223,236-252`):
+  * keep only rows whose key appears in a mask key set.
+  *
+  * - Mask fits in a broadcast (≤ low millions of uids): plain broadcast
+  *   left-semi join — what [[EventTable.filter]] does.
+  * - Mask is huge (10⁹+ uids at the 100 TB corpus scale): a shuffle
+  *   semi-join would move the ENTIRE event table. [[bloomSemiJoin]]
+  *   builds a Bloom sketch of the mask (one aggregation pass; the
+  *   sketch is MBs for billions of keys at 1% fpp), prefilters the big
+  *   side with the codegen'd
+  *   [[graft.functions.BloomMightContain]] probe — eliminating
+  *   ~(1−fpp) of non-members BEFORE the shuffle — then confirms with
+  *   the exact semi-join over the surviving fraction.
+  */
+object Masks {
+
+  /** Build a Bloom sketch of `keyCol` in `mask`. `expectedItems` sizes
+    * the bit array (overestimate is safe); `fpp` is the false-positive
+    * probability. One aggregation job. */
+  def bloomOfKeys(
+      mask: DataFrame,
+      keyCol: String,
+      expectedItems: Long,
+      fpp: Double = 0.01): BloomFilter =
+    mask.select(col(keyCol).cast("long")).stat
+      .bloomFilter(keyCol, expectedItems, fpp)
+
+  /** Exact mask semi-join with a Bloom prefilter on the big side.
+    * Result is IDENTICAL to a plain semi-join (the sketch only ever
+    * passes supersets); the win is the shuffle volume of `df` at scale. */
+  def bloomSemiJoin(
+      df: DataFrame,
+      mask: DataFrame,
+      keyCol: String,
+      expectedItems: Long,
+      fpp: Double = 0.01): DataFrame = {
+    val bloom = bloomOfKeys(mask, keyCol, expectedItems, fpp)
+    df.filter(graft.functions.BloomMightContain(col(keyCol), bloom))
+      .join(mask.select(keyCol).distinct(), Seq(keyCol), "left_semi")
+  }
+}

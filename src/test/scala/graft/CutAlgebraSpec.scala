@@ -8,6 +8,27 @@ import graft.core._
 class CutAlgebraSpec extends SparkSpec {
   import spark.implicits._
 
+  test("bloom-prefiltered mask semi-join equals the plain semi-join") {
+    import graft.core.Masks
+    val events = (0 until 2000).map(i => (i.toLong, i * 0.5))
+      .toDF("event_uid", "v")
+    val mask = (0 until 2000 by 7).map(Tuple1(_)).map(t => t._1.toLong)
+      .toDF("event_uid")
+    val viaBloom = Masks.bloomSemiJoin(events, mask, "event_uid",
+        expectedItems = 1000)
+      .orderBy("event_uid").collect().map(_.getLong(0))
+    val plain = events.join(mask, Seq("event_uid"), "left_semi")
+      .orderBy("event_uid").collect().map(_.getLong(0))
+    assert(viaBloom.toSeq == plain.toSeq)
+    // the probe itself: members always pass, and the sketch prunes most
+    // non-members before the join
+    val bloom = Masks.bloomOfKeys(mask, "event_uid", 1000)
+    val passed = events.filter(
+      graft.functions.BloomMightContain(col("event_uid"), bloom)).count()
+    assert(passed >= plain.length)            // no false negatives
+    assert(passed < events.count())           // real pruning happened
+  }
+
   test("salted join and salted agg match their unsalted forms") {
     import graft.core.Skew
     // heavy skew: 90% of rows share key 0
