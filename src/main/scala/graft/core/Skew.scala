@@ -28,6 +28,14 @@ object Skew {
   private def saltCol(salts: Int): Column =
     pmod(hash(monotonically_increasing_id()), lit(salts))
 
+  /** Join types for which small-side replication is sound: each big row
+    * carries ONE salt, so per big row exactly one small replica matches —
+    * inner/left/semi/anti are big-side-preserving. right/full would emit
+    * one row PER REPLICA of unmatched small rows (duplicates + spurious
+    * null padding), so they are rejected. */
+  private val replicationSafeJoins = // normalized: lowercase, no '_'
+    Set("inner", "left", "leftouter", "leftsemi", "leftanti", "semi", "anti")
+
   /** Equi-join `big ⋈ small` on `key`, spreading each `big`-side key
     * over `salts` tasks. `small` is replicated `salts`× (explode of a
     * literal range — cheap for dimension-sized tables). */
@@ -38,6 +46,11 @@ object Skew {
       salts: Int = 16,
       joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(replicationSafeJoins(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports big-side-preserving join types only " +
+        s"(inner/left/left_semi/left_anti), got '$joinType' — right/full " +
+        "outer would duplicate unmatched small-side rows once per salt " +
+        "replica")
     val b = big.withColumn("__salt__", saltCol(salts))
     val s = small.withColumn("__salt__",
       explode(sequence(lit(0), lit(salts - 1))))
@@ -55,6 +68,7 @@ object Skew {
       salts: Int,
       partials: Map[String, (Column, Column => Column)]): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(partials.nonEmpty, "saltedAgg needs at least one aggregate")
     val phase1 = df
       .withColumn("__salt__", saltCol(salts))
       .groupBy((keys :+ "__salt__").map(col): _*)

@@ -125,14 +125,24 @@ object Dedup {
       df: DataFrame,
       textCol: String,
       idCol: String,
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3): DataFrame =
+    verifyJaccardReleasable(cands, df, textCol, idCol, shingleN)._1
+
+  /** [[verifyJaccard]] plus a release handle for the internal shingle
+    * cache — call it once the verify output has been materialized.
+    * (The plain `verifyJaccard` leaves the cache for the session's
+    * cache-hygiene policy, e.g. per-query `clearCache`.) */
+  def verifyJaccardReleasable(
+      cands: DataFrame,
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3): (DataFrame, () => Unit) = {
     // Shingle ONLY docs that appear in some candidate pair (semi-join
     // pushdown), and only ONCE: without the cache, each side of the
     // pair join recomputes the full shingle table — shingling is the
     // dominant cost of the verify stage. The cache is bounded by the
-    // candidate-doc set (≪ corpus) and spills to disk at scale; callers
-    // release it via clearCache / unpersist after the verify output is
-    // consumed.
+    // candidate-doc set (≪ corpus) and spills to disk at scale.
     val ids = cands.select(col("ida").as(idCol))
       .union(cands.select(col("idb").as(idCol))).distinct()
     val sh = df.join(ids, Seq(idCol), "left_semi")
@@ -141,7 +151,7 @@ object Dedup {
     sh.count() // materialize before the two join branches race to fill it
     val sa = sh.select(col(idCol).as("ida"), col("shs").as("sha"))
     val sb = sh.select(col(idCol).as("idb"), col("shs").as("shb"))
-    cands.join(sa, "ida").join(sb, "idb")
+    val out = cands.join(sa, "ida").join(sb, "idb")
       .withColumn("inter",
         size(array_intersect(col("sha"), col("shb"))).cast("long"))
       .withColumn("na", size(col("sha")).cast("long"))
@@ -150,6 +160,7 @@ object Dedup {
         col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")))
       .select("ida", "idb", "jaccard")
+    (out, () => { sh.unpersist(); () })
   }
 
   // -------------------------------------------------------------- simhash
@@ -305,7 +316,14 @@ object Dedup {
         // duplicate "survivors" — raise maxIters (diameter bound) instead
         throw new IllegalStateException(
           s"component propagation did not converge in $maxIters iterations")
-      labels.select("id", "component")
+      // return the CACHED frame itself, not a projection of it: a
+      // projection's storageLevel reads NONE, so downstream
+      // release-after-materialize logic (nearDupSurvivors) would never
+      // fire and the labels frontier would stay cached forever
+      val out = labels.select("id", "component").persist()
+      out.count()
+      labels.unpersist()
+      out
     }
   }
 
@@ -343,11 +361,18 @@ object Dedup {
     * within-bucket candidate pairs grow QUADRATICALLY in the copy count
     * (measured: 16× replication of the corpus made the un-collapsed
     * pipeline 7× slower; collapsed, it is flat in the duplicate count).
-    * Semantics are unchanged: an exact copy is a jaccard-1.0 near-dup,
-    * its group representative is the group min id, and that
-    * representative carries the group's membership through components —
-    * the surviving id set is identical to running LSH on the full
-    * corpus. */
+    * Semantics: an exact copy is a jaccard-1.0 near-dup whose group
+    * representative (the group min id) carries the group's membership
+    * through components, so the surviving set equals the un-collapsed
+    * pipeline's — except when an exact-copy group is larger than
+    * lshCandidates' `maxBucket` cap, where the un-collapsed pipeline
+    * would have PRUNED the oversized buckets and kept every copy;
+    * collapsing first is strictly more complete dedup in that regime.
+    *
+    * Cache lifecycle: intermediates (signatures, shingles, verified
+    * pairs) are released before returning; `reps` stays cached because
+    * the returned plan reads it — release it via the session's cache
+    * hygiene (e.g. per-query `clearCache`) once consumed. */
   def dedupNearMinhash(
       df: DataFrame,
       textCol: String,
@@ -364,10 +389,20 @@ object Dedup {
     val est = estimateJaccard(cands, sigs, idCol)
       .filter(col("est_jaccard") >= jaccardThreshold * 0.5) // cheap prefilter
       .select("ida", "idb")
-    val verified = verifyJaccard(est, reps, textCol, idCol, shingleN)
+    val (verifiedAll, releaseShingles) =
+      verifyJaccardReleasable(est, reps, textCol, idCol, shingleN)
+    val verified = verifiedAll
       .filter(col("jaccard") >= jaccardThreshold)
       .select("ida", "idb")
-    nearDupSurvivors(reps, idCol, verified)
+      .persist()
+    verified.count() // materialize, then the upstream caches can go
+    releaseShingles()
+    sigs.unpersist()
+    val out = nearDupSurvivors(reps, idCol, verified)
+    // survivors has materialized the drop list (components collect /
+    // persisted drop) by the time it returns — the pair set can go too
+    verified.unpersist()
+    out
   }
 
   // --------------------------------------------- embedding near-duplicate

@@ -59,7 +59,10 @@ object TextAnalysis {
     * (`list_intersect`, also distinct) for the oracle gate. Unknown
     * (all counts zero) → "und". */
   def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
+    // null-safe: null text → zero counts → "und" on BOTH engines (a
+    // bare when-chain would fall through to "und" in Spark but a SQL
+    // CASE's NULL comparisons would hit the ELSE branch instead)
+    val toks = tokens(lower(coalesce(text, lit(""))))
     val counts = stopwords.toSeq.sortBy(_._1).map { case (lang, sw) =>
       lang -> size(array_intersect(toks, array(sw.map(lit): _*)))
     }

@@ -202,11 +202,11 @@ object LlmQueries {
       "SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY lang ORDER BY lang",
     "llm_langid_pred" ->
       """WITH c AS (SELECT doc_id,
-        | len(list_intersect(regexp_split_to_array(trim(lower(text)), '\s+'), ['der','die','das','und','ist','ein','zu','den'])) AS c_de,
-        | len(list_intersect(regexp_split_to_array(trim(lower(text)), '\s+'), ['the','and','of','to','a','in','is','it'])) AS c_en,
-        | len(list_intersect(regexp_split_to_array(trim(lower(text)), '\s+'), ['el','la','de','que','y','en','un','es'])) AS c_es,
-        | len(list_intersect(regexp_split_to_array(trim(lower(text)), '\s+'), ['le','la','de','et','un','est','que','pour'])) AS c_fr,
-        | len(list_intersect(regexp_split_to_array(trim(lower(text)), '\s+'), ['的','是','了','在','我','有','和','不'])) AS c_zh
+        | len(list_intersect(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), ['der','die','das','und','ist','ein','zu','den'])) AS c_de,
+        | len(list_intersect(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), ['the','and','of','to','a','in','is','it'])) AS c_en,
+        | len(list_intersect(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), ['el','la','de','que','y','en','un','es'])) AS c_es,
+        | len(list_intersect(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), ['le','la','de','et','un','est','que','pour'])) AS c_fr,
+        | len(list_intersect(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), ['的','是','了','在','我','有','和','不'])) AS c_zh
         |FROM documents),
         |p AS (SELECT CASE WHEN greatest(c_de,c_en,c_es,c_fr,c_zh) <= 0 THEN 'und'
         | WHEN c_de = greatest(c_de,c_en,c_es,c_fr,c_zh) THEN 'de'

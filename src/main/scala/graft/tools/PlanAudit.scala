@@ -24,19 +24,19 @@ object PlanAudit {
     // allowed nested-loop joins: tiny driver-generated pair sets
     val nestedLoopAllowed = Set("llm_ngram_jaccard")
 
+    // full sweep, building each query exactly ONCE (several query
+    // builders are eager — persist/count/collect at plan-build time):
+    // print the formatted plan for the interesting subset, and check
+    // EVERY plan for all-pairs joins unless explicitly allow-listed
     var bad = 0
-    interesting.foreach { name =>
-      val df = graft.SparkEntry.queries(name)(spark, dir)
-      println(s"\n========== $name ==========")
-      println(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode).take(4000))
-    }
-
-    // full sweep: EVERY declared query must be free of all-pairs joins
-    // (cartesian / nested-loop) unless explicitly allow-listed
     graft.SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       try {
         val df = graft.SparkEntry.queries(name)(spark, dir)
+        if (interesting.contains(name)) {
+          println(s"\n========== $name ==========")
+          println(df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode).take(4000))
+        }
         val plan = df.queryExecution.executedPlan.toString
         if (plan.contains("CartesianProduct") &&
             !nestedLoopAllowed.contains(name)) {

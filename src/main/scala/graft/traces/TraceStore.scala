@@ -21,7 +21,11 @@ object TraceStore {
 
   /** S5/J2: batch fetch — broadcast inner equi-join of capped selected
     * keys against the traces table, with optional channel pruning and
-    * re-windowing (`get_traces`, `analyzer.py:1006-1047`). */
+    * re-windowing (`get_traces`, `analyzer.py:1006-1047`).
+    *
+    * NOTE: eager — the capped key selection runs as a Spark job at call
+    * time (its values are pushed into the trace scan as pruning
+    * predicates), not when the returned plan first executes. */
   def fetch(
       traces: DataFrame,
       selectedKeys: DataFrame,
@@ -32,6 +36,9 @@ object TraceStore {
       baselineInds: (Int, Int) = (5, 100)): DataFrame = {
     val keys = selectedKeys
       .select("series_number", "event_number")
+      // null keys can never match the inner equi-join — drop them up
+      // front so the collected key list is null-free
+      .filter(col("series_number").isNotNull && col("event_number").isNotNull)
       .distinct()
       .limit(nbEventsLimit) // L2 cap
     // The capped key set is driver-sized by construction (≤ nbEventsLimit
