@@ -405,6 +405,25 @@ object Dedup {
     out
   }
 
+  /** End-to-end SimHash near-dup dedup: signatures → banded hamming
+    * candidates → components → survivors. Same survivor rule as the
+    * minhash pipeline (min id per component); exact copies hash
+    * identically (hamming 0) so no separate exact pass is needed —
+    * but they are collapsed first anyway for the same quadratic-bucket
+    * reason as [[dedupNearMinhash]]. */
+  def dedupNearSimhash(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val reps = exactDedup(df, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = simhashCandidates(simhash(reps, textCol, idCol),
+        idCol, maxHamming)
+      .select("ida", "idb")
+    nearDupSurvivors(reps, idCol, pairs)
+  }
+
   // --------------------------------------------- embedding near-duplicate
 
   /** Embedding cosine near-dup: LSH-bucketed (random hyperplane signs)
@@ -425,5 +444,19 @@ object Dedup {
       .withColumn("cosine", Similarity.cosine(col("ea"), col("eb")))
       .filter(col("cosine") >= minCosine)
       .select("ida", "idb", "cosine")
+  }
+
+  /** End-to-end embedding near-dup dedup: hyperplane-LSH candidate
+    * pairs → components → survivors (min id per cosine-similarity
+    * component). */
+  def dedupNearEmbedding(
+      df: DataFrame,
+      embCol: String,
+      idCol: String,
+      planes: Int = 12,
+      minCosine: Double = 0.95): DataFrame = {
+    val pairs = embeddingNearDups(df, embCol, idCol, planes, minCosine)
+      .select("ida", "idb")
+    nearDupSurvivors(df, idCol, pairs)
   }
 }

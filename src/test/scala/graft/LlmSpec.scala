@@ -104,6 +104,21 @@ class LlmSpec extends SparkSpec {
     assert(survivors.toSeq == Seq(10L, 20L, 30L))
   }
 
+  test("end-to-end simhash and embedding dedup keep one copy per cluster") {
+    // docs 0 and 3 are identical → hamming 0 → one survivor
+    val surv = Dedup.dedupNearSimhash(docs, "text", "doc_id", maxHamming = 0)
+      .select("doc_id").as[Long].collect().sorted
+    assert(surv.contains(0L) && !surv.contains(3L))
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // exact dup of 0
+      (2L, Array(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val esurv = Dedup.dedupNearEmbedding(embs, "embedding", "vec_id",
+        planes = 6, minCosine = 0.99)
+      .select("vec_id").as[Long].collect().sorted
+    assert(esurv.toSeq == Seq(0L, 2L))
+  }
+
   test("end-to-end minhash dedup keeps one copy per near-dup cluster") {
     val survivors = Dedup.dedupNearMinhash(docs, "text", "doc_id",
         jaccardThreshold = 0.7)
