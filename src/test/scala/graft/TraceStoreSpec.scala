@@ -6,6 +6,37 @@ import graft.stats.VectorStats
 
 /** S5-S6, J2, W4-W5 trace store + A13/A14 vector aggregators. */
 class TraceStoreSpec extends SparkSpec {
+
+  test("custom RechunkExec operator matches the declarative rechunk") {
+    import graft.plans.RechunkPlan
+    // multiple channels, variable-length traces, shuffled input order,
+    // multiple input partitions — the operator must still see each
+    // channel as one ordered run (planner inserts exchange + sort)
+    val rows = for {
+      ch <- Seq("chA", "chB", "chC")
+      i <- 0 until 9
+    } yield (ch, i.toLong,
+      (0 until 3 + (i * 7 + ch.length) % 4)
+        .map(s => (i * 100 + s + ch.length).toDouble))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(scala.util.Random.shuffle(rows), 5))
+      .toDF("channel", "event_index", "trace")
+    val viaExec = RechunkPlan.rechunkExec(df, chunkLen = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Double](2).toList))
+      .sortBy(t => (t._1, t._2))
+    val viaDecl = graft.traces.TraceStore.rechunk(df, chunkLen = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Double](2).toList))
+      .sortBy(t => (t._1, t._2))
+    assert(viaExec.nonEmpty)
+    assert(viaExec.toSeq == viaDecl.toSeq)
+    // the custom plan shape: no per-sample explode, exactly one exchange
+    val plan = RechunkPlan.rechunkExec(df, chunkLen = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Rechunk")) // SparkPlan display strips "Exec"
+    assert(!plan.contains("Generate")) // no explode
+  }
   import spark.implicits._
 
   private lazy val traces = (0 until 40).map { i =>
