@@ -137,6 +137,33 @@ object TraceQueries {
         .toDF("n", "psd0", "psd0_var", "tf_rms_01")
     }),
 
+    // K6/K7: the calibration fit path end to end — cluster reduces to a
+    // ≤50-row profile, driver runs Levenberg-Marquardt; exactly-linear
+    // integer data makes the optimum analytically known (residuals
+    // vanish ⇒ the numeric-jacobian bias vanishes), so the oracle is
+    // closed-form OLS. Params/chi2 round to 6; standard errors to 4
+    // (the finite-difference jacobian carries ~1e-6 relative noise)
+    "k6_line_fit" -> ((s, dir) => {
+      import graft.calib.Fitting
+      val prof = events(s, dir)
+        .select((col("event_id") % 50).cast("double").as("x"),
+          (lit(3.0) + lit(2.0) * (col("event_id") % 50)).as("y"))
+        .groupBy("x").agg((sum("y") / count(lit(1))).as("ym"))
+        .orderBy("x")
+      val pts = prof.collect().map(r => (r.getDouble(0), r.getDouble(1)))
+      val fit = Fitting.leastSquares(
+        p => pts.map { case (x, y) => p(0) + p(1) * x - y },
+        Array(0.0, 0.0), tol = 1e-14)
+      val se = fit.paramErrors
+      import s.implicits._
+      Seq((pts.length.toLong, fit.params(0), fit.params(1), fit.chi2,
+          se(0), se(1)))
+        .toDF("n", "a", "b", "chi2", "se_a", "se_b")
+        .select(col("n"), round(col("a"), 6).as("a"),
+          round(col("b"), 6).as("b"), round(col("chi2"), 6).as("chi2"),
+          round(col("se_a"), 4).as("se_a"), round(col("se_b"), 4).as("se_b"))
+    }),
+
     // S6: single-event point lookup by (series, dump, event)
     "s6_point_lookup" -> ((s, dir) => {
       val tr = syntheticTraces(s, dir)
@@ -229,6 +256,16 @@ object TraceQueries {
       "SELECT CAST(100 AS BIGINT) AS cnt",
     "s6_point_lookup" ->
       s"SELECT event_id, list_sum($synth) AS trace_sum FROM events WHERE event_id = 7",
+    "k6_line_fit" ->
+      """WITH p AS (SELECT CAST(event_id % 50 AS DOUBLE) x, 3.0 + 2.0*(event_id % 50) AS yy FROM events),
+        |g AS (SELECT x, sum(yy)/count(*) AS ym FROM p GROUP BY x),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) n, sum(x) sx, sum(x*x) sxx, sum(ym) sy, sum(x*ym) sxy FROM g),
+        |f AS (SELECT n, sx, sxx, (n*sxy - sx*sy)/(n*sxx - sx*sx) AS b, (sy - ((n*sxy - sx*sy)/(n*sxx - sx*sx))*sx)/n AS a FROM s),
+        |c AS (SELECT f.n, f.a, f.b, f.sx, f.sxx, (SELECT sum((ym - f.a - f.b*x)*(ym - f.a - f.b*x)) FROM g) AS chi2 FROM f)
+        |SELECT CAST(n AS BIGINT) AS n, round(a, 6) AS a, round(b, 6) AS b, round(chi2, 6) AS chi2,
+        | round(sqrt(sxx/(n*sxx - sx*sx)), 4) AS se_a,
+        | round(sqrt(n/(n*sxx - sx*sx)), 4) AS se_b
+        |FROM c""".stripMargin,
     "k11_tf_estimators" ->
       """WITH a AS (SELECT CAST(event_id % 13 - 6 AS DOUBLE) a0r, CAST(event_id % 7 - 3 AS DOUBLE) a0i, CAST(event_id % 11 - 5 AS DOUBLE) a1r, CAST(event_id % 5 - 2 AS DOUBLE) a1i FROM events),
         |g AS (SELECT count(*) n, sum(a0r) m0rs, sum(a0i) m0is, sum(a1r) m1rs, sum(a1i) m1is,
