@@ -164,6 +164,44 @@ object TraceQueries {
           round(col("se_a"), 4).as("se_a"), round(col("se_b"), 4).as("se_b"))
     }),
 
+    // K4/K13: two-pole pulse template + template energy + collection
+    // efficiency — pure template math mirrored term-by-term in SQL
+    // (round 6 absorbs exp() libm ulps)
+    "k13_template_metrics" -> ((s, dir) => {
+      import graft.calib.Models
+      val tpl = Models.twoPole(n = 64, fs = 1000.0, t0 = 0.004,
+        tauRise = 0.001, tauFall = 0.01)
+      val energy = Models.templateEnergy(tpl, 1000.0)
+      val eff = Models.collectionEfficiency(energy * 1e6, 10.0, 3.1)
+      import s.implicits._
+      Seq((energy, eff, tpl(10), tpl.max))
+        .toDF("energy", "eff", "tpl_at_10", "tpl_max")
+        .select(round(col("energy"), 6).as("energy"),
+          round(col("eff"), 6).as("eff"),
+          round(col("tpl_at_10"), 6).as("tpl_at_10"),
+          round(col("tpl_max"), 6).as("tpl_max"))
+    }),
+
+    // K15: parameter correlation from the same linear-fit covariance as
+    // k6_line_fit; the closed form is -Σx/sqrt(n·Σx²) (round 4 absorbs
+    // the finite-difference jacobian noise)
+    "k15_fit_correlation" -> ((s, dir) => {
+      import graft.calib.Fitting
+      val prof = events(s, dir)
+        .select((col("event_id") % 50).cast("double").as("x"),
+          (lit(3.0) + lit(2.0) * (col("event_id") % 50)).as("y"))
+        .groupBy("x").agg((sum("y") / count(lit(1))).as("ym"))
+        .orderBy("x")
+      val pts = prof.collect().map(r => (r.getDouble(0), r.getDouble(1)))
+      val fit = Fitting.leastSquares(
+        p => pts.map { case (x, y) => p(0) + p(1) * x - y },
+        Array(0.0, 0.0), tol = 1e-14)
+      val corr = Fitting.correlationMatrix(fit.covariance)
+      import s.implicits._
+      Seq(Tuple1(corr(0, 1))).toDF("corr_ab")
+        .select(round(col("corr_ab"), 4).as("corr_ab"))
+    }),
+
     // S6: single-event point lookup by (series, dump, event)
     "s6_point_lookup" -> ((s, dir) => {
       val tr = syntheticTraces(s, dir)
@@ -256,6 +294,19 @@ object TraceQueries {
       "SELECT CAST(100 AS BIGINT) AS cnt",
     "s6_point_lookup" ->
       s"SELECT event_id, list_sum($synth) AS trace_sum FROM events WHERE event_id = 7",
+    "k13_template_metrics" ->
+      """WITH r AS (SELECT i, CASE WHEN i/1000.0 - 0.004 < 0 THEN 0.0 ELSE (1.0 - exp(-(i/1000.0 - 0.004)/0.001)) * exp(-(i/1000.0 - 0.004)/0.01) END AS v FROM generate_series(0, 63) AS t(i)),
+        |m AS (SELECT max(abs(v)) mx FROM r),
+        |nrm AS (SELECT i, v/mx AS w FROM r, m)
+        |SELECT round((SELECT sum(w) FROM nrm)/1000.0, 6) AS energy,
+        | round((SELECT sum(w) FROM nrm)/1000.0*1e6/(10.0*3.1), 6) AS eff,
+        | round((SELECT w FROM nrm WHERE i = 10), 6) AS tpl_at_10,
+        | round((SELECT max(w) FROM nrm), 6) AS tpl_max""".stripMargin,
+    "k15_fit_correlation" ->
+      """WITH p AS (SELECT CAST(event_id % 50 AS DOUBLE) x FROM events),
+        |g AS (SELECT x FROM p GROUP BY x),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) n, sum(x) sx, sum(x*x) sxx FROM g)
+        |SELECT round(-sx/sqrt(n*sxx), 4) AS corr_ab FROM s""".stripMargin,
     "k6_line_fit" ->
       """WITH p AS (SELECT CAST(event_id % 50 AS DOUBLE) x, 3.0 + 2.0*(event_id % 50) AS yy FROM events),
         |g AS (SELECT x, sum(yy)/count(*) AS ym FROM p GROUP BY x),
