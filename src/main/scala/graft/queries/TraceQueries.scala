@@ -182,6 +182,23 @@ object TraceQueries {
           round(col("tpl_max"), 6).as("tpl_max"))
     }),
 
+    // K5: gaussian-mixture + Poisson photon-comb spectrum models
+    // evaluated over a grid — term-by-term SQL mirror (round 6)
+    "k5_spectrum_models" -> ((s, dir) => {
+      import graft.calib.Models
+      val params = Array(2.0, 1.0, 0.5, 1.0, 3.0, 0.8)
+      import s.implicits._
+      (0 until 40).map { i =>
+        val x = i * 0.2
+        (i, Models.nGaussians(x, params),
+          Models.poissonComb(x, norm = 5.0, offset = 0.5, spacing = 1.0,
+            sigma = 0.3, lambda = 1.7, nPeaks = 6))
+      }.toDF("i", "mix", "comb")
+        .select(col("i"),
+          round(col("mix"), 6).as("mix"), round(col("comb"), 6).as("comb"))
+        .orderBy("i")
+    }),
+
     // K15: parameter correlation from the same linear-fit covariance as
     // k6_line_fit; the closed form is -Σx/sqrt(n·Σx²) (round 4 absorbs
     // the finite-difference jacobian noise)
@@ -302,6 +319,13 @@ object TraceQueries {
         | round((SELECT sum(w) FROM nrm)/1000.0*1e6/(10.0*3.1), 6) AS eff,
         | round((SELECT w FROM nrm WHERE i = 10), 6) AS tpl_at_10,
         | round((SELECT max(w) FROM nrm), 6) AS tpl_max""".stripMargin,
+    "k5_spectrum_models" ->
+      """WITH grid AS (SELECT i, i*0.2 AS x FROM generate_series(0, 39) AS t(i)),
+        |mix AS (SELECT i, 2.0*exp(-(x-1.0)*(x-1.0)/(2*0.5*0.5)) + 1.0*exp(-(x-3.0)*(x-3.0)/(2*0.8*0.8)) AS mix FROM grid),
+        |comb AS (SELECT g.i, sum(5.0 * exp(-1.7 + k*ln(1.7))/f.fact * exp(-(g.x-(0.5+k*1.0))*(g.x-(0.5+k*1.0))/(2*0.3*0.3))) AS comb
+        | FROM grid g CROSS JOIN (SELECT k, CASE k WHEN 0 THEN 1.0 WHEN 1 THEN 1.0 WHEN 2 THEN 2.0 WHEN 3 THEN 6.0 WHEN 4 THEN 24.0 ELSE 120.0 END AS fact FROM generate_series(0, 5) AS s(k)) f
+        | GROUP BY g.i)
+        |SELECT m.i AS i, round(m.mix, 6) AS mix, round(c.comb, 6) AS comb FROM mix m JOIN comb c ON m.i = c.i ORDER BY i""".stripMargin,
     "k15_fit_correlation" ->
       """WITH p AS (SELECT CAST(event_id % 50 AS DOUBLE) x FROM events),
         |g AS (SELECT x FROM p GROUP BY x),
