@@ -182,6 +182,26 @@ object TraceQueries {
           round(col("tpl_max"), 6).as("tpl_max"))
     }),
 
+    // K9: crosstalk template build (baseline-referenced window of the
+    // distributed mean victim pulse) + scaled subtraction — array math
+    // mirrored in SQL (round 6)
+    "k9_crosstalk" -> ((s, dir) => {
+      import graft.calib.PhotonCalib
+      val mean = syntheticTraces(s, dir).filter(col("value") > 250.0)
+        .select(posexplode(col("trace")))
+        .groupBy("pos").agg((sum(col("col")) / count(lit(1))).as("m"))
+        .orderBy("pos").collect().map(_.getDouble(1))
+      val tpl = PhotonCalib.buildCrosstalkTemplate(mean, (8, 32))
+      val victim = Array.tabulate(mean.length)(i => ((i * 13) % 31).toDouble)
+      val cleaned = PhotonCalib.subtractCrosstalk(victim, tpl, 0.5)
+      import s.implicits._
+      tpl.indices.map(i => (i, tpl(i), cleaned(i)))
+        .toDF("pos", "tpl", "cleaned")
+        .select(col("pos"), round(col("tpl"), 6).as("tpl"),
+          round(col("cleaned"), 6).as("cleaned"))
+        .orderBy("pos")
+    }),
+
     // K5: gaussian-mixture + Poisson photon-comb spectrum models
     // evaluated over a grid — term-by-term SQL mirror (round 6)
     "k5_spectrum_models" -> ((s, dir) => {
@@ -319,6 +339,15 @@ object TraceQueries {
         | round((SELECT sum(w) FROM nrm)/1000.0*1e6/(10.0*3.1), 6) AS eff,
         | round((SELECT w FROM nrm WHERE i = 10), 6) AS tpl_at_10,
         | round((SELECT max(w) FROM nrm), 6) AS tpl_max""".stripMargin,
+    "k9_crosstalk" ->
+      s"""WITH t AS (SELECT event_id, $synth AS trace FROM events WHERE value > 250.0),
+        |u AS (SELECT generate_subscripts(trace, 1) - 1 AS pos, unnest(trace) AS x FROM t),
+        |m AS (SELECT pos, sum(x)/count(*) AS mv FROM u GROUP BY pos),
+        |b AS (SELECT sum(mv)/8 AS base FROM m WHERE pos < 8),
+        |tpl AS (SELECT pos, CASE WHEN pos >= 8 AND pos < 32 THEN mv - (SELECT base FROM b) ELSE 0.0 END AS tp FROM m)
+        |SELECT CAST(pos AS INTEGER) AS pos, round(tp, 6) AS tpl,
+        | round(CAST(pos*13 % 31 AS DOUBLE) - 0.5*tp, 6) AS cleaned
+        |FROM tpl ORDER BY pos""".stripMargin,
     "k5_spectrum_models" ->
       """WITH grid AS (SELECT i, i*0.2 AS x FROM generate_series(0, 39) AS t(i)),
         |mix AS (SELECT i, 2.0*exp(-(x-1.0)*(x-1.0)/(2*0.5*0.5)) + 1.0*exp(-(x-3.0)*(x-3.0)/(2*0.8*0.8)) AS mix FROM grid),
