@@ -67,7 +67,8 @@ object PhotonCalib {
   def fitTwoPoleTemplate(
       meanPulse: Array[Double],
       fs: Double,
-      p0: Array[Double]): Fitting.FitResult = {
+      p0: Array[Double],
+      tol: Double = 1e-10): Fitting.FitResult = {
     require(p0.length == 4, "(amp, t0, tauRise, tauFall)")
     def residuals(p: Array[Double]): Array[Double] = {
       val tpl = Models.twoPole(meanPulse.length, fs, p(1),
@@ -75,7 +76,7 @@ object PhotonCalib {
       Array.tabulate(meanPulse.length)(i => p(0) * tpl(i) - meanPulse(i))
     }
     Fitting.leastSquares(residuals, p0,
-      lower = Some(Array(Double.MinValue, 0.0, 1e-9, 1e-9)))
+      lower = Some(Array(Double.MinValue, 0.0, 1e-9, 1e-9)), tol = tol)
   }
 
   /** K8: dPdI deconvolution — power-domain template from a current-domain

@@ -182,6 +182,34 @@ object TraceQueries {
           round(col("tpl_max"), 6).as("tpl_max"))
     }),
 
+    // K14: energy resolution from a template fit — ensemble of exact
+    // two-pole pulses → distributed mean pulse → LM template fit
+    // (model class contains the data exactly, so the optimum is the
+    // known synthesis parameters) → resolution E·τf/τr; the oracle is
+    // the closed-form answer from the synthesis constants
+    "k14_energy_resolution" -> ((s, dir) => {
+      import graft.calib.{Models, PhotonCalib}
+      val truth = Models.twoPole(n = 64, fs = 1000.0, t0 = 0.004,
+        tauRise = 0.001, tauFall = 0.01).map(_ * 2.5)
+      val mean = events(s, dir)
+        .select(typedlit(truth.toSeq).as("trace"))
+        .select(posexplode(col("trace")))
+        .groupBy("pos").agg((sum(col("col")) / count(lit(1))).as("m"))
+        .orderBy("pos").collect().map(_.getDouble(1))
+      val fit = PhotonCalib.fitTwoPoleTemplate(mean, fs = 1000.0,
+        p0 = Array(1.0, 0.003, 0.0008, 0.012), tol = 1e-16)
+      val (res, _) = PhotonCalib.energyResolution(fit, photonEnergyEv = 3.1)
+      import s.implicits._
+      Seq((fit.params(0), fit.params(1), math.abs(fit.params(2)),
+          math.abs(fit.params(3)), res))
+        .toDF("amp", "t0", "tau_rise", "tau_fall", "resolution")
+        .select(round(col("amp"), 6).as("amp"),
+          round(col("t0"), 6).as("t0"),
+          round(col("tau_rise"), 6).as("tau_rise"),
+          round(col("tau_fall"), 6).as("tau_fall"),
+          round(col("resolution"), 6).as("resolution"))
+    }),
+
     // K9: crosstalk template build (baseline-referenced window of the
     // distributed mean victim pulse) + scaled subtraction — array math
     // mirrored in SQL (round 6)
@@ -339,6 +367,10 @@ object TraceQueries {
         | round((SELECT sum(w) FROM nrm)/1000.0*1e6/(10.0*3.1), 6) AS eff,
         | round((SELECT w FROM nrm WHERE i = 10), 6) AS tpl_at_10,
         | round((SELECT max(w) FROM nrm), 6) AS tpl_max""".stripMargin,
+    "k14_energy_resolution" ->
+      """SELECT round(2.5, 6) AS amp, round(0.004, 6) AS t0,
+        | round(0.001, 6) AS tau_rise, round(0.01, 6) AS tau_fall,
+        | round(3.1 * 0.01 / 0.001, 6) AS resolution""".stripMargin,
     "k9_crosstalk" ->
       s"""WITH t AS (SELECT event_id, $synth AS trace FROM events WHERE value > 250.0),
         |u AS (SELECT generate_subscripts(trace, 1) - 1 AS pos, unnest(trace) AS x FROM t),
