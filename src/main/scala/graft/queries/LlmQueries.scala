@@ -8,9 +8,10 @@ import Q._
   * MinHash LSH, SimHash, n-gram Jaccard), similarity search (brute-force
   * + LSH ANN), text analysis, multimodal binary plumbing.
   *
-  * Oracle-less queries (minhash/simhash/langid/fingerprint/ANN) hinge on
-  * xxhash64 / heuristic internals DuckDB can't mirror — the driver
-  * records rows-only for those; their kernels are unit-tested instead. */
+  * Oracle-less queries (minhash/simhash/fingerprint/ANN) hinge on
+  * xxhash64 / 64-bit-wrap / Scala-side-plane internals DuckDB can't
+  * mirror — the driver records rows-only for those; their kernels are
+  * unit-tested instead. */
 object LlmQueries {
 
   val queries: Map[String, QFn] = Map(
