@@ -23,8 +23,12 @@ object Similarity {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 
+  /** Cosine similarity via the native codegen'd
+    * [[graft.functions.CosineSim]] kernel (bit-identical to the HOF
+    * fold chain, one loop over raw ArrayData instead of three
+    * lambda-driven folds). */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2Norm(a) * l2Norm(b))
+    graft.functions.CosineSim(a, b)
 
   /** Brute-force cosine top-k against one query vector (driver-held,
     * inlined as a literal — the broadcast-small-side pattern). */
