@@ -52,18 +52,26 @@ object GraftFunctions {
     Fingerprint64(exprs.head)
   }
 
+  private def cosineBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "cosine_sim(a, b)")
+    CosineSim(exprs(0), exprs(1))
+  }
+
   private[functions] def minhashBuilderPublic(exprs: Seq[Expression])
       : Expression = minhashBuilder(exprs)
   private[functions] def hist2dBuilderPublic(exprs: Seq[Expression])
       : Expression = hist2dBuilder(exprs)
   private[functions] def fingerprintBuilderPublic(exprs: Seq[Expression])
       : Expression = fingerprintBuilder(exprs)
+  private[functions] def cosineBuilderPublic(exprs: Seq[Expression])
+      : Expression = cosineBuilder(exprs)
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("minhash_sig", minhashBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("histogram2d", hist2dBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("fingerprint64", fingerprintBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_sim", cosineBuilder, "scala_udf")
   }
 }
 
@@ -82,5 +90,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("fingerprint64"),
       new ExpressionInfo(classOf[Fingerprint64].getName, "fingerprint64"),
       GraftFunctions.fingerprintBuilderPublic _))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      GraftFunctions.cosineBuilderPublic _))
   }
 }

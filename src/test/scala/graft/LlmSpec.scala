@@ -237,6 +237,10 @@ class LlmSpec extends SparkSpec {
       "SELECT fingerprint64(text) AS fp FROM docs_sql ORDER BY doc_id")
       .as[Long].collect()
     assert(fp(0) == fp(3) && fp(0) != fp(2)) // matches the Column API
+    val cs = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(0.6D, 0.8D)) AS c")
+      .head.getDouble(0)
+    assert(math.abs(cs - 0.6) < 1e-12)
   }
 
   test("multimodal: batched feature extraction is deterministic, frames sample") {
