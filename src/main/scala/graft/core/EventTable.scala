@@ -219,10 +219,31 @@ object EventTable {
       spark: SparkSession,
       paths: Seq[String],
       uidCols: Seq[String] = Nil,
-      mergeSchema: Boolean = true): EventTable = {
-    val df = spark.read
-      .option("mergeSchema", mergeSchema.toString)
-      .parquet(paths: _*)
+      mergeSchema: Boolean = true,
+      format: String = "parquet",
+      options: Map[String, String] = Map.empty,
+      schemaDdl: Option[String] = None): EventTable = {
+    // multi-format ingest: parquet is the curated-store default; csv /
+    // json / orc cover interchange drops (the reference's "open a
+    // directory of data files" path, format-agnostic here). For
+    // text formats ALWAYS pass `schemaDdl` in production: schema
+    // inference costs an extra full pass over the files, and inferred
+    // integer widths change the (type-sensitive) hashed event_uid.
+    val reader0 = spark.read.options(options)
+    val reader = schemaDdl.fold(reader0)(reader0.schema)
+    val df = format.toLowerCase match {
+      case "parquet" => reader
+        .option("mergeSchema", mergeSchema.toString).parquet(paths: _*)
+      case "orc" => reader
+        .option("mergeSchema", mergeSchema.toString).orc(paths: _*)
+      case "csv" => reader
+        .option("header", options.getOrElse("header", "true"))
+        .option("inferSchema", options.getOrElse("inferSchema", "true"))
+        .csv(paths: _*)
+      case "json" => reader.json(paths: _*)
+      case other => throw new IllegalArgumentException(
+        s"unsupported format '$other' (parquet, orc, csv, json)")
+    }
     val withUid =
       if (df.columns.contains("event_uid")) df
       else if (uidCols.nonEmpty)

@@ -75,6 +75,34 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("multi-format load: csv and json agree with parquet") {
+    import graft.core.EventTable
+    val dir = java.nio.file.Files.createTempDirectory("fmt").toString
+    val src = Seq((1L, 10L, 2.5, "a"), (2L, 11L, 3.5, "b"),
+      (3L, 12L, 4.5, "a"))
+      .toDF("series_number", "event_number", "value", "tag")
+    src.write.mode("overwrite").parquet(s"$dir/pq")
+    src.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+    src.write.mode("overwrite").json(s"$dir/js")
+    val key = Seq("series_number", "event_number")
+    def rows(t: EventTable) = t.view
+      .select("event_uid", "series_number", "event_number", "tag")
+      .orderBy("event_number").collect().map(_.toSeq).toSeq
+    // explicit schema for the text formats: inference would widen the
+    // key columns differently and change the type-sensitive uid hash
+    val ddl = "series_number BIGINT, event_number BIGINT, " +
+      "value DOUBLE, tag STRING"
+    val pq = rows(EventTable.load(spark, Seq(s"$dir/pq"), key))
+    val csv = rows(EventTable.load(spark, Seq(s"$dir/csv"), key,
+      format = "csv", schemaDdl = Some(ddl)))
+    val js = rows(EventTable.load(spark, Seq(s"$dir/js"), key,
+      format = "json", schemaDdl = Some(ddl)))
+    assert(pq == csv && pq == js) // same rows, same hashed uid
+    intercept[IllegalArgumentException] {
+      EventTable.load(spark, Seq(s"$dir/pq"), key, format = "avro")
+    }
+  }
+
   test("event_uid is stable across reruns and partitioning") {
     val u1 = Ingest.withEventUid(raw).select("event_number", "event_uid")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
