@@ -92,7 +92,7 @@ object TraceQueries {
           element_at(col("ce.stdComplex"), 2).as("std_2"))
     }),
 
-    // K1/K2 (rows-only): one-sided PSD via the FFT UDF on synthetic traces
+    // K1/K2: one-sided PSD via the FFT UDF (oracle: brute-DFT mirror)
     "k1_psd" -> ((s, dir) =>
       syntheticTraces(s, dir).filter(col("event_id") < 20)
         .select(col("event_id"),
@@ -101,7 +101,7 @@ object TraceQueries {
             lit(0.0), (acc, x) => acc + x), 6).as("total_power"))
         .orderBy("event_id")),
 
-    // K3 (rows-only): Butterworth low-pass UDF
+    // K3: Butterworth low-pass UDF (oracle: recursive-CTE IIR mirror)
     "k3_lowpass" -> ((s, dir) =>
       syntheticTraces(s, dir).filter(col("event_id") < 20)
         .select(col("event_id"),
@@ -180,6 +180,23 @@ object TraceQueries {
           round(col("eff"), 6).as("eff"),
           round(col("tpl_at_10"), 6).as("tpl_at_10"),
           round(col("tpl_max"), 6).as("tpl_max"))
+    }),
+
+    // K8: dPdI deconvolution — rfft of the template, complex division
+    // by the filter response per bin, hermitian inverse transform; the
+    // oracle mirrors the whole chain with brute DFT sums (round 6)
+    "k8_dpdi_deconvolution" -> ((s, dir) => {
+      import graft.calib.PhotonCalib
+      val tpl = Array.tabulate(64)(i => ((5 * 31 + i * 17) % 97).toDouble)
+      val dpdi = Array.tabulate(66) { j =>
+        val k = j / 2
+        if (j % 2 == 0) (1 + k % 3).toDouble else (k % 2).toDouble
+      }
+      val out = PhotonCalib.deconvolveDpdi(tpl, dpdi)
+      import s.implicits._
+      out.indices.map(i => (i, out(i))).toDF("t", "v")
+        .select(col("t"), round(col("v"), 6).as("v"))
+        .orderBy("t")
     }),
 
     // K14: energy resolution from a template fit — ensemble of exact
@@ -355,6 +372,16 @@ object TraceQueries {
         | sr2/n AS mean_re_2, si2/n AS mean_im_2,
         | sqrt(greatest(sa2/n - ((sr2/n)*(sr2/n) + (si2/n)*(si2/n)), 0)) AS std_2
         |FROM g""".stripMargin,
+    // brute-force O(n²) DFT mirror of the FFT: numerically within
+    // ~1e-10 of JTransforms at these magnitudes, far inside the round-6
+    // comparison threshold
+    "k1_psd" ->
+      s"""WITH t AS (SELECT event_id, $synth AS trace FROM events WHERE event_id < 20),
+        |s AS (SELECT event_id, generate_subscripts(trace, 1) - 1 AS n, unnest(trace) AS x FROM t),
+        |f AS (SELECT event_id, k, sum(x * cos(2*pi()*k*n/64.0)) AS re, sum(x * sin(2*pi()*k*n/64.0)) AS im
+        | FROM s CROSS JOIN generate_series(0, 32) AS g(k) GROUP BY event_id, k),
+        |p AS (SELECT event_id, sum((re*re + im*im) * (CASE WHEN k = 0 OR k = 32 THEN 1.0 ELSE 2.0 END)/(1000.0*64)) AS tp FROM f GROUP BY event_id)
+        |SELECT event_id, round(tp, 6) AS total_power FROM p ORDER BY event_id""".stripMargin,
     "l3_sample_seeded" ->
       "SELECT CAST(100 AS BIGINT) AS cnt",
     "s6_point_lookup" ->
@@ -367,6 +394,42 @@ object TraceQueries {
         | round((SELECT sum(w) FROM nrm)/1000.0*1e6/(10.0*3.1), 6) AS eff,
         | round((SELECT w FROM nrm WHERE i = 10), 6) AS tpl_at_10,
         | round((SELECT max(w) FROM nrm), 6) AS tpl_max""".stripMargin,
+    // the 2nd-order IIR recursion as a recursive CTE, stepping all 20
+    // events in lockstep with the same left-associative accumulation
+    // order as the Scala loop; the filter is stable so libm coefficient
+    // ulps stay ~1e-12 after 64 steps — far inside round 6
+    "k3_lowpass" ->
+      s"""WITH RECURSIVE
+        |tv AS (SELECT event_id, generate_subscripts(trace, 1) - 1 AS i, unnest(trace) AS x
+        |       FROM (SELECT event_id, $synth AS trace FROM events WHERE event_id < 20)),
+        |cw AS (SELECT tan(pi()*100.0/1000.0) AS wc),
+        |co AS (SELECT (wc*wc)/(1.0 + sqrt(2.0)*wc + wc*wc) AS b0,
+        |              2.0*((wc*wc)/(1.0 + sqrt(2.0)*wc + wc*wc)) AS b1,
+        |              (wc*wc)/(1.0 + sqrt(2.0)*wc + wc*wc) AS b2,
+        |              2.0*(wc*wc - 1.0)/(1.0 + sqrt(2.0)*wc + wc*wc) AS a1,
+        |              (1.0 - sqrt(2.0)*wc + wc*wc)/(1.0 + sqrt(2.0)*wc + wc*wc) AS a2
+        |       FROM cw),
+        |filt AS (
+        |  SELECT tv.event_id, 0 AS i, co.b0*tv.x + co.b1*0.0 + co.b2*0.0 - co.a1*0.0 - co.a2*0.0 AS y1,
+        |         tv.x AS x1, CAST(0.0 AS DOUBLE) AS x2, CAST(0.0 AS DOUBLE) AS y2
+        |  FROM tv, co WHERE tv.i = 0
+        |  UNION ALL
+        |  SELECT f.event_id, f.i + 1,
+        |         co.b0*tv.x + co.b1*f.x1 + co.b2*f.x2 - co.a1*f.y1 - co.a2*f.y2,
+        |         tv.x, f.x1, f.y1
+        |  FROM filt f JOIN tv ON tv.event_id = f.event_id AND tv.i = f.i + 1, co
+        |  WHERE f.i < 63)
+        |SELECT event_id, round(y1, 6) AS filtered_last FROM filt WHERE i = 63 ORDER BY event_id""".stripMargin,
+    "k8_dpdi_deconvolution" ->
+      """WITH tr AS (SELECT i AS n, CAST((5*31 + i*17) % 97 AS DOUBLE) AS x FROM generate_series(0, 63) AS t(i)),
+        |fk AS (SELECT k, sum(x * cos(2*pi()*k*n/64.0)) AS re, -sum(x * sin(2*pi()*k*n/64.0)) AS im FROM tr CROSS JOIN generate_series(0, 32) AS g(k) GROUP BY k),
+        |o AS (SELECT k, (re*(1.0 + k % 3) + im*(k % 2))/((1.0 + k % 3)*(1.0 + k % 3) + (k % 2)*(k % 2)) AS orr,
+        |             (im*(1.0 + k % 3) - re*(k % 2))/((1.0 + k % 3)*(1.0 + k % 3) + (k % 2)*(k % 2)) AS oi FROM fk),
+        |inv AS (SELECT tt.t AS t, ((SELECT orr FROM o WHERE k = 0)
+        |  + (SELECT orr FROM o WHERE k = 32) * cos(pi()*tt.t)
+        |  + (SELECT sum(2*(orr*cos(2*pi()*k*tt.t/64.0) - oi*sin(2*pi()*k*tt.t/64.0))) FROM o WHERE k BETWEEN 1 AND 31)) / 64.0 AS v
+        | FROM generate_series(0, 63) AS tt(t))
+        |SELECT t, round(v, 6) AS v FROM inv ORDER BY t""".stripMargin,
     "k14_energy_resolution" ->
       """SELECT round(2.5, 6) AS amp, round(0.004, 6) AS t0,
         | round(0.001, 6) AS tau_rise, round(0.01, 6) AS tau_fall,
