@@ -44,6 +44,36 @@ case class Fingerprint64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "fingerprint64"
 }
 
+/** Native Catalyst expression: FNV-1a 64 of a string's UTF-8 bytes —
+  * the same token-hash kernel the MinHash signatures use
+  * ([[MinHashSig.fnv64]]), exposed as a scalar so SimHash bit-voting
+  * runs on a hash that an ANSI-SQL oracle can reproduce (wrapping
+  * multiply emulated in 128-bit arithmetic mod 2^64). */
+case class Fnv64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"fnv64 expects string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.fnv64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashSig.fnv64($c);")
+  override protected def withNewChildInternal(newChild: Expression)
+      : Fnv64 = copy(child = newChild)
+  override def prettyName: String = "fnv64"
+}
+
+object Fnv64 {
+  /** Column API: `Fnv64(text)`. */
+  def apply(c: Column): Column =
+    GraftSqlBridge.column(Fnv64(GraftSqlBridge.expression(c)))
+}
+
 object Fingerprint64 {
 
   /** Column API: `fingerprint(text)`. */

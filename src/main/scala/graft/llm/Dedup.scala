@@ -80,11 +80,11 @@ object Dedup {
       col(idCol),
       explode(transform(sequence(lit(0), lit(bands - 1)), j =>
         struct(j.as("band"),
-          // bucket key = hash of the band's signature slice: any
-          // deterministic hash yields the same candidate set (docs
-          // collide iff slices are equal), so use the native codegen'd
-          // xxhash64 rather than a per-element fold expression
-          xxhash64(slice(col("sig"), j * rows + 1, lit(rows))).as("bhash"))))
+          // bucket key = the band's raw signature slice: join/group on
+          // array equality directly — no hash function, no collisions,
+          // and the bucketing is mirrorable in ANSI SQL (lists compare
+          // by value), which makes the whole pipeline oracle-able
+          slice(col("sig"), j * rows + 1, lit(rows)).as("bhash"))))
         .as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bhash"))
     val pruned = banded
@@ -165,14 +165,16 @@ object Dedup {
 
   // -------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash per doc: per-token 64-bit hash, frequency-weighted
-    * bit votes, sign-assembled. Declarative: explode → 64 conditional
-    * sums → bit assembly. */
+  /** 64-bit SimHash per doc: per-token 64-bit hash (FNV-1a — the same
+    * kernel as the MinHash signatures, chosen because an ANSI-SQL
+    * oracle can reproduce it), frequency-weighted bit votes,
+    * sign-assembled. Declarative: explode → 64 conditional sums → bit
+    * assembly. */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val tf = df
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("freq"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", graft.functions.Fnv64(col("tok")))
     val bitSums = (0 until 64).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("freq"))
         .otherwise(-col("freq"))).as(s"b$i")

@@ -8,10 +8,12 @@ import Q._
   * MinHash LSH, SimHash, n-gram Jaccard), similarity search (brute-force
   * + LSH ANN), text analysis, multimodal binary plumbing.
   *
-  * Oracle-less queries (minhash/simhash/fingerprint/ANN) hinge on
-  * xxhash64 / 64-bit-wrap / Scala-side-plane internals DuckDB can't
-  * mirror — the driver records rows-only for those; their kernels are
-  * unit-tested instead. */
+  * Every query except llm_ann_ivf (iterative centroid training) is
+  * oracle-checked: the hash pipelines are mirrored in ANSI SQL from
+  * first principles — FNV-1a / rolling hashes via HUGEINT mod-2^64
+  * emulation, LSH band buckets on raw signature slices, connected
+  * components via transitive-closure CTEs, hyperplane signatures from
+  * the inlined deterministic plane matrix. */
 object LlmQueries {
 
   val queries: Map[String, QFn] = Map(
@@ -56,7 +58,7 @@ object LlmQueries {
         .orderBy("predicted")),
 
     // rolling-hash fingerprints via the native fingerprint64 expression
-    // (rows-only: 64-bit wrapping multiply not expressible in DuckDB)
+    // (oracle: wrapping multiply emulated in HUGEINT mod 2^64)
     "llm_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -64,7 +66,7 @@ object LlmQueries {
         .orderBy("doc_id")),
 
     // embedding cosine near-dup: hyperplane-LSH buckets + exact cosine
-    // verify (rows-only: plane signs are Scala-side; kernel unit-tested)
+    // verify (oracle-checked)
     "llm_emb_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDups(t(s, dir, "embeddings"), "embedding",
           "vec_id", planes = 8, minCosine = 0.9)
@@ -83,8 +85,9 @@ object LlmQueries {
         .orderBy("ida", "idb")
     }),
 
-    // MinHash + banded LSH near-dup pipeline (rows-only): top candidate
-    // pairs by estimated jaccard, with exact verification attached
+    // MinHash + banded LSH near-dup pipeline (oracle-checked end to
+    // end): top candidate pairs by estimated jaccard, with exact
+    // verification attached
     "llm_minhash_neardup" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       // signatures are consumed twice (banding + estimation): persist —
@@ -108,7 +111,7 @@ object LlmQueries {
     }),
 
     // end-to-end near-dup dedup: LSH candidates → verify → connected
-    // components → survivors (rows-only: hash-dependent pair set)
+    // components → survivors (oracle-checked end to end)
     "llm_neardup_dedup" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val survivors = Dedup.dedupNearMinhash(d, "text", "doc_id",
@@ -117,7 +120,7 @@ object LlmQueries {
         (lit(d.count()) - count(lit(1))).as("removed"))
     }),
 
-    // SimHash signatures + banded hamming candidates (rows-only).
+    // SimHash signatures + banded hamming candidates (oracle-checked).
     // maxHamming = 3 is the radius the 4×16-bit banding actually
     // guarantees recall for (pigeonhole: ≤3 differing bits leave ≥1
     // chunk untouched).
@@ -154,8 +157,8 @@ object LlmQueries {
         .agg(round(avg(col("col").cast("double")), 6).as("centroid"))
         .orderBy("label", "pos")),
 
-    // LSH-bucketed ANN top-5 for vec_id 0 (rows-only: xxhash-free but
-    // plane signs are Scala-side)
+    // LSH-bucketed ANN top-5 for vec_id 0 (oracle-checked: the
+    // deterministic plane matrix is mirrorable)
     "llm_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
@@ -216,6 +219,186 @@ object LlmQueries {
         | WHEN c_fr = greatest(c_de,c_en,c_es,c_fr,c_zh) THEN 'fr'
         | ELSE 'zh' END AS predicted FROM c)
         |SELECT predicted, count(*) AS cnt FROM p GROUP BY predicted ORDER BY predicted""".stripMargin,
+    // hyperplane-LSH ANN mirror: the deterministic ±1 plane matrix is
+    // inlined (512 values from Similarity.planes), signatures are sign
+    // bits of the projections, the probe set is the query bucket plus
+    // all hamming-1 neighbors, exact cosine rerank inside
+    "llm_ann_lsh" -> {
+      val pl = graft.llm.Similarity.planes(8, 64)
+      val vals = (for (j <- 0 until 8; d <- 0 until 64)
+        yield s"($j, $d, ${pl(j)(d).toInt})").mkString(", ")
+      s"""WITH pl AS (SELECT j, d, p FROM (VALUES $vals) AS t(j, d, p)),
+        |e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, generate_subscripts(embedding, 1) - 1 AS d FROM embeddings),
+        |dots AS (SELECT e.vec_id, pl.j, sum(e.x * pl.p) AS dt FROM e JOIN pl ON pl.d = e.d GROUP BY e.vec_id, pl.j),
+        |sigs AS (SELECT vec_id, sum(CASE WHEN dt >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS sig FROM dots GROUP BY vec_id),
+        |qs AS (SELECT sig AS qsig FROM sigs WHERE vec_id = 0),
+        |probe AS (SELECT s.vec_id FROM sigs s, qs WHERE xor(s.sig, qs.qsig) = 0 OR (xor(s.sig, qs.qsig) < 256 AND bit_count(xor(s.sig, qs.qsig)) = 1)),
+        |qe AS (SELECT d, x FROM e WHERE vec_id = 0),
+        |sc AS (SELECT e.vec_id, sum(e.x * qe.x) AS dot, sqrt(sum(e.x * e.x)) AS ne FROM e JOIN probe pr ON pr.vec_id = e.vec_id JOIN qe ON qe.d = e.d GROUP BY e.vec_id),
+        |nq AS (SELECT sqrt(sum(x * x)) AS nrm FROM qe),
+        |top AS (SELECT vec_id, dot / (ne * nq.nrm) AS c FROM sc, nq ORDER BY c DESC, vec_id LIMIT 5)
+        |SELECT vec_id, round(c, 6) AS cosine FROM top ORDER BY cosine DESC, vec_id""".stripMargin
+    },
+    // embedding near-dup mirror: full-signature buckets (all 8 sign
+    // bits equal), exact cosine verify at the threshold
+    "llm_emb_neardup" -> {
+      val pl = graft.llm.Similarity.planes(8, 64)
+      val vals = (for (j <- 0 until 8; d <- 0 until 64)
+        yield s"($j, $d, ${pl(j)(d).toInt})").mkString(", ")
+      s"""WITH pl AS (SELECT j, d, p FROM (VALUES $vals) AS t(j, d, p)),
+        |e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, generate_subscripts(embedding, 1) - 1 AS d FROM embeddings),
+        |dots AS (SELECT e.vec_id, pl.j, sum(e.x * pl.p) AS dt FROM e JOIN pl ON pl.d = e.d GROUP BY e.vec_id, pl.j),
+        |sigs AS (SELECT vec_id, sum(CASE WHEN dt >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS sig FROM dots GROUP BY vec_id),
+        |cand AS (SELECT a.vec_id AS ida, b.vec_id AS idb FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id),
+        |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nv FROM e GROUP BY vec_id),
+        |dp AS (SELECT c.ida, c.idb, sum(ea.x * eb.x) AS dot FROM cand c JOIN e ea ON ea.vec_id = c.ida JOIN e eb ON eb.vec_id = c.idb AND eb.d = ea.d GROUP BY c.ida, c.idb),
+        |cs AS (SELECT d.ida, d.idb, d.dot / (na.nv * nb.nv) AS c FROM dp d JOIN nrm na ON na.vec_id = d.ida JOIN nrm nb ON nb.vec_id = d.idb)
+        |SELECT ida, idb, round(c, 6) AS cosine FROM cs WHERE c >= 0.9 ORDER BY ida, idb""".stripMargin
+    },
+    // rolling polynomial hash mirror: h = h*1000003 + byte with 64-bit
+    // wrap, emulated in HUGEINT mod 2^64 and converted to signed BIGINT
+    "llm_fingerprint" ->
+      """WITH RECURSIVE
+        |hx AS (SELECT doc_id, hex(encode(text)) AS hs, octet_length(encode(text)) AS nb FROM documents),
+        |fp AS (
+        |  SELECT doc_id, hs, nb, 0 AS i, CAST(17 AS HUGEINT) AS h FROM hx
+        |  UNION ALL
+        |  SELECT doc_id, hs, nb, i + 1,
+        |    (h * 1000003 + CAST((strpos('0123456789ABCDEF', substring(hs, 2*i+1, 1))-1)*16 + strpos('0123456789ABCDEF', substring(hs, 2*i+2, 1))-1 AS HUGEINT)) % 18446744073709551616
+        |  FROM fp WHERE i < nb),
+        |fin AS (SELECT doc_id, h FROM fp WHERE i = nb)
+        |SELECT doc_id, CAST(h - CASE WHEN h >= 9223372036854775808 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS fingerprint
+        |FROM fin ORDER BY doc_id""".stripMargin,
+    // Full MinHash-LSH pipeline mirror: shingles → FNV-1a 64 (HUGEINT
+    // mod-2^64 emulation) → the 64 affine mixer transforms (constants
+    // inlined from MinHashSig.mixers — products stay < 2^62 so plain
+    // BIGINT suffices) → band buckets on the raw signature slices →
+    // signature-estimate ranking → exact-Jaccard verify on the top-20
+    "llm_minhash_neardup" -> {
+      val mixers = graft.functions.MinHashSig.mixers(64)
+        .zipWithIndex.map { case (a, j) => s"($j, $a)" }.mkString(", ")
+      s"""WITH RECURSIVE
+        |tok0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l FROM documents),
+        |tokx AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i FROM tok0),
+        |sh3 AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s FROM tokx a JOIN tokx b ON b.doc_id = a.doc_id AND b.i = a.i + 1 JOIN tokx c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+        |shfew AS (SELECT doc_id, array_to_string(l, ' ') AS s FROM tok0 WHERE len(l) < 3),
+        |shall AS (SELECT DISTINCT doc_id, s FROM (SELECT * FROM sh3 UNION ALL SELECT * FROM shfew)),
+        |strs AS (SELECT DISTINCT s FROM shall),
+        |hx AS (SELECT s, hex(encode(s)) AS hs, octet_length(encode(s)) AS nb FROM strs),
+        |fnv AS (
+        |  SELECT s, hs, nb, 0 AS i, CAST(14695981039346656037 AS HUGEINT) AS h FROM hx
+        |  UNION ALL
+        |  SELECT s, hs, nb, i + 1,
+        |    (xor(h, CAST((strpos('0123456789ABCDEF', substring(hs, 2*i+1, 1))-1)*16 + strpos('0123456789ABCDEF', substring(hs, 2*i+2, 1))-1 AS HUGEINT)) * 1099511628211) % 18446744073709551616
+        |  FROM fnv WHERE i < nb),
+        |hfin AS (SELECT s, h FROM fnv WHERE i = nb),
+        |mix AS (SELECT j, a FROM (VALUES $mixers) AS m(j, a)),
+        |persig AS (
+        |  SELECT sa.doc_id, m.j,
+        |    min(xor(CAST(hf.h % 2147483648 AS BIGINT) * CAST(m.a AS BIGINT), CAST(hf.h // 2147483648 AS BIGINT))) AS v
+        |  FROM shall sa JOIN hfin hf ON hf.s = sa.s CROSS JOIN mix m
+        |  GROUP BY sa.doc_id, m.j),
+        |bnd AS (SELECT doc_id, j // 4 AS band, list(v ORDER BY j) AS sl FROM persig GROUP BY doc_id, j // 4),
+        |bsz AS (SELECT band, sl, count(*) AS c FROM bnd GROUP BY band, sl),
+        |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+        |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.sl = b.sl AND a.doc_id < b.doc_id
+        |  JOIN bsz z ON z.band = a.band AND z.sl = a.sl AND z.c <= 1000),
+        |eq AS (SELECT c.ida, c.idb, sum(CASE WHEN pa.v = pb.v THEN 1 ELSE 0 END) AS neq
+        |  FROM cand c JOIN persig pa ON pa.doc_id = c.ida JOIN persig pb ON pb.doc_id = c.idb AND pb.j = pa.j
+        |  GROUP BY c.ida, c.idb),
+        |top AS (SELECT ida, idb, CAST(neq AS DOUBLE)/64 AS est_jaccard FROM eq ORDER BY est_jaccard DESC, ida, idb LIMIT 20),
+        |nsh AS (SELECT doc_id, count(*) AS n FROM shall GROUP BY doc_id),
+        |iv AS (SELECT t.ida, t.idb, count(*) AS it FROM top t JOIN shall x ON x.doc_id = t.ida JOIN shall y ON y.doc_id = t.idb AND y.s = x.s GROUP BY t.ida, t.idb)
+        |SELECT t.ida AS ida, t.idb AS idb, t.est_jaccard AS est_jaccard,
+        | coalesce(CAST(iv.it AS DOUBLE) / (na.n + nb.n - iv.it), 0.0) AS jaccard
+        |FROM top t LEFT JOIN iv ON iv.ida = t.ida AND iv.idb = t.idb
+        | JOIN nsh na ON na.doc_id = t.ida JOIN nsh nb ON nb.doc_id = t.idb
+        |ORDER BY est_jaccard DESC, ida, idb""".stripMargin
+    },
+    // End-to-end near-dup dedup mirror: exact-collapse to min-id
+    // representatives, the same signature/banding chain as above, the
+    // est>=threshold/2 prefilter, exact-Jaccard verify at 0.8, then
+    // connected components via transitive closure (UNION-dedup
+    // recursive CTE reaches the fixpoint) with min-id survivors
+    "llm_neardup_dedup" -> {
+      val mixers = graft.functions.MinHashSig.mixers(64)
+        .zipWithIndex.map { case (a, j) => s"($j, $a)" }.mkString(", ")
+      s"""WITH RECURSIVE
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS td FROM documents),
+        |reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |tok0 AS (SELECT d.doc_id, regexp_split_to_array(trim(d.text), '\\s+') AS l FROM documents d JOIN reps r ON r.doc_id = d.doc_id),
+        |tokx AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i FROM tok0),
+        |sh3 AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s FROM tokx a JOIN tokx b ON b.doc_id = a.doc_id AND b.i = a.i + 1 JOIN tokx c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+        |shfew AS (SELECT doc_id, array_to_string(l, ' ') AS s FROM tok0 WHERE len(l) < 3),
+        |shall AS (SELECT DISTINCT doc_id, s FROM (SELECT * FROM sh3 UNION ALL SELECT * FROM shfew)),
+        |strs AS (SELECT DISTINCT s FROM shall),
+        |hx AS (SELECT s, hex(encode(s)) AS hs, octet_length(encode(s)) AS nb FROM strs),
+        |fnv AS (
+        |  SELECT s, hs, nb, 0 AS i, CAST(14695981039346656037 AS HUGEINT) AS h FROM hx
+        |  UNION ALL
+        |  SELECT s, hs, nb, i + 1,
+        |    (xor(h, CAST((strpos('0123456789ABCDEF', substring(hs, 2*i+1, 1))-1)*16 + strpos('0123456789ABCDEF', substring(hs, 2*i+2, 1))-1 AS HUGEINT)) * 1099511628211) % 18446744073709551616
+        |  FROM fnv WHERE i < nb),
+        |hfin AS (SELECT s, h FROM fnv WHERE i = nb),
+        |mix AS (SELECT j, a FROM (VALUES $mixers) AS m(j, a)),
+        |persig AS (
+        |  SELECT sa.doc_id, m.j,
+        |    min(xor(CAST(hf.h % 2147483648 AS BIGINT) * CAST(m.a AS BIGINT), CAST(hf.h // 2147483648 AS BIGINT))) AS v
+        |  FROM shall sa JOIN hfin hf ON hf.s = sa.s CROSS JOIN mix m
+        |  GROUP BY sa.doc_id, m.j),
+        |bnd AS (SELECT doc_id, j // 4 AS band, list(v ORDER BY j) AS sl FROM persig GROUP BY doc_id, j // 4),
+        |bsz AS (SELECT band, sl, count(*) AS c FROM bnd GROUP BY band, sl),
+        |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+        |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.sl = b.sl AND a.doc_id < b.doc_id
+        |  JOIN bsz z ON z.band = a.band AND z.sl = a.sl AND z.c <= 1000),
+        |eq AS (SELECT c.ida, c.idb, sum(CASE WHEN pa.v = pb.v THEN 1 ELSE 0 END) AS neq
+        |  FROM cand c JOIN persig pa ON pa.doc_id = c.ida JOIN persig pb ON pb.doc_id = c.idb AND pb.j = pa.j
+        |  GROUP BY c.ida, c.idb),
+        |pre AS (SELECT ida, idb FROM eq WHERE CAST(neq AS DOUBLE)/64 >= 0.4),
+        |nsh AS (SELECT doc_id, count(*) AS n FROM shall GROUP BY doc_id),
+        |iv AS (SELECT p.ida, p.idb, count(*) AS it FROM pre p JOIN shall x ON x.doc_id = p.ida JOIN shall y ON y.doc_id = p.idb AND y.s = x.s GROUP BY p.ida, p.idb),
+        |edges AS (SELECT i.ida, i.idb FROM iv i JOIN nsh na ON na.doc_id = i.ida JOIN nsh nb ON nb.doc_id = i.idb
+        |  WHERE CAST(i.it AS DOUBLE) / (na.n + nb.n - i.it) >= 0.8),
+        |conn AS (SELECT ida AS id, idb AS peer FROM edges UNION SELECT idb, ida FROM edges),
+        |reach AS (SELECT id, peer FROM conn UNION SELECT r.id, c.peer FROM reach r JOIN conn c ON c.id = r.peer WHERE c.peer <> r.id),
+        |dropped AS (SELECT count(*) AS nd FROM (SELECT id FROM reach GROUP BY id HAVING min(peer) < id)),
+        |nreps AS (SELECT count(*) AS nr FROM reps)
+        |SELECT CAST(nr - nd AS BIGINT) AS survivors, CAST(td - (nr - nd) AS BIGINT) AS removed
+        |FROM nreps, dropped, tot""".stripMargin
+    },
+    // SimHash mirror: FNV-1a token hashes → frequency-weighted bit
+    // votes → sign-assembled 64-bit hash (HUGEINT, converted to the
+    // signed BIGINT Spark produces) → 4×16-bit chunk bands → popcount
+    // hamming verify
+    "llm_simhash_neardup" -> {
+      val pow2 = (0 until 64)
+        .map(i => s"($i, ${BigInt(1) << i})").mkString(", ")
+      s"""WITH RECURSIVE
+        |tok0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l FROM documents),
+        |tf AS (SELECT doc_id, w AS tok, count(*) AS freq FROM (SELECT doc_id, unnest(l) AS w FROM tok0) GROUP BY doc_id, w),
+        |strs AS (SELECT DISTINCT tok AS s FROM tf),
+        |hx AS (SELECT s, hex(encode(s)) AS hs, octet_length(encode(s)) AS nb FROM strs),
+        |fnv AS (
+        |  SELECT s, hs, nb, 0 AS i, CAST(14695981039346656037 AS HUGEINT) AS h FROM hx
+        |  UNION ALL
+        |  SELECT s, hs, nb, i + 1,
+        |    (xor(h, CAST((strpos('0123456789ABCDEF', substring(hs, 2*i+1, 1))-1)*16 + strpos('0123456789ABCDEF', substring(hs, 2*i+2, 1))-1 AS HUGEINT)) * 1099511628211) % 18446744073709551616
+        |  FROM fnv WHERE i < nb),
+        |hfin AS (SELECT s, h FROM fnv WHERE i = nb),
+        |bits AS (SELECT i, p FROM (VALUES $pow2) AS b(i, p)),
+        |votes AS (SELECT t.doc_id, b.i, b.p,
+        |    sum(CASE WHEN (hf.h // CAST(b.p AS HUGEINT)) % 2 = 1 THEN t.freq ELSE -t.freq END) AS v
+        |  FROM tf t JOIN hfin hf ON hf.s = t.tok CROSS JOIN bits b
+        |  GROUP BY t.doc_id, b.i, b.p),
+        |sim AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN CAST(p AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS hu FROM votes GROUP BY doc_id),
+        |sims AS (SELECT doc_id, CAST(hu - CASE WHEN hu >= 9223372036854775808 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS sh, hu FROM sim),
+        |chunks AS (SELECT doc_id, sh, j, CAST((hu // CAST(p16.p AS HUGEINT)) % 65536 AS BIGINT) AS chunk
+        |  FROM sims CROSS JOIN (SELECT i/16 AS j, p FROM bits WHERE i IN (0, 16, 32, 48)) p16),
+        |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb, a.sh AS sa, b.sh AS sb
+        |  FROM chunks a JOIN chunks b ON a.j = b.j AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+        |SELECT ida, idb, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY ida, idb""".stripMargin
+    },
     "llm_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l FROM documents WHERE doc_id < 20),
         |tok AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i FROM d),
