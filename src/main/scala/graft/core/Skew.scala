@@ -20,13 +20,21 @@ import org.apache.spark.sql.functions._
   *   percentile multisets) where one reducer per hot key is the
   *   bottleneck.
   *
-  * The salt is `pmod(hash(monotonically_increasing_id()), salts)` —
-  * deterministic within a job, uniform, no RNG state.
+  * The salt is `pmod(hash(<every column of the row>), salts)` — a pure
+  * function of row CONTENT, so it is stable under task re-execution.
+  * (The earlier `hash(monotonically_increasing_id())` form was the
+  * classic nondeterministic-repartition-key hazard: if the salted
+  * exchange's input is itself shuffle output, a fetch-failure recompute
+  * can re-order rows, re-assign salts, and duplicate or drop rows —
+  * ADVICE r03.) Identical rows share a salt, which is correct (same
+  * join matches / same aggregate contribution), though it means
+  * spreading relies on value diversity within the hot key — true for
+  * any content-derived salt.
   */
 object Skew {
 
-  private def saltCol(salts: Int): Column =
-    pmod(hash(monotonically_increasing_id()), lit(salts))
+  private def saltCol(df: DataFrame, salts: Int): Column =
+    pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(salts))
 
   /** Join types for which small-side replication is sound: each big row
     * carries ONE salt, so per big row exactly one small replica matches —
@@ -51,7 +59,7 @@ object Skew {
         s"(inner/left/left_semi/left_anti), got '$joinType' — right/full " +
         "outer would duplicate unmatched small-side rows once per salt " +
         "replica")
-    val b = big.withColumn("__salt__", saltCol(salts))
+    val b = big.withColumn("__salt__", saltCol(big, salts))
     val s = small.withColumn("__salt__",
       explode(sequence(lit(0), lit(salts - 1))))
     b.join(s, Seq(key, "__salt__"), joinType).drop("__salt__")
@@ -70,7 +78,7 @@ object Skew {
     require(salts > 0, "salts must be positive")
     require(partials.nonEmpty, "saltedAgg needs at least one aggregate")
     val phase1 = df
-      .withColumn("__salt__", saltCol(salts))
+      .withColumn("__salt__", saltCol(df, salts))
       .groupBy((keys :+ "__salt__").map(col): _*)
       .agg(partials.head._2._1.as(s"__p_${partials.head._1}__"),
         partials.tail.map { case (n, (p, _)) => p.as(s"__p_${n}__") }

@@ -17,44 +17,50 @@ import org.apache.spark.sql.types._
   * element closure dispatch. This is the hot kernel of every exact
   * rerank (brute-force top-k, LSH/IVF ANN verify, embedding near-dup).
   *
+  * Accepts any integral/floating element type, widening to double like
+  * the HOF chain's `cast("double")` did (ADVICE r03: rejecting
+  * array<int> embeddings broke callers the HOF form accepted).
   * Null semantics mirror the HOF chain: null arrays, length mismatch,
   * or a null element → null.
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  private def elemOk(dt: DataType): Boolean = dt match {
-    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
-    case _ => false
+  private def elemCode(dt: DataType): Int = dt match {
+    case ArrayType(DoubleType, _) => 0
+    case ArrayType(FloatType, _) => 1
+    case ArrayType(LongType, _) => 2
+    case ArrayType(IntegerType, _) => 3
+    case ArrayType(ShortType, _) => 4
+    case ArrayType(ByteType, _) => 5
+    case _ => -1
   }
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (elemOk(left.dataType) && elemOk(right.dataType))
+    if (elemCode(left.dataType) >= 0 && elemCode(right.dataType) >= 0)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"cosine_sim expects array<float|double>, got " +
+      s"cosine_sim expects arrays of integral or floating elements, got " +
         s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
-  private def isFloat(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
-  }
-
   override def nullSafeEval(a: Any, b: Any): Any =
     CosineSim.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
-      isFloat(left), isFloat(right))
+      elemCode(left.dataType), elemCode(right.dataType))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
       : ExprCode = {
-    val lf = isFloat(left)
-    val rf = isFloat(right)
+    val lc = elemCode(left.dataType)
+    val rc = elemCode(right.dataType)
+    // fresh name: a fixed identifier collides when two cosine_sim calls
+    // over non-nullable inputs land in one codegen scope (ADVICE r03)
+    val r = ctx.freshName("cosRes")
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      Object r = graft.functions.CosineSim.compute($a, $b, $lf, $rf);
-      if (r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = ((java.lang.Double) r).doubleValue(); }
+      Object $r = graft.functions.CosineSim.compute($a, $b, $lc, $rc);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((java.lang.Double) $r).doubleValue(); }
     """)
   }
 
@@ -72,9 +78,18 @@ object CosineSim {
     GraftSqlBridge.column(
       CosineSim(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
+  private def get(a: ArrayData, i: Int, code: Int): Double = (code: @annotation.switch) match {
+    case 0 => a.getDouble(i)
+    case 1 => a.getFloat(i).toDouble
+    case 2 => a.getLong(i).toDouble
+    case 3 => a.getInt(i).toDouble
+    case 4 => a.getShort(i).toDouble
+    case 5 => a.getByte(i).toDouble
+  }
+
   /** Shared kernel; returns java.lang.Double or null. Accumulation
     * order matches the sequential HOF folds exactly. */
-  def compute(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean)
+  def compute(a: ArrayData, b: ArrayData, aCode: Int, bCode: Int)
       : java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
@@ -84,20 +99,18 @@ object CosineSim {
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
-      dot += x * y
+      dot += get(a, i, aCode) * get(b, i, bCode)
       i += 1
     }
     i = 0
     while (i < n) {
-      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val x = get(a, i, aCode)
       na += x * x
       i += 1
     }
     i = 0
     while (i < n) {
-      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val y = get(b, i, bCode)
       nb += y * y
       i += 1
     }

@@ -56,10 +56,17 @@ object Dedup {
       shingleN: Int = 3): DataFrame = {
     // CPU-bound map stage: if the input is coarser-partitioned than the
     // cluster (single row-group file), fan out first. At real scale the
-    // scan already yields ≥cores splits and this is a no-op.
-    val cores = df.sparkSession.sparkContext.defaultParallelism
+    // scan already yields ≥cores splits and this is a no-op. The probe
+    // uses optimizer plan statistics (size estimate vs the per-split
+    // target), NOT df.rdd — an RDD probe materializes the lineage at
+    // plan-build time, a surprise job under AQE (VERDICT r03 #4).
+    val spark = df.sparkSession
+    val cores = spark.sparkContext.defaultParallelism
+    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    val sizeEst = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val src =
-      if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+      if (sizeEst < BigInt(maxSplit) * cores) df.repartition(cores) else df
     src.select(col(idCol),
       graft.functions.MinHashSig(shingles(col(textCol), shingleN), k)
         .as("sig"))
@@ -168,24 +175,18 @@ object Dedup {
   /** 64-bit SimHash per doc: per-token 64-bit hash (FNV-1a — the same
     * kernel as the MinHash signatures, chosen because an ANSI-SQL
     * oracle can reproduce it), frequency-weighted bit votes,
-    * sign-assembled. Declarative: explode → 64 conditional sums → bit
-    * assembly. */
-  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tf = df
-      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("freq"))
-      .withColumn("h", graft.functions.Fnv64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("freq"))
-        .otherwise(-col("freq"))).as(s"b$i")
-    }
-    tf.groupBy(col(idCol))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col(idCol),
-        (0 until 64).map(i =>
-          when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L): Column)
-          .reduce(_ + _).as("simhash"))
-  }
+    * sign-assembled — computed by the native codegen'd
+    * [[graft.functions.SimHash64]] expression in a single map-only
+    * scan. (The previous explode → groupBy(doc, tok) → groupBy(doc)
+    * formulation shuffled the whole corpus token stream twice for what
+    * is a function of the row-local token array — VERDICT r03.)
+    * Docs with null text yield a null simhash (they fall out of the
+    * banded candidate join, same as the aggregation form dropping
+    * them). */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.functions.SimHash64(TextAnalysis.tokens(col(textCol)))
+        .as("simhash"))
 
   /** SimHash near-dup candidates: band the 64 bits into 4×16-bit chunks;
     * docs sharing any chunk are candidates (guarantees recall for
@@ -275,7 +276,16 @@ object Dedup {
       val ids = collected.iterator
         .flatMap(t => Iterator(t._1, t._2)).toArray.distinct
       import spark.implicits._
-      ids.map(id => (id, find(id))).toSeq.toDF("id", "component")
+      // Ship the result back as an RDD-backed frame, NOT a
+      // LocalRelation: a driver-local relation of up to 2×driverEdgeLimit
+      // ids would be embedded in the returned plan and re-serialized (or
+      // broadcast) by every downstream join (ADVICE r03).
+      val resolved = ids.map(id => (id, find(id)))
+      val nParts = math.max(1,
+        math.min(spark.sparkContext.defaultParallelism,
+          resolved.length / 100000 + 1))
+      spark.sparkContext.parallelize(resolved.toIndexedSeq, nParts)
+        .toDF("id", "component")
         .select(col("id").cast(idType).as("id"),
           col("component").cast(idType).as("component"))
     } else {

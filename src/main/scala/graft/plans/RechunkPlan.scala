@@ -68,8 +68,19 @@ object RechunkPlan {
         s"column '$name' not found in ${lp.output.map(_.name)}"))
     val ch = attr(channelCol)
     val tr = attr(traceCol)
+    // Fail at plan-build, not at runtime: the physical operator's row
+    // accessors are monomorphic (getUTF8String / toDoubleArray). A
+    // non-string channel would silently misread the UnsafeRow word as
+    // offset/length; a non-double element type would corrupt or throw
+    // mid-job (ADVICE r03).
+    require(ch.dataType == StringType,
+      s"rechunkExec requires a string '$channelCol' column, got " +
+        s"${ch.dataType.catalogString}")
     val elemType = tr.dataType match {
-      case ArrayType(et, _) => et
+      case ArrayType(DoubleType, _) => DoubleType
+      case ArrayType(et, _) => throw new IllegalArgumentException(
+        s"rechunkExec requires '$traceCol' to be array<double>, got " +
+          s"array<${et.catalogString}> — cast the elements first")
       case other => throw new IllegalArgumentException(
         s"'$traceCol' must be an array column, got ${other.catalogString}")
     }

@@ -342,16 +342,16 @@ object TraceQueries {
         .orderBy("chunk_id")
     }),
 
-    // W4 again through the custom LogicalPlan→Strategy→SparkPlan
-    // operator (single exchange + sort, no per-sample explode); same
-    // oracle as the declarative form — results must be identical
-    "w4_rechunk_exec" -> ((s, dir) => {
+    // W4 again through the declarative window+explode formulation (the
+    // independent mirror of the custom operator — `rechunk` itself now
+    // delegates to RechunkExec); same oracle, results must be identical
+    "w4_rechunk_decl" -> ((s, dir) => {
       val stream = events(s, dir).filter(col("event_id") < 50)
         .select(col("event_id").as("event_index"), lit("ch1").as("channel"),
           transform(sequence(lit(0), (lit(2) + col("event_id") % 3).cast("int")),
             i => ((col("event_id") * 7 + i * 5) % 19).cast("double"))
             .as("trace"))
-      graft.plans.RechunkPlan.rechunkExec(stream, chunkLen = 7)
+      TraceStore.rechunkDeclarative(stream, chunkLen = 7)
         .select(col("chunk_id"),
           aggregate(col("trace"), lit(0.0), (acc, x) => acc + x)
             .as("chunk_sum"))
@@ -507,7 +507,7 @@ object TraceQueries {
         |  sum(a0i*a1r - a0r*a1i)/count(*) AS s01_im,
         |  sum((a0r*a0r + a0i*a0i)*(a1r*a1r + a1i*a1i))/count(*) AS r01
         |FROM a GROUP BY freq ORDER BY freq""".stripMargin,
-    "w4_rechunk_exec" ->
+    "w4_rechunk_decl" ->
       """WITH t AS (SELECT event_id, list_transform(generate_series(0, CAST(2 + event_id % 3 AS INTEGER)), i -> CAST((event_id*7 + i*5) % 19 AS DOUBLE)) AS trace FROM events WHERE event_id < 50),
         |s AS (SELECT event_id, unnest(trace) AS x, generate_subscripts(trace, 1) AS p FROM t),
         |o AS (SELECT x, row_number() OVER (ORDER BY event_id, p) - 1 AS g FROM s),

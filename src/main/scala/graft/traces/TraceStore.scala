@@ -101,15 +101,32 @@ object TraceStore {
     * fixed-length windows with the remainder discarded
     * (`vibration_analyzer.py:406-437`).
     *
-    * Spark-first shape: a running global sample offset (window cumsum of
+    * Delegates to the custom physical operator
+    * ([[graft.plans.RechunkPlan.rechunkExec]]): one hash exchange of the
+    * un-exploded trace ROWS plus a partition-local sort, then a linear
+    * chop with carry-over. The declarative formulation
+    * ([[rechunkDeclarative]]) is semantically identical but pays a
+    * per-SAMPLE explode and funnels each channel through one window
+    * partition — with few channels that is a global window over the
+    * sample stream, the r03 bench's `WindowExec: No Partition Defined`
+    * hot spot. It is kept as the independent test mirror only. */
+  def rechunk(
+      traces: DataFrame,
+      chunkLen: Int,
+      indexCol: String = "event_index",
+      traceCol: String = "trace",
+      channelCol: String = "channel"): DataFrame =
+    graft.plans.RechunkPlan.rechunkExec(
+      traces, chunkLen, indexCol, traceCol, channelCol)
+
+  /** W4, declarative formulation (test mirror of [[rechunk]] — not the
+    * scale path): a running global sample offset (window cumsum of
     * trace lengths ordered by `event_index`), then each sample maps to
     * chunk `floor(globalOffset / chunkLen)`; chunks whose samples span
     * event boundaries are reassembled by `groupBy(chunk_id)` +
     * position-sorted flatten. Incomplete tail chunks are dropped
-    * (remainder-discard semantics). One range-partitioned sort + one
-    * shuffle on chunk id — order-correct under any input partitioning.
-    */
-  def rechunk(
+    * (remainder-discard semantics). */
+  def rechunkDeclarative(
       traces: DataFrame,
       chunkLen: Int,
       indexCol: String = "event_index",

@@ -25,7 +25,7 @@ class TraceStoreSpec extends SparkSpec {
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getSeq[Double](2).toList))
       .sortBy(t => (t._1, t._2))
-    val viaDecl = graft.traces.TraceStore.rechunk(df, chunkLen = 5)
+    val viaDecl = graft.traces.TraceStore.rechunkDeclarative(df, chunkLen = 5)
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getSeq[Double](2).toList))
       .sortBy(t => (t._1, t._2))
