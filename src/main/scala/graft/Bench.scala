@@ -6,11 +6,38 @@ import org.apache.spark.sql.SparkSession
   * prints one JSON line. Results are fully materialized via a noop-format
   * write so Catalyst cannot prune the measured work (a bare `.count()`
   * lets projections/joins that don't affect cardinality be optimized
-  * away — VERDICT r01). */
+  * away — VERDICT r01).
+  *
+  * Measurement protocol (VERDICT r03: the r03 numbers were contaminated
+  * by ambient machine load — unchanged queries ran 4× slower):
+  *   - one un-measured warm-up pass of the FULL suite (FS metadata, JIT,
+  *     codegen caches);
+  *   - N measured passes of the full suite (SPARK_GRAFT_BENCH_RUNS,
+  *     default 5), interleaved at the suite level so a transient load
+  *     spike perturbs one round, not one query;
+  *   - per-query MEDIAN is the reported number; per-query relative
+  *     spread = (max−min)/median is the noise gate — queries over 30%
+  *     are counted in `noisy` on the headline line and listed in the
+  *     detail file. A high `noisy` count means the run is not
+  *     load-clean and should not be compared round-over-round.
+  * Full detail (all runs, medians, spreads) → target/bench_detail.json;
+  * stdout carries only the headline subset (r02's full line overflowed
+  * the driver's tail capture).
+  */
 object Bench {
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n == 0) 0.0
+    else if (n % 2 == 1) s(n / 2)
+    else (s(n / 2 - 1) + s(n / 2)) / 2
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -19,36 +46,48 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // one warm-up pass to load file-system metadata + JIT (not measured)
-    try SparkEntry.queries.head._2(spark, sfDir).write
-      .format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    def onePass(measure: Boolean): Seq[(String, Double)] =
+      names.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          if (measure)
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // release per-query persisted intermediates (e.g. LSH signatures)
+        // so queries don't perturb each other's memory budget
+        spark.catalog.clearCache()
+        name -> dt
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // release per-query persisted intermediates (e.g. LSH signatures)
-      // so queries don't perturb each other's memory budget
-      spark.catalog.clearCache()
-      name -> dt
+
+    onePass(measure = false) // warm-up, not recorded
+    val passes = (1 to runs).map(_ => onePass(measure = true))
+    val byQuery = names.map { case (name, _) =>
+      val ts = passes.map(_.find(_._1 == name).get._2)
+      val med = median(ts)
+      val spread = if (med > 0) (ts.max - ts.min) / med else 0.0
+      (name, ts, med, spread)
     }
-    val total = results.map(_._2).sum
-    // Full per-query breakdown goes to a side file; the stdout JSON line
-    // carries only the headline subset. (Round 2 printed all 66 queries →
-    // ~4.5 KB line → overflowed the driver's output-tail capture window →
-    // BENCH_r02.json "parsed": null. Keep this line well under 1 KB.)
+    val total = byQuery.map(_._3).sum
+    val noisy = byQuery.filter(_._4 > 0.30)
+
+    def jnum(v: Double): String = f"$v%.3f"
     def jmap(rs: Seq[(String, Double)]): String = rs
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
     try {
-      val detail =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir"}"""
+      val detail = byQuery.map { case (name, ts, med, spread) =>
+        s""""$name":{"median":${jnum(med)},"spread":${jnum(spread)},"runs":[${ts.map(jnum).mkString(",")}]}"""
+      }.mkString("{", ",", "}")
+      val noisyList = noisy.map("\"" + _._1 + "\"").mkString("[", ",", "]")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("target/bench_detail.json"),
-        detail.getBytes("UTF-8"))
+        (s"""{"metric":"total_median","value":${jnum(total)},"unit":"sec",""" +
+          s""""runs":$runs,"noisy":$noisyList,"queries":$detail,""" +
+          s""""sf":"$sfDir"}""").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     val headline = Set(
       "tpch_q1_pricing", "tpch_q5_local_supplier", "tpch_join_revenue",
@@ -58,8 +97,10 @@ object Bench {
       "llm_dedup_exact", "llm_minhash_neardup", "llm_neardup_dedup",
       "llm_simhash_neardup", "llm_sim_topk", "llm_ann_lsh",
       "llm_text_quality")
-    val qs = jmap(results.filter(r => headline(r._1)))
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = jmap(byQuery.collect {
+      case (name, _, med, _) if headline(name) => name -> med
+    })
+    println(s"""{"metric":"total_median","value":${jnum(total)},"unit":"sec","runs":$runs,"noisy":${noisy.length},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

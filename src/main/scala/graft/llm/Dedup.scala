@@ -28,15 +28,11 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
-  /** Word n-gram shingles (distinct), the MinHash/Jaccard unit. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val count = size(toks) - (n - 1)
-    when(count > 0,
-      array_distinct(transform(sequence(lit(0), count - 1),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-      .otherwise(array(concat_ws(" ", toks)))
-  }
+  /** Word n-gram shingles (distinct), the MinHash/Jaccard unit — the
+    * distinct set of [[TextAnalysis.ngrams]] (which keeps repetitions
+    * for the repetition quality filters). */
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(TextAnalysis.ngrams(text, n))
 
   // -------------------------------------------------------------- minhash
 

@@ -42,6 +42,30 @@ object TextAnalysis {
       .withColumn("n_tokens", ntok)
   }
 
+  /** Word n-grams WITH repetitions (the repetition-filter unit; the
+    * dedup [[Dedup.shingles]] is the distinct set). Documents shorter
+    * than `n` tokens collapse to one n-gram of all their tokens. */
+  def ngrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val count = size(toks) - (n - 1)
+    when(count > 0,
+      transform(sequence(lit(0), count - 1),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** Gopher/C4-style repetition metric: the fraction of n-gram
+    * occurrences that duplicate an earlier occurrence,
+    * `1 − distinct/total`. Boilerplate- and template-heavy documents
+    * score high; a standard pretraining quality filter alongside
+    * [[qualityMetrics]]. Exact integer counts divided as doubles →
+    * deterministic and oracle-mirrorable (same shingle CTE as the
+    * Jaccard verify). Documents shorter than `n` tokens score 0. */
+  def repeatedNgramRatio(text: Column, n: Int): Column = {
+    val all = ngrams(text, n)
+    (size(all) - size(array_distinct(all))).cast("double") / size(all)
+  }
+
   private val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),

@@ -8,12 +8,12 @@ import Q._
   * MinHash LSH, SimHash, n-gram Jaccard), similarity search (brute-force
   * + LSH ANN), text analysis, multimodal binary plumbing.
   *
-  * Every query except llm_ann_ivf (iterative centroid training) is
-  * oracle-checked: the hash pipelines are mirrored in ANSI SQL from
-  * first principles — FNV-1a / rolling hashes via HUGEINT mod-2^64
-  * emulation, LSH band buckets on raw signature slices, connected
-  * components via transitive-closure CTEs, hyperplane signatures from
-  * the inlined deterministic plane matrix. */
+  * Every query is oracle-checked: the hash pipelines are mirrored in
+  * ANSI SQL from first principles — FNV-1a / rolling hashes via HUGEINT
+  * mod-2^64 emulation, LSH band buckets on raw signature slices,
+  * connected components via transitive-closure CTEs, hyperplane
+  * signatures from the inlined deterministic plane matrix, and the IVF
+  * quantizer's fixed-depth Lloyd training unrolled round by round. */
 object LlmQueries {
 
   val queries: Map[String, QFn] = Map(
@@ -39,6 +39,16 @@ object LlmQueries {
       TextAnalysis.qualityMetrics(t(s, dir, "documents"), col("text"))
         .select(col("doc_id"), col("alpha_ratio"), col("avg_token_len"),
           col("n_tokens"))
+        .orderBy("doc_id")),
+
+    // repetition quality filter (Gopher/C4-style): fraction of 2-gram /
+    // 3-gram occurrences that duplicate an earlier one (exact integer
+    // counts divided as doubles)
+    "llm_text_repetition" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.repeatedNgramRatio(col("text"), 2).as("rep_2gram"),
+          TextAnalysis.repeatedNgramRatio(col("text"), 3).as("rep_3gram"))
         .orderBy("doc_id")),
 
     // language/source distribution (A1 over documents)
@@ -167,13 +177,16 @@ object LlmQueries {
         .withColumn("cosine", round(col("cosine"), 6))
     }),
 
-    // IVF ANN: coarse-quantizer index + nprobe scan + exact rerank
-    // (rows-only: centroid training is Scala-side)
+    // IVF ANN: distributed-Lloyd coarse quantizer (2 fixed rounds over
+    // the FULL corpus, deterministic init = k smallest ids, round-6
+    // centroids) + nprobe scan + exact rerank. Oracle-checked: the
+    // fixed-depth training unrolls into plain SQL.
     "llm_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0).toArray
-      val cents = Similarity.ivfCentroids(emb, "embedding", k = 8)
+      val cents = Similarity.ivfCentroidsLloyd(emb, "embedding", "vec_id",
+        k = 8, iters = 2)
       val assigned = Similarity.ivfAssign(emb, "embedding", cents)
       Similarity.ivfTopK(assigned, "embedding", "vec_id", q, 5, cents)
         .withColumn("cosine", round(col("cosine"), 6))
@@ -204,6 +217,21 @@ object LlmQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "llm_lang_dist" ->
       "SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY lang ORDER BY lang",
+    // repetition mirror: docs shorter than n tokens produce no n-gram
+    // rows → LEFT JOIN + coalesce 0 (the Spark side collapses them to
+    // one trivially-distinct n-gram → ratio 0 as well)
+    "llm_text_repetition" ->
+      """WITH tok0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l FROM documents),
+        |tokx AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i FROM tok0),
+        |sh2 AS (SELECT a.doc_id, a.w || ' ' || b.w AS s FROM tokx a JOIN tokx b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+        |d2 AS (SELECT doc_id, count(*) AS total, count(DISTINCT s) AS dis FROM sh2 GROUP BY doc_id),
+        |sh3 AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s FROM tokx a JOIN tokx b ON b.doc_id = a.doc_id AND b.i = a.i + 1 JOIN tokx c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+        |d3 AS (SELECT doc_id, count(*) AS total, count(DISTINCT s) AS dis FROM sh3 GROUP BY doc_id)
+        |SELECT t.doc_id,
+        | coalesce(CAST(d2.total - d2.dis AS DOUBLE) / d2.total, CAST(0 AS DOUBLE)) AS rep_2gram,
+        | coalesce(CAST(d3.total - d3.dis AS DOUBLE) / d3.total, CAST(0 AS DOUBLE)) AS rep_3gram
+        |FROM tok0 t LEFT JOIN d2 ON d2.doc_id = t.doc_id LEFT JOIN d3 ON d3.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "llm_langid_pred" ->
       """WITH c AS (SELECT doc_id,
         | len(list_intersect(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), ['der','die','das','und','ist','ein','zu','den'])) AS c_de,
@@ -399,6 +427,35 @@ object LlmQueries {
         |SELECT ida, idb, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY ida, idb""".stripMargin
     },
+    // IVF-ANN mirror: the 2 Lloyd rounds unroll into plain SQL — init
+    // centroids = embeddings of the 8 smallest ids (float-exact), each
+    // round = argmin assignment (ties to the lower list id, same as the
+    // kernel's strict <) + per-list per-dim round-6 mean with empty
+    // lists keeping their previous centroid — then nprobe=2 list probe
+    // and exact cosine rerank, the llm_ann_lsh pattern
+    "llm_ann_ivf" ->
+      """WITH sel AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8),
+        |seli AS (SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) - 1 AS l FROM sel),
+        |e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, generate_subscripts(embedding, 1) - 1 AS d FROM embeddings),
+        |c0 AS (SELECT l, CAST(unnest(embedding) AS DOUBLE) AS v, generate_subscripts(embedding, 1) - 1 AS d FROM seli),
+        |a1 AS (SELECT e.vec_id, c0.l, sum((e.x - c0.v)*(e.x - c0.v)) AS dist FROM e JOIN c0 ON c0.d = e.d GROUP BY e.vec_id, c0.l),
+        |s1 AS (SELECT vec_id, l FROM (SELECT vec_id, l, row_number() OVER (PARTITION BY vec_id ORDER BY dist, l) AS rn FROM a1) WHERE rn = 1),
+        |m1 AS (SELECT s1.l, e.d, round(avg(e.x), 6) AS v FROM s1 JOIN e ON e.vec_id = s1.vec_id GROUP BY s1.l, e.d),
+        |c1 AS (SELECT c0.l, c0.d, coalesce(m1.v, c0.v) AS v FROM c0 LEFT JOIN m1 ON m1.l = c0.l AND m1.d = c0.d),
+        |a2 AS (SELECT e.vec_id, c1.l, sum((e.x - c1.v)*(e.x - c1.v)) AS dist FROM e JOIN c1 ON c1.d = e.d GROUP BY e.vec_id, c1.l),
+        |s2 AS (SELECT vec_id, l FROM (SELECT vec_id, l, row_number() OVER (PARTITION BY vec_id ORDER BY dist, l) AS rn FROM a2) WHERE rn = 1),
+        |m2 AS (SELECT s2.l, e.d, round(avg(e.x), 6) AS v FROM s2 JOIN e ON e.vec_id = s2.vec_id GROUP BY s2.l, e.d),
+        |c2 AS (SELECT c1.l, c1.d, coalesce(m2.v, c1.v) AS v FROM c1 LEFT JOIN m2 ON m2.l = c1.l AND m2.d = c1.d),
+        |qe AS (SELECT d, x FROM e WHERE vec_id = 0),
+        |qd AS (SELECT c2.l, sum((qe.x - c2.v)*(qe.x - c2.v)) AS dist FROM qe JOIN c2 ON c2.d = qe.d GROUP BY c2.l),
+        |probe AS (SELECT l FROM (SELECT l, row_number() OVER (ORDER BY dist, l) AS rn FROM qd) WHERE rn <= 2),
+        |a3 AS (SELECT e.vec_id, c2.l, sum((e.x - c2.v)*(e.x - c2.v)) AS dist FROM e JOIN c2 ON c2.d = e.d GROUP BY e.vec_id, c2.l),
+        |s3 AS (SELECT vec_id, l FROM (SELECT vec_id, l, row_number() OVER (PARTITION BY vec_id ORDER BY dist, l) AS rn FROM a3) WHERE rn = 1),
+        |cand AS (SELECT s3.vec_id FROM s3 JOIN probe ON probe.l = s3.l),
+        |sc AS (SELECT e.vec_id, sum(e.x * qe.x) AS dot, sqrt(sum(e.x * e.x)) AS ne FROM e JOIN cand ON cand.vec_id = e.vec_id JOIN qe ON qe.d = e.d GROUP BY e.vec_id),
+        |nq AS (SELECT sqrt(sum(x * x)) AS nrm FROM qe),
+        |top AS (SELECT vec_id, dot / (ne * nq.nrm) AS c FROM sc, nq ORDER BY c DESC, vec_id LIMIT 5)
+        |SELECT vec_id, round(c, 6) AS cosine FROM top ORDER BY cosine DESC, vec_id""".stripMargin,
     "llm_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l FROM documents WHERE doc_id < 20),
         |tok AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i FROM d),

@@ -243,6 +243,68 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(cs - 0.6) < 1e-12)
   }
 
+  test("nearest_centroid: assignment, tie-break to lower index, integral input") {
+    import graft.functions.NearestCentroid
+    val cents = Array(Array(0.0, 0.0), Array(10.0, 0.0), Array(0.0, 10.0))
+    val vecs = Seq(
+      (0L, Array(1.0f, 1.0f)),    // → list 0
+      (1L, Array(9.0f, 1.0f)),    // → list 1
+      (2L, Array(1.0f, 9.0f)),    // → list 2
+      (3L, Array(5.0f, 0.0f))     // equidistant to 0 and 1 → lower index 0
+    ).toDF("vec_id", "embedding")
+    val got = vecs.select(col("vec_id"),
+        NearestCentroid(col("embedding"), cents).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 0))
+    // integral arrays widen like the float path
+    val ints = Seq((0L, Array(9, 1))).toDF("vec_id", "embedding")
+      .select(NearestCentroid(col("embedding"), cents)).head.getInt(0)
+    assert(ints == 1)
+  }
+
+  test("cosine_sim widens integral element types like the HOF form did") {
+    val c = Seq((Array(3, 4), Array(3.0, 4.0)))
+      .toDF("ia", "da")
+      .select(Similarity.cosine(col("ia"), col("da"))).head.getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("distributed Lloyd training separates clear clusters") {
+    // three tight clusters; init = the 4 smallest ids (two from cluster
+    // A) — two rounds must pull centroids onto the cluster means
+    val pts = Seq(
+      (0L, Array(0.0f, 0.1f)), (1L, Array(0.1f, 0.0f)),
+      (2L, Array(10.0f, 0.0f)), (3L, Array(10.1f, 0.1f)),
+      (4L, Array(0.0f, 10.0f)), (5L, Array(0.1f, 10.1f)),
+      (6L, Array(10.0f, 10.0f)), (7L, Array(10.1f, 9.9f))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroidsLloyd(pts, "embedding", "vec_id",
+      k = 4, iters = 2)
+    assert(cents.length == 4)
+    // every point ends within 0.2 of its assigned centroid
+    val assigned = Similarity.ivfAssign(pts, "embedding", cents)
+    val maxDist = assigned.collect().map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      val c = cents(r.getInt(2))
+      math.sqrt(v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum)
+    }.max
+    assert(maxDist < 0.2, s"worst assignment distance $maxDist")
+  }
+
+  test("repeated n-gram ratio: exact fractions, short docs score zero") {
+    val d = Seq(
+      (0L, "a b a b a b"),          // 2-grams: ab ba ab ba ab → 5 total, 2 distinct
+      (1L, "all words are unique"), // no repeats
+      (2L, "x")                     // shorter than n → 0
+    ).toDF("doc_id", "text")
+    val r = d.select(col("doc_id"),
+        TextAnalysis.repeatedNgramRatio(col("text"), 2).as("rep"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r(0L) - 3.0 / 5.0) < 1e-12)
+    assert(r(1L) == 0.0)
+    assert(r(2L) == 0.0)
+  }
+
   test("multimodal: batched feature extraction is deterministic, frames sample") {
     val bin = docs.withColumn("payload", col("text").cast("binary"))
     val f1 = Multimodal.extractFeatures(bin, "payload", "doc_id",
