@@ -8,11 +8,12 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, plus batched decode/feature-extract
   * plumbing.
   *
-  * The decode step itself is STUBBED (this container ships no
-  * image/audio codecs): [[FakeDecoder]] derives a deterministic
-  * fixed-shape feature vector from the bytes so that the Spark-side
-  * plumbing — schema, batching, partitioning, UDF signature — is real
-  * and testable. Swap [[Decoder]] implementations to bind a real codec.
+  * Decoders are pluggable behind [[Decoder]]. [[ImageIoDecoder]] is a
+  * REAL image decoder (javax.imageio ships with the JDK): width/height
+  * + luminance histogram. [[FakeDecoder]] remains the deterministic
+  * stand-in for modalities whose codecs this container does not ship
+  * (audio/video) — the Spark-side plumbing (schema, batching,
+  * partitioning, batch shape) is identical and real for both.
   */
 object Multimodal {
 
@@ -55,6 +56,71 @@ object Multimodal {
         }
         f
       }
+  }
+
+  /** REAL image decoder over `javax.imageio` (ships with the JDK — no
+    * external codec needed): bytes → `[width, height, hist_0..hist_{b-1}]`
+    * where the histogram counts 8-bit luminance samples in `256/bins`-
+    * wide bins (raster band 0 — exact for grayscale PNG; for RGB inputs
+    * band 0 is the red channel, bind a weighting decoder if needed).
+    * Counts are exact integers carried as floats → deterministic and
+    * oracle-mirrorable. Undecodable payloads yield all-zero features
+    * (the streaming-friendly poison-pill behavior). */
+  final class ImageIoDecoder(val bins: Int = 8) extends Decoder {
+    require(256 % bins == 0, "bins must divide 256")
+    val dim: Int = 2 + bins
+    def decodeBatch(batch: Seq[Array[Byte]]): Seq[Array[Float]] =
+      batch.map { bytes =>
+        val f = Array.ofDim[Float](dim)
+        if (bytes != null) {
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            if (img != null) {
+              val w = img.getWidth
+              val h = img.getHeight
+              f(0) = w.toFloat
+              f(1) = h.toFloat
+              val raster = img.getRaster
+              val div = 256 / bins
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  f(2 + raster.getSample(x, y, 0) / div) += 1.0f
+                  x += 1
+                }
+                y += 1
+              }
+            }
+          } catch { case _: java.io.IOException => () }
+        }
+        f
+      }
+  }
+
+  /** Deterministic synthetic grayscale PNG: pixel (x,y) has luminance
+    * `(id·31 + x·7 + y·13) mod 256`. PNG is lossless and `TYPE_BYTE_GRAY`
+    * round-trips sample-exact through ImageIO, so decoded features are a
+    * pure closed-form function of (id, w, h) — the oracle for the decode
+    * path mirrors that formula in SQL. */
+  def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0,
+          (((id * 31 + x * 7 + y * 13) % 256 + 256) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
   /** Batched feature extraction over partitions: groups rows into

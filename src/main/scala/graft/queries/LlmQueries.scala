@@ -199,7 +199,28 @@ object LlmQueries {
             col("text").cast("binary")),
           "payload")
         .select(col("doc_id"), col("n_bytes"), col("content_hash"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // REAL image decode (javax.imageio): deterministic synthetic
+    // grayscale PNGs (size + pixels are closed-form functions of
+    // doc_id), batched decode to width/height/luminance-histogram —
+    // PNG is lossless so the oracle mirrors the pixel formula in SQL,
+    // verifying the encode→decode→feature path end to end
+    "mm_image_decode" -> ((s, dir) => {
+      val gen = udf { id: Long =>
+        Multimodal.syntheticPng(id, (4 + id % 4).toInt, (3 + id % 3).toInt)
+      }
+      val withPng = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("png", gen(col("doc_id")))
+      Multimodal.extractFeatures(withPng, "png", "doc_id",
+          new Multimodal.ImageIoDecoder(8), batchSize = 64)
+        .select(col("doc_id") +:
+          element_at(col("features"), 1).cast("long").as("width") +:
+          element_at(col("features"), 2).cast("long").as("height") +:
+          (0 until 8).map(b => element_at(col("features"), 3 + b)
+            .cast("long").as(s"hb$b")): _*)
+        .orderBy("doc_id")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -474,6 +495,22 @@ object LlmQueries {
     "llm_emb_centroids" ->
       """SELECT label, CAST(i - 1 AS INTEGER) AS pos, round(avg(CAST(x AS DOUBLE)), 6) AS centroid FROM (SELECT label, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings) GROUP BY label, pos ORDER BY label, pos""",
     "mm_binary_meta" ->
-      "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS content_hash FROM documents ORDER BY doc_id"
+      "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS content_hash FROM documents ORDER BY doc_id",
+    // image-decode mirror: the synthetic PNG's pixels are
+    // (doc_id·31 + x·7 + y·13) mod 256 over a (4 + id%4)×(3 + id%3)
+    // canvas; PNG round-trips sample-exact, so the decoded luminance
+    // histogram equals the formula's bin counts
+    "mm_image_decode" -> {
+      val hbs = (0 until 8).map(b =>
+        s"CAST(sum(CASE WHEN b = $b THEN 1 ELSE 0 END) AS BIGINT) AS hb$b")
+        .mkString(",\n | ")
+      s"""WITH d AS (SELECT doc_id, 4 + doc_id % 4 AS w, 3 + doc_id % 3 AS h FROM documents),
+        |px AS (SELECT d.doc_id, d.w, d.h, ((d.doc_id*31 + xs.x*7 + ys.y*13) % 256) // 32 AS b
+        |  FROM d, generate_series(0, 6) AS xs(x), generate_series(0, 4) AS ys(y)
+        |  WHERE xs.x < d.w AND ys.y < d.h)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        | $hbs
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
+    }
   )
 }

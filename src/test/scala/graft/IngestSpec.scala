@@ -103,6 +103,49 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("raw-file converter writes the curated layout via a pluggable reader") {
+    import graft.sources.RawConvert
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // fake HDF5-style reader: 20 deterministic events per "file", series
+    // derived from the file name — stands in for a codec-backed reader
+    val reader = new RawConvert.RawEventReader {
+      val schema: StructType = StructType(Seq(
+        StructField("series_number", LongType),
+        StructField("dump_number", LongType),
+        StructField("event_number", LongType),
+        StructField("amp", DoubleType)))
+      def readFile(path: String): Iterator[Row] = {
+        val series = path.filter(_.isDigit).toLong
+        (0 until 20).iterator.map(i =>
+          Row(series, i.toLong / 10, series * 1000 + i, i * 0.5))
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("rawconv").toString
+    RawConvert.convertEvents(spark,
+      Seq("raw_s1.hdf", "raw_s2.hdf", "raw_s3.hdf"), reader, dir)
+    val back = Ingest.readEvents(spark, dir)
+    assert(back.count() == 60)
+    // curated contract: series partition dirs, stable uid stamped
+    val dirs = new java.io.File(dir).list().filter(_.startsWith("series_number="))
+    assert(dirs.toSet == Set("series_number=1", "series_number=2", "series_number=3"))
+    val uid = back.filter(col("event_number") === 1005L)
+      .select("event_uid").head.getLong(0)
+    val expect = Ingest.withEventUid(
+        Seq((1L, 0L, 1005L)).toDF("series_number", "dump_number", "event_number"))
+      .select("event_uid").head.getLong(0)
+    assert(uid == expect) // same hash the ingest path stamps
+    // schema validation fails fast when key columns are absent
+    val bad = new RawConvert.RawEventReader {
+      val schema: StructType = StructType(Seq(StructField("x", LongType)))
+      def readFile(path: String): Iterator[Row] = Iterator.empty
+    }
+    val e = intercept[IllegalArgumentException] {
+      RawConvert.decode(spark, Seq("f"), bad)
+    }
+    assert(e.getMessage.contains("series_number"))
+  }
+
   test("event_uid is stable across reruns and partitioning") {
     val u1 = Ingest.withEventUid(raw).select("event_number", "event_uid")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

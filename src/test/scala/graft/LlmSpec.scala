@@ -305,6 +305,23 @@ class LlmSpec extends SparkSpec {
     assert(r(2L) == 0.0)
   }
 
+  test("imageio decoder: synthetic PNG round-trips to exact pixel stats") {
+    val png = Multimodal.syntheticPng(5L, 4, 3)
+    assert(png.take(4).map(_ & 0xFF).toSeq == Seq(0x89, 0x50, 0x4E, 0x47)) // PNG magic
+    val dec = new Multimodal.ImageIoDecoder(8)
+    val f = dec.decodeBatch(Seq(png)).head
+    assert(f(0) == 4.0f && f(1) == 3.0f)
+    // histogram matches the closed-form pixel formula
+    val expect = Array.ofDim[Int](8)
+    for (y <- 0 until 3; x <- 0 until 4)
+      expect(((5 * 31 + x * 7 + y * 13) % 256) / 32) += 1
+    assert(f.drop(2).map(_.toInt).toSeq == expect.toSeq)
+    assert(expect.sum == 12)
+    // garbage bytes → all-zero features, no exception
+    val bad = dec.decodeBatch(Seq(Array[Byte](1, 2, 3), null))
+    assert(bad.forall(_.forall(_ == 0.0f)))
+  }
+
   test("multimodal: batched feature extraction is deterministic, frames sample") {
     val bin = docs.withColumn("payload", col("text").cast("binary"))
     val f1 = Multimodal.extractFeatures(bin, "payload", "doc_id",
