@@ -57,6 +57,16 @@ object GraftFunctions {
     CosineSim(exprs(0), exprs(1))
   }
 
+  private def simhashBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "simhash64(tokens)")
+    SimHash64(exprs.head)
+  }
+
+  private def fnvBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "fnv64(text)")
+    Fnv64(exprs.head)
+  }
+
   private[functions] def minhashBuilderPublic(exprs: Seq[Expression])
       : Expression = minhashBuilder(exprs)
   private[functions] def hist2dBuilderPublic(exprs: Seq[Expression])
@@ -65,6 +75,10 @@ object GraftFunctions {
       : Expression = fingerprintBuilder(exprs)
   private[functions] def cosineBuilderPublic(exprs: Seq[Expression])
       : Expression = cosineBuilder(exprs)
+  private[functions] def simhashBuilderPublic(exprs: Seq[Expression])
+      : Expression = simhashBuilder(exprs)
+  private[functions] def fnvBuilderPublic(exprs: Seq[Expression])
+      : Expression = fnvBuilder(exprs)
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -72,6 +86,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("histogram2d", hist2dBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("fingerprint64", fingerprintBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim", cosineBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64", simhashBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("fnv64", fnvBuilder, "scala_udf")
   }
 }
 
@@ -94,5 +110,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       GraftFunctions.cosineBuilderPublic _))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      GraftFunctions.simhashBuilderPublic _))
+    ext.injectFunction((
+      FunctionIdentifier("fnv64"),
+      new ExpressionInfo(classOf[Fnv64].getName, "fnv64"),
+      GraftFunctions.fnvBuilderPublic _))
   }
 }

@@ -60,11 +60,16 @@ object TextAnalysis {
     * score high; a standard pretraining quality filter alongside
     * [[qualityMetrics]]. Exact integer counts divided as doubles →
     * deterministic and oracle-mirrorable (same shingle CTE as the
-    * Jaccard verify). Documents shorter than `n` tokens score 0. */
-  def repeatedNgramRatio(text: Column, n: Int): Column = {
-    val all = ngrams(text, n)
-    (size(all) - size(array_distinct(all))).cast("double") / size(all)
-  }
+    * Jaccard verify). Documents shorter than `n` tokens score 0.
+    *
+    * Computed by the native codegen'd
+    * [[graft.functions.RepeatedNgramRatio]] kernel — one linear pass
+    * over the row-local token array (the declarative
+    * `size(ngrams) − size(array_distinct(ngrams))` form materializes
+    * the n-gram array twice per ratio and benched ~19× slower:
+    * 14.0 s → 0.73 s at sf0.1 for the two-ratio query). */
+  def repeatedNgramRatio(text: Column, n: Int): Column =
+    graft.functions.RepeatedNgramRatio(tokens(text), n)
 
   private val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it"),

@@ -19,7 +19,8 @@ object PlanAudit {
     val interesting = Seq(
       "f1_filter_expr", "f2_mask_semijoin", "j2_key_broadcast_join",
       "tpch_join_revenue", "a7_hist1d", "t6_binned_percentile_cut",
-      "t7_rate_cut", "llm_minhash_neardup", "llm_sim_topk", "w4_rechunk")
+      "t7_rate_cut", "llm_minhash_neardup", "llm_sim_topk", "w4_rechunk",
+      "llm_simhash_neardup")
 
     // allowed nested-loop joins: tiny driver-generated pair sets
     val nestedLoopAllowed = Set("llm_ngram_jaccard")

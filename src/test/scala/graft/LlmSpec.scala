@@ -241,6 +241,14 @@ class LlmSpec extends SparkSpec {
       "SELECT cosine_sim(array(1.0D, 0.0D), array(0.6D, 0.8D)) AS c")
       .head.getDouble(0)
     assert(math.abs(cs - 0.6) < 1e-12)
+    val sh = spark.sql(
+      """SELECT simhash64(split(text, ' ')) AS s FROM docs_sql
+        |WHERE doc_id IN (0, 3) ORDER BY doc_id""".stripMargin)
+      .as[Long].collect()
+    assert(sh(0) == sh(1)) // identical docs → identical simhash
+    val fv = spark.sql("SELECT fnv64('abc') AS h").head.getLong(0)
+    assert(fv == graft.functions.MinHashSig.fnv64(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abc")))
   }
 
   test("nearest_centroid: assignment, tie-break to lower index, integral input") {
