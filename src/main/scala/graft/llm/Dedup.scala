@@ -426,10 +426,18 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val reps = exactDedup(df, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = simhashCandidates(simhash(reps, textCol, idCol),
-        idCol, maxHamming)
+    // both sides of the banded candidate self-join read the signature
+    // table: persist it so the corpus is scanned/hashed once, not twice
+    // (tiny table — (id, long) per doc)
+    val sh = simhash(reps, textCol, idCol).persist()
+    sh.count()
+    val pairs = simhashCandidates(sh, idCol, maxHamming)
       .select("ida", "idb")
-    nearDupSurvivors(reps, idCol, pairs)
+    // survivors materializes the drop list (components collect /
+    // persisted drop) before returning — signatures can go after
+    val out = nearDupSurvivors(reps, idCol, pairs)
+    sh.unpersist()
+    out
   }
 
   // --------------------------------------------- embedding near-duplicate

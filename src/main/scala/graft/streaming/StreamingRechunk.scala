@@ -7,8 +7,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Streaming forms of the trace pipeline (SURVEY W4 streaming variant +
   * a watermarked rate monitor).
   *
-  * The batch re-chunker ([[graft.traces.TraceStore.rechunk]]) uses a
-  * global cumsum; unbounded input needs bounded state instead: per
+  * The batch re-chunker ([[graft.traces.TraceStore.rechunk]], the
+  * RechunkExec sorted-run chop) assumes a bounded input; unbounded
+  * input needs bounded state instead: per
   * channel we keep only the carry-over samples (< chunkLen doubles) in
   * `flatMapGroupsWithState`, emitting every completed chunk as it fills
   * — the exact streaming analogue of the reference's sequential
