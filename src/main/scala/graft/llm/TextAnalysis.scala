@@ -110,9 +110,12 @@ object TextAnalysis {
 
   /** Winnowing-style k-gram fingerprint set: min token-hash per sliding
     * window of `w` token hashes — the standard near-dup sketch for code /
-    * text plagiarism detection. Declarative (no UDF). */
+    * text plagiarism detection. Declarative (no UDF); the token hash is
+    * the native FNV-1a kernel ([[graft.functions.Fnv64]]) rather than
+    * `xxhash64` so an ANSI-SQL oracle can reproduce the sketch exactly
+    * (same recursive-CTE mirror the MinHash pipeline uses). */
   def winnowed(text: Column, w: Int): Column = {
-    val hs = transform(tokens(text), t => xxhash64(t))
+    val hs = transform(tokens(text), t => graft.functions.Fnv64(t))
     val nwin = size(hs) - (w - 1)
     when(nwin > 0,
       array_distinct(transform(sequence(lit(0), nwin - 1),

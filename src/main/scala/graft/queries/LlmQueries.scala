@@ -51,6 +51,15 @@ object LlmQueries {
           TextAnalysis.repeatedNgramRatio(col("text"), 3).as("rep_3gram"))
         .orderBy("doc_id")),
 
+    // winnowing k-gram sketch (window w=4 over FNV-1a token hashes),
+    // exploded to (doc_id, fingerprint) rows — the plagiarism-style
+    // near-dup sketch, oracle-mirrored token hash + window-min in SQL
+    "llm_winnow" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextAnalysis.winnowed(col("text"), 4)).as("fp"))
+        .orderBy("doc_id", "fp")),
+
     // language/source distribution (A1 over documents)
     "llm_lang_dist" -> ((s, dir) =>
       t(s, dir, "documents").groupBy("lang")
@@ -135,7 +144,11 @@ object LlmQueries {
     // guarantees recall for (pigeonhole: ≤3 differing bits leave ≥1
     // chunk untouched).
     "llm_simhash_neardup" -> ((s, dir) => {
+      // persist the (id, simhash) table: both sides of the banded
+      // candidate self-join read it — one corpus scan, not two
       val sh = Dedup.simhash(t(s, dir, "documents"), "text", "doc_id")
+        .persist()
+      sh.count()
       Dedup.simhashCandidates(sh, "doc_id", maxHamming = 3)
         .orderBy("ida", "idb")
     }),
@@ -253,6 +266,38 @@ object LlmQueries {
         | coalesce(CAST(d3.total - d3.dis AS DOUBLE) / d3.total, CAST(0 AS DOUBLE)) AS rep_3gram
         |FROM tok0 t LEFT JOIN d2 ON d2.doc_id = t.doc_id LEFT JOIN d3 ON d3.doc_id = t.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    // winnowing mirror: FNV-1a per DISTINCT token (recursive hex CTE,
+    // HUGEINT mod-2^64 → signed BIGINT like Spark's long), then min over
+    // each 4-token sliding window, distinct per doc; docs shorter than
+    // the window collapse to their single global min (the Spark
+    // `.otherwise(array(array_min))` branch)
+    "llm_winnow" ->
+      """WITH RECURSIVE
+        |tok0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l FROM documents),
+        |tokx AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i FROM tok0),
+        |strs AS (SELECT DISTINCT w AS s FROM tokx),
+        |hx AS (SELECT s, hex(encode(s)) AS hs, octet_length(encode(s)) AS nb FROM strs),
+        |fnv AS (
+        |  SELECT s, hs, nb, 0 AS i, CAST(14695981039346656037 AS HUGEINT) AS h FROM hx
+        |  UNION ALL
+        |  SELECT s, hs, nb, i + 1,
+        |    (xor(h, CAST((strpos('0123456789ABCDEF', substring(hs, 2*i+1, 1))-1)*16 + strpos('0123456789ABCDEF', substring(hs, 2*i+2, 1))-1 AS HUGEINT)) * 1099511628211) % 18446744073709551616
+        |  FROM fnv WHERE i < nb),
+        |hsig AS (SELECT s, CAST(h - CASE WHEN h >= 9223372036854775808 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS hv
+        |         FROM fnv WHERE i = nb),
+        |th AS (SELECT t.doc_id, t.i, g.hv FROM tokx t JOIN hsig g ON g.s = t.w),
+        |nn AS (SELECT doc_id, CAST(max(i) AS INT) AS n FROM th GROUP BY doc_id),
+        |wins AS (
+        |  SELECT a.doc_id, a.i, min(b.hv) AS fp
+        |  FROM th a JOIN nn ON nn.doc_id = a.doc_id
+        |  JOIN th b ON b.doc_id = a.doc_id AND b.i >= a.i AND b.i <= a.i + 3
+        |  WHERE a.i <= nn.n - 3
+        |  GROUP BY a.doc_id, a.i),
+        |big AS (SELECT DISTINCT doc_id, fp FROM wins),
+        |small AS (SELECT t.doc_id, min(t.hv) AS fp FROM th t JOIN nn ON nn.doc_id = t.doc_id
+        |          WHERE nn.n < 4 GROUP BY t.doc_id)
+        |SELECT doc_id, fp FROM (SELECT * FROM big UNION ALL SELECT * FROM small)
+        |ORDER BY doc_id, fp""".stripMargin,
     "llm_langid_pred" ->
       """WITH c AS (SELECT doc_id,
         | len(list_intersect(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), ['der','die','das','und','ist','ein','zu','den'])) AS c_de,
