@@ -67,6 +67,11 @@ object GraftFunctions {
     Fnv64(exprs.head)
   }
 
+  private def winnowBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "winnowed_sketch(tokens, w)")
+    WinnowedSketch(exprs.head, intLit(exprs(1), "w"))
+  }
+
   private[functions] def minhashBuilderPublic(exprs: Seq[Expression])
       : Expression = minhashBuilder(exprs)
   private[functions] def hist2dBuilderPublic(exprs: Seq[Expression])
@@ -79,6 +84,8 @@ object GraftFunctions {
       : Expression = simhashBuilder(exprs)
   private[functions] def fnvBuilderPublic(exprs: Seq[Expression])
       : Expression = fnvBuilder(exprs)
+  private[functions] def winnowBuilderPublic(exprs: Seq[Expression])
+      : Expression = winnowBuilder(exprs)
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -88,6 +95,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("cosine_sim", cosineBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("simhash64", simhashBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("fnv64", fnvBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("winnowed_sketch", winnowBuilder, "scala_udf")
   }
 }
 
@@ -118,5 +126,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("fnv64"),
       new ExpressionInfo(classOf[Fnv64].getName, "fnv64"),
       GraftFunctions.fnvBuilderPublic _))
+    ext.injectFunction((
+      FunctionIdentifier("winnowed_sketch"),
+      new ExpressionInfo(classOf[WinnowedSketch].getName, "winnowed_sketch"),
+      GraftFunctions.winnowBuilderPublic _))
   }
 }

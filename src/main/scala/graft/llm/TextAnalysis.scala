@@ -110,11 +110,21 @@ object TextAnalysis {
 
   /** Winnowing-style k-gram fingerprint set: min token-hash per sliding
     * window of `w` token hashes — the standard near-dup sketch for code /
-    * text plagiarism detection. Declarative (no UDF); the token hash is
-    * the native FNV-1a kernel ([[graft.functions.Fnv64]]) rather than
-    * `xxhash64` so an ANSI-SQL oracle can reproduce the sketch exactly
-    * (same recursive-CTE mirror the MinHash pipeline uses). */
-  def winnowed(text: Column, w: Int): Column = {
+    * text plagiarism detection. The token hash is FNV-1a 64 (not
+    * `xxhash64`) so an ANSI-SQL oracle can reproduce the sketch exactly
+    * (same recursive-CTE mirror the MinHash pipeline uses).
+    *
+    * Computed by the native codegen'd
+    * [[graft.functions.WinnowedSketch]] kernel — one linear pass with a
+    * monotonic-deque window min (the declarative slice-per-window form
+    * below was the slowest query in the suite: 6.7 s at sf0.1). */
+  def winnowed(text: Column, w: Int): Column =
+    graft.functions.WinnowedSketch(tokens(text), w)
+
+  /** [[winnowed]], declarative formulation — the independent test
+    * mirror of the native kernel (same role as
+    * `TraceStore.rechunkDeclarative`); not the scale path. */
+  def winnowedDeclarative(text: Column, w: Int): Column = {
     val hs = transform(tokens(text), t => graft.functions.Fnv64(t))
     val nwin = size(hs) - (w - 1)
     when(nwin > 0,

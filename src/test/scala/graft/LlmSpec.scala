@@ -187,6 +187,29 @@ class LlmSpec extends SparkSpec {
     assert(w.nonEmpty)
   }
 
+  test("winnowed: native kernel matches the declarative mirror") {
+    // short (< w), exactly-w, repetition-heavy, and long mixed docs
+    val texts = Seq(
+      "one",
+      "a b c",
+      "a b c d",
+      "x x x x x x x x",
+      "the quick brown fox jumps over the lazy dog the quick brown fox",
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for (w <- Seq(2, 4, 7)) {
+      val both = texts.select(col("doc_id"),
+        TextAnalysis.winnowed(col("text"), w).as("nat"),
+        TextAnalysis.winnowedDeclarative(col("text"), w).as("dec"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"w=$w doc=${r.getLong(0)}: ${r.getSeq[Long](1)} vs ${r.getSeq[Long](2)}")
+      }
+    }
+  }
+
   test("annJoin links query table to corpus through shared buckets") {
     val corpus = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
