@@ -50,19 +50,9 @@ object Dedup {
       idCol: String,
       k: Int = 64,
       shingleN: Int = 3): DataFrame = {
-    // CPU-bound map stage: if the input is coarser-partitioned than the
-    // cluster (single row-group file), fan out first. At real scale the
-    // scan already yields ≥cores splits and this is a no-op. The probe
-    // uses optimizer plan statistics (size estimate vs the per-split
-    // target), NOT df.rdd — an RDD probe materializes the lineage at
-    // plan-build time, a surprise job under AQE (VERDICT r03 #4).
-    val spark = df.sparkSession
-    val cores = spark.sparkContext.defaultParallelism
-    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-      spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
-    val sizeEst = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val src =
-      if (sizeEst < BigInt(maxSplit) * cores) df.repartition(cores) else df
+    // CPU-bound map stage: fan out a coarser-than-cluster input first
+    // (single row-group file); no-op at real scale — see core.FanOut
+    val src = graft.core.FanOut.cpuBound(df)
     src.select(col(idCol),
       graft.functions.MinHashSig(shingles(col(textCol), shingleN), k)
         .as("sig"))

@@ -69,7 +69,8 @@ object Multimodal {
   final class ImageIoDecoder(val bins: Int = 8) extends Decoder {
     require(256 % bins == 0, "bins must divide 256")
     val dim: Int = 2 + bins
-    def decodeBatch(batch: Seq[Array[Byte]]): Seq[Array[Float]] =
+    def decodeBatch(batch: Seq[Array[Byte]]): Seq[Array[Float]] = {
+      Multimodal.disableImageIoDiskCache()
       batch.map { bytes =>
         val f = Array.ofDim[Float](dim)
         if (bytes != null) {
@@ -97,7 +98,20 @@ object Multimodal {
         }
         f
       }
+    }
   }
+
+  /** `ImageIO.read(InputStream)`/`write` default to a FILE-backed
+    * stream cache: every payload round-trips through a temp file on
+    * disk, with registry lock contention across executor threads. The
+    * payloads here are already in memory — switch the static registry
+    * to the in-memory cache once per JVM (idempotent, executor-side). */
+  @volatile private var imageIoCacheOff = false
+  def disableImageIoDiskCache(): Unit =
+    if (!imageIoCacheOff) {
+      javax.imageio.ImageIO.setUseCache(false)
+      imageIoCacheOff = true
+    }
 
   /** Deterministic synthetic grayscale PNG: pixel (x,y) has luminance
     * `(id·31 + x·7 + y·13) mod 256`. PNG is lossless and `TYPE_BYTE_GRAY`
@@ -105,6 +119,7 @@ object Multimodal {
     * pure closed-form function of (id, w, h) — the oracle for the decode
     * path mirrors that formula in SQL. */
   def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    disableImageIoDiskCache()
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
@@ -126,7 +141,11 @@ object Multimodal {
   /** Batched feature extraction over partitions: groups rows into
     * `batchSize` chunks per partition (the vectorized-UDF batch shape),
     * calls the decoder once per chunk, and emits `(id, features)`.
-    * No shuffle; preserves input partitioning. */
+    * Codec decode is CPU-bound, so a coarser-than-cluster input (the
+    * single-small-file scan) is fanned out first
+    * ([[graft.core.FanOut]]); otherwise partition-preserving, no
+    * shuffle — payload bytes never leave the executor that scanned
+    * them. */
   def extractFeatures(
       df: DataFrame,
       binCol: String,
@@ -136,7 +155,9 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     val pair: Dataset[(Long, Array[Byte])] =
-      df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
+      graft.core.FanOut.cpuBound(
+        df.select(col(idCol).cast("long"), col(binCol)))
+        .as[(Long, Array[Byte])]
     pair.mapPartitions { it =>
       it.grouped(batchSize).flatMap { chunk =>
         val feats = decoder.decodeBatch(chunk.map(_._2))

@@ -223,7 +223,11 @@ object LlmQueries {
       val gen = udf { id: Long =>
         Multimodal.syntheticPng(id, (4 + id % 4).toInt, (3 + id % 3).toInt)
       }
+      // fan the bare id column out BEFORE the generation UDF: PNG
+      // encode is as CPU-bound as the decode under test, and the
+      // single-file sf scan would otherwise run it on one thread
       val withPng = t(s, dir, "documents").select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("png", gen(col("doc_id")))
       Multimodal.extractFeatures(withPng, "png", "doc_id",
           new Multimodal.ImageIoDecoder(8), batchSize = 64)
