@@ -48,6 +48,23 @@ object MinhashProfile {
       Dedup.simhashCandidates(
         Dedup.simhash(d, "text", "doc_id"), "doc_id", 3)
         .orderBy("ida", "idb").count())
+
+    // ---- signature-stage anatomy: scan / tokens / shingles / minhash
+    val fanned = graft.core.FanOut.cpuBound(d).persist()
+    time("  [anat] fanned text materialize")(fanned.count())
+    time("  [anat] tokens only")(
+      fanned.select(sum(size(graft.llm.TextAnalysis.tokens(col("text")))))
+        .head())
+    time("  [anat] ngrams (no distinct)")(
+      fanned.select(sum(size(graft.llm.TextAnalysis.ngrams(col("text"), 3))))
+        .head())
+    time("  [anat] shingles (distinct)")(
+      fanned.select(sum(size(Dedup.shingles(col("text"), 3)))).head())
+    time("  [anat] minhash over shingles")(
+      fanned.select(graft.functions.MinHashSig(
+        Dedup.shingles(col("text"), 3), 64).as("sig"))
+        .select(max(element_at(col("sig"), 1))).head())
+    fanned.unpersist()
     spark.stop()
   }
 }
