@@ -10,10 +10,13 @@ import org.apache.spark.sql.types._
   *
   * Decoders are pluggable behind [[Decoder]]. [[ImageIoDecoder]] is a
   * REAL image decoder (javax.imageio ships with the JDK): width/height
-  * + luminance histogram. [[FakeDecoder]] remains the deterministic
-  * stand-in for modalities whose codecs this container does not ship
-  * (audio/video) — the Spark-side plumbing (schema, batching,
-  * partitioning, batch shape) is identical and real for both.
+  * + luminance histogram. [[WavDecoder]] is a REAL audio decoder
+  * (javax.sound.sampled, also JDK-shipped): sample rate / frame count
+  * + 16-bit amplitude histogram over WAV/PCM payloads.
+  * [[FakeDecoder]] remains the deterministic stand-in for modalities
+  * whose codecs this container does not ship (video) — the Spark-side
+  * plumbing (schema, batching, partitioning, batch shape) is identical
+  * and real for all three.
   */
 object Multimodal {
 
@@ -135,6 +138,84 @@ object Multimodal {
     }
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** REAL audio decoder over `javax.sound.sampled` (ships with the JDK
+    * — no external codec needed): WAV/PCM bytes →
+    * `[sample_rate, n_frames, hist_0..hist_{b-1}]` where the histogram
+    * counts channel-0 16-bit signed samples in `65536/bins`-wide bins.
+    * Counts are exact integers carried as floats → deterministic and
+    * oracle-mirrorable. Undecodable payloads yield all-zero features
+    * (the same poison-pill behavior as [[ImageIoDecoder]]). */
+  final class WavDecoder(val bins: Int = 8) extends Decoder {
+    require(65536 % bins == 0, "bins must divide 65536")
+    val dim: Int = 2 + bins
+    def decodeBatch(batch: Seq[Array[Byte]]): Seq[Array[Float]] =
+      batch.map { bytes =>
+        val f = Array.ofDim[Float](dim)
+        if (bytes != null) {
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try {
+              val fmt = ais.getFormat
+              // histogram only 16-bit signed PCM (the WAV baseline);
+              // other encodings still report rate + frame count
+              val pcm16 =
+                fmt.getEncoding ==
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                  fmt.getSampleSizeInBits == 16
+              f(0) = fmt.getSampleRate
+              val frameSize = fmt.getFrameSize
+              val all = ais.readAllBytes()
+              val n = all.length / frameSize
+              f(1) = n.toFloat
+              if (pcm16) {
+                val div = 65536 / bins
+                val big = fmt.isBigEndian
+                var i = 0
+                while (i < n) {
+                  val off = i * frameSize // channel 0 leads the frame
+                  val b0 = all(off) & 0xFF
+                  val b1 = all(off + 1) & 0xFF
+                  val v: Int =
+                    if (big) ((b0 << 8) | b1).toShort.toInt
+                    else ((b1 << 8) | b0).toShort.toInt
+                  f(2 + (v + 32768) / div) += 1.0f
+                  i += 1
+                }
+              }
+            } finally ais.close()
+          } catch {
+            case _: java.io.IOException => ()
+            case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+          }
+        }
+        f
+      }
+  }
+
+  /** Deterministic synthetic WAV (PCM16 mono, little-endian): sample i
+    * has value `((id·31 + i·7) mod 65536) − 32768`. WAV/PCM is lossless,
+    * so decoded features are a pure closed-form function of (id, n) —
+    * the oracle for the audio decode path mirrors that formula in SQL. */
+  def syntheticWav(id: Long, n: Int, sampleRate: Float = 8000f): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate, 16, 1, true, false)
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = ((((id * 31 + i * 7) % 65536) + 65536) % 65536 - 32768).toInt
+      data(2 * i) = (v & 0xFF).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
     out.toByteArray
   }
 

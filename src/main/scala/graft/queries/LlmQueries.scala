@@ -237,6 +237,26 @@ object LlmQueries {
           (0 until 8).map(b => element_at(col("features"), 3 + b)
             .cast("long").as(s"hb$b")): _*)
         .orderBy("doc_id")
+    }),
+
+    // REAL audio decode (javax.sound.sampled WAV/PCM): deterministic
+    // synthetic PCM16 → decode → sample-rate / frame-count / amplitude
+    // histogram; the oracle mirrors the closed-form sample formula
+    "mm_audio_decode" -> ((s, dir) => {
+      val gen = udf { id: Long =>
+        Multimodal.syntheticWav(id, (50 + id % 50).toInt)
+      }
+      val withWav = t(s, dir, "documents").select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("wav", gen(col("doc_id")))
+      Multimodal.extractFeatures(withWav, "wav", "doc_id",
+          new Multimodal.WavDecoder(8), batchSize = 64)
+        .select(col("doc_id") +:
+          element_at(col("features"), 1).cast("long").as("sample_rate") +:
+          element_at(col("features"), 2).cast("long").as("n_frames") +:
+          (0 until 8).map(b => element_at(col("features"), 3 + b)
+            .cast("long").as(s"hb$b")): _*)
+        .orderBy("doc_id")
     })
   )
 
@@ -560,6 +580,19 @@ object LlmQueries {
         |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
         | $hbs
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
+    },
+    // audio decode mirror: sample i of doc id is
+    // ((id*31 + i*7) mod 65536) − 32768, binned into 8192-wide bins
+    "mm_audio_decode" -> {
+      val hbs = (0 until 8).map(b =>
+        s"CAST(sum(CASE WHEN b = $b THEN 1 ELSE 0 END) AS BIGINT) AS hb$b")
+        .mkString(",\n | ")
+      s"""WITH d AS (SELECT doc_id, 50 + doc_id % 50 AS n FROM documents),
+        |sm AS (SELECT d.doc_id, d.n, ((d.doc_id*31 + g.i*7) % 65536) // 8192 AS b
+        |  FROM d, generate_series(0, 98) AS g(i) WHERE g.i < d.n)
+        |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate, CAST(n AS BIGINT) AS n_frames,
+        | $hbs
+        |FROM sm GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
     }
   )
 }

@@ -353,6 +353,23 @@ class LlmSpec extends SparkSpec {
     assert(bad.forall(_.forall(_ == 0.0f)))
   }
 
+  test("wav decoder: synthetic PCM16 round-trips to exact sample stats") {
+    val wav = Multimodal.syntheticWav(5L, 60)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF") // WAV magic
+    val dec = new Multimodal.WavDecoder(8)
+    val f = dec.decodeBatch(Seq(wav)).head
+    assert(f(0) == 8000.0f && f(1) == 60.0f)
+    // histogram matches the closed-form sample formula
+    val expect = Array.ofDim[Int](8)
+    for (i <- 0 until 60)
+      expect((((5 * 31 + i * 7) % 65536) / 8192).toInt) += 1
+    assert(f.drop(2).map(_.toInt).toSeq == expect.toSeq)
+    assert(expect.sum == 60)
+    // garbage bytes → all-zero features, no exception
+    val bad = dec.decodeBatch(Seq(Array[Byte](9, 9, 9), null))
+    assert(bad.forall(_.forall(_ == 0.0f)))
+  }
+
   test("multimodal: batched feature extraction is deterministic, frames sample") {
     val bin = docs.withColumn("payload", col("text").cast("binary"))
     val f1 = Multimodal.extractFeatures(bin, "payload", "doc_id",
