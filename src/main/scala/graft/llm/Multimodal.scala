@@ -66,40 +66,52 @@ object Multimodal {
     * where the histogram counts 8-bit luminance samples in `256/bins`-
     * wide bins (raster band 0 — exact for grayscale PNG; for RGB inputs
     * band 0 is the red channel, bind a weighting decoder if needed).
-    * Counts are exact integers carried as floats → deterministic and
-    * oracle-mirrorable. Undecodable payloads yield all-zero features
-    * (the streaming-friendly poison-pill behavior). */
+    * Deeper-than-8-bit rasters (16-bit PNG etc.) are right-shifted to 8
+    * bits first, so every decodable image bins in range. Counts are
+    * exact integers carried as floats → deterministic and
+    * oracle-mirrorable. Undecodable or decode-failing payloads yield
+    * all-zero features — never a partial vector, never an escaped
+    * exception (ImageIO plugins throw RuntimeExceptions on malformed
+    * payloads; one poisoned row must not fail the task — ADVICE r04). */
   final class ImageIoDecoder(val bins: Int = 8) extends Decoder {
     require(256 % bins == 0, "bins must divide 256")
     val dim: Int = 2 + bins
     def decodeBatch(batch: Seq[Array[Byte]]): Seq[Array[Float]] = {
       Multimodal.disableImageIoDiskCache()
+      val zero = Array.ofDim[Float](dim)
       batch.map { bytes =>
-        val f = Array.ofDim[Float](dim)
-        if (bytes != null) {
-          try {
-            val img = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(bytes))
-            if (img != null) {
-              val w = img.getWidth
-              val h = img.getHeight
-              f(0) = w.toFloat
-              f(1) = h.toFloat
-              val raster = img.getRaster
-              val div = 256 / bins
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  f(2 + raster.getSample(x, y, 0) / div) += 1.0f
-                  x += 1
-                }
-                y += 1
+        if (bytes == null) zero.clone()
+        else try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          if (img == null) zero.clone()
+          else {
+            val f = Array.ofDim[Float](dim)
+            val w = img.getWidth
+            val h = img.getHeight
+            f(0) = w.toFloat
+            f(1) = h.toFloat
+            val raster = img.getRaster
+            // samples wider than 8 bits (e.g. 16-bit gray PNG) shift
+            // down to the 8-bit bin domain; band 0 always exists
+            val shift =
+              math.max(raster.getSampleModel.getSampleSize(0) - 8, 0)
+            val div = 256 / bins
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val b = (raster.getSample(x, y, 0) >>> shift) / div
+                f(2 + math.min(math.max(b, 0), bins - 1)) += 1.0f
+                x += 1
               }
+              y += 1
             }
-          } catch { case _: java.io.IOException => () }
+            f
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) => zero.clone()
         }
-        f
       }
     }
   }
@@ -146,32 +158,40 @@ object Multimodal {
     * `[sample_rate, n_frames, hist_0..hist_{b-1}]` where the histogram
     * counts channel-0 16-bit signed samples in `65536/bins`-wide bins.
     * Counts are exact integers carried as floats → deterministic and
-    * oracle-mirrorable. Undecodable payloads yield all-zero features
-    * (the same poison-pill behavior as [[ImageIoDecoder]]). */
+    * oracle-mirrorable. Undecodable or decode-failing payloads —
+    * including streams reporting `NOT_SPECIFIED` (≤0) frame size —
+    * yield all-zero features, never a partial vector or an escaped
+    * exception (same poison-pill contract as [[ImageIoDecoder]];
+    * ADVICE r04). */
   final class WavDecoder(val bins: Int = 8) extends Decoder {
     require(65536 % bins == 0, "bins must divide 65536")
     val dim: Int = 2 + bins
-    def decodeBatch(batch: Seq[Array[Byte]]): Seq[Array[Float]] =
+    def decodeBatch(batch: Seq[Array[Byte]]): Seq[Array[Float]] = {
+      val zero = Array.ofDim[Float](dim)
       batch.map { bytes =>
-        val f = Array.ofDim[Float](dim)
-        if (bytes != null) {
+        if (bytes == null) zero.clone()
+        else try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
           try {
-            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(bytes))
-            try {
-              val fmt = ais.getFormat
+            val fmt = ais.getFormat
+            val frameSize = fmt.getFrameSize
+            // AudioSystem.NOT_SPECIFIED is -1: no frame geometry → the
+            // payload is undecodable for feature purposes
+            if (frameSize <= 0) zero.clone()
+            else {
               // histogram only 16-bit signed PCM (the WAV baseline);
               // other encodings still report rate + frame count
               val pcm16 =
                 fmt.getEncoding ==
                   javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
                   fmt.getSampleSizeInBits == 16
-              f(0) = fmt.getSampleRate
-              val frameSize = fmt.getFrameSize
               val all = ais.readAllBytes()
               val n = all.length / frameSize
+              val f = Array.ofDim[Float](dim)
+              f(0) = fmt.getSampleRate
               f(1) = n.toFloat
-              if (pcm16) {
+              if (pcm16 && frameSize >= 2) {
                 val div = 65536 / bins
                 val big = fmt.isBigEndian
                 var i = 0
@@ -186,14 +206,14 @@ object Multimodal {
                   i += 1
                 }
               }
-            } finally ais.close()
-          } catch {
-            case _: java.io.IOException => ()
-            case _: javax.sound.sampled.UnsupportedAudioFileException => ()
-          }
+              f
+            }
+          } finally ais.close()
+        } catch {
+          case scala.util.control.NonFatal(_) => zero.clone()
         }
-        f
       }
+    }
   }
 
   /** Deterministic synthetic WAV (PCM16 mono, little-endian): sample i

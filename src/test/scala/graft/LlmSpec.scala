@@ -353,6 +353,33 @@ class LlmSpec extends SparkSpec {
     assert(bad.forall(_.forall(_ == 0.0f)))
   }
 
+  test("imageio decoder: >8-bit rasters bin in range; mid-decode failures poison-pill") {
+    // 16-bit grayscale PNG: samples span the full 0..65535 range — the
+    // pre-ADVICE-r04 indexing (sample/32) would overflow the bin array
+    val img = new java.awt.image.BufferedImage(
+      6, 4, java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    val raster = img.getRaster
+    for (y <- 0 until 4; x <- 0 until 6)
+      raster.setSample(x, y, 0, (x * 11000 + y * 3000) % 65536)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val dec = new Multimodal.ImageIoDecoder(8)
+    val f = dec.decodeBatch(Seq(out.toByteArray)).head
+    assert(f(0) == 6.0f && f(1) == 4.0f)
+    assert(f.drop(2).map(_.toInt).sum == 24) // every sample binned, none dropped
+    // expected bins: 16-bit sample >> 8 → 8-bit domain, then /32
+    val expect = Array.ofDim[Int](8)
+    for (y <- 0 until 4; x <- 0 until 6)
+      expect((((x * 11000 + y * 3000) % 65536) >> 8) / 32) += 1
+    assert(f.drop(2).map(_.toInt).toSeq == expect.toSeq)
+    // a payload with a valid PNG signature but truncated body makes the
+    // PNG plugin throw mid-read → documented all-zero, not a partial
+    // vector or escaped exception
+    val truncated = Multimodal.syntheticPng(1L, 5, 5).take(30)
+    val bad = dec.decodeBatch(Seq(truncated))
+    assert(bad.head.forall(_ == 0.0f))
+  }
+
   test("wav decoder: synthetic PCM16 round-trips to exact sample stats") {
     val wav = Multimodal.syntheticWav(5L, 60)
     assert(new String(wav.take(4), "US-ASCII") == "RIFF") // WAV magic
@@ -368,6 +395,10 @@ class LlmSpec extends SparkSpec {
     // garbage bytes → all-zero features, no exception
     val bad = dec.decodeBatch(Seq(Array[Byte](9, 9, 9), null))
     assert(bad.forall(_.forall(_ == 0.0f)))
+    // truncated RIFF header (valid magic, malformed structure) → the
+    // poison-pill zero vector, never a partial [rate, frames, ...]
+    val cut = dec.decodeBatch(Seq(wav.take(16)))
+    assert(cut.head.forall(_ == 0.0f))
   }
 
   test("multimodal: batched feature extraction is deterministic, frames sample") {
