@@ -46,7 +46,14 @@ object Skew {
 
   /** Equi-join `big ⋈ small` on `key`, spreading each `big`-side key
     * over `salts` tasks. `small` is replicated `salts`× (explode of a
-    * literal range — cheap for dimension-sized tables). */
+    * literal range — cheap for dimension-sized tables).
+    *
+    * LIMITATION (ADVICE r04): the salt is content-derived, so EXACT
+    * duplicate big-side rows all land on one salt — a hot key made of
+    * identical rows is not spread at all. For that shape, pre-collapse
+    * duplicates to (row, count) weighted form first (then join the
+    * collapsed table and re-expand/weight downstream); spreading here
+    * relies on value diversity within the hot key. */
   def saltedJoin(
       big: DataFrame,
       small: DataFrame,
@@ -69,7 +76,13 @@ object Skew {
     * final on keys. `partials` maps output column name → (partial
     * aggregate over the input column, final combiner over the partial
     * column). E.g. a skew-proof count-distinct-approx or sum:
-    * `Map("total" -> (sum(col("x")), ps => sum(ps)))`. */
+    * `Map("total" -> (sum(col("x")), ps => sum(ps)))`.
+    *
+    * Same duplicate-row caveat as [[saltedJoin]] (ADVICE r04): identical
+    * rows share one content-derived salt, so a hot key made of exact
+    * copies still funnels through one partial reducer — pre-collapse to
+    * count-weighted rows where the aggregate admits it (sum/count do,
+    * exactly). */
   def saltedAgg(
       df: DataFrame,
       keys: Seq[String],

@@ -43,12 +43,17 @@ object LlmQueries {
 
     // repetition quality filter (Gopher/C4-style): fraction of 2-gram /
     // 3-gram occurrences that duplicate an earlier one (exact integer
-    // counts divided as doubles)
+    // counts divided as doubles). coalesce(text,'') because the kernel
+    // is null-intolerant (NULL in → NULL out) while the oracle's LEFT
+    // JOIN coalesces null-text docs to ratio 0 — '' tokenizes to a
+    // single trivially-distinct n-gram → 0 on both sides (ADVICE r04)
     "llm_text_repetition" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
-          TextAnalysis.repeatedNgramRatio(col("text"), 2).as("rep_2gram"),
-          TextAnalysis.repeatedNgramRatio(col("text"), 3).as("rep_3gram"))
+          TextAnalysis.repeatedNgramRatio(coalesce(col("text"), lit("")), 2)
+            .as("rep_2gram"),
+          TextAnalysis.repeatedNgramRatio(coalesce(col("text"), lit("")), 3)
+            .as("rep_3gram"))
         .orderBy("doc_id")),
 
     // winnowing k-gram sketch (window w=4 over FNV-1a token hashes),
@@ -110,7 +115,12 @@ object LlmQueries {
     "llm_minhash_neardup" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       // signatures are consumed twice (banding + estimation): persist —
-      // at cluster scale this is a checkpoint of the signature table
+      // at cluster scale this is a checkpoint of the signature table.
+      // RUNNER CONTRACT: queries that persist intermediates rely on the
+      // per-query `spark.catalog.clearCache()` both runners (Bench,
+      // Verify) execute after materialization — the returned plan is
+      // lazy, so the query itself cannot unpersist without un-caching
+      // the branches it is about to share (ADVICE r04).
       val sigs = Dedup.minhashSignatures(d, "text", "doc_id", k = 64)
         .persist()
       sigs.count() // materialize once; three downstream branches reuse
@@ -145,7 +155,9 @@ object LlmQueries {
     // chunk untouched).
     "llm_simhash_neardup" -> ((s, dir) => {
       // persist the (id, simhash) table: both sides of the banded
-      // candidate self-join read it — one corpus scan, not two
+      // candidate self-join read it — one corpus scan, not two.
+      // Released by the runners' per-query clearCache (see the
+      // llm_minhash_neardup RUNNER CONTRACT note).
       val sh = Dedup.simhash(t(s, dir, "documents"), "text", "doc_id")
         .persist()
       sh.count()
