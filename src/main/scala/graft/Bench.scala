@@ -17,9 +17,20 @@ import org.apache.spark.sql.SparkSession
   *     spike perturbs one round, not one query;
   *   - per-query MEDIAN is the reported number; per-query relative
   *     spread = (max−min)/median is the noise gate — queries over 30%
-  *     are counted in `noisy` on the headline line and listed in the
-  *     detail file. A high `noisy` count means the run is not
+  *     AND over an absolute 0.15 s range are counted in `noisy` on the
+  *     headline line and listed in the detail file. (The absolute floor
+  *     is r04 feedback: without it, 42 sub-second queries tripped the
+  *     gate on tens of milliseconds of scheduler jitter — meaningless
+  *     for load detection.) A high `noisy` count means the run is not
   *     load-clean and should not be compared round-over-round.
+  *
+  * Mirror-only queries (correctness mirrors of an operator whose scale
+  * path is benched under its own name) are excluded from the measured
+  * suite: they are deliberately NOT the plan you would run at scale —
+  * w4_rechunk_decl is the explode+global-window formulation kept as
+  * rechunkExec's independent test mirror, and benching it just re-adds
+  * the single-partition WindowExec warnings the exec path was built to
+  * eliminate. Verify still runs them (they stay oracle-gated).
   * Full detail (all runs, medians, spreads) → target/bench_detail.json;
   * stdout carries only the headline subset (r02's full line overflowed
   * the driver's tail capture).
@@ -46,7 +57,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val mirrorOnly = Set("w4_rechunk_decl")
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => mirrorOnly(q._1))
 
     def onePass(measure: Boolean): Seq[(String, Double)] =
       names.map { case (name, fn) =>
@@ -72,7 +85,8 @@ object Bench {
       (name, ts, med, spread)
     }
     val total = byQuery.map(_._3).sum
-    val noisy = byQuery.filter(_._4 > 0.30)
+    val noisy = byQuery.filter { case (_, ts, med, spread) =>
+      spread > 0.30 && (ts.max - ts.min) > 0.15 }
 
     def jnum(v: Double): String = f"$v%.3f"
     def jmap(rs: Seq[(String, Double)]): String = rs
