@@ -32,11 +32,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ StatsQueries.queries ++ CutQueries.queries ++
-      JoinQueries.queries ++ LlmQueries.queries ++ TraceQueries.queries
+      JoinQueries.queries ++ LlmQueries.queries ++ TraceQueries.queries ++
+      StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ StatsQueries.oracle ++ CutQueries.oracle ++
-      JoinQueries.oracle ++ LlmQueries.oracle ++ TraceQueries.oracle
+      JoinQueries.oracle ++ LlmQueries.oracle ++ TraceQueries.oracle ++
+      StreamingQueries.oracle
 }

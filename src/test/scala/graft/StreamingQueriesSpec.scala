@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.StreamingQueries
+
+/** End-to-end Structured Streaming driver queries: the readStream →
+  * transform → memory-sink path must reproduce the batch semantics its
+  * oracle encodes (bounded AvailableNow replay = batch result). */
+class StreamingQueriesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("stream_dedup_exact matches batch min-id-per-hash dedup") {
+    val streamed = StreamingQueries.queries("stream_dedup_exact")(spark, sf)
+      .collect().map(_.getLong(0))
+    val batch = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy(md5(col("text"))).agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0))
+    assert(streamed.length == batch.length && batch.nonEmpty)
+    assert(streamed.sameElements(batch))
+    // memory-sink names are unique per invocation: a second run in the
+    // same session (the Bench shape) must not collide or double-count
+    val again = StreamingQueries.queries("stream_dedup_exact")(spark, sf)
+      .collect().map(_.getLong(0))
+    assert(again.sameElements(batch))
+  }
+
+  test("stream_window_counts matches batch tumbling-window counts") {
+    val streamed = StreamingQueries.queries("stream_window_counts")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val batch = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("us", expr("ts div 1000"))
+      .withColumn("win_start", col("us") - pmod(col("us"), lit(3600000000L)))
+      .groupBy("win_start", "event_type").agg(count(lit(1)).as("cnt"))
+      .orderBy("win_start", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(batch.nonEmpty && streamed.sameElements(batch))
+    // windows are epoch-aligned hours
+    assert(streamed.forall(_._1 % 3600000000L == 0))
+  }
+}
