@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.streaming.StreamingDedup
+import graft.streaming.{StreamingDedup, StreamingRechunk}
 import Q._
 
 /** End-to-end Structured Streaming driver queries — the streaming
@@ -86,6 +86,53 @@ object StreamingQueries {
         .select(unix_micros(col("window.start")).as("win_start"),
           col("event_type"), col("cnt"))
         .orderBy("win_start", "event_type")
+    }),
+
+    // streaming W4 re-chunk, end to end: the bounded-state
+    // flatMapGroupsWithState chop (carry-over < chunkLen samples per
+    // channel) over the same synthetic trace stream as w4_rechunk —
+    // same oracle, byte-identical chunks (single AvailableNow batch =
+    // the sorted bounded replay)
+    "stream_rechunk" -> ((s, dir) => {
+      import s.implicits._
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val segs = s.readStream.schema(schema)
+        .parquet(s"$dir/events.parque[t]")
+        .filter(col("event_id") < 50)
+        .select(col("event_id").as("eventIndex"),
+          lit("ch1").as("channel"),
+          transform(sequence(lit(0), (lit(2) + col("event_id") % 3).cast("int")),
+            i => ((col("event_id") * 7 + i * 5) % 19).cast("double"))
+            .as("trace"))
+        .as[StreamingRechunk.TraceSeg]
+      val chunks = StreamingRechunk.rechunkStream(segs, chunkLen = 7)
+      runToMemory(s, "stream_rechunk", name =>
+        chunks.toDF().writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()))
+        .select(col("chunkId").as("chunk_id"),
+          aggregate(col("trace"), lit(0.0), (acc, x) => acc + x)
+            .as("chunk_sum"))
+        .orderBy("chunk_id")
+    }),
+
+    // streaming T7 rate monitor, end to end: watermarked sliding-window
+    // (2 h window, 1 h slide) in-range counts over the events stream —
+    // complete mode emits every window of the bounded replay; each
+    // event lands in exactly 2 windows
+    "stream_rate_monitor" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val ev = s.readStream.schema(schema)
+        .parquet(s"$dir/events.parque[t]")
+        .select(timestamp_micros(tsUs).as("ts"), col("value"))
+      val rates = StreamingRechunk.rateMonitor(ev,
+        windowDur = "2 hours", slideDur = "1 hour", watermark = "1 hour",
+        lo = 100.0, hi = 300.0)
+      runToMemory(s, "stream_rates", name =>
+        rates.writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow()))
+        .select(unix_micros(col("window.start")).as("win_start"),
+          col("in_range_cnt"), col("total_cnt"))
+        .orderBy("win_start")
     })
   )
 
@@ -99,6 +146,20 @@ object StreamingQueries {
       """SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS win_start,
         | event_type, CAST(count(*) AS BIGINT) AS cnt
         |FROM events GROUP BY win_start, event_type
-        |ORDER BY win_start, event_type""".stripMargin
+        |ORDER BY win_start, event_type""".stripMargin,
+    // the streaming chop replays the exact batch-rechunk semantics on
+    // a bounded sorted stream — the batch operator's oracle IS the
+    // streaming oracle
+    "stream_rechunk" -> TraceQueries.oracle("w4_rechunk"),
+    // sliding 2h/1h windows: each event contributes to exactly two
+    // epoch-aligned windows (k = 0, 1 hours back)
+    "stream_rate_monitor" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, value FROM events),
+        |w AS (SELECT us - us % 3600000000 - k.k * 3600000000 AS win_start,
+        |  us, value FROM e, (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) AS k(k))
+        |SELECT win_start,
+        | CAST(sum(CASE WHEN value >= 100.0 AND value <= 300.0 THEN 1 ELSE 0 END) AS BIGINT) AS in_range_cnt,
+        | CAST(count(*) AS BIGINT) AS total_cnt
+        |FROM w GROUP BY win_start ORDER BY win_start""".stripMargin
   )
 }

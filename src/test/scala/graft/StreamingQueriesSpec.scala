@@ -39,4 +39,21 @@ class StreamingQueriesSpec extends SparkSpec {
     // windows are epoch-aligned hours
     assert(streamed.forall(_._1 % 3600000000L == 0))
   }
+
+  test("stream_rechunk matches the batch RechunkExec operator") {
+    val streamed = StreamingQueries.queries("stream_rechunk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val batch = graft.queries.TraceQueries.queries("w4_rechunk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(batch.nonEmpty && streamed.sameElements(batch))
+  }
+
+  test("stream_rate_monitor: every event lands in exactly two sliding windows") {
+    val streamed = StreamingQueries.queries("stream_rate_monitor")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nEvents = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(streamed.map(_._3).sum == 2 * nEvents)
+    assert(streamed.forall { case (ws, inr, tot) =>
+      ws % 3600000000L == 0 && inr <= tot })
+  }
 }
