@@ -72,6 +72,16 @@ object GraftFunctions {
     WinnowedSketch(exprs.head, intLit(exprs(1), "w"))
   }
 
+  private def minhashTextBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3, "minhash_text(text, k, n)")
+    MinHashTextSig(exprs.head, intLit(exprs(1), "k"), intLit(exprs(2), "n"))
+  }
+
+  private def simhashTextBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "simhash_text(text)")
+    SimHashText(exprs.head)
+  }
+
   private[functions] def minhashBuilderPublic(exprs: Seq[Expression])
       : Expression = minhashBuilder(exprs)
   private[functions] def hist2dBuilderPublic(exprs: Seq[Expression])
@@ -86,6 +96,10 @@ object GraftFunctions {
       : Expression = fnvBuilder(exprs)
   private[functions] def winnowBuilderPublic(exprs: Seq[Expression])
       : Expression = winnowBuilder(exprs)
+  private[functions] def minhashTextBuilderPublic(exprs: Seq[Expression])
+      : Expression = minhashTextBuilder(exprs)
+  private[functions] def simhashTextBuilderPublic(exprs: Seq[Expression])
+      : Expression = simhashTextBuilder(exprs)
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -96,6 +110,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("simhash64", simhashBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("fnv64", fnvBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("winnowed_sketch", winnowBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_text", minhashTextBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("simhash_text", simhashTextBuilder, "scala_udf")
   }
 }
 
@@ -130,5 +146,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("winnowed_sketch"),
       new ExpressionInfo(classOf[WinnowedSketch].getName, "winnowed_sketch"),
       GraftFunctions.winnowBuilderPublic _))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_text"),
+      new ExpressionInfo(classOf[MinHashTextSig].getName, "minhash_text"),
+      GraftFunctions.minhashTextBuilderPublic _))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_text"),
+      new ExpressionInfo(classOf[SimHashText].getName, "simhash_text"),
+      GraftFunctions.simhashTextBuilderPublic _))
   }
 }

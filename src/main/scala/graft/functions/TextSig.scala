@@ -39,8 +39,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    empty string to a single empty token;
   *  - documents shorter than n tokens collapse to ONE shingle of all
   *    their tokens (TextAnalysis.ngrams's `otherwise` branch);
-  *  - null text → null signature (nullIntolerant, same as the composed
-  *    chain where null propagates through every step).
+  *  - null text → null signature (nullIntolerant), for BOTH kernels.
+  *    The composed simhash chain agrees; the composed MINHASH chain
+  *    does not — `concat_ws` swallows the null token array, so it
+  *    yields the signature of an empty document and null docs
+  *    band-collide with genuinely empty ones. That is an artifact, not
+  *    a contract; the fused kernels make null docs fall out of the
+  *    banded candidate joins instead (TextSigSpec pins the divergence).
   *
   * The DuckDB oracles for llm_minhash_neardup / llm_neardup_dedup /
   * llm_simhash_neardup are unchanged: same hash, same minima/votes.

@@ -37,13 +37,20 @@ object Dedup {
   // -------------------------------------------------------------- minhash
 
   /** MinHash signature table: one row per doc, `sig` = array of k minima
-    * of universal hashes over the shingle set, computed by the native
-    * codegen'd [[graft.functions.MinHashSig]] expression.
+    * of universal hashes over the shingle set, computed by the fused
+    * codegen'd [[graft.functions.MinHashTextSig]] kernel — tokenize +
+    * shingle + hash + min-reduce in ONE byte-level pass with zero
+    * intermediate arrays (the composed
+    * `minhash_sig(array_distinct(ngrams(text)))` form materialized three
+    * Tungsten arrays per row at ~3× the signature cost; it survives as
+    * the cross-checked mirror in TextSigSpec).
     *
     * Shape: a single map-only pass — NO shuffle, NO explode: strictly
     * better at scale than the explode + k-wide min-aggregation
     * formulation (which shuffles k·|shingles| rows and blows past the
-    * whole-stage-codegen method-size limit at k = 64). */
+    * whole-stage-codegen method-size limit at k = 64).
+    * Null-text docs get a null signature and fall out of LSH banding
+    * (see TextSig scaladoc for the composed-form divergence). */
   def minhashSignatures(
       df: DataFrame,
       textCol: String,
@@ -54,8 +61,7 @@ object Dedup {
     // (single row-group file); no-op at real scale — see core.FanOut
     val src = graft.core.FanOut.cpuBound(df)
     src.select(col(idCol),
-      graft.functions.MinHashSig(shingles(col(textCol), shingleN), k)
-        .as("sig"))
+      graft.functions.MinHashTextSig(col(textCol), k, shingleN).as("sig"))
   }
 
   /** Banded-LSH candidate pairs from signatures: b bands of r rows
@@ -161,9 +167,10 @@ object Dedup {
   /** 64-bit SimHash per doc: per-token 64-bit hash (FNV-1a — the same
     * kernel as the MinHash signatures, chosen because an ANSI-SQL
     * oracle can reproduce it), frequency-weighted bit votes,
-    * sign-assembled — computed by the native codegen'd
-    * [[graft.functions.SimHash64]] expression in a single map-only
-    * scan. (The previous explode → groupBy(doc, tok) → groupBy(doc)
+    * sign-assembled — computed by the fused codegen'd
+    * [[graft.functions.SimHashText]] kernel (tokenize + hash + vote in
+    * one byte-level pass; ≡ `SimHash64(tokens(text))`, TextSigSpec) in
+    * a single map-only scan. (The explode → groupBy(doc, tok) → groupBy(doc)
     * formulation shuffled the whole corpus token stream twice for what
     * is a function of the row-local token array — VERDICT r03.)
     * Docs with null text yield a null simhash (they fall out of the
@@ -171,8 +178,7 @@ object Dedup {
     * them). */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(col(idCol),
-      graft.functions.SimHash64(TextAnalysis.tokens(col(textCol)))
-        .as("simhash"))
+      graft.functions.SimHashText(col(textCol)).as("simhash"))
 
   /** SimHash near-dup candidates: band the 64 bits into 4×16-bit chunks;
     * docs sharing any chunk are candidates (guarantees recall for
