@@ -82,6 +82,16 @@ object GraftFunctions {
     SimHashText(exprs.head)
   }
 
+  private def topTokenBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "top_token_ratio(text)")
+    TopTokenRatio(exprs.head)
+  }
+
+  private def shingleHashesBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "shingle_hashes(text, n)")
+    ShingleHashes(exprs.head, intLit(exprs(1), "n"))
+  }
+
   private[functions] def minhashBuilderPublic(exprs: Seq[Expression])
       : Expression = minhashBuilder(exprs)
   private[functions] def hist2dBuilderPublic(exprs: Seq[Expression])
@@ -100,6 +110,10 @@ object GraftFunctions {
       : Expression = minhashTextBuilder(exprs)
   private[functions] def simhashTextBuilderPublic(exprs: Seq[Expression])
       : Expression = simhashTextBuilder(exprs)
+  private[functions] def topTokenBuilderPublic(exprs: Seq[Expression])
+      : Expression = topTokenBuilder(exprs)
+  private[functions] def shingleHashesBuilderPublic(exprs: Seq[Expression])
+      : Expression = shingleHashesBuilder(exprs)
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -112,6 +126,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("winnowed_sketch", winnowBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("minhash_text", minhashTextBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("simhash_text", simhashTextBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("top_token_ratio", topTokenBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("shingle_hashes", shingleHashesBuilder, "scala_udf")
   }
 }
 
@@ -154,5 +170,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash_text"),
       new ExpressionInfo(classOf[SimHashText].getName, "simhash_text"),
       GraftFunctions.simhashTextBuilderPublic _))
+    ext.injectFunction((
+      FunctionIdentifier("top_token_ratio"),
+      new ExpressionInfo(classOf[TopTokenRatio].getName, "top_token_ratio"),
+      GraftFunctions.topTokenBuilderPublic _))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      GraftFunctions.shingleHashesBuilderPublic _))
   }
 }

@@ -178,6 +178,71 @@ object MinHashTextSig {
   }
 }
 
+/** `shingle_hashes(text, n)` → array<bigint>: the SORTED DISTINCT
+  * FNV-1a 64 hashes of the document's word-n-gram shingles, fused —
+  * see [[TextTokenize]]. The shingle-set representation for
+  * candidate-pair verification: Jaccard on the hash sets equals
+  * Jaccard on the shingle strings absent 64-bit collisions (the
+  * suite-wide stance), and `array_intersect` over longs beats building
+  * and intersecting per-row string arrays. Sorted ascending so the
+  * output is deterministic and mirror-friendly. Null text → null
+  * (the composed `array_distinct(ngrams(...))` chain instead collapses
+  * null to the [""] shingle via `concat_ws` — same artifact the
+  * MinHash kernel drops; TextSigSpec pins both). */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes expects string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleHashes.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : ShingleHashes = copy(child = newChild)
+
+  override def prettyName: String = "shingle_hashes"
+}
+
+object ShingleHashes {
+
+  def apply(c: Column, n: Int): Column =
+    GraftSqlBridge.column(ShingleHashes(GraftSqlBridge.expression(c), n))
+
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    val (starts, ends, count) = TextTokenize.tokenize(bytes)
+    val nShingles = math.max(count - (n - 1), 1)
+    val span = if (count - (n - 1) > 0) n else count
+    val hs = new Array[Long](nShingles)
+    var si = 0
+    while (si < nShingles) {
+      hs(si) = TextTokenize.fnvJoined(bytes, starts, ends, si, si + span)
+      si += 1
+    }
+    java.util.Arrays.sort(hs)
+    // in-place dedup of the sorted run
+    var w = 0
+    var r = 0
+    while (r < nShingles) {
+      if (r == 0 || hs(r) != hs(r - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(
+      if (w == nShingles) hs else java.util.Arrays.copyOf(hs, w))
+  }
+}
+
 /** `simhash_text(text)` → bigint: 64-bit SimHash over whitespace
   * tokens, fused — identical to `SimHash64(TextAnalysis.tokens(text))`
   * (per-token-OCCURRENCE voting; empty tokens vote like the composed

@@ -115,10 +115,11 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard verification for given pairs: join each pair to
-    * its two (distinct) shingle arrays and intersect with the built-in
-    * `array_intersect` — per-pair cost linear in the shingle counts, and
-    * the joins move only |candidates| rows. Runs ONLY over candidate
-    * pairs (J-verify stage of the pipeline); never all-pairs. */
+    * its two sorted-distinct shingle-hash arrays (fused
+    * [[graft.functions.ShingleHashes]] kernel) and intersect with the
+    * built-in `array_intersect` — per-pair cost linear in the shingle
+    * counts, and the joins move only |candidates| rows. Runs ONLY over
+    * candidate pairs (J-verify stage of the pipeline); never all-pairs. */
   def verifyJaccard(
       cands: DataFrame,
       df: DataFrame,
@@ -142,10 +143,16 @@ object Dedup {
     // pair join recomputes the full shingle table — shingling is the
     // dominant cost of the verify stage. The cache is bounded by the
     // candidate-doc set (≪ corpus) and spills to disk at scale.
+    // Shingle sets are the fused sorted-distinct FNV-hash arrays
+    // (ShingleHashes): |A∩B| over longs ≡ over the shingle strings
+    // absent 64-bit collisions, the cached table is 8 bytes per
+    // shingle instead of the string, and the intersection comparisons
+    // are long equality instead of string compares.
     val ids = cands.select(col("ida").as(idCol))
       .union(cands.select(col("idb").as(idCol))).distinct()
     val sh = df.join(ids, Seq(idCol), "left_semi")
-      .select(col(idCol), shingles(col(textCol), shingleN).as("shs"))
+      .select(col(idCol),
+        graft.functions.ShingleHashes(col(textCol), shingleN).as("shs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sh.count() // materialize before the two join branches race to fill it
     val sa = sh.select(col(idCol).as("ida"), col("shs").as("sha"))
@@ -434,6 +441,58 @@ object Dedup {
     val out = nearDupSurvivors(reps, idCol, pairs)
     sh.unpersist()
     out
+  }
+
+  // ------------------------------------------------------ decontamination
+
+  /** Benchmark decontamination: per-corpus-doc count of distinct word
+    * n-gram shingles shared with a benchmark/eval set — the standard
+    * train-test-overlap filter of pretraining pipelines (docs carrying
+    * eval n-grams leak the benchmark into training).
+    *
+    * Shape for 100 TB: the BENCHMARK side is tiny (eval sets, not
+    * corpora) — its distinct shingle FNV-1a hashes collapse to one
+    * long-typed set that Spark BROADCASTS to a hash join against the
+    * corpus's exploded shingle hashes. The corpus is scanned once,
+    * map-side joined (no corpus shuffle of shingle strings — 8-byte
+    * hashes, and only MATCHING rows survive to the per-doc count), then
+    * aggregated on doc id. Same collision stance as every hash pipeline
+    * here: 64-bit FNV over distinct shingles, mirrorable in SQL.
+    *
+    * Returns (idCol, n_hits) for corpus docs with ≥1 shared shingle. */
+  def contamination(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val benchHashes = benchmark
+      .select(explode(
+        graft.functions.ShingleHashes(col(textCol), shingleN)).as("h"))
+      .distinct()
+    corpus
+      .select(col(idCol), explode(
+        graft.functions.ShingleHashes(col(textCol), shingleN)).as("h"))
+      .join(broadcast(benchHashes), Seq("h"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Corpus rows with NO benchmark shingle overlap above `maxHits`
+    * (default 0 = drop any doc sharing even one n-gram). Anti-join on
+    * the (small) contaminated-id set. */
+  def decontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3,
+      maxHits: Long = 0L): DataFrame = {
+    val bad = contamination(corpus, benchmark, textCol, idCol, shingleN)
+      .filter(col("n_hits") > maxHits)
+      .select(idCol)
+    corpus.join(bad, Seq(idCol), "left_anti")
   }
 
   // --------------------------------------------- embedding near-duplicate

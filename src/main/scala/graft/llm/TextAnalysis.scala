@@ -71,12 +71,48 @@ object TextAnalysis {
   def repeatedNgramRatio(text: Column, n: Int): Column =
     graft.functions.RepeatedNgramRatio(tokens(text), n)
 
+  /** Gopher-style heuristic quality rules beyond [[qualityMetrics]] /
+    * [[repeatedNgramRatio]] — the remaining standard pretraining
+    * filters expressible over this engine's whitespace tokenization:
+    *
+    *   - `stopword_ratio`: fraction of token OCCURRENCES that are
+    *     common function words (Gopher requires a minimum — real prose
+    *     has some; keyword-stuffed or non-linguistic text has none).
+    *     Declarative `filter(tokens, array_contains(...))` — codegen'd,
+    *     no explode, no UDF.
+    *   - `symbol_ratio`: non-letter/digit/whitespace chars per char
+    *     (C4 drops symbol-heavy docs). Pure regexp counting.
+    *   - `top_token_ratio`: most-frequent-token coverage, the native
+    *     single-pass [[graft.functions.TopTokenRatio]] kernel.
+    *
+    * All exact integer counts divided as doubles → oracle-mirrorable.
+    * Tokens are matched lowercased against the union of the per-language
+    * [[stopwords]] lists (language-agnostic, like a multilingual
+    * pipeline's union list). */
+  def gopherMetrics(df: DataFrame, text: Column): DataFrame = {
+    val toks = tokens(lower(text))
+    val stopList = array(stopwordUnion.map(lit): _*)
+    val nStop = size(filter(toks, t => array_contains(stopList, t)))
+    val nSym = length(regexp_replace(text, "[\\p{L}\\p{Nd}\\s]", ""))
+    df.withColumn("stopword_ratio",
+        nStop.cast("double") / size(toks))
+      .withColumn("symbol_ratio", nSym.cast("double") / length(text))
+      .withColumn("top_token_ratio",
+        graft.functions.TopTokenRatio(text))
+  }
+
   private val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
     "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "pour"),
     "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "den"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  /** Deduplicated, sorted union of the per-language stopword lists —
+    * the [[gopherMetrics]] match set, exposed so the driver oracle can
+    * inline the identical list. */
+  val stopwordUnion: Seq[String] =
+    stopwords.values.flatten.toSeq.distinct.sorted
 
   /** Language ID: distinct-stopword-count heuristic over whitespace
     * tokens (the n-gram-free fast path; ties break lexicographically →

@@ -56,6 +56,30 @@ object LlmQueries {
             .as("rep_3gram"))
         .orderBy("doc_id")),
 
+    // Gopher-style heuristic quality rules: stopword coverage (union
+    // multilingual list), symbol density, most-common-token
+    // concentration (native single-pass top_token_ratio kernel) —
+    // exact integer counts divided as doubles, oracle-checked
+    "llm_quality_gopher" -> ((s, dir) =>
+      TextAnalysis.gopherMetrics(t(s, dir, "documents"), col("text"))
+        .select(col("doc_id"), col("stopword_ratio"), col("symbol_ratio"),
+          col("top_token_ratio"))
+        .orderBy("doc_id")),
+
+    // benchmark decontamination: per-corpus-doc count of distinct
+    // 3-gram shingles shared with the src0 "benchmark" slice —
+    // broadcast long-hash join, corpus scanned once (train-test
+    // overlap filter; oracle joins the shingle STRINGS, which the
+    // FNV-1a hash join reproduces exactly absent 64-bit collisions)
+    "llm_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.contamination(
+          d.filter(col("source") =!= "src0"),
+          d.filter(col("source") === "src0"),
+          "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // winnowing k-gram sketch (window w=4 over FNV-1a token hashes),
     // exploded to (doc_id, fingerprint) rows — the plagiarism-style
     // near-dup sketch, oracle-mirrored token hash + window-min in SQL
@@ -302,6 +326,43 @@ object LlmQueries {
         | coalesce(CAST(d3.total - d3.dis AS DOUBLE) / d3.total, CAST(0 AS DOUBLE)) AS rep_3gram
         |FROM tok0 t LEFT JOIN d2 ON d2.doc_id = t.doc_id LEFT JOIN d3 ON d3.doc_id = t.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    // Gopher-rules mirror: stopword occurrences via list_filter over
+    // the lowercased token array (the same union list, inlined),
+    // symbol chars via the same \p-class regex, top-token coverage via
+    // unnest → per-token counts → max/sum (what the single-pass kernel
+    // computes with its hash table)
+    "llm_quality_gopher" -> {
+      val stops = graft.llm.TextAnalysis.stopwordUnion
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH tok0 AS (SELECT doc_id, text,
+        |  regexp_split_to_array(trim(lower(text)), '\\s+') AS ll,
+        |  regexp_split_to_array(trim(text), '\\s+') AS l FROM documents),
+        |cnt AS (SELECT doc_id, w, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(l) AS w FROM tok0) GROUP BY doc_id, w),
+        |mx AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS ttr
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT t.doc_id,
+        | CAST(len(list_filter(t.ll, x -> list_contains([$stops], x))) AS DOUBLE) / len(t.ll) AS stopword_ratio,
+        | CAST(length(regexp_replace(t.text, '[\\p{L}\\p{Nd}\\s]', '', 'g')) AS DOUBLE) / length(t.text) AS symbol_ratio,
+        | mx.ttr AS top_token_ratio
+        |FROM tok0 t JOIN mx ON mx.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin
+    },
+    // decontamination mirror: distinct shingles per doc (the same
+    // 3-gram + shorter-doc-collapse definition), benchmark = src0's
+    // distinct shingle set, inner join + per-doc count
+    "llm_decontaminate" ->
+      """WITH tok0 AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS l FROM documents),
+        |tokx AS (SELECT doc_id, source, unnest(l) AS w, generate_subscripts(l, 1) AS i FROM tok0),
+        |sh3 AS (SELECT a.doc_id, a.source, a.w || ' ' || b.w || ' ' || c.w AS s FROM tokx a JOIN tokx b ON b.doc_id = a.doc_id AND b.i = a.i + 1 JOIN tokx c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+        |shfew AS (SELECT doc_id, source, array_to_string(l, ' ') AS s FROM tok0 WHERE len(l) < 3),
+        |shall AS (SELECT DISTINCT doc_id, source, s FROM (SELECT * FROM sh3 UNION ALL SELECT * FROM shfew)),
+        |bench AS (SELECT DISTINCT s FROM shall WHERE source = 'src0')
+        |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM shall c JOIN bench b ON b.s = c.s
+        |WHERE c.source <> 'src0'
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
     // winnowing mirror: FNV-1a per DISTINCT token (recursive hex CTE,
     // HUGEINT mod-2^64 → signed BIGINT like Spark's long), then min over
     // each 4-token sliding window, distinct per doc; docs shorter than

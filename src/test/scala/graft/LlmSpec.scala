@@ -418,4 +418,36 @@ class LlmSpec extends SparkSpec {
       .filter(col("doc_id") === 0).head()
     assert(meta.getAs[Long]("n_bytes") == 43L)
   }
+
+  test("decontamination: shared-shingle counts and anti-join removal") {
+    // benchmark = doc 0; doc 1 shares 6 of its 7 trigrams ("...lazy cat"
+    // is the only novel one), docs 2 and 4 share none
+    val bench = docs.filter(col("doc_id") === 0)
+    val corpus = docs.filter(col("doc_id").isin(1L, 2L, 4L))
+    val hits = Dedup.contamination(corpus, bench, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 6L))
+    val clean = Dedup.decontaminate(corpus, bench, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(clean.toSeq == Seq(2L, 4L))
+    // maxHits above the overlap keeps the contaminated doc
+    val lax = Dedup.decontaminate(corpus, bench, "text", "doc_id",
+      maxHits = 6L).select("doc_id").as[Long].collect().sorted
+    assert(lax.toSeq == Seq(1L, 2L, 4L))
+  }
+
+  test("gopher metrics: stopword / symbol / top-token ratios") {
+    // doc 0: "the quick brown fox jumps over the lazy dog" — 9 tokens,
+    // stopword occurrences = "the"×2, no symbols, mode token "the"×2
+    val m = TextAnalysis.gopherMetrics(docs, col("text"))
+      .filter(col("doc_id") === 0).head()
+    assert(math.abs(m.getAs[Double]("stopword_ratio") - 2.0 / 9) < 1e-12)
+    assert(m.getAs[Double]("symbol_ratio") == 0.0)
+    assert(math.abs(m.getAs[Double]("top_token_ratio") - 2.0 / 9) < 1e-12)
+    val sym = TextAnalysis.gopherMetrics(
+        Seq((9L, "a-b c! d?")).toDF("doc_id", "text"), col("text"))
+      .head()
+    assert(math.abs(sym.getAs[Double]("symbol_ratio") - 3.0 / 9) < 1e-12)
+    assert(math.abs(sym.getAs[Double]("top_token_ratio") - 1.0 / 3) < 1e-12)
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Row
-import graft.functions.{MinHashSig, MinHashTextSig, SimHash64, SimHashText}
+import graft.functions.{Fnv64, MinHashSig, MinHashTextSig, ShingleHashes, SimHash64, SimHashText}
 import graft.llm.{Dedup, TextAnalysis}
 
 /** Exact-equivalence contract of the fused text→signature kernels
@@ -105,6 +105,29 @@ class TextSigSpec extends SparkSpec {
       .select(MinHashSig(array(lit("")), 8).as("e")).head.get(0)
     assert(mc0 == emptySig)
     assert(m1 != null && s1 != null && m1 == mc1 && s1 == sc1)
+  }
+
+  test("shingle_hashes ≡ sorted distinct fnv64 over composed shingles") {
+    for (n <- Seq(1, 2, 3, 5))
+      assertColumnsEqual(
+        ShingleHashes(col("text"), n),
+        sort_array(array_distinct(
+          transform(Dedup.shingles(col("text"), n), s => Fnv64(s)))))
+  }
+
+  test("top_token_ratio ≡ exploded per-token mode computation") {
+    val kern = corpus.select(col("doc_id"),
+      graft.functions.TopTokenRatio(col("text")).as("r"))
+    val comp = corpus
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").count()
+      .groupBy("doc_id")
+      .agg((max("count").cast("double") / sum("count")).as("r"))
+    val mismatches = kern.alias("k")
+      .join(comp.alias("c"), Seq("doc_id"))
+      .filter(not(col("k.r") <=> col("c.r")))
+      .collect()
+    assert(mismatches.isEmpty, s"diverge on: ${mismatches.take(5).toSeq}")
   }
 
   test("SQL surface: minhash_text / simhash_text registered") {
