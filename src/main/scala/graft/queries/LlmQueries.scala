@@ -80,6 +80,14 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // sequence packing: head-to-tail token layout split every 64
+    // tokens (docs span boundaries) — the distributed-prefix-sum
+    // operator; the oracle is the closed-form global window cumsum
+    "llm_pack_sequences" -> ((s, dir) =>
+      Packing.packSequences(t(s, dir, "documents"), "text", "doc_id",
+          ctxLen = 64)
+        .orderBy("doc_id")),
+
     // winnowing k-gram sketch (window w=4 over FNV-1a token hashes),
     // exploded to (doc_id, fingerprint) rows — the plagiarism-style
     // near-dup sketch, oracle-mirrored token hash + window-min in SQL
@@ -362,6 +370,19 @@ object LlmQueries {
         |FROM shall c JOIN bench b ON b.s = c.s
         |WHERE c.source <> 'src0'
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    // packing mirror: the closed-form assignment from the exclusive
+    // prefix sum — what the distributed range-partition + offsets
+    // decomposition computes without the global window
+    "llm_pack_sequences" ->
+      """WITH c AS (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens FROM documents),
+        |p AS (SELECT doc_id, n_tokens,
+        |  sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS token_offset
+        |  FROM c)
+        |SELECT doc_id, n_tokens, CAST(token_offset AS BIGINT) AS token_offset,
+        | CAST(token_offset // 64 AS BIGINT) AS seq_id,
+        | CAST((token_offset + n_tokens - 1) // 64 - token_offset // 64 + 1 AS BIGINT) AS n_seqs_spanned
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // winnowing mirror: FNV-1a per DISTINCT token (recursive hex CTE,
     // HUGEINT mod-2^64 → signed BIGINT like Spark's long), then min over

@@ -436,6 +436,30 @@ class LlmSpec extends SparkSpec {
     assert(lax.toSeq == Seq(1L, 2L, 4L))
   }
 
+  test("sequence packing: distributed prefix sum ≡ global window") {
+    // enough rows to span several range partitions
+    val many = spark.range(0, 200).toDF("doc_id")
+      .withColumn("text",
+        concat_ws(" ", transform(sequence(lit(0), pmod(col("doc_id"), lit(7))),
+          i => concat(lit("w"), i))))
+    val packed = Packing.packSequences(many, "text", "doc_id", ctxLen = 16,
+      numParts = 8)
+    val global = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val expect = many
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("token_offset", sum("n_tokens").over(global) - col("n_tokens"))
+      .withColumn("seq_id", expr("token_offset div 16"))
+      .withColumn("n_seqs_spanned",
+        expr("(token_offset + n_tokens - 1) div 16") - col("seq_id") + lit(1L))
+    assert(packed.exceptAll(expect).isEmpty && expect.exceptAll(packed).isEmpty)
+    // every sequence except the last is exactly full
+    val fill = Packing.sequenceFill(packed)
+    assert(fill.agg(sum("n_docs_starting")).head.getLong(0) == 200L)
+  }
+
   test("gopher metrics: stopword / symbol / top-token ratios") {
     // doc 0: "the quick brown fox jumps over the lazy dog" — 9 tokens,
     // stopword occurrences = "the"×2, no symbols, mode token "the"×2
