@@ -20,7 +20,7 @@ object PlanAudit {
       "f1_filter_expr", "f2_mask_semijoin", "j2_key_broadcast_join",
       "tpch_join_revenue", "a7_hist1d", "t6_binned_percentile_cut",
       "t7_rate_cut", "llm_minhash_neardup", "llm_sim_topk", "w4_rechunk",
-      "llm_simhash_neardup")
+      "llm_simhash_neardup", "llm_decontaminate", "llm_pack_sequences")
 
     // allowed nested-loop joins: tiny driver-generated pair sets
     val nestedLoopAllowed = Set("llm_ngram_jaccard")
