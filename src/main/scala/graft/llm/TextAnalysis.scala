@@ -137,6 +137,31 @@ object TextAnalysis {
     }.otherwise(lit("und"))
   }
 
+  /** PII patterns (C4-style scrub list), ordered — RE2-compatible (no
+    * lookaround, no backrefs) so the DuckDB oracle runs the IDENTICAL
+    * patterns. Replacement tokens are bracketed type tags. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4" -> "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b",
+    "phone" -> "\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{4}")
+
+  /** Redact PII in place: each pattern's matches → `[EMAIL]`/`[IPV4]`/
+    * `[PHONE]`. Order matters (emails before phones so digit runs
+    * inside addresses are already collapsed); a map-only column
+    * expression — at corpus scale this is a scan, nothing else. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (acc, (name, pat)) =>
+      regexp_replace(acc, pat, s"[${name.toUpperCase}]")
+    }
+
+  /** Per-doc PII match counts, one column per pattern type
+    * (`n_email`, `n_ipv4`, `n_phone`) — the audit view that decides
+    * whether to redact or drop. */
+  def piiCounts(df: DataFrame, text: Column): DataFrame =
+    piiPatterns.foldLeft(df) { case (acc, (name, pat)) =>
+      acc.withColumn(s"n_$name", regexp_count(text, lit(pat)))
+    }
+
   /** Rolling polynomial fingerprint (Rabin-Karp style, 64-bit wrapping)
     * over UTF-8 bytes: the native codegen'd
     * [[graft.functions.Fingerprint64]] expression. Stable across

@@ -80,6 +80,35 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // PII redaction (C4-style scrub): deterministic synthetic PII is
+    // appended per doc (the corpus itself is PII-free), then counted
+    // and redacted — patterns are RE2-compatible so the oracle runs
+    // the IDENTICAL regexes; redacted text compared by md5
+    "llm_pii_redact" -> ((s, dir) => {
+      val withPii = t(s, dir, "documents")
+        .withColumn("text2", concat(
+          col("text"), lit(" user"), col("doc_id").cast("string"),
+          lit("@mail.example 10.0."),
+          pmod(col("doc_id"), lit(200)).cast("string"),
+          lit(".7 +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      TextAnalysis.piiCounts(withPii, col("text2"))
+        .select(col("doc_id"),
+          col("n_email").cast("long").as("n_email"),
+          col("n_ipv4").cast("long").as("n_ipv4"),
+          col("n_phone").cast("long").as("n_phone"),
+          md5(TextAnalysis.redactPii(col("text2"))).as("redacted_hash"))
+        .orderBy("doc_id")
+    }),
+
+    // int8 embedding quantization QA: per-vector max-abs scale, code
+    // checksum, L2 reconstruction error — all-declarative double
+    // arithmetic mirrored exactly by the oracle
+    "llm_quantize_int8" -> ((s, dir) =>
+      Quantize.quantizationReport(t(s, dir, "embeddings"),
+          "embedding", "vec_id")
+        .orderBy("vec_id")),
+
     // sequence packing: head-to-tail token layout split every 64
     // tokens (docs span boundaries) — the distributed-prefix-sum
     // operator; the oracle is the closed-form global window cumsum
@@ -370,6 +399,41 @@ object LlmQueries {
         |FROM shall c JOIN bench b ON b.s = c.s
         |WHERE c.source <> 'src0'
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    // PII mirror: the same synthetic construction and the same RE2
+    // patterns (DuckDB's regex engine), counts via regexp_extract_all
+    "llm_pii_redact" -> {
+      val ps = graft.llm.TextAnalysis.piiPatterns.toMap
+      val em = ps("email"); val ip = ps("ipv4"); val ph = ps("phone")
+      s"""WITH w AS (SELECT doc_id,
+        |  text || ' user' || CAST(doc_id AS VARCHAR) || '@mail.example 10.0.' ||
+        |  CAST(doc_id % 200 AS VARCHAR) || '.7 +1-555-' ||
+        |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text2
+        |  FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(text2, '$em')) AS BIGINT) AS n_email,
+        | CAST(len(regexp_extract_all(text2, '$ip')) AS BIGINT) AS n_ipv4,
+        | CAST(len(regexp_extract_all(text2, '$ph')) AS BIGINT) AS n_phone,
+        | md5(regexp_replace(regexp_replace(regexp_replace(text2,
+        |   '$em', '[EMAIL]', 'g'), '$ip', '[IPV4]', 'g'), '$ph', '[PHONE]', 'g')) AS redacted_hash
+        |FROM w ORDER BY doc_id""".stripMargin
+    },
+    // quantization mirror: identical double-cast expression tree —
+    // max-abs scale, round-half-away codes. The scale is computed
+    // INLINE with the unnest (a join before the sum would scramble
+    // element order and change double-summation order vs Spark's fold)
+    "llm_quantize_int8" ->
+      """WITH u AS (SELECT vec_id,
+        |  CAST(unnest(embedding) AS DOUBLE) AS x,
+        |  list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS scale
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, x, scale,
+        |  CASE WHEN scale = 0 THEN 0 ELSE CAST(round(x / scale * 127) AS INTEGER) END AS qv FROM u),
+        |r AS (SELECT vec_id, scale, qv, CAST(qv AS DOUBLE) * scale / 127 AS recon, x FROM q)
+        |SELECT vec_id, round(any_value(scale), 6) AS scale,
+        | CAST(sum(qv) AS BIGINT) AS q_sum,
+        | round(sqrt(sum((x - recon) * (x - recon))), 6) AS l2_err
+        |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     // packing mirror: the closed-form assignment from the exclusive
     // prefix sum — what the distributed range-partition + offsets

@@ -460,6 +460,39 @@ class LlmSpec extends SparkSpec {
     assert(fill.agg(sum("n_docs_starting")).head.getLong(0) == 200L)
   }
 
+  test("pii redaction: synthetic email/ip/phone scrubbed and counted") {
+    val d = Seq(
+      (0L, "write to alice.b@corp.example or 192.168.1.17 or +1-555-0199 now"),
+      (1L, "no pii here at all")).toDF("doc_id", "text")
+    val counted = TextAnalysis.piiCounts(d, col("text"))
+      .withColumn("red", TextAnalysis.redactPii(col("text")))
+      .orderBy("doc_id").collect()
+    assert(counted(0).getAs[Int]("n_email") == 1)
+    assert(counted(0).getAs[Int]("n_ipv4") == 1)
+    assert(counted(0).getAs[Int]("n_phone") == 1)
+    assert(counted(0).getAs[String]("red") ==
+      "write to [EMAIL] or [IPV4] or [PHONE] now")
+    assert(counted(1).getAs[String]("red") == "no pii here at all")
+  }
+
+  test("int8 quantization: bounded reconstruction error, exact codes") {
+    val e = Seq(
+      (0L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val codes = e.select(col("vec_id"),
+      Quantize.quantizeInt8(col("embedding")).as("q"))
+      .orderBy("vec_id").collect().map(_.getSeq[Int](1))
+    assert(codes(0) == Seq(64, -127, 32, 0)) // 0.5/1*127=63.5 → 64
+    assert(codes(1) == Seq(0, 0, 0, 0))
+    val rep = Quantize.quantizationReport(e, "embedding", "vec_id")
+      .orderBy("vec_id").collect()
+    assert(rep(0).getAs[Double]("scale") == 1.0)
+    assert(rep(0).getAs[Long]("q_sum") == 64L - 127 + 32)
+    // per-element error ≤ scale/254; L2 over 4 dims ≤ 2·scale/254
+    assert(rep(0).getAs[Double]("l2_err") <= 2.0 / 254 + 1e-9)
+    assert(rep(1).getAs[Double]("l2_err") == 0.0)
+  }
+
   test("gopher metrics: stopword / symbol / top-token ratios") {
     // doc 0: "the quick brown fox jumps over the lazy dog" — 9 tokens,
     // stopword occurrences = "the"×2, no symbols, mode token "the"×2
