@@ -64,6 +64,16 @@ object MinhashProfile {
       fanned.select(graft.functions.MinHashSig(
         Dedup.shingles(col("text"), 3), 64).as("sig"))
         .select(max(element_at(col("sig"), 1))).head())
+    // fused single-pass kernels (what the pipelines actually run)
+    time("  [anat] fused minhash_text")(
+      fanned.select(graft.functions.MinHashTextSig(col("text"), 64, 3)
+        .as("sig"))
+        .select(max(element_at(col("sig"), 1))).head())
+    time("  [anat] fused shingle_hashes")(
+      fanned.select(sum(size(
+        graft.functions.ShingleHashes(col("text"), 3)))).head())
+    time("  [anat] fused simhash_text")(
+      fanned.select(max(graft.functions.SimHashText(col("text")))).head())
     fanned.unpersist()
     spark.stop()
   }
