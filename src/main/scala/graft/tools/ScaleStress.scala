@@ -54,6 +54,21 @@ object ScaleStress {
         d.select(TextAnalysis.langId(col("text")).as("p"))
           .groupBy("p").count().count())
       spark.catalog.clearCache()
+      // round-5 operators: must stay linear in the corpus multiple
+      time(s"decontaminate x$mult")(
+        Dedup.decontaminate(
+          d.filter(col("source") =!= "src0"),
+          d.filter(col("source") === "src0"), "text", "doc_id").count())
+      time(s"pack sequences x$mult")(
+        graft.llm.Packing.packSequences(d, "text", "doc_id", 2048).count())
+      spark.catalog.clearCache()
+      time(s"gopher metrics x$mult")(
+        TextAnalysis.gopherMetrics(d, col("text"))
+          .agg(sum("top_token_ratio")).count())
+      time(s"pii redact x$mult")(
+        d.select(md5(TextAnalysis.redactPii(col("text"))).as("h"))
+          .agg(count(lit(1))).count())
+      spark.catalog.clearCache()
     }
 
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -74,6 +89,9 @@ object ScaleStress {
       time(s"emb near-dup x$mult")(
         Dedup.embeddingNearDups(e, "embedding", "vec_id",
           planes = 10, minCosine = 0.99).count())
+      time(s"int8 quantization x$mult")(
+        graft.llm.Quantize.quantizationReport(e, "embedding", "vec_id")
+          .agg(sum("q_sum")).count())
       spark.catalog.clearCache()
     }
     spark.stop()
