@@ -110,7 +110,8 @@ object Bench {
       "k12_psd_estimator", "s5_trace_fetch_window", "w4_rechunk",
       "llm_dedup_exact", "llm_minhash_neardup", "llm_neardup_dedup",
       "llm_simhash_neardup", "llm_sim_topk", "llm_ann_lsh",
-      "llm_text_quality")
+      "llm_text_quality", "llm_decontaminate", "llm_pack_sequences",
+      "llm_quantize_int8")
     val qs = jmap(byQuery.collect {
       case (name, _, med, _) if headline(name) => name -> med
     })

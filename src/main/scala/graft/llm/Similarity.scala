@@ -44,6 +44,55 @@ object Similarity {
       .limit(k)
   }
 
+  /** Brute-force top-k over int8-QUANTIZED codes with exact float
+    * rerank — the serving pattern for a quantized index at corpus
+    * scale: the ranking scan reads codes at 1/4 the bytes of float32
+    * (and the integer dot products stay in cheap int arithmetic), a
+    * `poolK`-sized candidate pool survives via TakeOrderedAndProject,
+    * and only the pool's float vectors are touched for the exact
+    * cosine rerank. Quantization here is on the fly (the engine has no
+    * persisted index); a real deployment stores [[Quantize.quantizeInt8]]
+    * codes as a column and the scan never reads the float column at all.
+    *
+    * Deterministic: query codes use the same HALF_UP (away-from-zero)
+    * rounding as the [[Quantize]] kernel, estimate ties break on id. */
+  def quantizedTopK(
+      df: DataFrame,
+      embCol: String,
+      idCol: String,
+      query: Array[Float],
+      k: Int,
+      poolK: Int = 40): DataFrame = {
+    import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+    val qscale = query.map(x => math.abs(x.toDouble)).max
+    val qcodes = query.map { x =>
+      if (qscale == 0) 0
+      else JBigDecimal.valueOf(x.toDouble / qscale * 127d)
+        .setScale(0, RoundingMode.HALF_UP).intValue
+    }.toSeq
+    // stage codes/scale under fresh names (NOT the input column names —
+    // see the lateral-column-alias note in Quantize.quantizationReport)
+    val staged = df.select(col(idCol), col(embCol),
+      Quantize.quantizeInt8(col(embCol)).as("__c"),
+      Quantize.maxAbsScale(col(embCol)).as("__s"))
+    val di = aggregate(
+      zip_with(col("__c"), typedlit(qcodes), (a, b) => a * b),
+      lit(0L), (acc, v) => acc + v)
+    val est = col("__di").cast("double") * col("__s") * lit(qscale) /
+      lit(16129.0d)
+    val pool = staged
+      .withColumn("__di", di)
+      .select(col(idCol), est.as("est_cosine_dot"))
+      .orderBy(desc("est_cosine_dot"), col(idCol))
+      .limit(poolK)
+      .select(idCol)
+    df.join(broadcast(pool), Seq(idCol))
+      .select(col(idCol),
+        cosine(col(embCol), typedlit(query)).as("cosine"))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic pseudo-random ±1 hyperplanes (splitmix64 over
     * (plane, dim) — no RNG state, reproducible across runs/cluster). */
   def planes(nPlanes: Int, dim: Int): Array[Array[Double]] =

@@ -278,6 +278,18 @@ object LlmQueries {
         .withColumn("cosine", round(col("cosine"), 6))
     }),
 
+    // int8-quantized ANN: integer-dot ranking over quantized codes
+    // (1/4 the scan bytes), pool of 40, exact float cosine rerank —
+    // fully deterministic, mirrored end to end in SQL
+    "llm_ann_int8" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      Similarity.quantizedTopK(emb, "embedding", "vec_id", q, 10,
+          poolK = 40)
+        .withColumn("cosine", round(col("cosine"), 6))
+    }),
+
     // multimodal binary plumbing: byte metadata over text-as-binary
     "mm_binary_meta" -> ((s, dir) =>
       Multimodal.withBinaryMeta(
@@ -704,6 +716,26 @@ object LlmQueries {
         |nq AS (SELECT sqrt(sum(x * x)) AS nrm FROM qe),
         |top AS (SELECT vec_id, dot / (ne * nq.nrm) AS c FROM sc, nq ORDER BY c DESC, vec_id LIMIT 5)
         |SELECT vec_id, round(c, 6) AS cosine FROM top ORDER BY cosine DESC, vec_id""".stripMargin,
+    // int8-ANN mirror: quantization CTE (same expression tree as
+    // llm_quantize_int8), integer dot against vec 0's codes, the same
+    // est = di·scale·qscale/127² ranking with id tiebreak, LIMIT-40
+    // pool, then the llm_sim_topk exact-rerank pattern inside the pool
+    "llm_ann_int8" ->
+      """WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, generate_subscripts(embedding, 1) AS i,
+        |  list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS scale
+        |  FROM embeddings),
+        |c AS (SELECT vec_id, i, scale, x, CASE WHEN scale = 0 THEN 0 ELSE CAST(round(x / scale * 127) AS INTEGER) END AS qc FROM u),
+        |qq AS (SELECT i, qc, scale AS qs FROM c WHERE vec_id = 0),
+        |dots AS (SELECT v.vec_id, any_value(v.scale) AS scale, sum(v.qc * q.qc) AS di FROM c v JOIN qq q USING (i) GROUP BY v.vec_id),
+        |qsv AS (SELECT any_value(qs) AS qs FROM qq),
+        |est AS (SELECT vec_id, CAST(di AS DOUBLE) * scale * qsv.qs / 16129 AS e FROM dots, qsv),
+        |pool AS (SELECT vec_id FROM est ORDER BY e DESC, vec_id LIMIT 40),
+        |e2 AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |qe AS (SELECT i, x FROM e2 WHERE vec_id = 0),
+        |sc AS (SELECT e2.vec_id, sum(e2.x * qe.x) AS dot, sqrt(sum(e2.x * e2.x)) AS ne FROM e2 JOIN pool USING (vec_id) JOIN qe USING (i) GROUP BY e2.vec_id),
+        |nq AS (SELECT sqrt(sum(x * x)) AS nrm FROM qe),
+        |top AS (SELECT vec_id, dot / (ne * nq.nrm) AS cz FROM sc, nq ORDER BY cz DESC, vec_id LIMIT 10)
+        |SELECT vec_id, round(cz, 6) AS cosine FROM top ORDER BY cosine DESC, vec_id""".stripMargin,
     "llm_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l FROM documents WHERE doc_id < 20),
         |tok AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i FROM d),

@@ -140,6 +140,25 @@ class LlmSpec extends SparkSpec {
     assert(top(1).getLong(0) == 1L)
   }
 
+  test("quantized top-k: pool ≥ corpus reduces to exact brute force") {
+    val embs = (0 until 60).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.cos(i * 1.3 + d * 0.7).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = embs.filter(col("vec_id") === 11).head.getSeq[Float](1).toArray
+    val exact = Similarity.bruteForceTopK(embs, "embedding", "vec_id", q, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // pool covers the corpus → the rerank IS brute force
+    val full = Similarity.quantizedTopK(embs, "embedding", "vec_id", q, 5,
+      poolK = 60).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(full.toSeq == exact.toSeq)
+    // narrow pool still recovers the exact match at rank 1
+    val narrow = Similarity.quantizedTopK(embs, "embedding", "vec_id", q, 3,
+      poolK = 8).collect()
+    assert(narrow(0).getLong(0) == 11L)
+    assert(math.abs(narrow(0).getDouble(1) - 1.0) < 1e-9)
+    assert(narrow.length == 3)
+  }
+
   test("hyperplane LSH: ANN finds the exact match and planes are stable") {
     val embs = (0 until 50).map(i =>
       (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.9 + d).toFloat)))
