@@ -465,16 +465,22 @@ object Dedup {
       benchmark: DataFrame,
       textCol: String,
       idCol: String,
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3,
+      broadcastBenchmark: Boolean = true): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     val benchHashes = benchmark
       .select(explode(
         graft.functions.ShingleHashes(col(textCol), shingleN)).as("h"))
       .distinct()
+    // eval sets are tiny → broadcast by default. For corpus-vs-corpus
+    // decontamination (both sides huge) pass broadcastBenchmark=false:
+    // the join falls back to a shuffle co-partitioned on the hash —
+    // still only 8-byte keys move, never shingle strings.
+    val bh = if (broadcastBenchmark) broadcast(benchHashes) else benchHashes
     corpus
       .select(col(idCol), explode(
         graft.functions.ShingleHashes(col(textCol), shingleN)).as("h"))
-      .join(broadcast(benchHashes), Seq("h"))
+      .join(bh, Seq("h"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_hits"))
   }

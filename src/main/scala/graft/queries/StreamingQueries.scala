@@ -115,6 +115,28 @@ object StreamingQueries {
         .orderBy("chunk_id")
     }),
 
+    // streaming quality-gate monitor, end to end: the Gopher heuristic
+    // rules (incl. the native top_token_ratio kernel) applied inside a
+    // streaming pipeline, aggregated per language in complete mode —
+    // integer pass/fail counts only, so the aggregate is
+    // order-independent and batch-equal by construction
+    "stream_quality_monitor" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val docs = s.readStream.schema(schema)
+        .parquet(s"$dir/documents.parque[t]")
+      val qm = graft.llm.TextAnalysis.gopherMetrics(docs, col("text"))
+      val agg = qm.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("top_token_ratio") > 0.09, 1L).otherwise(0L))
+          .as("n_repetitious"),
+        sum(when(col("stopword_ratio") >= 0.04, 1L).otherwise(0L))
+          .as("n_stopworded"))
+      runToMemory(s, "stream_quality", name =>
+        agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow()))
+        .orderBy("lang")
+    }),
+
     // streaming T7 rate monitor, end to end: watermarked sliding-window
     // (2 h window, 1 h slide) in-range counts over the events stream —
     // complete mode emits every window of the bounded replay; each
@@ -151,6 +173,26 @@ object StreamingQueries {
     // a bounded sorted stream — the batch operator's oracle IS the
     // streaming oracle
     "stream_rechunk" -> TraceQueries.oracle("w4_rechunk"),
+    // quality monitor: the gopher CTE grouped by lang with the same
+    // integer thresholds (bounded replay = one batch = the batch agg)
+    "stream_quality_monitor" -> {
+      val stops = graft.llm.TextAnalysis.stopwordUnion
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH tok0 AS (SELECT doc_id, lang,
+        |  regexp_split_to_array(trim(lower(text)), '\\s+') AS ll,
+        |  regexp_split_to_array(trim(text), '\\s+') AS l FROM documents),
+        |cnt AS (SELECT doc_id, w, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(l) AS w FROM tok0) GROUP BY doc_id, w),
+        |mx AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS ttr
+        |  FROM cnt GROUP BY doc_id),
+        |m AS (SELECT t.doc_id, t.lang, mx.ttr,
+        |  CAST(len(list_filter(t.ll, x -> list_contains([$stops], x))) AS DOUBLE) / len(t.ll) AS swr
+        |  FROM tok0 t JOIN mx ON mx.doc_id = t.doc_id)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN ttr > 0.09 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitious,
+        | CAST(sum(CASE WHEN swr >= 0.04 THEN 1 ELSE 0 END) AS BIGINT) AS n_stopworded
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin
+    },
     // sliding 2h/1h windows: each event contributes to exactly two
     // epoch-aligned windows (k = 0, 1 hours back)
     "stream_rate_monitor" ->

@@ -474,6 +474,12 @@ class LlmSpec extends SparkSpec {
       .withColumn("n_seqs_spanned",
         expr("(token_offset + n_tokens - 1) div 16") - col("seq_id") + lit(1L))
     assert(packed.exceptAll(expect).isEmpty && expect.exceptAll(packed).isEmpty)
+    // more partitions than rows → empty range partitions must not
+    // poison the offsets map
+    val sparse = Packing.packSequences(many.limit(10), "text", "doc_id",
+      ctxLen = 16, numParts = 32)
+    assert(sparse.filter(col("token_offset").isNull).count() == 0)
+    assert(sparse.count() == 10)
     // every sequence except the last is exactly full
     val fill = Packing.sequenceFill(packed)
     assert(fill.agg(sum("n_docs_starting")).head.getLong(0) == 200L)
