@@ -126,6 +126,23 @@ object LlmQueries {
           explode(TextAnalysis.winnowed(col("text"), 4)).as("fp"))
         .orderBy("doc_id", "fp")),
 
+    // deterministic source-weighted mixing: per-source keep rates via
+    // the id-hash bucket (fnv64 mod 1000) — audit view of kept counts
+    "llm_mix_sources" -> ((s, dir) =>
+      Mixing.mixBySources(t(s, dir, "documents"), "source", "doc_id",
+          Map("src0" -> 0.25, "src1" -> 0.5, "src2" -> 0.0))
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+        .orderBy("source")),
+
+    // corpus vocabulary: top-50 terms by occurrence (lowercased
+    // whitespace tokens) — classic map-side-combine word count with a
+    // deterministic (cnt, word) tiebreak
+    "llm_vocab_topk" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("w")).limit(50)),
+
     // language/source distribution (A1 over documents)
     "llm_lang_dist" -> ((s, dir) =>
       t(s, dir, "documents").groupBy("lang")
@@ -360,6 +377,32 @@ object LlmQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "llm_lang_dist" ->
       "SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY lang ORDER BY lang",
+    // mixing mirror: FNV-1a of the id string (the standard recursive
+    // hex CTE), signed-bigint pmod-1000 bucket, per-source keep
+    // thresholds = round(rate·1000)
+    "llm_mix_sources" ->
+      """WITH RECURSIVE
+        |ids AS (SELECT doc_id, source, CAST(doc_id AS VARCHAR) AS s FROM documents),
+        |hx AS (SELECT DISTINCT s FROM ids),
+        |hh AS (SELECT s, hex(encode(s)) AS hs, octet_length(encode(s)) AS nb FROM hx),
+        |fnv AS (
+        |  SELECT s, hs, nb, 0 AS i, CAST(14695981039346656037 AS HUGEINT) AS h FROM hh
+        |  UNION ALL
+        |  SELECT s, hs, nb, i + 1,
+        |    (xor(h, CAST((strpos('0123456789ABCDEF', substring(hs, 2*i+1, 1))-1)*16 + strpos('0123456789ABCDEF', substring(hs, 2*i+2, 1))-1 AS HUGEINT)) * 1099511628211) % 18446744073709551616
+        |  FROM fnv WHERE i < nb),
+        |sgn AS (SELECT s, CAST(h - CASE WHEN h >= 9223372036854775808 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS hv
+        |        FROM fnv WHERE i = nb),
+        |b AS (SELECT i.doc_id, i.source, ((sg.hv % 1000) + 1000) % 1000 AS bucket FROM ids i JOIN sgn sg ON sg.s = i.s),
+        |r AS (SELECT source, bucket,
+        |  CASE source WHEN 'src0' THEN 250 WHEN 'src1' THEN 500 WHEN 'src2' THEN 0 ELSE 1000 END AS keep FROM b)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_kept
+        |FROM r WHERE bucket < keep GROUP BY source ORDER BY source""".stripMargin,
+    // vocabulary mirror: unnest word count with (cnt desc, word) ties
+    "llm_vocab_topk" ->
+      """SELECT w, CAST(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w FROM documents)
+        |GROUP BY w ORDER BY cnt DESC, w LIMIT 50""".stripMargin,
     // repetition mirror: docs shorter than n tokens produce no n-gram
     // rows → LEFT JOIN + coalesce 0 (the Spark side collapses them to
     // one trivially-distinct n-gram → ratio 0 as well)

@@ -518,6 +518,26 @@ class LlmSpec extends SparkSpec {
     assert(rep(1).getAs[Double]("l2_err") == 0.0)
   }
 
+  test("mixing: deterministic per-source rates, stable across runs") {
+    val d = spark.range(0, 1000).toDF("doc_id")
+      .withColumn("source",
+        concat(lit("src"), pmod(col("doc_id"), lit(4)).cast("string")))
+    val rates = Map("src0" -> 0.0, "src1" -> 1.0, "src2" -> 0.3)
+    val kept = Mixing.mixBySources(d, "source", "doc_id", rates)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!kept.contains("src0"))           // rate 0 → dropped entirely
+    assert(kept("src1") == 250L)             // rate 1 → all kept
+    assert(kept("src2") > 30 && kept("src2") < 120) // ~30% of 250
+    assert(kept("src3") == 250L)             // default rate 1.0
+    // pure function of the id: a second run keeps the identical rows
+    val ids1 = Mixing.mixBySources(d, "source", "doc_id", rates)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = Mixing.mixBySources(d.repartition(7), "source", "doc_id", rates)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+  }
+
   test("gopher metrics: stopword / symbol / top-token ratios") {
     // doc 0: "the quick brown fox jumps over the lazy dog" — 9 tokens,
     // stopword occurrences = "the"×2, no symbols, mode token "the"×2
