@@ -29,8 +29,36 @@ object Mixing {
     val rateCol = coalesce(
       element_at(typedlit(rates), col(sourceCol)),
       lit(defaultRate))
-    val bucket = pmod(
-      graft.functions.Fnv64(col(idCol).cast("string")), lit(1000L))
-    df.filter(bucket < round(rateCol * 1000d).cast("long"))
+    df.filter(bucket(col(idCol)) < round(rateCol * 1000d).cast("long"))
+  }
+
+  private def bucket(id: org.apache.spark.sql.Column) =
+    pmod(graft.functions.Fnv64(id.cast("string")), lit(1000L))
+
+  /** General mixing with UP-weighting: weight 2.3 emits 2 copies of
+    * every row plus a 3rd for the 30% of ids whose bucket falls under
+    * the fractional part — the standard way high-quality sources are
+    * over-represented in a pretraining mix. Output carries `copy_idx`
+    * (0-based) so downstream ids stay unique; weight < 1 degenerates
+    * to [[mixBySources]] selection. Same determinism contract: copies
+    * are a pure function of (id, source weight). Map-only — the only
+    * data growth is the emitted copies themselves. */
+  def mixBySourcesWeighted(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      weights: Map[String, Double],
+      defaultWeight: Double = 1.0): DataFrame = {
+    require(weights.values.forall(_ >= 0), "weights must be >= 0")
+    val w = coalesce(
+      element_at(typedlit(weights), col(sourceCol)), lit(defaultWeight))
+    val copies = (floor(w).cast("long") +
+      when(bucket(col(idCol)) < round((w - floor(w)) * 1000d).cast("long"),
+        1L).otherwise(0L)).as("__copies")
+    df.withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .withColumn("copy_idx",
+        explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__copies")
   }
 }

@@ -134,6 +134,15 @@ object LlmQueries {
         .groupBy("source").agg(count(lit(1)).as("n_kept"))
         .orderBy("source")),
 
+    // weighted mixing with UP-sampling: src0 2.5x (2 copies + half a
+    // 3rd by id bucket), src1 0.5x, others 1x — audit counts per source
+    "llm_mix_weighted" -> ((s, dir) =>
+      Mixing.mixBySourcesWeighted(t(s, dir, "documents"), "source",
+          "doc_id", Map("src0" -> 2.5, "src1" -> 0.5))
+        .groupBy("source").agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("source")),
+
     // corpus vocabulary: top-50 terms by occurrence (lowercased
     // whitespace tokens) — classic map-side-combine word count with a
     // deterministic (cnt, word) tiebreak
@@ -398,6 +407,29 @@ object LlmQueries {
         |  CASE source WHEN 'src0' THEN 250 WHEN 'src1' THEN 500 WHEN 'src2' THEN 0 ELSE 1000 END AS keep FROM b)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_kept
         |FROM r WHERE bucket < keep GROUP BY source ORDER BY source""".stripMargin,
+    // weighted-mixing mirror: same FNV bucket; copies = floor(w) + 1
+    // extra when bucket < round(frac·1000); n_rows sums copies
+    "llm_mix_weighted" ->
+      """WITH RECURSIVE
+        |ids AS (SELECT doc_id, source, CAST(doc_id AS VARCHAR) AS s FROM documents),
+        |hx AS (SELECT DISTINCT s FROM ids),
+        |hh AS (SELECT s, hex(encode(s)) AS hs, octet_length(encode(s)) AS nb FROM hx),
+        |fnv AS (
+        |  SELECT s, hs, nb, 0 AS i, CAST(14695981039346656037 AS HUGEINT) AS h FROM hh
+        |  UNION ALL
+        |  SELECT s, hs, nb, i + 1,
+        |    (xor(h, CAST((strpos('0123456789ABCDEF', substring(hs, 2*i+1, 1))-1)*16 + strpos('0123456789ABCDEF', substring(hs, 2*i+2, 1))-1 AS HUGEINT)) * 1099511628211) % 18446744073709551616
+        |  FROM fnv WHERE i < nb),
+        |sgn AS (SELECT s, CAST(h - CASE WHEN h >= 9223372036854775808 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS hv
+        |        FROM fnv WHERE i = nb),
+        |b AS (SELECT i.doc_id, i.source, ((sg.hv % 1000) + 1000) % 1000 AS bucket FROM ids i JOIN sgn sg ON sg.s = i.s),
+        |c AS (SELECT doc_id, source, bucket,
+        |  CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 ELSE 1 END
+        |    + CASE WHEN bucket < (CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 500 ELSE 0 END) THEN 1 ELSE 0 END AS copies
+        |  FROM b)
+        |SELECT source, CAST(sum(copies) AS BIGINT) AS n_rows,
+        | CAST(count(CASE WHEN copies > 0 THEN 1 END) AS BIGINT) AS n_docs
+        |FROM c WHERE copies > 0 GROUP BY source ORDER BY source""".stripMargin,
     // vocabulary mirror: unnest word count with (cnt desc, word) ties
     "llm_vocab_topk" ->
       """SELECT w, CAST(count(*) AS BIGINT) AS cnt

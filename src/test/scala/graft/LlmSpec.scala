@@ -536,6 +536,18 @@ class LlmSpec extends SparkSpec {
     val ids2 = Mixing.mixBySources(d.repartition(7), "source", "doc_id", rates)
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(ids1 == ids2)
+    // up-weighting: 2.5 → every doc twice plus ~half a third copy
+    val up = Mixing.mixBySourcesWeighted(d, "source", "doc_id",
+      Map("src0" -> 2.5, "src1" -> 0.0))
+    val perDoc = up.filter(col("source") === "src0")
+      .groupBy("doc_id").count().select("count").as[Long].collect()
+    assert(perDoc.length == 250 && perDoc.forall(c => c == 2 || c == 3))
+    assert(perDoc.sum > 500 && perDoc.sum < 750)
+    assert(up.filter(col("source") === "src1").count() == 0)
+    // copy_idx is a proper 0-based index within each doc
+    val idx = up.filter(col("source") === "src0" && col("doc_id") === 4)
+      .select("copy_idx").as[Long].collect().sorted.toSeq
+    assert(idx == (0L until idx.length).toSeq && idx.length >= 2)
   }
 
   test("gopher metrics: stopword / symbol / top-token ratios") {
