@@ -134,6 +134,14 @@ object LlmQueries {
         .groupBy("source").agg(count(lit(1)).as("n_kept"))
         .orderBy("source")),
 
+    // stratified exact-n: ≤ 10 docs per source, picked by id-hash
+    // order — deterministic per-group caps; audit = kept ids per source
+    "llm_stratified_sample" -> ((s, dir) =>
+      graft.stats.Sampling.stratifiedExactN(
+          t(s, dir, "documents"), "source", "doc_id", 10)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")),
+
     // weighted mixing with UP-sampling: src0 2.5x (2 copies + half a
     // 3rd by id bucket), src1 0.5x, others 1x — audit counts per source
     "llm_mix_weighted" -> ((s, dir) =>
@@ -407,6 +415,25 @@ object LlmQueries {
         |  CASE source WHEN 'src0' THEN 250 WHEN 'src1' THEN 500 WHEN 'src2' THEN 0 ELSE 1000 END AS keep FROM b)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_kept
         |FROM r WHERE bucket < keep GROUP BY source ORDER BY source""".stripMargin,
+    // stratified mirror: the same FNV hash as rank key (full signed
+    // value, ties on id), row_number ≤ 10 per source
+    "llm_stratified_sample" ->
+      """WITH RECURSIVE
+        |ids AS (SELECT doc_id, source, CAST(doc_id AS VARCHAR) AS s FROM documents),
+        |hx AS (SELECT DISTINCT s FROM ids),
+        |hh AS (SELECT s, hex(encode(s)) AS hs, octet_length(encode(s)) AS nb FROM hx),
+        |fnv AS (
+        |  SELECT s, hs, nb, 0 AS i, CAST(14695981039346656037 AS HUGEINT) AS h FROM hh
+        |  UNION ALL
+        |  SELECT s, hs, nb, i + 1,
+        |    (xor(h, CAST((strpos('0123456789ABCDEF', substring(hs, 2*i+1, 1))-1)*16 + strpos('0123456789ABCDEF', substring(hs, 2*i+2, 1))-1 AS HUGEINT)) * 1099511628211) % 18446744073709551616
+        |  FROM fnv WHERE i < nb),
+        |sgn AS (SELECT s, CAST(h - CASE WHEN h >= 9223372036854775808 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS hv
+        |        FROM fnv WHERE i = nb),
+        |rk AS (SELECT i.source, i.doc_id,
+        |  row_number() OVER (PARTITION BY i.source ORDER BY sg.hv, i.doc_id) AS r
+        |  FROM ids i JOIN sgn sg ON sg.s = i.s)
+        |SELECT source, doc_id FROM rk WHERE r <= 10 ORDER BY source, doc_id""".stripMargin,
     // weighted-mixing mirror: same FNV bucket; copies = floor(w) + 1
     // extra when bucket < round(frac·1000); n_rows sums copies
     "llm_mix_weighted" ->

@@ -19,6 +19,25 @@ object Sampling {
   def fraction(df: DataFrame, f: Double, seed: Long = 42L): DataFrame =
     df.sample(withReplacement = false, f, seed)
 
+  /** Stratified exact-n sample: at most `n` rows per group, chosen
+    * deterministically by id-hash order (FNV-1a of the id string, ties
+    * on id) — per-group caps for corpus assembly ("keep ≤ n docs per
+    * source") without RNG state. The window partitions by the group
+    * column, so the rank runs group-parallel; at scale this is one
+    * shuffle on the group key, same as any grouped aggregate. */
+  def stratifiedExactN(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(graft.functions.Fnv64(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+
   /** L5: log-spaced index subset of an axis of length `n` — the plot
     * downsampler (`_downsample_log`, `vibration_analyzer.py:1051-1102`,
     * default 20,000 points). Driver-side: it prepares plot indices, not
