@@ -65,10 +65,20 @@ object Dedup {
   }
 
   /** Banded-LSH candidate pairs from signatures: b bands of r rows
-    * (k = b·r); docs sharing any band bucket become candidates. The
-    * self-join is on (band, bandHash) — co-partitioned, no cross join.
+    * (k = b·r); docs sharing any band bucket become candidates.
     * `maxBucket` caps pathological buckets (near-identical boilerplate)
-    * to bound the within-bucket pair blow-up at scale. */
+    * to bound the within-bucket pair blow-up at scale.
+    *
+    * Shape: ONE shuffle — the banded rows group on (band, bucket), the
+    * id list of each surviving bucket is sorted, and the pairs expand
+    * declaratively from the row-local list ((i, j>i) over the sorted
+    * ids, so ida < idb by construction). The previous formulation
+    * (bucket-size window + co-partitioned self-join) needed a window
+    * sort AND a join over the same exchange; grouping collects each
+    * bucket exactly once instead. Bucket id-lists are bounded:
+    * oversized buckets are dropped whole (same cap semantics — the
+    * bucket key = the band's raw signature slice, no hash function, so
+    * the bucketing stays mirrorable in ANSI SQL by list VALUE). */
   def lshCandidates(
       sigs: DataFrame,
       idCol: String,
@@ -79,24 +89,20 @@ object Dedup {
       col(idCol),
       explode(transform(sequence(lit(0), lit(bands - 1)), j =>
         struct(j.as("band"),
-          // bucket key = the band's raw signature slice: join/group on
-          // array equality directly — no hash function, no collisions,
-          // and the bucketing is mirrorable in ANSI SQL (lists compare
-          // by value), which makes the whole pipeline oracle-able
           slice(col("sig"), j * rows + 1, lit(rows)).as("bhash"))))
         .as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bhash"))
-    val pruned = banded
-      .withColumn("bsize",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "bhash")))
-      .filter(col("bsize") <= maxBucket)
-      .drop("bsize")
-    val a = pruned.select(col(idCol).as("ida"), col("band"), col("bhash"))
-    val b = pruned.select(col(idCol).as("idb"), col("band"), col("bhash"))
-    a.join(b, Seq("band", "bhash"))
-      .filter(col("ida") < col("idb"))
-      .select("ida", "idb").distinct()
+    val buckets = banded
+      .groupBy("band", "bhash")
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(sort_array(col("ids")).as("ids"))
+    buckets
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("ida"), y.as("idb")))))).as("p"))
+      .select(col("p.ida"), col("p.idb"))
+      .distinct()
   }
 
   /** Estimated Jaccard from signatures for candidate pairs (fraction of
