@@ -115,6 +115,25 @@ object StreamingQueries {
         .orderBy("chunk_id")
     }),
 
+    // streaming MinHash-LSH near-dup candidates, end to end: fused
+    // map-side signatures → per-band-bucket keyed state emits a pair
+    // per remembered bucket member. On the bounded single-batch replay
+    // (no bucket near the cap at this sf) the emitted distinct pair
+    // set equals the batch lshCandidates set — same oracle chain
+    "stream_neardup_candidates" -> ((s, dir) => {
+      import s.implicits._
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val docs = s.readStream.schema(schema)
+        .parquet(s"$dir/documents.parque[t]")
+        .select(col("doc_id").as("docId"), col("text"))
+        .as[StreamingDedup.Doc]
+      val pairs = StreamingDedup.nearDupCandidatesStream(docs)
+      runToMemory(s, "stream_neardup", name =>
+        pairs.toDF().writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()))
+        .select("ida", "idb").distinct().orderBy("ida", "idb")
+    }),
+
     // streaming quality-gate monitor, end to end: the Gopher heuristic
     // rules (incl. the native top_token_ratio kernel) applied inside a
     // streaming pipeline, aggregated per language in complete mode —
@@ -173,6 +192,40 @@ object StreamingQueries {
     // a bounded sorted stream — the batch operator's oracle IS the
     // streaming oracle
     "stream_rechunk" -> TraceQueries.oracle("w4_rechunk"),
+    // streaming near-dup candidates: the batch MinHash mirror's
+    // signature→banding chain, stopping at the candidate set (the
+    // bounded replay stays under the bucket cap → streaming ≡ batch)
+    "stream_neardup_candidates" -> {
+      val mixers = graft.functions.MinHashSig.mixers(64)
+        .zipWithIndex.map { case (a, j) => s"($j, $a)" }.mkString(", ")
+      s"""WITH RECURSIVE
+        |tok0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l FROM documents),
+        |tokx AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i FROM tok0),
+        |sh3 AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s FROM tokx a JOIN tokx b ON b.doc_id = a.doc_id AND b.i = a.i + 1 JOIN tokx c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+        |shfew AS (SELECT doc_id, array_to_string(l, ' ') AS s FROM tok0 WHERE len(l) < 3),
+        |shall AS (SELECT DISTINCT doc_id, s FROM (SELECT * FROM sh3 UNION ALL SELECT * FROM shfew)),
+        |strs AS (SELECT DISTINCT s FROM shall),
+        |hx AS (SELECT s, hex(encode(s)) AS hs, octet_length(encode(s)) AS nb FROM strs),
+        |fnv AS (
+        |  SELECT s, hs, nb, 0 AS i, CAST(14695981039346656037 AS HUGEINT) AS h FROM hx
+        |  UNION ALL
+        |  SELECT s, hs, nb, i + 1,
+        |    (xor(h, CAST((strpos('0123456789ABCDEF', substring(hs, 2*i+1, 1))-1)*16 + strpos('0123456789ABCDEF', substring(hs, 2*i+2, 1))-1 AS HUGEINT)) * 1099511628211) % 18446744073709551616
+        |  FROM fnv WHERE i < nb),
+        |hfin AS (SELECT s, h FROM fnv WHERE i = nb),
+        |mix AS (SELECT j, a FROM (VALUES $mixers) AS m(j, a)),
+        |persig AS (
+        |  SELECT sa.doc_id, m.j,
+        |    min(xor(CAST(hf.h % 2147483648 AS BIGINT) * CAST(m.a AS BIGINT), CAST(hf.h // 2147483648 AS BIGINT))) AS v
+        |  FROM shall sa JOIN hfin hf ON hf.s = sa.s CROSS JOIN mix m
+        |  GROUP BY sa.doc_id, m.j),
+        |bnd AS (SELECT doc_id, j // 4 AS band, list(v ORDER BY j) AS sl FROM persig GROUP BY doc_id, j // 4),
+        |bsz AS (SELECT band, sl, count(*) AS c FROM bnd GROUP BY band, sl),
+        |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+        |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.sl = b.sl AND a.doc_id < b.doc_id
+        |  JOIN bsz z ON z.band = a.band AND z.sl = a.sl AND z.c <= 1000)
+        |SELECT ida, idb FROM cand ORDER BY ida, idb""".stripMargin
+    },
     // quality monitor: the gopher CTE grouped by lang with the same
     // integer thresholds (bounded replay = one batch = the batch agg)
     "stream_quality_monitor" -> {

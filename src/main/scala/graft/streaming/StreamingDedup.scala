@@ -56,6 +56,75 @@ object StreamingDedup {
         })
   }
 
+  final case class CandPair(ida: Long, idb: Long)
+
+  /** Streaming MinHash-LSH near-duplicate CANDIDATE detection — the
+    * streaming form of [[graft.llm.Dedup.lshCandidates]]: each arriving
+    * doc computes its fused signature map-side
+    * ([[graft.functions.MinHashTextSig]]), explodes into its b band
+    * buckets, and per-bucket keyed state (the ids seen in that bucket)
+    * emits a candidate pair for every remembered member. Downstream
+    * verification (exact Jaccard over the pair stream) is a batch join
+    * per micro-batch — candidates, not the corpus, cross the boundary.
+    *
+    * State per bucket is an id list capped at `maxBucket` (members past
+    * the cap detect against the remembered prefix but are not
+    * remembered — a bounded-memory divergence from the batch form,
+    * which DROPS oversized buckets whole; under the cap the bounded
+    * replay emits exactly the batch candidate set). `stateTtl` expires
+    * idle buckets for unbounded ingest. Within a micro-batch, rows
+    * process in id order → deterministic pairs with ida < idb. */
+  def nearDupCandidatesStream(
+      docs: Dataset[Doc],
+      k: Int = 64,
+      bands: Int = 16,
+      shingleN: Int = 3,
+      stateTtl: String = "",
+      maxBucket: Int = 1000): Dataset[CandPair] = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val timeout =
+      if (stateTtl.isEmpty) GroupStateTimeout.NoTimeout()
+      else GroupStateTimeout.ProcessingTimeTimeout()
+    val banded = docs.toDF()
+      .withColumn("sig",
+        graft.functions.MinHashTextSig(col("text"), k, shingleN))
+      .select(col("docId"),
+        explode(transform(sequence(lit(0), lit(bands - 1)), j =>
+          concat_ws(":", j.cast("string"),
+            concat_ws(",", transform(
+              slice(col("sig"), j * r + 1, lit(r)),
+              v => v.cast("string"))))))
+          .as("bucket"))
+      .as[(Long, String)]
+    banded
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append(), timeout)(
+        (bucket: String, rows: Iterator[(Long, String)],
+            state: GroupState[List[Long]]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            if (!state.exists && stateTtl.nonEmpty)
+              state.setTimeoutDuration(stateTtl)
+            var members = state.getOption.getOrElse(Nil)
+            val out = List.newBuilder[CandPair]
+            rows.toSeq.map(_._1).sorted.foreach { id =>
+              members.foreach { m =>
+                if (m != id)
+                  out += CandPair(math.min(m, id), math.max(m, id))
+              }
+              if (members.length < maxBucket) members = id :: members
+            }
+            state.update(members)
+            out.result().iterator
+          }
+        })
+  }
+
   /** Streaming per-language document counts with token totals — the
     * streaming form of the llm_lang_dist/text-tokens queries (watermarked
     * update-mode aggregation; `docs` needs an event-time `ts` column). */

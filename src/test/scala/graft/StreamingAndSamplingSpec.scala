@@ -105,6 +105,38 @@ class StreamingAndSamplingSpec extends SparkSpec {
     assert(got.map(_._2).distinct.length == got.length)
   }
 
+  test("streaming near-dup candidates: cross-batch detection, bounded state") {
+    import graft.streaming.StreamingDedup
+    import graft.streaming.StreamingDedup.Doc
+    implicit val sqlCtx = spark.sqlContext
+    val a = "the quick brown fox jumps over the lazy dog tonight again"
+    val b = "the quick brown fox jumps over the lazy cat tonight again"
+    val c = "completely different words appear in this sentence here today now"
+    val stream = MemoryStream[Doc]
+    val q = StreamingDedup.nearDupCandidatesStream(stream.toDS())
+      .writeStream.format("memory").queryName("neardup_pairs")
+      .outputMode("append").start()
+    stream.addData(Doc(1L, a), Doc(2L, c))
+    q.processAllAvailable()
+    // near-dup of doc 1 arrives in a LATER batch — state remembers
+    stream.addData(Doc(3L, b), Doc(4L, a))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.sql(
+      "SELECT DISTINCT ida, idb FROM neardup_pairs ORDER BY ida, idb")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // exact copy collides in all bands
+    assert(pairs.contains((1L, 3L)) || pairs.contains((3L, 4L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated doc
+    // cap = 1: only the first member per bucket is remembered, so the
+    // third copy pairs ONLY against it (bounded state, no quadratics)
+    val docs = Seq(Doc(1L, a), Doc(2L, a), Doc(3L, a)).toDS()
+    val capped = StreamingDedup
+      .nearDupCandidatesStream(docs, maxBucket = 1)
+      .distinct().collect().map(p => (p.ida, p.idb)).toSet
+    assert(capped == Set((1L, 2L), (1L, 3L)))
+  }
+
   test("L3 exact-n seeded sample: size, determinism, no replacement") {
     val df = (0 until 1000).map(Tuple1(_)).toDF("x")
     val s1 = Sampling.exactN(df, 50, seed = 7).as[Int].collect()
