@@ -137,6 +137,34 @@ object TextAnalysis {
     }.otherwise(lit("und"))
   }
 
+  /** Corpus-familiarity quality score (the CCNet-style idea with an
+    * exactly-mirrorable statistic): build the corpus bigram count
+    * table, then score each document by the average corpus frequency
+    * of its bigram OCCURRENCES — boilerplate and in-distribution prose
+    * score high, out-of-distribution or garbled text scores near the
+    * singleton floor of 1.0. Integer sums divided once at the end →
+    * deterministic regardless of join/aggregation order (the
+    * float-sum-order trap the quantization mirror hit does not exist
+    * here).
+    *
+    * Scale shape: one groupBy builds the model (map-side combined);
+    * scoring explodes each doc's bigrams and shuffle-joins the model
+    * on the bigram key — co-partitioned, linear, no broadcast of a
+    * corpus-sized table. Returns (idCol, n_bigrams, familiarity). */
+  def bigramFamiliarity(df: DataFrame, textCol: String, idCol: String)
+      : DataFrame = {
+    val grams = df.select(col(idCol),
+      explode(ngrams(col(textCol), 2)).as("g"))
+    val model = grams.groupBy("g").agg(count(lit(1)).as("corpus_cnt"))
+    grams.join(model, Seq("g"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("corpus_cnt").as("sum_cnt"))
+      .withColumn("familiarity",
+        col("sum_cnt").cast("double") / col("n_bigrams"))
+      .drop("sum_cnt")
+  }
+
   /** PII patterns (C4-style scrub list), ordered — RE2-compatible (no
     * lookaround, no backrefs) so the DuckDB oracle runs the IDENTICAL
     * patterns. Replacement tokens are bracketed type tags. */

@@ -134,6 +134,13 @@ object LlmQueries {
         .groupBy("source").agg(count(lit(1)).as("n_kept"))
         .orderBy("source")),
 
+    // corpus-familiarity quality score: per-doc average corpus
+    // frequency of its bigram occurrences (integer sums → exact)
+    "llm_familiarity" -> ((s, dir) =>
+      TextAnalysis.bigramFamiliarity(t(s, dir, "documents"),
+          "text", "doc_id")
+        .orderBy("doc_id")),
+
     // stratified exact-n: ≤ 10 docs per source, picked by id-hash
     // order — deterministic per-group caps; audit = kept ids per source
     "llm_stratified_sample" -> ((s, dir) =>
@@ -415,6 +422,20 @@ object LlmQueries {
         |  CASE source WHEN 'src0' THEN 250 WHEN 'src1' THEN 500 WHEN 'src2' THEN 0 ELSE 1000 END AS keep FROM b)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_kept
         |FROM r WHERE bucket < keep GROUP BY source ORDER BY source""".stripMargin,
+    // familiarity mirror: bigram occurrences (WITH repetitions — the
+    // ngrams unit, incl. the short-doc collapse), corpus counts, and
+    // the per-doc integer sums
+    "llm_familiarity" ->
+      """WITH tok0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l FROM documents),
+        |tokx AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i FROM tok0),
+        |g2 AS (SELECT a.doc_id, a.w || ' ' || b.w AS g FROM tokx a JOIN tokx b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+        |gfew AS (SELECT doc_id, array_to_string(l, ' ') AS g FROM tok0 WHERE len(l) < 2),
+        |grams AS (SELECT * FROM g2 UNION ALL SELECT * FROM gfew),
+        |model AS (SELECT g, count(*) AS corpus_cnt FROM grams GROUP BY g)
+        |SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        | CAST(sum(m.corpus_cnt) AS DOUBLE) / count(*) AS familiarity
+        |FROM grams gr JOIN model m ON m.g = gr.g
+        |GROUP BY gr.doc_id ORDER BY gr.doc_id""".stripMargin,
     // stratified mirror: the same FNV hash as rank key (full signed
     // value, ties on id), row_number ≤ 10 per source
     "llm_stratified_sample" ->

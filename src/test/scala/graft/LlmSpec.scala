@@ -485,6 +485,17 @@ class LlmSpec extends SparkSpec {
     assert(fill.agg(sum("n_docs_starting")).head.getLong(0) == 200L)
   }
 
+  test("bigram familiarity: shared phrasing scores above unique prose") {
+    val fam = TextAnalysis.bigramFamiliarity(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("familiarity")).toMap
+    // docs 0/1/3 share "the quick brown fox ..." bigrams (0 and 3 are
+    // exact copies); doc 4 is unique → every bigram count 1
+    assert(fam(0L) == fam(3L) && fam(0L) > fam(4L))
+    assert(fam(4L) == 1.0)
+    // 8 bigrams in doc 0: 7 appear 3x (docs 0,1,3), "lazy dog" 2x (0,3)
+    assert(math.abs(fam(0L) - (7 * 3 + 2).toDouble / 8) < 1e-12)
+  }
+
   test("pii redaction: synthetic email/ip/phone scrubbed and counted") {
     val d = Seq(
       (0L, "write to alice.b@corp.example or 192.168.1.17 or +1-555-0199 now"),
