@@ -92,6 +92,11 @@ object GraftFunctions {
     ShingleHashes(exprs.head, intLit(exprs(1), "n"))
   }
 
+  private def ngramHashesBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "ngram_hashes(text, n)")
+    NgramHashes(exprs.head, intLit(exprs(1), "n"))
+  }
+
   private[functions] def minhashBuilderPublic(exprs: Seq[Expression])
       : Expression = minhashBuilder(exprs)
   private[functions] def hist2dBuilderPublic(exprs: Seq[Expression])
@@ -114,6 +119,8 @@ object GraftFunctions {
       : Expression = topTokenBuilder(exprs)
   private[functions] def shingleHashesBuilderPublic(exprs: Seq[Expression])
       : Expression = shingleHashesBuilder(exprs)
+  private[functions] def ngramHashesBuilderPublic(exprs: Seq[Expression])
+      : Expression = ngramHashesBuilder(exprs)
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -128,6 +135,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("simhash_text", simhashTextBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("top_token_ratio", topTokenBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("shingle_hashes", shingleHashesBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("ngram_hashes", ngramHashesBuilder, "scala_udf")
   }
 }
 
@@ -178,5 +186,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       GraftFunctions.shingleHashesBuilderPublic _))
+    ext.injectFunction((
+      FunctionIdentifier("ngram_hashes"),
+      new ExpressionInfo(classOf[NgramHashes].getName, "ngram_hashes"),
+      GraftFunctions.ngramHashesBuilderPublic _))
   }
 }

@@ -243,6 +243,58 @@ object ShingleHashes {
   }
 }
 
+/** `ngram_hashes(text, n)` → array<bigint>: FNV-1a 64 hashes of the
+  * document's word n-grams WITH repetitions, in token order — the
+  * repetition-preserving sibling of [[ShingleHashes]] (same fused
+  * byte-level pass, no sort, no dedup). The unit for frequency-based
+  * corpus models (bigram counts, familiarity scoring) where joins and
+  * aggregations should move 8-byte hashes, never n-gram strings.
+  * Null text → null. */
+case class NgramHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ngram_hashes expects string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    NgramHashes.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NgramHashes.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : NgramHashes = copy(child = newChild)
+
+  override def prettyName: String = "ngram_hashes"
+}
+
+object NgramHashes {
+
+  def apply(c: Column, n: Int): Column =
+    GraftSqlBridge.column(NgramHashes(GraftSqlBridge.expression(c), n))
+
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    val (starts, ends, count) = TextTokenize.tokenize(bytes)
+    val nShingles = math.max(count - (n - 1), 1)
+    val span = if (count - (n - 1) > 0) n else count
+    val hs = new Array[Long](nShingles)
+    var si = 0
+    while (si < nShingles) {
+      hs(si) = TextTokenize.fnvJoined(bytes, starts, ends, si, si + span)
+      si += 1
+    }
+    new GenericArrayData(hs)
+  }
+}
+
 /** `simhash_text(text)` → bigint: 64-bit SimHash over whitespace
   * tokens, fused — identical to `SimHash64(TextAnalysis.tokens(text))`
   * (per-token-OCCURRENCE voting; empty tokens vote like the composed

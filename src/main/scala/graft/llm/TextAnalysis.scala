@@ -153,8 +153,12 @@ object TextAnalysis {
     * corpus-sized table. Returns (idCol, n_bigrams, familiarity). */
   def bigramFamiliarity(df: DataFrame, textCol: String, idCol: String)
       : DataFrame = {
+    // fused repetition-preserving hash kernel: the model groupBy and
+    // the score join move 8-byte hashes, never bigram strings (same
+    // collision stance as every hash pipeline here — the string oracle
+    // reproduces the counts exactly absent 64-bit collisions)
     val grams = df.select(col(idCol),
-      explode(ngrams(col(textCol), 2)).as("g"))
+      explode(graft.functions.NgramHashes(col(textCol), 2)).as("g"))
     val model = grams.groupBy("g").agg(count(lit(1)).as("corpus_cnt"))
     grams.join(model, Seq("g"))
       .groupBy(idCol)

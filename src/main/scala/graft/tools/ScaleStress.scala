@@ -68,6 +68,9 @@ object ScaleStress {
       time(s"pii redact x$mult")(
         d.select(md5(TextAnalysis.redactPii(col("text"))).as("h"))
           .agg(count(lit(1))).count())
+      time(s"bigram familiarity x$mult")(
+        TextAnalysis.bigramFamiliarity(d, "text", "doc_id")
+          .agg(sum("n_bigrams")).count())
       spark.catalog.clearCache()
     }
 

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Row
-import graft.functions.{Fnv64, MinHashSig, MinHashTextSig, ShingleHashes, SimHash64, SimHashText}
+import graft.functions.{Fnv64, MinHashSig, MinHashTextSig, NgramHashes, ShingleHashes, SimHash64, SimHashText}
 import graft.llm.{Dedup, TextAnalysis}
 
 /** Exact-equivalence contract of the fused text→signature kernels
@@ -113,6 +113,13 @@ class TextSigSpec extends SparkSpec {
         ShingleHashes(col("text"), n),
         sort_array(array_distinct(
           transform(Dedup.shingles(col("text"), n), s => Fnv64(s)))))
+  }
+
+  test("ngram_hashes ≡ fnv64 over composed ngrams (order + repetitions)") {
+    for (n <- Seq(1, 2, 3))
+      assertColumnsEqual(
+        NgramHashes(col("text"), n),
+        transform(TextAnalysis.ngrams(col("text"), n), s => Fnv64(s)))
   }
 
   test("top_token_ratio ≡ exploded per-token mode computation") {
