@@ -115,7 +115,16 @@ object Bench {
     val qs = jmap(byQuery.collect {
       case (name, _, med, _) if headline(name) => name -> med
     })
-    println(s"""{"metric":"total_median","value":${jnum(total)},"unit":"sec","runs":$runs,"noisy":${noisy.length},"queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total_median","value":${jnum(total)},"unit":"sec","runs":$runs,"noisy":${noisy.length},"queries":$qs,"sf":"$sfDir"}"""
+    // the harness tail-captures the last ~2000 chars of output: silence
+    // shutdown logging and RE-print the line after stop() so nothing —
+    // not a stray shutdown WARN, not a cleanup message — can push the
+    // one line that matters out of the capture window (the r02–r04
+    // driver benches all lost their JSON line to exactly this)
+    println(line)
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(line)
   }
 }
