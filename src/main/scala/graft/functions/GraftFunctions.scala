@@ -97,6 +97,14 @@ object GraftFunctions {
     NgramHashes(exprs.head, intLit(exprs(1), "n"))
   }
 
+  private def topkByBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3, "topk_by(score, id, k)")
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    TopKByScore(Cast(exprs(0), org.apache.spark.sql.types.DoubleType),
+      Cast(exprs(1), org.apache.spark.sql.types.LongType),
+      intLit(exprs(2), "k")).toAggregateExpression()
+  }
+
   private[functions] def minhashBuilderPublic(exprs: Seq[Expression])
       : Expression = minhashBuilder(exprs)
   private[functions] def hist2dBuilderPublic(exprs: Seq[Expression])
@@ -121,6 +129,8 @@ object GraftFunctions {
       : Expression = shingleHashesBuilder(exprs)
   private[functions] def ngramHashesBuilderPublic(exprs: Seq[Expression])
       : Expression = ngramHashesBuilder(exprs)
+  private[functions] def topkByBuilderPublic(exprs: Seq[Expression])
+      : Expression = topkByBuilder(exprs)
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -136,6 +146,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("top_token_ratio", topTokenBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("shingle_hashes", shingleHashesBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("ngram_hashes", ngramHashesBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("topk_by", topkByBuilder, "scala_udf")
   }
 }
 
@@ -190,5 +201,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("ngram_hashes"),
       new ExpressionInfo(classOf[NgramHashes].getName, "ngram_hashes"),
       GraftFunctions.ngramHashesBuilderPublic _))
+    ext.injectFunction((
+      FunctionIdentifier("topk_by"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "topk_by"),
+      GraftFunctions.topkByBuilderPublic _))
   }
 }

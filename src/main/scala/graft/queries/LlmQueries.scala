@@ -134,6 +134,19 @@ object LlmQueries {
         .groupBy("source").agg(count(lit(1)).as("n_kept"))
         .orderBy("source")),
 
+    // grouped top-k via the bounded-buffer native aggregate (map-side
+    // combined, at most k rows per partition×group cross the exchange
+    // — no per-group full sort): top-3 docs per source by n_chars
+    "llm_topk_by_source" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(graft.functions.TopKByScore(col("n_chars"), col("doc_id"), 3)
+          .as("top"))
+        .select(col("source"), posexplode(col("top")))
+        .select(col("source"), col("pos"),
+          col("col.score").as("score"), col("col.id").as("doc_id"))
+        .orderBy("source", "pos")),
+
     // corpus-familiarity quality score: per-doc average corpus
     // frequency of its bigram occurrences (integer sums → exact)
     "llm_familiarity" -> ((s, dir) =>
@@ -422,6 +435,14 @@ object LlmQueries {
         |  CASE source WHEN 'src0' THEN 250 WHEN 'src1' THEN 500 WHEN 'src2' THEN 0 ELSE 1000 END AS keep FROM b)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_kept
         |FROM r WHERE bucket < keep GROUP BY source ORDER BY source""".stripMargin,
+    // grouped top-k mirror: the row_number window form (the aggregate
+    // keeps the same (score DESC, id ASC) total order)
+    "llm_topk_by_source" ->
+      """WITH r AS (SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS score,
+        |  row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, CAST(rn - 1 AS INTEGER) AS pos, score, doc_id
+        |FROM r WHERE rn <= 3 ORDER BY source, pos""".stripMargin,
     // familiarity mirror: bigram occurrences (WITH repetitions — the
     // ngrams unit, incl. the short-doc collapse), corpus counts, and
     // the per-doc integer sums

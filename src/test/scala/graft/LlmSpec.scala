@@ -485,6 +485,31 @@ class LlmSpec extends SparkSpec {
     assert(fill.agg(sum("n_docs_starting")).head.getLong(0) == 200L)
   }
 
+  test("topk_by aggregate ≡ row_number window form, across partitions") {
+    val rnd = new scala.util.Random(99)
+    val rows = (0 until 3000).map { i =>
+      (i.toLong, s"g${i % 7}", rnd.nextInt(50).toDouble) // heavy score ties
+    }
+    val df = rows.toDF("id", "grp", "score").repartition(13)
+    val agg = df.groupBy("grp")
+      .agg(graft.functions.TopKByScore(col("score"), col("id"), 5).as("top"))
+      .select(col("grp"), posexplode(col("top")))
+      .select(col("grp"), col("pos"), col("col.score"), col("col.id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(desc("score"), col("id"))
+    val win = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("grp"), (col("rn") - 1).cast("int").as("pos"),
+        col("score"), col("id"))
+    assert(agg.exceptAll(win).isEmpty && win.exceptAll(agg).isEmpty)
+    // k larger than the group: short, still-sorted output
+    val small = Seq((1L, "a", 2.0), (2L, "a", 9.0)).toDF("id", "grp", "score")
+      .groupBy("grp")
+      .agg(graft.functions.TopKByScore(col("score"), col("id"), 10).as("t"))
+      .select(explode(col("t"))).select("col.id").as[Long].collect().toSeq
+    assert(small == Seq(2L, 1L))
+  }
+
   test("bigram familiarity: shared phrasing scores above unique prose") {
     val fam = TextAnalysis.bigramFamiliarity(docs, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getAs[Double]("familiarity")).toMap
