@@ -298,4 +298,25 @@ object Similarity {
       .withColumn("cosine", cosine(col("qe"), col("ce")))
       .select("query_id", "corpus_id", "cosine")
   }
+
+  /** [[annJoin]] reduced to the k best matches per query by the
+    * k-bounded native [[graft.functions.TopKByScore]] aggregate —
+    * map-side combined, so at most k candidate rows per
+    * partition×query reach the exchange (the window/row_number form
+    * would sort every query's full candidate list). Output:
+    * (query_id, rank, cosine, corpus_id), rank 0-based. */
+  def annJoinTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      embCol: String,
+      idCol: String,
+      k: Int,
+      nPlanes: Int = 12): DataFrame =
+    annJoin(corpus, queries, embCol, idCol, nPlanes)
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScore(col("cosine"), col("corpus_id"), k)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("pos").as("rank"),
+        col("col.score").as("cosine"), col("col.id").as("corpus_id"))
 }

@@ -245,6 +245,12 @@ class LlmSpec extends SparkSpec {
     assert(exact.length == 1 && math.abs(exact.head._3 - 1.0) < 1e-6)
     // bucketed join must not produce all pairs
     assert(linked.length < 2 * 3)
+    // top-k reduction: rank 0 of query 100 is its exact corpus copy
+    val top = Similarity.annJoinTopK(corpus, queries, "embedding",
+        "vec_id", k = 1, nPlanes = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3))).toSet
+    assert(top.contains((100L, 0, 0L)))
+    assert(top.forall(_._2 == 0)) // k = 1 → only rank 0 rows
   }
 
   test("embedding near-dup: LSH buckets find the duplicated vector") {
