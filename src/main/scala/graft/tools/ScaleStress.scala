@@ -71,6 +71,11 @@ object ScaleStress {
       time(s"bigram familiarity x$mult")(
         TextAnalysis.bigramFamiliarity(d, "text", "doc_id")
           .agg(sum("n_bigrams")).count())
+      time(s"grouped topk x$mult")(
+        d.groupBy("source")
+          .agg(graft.functions.TopKByScore(col("n_chars"), col("doc_id"), 5)
+            .as("t"))
+          .count())
       spark.catalog.clearCache()
     }
 
