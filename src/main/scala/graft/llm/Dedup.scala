@@ -175,6 +175,37 @@ object Dedup {
     (out, () => { sh.unpersist(); () })
   }
 
+  /** Containment verification for candidate pairs: |A∩B| / |A| and
+    * |A∩B| / |B| alongside Jaccard — the asymmetric-duplication
+    * detector (a doc QUOTING another scores near 1.0 on the smaller
+    * side while symmetric Jaccard stays low). Same candidate-only
+    * cost model and fused shingle-hash machinery as
+    * [[verifyJaccard]]. */
+  def verifyContainment(
+      cands: DataFrame,
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3): DataFrame = {
+    val ids = cands.select(col("ida").as(idCol))
+      .union(cands.select(col("idb").as(idCol))).distinct()
+    val sh = df.join(ids, Seq(idCol), "left_semi")
+      .select(col(idCol),
+        graft.functions.ShingleHashes(col(textCol), shingleN).as("shs"))
+    val sa = sh.select(col(idCol).as("ida"), col("shs").as("sha"))
+    val sb = sh.select(col(idCol).as("idb"), col("shs").as("shb"))
+    cands.join(sa, "ida").join(sb, "idb")
+      .withColumn("inter",
+        size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("na", size(col("sha")).cast("long"))
+      .withColumn("nb", size(col("shb")).cast("long"))
+      .select(col("ida"), col("idb"),
+        (col("inter").cast("double") / col("na")).as("containment_a"),
+        (col("inter").cast("double") / col("nb")).as("containment_b"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash per doc: per-token 64-bit hash (FNV-1a — the same

@@ -224,6 +224,18 @@ object LlmQueries {
         .orderBy("ida", "idb")
     }),
 
+    // containment verify (asymmetric duplication): |A∩B|/|A|, /|B|,
+    // and jaccard over the same small pair set as llm_ngram_jaccard
+    "llm_containment" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 20)
+      val ids = d.select(col("doc_id"))
+      val cands = ids.select(col("doc_id").as("ida"))
+        .join(ids.select(col("doc_id").as("idb")), col("ida") < col("idb"))
+      Dedup.verifyContainment(cands, d, "text", "doc_id")
+        .filter(col("jaccard") > 0)
+        .orderBy("ida", "idb")
+    }),
+
     // MinHash + banded LSH near-dup pipeline (oracle-checked end to
     // end): top candidate pairs by estimated jaccard, with exact
     // verification attached
@@ -880,6 +892,19 @@ object LlmQueries {
         |nq AS (SELECT sqrt(sum(x * x)) AS nrm FROM qe),
         |top AS (SELECT vec_id, dot / (ne * nq.nrm) AS cz FROM sc, nq ORDER BY cz DESC, vec_id LIMIT 10)
         |SELECT vec_id, round(cz, 6) AS cosine FROM top ORDER BY cosine DESC, vec_id""".stripMargin,
+    // containment mirror: same shingle CTE, the two asymmetric ratios
+    "llm_containment" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l FROM documents WHERE doc_id < 20),
+        |tok AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i FROM d),
+        |sh AS (SELECT DISTINCT a.doc_id AS doc_id, a.w || ' ' || b.w || ' ' || c.w AS s FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1 JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+        |n AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT x.doc_id AS ida, y.doc_id AS idb, count(*) AS it FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+        |SELECT ida, idb,
+        | CAST(it AS DOUBLE) / na.nsh AS containment_a,
+        | CAST(it AS DOUBLE) / nb.nsh AS containment_b,
+        | CAST(it AS DOUBLE) / (na.nsh + nb.nsh - it) AS jaccard
+        |FROM inter JOIN n na ON na.doc_id = ida JOIN n nb ON nb.doc_id = idb
+        |WHERE it > 0 ORDER BY ida, idb""".stripMargin,
     "llm_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l FROM documents WHERE doc_id < 20),
         |tok AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i FROM d),

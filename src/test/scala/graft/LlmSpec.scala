@@ -50,6 +50,21 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(ver - 6.0 / 8.0) < 1e-12)
   }
 
+  test("containment: a quoted subset scores 1.0 on the smaller side") {
+    // doc 20 is a strict prefix-quote of doc 21 → all of 20's shingles
+    // appear in 21; jaccard stays well below 1
+    val d = Seq(
+      (20L, "alpha beta gamma delta epsilon"),
+      (21L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val r = Dedup.verifyContainment(
+        Seq((20L, 21L)).toDF("ida", "idb"), d, "text", "doc_id")
+      .head()
+    assert(r.getAs[Double]("containment_a") == 1.0)
+    assert(r.getAs[Double]("containment_b") < 0.5)
+    assert(r.getAs[Double]("jaccard") < 0.5)
+  }
+
   test("simhash: identical docs get identical hashes, near-dups are close") {
     val sh = Dedup.simhash(docs, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
