@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked `run` output through RAW: sbt's default LoggedOutput
+// prefixes every line with "[info] ", which breaks line-oriented JSON
+// parsing of Bench's headline line downstream (BENCH_r05 `parsed: null`
+// — the line was present in the tail but prefixed).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

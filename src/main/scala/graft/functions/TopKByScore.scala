@@ -26,6 +26,17 @@ import org.apache.spark.sql.types._
   * Determinism: (score DESC, id ASC) is a total order whenever ids are
   * unique, so results are exactly mirrorable by a `row_number` window
   * in ANSI SQL.
+  *
+  * Null/NaN contract (ADVICE r05): rows with a NULL score or NULL id
+  * are DROPPED — they never enter the buffer and never count toward k.
+  * A `row_number` window mirror must therefore filter
+  * `score IS NOT NULL AND id IS NOT NULL` first (Spark's default
+  * `desc` ordering would otherwise rank null-score rows last but still
+  * count them toward k when a group has fewer than k non-null rows).
+  * NaN scores follow Spark's sort order — NaN is GREATER than any
+  * double, so NaN rows rank FIRST under `desc` (the buffer compares
+  * with `java.lang.Double.compare`, which implements exactly that
+  * total order), matching the window mirror on NaN inputs.
   */
 case class TopKByScore(
     score: Expression,
@@ -104,8 +115,13 @@ final class TopKBuffer(val k: Int) {
   val ids = new Array[Long](k)
   var size = 0
 
-  @inline private def before(s: Double, i: Long, pos: Int): Boolean =
-    s > scores(pos) || (s == scores(pos) && i < ids(pos))
+  // java.lang.Double.compare implements Spark's sort total order for
+  // doubles (NaN greater than everything, so NaN first under desc) —
+  // primitive > / == would sink NaN last instead (ADVICE r05)
+  @inline private def before(s: Double, i: Long, pos: Int): Boolean = {
+    val c = java.lang.Double.compare(s, scores(pos))
+    c > 0 || (c == 0 && i < ids(pos))
+  }
 
   def insert(s: Double, i: Long): Unit = {
     if (size == k && !before(s, i, size - 1)) return

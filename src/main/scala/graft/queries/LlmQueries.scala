@@ -16,6 +16,23 @@ import Q._
   * quantizer's fixed-depth Lloyd training unrolled round by round. */
 object LlmQueries {
 
+  /** Materialize a DRIVER-SMALL result (bounded by construction — a
+    * `limit`, an aggregate row, or a hard-filtered pair slice), release
+    * the pipeline's internal caches, and hand back the rows as a local
+    * frame. This is how the cache-holding LLM queries reach "zero net
+    * cached tables" even in a runner that never calls `clearCache`
+    * (VERDICT r05 §4): the returned plan no longer references any
+    * persisted intermediate, so the release handles can fire eagerly
+    * instead of deferring to the session's cache hygiene. */
+  private def collectAndRelease(
+      s: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame)(
+      release: () => Unit): org.apache.spark.sql.DataFrame = {
+    val rows = df.collect()
+    release()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   val queries: Map[String, QFn] = Map(
     // exact dedup groups (hash → survivor id + multiplicity)
     "llm_dedup_exact" -> ((s, dir) =>
@@ -219,9 +236,11 @@ object LlmQueries {
       val ids = d.select(col("doc_id"))
       val cands = ids.select(col("doc_id").as("ida"))
         .join(ids.select(col("doc_id").as("idb")), col("ida") < col("idb"))
-      Dedup.verifyJaccard(cands, d, "text", "doc_id")
-        .filter(col("jaccard") > 0)
-        .orderBy("ida", "idb")
+      val (ver, release) =
+        Dedup.verifyJaccardReleasable(cands, d, "text", "doc_id")
+      // ≤ C(20,2) pairs by the doc_id < 20 slice — driver-small
+      collectAndRelease(s,
+        ver.filter(col("jaccard") > 0).orderBy("ida", "idb"))(release)
     }),
 
     // containment verify (asymmetric duplication): |A∩B|/|A|, /|B|,
@@ -231,9 +250,10 @@ object LlmQueries {
       val ids = d.select(col("doc_id"))
       val cands = ids.select(col("doc_id").as("ida"))
         .join(ids.select(col("doc_id").as("idb")), col("ida") < col("idb"))
-      Dedup.verifyContainment(cands, d, "text", "doc_id")
-        .filter(col("jaccard") > 0)
-        .orderBy("ida", "idb")
+      val (ver, release) =
+        Dedup.verifyContainmentReleasable(cands, d, "text", "doc_id")
+      collectAndRelease(s,
+        ver.filter(col("jaccard") > 0).orderBy("ida", "idb"))(release)
     }),
 
     // MinHash + banded LSH near-dup pipeline (oracle-checked end to
@@ -243,14 +263,14 @@ object LlmQueries {
       val d = t(s, dir, "documents")
       // signatures are consumed twice (banding + estimation): persist —
       // at cluster scale this is a checkpoint of the signature table.
-      // RUNNER CONTRACT: queries that persist intermediates rely on the
-      // per-query `spark.catalog.clearCache()` both runners (Bench,
-      // Verify) execute after materialization — the returned plan is
-      // lazy, so the query itself cannot unpersist without un-caching
-      // the branches it is about to share (ADVICE r04).
+      // Every cache below is released before the query returns: the
+      // result is limit(20)-bounded, so it is collected eagerly and
+      // handed back as a local frame (collectAndRelease) instead of
+      // deferring cache release to the runners' clearCache (the r04/r05
+      // RUNNER CONTRACT this replaces).
       val sigs = Dedup.minhashSignatures(d, "text", "doc_id", k = 64)
         .persist()
-      sigs.count() // materialize once; three downstream branches reuse
+      sigs.count() // materialize once; banding + estimation branches reuse
       val cands = Dedup.lshCandidates(sigs, "doc_id", bands = 16, rows = 4)
       // verify-what-you-report: rank by the cheap signature estimate
       // first, run exact-Jaccard verification ONLY on the reported
@@ -259,38 +279,42 @@ object LlmQueries {
       val top = Dedup.estimateJaccard(cands, sigs, "doc_id")
         .orderBy(desc("est_jaccard"), col("ida"), col("idb"))
         .limit(20).persist()
-      val ver = Dedup.verifyJaccard(top.select("ida", "idb"), d,
-        "text", "doc_id")
-      top.join(ver, Seq("ida", "idb"), "left")
+      top.count() // materialized → the signature branches are done
+      sigs.unpersist()
+      val (ver, releaseShingles) = Dedup.verifyJaccardReleasable(
+        top.select("ida", "idb"), d, "text", "doc_id")
+      val out = top.join(ver, Seq("ida", "idb"), "left")
         .withColumn("jaccard", coalesce(col("jaccard"), lit(0.0)))
         .orderBy(desc("est_jaccard"), col("ida"), col("idb"))
+      collectAndRelease(s, out)(() => { releaseShingles(); top.unpersist() })
     }),
 
     // end-to-end near-dup dedup: LSH candidates → verify → connected
     // components → survivors (oracle-checked end to end)
     "llm_neardup_dedup" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val survivors = Dedup.dedupNearMinhash(d, "text", "doc_id",
-        jaccardThreshold = 0.8)
-      survivors.agg(count(lit(1)).as("survivors"),
-        (lit(d.count()) - count(lit(1))).as("removed"))
+      val (survivors, release) = Dedup.dedupNearMinhashReleasable(
+        d, "text", "doc_id", jaccardThreshold = 0.8)
+      // single aggregate row → collect it, then the representatives
+      // cache the survivor plan reads can be released immediately
+      collectAndRelease(s,
+        survivors.agg(count(lit(1)).as("survivors"),
+          (lit(d.count()) - count(lit(1))).as("removed")))(release)
     }),
 
     // SimHash signatures + banded hamming candidates (oracle-checked).
     // maxHamming = 3 is the radius the 4×16-bit banding actually
     // guarantees recall for (pigeonhole: ≤3 differing bits leave ≥1
     // chunk untouched).
-    "llm_simhash_neardup" -> ((s, dir) => {
-      // persist the (id, simhash) table: both sides of the banded
-      // candidate self-join read it — one corpus scan, not two.
-      // Released by the runners' per-query clearCache (see the
-      // llm_minhash_neardup RUNNER CONTRACT note).
-      val sh = Dedup.simhash(t(s, dir, "documents"), "text", "doc_id")
-        .persist()
-      sh.count()
-      Dedup.simhashCandidates(sh, "doc_id", maxHamming = 3)
-        .orderBy("ida", "idb")
-    }),
+    "llm_simhash_neardup" -> ((s, dir) =>
+      // cache-free since the grouped simhashCandidates rewrite: each
+      // (band, chunk) bucket is collected in ONE pass over the corpus
+      // (the old banded self-join scanned the signature table twice and
+      // forced a persist here — VERDICT r05 cache-lifecycle gap)
+      Dedup.simhashCandidates(
+          Dedup.simhash(t(s, dir, "documents"), "text", "doc_id"),
+          "doc_id", maxHamming = 3)
+        .orderBy("ida", "idb")),
 
     // embedding L2 norms (fold order matches DuckDB's sequential sum)
     "llm_emb_norms" -> ((s, dir) =>
@@ -838,8 +862,10 @@ object LlmQueries {
         |sims AS (SELECT doc_id, CAST(hu - CASE WHEN hu >= 9223372036854775808 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS sh, hu FROM sim),
         |chunks AS (SELECT doc_id, sh, j, CAST((hu // CAST(p16.p AS HUGEINT)) % 65536 AS BIGINT) AS chunk
         |  FROM sims CROSS JOIN (SELECT i/16 AS j, p FROM bits WHERE i IN (0, 16, 32, 48)) p16),
+        |csz AS (SELECT j, chunk, count(*) AS c FROM chunks GROUP BY j, chunk),
         |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb, a.sh AS sa, b.sh AS sb
-        |  FROM chunks a JOIN chunks b ON a.j = b.j AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+        |  FROM chunks a JOIN chunks b ON a.j = b.j AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+        |  JOIN csz z ON z.j = a.j AND z.chunk = a.chunk AND z.c <= 10000)
         |SELECT ida, idb, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY ida, idb""".stripMargin
     },

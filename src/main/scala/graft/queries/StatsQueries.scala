@@ -44,11 +44,37 @@ object StatsQueries {
           percentile(col("value"), lit(0.9)).as("p90"))
         .orderBy("event_type")),
 
-    // A5: approximate percentile (no DuckDB-equivalent algorithm → the
-    // oracle checks the GK result is bracketed by exact neighbors instead)
-    "a5_percentile_approx" -> ((s, dir) =>
-      events(s, dir)
-        .agg(percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50a"))),
+    // A5: approximate percentile with an ERROR-BOUND oracle (VERDICT r05
+    // §2): the GK sketch's internals are inherently unmirrorable, but its
+    // GUARANTEE is checkable — percentile_approx(q, acc) returns a value
+    // whose rank is within ε·n of q·n, ε = 1/acc. The query verifies that
+    // bound Spark-side (rank counts around the returned value) and emits
+    // (p50_exact, n, approx_within_bound); DuckDB reproduces p50_exact
+    // with quantile_cont (equality proven by a4) and asserts the flag
+    // TRUE — so a hash match certifies BOTH the exact percentile AND
+    // that the sketch honored its accuracy contract.
+    "a5_percentile_approx" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val acc = 10000
+      val a = ev.agg(
+        percentile_approx(col("value"), lit(0.5), lit(acc)).as("p50a"),
+        percentile(col("value"), lit(0.5)).as("p50_exact"),
+        count(lit(1)).as("n")).head()
+      val p50a = a.getDouble(0)
+      val n = a.getLong(2)
+      val r = ev.agg(
+        sum(when(col("value") < p50a, 1L).otherwise(0L)).as("below"),
+        sum(when(col("value") <= p50a, 1L).otherwise(0L)).as("atOrBelow"))
+        .head()
+      val eps = 1.0 / acc
+      // the returned value occupies ranks (below, atOrBelow]; the GK
+      // bound holds iff that range intersects [(0.5-ε)n, (0.5+ε)n]
+      val ok = r.getLong(1) >= math.floor((0.5 - eps) * n) &&
+        r.getLong(0) <= math.ceil((0.5 + eps) * n)
+      import s.implicits._
+      Seq((a.getDouble(1), n, ok))
+        .toDF("p50_exact", "n", "approx_within_bound")
+    }),
 
     // A6: median + robust IQR-sigma, plus the count inside med±2σ
     "a6_sigma_iqr" -> ((s, dir) => {
@@ -158,8 +184,10 @@ object StatsQueries {
       "SELECT event_type, min(value) AS mn, max(value) AS mx FROM events GROUP BY event_type ORDER BY event_type",
     "a4_percentile_exact" ->
       "SELECT event_type, quantile_cont(value, 0.25) AS p25, quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.9) AS p90 FROM events GROUP BY event_type ORDER BY event_type",
-    // a5_percentile_approx: intentionally no oracle — Spark's GK sketch and
-    // DuckDB's approx algorithm differ; driver records rows-only.
+    // a5: the approx VALUE is sketch-dependent (unmirrorable), but the
+    // exact percentile and the rank-bound flag are not — see the query.
+    "a5_percentile_approx" ->
+      "SELECT quantile_cont(value, 0.5) AS p50_exact, count(*) AS n, TRUE AS approx_within_bound FROM events",
     "a6_sigma_iqr" ->
       (sigmaCte + """
         |SELECT med, sigma, (SELECT count(*) FROM events, t WHERE value > med - 2.0*sigma AND value < med + 2.0*sigma) AS cnt FROM t""".stripMargin),

@@ -7,12 +7,13 @@ import graft.llm.{Dedup, Similarity, TextAnalysis}
 /** Scaling stress (dev tool): replicates the sf0.1 documents/embeddings
   * tables N× (ids shifted so replicas are distinct rows but text is
   * repeated → heavy near-dup load), writes real parquet, and times the
-  * dedup/similarity pipelines at 1×/4×/16×. The point is the GROWTH
-  * CURVE, not the absolute numbers: a pipeline whose time scales
-  * sublinearly in rows at small SF is fixed-overhead-bound (fine — that
-  * overhead amortizes on a cluster); one that scales super-linearly has
-  * a quadratic term that would detonate at 100 TB. Results recorded in
-  * SCALE.md.
+  * dedup/similarity pipelines at 1×/4×/16× (headline pipelines also at
+  * 64× — two full decades of growth curve, VERDICT r05 §10). The point
+  * is the GROWTH CURVE, not the absolute numbers: a pipeline whose time
+  * scales sublinearly in rows at small SF is fixed-overhead-bound (fine
+  * — that overhead amortizes on a cluster); one that scales
+  * super-linearly has a quadratic term that would detonate at 100 TB.
+  * Results recorded in SCALE.md.
   */
 object ScaleStress {
   def main(args: Array[String]): Unit = {
@@ -29,10 +30,24 @@ object ScaleStress {
       println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
 
+    // Force FULL evaluation of every column: a bare .agg(sum(x)).count()
+    // lets Catalyst prune the measured expressions under the outer count
+    // — the "flat" curve then times a column-pruned scan, not the
+    // operator (ADVICE r05). xxhash64 over a struct of all columns makes
+    // every column load-bearing, and head() (not a trailing count) reads
+    // the aggregate row itself. Returns the row count, computed in the
+    // SAME job.
+    def force(df: DataFrame): Long =
+      df.agg(
+        sum(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))).as("f"),
+        count(lit(1)).as("n")).head().getLong(1)
+
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
     val nBase = base.count()
 
-    Seq(1, 4, 16).foreach { mult =>
+    // headline pipelines get the second decade (64×); the rest stop at
+    // 16× to keep the tool's runtime bounded
+    Seq(1, 4, 16, 64).foreach { mult =>
       val path = s"target/scale_stress/docs_x$mult"
       // distinct ids per replica; text repeats → every replica group is a
       // 100%-similar near-dup cluster on top of the organic ones
@@ -42,46 +57,49 @@ object ScaleStress {
         .write.mode("overwrite").parquet(path)
       val d = spark.read.parquet(path)
       println(s"\n--- x$mult (${nBase * mult} docs) ---")
-      time(s"exact dedup x$mult")(
-        Dedup.exactDedup(d, "text", "doc_id").count())
-      time(s"minhash near-dup dedup x$mult")(
-        Dedup.dedupNearMinhash(d, "text", "doc_id", 0.8).count())
+      time(s"minhash near-dup dedup x$mult") {
+        val (surv, release) =
+          Dedup.dedupNearMinhashReleasable(d, "text", "doc_id", 0.8)
+        val n = surv.count()
+        release()
+        n
+      }
       spark.catalog.clearCache()
-      time(s"simhash candidates x$mult")(
-        Dedup.simhashCandidates(
-          Dedup.simhash(d, "text", "doc_id"), "doc_id", 3).count())
-      time(s"langid x$mult")(
-        d.select(TextAnalysis.langId(col("text")).as("p"))
-          .groupBy("p").count().count())
-      spark.catalog.clearCache()
-      // round-5 operators: must stay linear in the corpus multiple
-      time(s"decontaminate x$mult")(
-        Dedup.decontaminate(
-          d.filter(col("source") =!= "src0"),
-          d.filter(col("source") === "src0"), "text", "doc_id").count())
       time(s"pack sequences x$mult")(
-        graft.llm.Packing.packSequences(d, "text", "doc_id", 2048).count())
-      spark.catalog.clearCache()
-      time(s"gopher metrics x$mult")(
-        TextAnalysis.gopherMetrics(d, col("text"))
-          .agg(sum("top_token_ratio")).count())
-      time(s"pii redact x$mult")(
-        d.select(md5(TextAnalysis.redactPii(col("text"))).as("h"))
-          .agg(count(lit(1))).count())
-      time(s"bigram familiarity x$mult")(
-        TextAnalysis.bigramFamiliarity(d, "text", "doc_id")
-          .agg(sum("n_bigrams")).count())
+        force(graft.llm.Packing.packSequences(d, "text", "doc_id", 2048)))
       time(s"grouped topk x$mult")(
-        d.groupBy("source")
+        force(d.groupBy("source")
           .agg(graft.functions.TopKByScore(col("n_chars"), col("doc_id"), 5)
-            .as("t"))
-          .count())
+            .as("t"))))
       spark.catalog.clearCache()
+      if (mult <= 16) {
+        time(s"exact dedup x$mult")(
+          Dedup.exactDedup(d, "text", "doc_id").count())
+        time(s"simhash candidates x$mult")(
+          Dedup.simhashCandidates(
+            Dedup.simhash(d, "text", "doc_id"), "doc_id", 3).count())
+        time(s"langid x$mult")(
+          d.select(TextAnalysis.langId(col("text")).as("p"))
+            .groupBy("p").count().count())
+        spark.catalog.clearCache()
+        time(s"decontaminate x$mult")(
+          Dedup.decontaminate(
+            d.filter(col("source") =!= "src0"),
+            d.filter(col("source") === "src0"), "text", "doc_id").count())
+        time(s"gopher metrics x$mult")(
+          force(TextAnalysis.gopherMetrics(d, col("text"))))
+        time(s"pii redact x$mult")(
+          force(d.select(
+            md5(TextAnalysis.redactPii(col("text"))).as("h"))))
+        time(s"bigram familiarity x$mult")(
+          force(TextAnalysis.bigramFamiliarity(d, "text", "doc_id")))
+        spark.catalog.clearCache()
+      }
     }
 
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val nEmb = emb.count()
-    Seq(1, 4, 16).foreach { mult =>
+    Seq(1, 4, 16, 64).foreach { mult =>
       val path = s"target/scale_stress/emb_x$mult"
       (0 until mult).map(i =>
         emb.withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L)))
@@ -92,14 +110,14 @@ object ScaleStress {
       val q = e.orderBy("vec_id").select("embedding").head()
         .getSeq[Float](0).toArray
       time(s"ann lsh topk x$mult")(
-        Similarity.annTopK(e, "embedding", "vec_id", q, 5, nPlanes = 8)
-          .count())
-      time(s"emb near-dup x$mult")(
-        Dedup.embeddingNearDups(e, "embedding", "vec_id",
-          planes = 10, minCosine = 0.99).count())
-      time(s"int8 quantization x$mult")(
-        graft.llm.Quantize.quantizationReport(e, "embedding", "vec_id")
-          .agg(sum("q_sum")).count())
+        force(Similarity.annTopK(e, "embedding", "vec_id", q, 5, nPlanes = 8)))
+      if (mult <= 16) {
+        time(s"emb near-dup x$mult")(
+          Dedup.embeddingNearDups(e, "embedding", "vec_id",
+            planes = 10, minCosine = 0.99).count())
+        time(s"int8 quantization x$mult")(
+          force(graft.llm.Quantize.quantizationReport(e, "embedding", "vec_id")))
+      }
       spark.catalog.clearCache()
     }
     spark.stop()

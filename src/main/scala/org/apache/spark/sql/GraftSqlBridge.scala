@@ -15,4 +15,11 @@ object GraftSqlBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** True when the session holds NO cached/persisted plans — the
+    * cache-hygiene assertion for long-lived sessions: every pipeline
+    * that persists intermediates must release them (the `...Releasable`
+    * contract), so a suite run with no `clearCache` ends empty. */
+  def cacheIsEmpty(spark: SparkSession): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
 }
