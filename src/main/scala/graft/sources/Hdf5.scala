@@ -1,0 +1,542 @@
+package graft.sources
+
+import java.io.RandomAccessFile
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.Inflater
+
+/** Minimal pure-JVM HDF5 reader, implemented from the PUBLIC "HDF5 File
+  * Format Specification" (versions I & II, hdfgroup.org) — no native
+  * library, no external dependency (the container is zero-egress, so
+  * binding a published pure-Java HDF5 artifact is not resolvable; the
+  * format itself is open and this subset is small).
+  *
+  * Supported subset — exactly what the reference's curated feature files
+  * need (`/root/reference/demos/features.hdf5`, written by vaex/h5py;
+  * read by `vx.open_many`, `analyzer.py:560`) plus the common h5py
+  * compression options:
+  *
+  *   - superblock v0 (classic) and v2/v3
+  *   - v1 object headers (incl. continuation blocks)
+  *   - symbol-table groups (v1 B-tree + SNOD + local heap)
+  *   - dataspace v1/v2 (simple, any rank)
+  *   - datatypes: fixed-point (1/2/4/8-byte, signed/unsigned LE),
+  *     IEEE float (4/8-byte LE), fixed-length strings
+  *   - data layout v3: compact, contiguous, and chunked (v1 chunk
+  *     B-tree) with the deflate / shuffle / fletcher32 filters
+  *
+  * Anything outside the subset fails with a descriptive exception
+  * naming the unsupported feature — never a silent misread.
+  *
+  * Concurrency: instances are NOT thread-safe (single RandomAccessFile
+  * cursor); use one instance per task. All multi-byte values are
+  * little-endian, which is what h5py/vaex emit on every mainstream
+  * platform; big-endian files are rejected explicitly.
+  */
+final class Hdf5File(path: String) extends AutoCloseable {
+
+  private val raf = new RandomAccessFile(path, "r")
+
+  override def close(): Unit = raf.close()
+
+  // ------------------------------------------------------------- raw io
+
+  private def bytesAt(off: Long, n: Int): Array[Byte] = {
+    val a = new Array[Byte](n)
+    raf.seek(off)
+    raf.readFully(a)
+    a
+  }
+  private def bufAt(off: Long, n: Int): ByteBuffer =
+    ByteBuffer.wrap(bytesAt(off, n)).order(ByteOrder.LITTLE_ENDIAN)
+  private def u8(off: Long): Int = { raf.seek(off); raf.read() }
+  private def u16(off: Long): Int = bufAt(off, 2).getShort & 0xFFFF
+  private def u32(off: Long): Long = bufAt(off, 4).getInt & 0xFFFFFFFFL
+  private def u64(off: Long): Long = bufAt(off, 8).getLong
+
+  private val UNDEF = -1L // 0xFFFF... addresses mean "undefined"
+
+  // -------------------------------------------------------- superblock
+
+  private val rootHeaderAddr: Long = {
+    val sig = bytesAt(0, 8)
+    val expect = Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n',
+      0x1A.toByte, '\n')
+    require(java.util.Arrays.equals(sig, expect),
+      s"$path: not an HDF5 file (bad signature)")
+    u8(8) match {
+      case 0 | 1 =>
+        require(u8(13) == 8 && u8(14) == 8,
+          s"$path: only 8-byte offsets/lengths are supported")
+        // root group symbol table entry at 24 + 4*8; header addr is its
+        // second field ("Disk Format: Level 1C — Symbol Table Entry")
+        u64(24 + 32 + 8)
+      case 2 | 3 =>
+        require(u8(9) == 8 && u8(10) == 8,
+          s"$path: only 8-byte offsets/lengths are supported")
+        u64(12 + 3 * 8) // base, ext, eof, then root group header address
+      case v =>
+        throw new UnsupportedOperationException(
+          s"$path: superblock version $v not supported")
+    }
+  }
+
+  // ----------------------------------------------------- object headers
+
+  /** One header message: (type, body bytes). */
+  private def headerMessages(addr: Long): Seq[(Int, Array[Byte])] = {
+    val ver = u8(addr)
+    require(ver == 1, s"$path@$addr: object header v$ver (only v1 " +
+      "headers — the h5py/vaex classic layout — are supported)")
+    val nmsg = u16(addr + 2)
+    val hsize = u32(addr + 8)
+    val out = Seq.newBuilder[(Int, Array[Byte])]
+    var remaining = nmsg
+    // v1 header body starts 8-byte aligned at addr+16
+    var blocks = List((addr + 16, hsize))
+    while (blocks.nonEmpty && remaining > 0) {
+      val (bstart, bsize) = blocks.head
+      blocks = blocks.tail
+      var p = bstart
+      while (p < bstart + bsize && remaining > 0) {
+        val mtype = u16(p)
+        val msize = u16(p + 2)
+        val body = bytesAt(p + 8, msize)
+        if (mtype == 0x10) { // continuation: body is raw v1 messages
+          val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+          blocks = blocks :+ ((bb.getLong(0), bb.getLong(8)))
+        } else {
+          out += ((mtype, body))
+        }
+        remaining -= 1
+        p += 8 + msize
+      }
+    }
+    out.result()
+  }
+
+  // ------------------------------------------------------------- groups
+
+  private def localHeapDataSeg(addr: Long): Long = {
+    require(new String(bytesAt(addr, 4), "ASCII") == "HEAP",
+      s"$path@$addr: expected local heap")
+    u64(addr + 24)
+  }
+
+  private def heapString(dataSeg: Long, off: Long): String = {
+    // link names are short; read in probes (clamped to EOF) until NUL
+    val sb = new StringBuilder
+    var pos = dataSeg + off
+    var done = false
+    while (!done) {
+      val n = math.min(64L, raf.length() - pos).toInt
+      require(n > 0, s"$path: heap string at $pos runs past EOF")
+      val chunk = bytesAt(pos, n)
+      val nul = chunk.indexOf(0.toByte)
+      if (nul >= 0) { sb.append(new String(chunk, 0, nul, "UTF-8")); done = true }
+      else { sb.append(new String(chunk, "UTF-8")); pos += n }
+    }
+    sb.toString
+  }
+
+  /** (name, object header address) pairs of a symbol-table group. */
+  private def groupEntries(headerAddr: Long): Seq[(String, Long)] = {
+    val stab = headerMessages(headerAddr).collectFirst {
+      case (0x11, body) =>
+        val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+        (bb.getLong(0), bb.getLong(8)) // (v1 B-tree addr, local heap addr)
+    }.getOrElse(throw new UnsupportedOperationException(
+      s"$path@$headerAddr: not a symbol-table group (new-style " +
+        "link-message groups are outside the supported subset)"))
+    val dataSeg = localHeapDataSeg(stab._2)
+    val out = Seq.newBuilder[(String, Long)]
+
+    def walkBtree(addr: Long): Unit = {
+      require(new String(bytesAt(addr, 4), "ASCII") == "TREE",
+        s"$path@$addr: expected group B-tree node")
+      val level = u8(addr + 5)
+      val nent = u16(addr + 6)
+      var p = addr + 8 + 16 // skip left/right sibling addresses
+      var i = 0
+      while (i < nent) {
+        p += 8 // key i (heap offset of first name in child) — unused
+        val child = u64(p); p += 8
+        if (level > 0) walkBtree(child) else walkSnod(child)
+        i += 1
+      }
+    }
+
+    def walkSnod(addr: Long): Unit = {
+      require(new String(bytesAt(addr, 4), "ASCII") == "SNOD",
+        s"$path@$addr: expected symbol table node")
+      val nsym = u16(addr + 6)
+      val table = bufAt(addr + 8, nsym * 40)
+      var i = 0
+      while (i < nsym) {
+        val nameOff = table.getLong(i * 40)
+        val ohdr = table.getLong(i * 40 + 8)
+        out += ((heapString(dataSeg, nameOff), ohdr))
+        i += 1
+      }
+    }
+
+    walkBtree(stab._1)
+    out.result()
+  }
+
+  private def resolve(p: String): Long =
+    p.split('/').filter(_.nonEmpty).foldLeft(rootHeaderAddr) { (addr, seg) =>
+      groupEntries(addr).collectFirst { case (n, a) if n == seg => a }
+        .getOrElse(throw new NoSuchElementException(
+          s"$path: no object '$seg' (resolving '$p'); siblings: " +
+            groupEntries(addr).map(_._1).sorted.mkString(", ")))
+    }
+
+  /** Child names of the group at `groupPath` ("/" = root), sorted. */
+  def list(groupPath: String): Seq[String] =
+    groupEntries(resolve(groupPath)).map(_._1).sorted
+
+  /** True when the named child object is itself a group. */
+  def isGroup(objectPath: String): Boolean =
+    headerMessages(resolve(objectPath)).exists(_._1 == 0x11)
+
+  // ----------------------------------------------------------- datasets
+
+  import Hdf5File._
+
+  def dataset(p: String): Dataset = {
+    val msgs = headerMessages(resolve(p))
+    var dims: Seq[Long] = null
+    var dtype: Dtype = null
+    var layout: Layout = null
+    var filters: Seq[(Int, Array[Int])] = Nil
+    msgs.foreach {
+      case (0x01, body) => // dataspace
+        val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+        val ver = body(0)
+        val rank = body(1) & 0xFF
+        val dimsOff = if (ver == 1) 8 else 4 // v1 has 5 reserved bytes
+        dims = (0 until rank).map(i => bb.getLong(dimsOff + 8 * i))
+      case (0x03, body) => // datatype
+        val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+        val cls = body(0) & 0x0F
+        val b0 = body(1) & 0xFF
+        val size = bb.getInt(4)
+        cls match {
+          case 0 => // fixed-point; bit0 = byte order, bit3 = signed
+            require((b0 & 1) == 0, s"$path/$p: big-endian ints unsupported")
+            dtype = Dtype(0, size, (b0 & 0x08) != 0)
+          case 1 =>
+            require((b0 & 1) == 0, s"$path/$p: big-endian floats unsupported")
+            require(size == 4 || size == 8,
+              s"$path/$p: only f4/f8 floats supported, got size $size")
+            dtype = Dtype(1, size, signed = true)
+          case 3 =>
+            dtype = Dtype(3, size, signed = false) // fixed-length string
+          case c =>
+            throw new UnsupportedOperationException(
+              s"$path/$p: datatype class $c not in the supported subset " +
+                "(fixed-point, IEEE float, fixed string)")
+        }
+      case (0x08, body) => // data layout
+        val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+        val ver = body(0) & 0xFF
+        require(ver == 3,
+          s"$path/$p: data layout v$ver unsupported (h5py writes v3)")
+        (body(1) & 0xFF) match {
+          case 0 =>
+            val sz = bb.getShort(2) & 0xFFFF
+            layout = Compact(java.util.Arrays.copyOfRange(body, 4, 4 + sz))
+          case 1 =>
+            layout = Contiguous(bb.getLong(2), bb.getLong(10))
+          case 2 =>
+            val d = body(2) & 0xFF // rank + 1 (element-size dimension)
+            val cd = (0 until d).map(i => bb.getInt(11 + 4 * i))
+            layout = Chunked(bb.getLong(3), cd)
+          case c => throw new UnsupportedOperationException(
+            s"$path/$p: layout class $c unsupported")
+        }
+      case (0x0B, body) => // filter pipeline (v1 or v2)
+        val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+        val ver = body(0) & 0xFF
+        val nf = body(1) & 0xFF
+        var p0 = if (ver == 1) 8 else 2
+        filters = (0 until nf).map { _ =>
+          val id = bb.getShort(p0) & 0xFFFF
+          val nameLen =
+            if (ver == 1 || id >= 256) bb.getShort(p0 + 2) & 0xFFFF else 0
+          val flags = bb.getShort(p0 + 4) & 0xFFFF
+          val ncv = bb.getShort(p0 + 6) & 0xFFFF
+          var q = p0 + 8
+          if (nameLen > 0) q += (nameLen + 7) / 8 * 8 // v1 pads name to 8
+          val cvs = (0 until ncv).map(i => bb.getInt(q + 4 * i)).toArray
+          q += 4 * ncv
+          if (ver == 1 && ncv % 2 == 1) q += 4 // v1 pads odd client data
+          p0 = q
+          (id, cvs)
+        }
+      case _ => ()
+    }
+    require(dims != null && dtype != null && layout != null,
+      s"$path/$p: not a dataset (missing dataspace/datatype/layout)")
+    Dataset(dims, dtype, layout, filters)
+  }
+
+  // --------------------------------------------------------- raw values
+
+  /** All element bytes of a dataset, filters applied, row-major. */
+  def readBytes(p: String): Array[Byte] = readBytes(p, dataset(p))
+
+  private def readBytes(p: String, ds: Dataset): Array[Byte] = {
+    val total = ds.n * ds.dtype.size
+    require(total <= Int.MaxValue - 8,
+      s"$path/$p: dataset too large for a single array read")
+    ds.layout match {
+      case Compact(data) => data
+      case Contiguous(addr, size) =>
+        if (addr == UNDEF) new Array[Byte](total.toInt) // never written
+        else bytesAt(addr, math.min(size, total).toInt)
+      case Chunked(btree, chunkDims) =>
+        val out = new Array[Byte](total.toInt)
+        // row-major strides (in BYTES) of the full dataset
+        val dimsB = ds.dims.map(_.toInt).toArray :+ ds.dtype.size
+        val strides = new Array[Long](dimsB.length)
+        strides(dimsB.length - 1) = 1
+        var i = dimsB.length - 2
+        while (i >= 0) { strides(i) = strides(i + 1) * dimsB(i + 1); i -= 1 }
+        readChunks(btree, chunkDims.toArray, dimsB, strides, ds, out)
+        out
+    }
+  }
+
+  /** Walk the v1 chunk B-tree; decode each chunk and scatter it into
+    * `out` honoring partial edge chunks. */
+  private def readChunks(
+      addr: Long,
+      chunkDims: Array[Int],
+      dimsB: Array[Int],
+      strides: Array[Long],
+      ds: Dataset,
+      out: Array[Byte]): Unit = {
+    require(new String(bytesAt(addr, 4), "ASCII") == "TREE",
+      s"$path@$addr: expected chunk B-tree node")
+    require(u8(addr + 4) == 1, s"$path@$addr: not a chunk B-tree")
+    val level = u8(addr + 5)
+    val nent = u16(addr + 6)
+    val d = chunkDims.length
+    val keySize = 8 + 8 * d
+    var p = addr + 8 + 16
+    var i = 0
+    while (i < nent) {
+      val key = bufAt(p, keySize)
+      val chunkBytes = key.getInt(0)
+      val offsets = (0 until d).map(j => key.getLong(8 + 8 * j)).toArray
+      p += keySize
+      val child = u64(p); p += 8
+      if (level > 0) readChunks(child, chunkDims, dimsB, strides, ds, out)
+      else {
+        var raw = bytesAt(child, chunkBytes)
+        // filters run in reverse order on read
+        ds.filters.reverse.foreach { case (id, cvs) =>
+          raw = id match {
+            case 1 => inflate(raw)
+            case 2 => unshuffle(raw, cvs.headOption.getOrElse(ds.dtype.size))
+            case 3 => java.util.Arrays.copyOf(raw, raw.length - 4) // fletcher
+            case other => throw new UnsupportedOperationException(
+              s"$path: filter id $other unsupported (deflate/shuffle/" +
+                "fletcher32 only)")
+          }
+        }
+        scatterChunk(raw, offsets, chunkDims, dimsB, strides, out)
+      }
+      i += 1
+    }
+  }
+
+  /** Copy one decoded chunk (row-major within the chunk) into the output
+    * array, clipping edge chunks to the dataset bounds. The innermost
+    * DATA dimension forms contiguous runs (chunk offsets are always
+    * element-aligned); outer data dimensions are walked with a row-major
+    * odometer so rank-N chunks — including partial-width edge chunks —
+    * scatter correctly. */
+  private def scatterChunk(
+      raw: Array[Byte],
+      offsets: Array[Long],
+      chunkDims: Array[Int],
+      dimsB: Array[Int],
+      strides: Array[Long],
+      out: Array[Byte]): Unit = {
+    val d = chunkDims.length // data dims + trailing element-size dim
+    val elem = chunkDims(d - 1)
+    val innerChunk = chunkDims(d - 2) // elements per contiguous run
+    val copyElems = math.max(0L,
+      math.min(innerChunk.toLong, dimsB(d - 2) - offsets(d - 2))).toInt
+    val nOuter = d - 2 // outer data dims (all but the innermost)
+    val counters = new Array[Int](math.max(nOuter, 0))
+    var srcRow = 0L
+    var done = false
+    while (!done) {
+      var inBounds = copyElems > 0
+      var dst = offsets(d - 2) * strides(d - 2)
+      var j = 0
+      while (j < nOuter) {
+        val pos = offsets(j) + counters(j)
+        if (pos >= dimsB(j)) inBounds = false
+        dst += pos * strides(j)
+        j += 1
+      }
+      if (inBounds)
+        System.arraycopy(raw, (srcRow * innerChunk * elem).toInt,
+          out, dst.toInt, copyElems * elem)
+      srcRow += 1
+      // row-major odometer over the outer dims (rightmost fastest)
+      var k = nOuter - 1
+      var carried = true
+      while (k >= 0 && carried) {
+        counters(k) += 1
+        if (counters(k) < chunkDims(k)) carried = false
+        else { counters(k) = 0; k -= 1 }
+      }
+      if (nOuter == 0 || carried) done = true
+    }
+  }
+
+  private def inflate(in: Array[Byte]): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(in)
+    val out = new java.io.ByteArrayOutputStream(in.length * 4)
+    val buf = new Array[Byte](65536)
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      if (n == 0 && inf.needsInput())
+        throw new IllegalStateException("truncated deflate stream")
+      out.write(buf, 0, n)
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  /** Inverse of the HDF5 shuffle filter: bytes were regrouped by
+    * byte-position across elements. */
+  private def unshuffle(in: Array[Byte], elemSize: Int): Array[Byte] = {
+    if (elemSize <= 1) return in
+    val n = in.length / elemSize
+    val out = new Array[Byte](in.length)
+    var b = 0
+    while (b < elemSize) {
+      var i = 0
+      while (i < n) { out(i * elemSize + b) = in(b * n + i); i += 1 }
+      b += 1
+    }
+    // trailing bytes (length not divisible) pass through
+    var t = n * elemSize
+    while (t < in.length) { out(t) = in(t); t += 1 }
+    out
+  }
+
+  // ------------------------------------------------------- typed reads
+
+  def readDoubles(p: String): Array[Double] = {
+    val ds = dataset(p)
+    val bytes = readBytes(p, ds)
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    ds.dtype match {
+      case Dtype(1, 8, _) =>
+        val out = new Array[Double](ds.n.toInt)
+        bb.asDoubleBuffer().get(out); out
+      case Dtype(1, 4, _) =>
+        Array.tabulate(ds.n.toInt)(i => bb.getFloat(i * 4).toDouble)
+      case Dtype(0, _, _) => readLongsFrom(ds, bb).map(_.toDouble)
+      case t => throw new UnsupportedOperationException(
+        s"$path/$p: cannot read ${t} as double")
+    }
+  }
+
+  def readFloats(p: String): Array[Float] = {
+    val ds = dataset(p)
+    val bb = ByteBuffer.wrap(readBytes(p, ds)).order(ByteOrder.LITTLE_ENDIAN)
+    ds.dtype match {
+      case Dtype(1, 4, _) =>
+        val out = new Array[Float](ds.n.toInt)
+        bb.asFloatBuffer().get(out); out
+      case Dtype(1, 8, _) =>
+        Array.tabulate(ds.n.toInt)(i => bb.getDouble(i * 8).toFloat)
+      case t => throw new UnsupportedOperationException(
+        s"$path/$p: cannot read ${t} as float")
+    }
+  }
+
+  def readLongs(p: String): Array[Long] = {
+    val ds = dataset(p)
+    val bb = ByteBuffer.wrap(readBytes(p, ds)).order(ByteOrder.LITTLE_ENDIAN)
+    ds.dtype match {
+      case Dtype(0, _, _) => readLongsFrom(ds, bb)
+      case Dtype(1, 8, _) => // float-stored keys (pandas→vaex convention)
+        Array.tabulate(ds.n.toInt)(i => bb.getDouble(i * 8).toLong)
+      case t => throw new UnsupportedOperationException(
+        s"$path/$p: cannot read ${t} as long")
+    }
+  }
+
+  private def readLongsFrom(ds: Dataset, bb: ByteBuffer): Array[Long] = {
+    val n = ds.n.toInt
+    ds.dtype.size match {
+      case 8 => val out = new Array[Long](n); bb.asLongBuffer().get(out); out
+      case 4 =>
+        if (ds.dtype.signed) Array.tabulate(n)(i => bb.getInt(i * 4).toLong)
+        else Array.tabulate(n)(i => bb.getInt(i * 4) & 0xFFFFFFFFL)
+      case 2 =>
+        if (ds.dtype.signed) Array.tabulate(n)(i => bb.getShort(i * 2).toLong)
+        else Array.tabulate(n)(i => (bb.getShort(i * 2) & 0xFFFF).toLong)
+      case 1 =>
+        if (ds.dtype.signed) Array.tabulate(n)(i => bb.get(i).toLong)
+        else Array.tabulate(n)(i => (bb.get(i) & 0xFF).toLong)
+      case s => throw new UnsupportedOperationException(
+        s"$path: $s-byte integers unsupported")
+    }
+  }
+
+  /** Fixed-length strings, NUL/space-trimmed. */
+  def readStrings(p: String): Array[String] = {
+    val ds = dataset(p)
+    require(ds.dtype.clazz == 3, s"$path/$p: not a string dataset")
+    val bytes = readBytes(p, ds)
+    val w = ds.dtype.size
+    Array.tabulate(ds.n.toInt) { i =>
+      var end = (i + 1) * w
+      while (end > i * w && (bytes(end - 1) == 0 || bytes(end - 1) == ' '))
+        end -= 1
+      new String(bytes, i * w, end - i * w, "UTF-8")
+    }
+  }
+
+  /** vaex/Arrow-style string column: a `data` byte dataset + an
+    * `indices` offsets dataset (n+1 entries) under `columnGroup`. */
+  def readArrowStrings(columnGroup: String): Array[String] = {
+    val chars = readBytes(s"$columnGroup/data")
+    val offs = readLongs(s"$columnGroup/indices")
+    Array.tabulate(offs.length - 1) { i =>
+      new String(chars, offs(i).toInt, (offs(i + 1) - offs(i)).toInt, "UTF-8")
+    }
+  }
+}
+
+object Hdf5File {
+
+  /** Element type of the supported subset. `string` is FIXED-length
+    * (`size` bytes, NUL-trimmed); integers are LE, signedness tracked. */
+  final case class Dtype(clazz: Int, size: Int, signed: Boolean)
+
+  final case class Dataset(
+      dims: Seq[Long],
+      dtype: Dtype,
+      private[sources] val layout: Layout,
+      private[sources] val filters: Seq[(Int, Array[Int])]) {
+    def n: Long = dims.product
+  }
+
+  private[sources] sealed trait Layout
+  private[sources] case class Compact(data: Array[Byte]) extends Layout
+  private[sources] case class Contiguous(addr: Long, size: Long) extends Layout
+  private[sources] case class Chunked(btree: Long, chunkDims: Seq[Int])
+    extends Layout
+}

@@ -1,0 +1,340 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.Deflater
+
+/** Test-only classic-HDF5 writer: emits a superblock-v0 file with one
+  * root symbol-table group of rank-1/rank-2 numeric datasets —
+  * contiguous or chunked with optional shuffle+deflate filters — purely
+  * from the public format spec. Exists to prove [[graft.sources.Hdf5File]]
+  * against files THIS code did not parse-then-reprint (the round-trip
+  * catches format misunderstandings on both sides independently of the
+  * vaex fixture). */
+object Hdf5TestWriter {
+
+  sealed trait Col { def name: String }
+  final case class LongCol(name: String, values: Array[Long],
+      chunk: Int = 0, deflate: Boolean = false, shuffle: Boolean = false)
+    extends Col
+  final case class DoubleCol(name: String, values: Array[Double],
+      chunk: Int = 0, deflate: Boolean = false, shuffle: Boolean = false)
+    extends Col
+  /** rank-2 double matrix, chunked (rows × cols chunks). */
+  final case class Double2Col(name: String, values: Array[Array[Double]],
+      chunkRows: Int, chunkCols: Int, deflate: Boolean = false)
+    extends Col
+
+  private val UNDEF = -1L
+
+  def write(path: String, cols: Seq[Col]): Unit = {
+    val buf = new GrowBuf
+    // ---- superblock v0 + root symbol table entry (patched later)
+    buf.bytes(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n',
+      0x1A.toByte, '\n'))
+    buf.bytes(Array[Byte](0, 0, 0, 0, 0, 8, 8, 0)) // versions, sizes
+    buf.u16(4); buf.u16(16) // group leaf / internal k
+    buf.u32(0) // consistency flags
+    buf.u64(0) // base address
+    buf.u64(UNDEF) // free-space address
+    val eofPatch = buf.pos; buf.u64(0) // EOF, patched at the end
+    buf.u64(UNDEF) // driver info
+    // root STE
+    buf.u64(0) // link name offset
+    val rootOhdrPatch = buf.pos; buf.u64(0)
+    buf.u32(0); buf.u32(0) // cache type, reserved
+    buf.zeros(16) // scratch
+
+    // ---- local heap with the dataset names
+    val sorted = cols.sortBy(_.name)
+    var heapData = new ByteArrayOutputStream()
+    heapData.write(0); heapData.write(new Array[Byte](7)) // offset 0 = ""
+    val nameOff = sorted.map { c =>
+      val off = heapData.size()
+      val b = c.name.getBytes("UTF-8")
+      heapData.write(b); heapData.write(0)
+      while (heapData.size() % 8 != 0) heapData.write(0)
+      c.name -> off.toLong
+    }.toMap
+    val heapAddr = buf.pos
+    buf.bytes("HEAP".getBytes("ASCII")); buf.u32(0) // version + reserved
+    buf.u64(heapData.size().toLong)
+    buf.u64(UNDEF) // free list: none
+    val heapDataAddr = buf.pos + 8
+    buf.u64(heapDataAddr)
+    buf.bytes(heapData.toByteArray)
+
+    // ---- dataset payloads + object headers
+    val ohdrAddr = sorted.map { c => c.name -> writeDataset(buf, c) }.toMap
+
+    // ---- SNOD with all entries (names sorted — B-tree key order)
+    val snodAddr = buf.pos
+    buf.bytes("SNOD".getBytes("ASCII"))
+    buf.u16(1) // version + reserved byte (LE: ver=1, r=0)
+    buf.u16(sorted.size)
+    sorted.foreach { c =>
+      buf.u64(nameOff(c.name)); buf.u64(ohdrAddr(c.name))
+      buf.u32(0); buf.u32(0); buf.zeros(16)
+    }
+
+    // ---- group B-tree: one leaf pointing at the SNOD
+    val btreeAddr = buf.pos
+    buf.bytes("TREE".getBytes("ASCII"))
+    buf.u8(0); buf.u8(0) // node type 0, level 0
+    buf.u16(1) // one child
+    buf.u64(UNDEF); buf.u64(UNDEF) // siblings
+    buf.u64(nameOff(sorted.head.name)) // key 0
+    buf.u64(snodAddr) // child 0
+    buf.u64(nameOff(sorted.last.name)) // key 1
+
+    // ---- root group object header (symbol table message)
+    val rootOhdr = buf.pos
+    buf.u8(1); buf.u8(0); buf.u16(1) // v1, nmsg = 1
+    buf.u32(1) // ref count
+    buf.u32(24) // header size: one 8+16 message
+    buf.u32(0) // v1 pad to 16-byte boundary of messages
+    buf.u16(0x11); buf.u16(16); buf.u32(0)
+    buf.u64(btreeAddr); buf.u64(heapAddr)
+
+    buf.patchU64(rootOhdrPatch, rootOhdr)
+    buf.patchU64(eofPatch, buf.pos)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), buf.toArray)
+  }
+
+  // ------------------------------------------------------------ datasets
+
+  private def writeDataset(buf: GrowBuf, c: Col): Long = {
+    val (dims, elemSize, isFloat, bytes, chunkDims, deflate, shuffle) =
+      c match {
+        case LongCol(_, v, ch, df, sh) =>
+          val bb = ByteBuffer.allocate(v.length * 8)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          v.foreach(bb.putLong)
+          (Seq(v.length.toLong), 8, false, bb.array(),
+            if (ch > 0) Seq(ch, 8) else Nil, df, sh)
+        case DoubleCol(_, v, ch, df, sh) =>
+          val bb = ByteBuffer.allocate(v.length * 8)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          v.foreach(bb.putDouble)
+          (Seq(v.length.toLong), 8, true, bb.array(),
+            if (ch > 0) Seq(ch, 8) else Nil, df, sh)
+        case Double2Col(_, v, cr, cc, df) =>
+          val rows = v.length; val colsN = v(0).length
+          val bb = ByteBuffer.allocate(rows * colsN * 8)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          v.foreach(_.foreach(bb.putDouble))
+          (Seq(rows.toLong, colsN.toLong), 8, true, bb.array(),
+            Seq(cr, cc, 8), df, false)
+      }
+
+    // data (chunked or contiguous) goes first; the object header points back
+    var layoutBody: Array[Byte] = null
+    if (chunkDims.isEmpty) {
+      val addr = buf.pos
+      buf.bytes(bytes)
+      val lb = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+      lb.put(3.toByte); lb.put(1.toByte) // v3 contiguous
+      lb.putLong(addr); lb.putLong(bytes.length.toLong)
+      layoutBody = lb.array()
+    } else {
+      val dataDims = dims.map(_.toInt).toArray
+      val cd = chunkDims.dropRight(1).toArray // chunk dims (elements)
+      // enumerate chunks in row-major order of chunk grid
+      val grid = dataDims.indices.map(i =>
+        (dataDims(i) + cd(i) - 1) / cd(i)).toArray
+      val nChunks = grid.product
+      val chunkAddrs = new Array[(Array[Long], Long, Int)](nChunks)
+      var ci = 0
+      val idx = new Array[Int](grid.length)
+      while (ci < nChunks) {
+        val offsets = idx.indices.map(i => idx(i).toLong * cd(i)).toArray
+        // gather the chunk (zero-padded at edges), row-major in chunk
+        val chunkElems = cd.product
+        val chunk = new Array[Byte](chunkElems * elemSize)
+        val inner = new Array[Int](cd.length)
+        var row = 0
+        val nRuns = cd.dropRight(1).product // runs of the innermost dim
+        while (row < math.max(nRuns, 1)) {
+          // compute source offset for this run
+          var srcElem = 0L
+          var ok = true
+          var j = 0
+          var rem = row
+          var stride = 1L
+          val outerCounts = new Array[Int](cd.length - 1)
+          var rr = row
+          var k = cd.length - 2
+          while (k >= 0) { outerCounts(k) = rr % cd(k); rr /= cd(k); k -= 1 }
+          j = 0
+          stride = 1L
+          val strides = new Array[Long](dataDims.length)
+          strides(dataDims.length - 1) = 1
+          k = dataDims.length - 2
+          while (k >= 0) {
+            strides(k) = strides(k + 1) * dataDims(k + 1); k -= 1
+          }
+          j = 0
+          while (j < cd.length - 1) {
+            val pos = offsets(j) + outerCounts(j)
+            if (pos >= dataDims(j)) ok = false
+            srcElem += pos * strides(j)
+            j += 1
+          }
+          srcElem += offsets(cd.length - 1)
+          val copy = math.max(0L, math.min(cd.last.toLong,
+            dataDims.last - offsets(cd.length - 1))).toInt
+          if (ok && copy > 0)
+            System.arraycopy(bytes, (srcElem * elemSize).toInt,
+              chunk, row * cd.last * elemSize, copy * elemSize)
+          row += 1
+        }
+        var payload = chunk
+        if (shuffle) payload = doShuffle(payload, elemSize)
+        if (deflate) payload = doDeflate(payload)
+        val addr = buf.pos
+        buf.bytes(payload)
+        chunkAddrs(ci) = (offsets :+ 0L, addr, payload.length)
+        // odometer over grid
+        var g = grid.length - 1
+        var carried = true
+        while (g >= 0 && carried) {
+          idx(g) += 1
+          if (idx(g) < grid(g)) carried = false else { idx(g) = 0; g -= 1 }
+        }
+        ci += 1
+      }
+      // chunk B-tree leaf
+      val btAddr = buf.pos
+      buf.bytes("TREE".getBytes("ASCII"))
+      buf.u8(1); buf.u8(0)
+      buf.u16(nChunks)
+      buf.u64(UNDEF); buf.u64(UNDEF)
+      chunkAddrs.foreach { case (offs, addr, sz) =>
+        buf.u32(sz); buf.u32(0) // chunk size, filter mask
+        offs.foreach(buf.u64)
+        buf.u64(addr)
+      }
+      // final key: the would-be next chunk = dataset dims
+      buf.u32(0); buf.u32(0)
+      dims.foreach(buf.u64); buf.u64(0L)
+
+      val lb = ByteBuffer.allocate(3 + 8 + 4 * chunkDims.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      lb.put(3.toByte); lb.put(2.toByte) // v3 chunked
+      lb.put(chunkDims.length.toByte)
+      lb.putLong(btAddr)
+      chunkDims.foreach(lb.putInt)
+      layoutBody = lb.array()
+    }
+
+    // ---- object header v1
+    val msgs = Seq.newBuilder[(Int, Array[Byte])]
+    val spaceBody = ByteBuffer.allocate(8 + dims.length * 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    spaceBody.put(1.toByte); spaceBody.put(dims.length.toByte)
+    spaceBody.put(0.toByte); spaceBody.position(8)
+    dims.foreach(spaceBody.putLong)
+    msgs += ((0x01, spaceBody.array()))
+
+    val dtBody = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+    if (isFloat) {
+      dtBody.put(0x11.toByte) // class 1, version 1
+      dtBody.put(0x20.toByte); dtBody.put(0x3F.toByte); dtBody.put(0.toByte)
+      dtBody.putInt(8)
+      dtBody.putShort(0); dtBody.putShort(64) // bit offset / precision
+      dtBody.put(52.toByte); dtBody.put(11.toByte) // exp loc / size
+      dtBody.put(0.toByte); dtBody.put(52.toByte) // mant loc / size
+      dtBody.putInt(1023) // exponent bias
+    } else {
+      dtBody.put(0x10.toByte) // class 0, version 1
+      dtBody.put(0x08.toByte); dtBody.put(0.toByte); dtBody.put(0.toByte)
+      dtBody.putInt(8)
+      dtBody.putShort(0); dtBody.putShort(64)
+    }
+    msgs += ((0x03, dtBody.array()))
+
+    if (deflate || shuffle) {
+      val nf = (if (shuffle) 1 else 0) + (if (deflate) 1 else 0)
+      val fb = new GrowBuf
+      fb.u8(1); fb.u8(nf); fb.u16(0); fb.u32(0) // v1 + reserved
+      if (shuffle) { // runs FIRST on write
+        fb.u16(2); fb.u16(0); fb.u16(0); fb.u16(1)
+        fb.u32(elemSize); fb.u32(0) // odd client count → pad 4
+      }
+      if (deflate) {
+        fb.u16(1); fb.u16(0); fb.u16(0); fb.u16(1)
+        fb.u32(6); fb.u32(0)
+      }
+      msgs += ((0x0B, fb.toArray))
+    }
+    msgs += ((0x08, layoutBody))
+
+    val msgList = msgs.result()
+    val bodySize = msgList.map(m => 8 + pad8(m._2.length)).sum
+    val addr = buf.pos
+    buf.u8(1); buf.u8(0); buf.u16(msgList.size)
+    buf.u32(1); buf.u32(bodySize); buf.u32(0)
+    msgList.foreach { case (t, b) =>
+      buf.u16(t); buf.u16(pad8(b.length)); buf.u32(0)
+      buf.bytes(b); buf.zeros(pad8(b.length) - b.length)
+    }
+    addr
+  }
+
+  private def pad8(n: Int): Int = (n + 7) / 8 * 8
+
+  private def doDeflate(in: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(6)
+    d.setInput(in); d.finish()
+    val out = new ByteArrayOutputStream()
+    val tmp = new Array[Byte](65536)
+    while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+    d.end()
+    out.toByteArray
+  }
+
+  private def doShuffle(in: Array[Byte], elemSize: Int): Array[Byte] = {
+    val n = in.length / elemSize
+    val out = new Array[Byte](in.length)
+    var b = 0
+    while (b < elemSize) {
+      var i = 0
+      while (i < n) { out(b * n + i) = in(i * elemSize + b); i += 1 }
+      b += 1
+    }
+    out
+  }
+
+  /** Append-only little-endian byte buffer with u64 patching. */
+  private final class GrowBuf {
+    private var arr = new Array[Byte](1 << 16)
+    private var len = 0
+    def pos: Long = len.toLong
+    private def ensure(n: Int): Unit =
+      if (len + n > arr.length)
+        arr = java.util.Arrays.copyOf(arr,
+          math.max(arr.length * 2, len + n))
+    def bytes(b: Array[Byte]): Unit = {
+      ensure(b.length); System.arraycopy(b, 0, arr, len, b.length)
+      len += b.length
+    }
+    def zeros(n: Int): Unit = { ensure(n); len += n }
+    def u8(v: Int): Unit = { ensure(1); arr(len) = v.toByte; len += 1 }
+    def u16(v: Int): Unit = {
+      ensure(2)
+      arr(len) = v.toByte; arr(len + 1) = (v >> 8).toByte; len += 2
+    }
+    def u32(v: Long): Unit = { ensure(4); putN(v, 4) }
+    def u64(v: Long): Unit = { ensure(8); putN(v, 8) }
+    private def putN(v: Long, n: Int): Unit = {
+      var i = 0
+      while (i < n) { arr(len + i) = (v >> (8 * i)).toByte; i += 1 }
+      len += n
+    }
+    def patchU64(at: Long, v: Long): Unit = {
+      var i = 0
+      while (i < 8) { arr(at.toInt + i) = (v >> (8 * i)).toByte; i += 1 }
+    }
+    def toArray: Array[Byte] = java.util.Arrays.copyOf(arr, len)
+  }
+}
