@@ -33,8 +33,54 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private def saltCol(df: DataFrame, salts: Int): Column =
     pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(salts))
+
+  /** Per-key salt-spread diagnostics over a bounded sample: for every
+    * key with at least `minRows` sampled rows, the sampled row count,
+    * the distinct salts it spread over, and a `degenerate` flag when
+    * the spread collapsed to a single salt — the exact-duplicate-rows
+    * shape a content-derived salt cannot spread (VERDICT r05 §7). The
+    * sample is LIMIT-bounded, so the probe never scans the full table. */
+  def saltSpreadDiagnostics(
+      df: DataFrame,
+      keys: Seq[String],
+      salts: Int,
+      sampleRows: Int = 100000,
+      minRows: Int = 100): DataFrame =
+    df.limit(sampleRows)
+      .withColumn("__salt__", saltCol(df, salts))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("__salt__")).as("n_salts"))
+      .filter(col("n_rows") >= minRows)
+      .withColumn("degenerate", col("n_salts") === 1)
+
+  /** Probe + WARN when salting has degenerated on a sampled hot key —
+    * callers get a runtime signal instead of silently keeping the
+    * serialized-hot-key plan they salted to avoid. Returns true when
+    * a degenerate hot key was found. */
+  private def warnIfDegenerate(
+      df: DataFrame, keys: Seq[String], salts: Int): Boolean = {
+    val bad = saltSpreadDiagnostics(df, keys, salts)
+      .filter(col("degenerate"))
+      .orderBy(desc("n_rows"))
+      .head(1)
+    bad.headOption.exists { r =>
+      val keyVals = keys.indices.map(i => s"${keys(i)}=${r.get(i)}")
+        .mkString(", ")
+      log.warn(
+        s"salting degenerated: sampled hot key ($keyVals) has " +
+          s"${r.getAs[Long]("n_rows")} rows but spread over a SINGLE salt " +
+          s"of $salts — the key's rows are (near-)exact duplicates, which " +
+          "a content-derived salt cannot spread. Pre-collapse duplicates " +
+          "to count-weighted rows (see Skew scaladoc) or diversify the " +
+          "salted columns.")
+      true
+    }
+  }
 
   /** Join types for which small-side replication is sound: each big row
     * carries ONE salt, so per big row exactly one small replica matches —
@@ -59,13 +105,15 @@ object Skew {
       small: DataFrame,
       key: String,
       salts: Int = 16,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      checkSpread: Boolean = true): DataFrame = {
     require(salts > 0, "salts must be positive")
     require(replicationSafeJoins(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports big-side-preserving join types only " +
         s"(inner/left/left_semi/left_anti), got '$joinType' — right/full " +
         "outer would duplicate unmatched small-side rows once per salt " +
         "replica")
+    if (checkSpread) warnIfDegenerate(big, Seq(key), salts)
     val b = big.withColumn("__salt__", saltCol(big, salts))
     val s = small.withColumn("__salt__",
       explode(sequence(lit(0), lit(salts - 1))))
@@ -87,9 +135,11 @@ object Skew {
       df: DataFrame,
       keys: Seq[String],
       salts: Int,
-      partials: Map[String, (Column, Column => Column)]): DataFrame = {
+      partials: Map[String, (Column, Column => Column)],
+      checkSpread: Boolean = true): DataFrame = {
     require(salts > 0, "salts must be positive")
     require(partials.nonEmpty, "saltedAgg needs at least one aggregate")
+    if (checkSpread) warnIfDegenerate(df, keys, salts)
     val phase1 = df
       .withColumn("__salt__", saltCol(df, salts))
       .groupBy((keys :+ "__salt__").map(col): _*)

@@ -56,9 +56,21 @@ object SemiAutoCut {
 
   /** T1-T3 dispatch: resolve thresholds for `rq` from the estimation
     * sample (`_get_cut_mask`, `semiautocuts.py:491-647`). Exact
-    * percentiles only (SURVEY §7.3 item 3). */
-  def thresholds(est: DataFrame, rq: String, pars: CutPars): Thresholds = {
+    * percentiles (SURVEY §7.3 item 3) while the estimation sample is at
+    * most `maxExactRows` rows — above that the cardinality guard routes
+    * to the GK sketch (rank error ≤ 1/`Quantiles.approxAcc`): an exact
+    * percentile over a billion-row estimation sample shuffles the full
+    * value multiset, and the reference's conditioned-sample regime never
+    * intended that (VERDICT r05 §6). Pass `Int.MaxValue` to force the
+    * exact path regardless of size. */
+  def thresholds(
+      est: DataFrame,
+      rq: String,
+      pars: CutPars,
+      maxExactRows: Int = Quantiles.defaultMaxExactRows): Thresholds = {
     val x = col(rq)
+    def quantiles(ps: Seq[Double]): Seq[Double] =
+      Quantiles.thresholdQuantiles(est, x, ps, maxExactRows).values
     if (pars.isValue) {
       Thresholds(pars.valLower, pars.valUpper) // T1 (`:548-561`)
     } else if (pars.isPercentile) {            // T2 (`:563-586`)
@@ -67,15 +79,18 @@ object SemiAutoCut {
           // symmetric about the median: keep the central p percent
           val half = p / 2.0
           val Seq(lo, hi) =
-            Quantiles.exact(est, x, Seq(0.5 - half / 100.0, 0.5 + half / 100.0))
+            quantiles(Seq(0.5 - half / 100.0, 0.5 + half / 100.0))
           Thresholds(Some(lo), Some(hi))
         case None =>
-          val lo = pars.percentLower.map(p => Quantiles.exact1(est, x, p / 100.0))
-          val hi = pars.percentUpper.map(p => Quantiles.exact1(est, x, p / 100.0))
+          // resolve both bounds in ONE estimation pass when both are set
+          val ps = pars.percentLower.toSeq ++ pars.percentUpper.toSeq
+          val vs = if (ps.isEmpty) Nil else quantiles(ps.map(_ / 100.0))
+          val lo = pars.percentLower.map(_ => vs.head)
+          val hi = pars.percentUpper.map(_ => vs.last)
           Thresholds(lo, hi)
       }
     } else if (pars.isSigma) {                 // T3 (`:588-627`)
-      val (med, sig) = Quantiles.medianRobustSigma(est, x)
+      val (med, sig) = Quantiles.medianRobustSigmaGuarded(est, x, maxExactRows)
       pars.sigma match {
         case Some(k) =>
           Thresholds(Some(med - k * sig), Some(med + k * sig))
@@ -92,8 +107,10 @@ object SemiAutoCut {
       df: DataFrame,
       rq: String,
       pars: CutPars,
-      estimationCondition: Column = lit(true)): Column =
-    thresholds(df.filter(estimationCondition), rq, pars).predicate(col(rq))
+      estimationCondition: Column = lit(true),
+      maxExactRows: Int = Quantiles.defaultMaxExactRows): Column =
+    thresholds(df.filter(estimationCondition), rq, pars, maxExactRows)
+      .predicate(col(rq))
 
   /** T4 helper: previous-cut discovery — all boolean `cut_*` columns whose
     * name contains the channel (`_get_previous_cut_names`,

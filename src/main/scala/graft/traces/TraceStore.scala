@@ -61,9 +61,21 @@ object TraceStore {
       else {
         val series = keyRows.map(_.get(0)).distinct.toSeq
         val evs = keyRows.map(_.getAs[Number](1).longValue)
+        // push the EXACT event IN-list, not just the [min,max] range:
+        // the selected events of an analysis cut are scattered across
+        // the store, so the range alone covers nearly the whole table
+        // and every covered row materializes its (wide) trace column
+        // before the join drops it. The IN-list is bounded by
+        // nbEventsLimit (≤ driver-sized by construction) and reaches the
+        // parquet scan as a pushed filter — row-group stats + dictionary
+        // pages prune to just the matching rows, so trace bytes are read
+        // ONLY for (almost exactly) the fetched events. Keep the range
+        // predicate too: on the (dump, event)-sorted store it is the
+        // cheap row-group-level bound (VERDICT r05 §5: s5 anatomy).
         chanPruned
           .filter(col("series_number").isInCollection(series))
           .filter(col("event_number").between(evs.min, evs.max))
+          .filter(col("event_number").isInCollection(evs.distinct.toSeq))
       }
     val joined = scanPruned.join(broadcast(keysLocal),
       Seq("series_number", "event_number"))

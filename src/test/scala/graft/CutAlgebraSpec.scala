@@ -55,6 +55,30 @@ class CutAlgebraSpec extends SparkSpec {
     assert(sAgg.map(_.toSeq).toSeq == pAgg.map(_.toSeq).toSeq)
   }
 
+  test("salting degeneracy signal fires on a duplicate-row hot key") {
+    import graft.core.Skew
+    // hot key 0 made of EXACT duplicate rows: content-derived salt
+    // collapses to one value — the shape the diagnostics must flag
+    val dupHot = ((0 until 500).map(_ => (0L, 1.0)) ++
+      (0 until 100).map(i => (i.toLong % 7 + 1, i.toDouble)))
+      .toDF("k", "v")
+    val diag = Skew.saltSpreadDiagnostics(dupHot, Seq("k"), salts = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_salts"), r.getAs[Boolean]("degenerate"))).toMap
+    assert(diag(0L)._1 == 1L && diag(0L)._2, "hot dup key must be flagged")
+    // a diverse hot key spreads and is NOT flagged
+    val diverseHot = ((0 until 500).map(i => (0L, i.toDouble)) ++
+      (0 until 100).map(i => (i.toLong % 7 + 1, i.toDouble)))
+      .toDF("k", "v")
+    val diag2 = Skew.saltSpreadDiagnostics(diverseHot, Seq("k"), salts = 8)
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("degenerate"))
+      .toMap
+    assert(!diag2(0L), "diverse hot key spreads over several salts")
+    // the join still computes correctly while warning
+    val small = Seq((0L, "hot")).toDF("k", "name")
+    assert(Skew.saltedJoin(dupHot, small, "k", salts = 8).count() == 500L)
+  }
+
   private lazy val df = (0 until 200)
     .map(i => (i.toLong, i * 0.5, if (i % 3 == 0) "a" else "b"))
     .toDF("event_uid", "x", "tag")

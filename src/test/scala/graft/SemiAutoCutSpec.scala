@@ -133,4 +133,49 @@ class SemiAutoCutSpec extends SparkSpec {
       MasterCuts.combined(Seq(col("cut_ok")), Some((col("ofamp"), 400.0))))
     assert(kept.count() == 2) // the true cut + the saturated event
   }
+
+  test("T2/T3 cardinality guard switches to the sketch above the limit") {
+    import graft.stats.Quantiles
+    val d = (0 until 5000).map(i => i.toDouble).toDF("x")
+    // below the limit: exact path, flag false
+    val g1 = Quantiles.thresholdQuantiles(d, col("x"), Seq(0.5),
+      maxExactRows = 10000)
+    assert(!g1.approximated)
+    assert(g1.values.head == 2499.5) // numpy-style interpolated median
+    // above the limit: the guard routes to the GK sketch
+    val g2 = Quantiles.thresholdQuantiles(d, col("x"), Seq(0.5),
+      maxExactRows = 100)
+    assert(g2.approximated)
+    // the cut built through the guard still thresholds sensibly
+    val c = SemiAutoCut.thresholds(d, "x", CutPars(sigma = Some(2.0)),
+      maxExactRows = 100)
+    assert(c.lower.isDefined && c.upper.isDefined)
+  }
+
+  test("guarded threshold drift stays within the GK rank bound") {
+    import graft.stats.Quantiles
+    // property-style: several distributions/seeds; the sketch value's
+    // RANK must sit within eps*n (+1 interpolation slack) of the target
+    val rnd = new scala.util.Random(7)
+    Seq(0.25, 0.5, 0.9).foreach { q =>
+      (0 until 3).foreach { trial =>
+        val xs = Array.fill(4000)(trial match {
+          case 0 => rnd.nextDouble() * 100
+          case 1 => rnd.nextGaussian() * 10 + 50
+          case _ => math.exp(rnd.nextGaussian()) // heavy tail
+        })
+        val d = xs.toSeq.toDF("x")
+        val approxV = Quantiles
+          .thresholdQuantiles(d, col("x"), Seq(q), maxExactRows = 100)
+          .values.head
+        assert(Quantiles.thresholdQuantiles(d, col("x"), Seq(q),
+          maxExactRows = 100).approximated)
+        val n = xs.length
+        val rank = xs.count(_ <= approxV)
+        val eps = 1.0 / Quantiles.approxAcc
+        assert(math.abs(rank - q * n) <= eps * n + 1,
+          s"q=$q trial=$trial rank=$rank target=${q * n}")
+      }
+    }
+  }
 }
