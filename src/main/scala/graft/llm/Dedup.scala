@@ -96,7 +96,8 @@ object Dedup {
       idCol: String,
       bands: Int,
       rows: Int,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      rowLocalCap: Int = 256): DataFrame = {
     val banded = sigs.filter(col("sig").isNotNull).select(
       col(idCol),
       explode(transform(sequence(lit(0), lit(bands - 1)), j =>
@@ -108,13 +109,24 @@ object Dedup {
       .groupBy("band", "bhash")
       .agg(graft.functions.CappedCollectLong(col(idCol), maxBucket).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
+    // hybrid expansion, same rationale as [[simhashCandidates]]: the
+    // size² pair list of a near-cap bucket (500k structs at cap 1000)
+    // must not materialize inside one row — big buckets pair up via a
+    // streamed co-partitioned self-join instead
+    val small = buckets.filter(size(col("ids")) <= rowLocalCap)
       .select(sort_array(col("ids")).as("ids"))
-    buckets
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))),
           y => struct(x.as("ida"), y.as("idb")))))).as("p"))
       .select(col("p.ida"), col("p.idb"))
-      .distinct()
+    val bigM = buckets.filter(size(col("ids")) > rowLocalCap)
+      .select(col("band"), col("bhash"), explode(col("ids")).as("id"))
+    val big = bigM.select(col("band"), col("bhash"), col("id").as("ida"))
+      .join(bigM.select(col("band"), col("bhash"), col("id").as("idb")),
+        Seq("band", "bhash"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"))
+    small.unionByName(big).distinct()
   }
 
   /** Estimated Jaccard from signatures for candidate pairs (fraction of
@@ -278,7 +290,8 @@ object Dedup {
       sh: DataFrame,
       idCol: String,
       maxHamming: Int = 3,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000,
+      rowLocalCap: Int = 256): DataFrame = {
     val banded = sh.filter(col("simhash").isNotNull)
       .select(col(idCol), col("simhash"),
         explode(array((0 until 4).map(j =>
@@ -291,16 +304,37 @@ object Dedup {
       .agg(graft.functions.CappedCollectLongPairs(
         col(idCol), col("simhash"), maxBucket).as("ms"))
       .filter(size(col("ms")).between(2, maxBucket))
+    // HYBRID pair expansion (r06 stress finding): a hot 16-bit chunk
+    // bucket (thousands of members — short/boilerplate docs) expanded
+    // row-locally builds a size²-element nested array in ONE task
+    // (measured 73 s at 16× replication). Small buckets — the common
+    // case — keep the single-task declarative expansion; big buckets
+    // explode back to rows and pair up via a co-partitioned self-join,
+    // which STREAMS the quadratic output across the exchange instead of
+    // materializing it per-row (the memory shape the old full self-join
+    // had, now paid only where it is needed).
+    val small = buckets.filter(size(col("ms")) <= rowLocalCap)
       // struct sort is lexicographic by field order → sorted by id
       // (ids are unique within a bucket), so ida < idb by construction
       .select(sort_array(col("ms")).as("ms"))
-    buckets
       .select(explode(flatten(transform(col("ms"), (x, i) =>
         transform(slice(col("ms"), i + 2, size(col("ms"))),
           y => struct(x.getField("id").as("ida"), y.getField("id").as("idb"),
             bit_count(x.getField("v").bitwiseXOR(y.getField("v")))
               .as("hamming")))))).as("p"))
       .select(col("p.ida"), col("p.idb"), col("p.hamming"))
+    val bigM = buckets.filter(size(col("ms")) > rowLocalCap)
+      .select(col("band"), col("chunk"), explode(col("ms")).as("m"))
+      .select(col("band"), col("chunk"),
+        col("m.id").as("id"), col("m.v").as("sig"))
+    val big = bigM.select(col("band"), col("chunk"),
+        col("id").as("ida"), col("sig").as("sa"))
+      .join(bigM.select(col("band"), col("chunk"),
+        col("id").as("idb"), col("sig").as("sb")), Seq("band", "chunk"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+    small.unionByName(big)
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -37,9 +37,12 @@ object ScaleStress {
     // every column load-bearing, and head() (not a trailing count) reads
     // the aggregate row itself. Returns the row count, computed in the
     // SAME job.
+    // pmod keeps the checksum addends < 1e9 so the ANSI-mode long sum
+    // cannot overflow at any realistic row count
     def force(df: DataFrame): Long =
       df.agg(
-        sum(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))).as("f"),
+        sum(pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)),
+          lit(1000000007L))).as("f"),
         count(lit(1)).as("n")).head().getLong(1)
 
     val base = spark.read.parquet(s"$sfDir/documents.parquet")

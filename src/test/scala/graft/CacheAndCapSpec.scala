@@ -61,6 +61,30 @@ class CacheAndCapSpec extends SparkSpec {
       maxHamming = 3, maxBucket = 5).count() == 10L)
   }
 
+  test("hybrid pair expansion: join path ≡ row-local path") {
+    // 30 docs in 3 near-dup families → non-trivial buckets; forcing
+    // rowLocalCap = 1 sends EVERY bucket down the streamed-join path,
+    // which must produce the identical candidate set
+    val fams = (0L until 30L).map { i =>
+      val fam = i % 3
+      (i, s"family $fam shares almost all words doc$i tail${i % 5}")
+    }.toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(fams, "text", "doc_id", k = 64)
+    def pairs(cap: Int) =
+      Dedup.lshCandidates(sigs, "doc_id", 16, 4, rowLocalCap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaRowLocal = pairs(256)
+    val viaJoin = pairs(1)
+    assert(viaRowLocal == viaJoin && viaRowLocal.nonEmpty)
+
+    val sh = Dedup.simhash(fams, "text", "doc_id")
+    def spairs(cap: Int) =
+      Dedup.simhashCandidates(sh, "doc_id", maxHamming = 10,
+        rowLocalCap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(spairs(256) == spairs(1) && spairs(256).nonEmpty)
+  }
+
   test("capped collect buffers bound memory but lose no small bucket") {
     // one hot key (1000 members) + many small keys, cap = 10: the hot
     // key's buffer retains at most cap+1 entries (not 1000) and is
