@@ -105,28 +105,51 @@ object Dedup {
           slice(col("sig"), j * rows + 1, lit(rows)).as("bhash"))))
         .as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bhash"))
+    // slice-block pair expansion (r06): the size² pair list of a
+    // near-cap bucket (500k structs at cap 1000) must never materialize
+    // inside one row. The sorted member list is cut into
+    // rowLocalCap-sized slices; each (a ≤ b) slice pair becomes its own
+    // exploded row whose expansion is bounded by rowLocalCap² elements —
+    // within-slice (a = b) upper-triangle, cross-slice (a < b) full
+    // product (slices are sorted, so ida < idb holds by construction).
+    // ONE aggregate, ONE scan, no join, per-row memory O(rowLocalCap²)
+    // at any bucket size. (The first r06 form branched small buckets
+    // row-local / big buckets through a self-join — bounded, but it
+    // computed the bucket aggregate once PER BRANCH and paid an empty
+    // join stage in the common case: +26-39% on the LSH bench queries.)
+    val cap = rowLocalCap
     val buckets = banded
       .groupBy("band", "bhash")
       .agg(graft.functions.CappedCollectLong(col(idCol), maxBucket).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
-    // hybrid expansion, same rationale as [[simhashCandidates]]: the
-    // size² pair list of a near-cap bucket (500k structs at cap 1000)
-    // must not materialize inside one row — big buckets pair up via a
-    // streamed co-partitioned self-join instead
-    val small = buckets.filter(size(col("ids")) <= rowLocalCap)
-      .select(sort_array(col("ids")).as("ids"))
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-          y => struct(x.as("ida"), y.as("idb")))))).as("p"))
+      .select(sort_array(col("ids")).as("ids"),
+        ceil(size(col("ids")).cast("double") / cap).cast("int").as("nsl"))
+    buckets
+      .select(col("ids"),
+        explode(flatten(transform(sequence(lit(0), col("nsl") - 1), a =>
+          transform(sequence(a, col("nsl") - 1), b =>
+            struct(a.as("a"), b.as("b")))))).as("ab"))
+      .select(
+        slice(col("ids"), col("ab.a") * cap + 1, lit(cap)).as("sa"),
+        slice(col("ids"), col("ab.b") * cap + 1, lit(cap)).as("sb"),
+        (col("ab.a") === col("ab.b")).as("same"))
+      // spread a hot bucket's O((size/cap)²) blocks across tasks BEFORE
+      // expanding: explode keeps a row's children in one task, so
+      // without this a mega bucket's whole quadratic expansion runs on
+      // one core — a straggler at scale. The exchange moves only the
+      // un-expanded slice rows (≤ 2·cap longs each); the partition key
+      // is content-derived (deterministic under recompute).
+      .repartition(col("sa"), col("sb"))
+      .select(explode(when(col("same"),
+          flatten(transform(col("sa"), (x, i) =>
+            transform(slice(col("sa"), i + 2, size(col("sa"))),
+              y => struct(x.as("ida"), y.as("idb"))))))
+        .otherwise(
+          flatten(transform(col("sa"), x =>
+            transform(col("sb"), y => struct(x.as("ida"), y.as("idb")))))))
+        .as("p"))
       .select(col("p.ida"), col("p.idb"))
-    val bigM = buckets.filter(size(col("ids")) > rowLocalCap)
-      .select(col("band"), col("bhash"), explode(col("ids")).as("id"))
-    val big = bigM.select(col("band"), col("bhash"), col("id").as("ida"))
-      .join(bigM.select(col("band"), col("bhash"), col("id").as("idb")),
-        Seq("band", "bhash"))
-      .filter(col("ida") < col("idb"))
-      .select(col("ida"), col("idb"))
-    small.unionByName(big).distinct()
+      .distinct()
   }
 
   /** Estimated Jaccard from signatures for candidate pairs (fraction of
@@ -299,42 +322,47 @@ object Dedup {
             shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL))
               .as("chunk"))): _*)).as("bb"))
       .select(col(idCol), col("simhash"), col("bb.band"), col("bb.chunk"))
+    // slice-block pair expansion — see [[lshCandidates]] for the full
+    // rationale (r06 stress finding: a hot 16-bit chunk bucket expanded
+    // row-locally built a size²-element nested array in one task,
+    // 73 s at 16× replication; slice blocks bound per-row memory at
+    // O(rowLocalCap²) with ONE aggregate and no join). Members carry
+    // (id, simhash) structs; struct sort is lexicographic by field
+    // order → sorted by id (unique per bucket), so ida < idb holds
+    // within and across slices.
+    val cap = rowLocalCap
+    def pair(x: Column, y: Column): Column =
+      struct(x.getField("id").as("ida"), y.getField("id").as("idb"),
+        bit_count(x.getField("v").bitwiseXOR(y.getField("v")))
+          .as("hamming"))
     val buckets = banded
       .groupBy("band", "chunk")
       .agg(graft.functions.CappedCollectLongPairs(
         col(idCol), col("simhash"), maxBucket).as("ms"))
       .filter(size(col("ms")).between(2, maxBucket))
-    // HYBRID pair expansion (r06 stress finding): a hot 16-bit chunk
-    // bucket (thousands of members — short/boilerplate docs) expanded
-    // row-locally builds a size²-element nested array in ONE task
-    // (measured 73 s at 16× replication). Small buckets — the common
-    // case — keep the single-task declarative expansion; big buckets
-    // explode back to rows and pair up via a co-partitioned self-join,
-    // which STREAMS the quadratic output across the exchange instead of
-    // materializing it per-row (the memory shape the old full self-join
-    // had, now paid only where it is needed).
-    val small = buckets.filter(size(col("ms")) <= rowLocalCap)
-      // struct sort is lexicographic by field order → sorted by id
-      // (ids are unique within a bucket), so ida < idb by construction
-      .select(sort_array(col("ms")).as("ms"))
-      .select(explode(flatten(transform(col("ms"), (x, i) =>
-        transform(slice(col("ms"), i + 2, size(col("ms"))),
-          y => struct(x.getField("id").as("ida"), y.getField("id").as("idb"),
-            bit_count(x.getField("v").bitwiseXOR(y.getField("v")))
-              .as("hamming")))))).as("p"))
+      .select(sort_array(col("ms")).as("ms"),
+        ceil(size(col("ms")).cast("double") / cap).cast("int").as("nsl"))
+    buckets
+      .select(col("ms"),
+        explode(flatten(transform(sequence(lit(0), col("nsl") - 1), a =>
+          transform(sequence(a, col("nsl") - 1), b =>
+            struct(a.as("a"), b.as("b")))))).as("ab"))
+      .select(
+        slice(col("ms"), col("ab.a") * cap + 1, lit(cap)).as("sa"),
+        slice(col("ms"), col("ab.b") * cap + 1, lit(cap)).as("sb"),
+        (col("ab.a") === col("ab.b")).as("same"))
+      // spread hot-bucket blocks across tasks before expansion — see
+      // [[lshCandidates]]
+      .repartition(col("sa"), col("sb"))
+      .select(explode(when(col("same"),
+          flatten(transform(col("sa"), (x, i) =>
+            transform(slice(col("sa"), i + 2, size(col("sa"))),
+              y => pair(x, y)))))
+        .otherwise(
+          flatten(transform(col("sa"), x =>
+            transform(col("sb"), y => pair(x, y))))))
+        .as("p"))
       .select(col("p.ida"), col("p.idb"), col("p.hamming"))
-    val bigM = buckets.filter(size(col("ms")) > rowLocalCap)
-      .select(col("band"), col("chunk"), explode(col("ms")).as("m"))
-      .select(col("band"), col("chunk"),
-        col("m.id").as("id"), col("m.v").as("sig"))
-    val big = bigM.select(col("band"), col("chunk"),
-        col("id").as("ida"), col("sig").as("sa"))
-      .join(bigM.select(col("band"), col("chunk"),
-        col("id").as("idb"), col("sig").as("sb")), Seq("band", "chunk"))
-      .filter(col("ida") < col("idb"))
-      .select(col("ida"), col("idb"),
-        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
-    small.unionByName(big)
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

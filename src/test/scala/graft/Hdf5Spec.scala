@@ -71,6 +71,43 @@ class Hdf5Spec extends SparkSpec {
     } finally h.close()
   }
 
+  test("multi-file vaex-layout conversion (vx.open_many semantics)") {
+    // two synthetic feature files in the reference's vaex column layout
+    // (/table/columns/<name>/data), distinct series — the multi-file
+    // open the reference does with vx.open_many (analyzer.py:560)
+    def mk(path: String, series: Long, n: Int): Unit =
+      Hdf5TestWriter.writeVaex(path, Seq(
+        Hdf5TestWriter.DoubleCol("series_number",
+          Array.fill(n)(series.toDouble)),
+        Hdf5TestWriter.DoubleCol("dump_number",
+          Array.tabulate(n)(i => (i / 100).toDouble)),
+        Hdf5TestWriter.DoubleCol("event_number",
+          Array.tabulate(n)(i => (i + 1).toDouble)),
+        Hdf5TestWriter.DoubleCol("amp",
+          Array.tabulate(n)(i => i * 0.5 + series), chunk = 64,
+          deflate = true)))
+    val d = Files.createTempDirectory("multih5").toString
+    mk(s"$d/f1.h5", 11L, 300)
+    mk(s"$d/f2.h5", 22L, 200)
+    val reader = VaexHdf5Reader(s"$d/f1.h5")
+    assert(reader.schema("series_number").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val out = s"$d/curated"
+    RawConvert.convertEvents(spark, Seq(s"$d/f1.h5", s"$d/f2.h5"),
+      reader, out)
+    val all = Ingest.readEvents(spark, out)
+    assert(all.count() == 500L)
+    // stable uid is unique ACROSS files (series disambiguates)
+    assert(all.select(countDistinct("event_uid")).head.getLong(0) == 500L)
+    // S3: series restriction prunes at the partition level
+    assert(Ingest.readEvents(spark, out, series = Seq(22L)).count() == 200L)
+    // values survive the chunked+deflate write → read → convert chain
+    val ampSum = all.filter(col("series_number") === 11L)
+      .agg(sum("amp")).head.getDouble(0)
+    val expect = (0 until 300).map(i => i * 0.5 + 11L).sum
+    assert(math.abs(ampSum - expect) < 1e-9)
+  }
+
   // ------------------------------------------ the reference's real file
 
   test("reads the reference vaex feature file structure") {

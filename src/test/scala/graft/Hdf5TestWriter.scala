@@ -27,7 +27,26 @@ object Hdf5TestWriter {
 
   private val UNDEF = -1L
 
-  def write(path: String, cols: Seq[Col]): Unit = {
+  /** Group-tree node: either a dataset leaf or a nested group. */
+  sealed trait Node
+  final case class DatasetNode(col: Col) extends Node
+  final case class GroupNode(children: Map[String, Node]) extends Node
+
+  /** Flat form: all datasets in the root group. */
+  def write(path: String, cols: Seq[Col]): Unit =
+    writeTree(path, GroupNode(
+      cols.map(c => c.name -> (DatasetNode(c): Node)).toMap))
+
+  /** The vaex column layout the reference's feature files use:
+    * `/table/columns/<name>/data` (numeric columns only — what the
+    * synthetic fixtures need). */
+  def writeVaex(path: String, cols: Seq[Col]): Unit =
+    writeTree(path, GroupNode(Map("table" -> GroupNode(Map(
+      "columns" -> GroupNode(cols.map(c =>
+        c.name -> (GroupNode(Map("data" -> DatasetNode(c))): Node)).toMap))))))
+
+  /** Write an arbitrary group tree (classic v0 layout). */
+  def writeTree(path: String, root: GroupNode): Unit = {
     val buf = new GrowBuf
     // ---- superblock v0 + root symbol table entry (patched later)
     buf.bytes(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n',
@@ -45,60 +64,65 @@ object Hdf5TestWriter {
     buf.u32(0); buf.u32(0) // cache type, reserved
     buf.zeros(16) // scratch
 
-    // ---- local heap with the dataset names
-    val sorted = cols.sortBy(_.name)
-    var heapData = new ByteArrayOutputStream()
-    heapData.write(0); heapData.write(new Array[Byte](7)) // offset 0 = ""
-    val nameOff = sorted.map { c =>
-      val off = heapData.size()
-      val b = c.name.getBytes("UTF-8")
-      heapData.write(b); heapData.write(0)
-      while (heapData.size() % 8 != 0) heapData.write(0)
-      c.name -> off.toLong
-    }.toMap
-    val heapAddr = buf.pos
-    buf.bytes("HEAP".getBytes("ASCII")); buf.u32(0) // version + reserved
-    buf.u64(heapData.size().toLong)
-    buf.u64(UNDEF) // free list: none
-    val heapDataAddr = buf.pos + 8
-    buf.u64(heapDataAddr)
-    buf.bytes(heapData.toByteArray)
-
-    // ---- dataset payloads + object headers
-    val ohdrAddr = sorted.map { c => c.name -> writeDataset(buf, c) }.toMap
-
-    // ---- SNOD with all entries (names sorted — B-tree key order)
-    val snodAddr = buf.pos
-    buf.bytes("SNOD".getBytes("ASCII"))
-    buf.u16(1) // version + reserved byte (LE: ver=1, r=0)
-    buf.u16(sorted.size)
-    sorted.foreach { c =>
-      buf.u64(nameOff(c.name)); buf.u64(ohdrAddr(c.name))
-      buf.u32(0); buf.u32(0); buf.zeros(16)
-    }
-
-    // ---- group B-tree: one leaf pointing at the SNOD
-    val btreeAddr = buf.pos
-    buf.bytes("TREE".getBytes("ASCII"))
-    buf.u8(0); buf.u8(0) // node type 0, level 0
-    buf.u16(1) // one child
-    buf.u64(UNDEF); buf.u64(UNDEF) // siblings
-    buf.u64(nameOff(sorted.head.name)) // key 0
-    buf.u64(snodAddr) // child 0
-    buf.u64(nameOff(sorted.last.name)) // key 1
-
-    // ---- root group object header (symbol table message)
-    val rootOhdr = buf.pos
-    buf.u8(1); buf.u8(0); buf.u16(1) // v1, nmsg = 1
-    buf.u32(1) // ref count
-    buf.u32(24) // header size: one 8+16 message
-    buf.u32(0) // v1 pad to 16-byte boundary of messages
-    buf.u16(0x11); buf.u16(16); buf.u32(0)
-    buf.u64(btreeAddr); buf.u64(heapAddr)
-
+    val rootOhdr = writeNode(buf, root)
     buf.patchU64(rootOhdrPatch, rootOhdr)
     buf.patchU64(eofPatch, buf.pos)
     java.nio.file.Files.write(java.nio.file.Paths.get(path), buf.toArray)
+  }
+
+  /** Bottom-up: children first, then this node's header; returns the
+    * node's object-header address. */
+  private def writeNode(buf: GrowBuf, node: Node): Long = node match {
+    case DatasetNode(c) => writeDataset(buf, c)
+    case GroupNode(children) =>
+      val sorted = children.toSeq.sortBy(_._1)
+      val childAddr = sorted.map { case (n, ch) => n -> writeNode(buf, ch) }
+
+      // ---- local heap with the child names
+      val heapData = new ByteArrayOutputStream()
+      heapData.write(0); heapData.write(new Array[Byte](7)) // offset 0 = ""
+      val nameOff = childAddr.map { case (n, _) =>
+        val off = heapData.size()
+        heapData.write(n.getBytes("UTF-8")); heapData.write(0)
+        while (heapData.size() % 8 != 0) heapData.write(0)
+        n -> off.toLong
+      }.toMap
+      val heapAddr = buf.pos
+      buf.bytes("HEAP".getBytes("ASCII")); buf.u32(0) // version + reserved
+      buf.u64(heapData.size().toLong)
+      buf.u64(UNDEF) // free list: none
+      buf.u64(buf.pos + 8)
+      buf.bytes(heapData.toByteArray)
+
+      // ---- SNOD with all entries (names sorted — B-tree key order)
+      val snodAddr = buf.pos
+      buf.bytes("SNOD".getBytes("ASCII"))
+      buf.u16(1) // version + reserved byte (LE: ver=1, r=0)
+      buf.u16(childAddr.size)
+      childAddr.foreach { case (n, a) =>
+        buf.u64(nameOff(n)); buf.u64(a)
+        buf.u32(0); buf.u32(0); buf.zeros(16)
+      }
+
+      // ---- group B-tree: one leaf pointing at the SNOD
+      val btreeAddr = buf.pos
+      buf.bytes("TREE".getBytes("ASCII"))
+      buf.u8(0); buf.u8(0) // node type 0, level 0
+      buf.u16(1) // one child
+      buf.u64(UNDEF); buf.u64(UNDEF) // siblings
+      buf.u64(nameOff(childAddr.head._1)) // key 0
+      buf.u64(snodAddr) // child 0
+      buf.u64(nameOff(childAddr.last._1)) // key 1
+
+      // ---- group object header (symbol table message)
+      val ohdr = buf.pos
+      buf.u8(1); buf.u8(0); buf.u16(1) // v1, nmsg = 1
+      buf.u32(1) // ref count
+      buf.u32(24) // header size: one 8+16 message
+      buf.u32(0) // v1 pad to 16-byte boundary of messages
+      buf.u16(0x11); buf.u16(16); buf.u32(0)
+      buf.u64(btreeAddr); buf.u64(heapAddr)
+      ohdr
   }
 
   // ------------------------------------------------------------ datasets
