@@ -71,6 +71,36 @@ class Hdf5Spec extends SparkSpec {
     } finally h.close()
   }
 
+  test("malformed input fails loudly, never misreads") {
+    // not an HDF5 file
+    val junk = tmp("junk.bin")
+    Files.write(Paths.get(junk), Array.fill[Byte](256)(0x42))
+    val e1 = intercept[IllegalArgumentException] {
+      new Hdf5File(junk)
+    }
+    assert(e1.getMessage.contains("not an HDF5 file"))
+
+    // valid file, missing object path → error names siblings
+    val ok = tmp("ok.h5")
+    Hdf5TestWriter.write(ok, Seq(
+      Hdf5TestWriter.LongCol("present", Array(1L, 2L, 3L))))
+    val h = new Hdf5File(ok)
+    try {
+      val e2 = intercept[NoSuchElementException] {
+        h.dataset("/absent")
+      }
+      assert(e2.getMessage.contains("present"))
+      // truncated file: structural reads fail with exceptions, not
+      // silent wrong values
+      val full = Files.readAllBytes(Paths.get(ok))
+      val trunc = tmp("trunc.h5")
+      Files.write(Paths.get(trunc), java.util.Arrays.copyOf(full, 96))
+      val h2 = new Hdf5File(trunc)
+      try intercept[Exception] { h2.readLongs("/present") }
+      finally h2.close()
+    } finally h.close()
+  }
+
   test("multi-file vaex-layout conversion (vx.open_many semantics)") {
     // two synthetic feature files in the reference's vaex column layout
     // (/table/columns/<name>/data), distinct series — the multi-file
