@@ -150,12 +150,24 @@ object SemiAutoCut {
       pars: CutPars,
       cutName: String,
       exceptions: Map[Long, Thresholds] = Map.empty,
-      estimationCondition: Column = lit(true)): DataFrame = {
+      estimationCondition: Column = lit(true),
+      maxExactRows: Int = graft.stats.Quantiles.defaultMaxExactRows)
+      : DataFrame = {
     val binned = df.withColumn("__bin__", bin)
     val x = col(rq)
 
-    // per-bin threshold aggregation over the estimation sample
+    // per-bin threshold aggregation over the estimation sample.
+    // Same cardinality guard as the global thresholds (T2/T3): exact
+    // per-bin percentile shuffles every bin's full value multiset, so
+    // past maxExactRows estimation rows the aggregation switches to the
+    // GK sketch (rank error ≤ 1/approxAcc per bin).
     val est = binned.filter(estimationCondition && col("__bin__").isNotNull)
+    val useApprox = (pars.isPercentile || pars.isSigma) &&
+      graft.stats.Quantiles.exceedsExactLimit(est, maxExactRows)
+    def pct(p: Column): Column =
+      if (useApprox)
+        percentile_approx(x, p, lit(graft.stats.Quantiles.approxAcc))
+      else percentile(x, p)
     val thr: DataFrame =
       if (pars.isValue) {
         est.select(col("__bin__")).distinct()
@@ -170,12 +182,12 @@ object SemiAutoCut {
                            pars.percentUpper.map(_ / 100.0))
         }
         est.groupBy(col("__bin__")).agg(
-          pl.map(p => percentile(x, lit(p))).getOrElse(lit(null).cast("double"))
+          pl.map(p => pct(lit(p))).getOrElse(lit(null).cast("double"))
             .as("__lo__"),
-          pu.map(p => percentile(x, lit(p))).getOrElse(lit(null).cast("double"))
+          pu.map(p => pct(lit(p))).getOrElse(lit(null).cast("double"))
             .as("__hi__"))
       } else { // sigma family
-        val qs = percentile(x, array(lit(0.15865), lit(0.5), lit(0.84135)))
+        val qs = pct(array(lit(0.15865), lit(0.5), lit(0.84135)))
         val base = est.groupBy(col("__bin__")).agg(qs.as("__q__"))
           .withColumn("__med__", col("__q__").getItem(1))
           .withColumn("__sig__",

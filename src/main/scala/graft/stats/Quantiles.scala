@@ -50,26 +50,27 @@ object Quantiles {
     * sample is at most `maxExactRows` rows, GK sketch above. The size
     * probe is LIMIT-bounded — it scans at most maxExactRows+1 rows and
     * stops, so the check itself never pays a full pass at scale. */
+  /** True when `df` MAY exceed `maxExactRows` rows. Catalyst size stats
+    * first: every row is ≥ 8 bytes, so a plan whose estimated byte size
+    * is ≤ 8·maxExactRows cannot exceed the row limit — the probe JOB is
+    * skipped entirely for provably-small samples (the common
+    * conditioned-estimation case; the probe showed up as +0.07 s on
+    * every t3 bench call, r06). Otherwise a LIMIT-bounded count probe
+    * decides — it scans at most maxExactRows+1 rows and stops. */
+  def exceedsExactLimit(df: DataFrame, maxExactRows: Int): Boolean = {
+    if (maxExactRows == Int.MaxValue) return false
+    val sizeHint = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (sizeHint <= BigInt(maxExactRows) * 8) false
+    else df.limit(maxExactRows + 1).count() > maxExactRows
+  }
+
   def thresholdQuantiles(
       df: DataFrame,
       c: Column,
       ps: Seq[Double],
       maxExactRows: Int = defaultMaxExactRows): GuardedQuantiles = {
     val sample = df.filter(c.isNotNull)
-    // Catalyst size stats first: every row is ≥ 8 bytes, so a plan whose
-    // estimated byte size is ≤ 8·maxExactRows cannot exceed the row
-    // limit — the probe JOB is skipped entirely for provably-small
-    // samples (the common conditioned-estimation case; the probe showed
-    // up as +0.07 s on every t3 bench call, r06).
-    val sizeHint = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val provablySmall = sizeHint <= BigInt(maxExactRows) * 8
-    val exceeds = !provablySmall && {
-      val probe = sample.limit(
-        if (maxExactRows == Int.MaxValue) Int.MaxValue else maxExactRows + 1)
-        .count()
-      probe > maxExactRows
-    }
-    if (exceeds)
+    if (exceedsExactLimit(sample, maxExactRows))
       GuardedQuantiles(approx(sample, c, ps, approxAcc), approximated = true)
     else GuardedQuantiles(exact(sample, c, ps), approximated = false)
   }

