@@ -10,6 +10,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Hash-repartition slice-block rows before pair expansion,
+    * UNCONDITIONALLY. A size-stats gate was tried (skip the exchange for
+    * small tables) and rejected: Catalyst's estimate derives from
+    * COMPRESSED parquet bytes, and replicated/boilerplate text — the
+    * exact input that creates hot buckets — compresses so well (16×
+    * corpus → 9 MB) that the gate skipped the spread precisely where the
+    * straggler lives. The exchange moves only un-expanded slice rows and
+    * costs ~0.1 s constant at sf0.1 — overhead, not a scale term. */
+  private def spreadBlocks(sliceRows: DataFrame): DataFrame =
+    sliceRows.repartition(col("sa"), col("sb"))
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup: content-hash groups. `keep` = min(idCol) per group —
@@ -138,8 +149,10 @@ object Dedup {
       // without this a mega bucket's whole quadratic expansion runs on
       // one core — a straggler at scale. The exchange moves only the
       // un-expanded slice rows (≤ 2·cap longs each); the partition key
-      // is content-derived (deterministic under recompute).
-      .repartition(col("sa"), col("sb"))
+      // is content-derived (deterministic under recompute). Applied
+      // unconditionally — see [[spreadBlocks]] for why a size gate was
+      // rejected.
+      .transform(Dedup.spreadBlocks)
       .select(explode(when(col("same"),
           flatten(transform(col("sa"), (x, i) =>
             transform(slice(col("sa"), i + 2, size(col("sa"))),
@@ -353,7 +366,7 @@ object Dedup {
         (col("ab.a") === col("ab.b")).as("same"))
       // spread hot-bucket blocks across tasks before expansion — see
       // [[lshCandidates]]
-      .repartition(col("sa"), col("sb"))
+      .transform(Dedup.spreadBlocks)
       .select(explode(when(col("same"),
           flatten(transform(col("sa"), (x, i) =>
             transform(slice(col("sa"), i + 2, size(col("sa"))),
