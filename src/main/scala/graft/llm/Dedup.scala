@@ -732,4 +732,71 @@ object Dedup {
       .select("ida", "idb")
     nearDupSurvivors(df, idCol, pairs)
   }
+
+  // ------------------------------------------------------ line-level dedup
+
+  /** CCNet/RefinedWeb-style line-level corpus dedup: drop every line
+    * whose trimmed content occurs at least `minOccurrences` times across
+    * the corpus, then reassemble each document from its surviving lines
+    * in original order. Boilerplate — navigation menus, cookie banners,
+    * license headers — is exactly the text that repeats across
+    * documents; removing it per LINE keeps the unique prose that
+    * whole-document dedup (exact or near) leaves untouched. The
+    * reference has no counterpart; this is a training-data-pipeline
+    * stage (public heritage: CCNet's paragraph-hash dedup, RefinedWeb's
+    * line-wise filtering).
+    *
+    * Lines shorter than `minLineChars` after trimming (blank lines, lone
+    * braces, bullets) are never counted OR removed: they are document
+    * structure, not boilerplate, and every one of them would trivially
+    * be a corpus-wide duplicate. Because a short line's trimmed content
+    * can never equal an eligible line's (the lengths differ), one
+    * left-anti join on the line key is removal-safe for all lines.
+    *
+    * Output: (id, n_lines, n_lines_kept, text_dedup) — one row per input
+    * document; a document whose every line is boilerplate survives with
+    * empty text (dropping it is a policy the caller applies, not the
+    * operator).
+    *
+    * Scale shape (100 TB): lines are keyed by `xxhash64` of the trimmed
+    * content, so 8-byte keys — not line strings — cross the counting
+    * shuffle, which is map-side combined. The duplicate-key table is
+    * filtered BEFORE the removal join (`count >= minOccurrences` keeps
+    * only true boilerplate keys, a small fraction of distinct lines), so
+    * the left-anti join's build side is boilerplate-sized and AQE
+    * broadcasts it when it fits. Reassembly is one groupBy on the
+    * document id, bounded per group by document size — the same per-row
+    * bound the corpus already obeys. No stage gathers corpus-scale data
+    * on fewer keys than the input already has. */
+  def dedupLines(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      minOccurrences: Int = 2,
+      minLineChars: Int = 5): DataFrame = {
+    require(minOccurrences >= 2, s"minOccurrences must be >= 2 (got " +
+      s"$minOccurrences) — 1 would remove every eligible line")
+    val lines = df.select(col(idCol),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n", -1))
+          .as(Seq("pos", "line")))
+      .withColumn("lkey", xxhash64(trim(col("line"))))
+    val boiler = lines
+      .filter(length(trim(col("line"))) >= minLineChars)
+      .groupBy("lkey").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minOccurrences)
+      .select("lkey")
+    val rebuilt = lines.join(boiler, Seq("lkey"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), "\n").as("text_dedup"))
+    df.select(col(idCol),
+        size(split(coalesce(col(textCol), lit("")), "\n", -1))
+          .cast("long").as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
 }

@@ -44,6 +44,34 @@ object LlmQueries {
       Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id")
         .agg(count(lit(1)).as("cnt"))),
 
+    // line-level (boilerplate) dedup, CCNet/RefinedWeb-style: drop
+    // every line whose trimmed content appears >= 3 times across the
+    // corpus (lines under 5 trimmed chars are structure, never counted
+    // or removed), rebuild docs from the surviving lines in order —
+    // audit = per-doc line counts + md5 of the rebuilt text. The corpus
+    // is single-line prose, so the query synthesizes the line structure
+    // the way llm_pii_redact synthesizes PII: a 3-variant promo header
+    // (~167 copies each → removed), a footer on every doc (500 copies →
+    // removed), a pair line (exactly 2 copies → UNDER the threshold,
+    // kept), and natural splits of the prose at ' the ' (unique →
+    // kept). The oracle joins line STRINGS where the engine joins
+    // xxhash64 keys (exact absent 64-bit collisions, as with the
+    // shingle pipelines)
+    "llm_line_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("text2", concat(
+        lit("promo header variant "),
+        pmod(col("doc_id"), lit(3)).cast("string"), lit("\n"),
+        lit("rare pair line "),
+        pmod(col("doc_id"), lit(250)).cast("string"), lit("\n"),
+        regexp_replace(col("text"), " the ", "\n"),
+        lit("\nsubscribe to our newsletter footer")))
+      Dedup.dedupLines(docs, "text2", "doc_id",
+          minOccurrences = 3, minLineChars = 5)
+        .select(col("doc_id"), col("n_lines"), col("n_lines_kept"),
+          md5(col("text_dedup")).as("dedup_hash"))
+        .orderBy("doc_id")
+    }),
+
     // token counts (whitespace tokenizer)
     "llm_text_tokens" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -440,6 +468,30 @@ object LlmQueries {
       "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS cnt FROM documents GROUP BY content_hash ORDER BY content_hash",
     "llm_dedup_survivors" ->
       "SELECT count(*) AS cnt FROM (SELECT min(doc_id) FROM documents GROUP BY md5(text))",
+    // line-dedup mirror: boilerplate = trimmed line content repeating
+    // >= 3 times corpus-wide among lines of >= 5 trimmed chars; kept
+    // lines re-joined by string (engine: by xxhash64 key)
+    "llm_line_dedup" ->
+      """WITH d2 AS (SELECT doc_id,
+        |  'promo header variant ' || CAST(doc_id % 3 AS VARCHAR) || chr(10) ||
+        |  'rare pair line ' || CAST(doc_id % 250 AS VARCHAR) || chr(10) ||
+        |  replace(text, ' the ', chr(10)) || chr(10) ||
+        |  'subscribe to our newsletter footer' AS text FROM documents),
+        |l0 AS (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls FROM d2),
+        |lines AS (SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos FROM l0),
+        |boiler AS (SELECT trim(line) AS t FROM lines
+        |           WHERE length(trim(line)) >= 5 GROUP BY 1 HAVING count(*) >= 3),
+        |kept AS (SELECT l.doc_id, l.pos, l.line FROM lines l
+        |         LEFT JOIN boiler b ON b.t = trim(l.line) WHERE b.t IS NULL),
+        |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines_kept,
+        |               md5(string_agg(line, chr(10) ORDER BY pos)) AS dedup_hash
+        |        FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len(string_split(coalesce(d.text, ''), chr(10))) AS BIGINT) AS n_lines,
+        |  coalesce(r.n_lines_kept, 0) AS n_lines_kept,
+        |  coalesce(r.dedup_hash, md5('')) AS dedup_hash
+        |FROM d2 d LEFT JOIN reb r ON r.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "llm_text_tokens" ->
       "SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens FROM documents ORDER BY doc_id",
     "llm_text_quality" ->

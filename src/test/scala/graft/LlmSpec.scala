@@ -621,4 +621,34 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(sym.getAs[Double]("symbol_ratio") - 3.0 / 9) < 1e-12)
     assert(math.abs(sym.getAs[Double]("top_token_ratio") - 1.0 / 3) < 1e-12)
   }
+
+  test("line dedup: boilerplate removed, short/rare lines kept, order held") {
+    val d = Seq(
+      (0L, "unique opening prose\nSHARED FOOTER LINE\n-\nmiddle thought"),
+      (1L, "another document\n  SHARED FOOTER LINE \n-\nclosing words"),
+      (2L, "SHARED FOOTER LINE\npair line content\nthird doc body"),
+      (3L, "pair line content\n-"), // pair line: only 2 occurrences → kept
+      (4L, "SHARED FOOTER LINE"),   // all-boilerplate doc → empty survivor
+      (5L, null.asInstanceOf[String]) // null text → 1 empty line, kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(d, "text", "doc_id",
+        minOccurrences = 3, minLineChars = 5)
+      .orderBy("doc_id").collect()
+    // footer occurs 4× (whitespace-trimmed key unifies doc 1's padded
+    // copy) → removed everywhere, including doc 1's padded ORIGINAL
+    assert(out(0).getString(3) == "unique opening prose\n-\nmiddle thought")
+    assert(out(1).getString(3) == "another document\n-\nclosing words")
+    // pair line: 2 < minOccurrences → kept; "-" is under minLineChars →
+    // kept no matter how often it repeats
+    assert(out(2).getString(3) == "pair line content\nthird doc body")
+    assert(out(3).getString(3) == "pair line content\n-")
+    // all-boilerplate doc survives as a row with empty text
+    assert(out(4).getString(3) == "" && out(4).getLong(2) == 0L
+      && out(4).getLong(1) == 1L)
+    // null text = one empty (ineligible) line, kept verbatim
+    assert(out(5).getString(3) == "" && out(5).getLong(2) == 1L)
+    // counts are (n_lines, n_lines_kept) per doc
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((4L, 3L), (4L, 3L), (3L, 2L), (2L, 2L), (1L, 0L), (1L, 1L)))
+  }
 }
