@@ -192,6 +192,22 @@ object LlmQueries {
           col("col.score").as("score"), col("col.id").as("doc_id"))
         .orderBy("source", "pos")),
 
+    // fastText-style hashed linear classifier scoring (the
+    // CCNet/DCLM/FineWeb quality-filter shape): unigram+bigram FNV
+    // features folded into 1024 buckets, deterministic synthetic model
+    // weights (Knuth multiplicative scramble of the bucket index,
+    // thousandths), bias −50 milli — map-only scoring, integer-exact
+    // decision. The oracle re-derives every feature hash via the FNV
+    // recursive CTE and the same bucket/weight arithmetic
+    "llm_classifier_score" -> ((s, dir) => {
+      val b = 1024
+      val w = s.range(0, b).select(col("id").as("bucket"),
+        (col("id") * 2654435761L % 2001L - 1000L).as("weight_milli"))
+      Classify.scoreHashedLinear(t(s, dir, "documents"), "text", "doc_id",
+          w, b, biasMilli = -50L)
+        .orderBy("doc_id")
+    }),
+
     // corpus-familiarity quality score: per-doc average corpus
     // frequency of its bigram occurrences (integer sums → exact)
     "llm_familiarity" -> ((s, dir) =>
@@ -534,6 +550,37 @@ object LlmQueries {
     // familiarity mirror: bigram occurrences (WITH repetitions — the
     // ngrams unit, incl. the short-doc collapse), corpus counts, and
     // the per-doc integer sums
+    // classifier mirror: unigrams + bigrams (with the engine's
+    // single-gram fallback for < 2 tokens), FNV-1a 64 per distinct gram
+    // via the recursive hex CTE, pmod-1024 bucket, weight =
+    // (bucket * 2654435761) % 2001 - 1000 — all integer arithmetic,
+    // one final double division
+    "llm_classifier_score" ->
+      """WITH RECURSIVE
+        |tok0 AS (SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS l FROM documents),
+        |tokx AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i FROM tok0),
+        |g1 AS (SELECT doc_id, w AS g FROM tokx),
+        |g2 AS (SELECT a.doc_id, a.w || ' ' || b.w AS g FROM tokx a JOIN tokx b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+        |g2few AS (SELECT doc_id, array_to_string(l, ' ') AS g FROM tok0 WHERE len(l) < 2),
+        |grams AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2 UNION ALL SELECT * FROM g2few),
+        |hx AS (SELECT DISTINCT g AS s FROM grams),
+        |hh AS (SELECT s, hex(encode(s)) AS hs, octet_length(encode(s)) AS nb FROM hx),
+        |fnv AS (
+        |  SELECT s, hs, nb, 0 AS i, CAST(14695981039346656037 AS HUGEINT) AS h FROM hh
+        |  UNION ALL
+        |  SELECT s, hs, nb, i + 1,
+        |    (xor(h, CAST((strpos('0123456789ABCDEF', substring(hs, 2*i+1, 1))-1)*16 + strpos('0123456789ABCDEF', substring(hs, 2*i+2, 1))-1 AS HUGEINT)) * 1099511628211) % 18446744073709551616
+        |  FROM fnv WHERE i < nb),
+        |sgn AS (SELECT s, CAST(h - CASE WHEN h >= 9223372036854775808 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS hv
+        |        FROM fnv WHERE i = nb),
+        |wt AS (SELECT s, ((((hv % 1024) + 1024) % 1024) * 2654435761) % 2001 - 1000 AS wm FROM sgn),
+        |agg AS (SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |               CAST(sum(w.wm) AS BIGINT) AS wsum_milli
+        |        FROM grams gr JOIN wt w ON w.s = gr.g GROUP BY gr.doc_id)
+        |SELECT doc_id, n_feats, wsum_milli,
+        |  CAST(-50 * n_feats + wsum_milli AS DOUBLE) / CAST(n_feats * 1000 AS DOUBLE) AS logit,
+        |  (-50 * n_feats + wsum_milli) > 0 AS pass
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "llm_familiarity" ->
       """WITH tok0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l FROM documents),
         |tokx AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i FROM tok0),

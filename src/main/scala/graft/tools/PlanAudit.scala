@@ -20,10 +20,13 @@ object PlanAudit {
       "f1_filter_expr", "f2_mask_semijoin", "j2_key_broadcast_join",
       "tpch_join_revenue", "a7_hist1d", "t6_binned_percentile_cut",
       "t7_rate_cut", "llm_minhash_neardup", "llm_sim_topk", "w4_rechunk",
-      "llm_simhash_neardup", "llm_decontaminate", "llm_pack_sequences")
+      "llm_simhash_neardup", "llm_decontaminate", "llm_pack_sequences",
+      "llm_line_dedup", "llm_classifier_score")
 
-    // allowed nested-loop joins: tiny driver-generated pair sets
-    val nestedLoopAllowed = Set("llm_ngram_jaccard")
+    // allowed nested-loop joins: tiny driver-generated pair sets, plus
+    // the classifier's ONE-ROW dense-model broadcast (a deliberate
+    // map-only crossJoin — the build side is a single array row)
+    val nestedLoopAllowed = Set("llm_ngram_jaccard", "llm_classifier_score")
 
     // full sweep, building each query exactly ONCE (several query
     // builders are eager — persist/count/collect at plan-build time):

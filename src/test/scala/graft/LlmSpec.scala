@@ -622,6 +622,41 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(sym.getAs[Double]("top_token_ratio") - 1.0 / 3) < 1e-12)
   }
 
+  test("hashed linear classifier: scoring matches hand arithmetic") {
+    val d = Seq((0L, "alpha beta"), (1L, "gamma")).toDF("doc_id", "text")
+    // doc 0 features: unigrams [alpha, beta] + bigram [alpha beta] = 3;
+    // doc 1 (< 2 tokens): unigram [gamma] + fallback bigram [gamma] = 2,
+    // both the SAME gram → the same bucket twice
+    val b0 = d.filter(col("doc_id") === 0)
+      .select(explode(concat(
+        graft.functions.NgramHashes(col("text"), 1),
+        graft.functions.NgramHashes(col("text"), 2))).as("h"))
+      .select(pmod(col("h"), lit(64L)).as("b")).as[Long].collect()
+    assert(b0.length == 3)
+    val bGamma = d.filter(col("doc_id") === 1)
+      .select(pmod(element_at(
+        graft.functions.NgramHashes(col("text"), 1), 1), lit(64L)).as("b"))
+      .as[Long].head()
+    val w = (b0.distinct.map(b => (b, 100L)).toSeq :+ (bGamma -> 3000L))
+      .toDF("bucket", "weight_milli")
+    val out = Classify.scoreHashedLinear(d, "text", "doc_id", w, 64,
+        biasMilli = -1000L).orderBy("doc_id").collect()
+    // doc 0: every occurrence looks up a 100-milli bucket → wsum 300;
+    // logit = (−1000·3 + 300)/3000 = −0.9 → fail
+    assert(out(0).getLong(1) == 3L && out(0).getLong(2) == 300L)
+    assert(out(0).getDouble(3) == -0.9 && !out(0).getBoolean(4))
+    // doc 1: two occurrences of the 3000-milli bucket → wsum 6000;
+    // logit = (−1000·2 + 6000)/2000 = 2.0 → pass
+    assert(out(1).getLong(1) == 2L && out(1).getLong(2) == 6000L)
+    assert(out(1).getDouble(3) == 2.0 && out(1).getBoolean(4))
+    // unknown buckets weigh 0: with an empty model only bias remains
+    val empty = Seq.empty[(Long, Long)].toDF("bucket", "weight_milli")
+    val z = Classify.scoreHashedLinear(d, "text", "doc_id", empty, 64,
+        biasMilli = 250L).orderBy("doc_id").collect()
+    assert(z.forall(r => r.getLong(2) == 0L && r.getDouble(3) == 0.25
+      && r.getBoolean(4)))
+  }
+
   test("line dedup: boilerplate removed, short/rare lines kept, order held") {
     val d = Seq(
       (0L, "unique opening prose\nSHARED FOOTER LINE\n-\nmiddle thought"),
