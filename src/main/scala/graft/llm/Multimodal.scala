@@ -133,7 +133,22 @@ object Multimodal {
     * round-trips sample-exact through ImageIO, so decoded features are a
     * pure closed-form function of (id, w, h) — the oracle for the decode
     * path mirrors that formula in SQL. */
-  def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] = {
+  def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] =
+    syntheticPng(id, w, h, 0L)
+
+  /** [[syntheticPng]] with a global brightness offset and gradient
+    * coefficients — pixel (x,y) has luminance
+    * `(id·31 + x·cx + y·cy + offset) mod 256`. A small offset produces
+    * a PERCEPTUAL near-duplicate of the offset-0 image: the
+    * average-hash bits only flip where the mod-256 wrap reorders a
+    * pixel against the mean, so aHash Hamming distance stays small —
+    * the deterministic stand-in for "same image, different exposure".
+    * Distinct (cx, cy) produce distinct spatial patterns (id alone only
+    * shifts brightness, which aHash is INVARIANT to by design — a
+    * fixture of genuinely different images must vary the gradient, not
+    * the id). */
+  def syntheticPng(id: Long, w: Int, h: Int, offset: Long,
+      cx: Long = 7L, cy: Long = 13L): Array[Byte] = {
     disableImageIoDiskCache()
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -143,7 +158,7 @@ object Multimodal {
       var x = 0
       while (x < w) {
         raster.setSample(x, y, 0,
-          (((id * 31 + x * 7 + y * 13) % 256 + 256) % 256).toInt)
+          (((id * 31 + x * cx + y * cy + offset) % 256 + 256) % 256).toInt)
         x += 1
       }
       y += 1
@@ -152,6 +167,78 @@ object Multimodal {
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
   }
+
+  /** Perceptual average-hash (aHash) image decoder: 8×8 floor-grid
+    * sample of band 0 → bit per cell = (64·pixel > Σ grid pixels) →
+    * features `[w, h, row0..row7]` where row_gy packs the row's 8 bits
+    * (bit gx set ⇔ cell (gx,gy) above the mean). Every step is integer
+    * arithmetic on exactly-decoded samples — no resampling filter, no
+    * float mean — so the hash of a synthetic PNG is a pure closed-form
+    * function of the pixel formula and the oracle can re-derive it in
+    * SQL. Combine the rows into one 64-bit hash with [[ahash64]] and
+    * feed [[Dedup.simhashCandidates]] for Hamming-banded near-dup
+    * candidates: perceptually similar images (small brightness shifts,
+    * minor edits) differ in a few bits, unrelated images in ~32.
+    * Undecodable payloads yield all-zero features (w = 0) — filter
+    * them out BEFORE banding or every poison pill lands in one
+    * hash-0 bucket. */
+  final class AHashDecoder extends Decoder {
+    val dim: Int = 10
+    def decodeBatch(batch: Seq[Array[Byte]]): Seq[Array[Float]] = {
+      Multimodal.disableImageIoDiskCache()
+      val zero = Array.ofDim[Float](dim)
+      batch.map { bytes =>
+        if (bytes == null) zero.clone()
+        else try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          if (img == null) zero.clone()
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val raster = img.getRaster
+            val shift =
+              math.max(raster.getSampleModel.getSampleSize(0) - 8, 0)
+            val grid = Array.ofDim[Int](64)
+            var sum = 0L
+            var gy = 0
+            while (gy < 8) {
+              var gx = 0
+              while (gx < 8) {
+                val p = raster.getSample(gx * w / 8, gy * h / 8, 0) >>> shift
+                grid(gy * 8 + gx) = p
+                sum += p
+                gx += 1
+              }
+              gy += 1
+            }
+            val f = Array.ofDim[Float](dim)
+            f(0) = w.toFloat
+            f(1) = h.toFloat
+            var i = 0
+            while (i < 64) {
+              if (64L * grid(i) > sum) {
+                f(2 + i / 8) = f(2 + i / 8) + (1 << (i % 8)).toFloat
+              }
+              i += 1
+            }
+            f
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) => zero.clone()
+        }
+      }
+    }
+  }
+
+  /** Pack [[AHashDecoder]] features into one signed 64-bit hash:
+    * Σ row_i · 2^(8i) (byte rows are exact in float; the top row may
+    * set the sign bit — Java wrap semantics, deterministic). */
+  def ahash64(features: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    (0 until 8).map(i =>
+        shiftleft(element_at(features, 3 + i).cast("long"), 8 * i))
+      .reduce(_ + _)
 
   /** REAL audio decoder over `javax.sound.sampled` (ships with the JDK
     * — no external codec needed): WAV/PCM bytes →

@@ -458,6 +458,32 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // image perceptual near-dup: synthetic 16×16 PNGs in 100 groups of
+    // 5 "exposures" (seed = doc_id % 100 picks the GRADIENT — cx/cy
+    // from the seed digits, 100 distinct spatial patterns; jitter =
+    // doc_id / 100 shifts brightness) → REAL decode → 8×8 average-hash
+    // → the SAME Hamming-banded candidate machinery as text SimHash.
+    // Same-seed exposure pairs differ in the few bits the mod-256 wrap
+    // flips; different gradients differ in ~32 — the oracle re-derives
+    // every hash from the closed-form pixel formula
+    "mm_image_ahash_neardup" -> ((s, dir) => {
+      val gen = udf { (seed: Long, jit: Long) =>
+        Multimodal.syntheticPng(seed, 16, 16, jit,
+          cx = 1 + 2 * (seed % 10), cy = 1 + 2 * (seed / 10 % 10))
+      }
+      val withPng = t(s, dir, "documents").select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("png",
+          gen(pmod(col("doc_id"), lit(100L)), expr("doc_id DIV 100")))
+      val hashed = Multimodal.extractFeatures(withPng, "png", "doc_id",
+          new Multimodal.AHashDecoder, batchSize = 64)
+        .filter(element_at(col("features"), 1) > 0) // drop poison pills
+        .select(col("doc_id"),
+          Multimodal.ahash64(col("features")).as("simhash"))
+      Dedup.simhashCandidates(hashed, "doc_id", maxHamming = 6)
+        .orderBy("ida", "idb")
+    }),
+
     // REAL audio decode (javax.sound.sampled WAV/PCM): deterministic
     // synthetic PCM16 → decode → sample-rate / frame-count / amplitude
     // histogram; the oracle mirrors the closed-form sample formula
@@ -1065,6 +1091,36 @@ object LlmQueries {
         | $hbs
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
     },
+    // image aHash near-dup mirror: grid pixel (gx,gy) of doc id is
+    // (seed·31 + 2gx·cx + 2gy·cy + jit) mod 256 with seed = id%100,
+    // jit = id//100, cx = 1+2(seed%10), cy = 1+2(seed//10%10) (16×16
+    // image, floor grid = even coordinates); bit = 64·p > Σ grid;
+    // chunks j = rows 2j,2j+1 (16-bit bands); candidates share a band
+    // chunk (bucket ≤ 10000 like the engine), Hamming = Σ per-band
+    // bit_count(xor) ≤ 6
+    "mm_image_ahash_neardup" ->
+      """WITH d AS (SELECT doc_id, doc_id % 100 AS seed, doc_id // 100 AS jit FROM documents),
+        |g AS (SELECT doc_id, gy*8 + gx AS idx,
+        |        (seed*31 + (2*gx)*(1 + 2*(seed % 10)) + (2*gy)*(1 + 2*(seed // 10 % 10)) + jit) % 256 AS p
+        |      FROM d, generate_series(0, 7) AS gxs(gx), generate_series(0, 7) AS gys(gy)),
+        |s AS (SELECT doc_id, CAST(sum(p) AS BIGINT) AS s64 FROM g GROUP BY doc_id),
+        |bits AS (SELECT g.doc_id, g.idx,
+        |           CASE WHEN 64*g.p > s.s64 THEN 1 ELSE 0 END AS bit
+        |         FROM g JOIN s USING (doc_id)),
+        |chunks AS (SELECT doc_id, idx // 16 AS j,
+        |             CAST(sum(bit * CAST(pow(2, idx % 16) AS BIGINT)) AS BIGINT) AS chunk
+        |           FROM bits GROUP BY doc_id, j),
+        |csz AS (SELECT j, chunk, count(*) AS c FROM chunks GROUP BY j, chunk),
+        |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+        |  FROM chunks a JOIN chunks b ON a.j = b.j AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+        |  JOIN csz z ON z.j = a.j AND z.chunk = a.chunk AND z.c <= 10000),
+        |ham AS (SELECT c.ida, c.idb,
+        |          CAST(sum(bit_count(xor(ca.chunk, cb.chunk))) AS INTEGER) AS hamming
+        |        FROM cand c
+        |        JOIN chunks ca ON ca.doc_id = c.ida
+        |        JOIN chunks cb ON cb.doc_id = c.idb AND cb.j = ca.j
+        |        GROUP BY c.ida, c.idb)
+        |SELECT ida, idb, hamming FROM ham WHERE hamming <= 6 ORDER BY ida, idb""".stripMargin,
     // audio decode mirror: sample i of doc id is
     // ((id*31 + i*7) mod 65536) − 32768, binned into 8192-wide bins
     "mm_audio_decode" -> {

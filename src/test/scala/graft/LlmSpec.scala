@@ -622,6 +622,33 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(sym.getAs[Double]("top_token_ratio") - 1.0 / 3) < 1e-12)
   }
 
+  test("image aHash: exposure shift is near, different gradient is far") {
+    val mk = udf { (seed: Long, jit: Long, cx: Long, cy: Long) =>
+      Multimodal.syntheticPng(seed, 16, 16, jit, cx, cy)
+    }
+    val d = Seq(
+      (0L, 5L, 0L, 3L, 9L),   // base image
+      (1L, 5L, 2L, 3L, 9L),   // +2 exposure of the same gradient
+      (2L, 5L, 0L, 15L, 1L),  // different gradient entirely
+      (3L, 5L, 0L, 3L, 9L)    // exact copy of 0
+    ).toDF("doc_id", "seed", "jit", "cx", "cy")
+      .withColumn("png", mk(col("seed"), col("jit"), col("cx"), col("cy")))
+    val hashed = Multimodal.extractFeatures(d, "png", "doc_id",
+        new Multimodal.AHashDecoder, batchSize = 4)
+      .filter(element_at(col("features"), 1) > 0)
+      .select(col("doc_id"), Multimodal.ahash64(col("features")).as("simhash"))
+    val h = hashed.orderBy("doc_id").as[(Long, Long)].collect().toMap
+    assert(h(0) == h(3)) // exact copy → identical hash
+    assert(java.lang.Long.bitCount(h(0) ^ h(1)) <= 6) // exposure → near
+    assert(java.lang.Long.bitCount(h(0) ^ h(2)) > 10) // new gradient → far
+    // poison pill: undecodable bytes → w = 0 features, filtered out
+    val bad = Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "png")
+    val badOut = Multimodal.extractFeatures(bad, "png", "doc_id",
+        new Multimodal.AHashDecoder, batchSize = 4)
+      .filter(element_at(col("features"), 1) > 0)
+    assert(badOut.count() == 0)
+  }
+
   test("hashed linear classifier: scoring matches hand arithmetic") {
     val d = Seq((0L, "alpha beta"), (1L, "gamma")).toDF("doc_id", "text")
     // doc 0 features: unigrams [alpha, beta] + bigram [alpha beta] = 3;
