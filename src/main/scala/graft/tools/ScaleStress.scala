@@ -75,6 +75,23 @@ object ScaleStress {
           .agg(graft.functions.TopKByScore(col("n_chars"), col("doc_id"), 5)
             .as("t"))))
       spark.catalog.clearCache()
+      // line dedup under replication is the WORST case: every replica
+      // line is corpus-boilerplate, so the removal join's build side is
+      // at its largest relative to the corpus
+      time(s"line dedup x$mult") {
+        val structured = d.withColumn("text2", concat(
+          lit("promo header "), pmod(col("doc_id"), lit(3)).cast("string"),
+          lit("\n"), regexp_replace(col("text"), " the ", "\n"),
+          lit("\nshared footer line")))
+        force(Dedup.dedupLines(structured, "text2", "doc_id", 3, 5))
+      }
+      time(s"classifier score x$mult") {
+        val w = spark.range(0, 1024).select(col("id").as("bucket"),
+          (col("id") * 2654435761L % 2001L - 1000L).as("weight_milli"))
+        force(graft.llm.Classify.scoreHashedLinear(
+          d, "text", "doc_id", w, 1024, -50L))
+      }
+      spark.catalog.clearCache()
       if (mult <= 16) {
         time(s"exact dedup x$mult")(
           Dedup.exactDedup(d, "text", "doc_id").count())

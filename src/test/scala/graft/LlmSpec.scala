@@ -622,6 +622,70 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(sym.getAs[Double]("top_token_ratio") - 1.0 / 3) < 1e-12)
   }
 
+  test("line dedup ≡ naive string-count mirror on adversarial inputs") {
+    // trailing newlines, whitespace-only lines, padded duplicates,
+    // single-char lines, empty docs — the mirror counts line STRINGS
+    // (trimmed) where the operator counts xxhash64 keys
+    val d = Seq(
+      (0L, "dup line one\ndup line one\nunique a\n"),
+      (1L, "dup line one\n   dup line one   \nunique b"),
+      (2L, "\n\n  \nx\nunique c"),
+      (3L, ""),
+      (4L, "x\nx\nx\nx\nx"), // short line repeats → still kept
+      (5L, "unique d\ndup line one")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(d, "text", "doc_id", 3, 5)
+      .orderBy("doc_id")
+      .select("doc_id", "n_lines", "n_lines_kept", "text_dedup")
+      .as[(Long, Long, Long, String)].collect()
+    // mirror computed by hand: "dup line one" (trimmed) occurs 5× ≥ 3 →
+    // removed wherever it appears; everything else survives
+    val mirror = Seq(
+      (0L, 4L, 2L, "unique a\n"),
+      (1L, 3L, 1L, "unique b"),
+      (2L, 5L, 5L, "\n\n  \nx\nunique c"),
+      (3L, 1L, 1L, ""),
+      (4L, 5L, 5L, "x\nx\nx\nx\nx"),
+      (5L, 2L, 1L, "unique d"))
+    assert(out.toSeq == mirror)
+  }
+
+  test("classifier ≡ explode-plus-join mirror across a random model") {
+    val d = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "spark catalyst optimizer plans queries"),
+      (2L, "one"),
+      (3L, ""),
+      (4L, "the the the the")
+    ).toDF("doc_id", "text")
+    val b = 32 // tiny bucket space → guaranteed collisions exercised
+    val w = spark.range(0, b).select(col("id").as("bucket"),
+      (col("id") * 2654435761L % 2001L - 1000L).as("weight_milli"))
+    val fast = Classify.scoreHashedLinear(d, "text", "doc_id", w, b, 77L)
+      .orderBy("doc_id")
+      .select("doc_id", "n_feats", "wsum_milli", "logit", "pass")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    // mirror: explode features, shuffle-join the weights table, agg —
+    // the shape the map-only form must reproduce exactly
+    val mirror = d
+      .select(col("doc_id"), explode(concat(
+        graft.functions.NgramHashes(coalesce(col("text"), lit("")), 1),
+        graft.functions.NgramHashes(coalesce(col("text"), lit("")), 2)))
+        .as("h"))
+      .select(col("doc_id"), pmod(col("h"), lit(b.toLong)).as("bucket"))
+      .join(w, Seq("bucket"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        sum(coalesce(col("weight_milli"), lit(0L))).as("wsum_milli"))
+      .select(col("doc_id"), col("n_feats"), col("wsum_milli"),
+        ((lit(77L) * col("n_feats") + col("wsum_milli")).cast("double") /
+          (col("n_feats") * 1000L).cast("double")).as("logit"),
+        (lit(77L) * col("n_feats") + col("wsum_milli") > 0L).as("pass"))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(fast.toSeq == mirror.toSeq)
+  }
+
   test("image aHash: exposure shift is near, different gradient is far") {
     val mk = udf { (seed: Long, jit: Long, cx: Long, cy: Long) =>
       Multimodal.syntheticPng(seed, 16, 16, jit, cx, cy)
