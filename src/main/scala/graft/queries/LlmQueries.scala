@@ -192,6 +192,49 @@ object LlmQueries {
           col("col.score").as("score"), col("col.id").as("doc_id"))
         .orderBy("source", "pos")),
 
+    // curation funnel: three cumulative quality stages evaluated in ONE
+    // scan (single aggregation of cumulative-survival indicators, then
+    // a declarative unpivot) — per-stage rows_in/rows_out/pass_rate,
+    // the attrition table every pipeline paper leads with. Thresholds
+    // sit inside the sf0.01 metric distribution so every stage drops
+    // real rows
+    "llm_curation_funnel" -> ((s, dir) => {
+      val text = col("text")
+      val ntok = TextAnalysis.tokenCount(text)
+      val alpha =
+        length(regexp_replace(text, "[^\\p{L}]", "")).cast("double") /
+          length(text)
+      val avgTok =
+        length(regexp_replace(text, "\\s", "")).cast("double") / ntok
+      Curate.funnel(t(s, dir, "documents"), Seq(
+          "token_count" -> ntok.between(30L, 80L),
+          "alpha_ratio" -> (alpha > 0.818),
+          "avg_token_len" -> avgTok.between(4.3, 4.7)))
+        .orderBy("stage_idx")
+    }),
+
+    // overlapping chunking (context-window prep): 32-token windows,
+    // 8-token overlap (stride 24) — map-only explode, bounded per-row
+    "llm_chunk_overlap" -> ((s, dir) =>
+      Chunk.chunkTokens(t(s, dir, "documents"), "text", "doc_id",
+          size = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_idx")),
+
+    // budget-bounded selection: keep the minimal alpha-ratio-ordered
+    // prefix covering 12k tokens (~44% of the sf0.01 corpus — the
+    // budget bites mid-corpus, straddler included, ties broken by
+    // doc_id in both engines). One range shuffle + P-row partials;
+    // partitions past the budget are pruned before the window
+    "llm_token_budget" -> ((s, dir) => {
+      val alpha =
+        length(regexp_replace(col("text"), "[^\\p{L}]", "")).cast("double") /
+          length(col("text"))
+      Select.takeTokenBudget(t(s, dir, "documents"), "text", "doc_id",
+          alpha, budget = 12000L)
+        .select("doc_id", "n_tokens", "tokens_before")
+        .orderBy("doc_id")
+    }),
+
     // fastText-style hashed linear classifier scoring (the
     // CCNet/DCLM/FineWeb quality-filter shape): unigram+bigram FNV
     // features folded into 1024 buckets, deterministic synthetic model
@@ -576,6 +619,56 @@ object LlmQueries {
     // familiarity mirror: bigram occurrences (WITH repetitions — the
     // ngrams unit, incl. the short-doc collapse), corpus counts, and
     // the per-doc integer sums
+    // funnel mirror: one metrics CTE, one aggregate of cumulative CASE
+    // sums, unpivoted by UNION ALL — the same single-scan shape
+    "llm_curation_funnel" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ntok,
+        |    CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE) / length(text) AS alpha,
+        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\s+')) AS atl
+        |  FROM documents),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN ntok BETWEEN 30 AND 80 THEN 1 ELSE 0 END) AS BIGINT) AS s0,
+        |    CAST(sum(CASE WHEN ntok BETWEEN 30 AND 80 AND alpha > 0.818 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+        |    CAST(sum(CASE WHEN ntok BETWEEN 30 AND 80 AND alpha > 0.818 AND atl BETWEEN 4.3 AND 4.7 THEN 1 ELSE 0 END) AS BIGINT) AS s2
+        |  FROM m)
+        |SELECT * FROM (
+        |  SELECT 0 AS stage_idx, 'token_count' AS stage, n AS rows_in, s0 AS rows_out,
+        |         CASE WHEN n > 0 THEN CAST(s0 AS DOUBLE) / n END AS pass_rate FROM f
+        |  UNION ALL SELECT 1, 'alpha_ratio', s0, s1,
+        |         CASE WHEN s0 > 0 THEN CAST(s1 AS DOUBLE) / s0 END FROM f
+        |  UNION ALL SELECT 2, 'avg_token_len', s1, s2,
+        |         CASE WHEN s1 > 0 THEN CAST(s2 AS DOUBLE) / s1 END FROM f
+        |) ORDER BY stage_idx""".stripMargin,
+    // chunk mirror: range(0, ntok, stride) starts, inclusive list
+    // slice, single-space rejoin — the same tokens the engine slices
+    "llm_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND len(regexp_split_to_array(trim(text), '\s+')) > 0
+        |    AND NOT (len(regexp_split_to_array(trim(text), '\s+')) = 1
+        |             AND regexp_split_to_array(trim(text), '\s+')[1] = '')),
+        |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS chunk_start FROM t)
+        |SELECT doc_id, CAST(chunk_start // 24 AS BIGINT) AS chunk_idx,
+        |  CAST(chunk_start AS BIGINT) AS chunk_start,
+        |  CAST(least(32, len(toks) - chunk_start) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(toks[chunk_start + 1 : chunk_start + 32], ' ') AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // budget mirror: one global window cumsum ordered (prio DESC,
+    // doc_id) — exactly the order the engine range-partitions on
+    "llm_token_budget" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ntok,
+        |    CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE) / length(text) AS prio
+        |  FROM documents),
+        |c AS (SELECT doc_id, ntok,
+        |    sum(ntok) OVER (ORDER BY prio DESC, doc_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok AS tokens_before
+        |  FROM m)
+        |SELECT doc_id, ntok AS n_tokens, CAST(tokens_before AS BIGINT) AS tokens_before
+        |FROM c WHERE tokens_before < 12000 ORDER BY doc_id""".stripMargin,
+
     // classifier mirror: unigrams + bigrams (with the engine's
     // single-gram fallback for < 2 tokens), FNV-1a 64 per distinct gram
     // via the recursive hex CTE, pmod-1024 bucket, weight =

@@ -622,6 +622,93 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(sym.getAs[Double]("top_token_ratio") - 1.0 / 3) < 1e-12)
   }
 
+  test("curation funnel: cumulative attrition, null-fails, survivors agree") {
+    val d = Seq(
+      (0L, "good doc with enough words here"),
+      (1L, "short"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "another acceptable document right here"),
+      (4L, "bad!!! ###")
+    ).toDF("doc_id", "text")
+    val stages = Seq(
+      "min_tokens" -> (TextAnalysis.tokenCount(col("text")) >= 2L),
+      "no_symbols" -> !col("text").contains("#"))
+    val f = Curate.funnel(d, stages).orderBy("stage_idx")
+      .as[(Int, String, Long, Long, Option[Double])].collect()
+    // null text: tokenCount(null) is null → FAILS stage 0 (like WHERE)
+    assert(f(0) == ((0, "min_tokens", 5L, 3L, Some(0.6))))
+    assert(f(1) == ((1, "no_symbols", 3L, 2L, Some(2.0 / 3))))
+    // survivors = rows passing every stage = last rows_out
+    val surv = Curate.survivors(d, stages).select("doc_id")
+      .as[Long].collect().sorted
+    assert(surv.toSeq == Seq(0L, 3L) && surv.length == f.last._4)
+    // a stage that kills everything: downstream rows_in/out collapse to
+    // 0 and pass_rate becomes null, not a division error
+    val dead = Curate.funnel(d, stages :+ ("none" -> lit(false)) :+
+        ("after" -> lit(true))).orderBy("stage_idx")
+      .as[(Int, String, Long, Long, Option[Double])].collect()
+    assert(dead(2) == ((2, "none", 2L, 0L, Some(0.0))))
+    assert(dead(3) == ((3, "after", 0L, 0L, None)))
+  }
+
+  test("chunking: stride windows, short tail, degenerate docs") {
+    val d = Seq(
+      (0L, "t1 t2  t3 t4 t5 t6 t7"), // 7 tokens, inner double space
+      (1L, "solo"),
+      (2L, null.asInstanceOf[String]),
+      (3L, ""),
+      (4L, "   ") // whitespace-only → zero tokens
+    ).toDF("doc_id", "text")
+    val c = Chunk.chunkTokens(d, "text", "doc_id", size = 3, overlap = 1)
+      .as[(Long, Long, Long, Long, String)].collect().sorted.toSeq
+    // stride 2: starts 0,2,4,6 — last chunk is the single tail token;
+    // the double space is normalized by the rejoin
+    assert(c == Seq(
+      (0L, 0L, 0L, 3L, "t1 t2 t3"),
+      (0L, 1L, 2L, 3L, "t3 t4 t5"),
+      (0L, 2L, 4L, 3L, "t5 t6 t7"),
+      (0L, 3L, 6L, 1L, "t7"),
+      (1L, 0L, 0L, 1L, "solo")))
+    // overlap tokens really repeat: chunk k ends with the tokens chunk
+    // k+1 starts with
+    assert(c(1)._5.startsWith("t3") && c(0)._5.endsWith("t3"))
+    // no overlap → chunks partition the tokens exactly
+    val flat = Chunk.chunkTokens(d, "text", "doc_id", size = 3)
+      .filter(col("doc_id") === 0L).orderBy("chunk_idx")
+      .select("chunk_text").as[String].collect()
+    assert(flat.mkString(" ") == "t1 t2 t3 t4 t5 t6 t7")
+  }
+
+  test("token budget: minimal covering prefix, ties, straddler, pruning") {
+    val d = Seq(
+      (0L, "a b c", 3.0), // 3 tokens
+      (1L, "d e", 2.0), // 2 — prio tie with doc 2, doc_id breaks it
+      (2L, "f g h i", 2.0), // 4
+      (3L, null.asInstanceOf[String], 9.0), // null text → 0 tokens
+      (4L, "j", 1.0) // 1
+    ).toDF("doc_id", "text", "prio")
+    // priority order: 3(0 tok), 0(3), 1(2), 2(4), 4(1);
+    // tokens_before:  0,        0,    3,    5,    9
+    val sel = Select.takeTokenBudget(d, "text", "doc_id", col("prio"),
+        budget = 6L, numParts = 3)
+      .select("doc_id", "n_tokens", "tokens_before")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // doc 2 straddles (5 < 6 but 5+4 > 6) → INCLUDED; doc 4 (9 ≥ 6) out
+    assert(sel == Seq((0L, 3L, 0L), (1L, 2L, 3L), (2L, 4L, 5L),
+      (3L, 0L, 0L)))
+    // budget beyond the corpus: everything selected
+    val all = Select.takeTokenBudget(d, "text", "doc_id", col("prio"),
+      budget = 100L, numParts = 2)
+    assert(all.count() == 5)
+    // partition-count invariance (the pruning + offsets decomposition
+    // reproduces the single-partition global window exactly)
+    val one = Select.takeTokenBudget(d, "text", "doc_id", col("prio"),
+        budget = 6L, numParts = 1)
+      .select("doc_id", "n_tokens", "tokens_before")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(one == sel)
+  }
+
   test("line dedup ≡ naive string-count mirror on adversarial inputs") {
     // trailing newlines, whitespace-only lines, padded duplicates,
     // single-char lines, empty docs — the mirror counts line STRINGS
