@@ -111,7 +111,8 @@ object Bench {
       "llm_dedup_exact", "llm_minhash_neardup", "llm_neardup_dedup",
       "llm_simhash_neardup", "llm_sim_topk", "llm_ann_lsh",
       "llm_text_quality", "llm_decontaminate", "llm_pack_sequences",
-      "llm_quantize_int8", "llm_line_dedup", "llm_classifier_score")
+      "llm_quantize_int8", "llm_line_dedup", "llm_classifier_score",
+      "llm_curation_funnel", "llm_chunk_overlap", "llm_token_budget")
     val qs = jmap(byQuery.collect {
       case (name, _, med, _) if headline(name) => name -> med
     })

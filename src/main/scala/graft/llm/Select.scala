@@ -14,27 +14,40 @@ import org.apache.spark.sql.functions._
   * reuses the same scale decomposition ([[Packing.packSequences]]):
   * range-partition by (priority desc, id), per-partition token totals
   * (a P-row aggregate — the only data that reaches the driver),
-  * broadcast exclusive offsets, partition-local running sum. One extra
-  * budget-specific win: partitions whose exclusive offset already
-  * meets the budget are dropped BEFORE the finishing window, so the
-  * expensive pass costs O(selected prefix), not O(corpus) — selecting
-  * 1 TB out of 100 TB windows ~1% of the rows.
+  * broadcast exclusive offsets, partition-local running sum. Two
+  * budget-specific shapes matter at 100 TB:
+  *
+  *   - ONLY the narrow (id, priority, n_tokens) projection rides the
+  *     range exchange, the cache, and the window — ~tens of bytes per
+  *     document, a ~1000× reduction over shuffling document text (the
+  *     first cut of this operator ranged-shuffled the full rows; the
+  *     plan audit caught the corpus in the exchange).
+  *   - partitions whose exclusive offset already meets the budget are
+  *     dropped BEFORE the finishing window, so the window pass costs
+  *     O(selected prefix), not O(corpus).
+  *
+  * Recovering full document rows is a second step ([[selectedDocs]]):
+  * an equi-join of the corpus against the selected-id table, which
+  * Spark plans as a broadcast join when the selection is small and a
+  * hash join otherwise — either way the corpus text crosses at most
+  * ONE hash exchange, never the range sort.
   */
 object Select {
 
-  /** Rows of `df` (plus `n_tokens`, `tokens_before`) forming the
-    * minimal priority-ordered prefix covering `budget` tokens: a row is
-    * kept iff the tokens strictly before it (higher priority first,
-    * ties broken by ascending `idCol` for determinism) total less than
-    * `budget`. The straddling document is INCLUDED — the output covers
-    * the budget; trim the final doc downstream if an exact cut is
-    * needed. Null priorities sort LAST (lowest priority); null token
-    * counts (null text) count as 0.
+  /** The minimal priority-ordered prefix covering `budget` tokens, as a
+    * NARROW table (idCol, n_tokens, tokens_before): a row is kept iff
+    * the tokens strictly before it (higher priority first, ties broken
+    * by ascending `idCol` for determinism) total less than `budget`.
+    * The straddling document is INCLUDED — the output covers the
+    * budget; trim the final doc downstream if an exact cut is needed.
+    * Null priorities sort LAST (lowest priority); null token counts
+    * (null text) count as 0. Join back to the corpus with
+    * [[selectedDocs]] when full rows are needed.
     *
-    * RUNNER CONTRACT: persists the range-partitioned count table the
-    * returned plan reads (two passes: partials + final); released by
-    * the session's per-query cache hygiene like the other persisted
-    * pipelines. */
+    * RUNNER CONTRACT: persists the range-partitioned narrow count
+    * table the returned plan reads (two passes: partials + final);
+    * released by the session's per-query cache hygiene like the other
+    * persisted pipelines. */
   def takeTokenBudget(
       df: DataFrame,
       textCol: String,
@@ -48,9 +61,10 @@ object Select {
       if (numParts > 0) numParts
       else spark.sessionState.conf.numShufflePartitions
     val counts = df
-      .withColumn("__prio", priority)
-      .withColumn("__ntok",
-        coalesce(TextAnalysis.tokenCount(col(textCol)), lit(0L)))
+      // narrow FIRST: this projection is all that shuffles and caches
+      .select(col(idCol), priority.as("__prio"),
+        coalesce(TextAnalysis.tokenCount(col(textCol)), lit(0L))
+          .as("__ntok"))
       .repartitionByRange(p, col("__prio").desc_nulls_last, col(idCol))
       .sortWithinPartitions(col("__prio").desc_nulls_last, col(idCol))
       .withColumn("__pid", spark_partition_id())
@@ -79,4 +93,12 @@ object Select {
       .withColumnRenamed("__ntok", "n_tokens")
       .drop("__pid", "__prio")
   }
+
+  /** Full document rows for a [[takeTokenBudget]] selection: inner
+    * equi-join on `idCol` (AQE broadcasts the selected-id side when it
+    * fits, falls back to a hash join when it doesn't — the corpus
+    * crosses at most one hash exchange). */
+  def selectedDocs(df: DataFrame, selected: DataFrame, idCol: String)
+      : DataFrame =
+    df.join(selected.select(idCol, "n_tokens", "tokens_before"), Seq(idCol))
 }

@@ -114,6 +114,21 @@ object ScaleStress {
         time(s"bigram familiarity x$mult")(
           force(TextAnalysis.bigramFamiliarity(d, "text", "doc_id")))
         spark.catalog.clearCache()
+        time(s"curation funnel x$mult")(
+          force(graft.llm.Curate.funnel(d, Seq(
+            "tok" -> TextAnalysis.tokenCount(col("text")).between(30L, 80L),
+            "alpha" -> (length(regexp_replace(col("text"), "[^\\p{L}]", ""))
+              .cast("double") / length(col("text")) > 0.818)))))
+        time(s"chunk overlap x$mult")(
+          force(graft.llm.Chunk.chunkTokens(d, "text", "doc_id", 32, 8)))
+        // budget scales WITH the corpus (25% of tokens) so the curve
+        // shape is comparable across multipliers; the persisted counts
+        // table is released by the clearCache below
+        time(s"token budget x$mult")(
+          force(graft.llm.Select.takeTokenBudget(d, "text", "doc_id",
+              col("n_chars").cast("double"), budget = 68000L * mult)
+            .select("doc_id", "n_tokens", "tokens_before")))
+        spark.catalog.clearCache()
       }
     }
 
