@@ -112,7 +112,8 @@ object Bench {
       "llm_simhash_neardup", "llm_sim_topk", "llm_ann_lsh",
       "llm_text_quality", "llm_decontaminate", "llm_pack_sequences",
       "llm_quantize_int8", "llm_line_dedup", "llm_classifier_score",
-      "llm_curation_funnel", "llm_chunk_overlap", "llm_token_budget")
+      "llm_curation_funnel", "llm_chunk_overlap", "llm_token_budget",
+      "llm_semantic_dedup")
     val qs = jmap(byQuery.collect {
       case (name, _, med, _) if headline(name) => name -> med
     })

@@ -733,6 +733,58 @@ object Dedup {
     nearDupSurvivors(df, idCol, pairs)
   }
 
+  /** SemDeDup-shaped semantic near-dup pairs: partition the corpus
+    * with a k-means coarse quantizer ([[Similarity.ivfAssign]] over
+    * Lloyd-trained centroids) and compare exact cosine ONLY within a
+    * cluster — the quadratic verify runs over k cluster-local blocks
+    * instead of the corpus, and the cluster structure is data-driven
+    * (semantically close vectors land together) where
+    * [[embeddingNearDups]]'s hyperplane buckets are random.
+    *
+    * Scale shape: `ivfAssign` is a map-only codegen'd kernel; the
+    * within-cluster self-join is one co-partitioned hash exchange on
+    * the cluster id, and the pair expansion STREAMS through the join
+    * (never materialized per-row — the collect_list pathology the LSH
+    * banders guard against does not arise). Per-cluster cost is
+    * O(|cluster|²·dim): size k with the corpus (k ≈ N/c̄ for a target
+    * mean cluster size c̄) and re-train or split outlier clusters when
+    * the assignment histogram skews. */
+  def semanticNearDups(
+      df: DataFrame,
+      embCol: String,
+      idCol: String,
+      cents: Array[Array[Double]],
+      minCosine: Double): DataFrame = {
+    val assigned = Similarity.ivfAssign(df, embCol, cents)
+    val a = assigned.select(col(idCol).as("ida"), col(embCol).as("ea"),
+      col("ivf_list"))
+    val b = assigned.select(col(idCol).as("idb"), col(embCol).as("eb"),
+      col("ivf_list"))
+    a.join(b, Seq("ivf_list")).filter(col("ida") < col("idb"))
+      .withColumn("cosine", Similarity.cosine(col("ea"), col("eb")))
+      .filter(col("cosine") >= minCosine)
+      .select("ida", "idb", "cosine")
+  }
+
+  /** End-to-end SemDeDup: drop every vector with a SMALLER-id
+    * same-cluster neighbor at cosine ≥ `minCosine`; keep the rest.
+    * This is the pairwise-local rule (one anti-join on the distinct
+    * dropped ids) — deliberately NOT the transitive-closure semantics
+    * of [[nearDupSurvivors]]: the paper's per-ε-ball "keep one
+    * representative" is order-dependent anyway, and the local rule
+    * needs no components stage. A chain a~b~c (a<b<c, a≁c) keeps only
+    * `a` — both b and c have a smaller similar neighbor. */
+  def dedupSemantic(
+      df: DataFrame,
+      embCol: String,
+      idCol: String,
+      cents: Array[Array[Double]],
+      minCosine: Double): DataFrame = {
+    val dropped = semanticNearDups(df, embCol, idCol, cents, minCosine)
+      .select(col("idb").as(idCol)).distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------------ line-level dedup
 
   /** CCNet/RefinedWeb-style line-level corpus dedup: drop every line

@@ -316,6 +316,20 @@ object LlmQueries {
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("ida", "idb")),
 
+    // SemDeDup-shaped semantic dedup: k-means clusters (the llm_ann_ivf
+    // Lloyd quantizer, k=8/2 rounds) partition the corpus; exact cosine
+    // only within a cluster; drop every vector with a smaller-id
+    // similar neighbor. Threshold 0.35 sits inside the sf0.01
+    // within-cluster cosine distribution (93 of 500 dropped; nearest
+    // pair cosines 0.3489/0.3501 — 1e-3 clear of the FP knife edge)
+    "llm_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroidsLloyd(emb, "embedding", "vec_id",
+        k = 8, iters = 2)
+      Dedup.dedupSemantic(emb, "embedding", "vec_id", cents, 0.35)
+        .select("vec_id").orderBy("vec_id")
+    }),
+
     // exact 3-gram Jaccard over a small verified pair set (the J-verify
     // kernel, oracle-checked end to end)
     "llm_ngram_jaccard" -> ((s, dir) => {
@@ -941,6 +955,31 @@ object LlmQueries {
         |cs AS (SELECT d.ida, d.idb, d.dot / (na.nv * nb.nv) AS c FROM dp d JOIN nrm na ON na.vec_id = d.ida JOIN nrm nb ON nb.vec_id = d.idb)
         |SELECT ida, idb, round(c, 6) AS cosine FROM cs WHERE c >= 0.9 ORDER BY ida, idb""".stripMargin
     },
+    // SemDeDup mirror: the llm_ann_ivf Lloyd CTEs (2 unrolled rounds,
+    // centroids rounded to 6 like the engine) → final assignment s3 →
+    // within-cluster pairs → exact cosine → drop ids with a smaller-id
+    // similar neighbor → anti-joined survivors
+    "llm_semantic_dedup" ->
+      """WITH sel AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8),
+        |seli AS (SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) - 1 AS l FROM sel),
+        |e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, generate_subscripts(embedding, 1) - 1 AS d FROM embeddings),
+        |c0 AS (SELECT l, CAST(unnest(embedding) AS DOUBLE) AS v, generate_subscripts(embedding, 1) - 1 AS d FROM seli),
+        |a1 AS (SELECT e.vec_id, c0.l, sum((e.x - c0.v)*(e.x - c0.v)) AS dist FROM e JOIN c0 ON c0.d = e.d GROUP BY e.vec_id, c0.l),
+        |s1 AS (SELECT vec_id, l FROM (SELECT vec_id, l, row_number() OVER (PARTITION BY vec_id ORDER BY dist, l) AS rn FROM a1) WHERE rn = 1),
+        |m1 AS (SELECT s1.l, e.d, round(avg(e.x), 6) AS v FROM s1 JOIN e ON e.vec_id = s1.vec_id GROUP BY s1.l, e.d),
+        |c1 AS (SELECT c0.l, c0.d, coalesce(m1.v, c0.v) AS v FROM c0 LEFT JOIN m1 ON m1.l = c0.l AND m1.d = c0.d),
+        |a2 AS (SELECT e.vec_id, c1.l, sum((e.x - c1.v)*(e.x - c1.v)) AS dist FROM e JOIN c1 ON c1.d = e.d GROUP BY e.vec_id, c1.l),
+        |s2 AS (SELECT vec_id, l FROM (SELECT vec_id, l, row_number() OVER (PARTITION BY vec_id ORDER BY dist, l) AS rn FROM a2) WHERE rn = 1),
+        |m2 AS (SELECT s2.l, e.d, round(avg(e.x), 6) AS v FROM s2 JOIN e ON e.vec_id = s2.vec_id GROUP BY s2.l, e.d),
+        |c2 AS (SELECT c1.l, c1.d, coalesce(m2.v, c1.v) AS v FROM c1 LEFT JOIN m2 ON m2.l = c1.l AND m2.d = c1.d),
+        |a3 AS (SELECT e.vec_id, c2.l, sum((e.x - c2.v)*(e.x - c2.v)) AS dist FROM e JOIN c2 ON c2.d = e.d GROUP BY e.vec_id, c2.l),
+        |s3 AS (SELECT vec_id, l FROM (SELECT vec_id, l, row_number() OVER (PARTITION BY vec_id ORDER BY dist, l) AS rn FROM a3) WHERE rn = 1),
+        |cand AS (SELECT a.vec_id AS ida, b.vec_id AS idb FROM s3 a JOIN s3 b ON a.l = b.l AND a.vec_id < b.vec_id),
+        |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nv FROM e GROUP BY vec_id),
+        |dp AS (SELECT c.ida, c.idb, sum(ea.x * eb.x) AS dot FROM cand c JOIN e ea ON ea.vec_id = c.ida JOIN e eb ON eb.vec_id = c.idb AND eb.d = ea.d GROUP BY c.ida, c.idb),
+        |cs AS (SELECT d.ida, d.idb, d.dot / (na.nv * nb.nv) AS c FROM dp d JOIN nrm na ON na.vec_id = d.ida JOIN nrm nb ON nb.vec_id = d.idb),
+        |drp AS (SELECT DISTINCT idb FROM cs WHERE c >= 0.35)
+        |SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT idb FROM drp) ORDER BY vec_id""".stripMargin,
     // rolling polynomial hash mirror: h = h*1000003 + byte with 64-bit
     // wrap, emulated in HUGEINT mod 2^64 and converted to signed BIGINT
     "llm_fingerprint" ->

@@ -152,6 +152,14 @@ object ScaleStress {
             planes = 10, minCosine = 0.99).count())
         time(s"int8 quantization x$mult")(
           force(graft.llm.Quantize.quantizationReport(e, "embedding", "vec_id")))
+        // k scales WITH the corpus (constant mean cluster size — the
+        // prescription in Dedup.semanticNearDups' scaladoc), so the
+        // cluster-local quadratic verify stays bounded per cluster
+        time(s"semantic dedup x$mult") {
+          val cents = Similarity.ivfCentroidsLloyd(
+            e, "embedding", "vec_id", k = 8 * mult, iters = 1)
+          Dedup.dedupSemantic(e, "embedding", "vec_id", cents, 0.35).count()
+        }
       }
       spark.catalog.clearCache()
     }

@@ -651,6 +651,31 @@ class LlmSpec extends SparkSpec {
     assert(dead(3) == ((3, "after", 0L, 0L, None)))
   }
 
+  test("semantic dedup: cluster-local drops, cross-cluster blindness") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), // cluster 0
+      (1L, Array(0.95f, 0.05f)), // cluster 0, cos(0,1)=.9986 → dropped
+      (2L, Array(0.0f, 1.0f)), // cluster 1
+      (3L, Array(0.05f, 0.95f)), // cluster 1, cos(2,3)=.9986 → dropped
+      (4L, Array(0.6f, 0.55f)), // cluster 0, all cos vs 0/1 < .78
+      (5L, Array(0.95f, 0.05f)), // = vec 1 → dropped (via 0 AND 1)
+      (6L, Array(0.72f, 0.69f)), // cluster 0, cos(4,6)=.998 → dropped
+      (7L, Array(0.69f, 0.72f)) // cluster 1: cos(6,7)=.999 but DIFFERENT
+      //   cluster → never compared → survives (the SemDeDup
+      //   approximation: cluster-boundary near-dups are invisible)
+    ).toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val pairs = Dedup.semanticNearDups(emb, "embedding", "vec_id",
+        cents, 0.95)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L), (0L, 5L), (1L, 5L), (2L, 3L), (4L, 6L)))
+    val surv = Dedup.dedupSemantic(emb, "embedding", "vec_id", cents, 0.95)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    // 6 is dropped via 4 even though 4 itself survives — the rule is
+    // "has a smaller-id similar neighbor", not transitive components
+    assert(surv == Seq(0L, 2L, 4L, 7L))
+  }
+
   test("chunking: stride windows, short tail, degenerate docs") {
     val d = Seq(
       (0L, "t1 t2  t3 t4 t5 t6 t7"), // 7 tokens, inner double space
