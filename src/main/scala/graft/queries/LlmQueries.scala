@@ -316,6 +316,16 @@ object LlmQueries {
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("ida", "idb")),
 
+    // BM25 corpus scoring against a 3-term probe with a real idf
+    // spread at sf0.01 (df 25/373/402 of 500). Two passes: one
+    // |terms|+2-wide aggregate row to the driver, then map-only
+    // scoring with the statistics folded as literals
+    "llm_bm25_score" -> ((s, dir) =>
+      Rank.bm25(t(s, dir, "documents"), "text", "doc_id",
+          Seq("dup", "key", "batch"))
+        .withColumn("bm25", round(col("bm25"), 6))
+        .orderBy("doc_id")),
+
     // SemDeDup-shaped semantic dedup: k-means clusters (the llm_ann_ivf
     // Lloyd quantizer, k=8/2 rounds) partition the corpus; exact cosine
     // only within a cluster; drop every vector with a smaller-id
@@ -955,6 +965,29 @@ object LlmQueries {
         |cs AS (SELECT d.ida, d.idb, d.dot / (na.nv * nb.nv) AS c FROM dp d JOIN nrm na ON na.vec_id = d.ida JOIN nrm nb ON nb.vec_id = d.idb)
         |SELECT ida, idb, round(c, 6) AS cosine FROM cs WHERE c >= 0.9 ORDER BY ida, idb""".stripMargin
     },
+    // BM25 mirror: same two-pass shape (stats CTE, map-only score) and
+    // the same float-op order — contributions summed in term order,
+    // (1.2 + 1.0) kept symbolic so both engines fold the same doubles
+    "llm_bm25_score" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ntok FROM documents),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(ntok) AS DOUBLE) / count(*) AS avgdl,
+        |    CAST(sum(CASE WHEN list_contains(toks, 'dup') THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |    CAST(sum(CASE WHEN list_contains(toks, 'key') THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |    CAST(sum(CASE WHEN list_contains(toks, 'batch') THEN 1 ELSE 0 END) AS BIGINT) AS df2
+        |  FROM d),
+        |tf AS (SELECT doc_id, CAST(ntok AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(toks, x -> x = 'dup')) AS DOUBLE) AS tf0,
+        |    CAST(len(list_filter(toks, x -> x = 'key')) AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(toks, x -> x = 'batch')) AS DOUBLE) AS tf2
+        |  FROM d)
+        |SELECT doc_id, round(
+        |    ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * tf0 * (1.2 + 1.0) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |  + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * tf1 * (1.2 + 1.0) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |  + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * tf2 * (1.2 + 1.0) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6) AS bm25
+        |FROM tf, st ORDER BY doc_id""".stripMargin,
+
     // SemDeDup mirror: the llm_ann_ivf Lloyd CTEs (2 unrolled rounds,
     // centroids rounded to 6 like the engine) → final assignment s3 →
     // within-cluster pairs → exact cosine → drop ids with a smaller-id

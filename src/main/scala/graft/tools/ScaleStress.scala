@@ -114,6 +114,9 @@ object ScaleStress {
         time(s"bigram familiarity x$mult")(
           force(TextAnalysis.bigramFamiliarity(d, "text", "doc_id")))
         spark.catalog.clearCache()
+        time(s"bm25 score x$mult")(
+          force(graft.llm.Rank.bm25(d, "text", "doc_id",
+            Seq("dup", "key", "batch"))))
         time(s"curation funnel x$mult")(
           force(graft.llm.Curate.funnel(d, Seq(
             "tok" -> TextAnalysis.tokenCount(col("text")).between(30L, 80L),

@@ -651,6 +651,31 @@ class LlmSpec extends SparkSpec {
     assert(dead(3) == ((3, "after", 0L, 0L, None)))
   }
 
+  test("bm25: corpus stats, term contributions, degenerate docs") {
+    val d = Seq(
+      (0L, "a b a"), // tf_a=2, dl=3
+      (1L, "b c"), // tf_c=1, dl=2
+      (2L, "a"), // tf_a=1, dl=1
+      (3L, null.asInstanceOf[String]) // scores 0 for every term
+    ).toDF("doc_id", "text")
+    val got = Rank.bm25(d, "text", "doc_id", Seq("a", "c"))
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    // N=4, sumtok=6 (null doc counts 0 tokens), avgdl=1.5,
+    // df_a=2 (docs 0,2), df_c=1 (doc 1)
+    val avgdl = 6.0 / 4
+    val idfA = math.log((4.0 - 2 + 0.5) / (2 + 0.5) + 1.0) // = ln 2
+    val idfC = math.log((4.0 - 1 + 0.5) / (1 + 0.5) + 1.0)
+    def c(idf: Double, tf: Double, dl: Double) =
+      idf * tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+    assert(got.map(_._1) == Seq(0L, 1L, 2L, 3L))
+    assert(math.abs(got(0)._2 - c(idfA, 2, 3)) < 1e-12)
+    assert(math.abs(got(1)._2 - c(idfC, 1, 2)) < 1e-12)
+    assert(math.abs(got(2)._2 - c(idfA, 1, 1)) < 1e-12)
+    assert(got(3)._2 == 0.0)
+    // rare term outranks common at equal tf/dl: idf_c > idf_a
+    assert(idfC > idfA)
+  }
+
   test("semantic dedup: cluster-local drops, cross-cluster blindness") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)), // cluster 0
