@@ -43,6 +43,43 @@ object Mixing {
     * to [[mixBySources]] selection. Same determinism contract: copies
     * are a pure function of (id, source weight). Map-only — the only
     * data growth is the emitted copies themselves. */
+  /** Temperature-scaled source mixing (the UniMax/multilingual-sampling
+    * shape): source shares are flattened to pᵢ ∝ nᵢ^(1/T) — T = 1
+    * keeps natural proportions, T → ∞ approaches uniform — and every
+    * source is then kept/up-weighted by wᵢ = pᵢ·target/nᵢ so the
+    * expected output size is `targetRows` (the corpus size when 0).
+    * Over-represented sources are down-sampled, under-represented ones
+    * replicated, via [[mixBySourcesWeighted]]'s deterministic id-hash
+    * machinery.
+    *
+    * Scale shape: pass 1 is one groupBy-count — #sources rows to the
+    * driver (sources are a handful of corpus labels, never data-sized);
+    * the weights fold into pass 2's map-only filter/explode. The
+    * normalizer is summed in SORTED source order — a fixed float fold
+    * order, so the mix is reproducible across partitionings and
+    * mirrorable by an external engine. */
+  def mixByTemperature(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      temperature: Double,
+      targetRows: Long = 0L): DataFrame = {
+    require(temperature > 0, "temperature must be positive")
+    val cnts = df.groupBy(sourceCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    require(cnts.nonEmpty, "empty corpus")
+    val n = cnts.map(_._2).sum
+    val target = (if (targetRows > 0) targetRows else n).toDouble
+    val pows = cnts.map { case (s, ni) =>
+      s -> math.pow(ni.toDouble, 1.0 / temperature)
+    }
+    val z = pows.map(_._2).foldLeft(0.0)(_ + _)
+    val weights = cnts.zip(pows).map { case ((s, ni), (_, pw)) =>
+      s -> pw / z * target / ni.toDouble
+    }.toMap
+    mixBySourcesWeighted(df, sourceCol, idCol, weights, defaultWeight = 0.0)
+  }
+
   def mixBySourcesWeighted(
       df: DataFrame,
       sourceCol: String,

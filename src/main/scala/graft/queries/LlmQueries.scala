@@ -275,6 +275,17 @@ object LlmQueries {
           countDistinct(col("doc_id")).as("n_docs"))
         .orderBy("source")),
 
+    // temperature mixing over the skewed lang distribution (en=218 vs
+    // ~70 for the rest at sf0.01): T=2 square-root flattening
+    // down-samples en to w≈0.70 and up-weights the tail to ≈1.2-1.3 —
+    // every branch of the copies formula fires
+    "llm_mix_temperature" -> ((s, dir) =>
+      Mixing.mixByTemperature(t(s, dir, "documents"), "lang", "doc_id",
+          temperature = 2.0)
+        .groupBy("lang").agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("lang")),
+
     // corpus vocabulary: top-50 terms by occurrence (lowercased
     // whitespace tokens) — classic map-side-combine word count with a
     // deterministic (cnt, word) tiebreak
@@ -777,6 +788,40 @@ object LlmQueries {
         |SELECT source, CAST(sum(copies) AS BIGINT) AS n_rows,
         | CAST(count(CASE WHEN copies > 0 THEN 1 END) AS BIGINT) AS n_docs
         |FROM c WHERE copies > 0 GROUP BY source ORDER BY source""".stripMargin,
+    // temperature-mix mirror: per-lang counts, pow(n, 1/T) normalizer
+    // summed in SORTED lang order (the engine's fixed fold), weights
+    // left-assoc pw/z*target/n, then the llm_mix_weighted FNV/bucket
+    // copies machinery with the computed weight joined per lang
+    "llm_mix_temperature" ->
+      """WITH RECURSIVE
+        |cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM cnt),
+        |zz AS (SELECT ((((pow((SELECT CAST(n AS DOUBLE) FROM cnt WHERE lang='de'), 1.0/2.0)
+        |  + pow((SELECT CAST(n AS DOUBLE) FROM cnt WHERE lang='en'), 1.0/2.0))
+        |  + pow((SELECT CAST(n AS DOUBLE) FROM cnt WHERE lang='es'), 1.0/2.0))
+        |  + pow((SELECT CAST(n AS DOUBLE) FROM cnt WHERE lang='fr'), 1.0/2.0))
+        |  + pow((SELECT CAST(n AS DOUBLE) FROM cnt WHERE lang='zh'), 1.0/2.0)) AS z),
+        |w AS (SELECT lang, pow(CAST(n AS DOUBLE), 1.0/2.0) / z * t / CAST(n AS DOUBLE) AS wt FROM cnt, zz, tot),
+        |ids AS (SELECT doc_id, lang, CAST(doc_id AS VARCHAR) AS s FROM documents),
+        |hx AS (SELECT DISTINCT s FROM ids),
+        |hh AS (SELECT s, hex(encode(s)) AS hs, octet_length(encode(s)) AS nb FROM hx),
+        |fnv AS (
+        |  SELECT s, hs, nb, 0 AS i, CAST(14695981039346656037 AS HUGEINT) AS h FROM hh
+        |  UNION ALL
+        |  SELECT s, hs, nb, i + 1,
+        |    (xor(h, CAST((strpos('0123456789ABCDEF', substring(hs, 2*i+1, 1))-1)*16 + strpos('0123456789ABCDEF', substring(hs, 2*i+2, 1))-1 AS HUGEINT)) * 1099511628211) % 18446744073709551616
+        |  FROM fnv WHERE i < nb),
+        |sgn AS (SELECT s, CAST(h - CASE WHEN h >= 9223372036854775808 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS hv
+        |        FROM fnv WHERE i = nb),
+        |b AS (SELECT i.doc_id, i.lang, ((sg.hv % 1000) + 1000) % 1000 AS bucket FROM ids i JOIN sgn sg ON sg.s = i.s),
+        |c AS (SELECT b.doc_id, b.lang, b.bucket,
+        |  CAST(floor(w.wt) AS BIGINT)
+        |    + CASE WHEN b.bucket < CAST(round((w.wt - floor(w.wt)) * 1000) AS BIGINT) THEN 1 ELSE 0 END AS copies
+        |  FROM b JOIN w ON w.lang = b.lang)
+        |SELECT lang, CAST(sum(copies) AS BIGINT) AS n_rows,
+        | CAST(count(CASE WHEN copies > 0 THEN 1 END) AS BIGINT) AS n_docs
+        |FROM c WHERE copies > 0 GROUP BY lang ORDER BY lang""".stripMargin,
+
     // vocabulary mirror: unnest word count with (cnt desc, word) ties
     "llm_vocab_topk" ->
       """SELECT w, CAST(count(*) AS BIGINT) AS cnt

@@ -651,6 +651,37 @@ class LlmSpec extends SparkSpec {
     assert(dead(3) == ((3, "after", 0L, 0L, None)))
   }
 
+  test("temperature mixing: T=1 identity, flattening, token budget") {
+    val df = ((0L until 8L).map(i => (i, "a")) ++ Seq((8L, "b"), (9L, "b")))
+      .toDF("doc_id", "source")
+    // T=1 is natural proportions: w_i = (n_i/N)·N/n_i = 1 exactly —
+    // every doc kept exactly once
+    val t1 = Mixing.mixByTemperature(df, "source", "doc_id", 1.0)
+      .select("doc_id", "copy_idx").as[(Long, Long)].collect().sorted.toSeq
+    assert(t1 == (0L until 10L).map(_ -> 0L))
+    // T→∞ flattens to uniform: the machinery must agree with the
+    // explicit weights fed through mixBySourcesWeighted (a≈5/8, b≈5/2)
+    val z = math.pow(8.0, 1e-9) + math.pow(2.0, 1e-9)
+    val wts = Map(
+      "a" -> math.pow(8.0, 1e-9) / z * 10.0 / 8.0,
+      "b" -> math.pow(2.0, 1e-9) / z * 10.0 / 2.0)
+    val got = Mixing.mixByTemperature(df, "source", "doc_id", 1e9)
+      .select("doc_id", "copy_idx").as[(Long, Long)].collect().sorted.toSeq
+    val exp = Mixing.mixBySourcesWeighted(df, "source", "doc_id", wts, 0.0)
+      .select("doc_id", "copy_idx").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == exp)
+    // b is up-weighted: both b docs emit at least 2 copies
+    assert(got.count(_._1 >= 8L) >= 4)
+    // a row budget at T=1 is a uniform rate: identical doc set to
+    // mixBySources at rate target/N
+    val bud = Mixing.mixByTemperature(df, "source", "doc_id", 1.0, 5L)
+      .select("doc_id").as[Long].collect().toSet
+    val rate = Mixing.mixBySources(df, "source", "doc_id",
+        Map("a" -> 0.5, "b" -> 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    assert(bud == rate)
+  }
+
   test("bm25: corpus stats, term contributions, degenerate docs") {
     val d = Seq(
       (0L, "a b a"), // tf_a=2, dl=3
