@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sequence packing for training-data pipelines: lay every document
@@ -13,14 +12,10 @@ import org.apache.spark.sql.functions._
   * formulation (one `Window.orderBy` over everything) funnels the full
   * corpus through a single task.
   *
-  * Scale shape: range-partition by `idCol` (so partition boundaries
-  * respect the document order), take per-partition token totals — a
-  * tiny P-row aggregate, the ONLY data that ever reaches the driver —
-  * broadcast their exclusive offsets back as a literal map, and finish
-  * with a PARTITION-LOCAL running sum. Work per executor is linear in
-  * its partition; nothing global moves. (Same decomposition a
-  * 1000-executor prefix sum uses; at P = shuffle partitions the
-  * offsets map is a few KB.)
+  * Scale shape: the shared [[graft.stats.GlobalOrder.exclusivePrefix]]
+  * decomposition — range-partition by `idCol`, P-row partials to the
+  * driver, broadcast offsets, partition-local running sum; only the
+  * narrow (id, n_tokens) count table ever shuffles.
   */
 object Packing {
 
@@ -43,43 +38,15 @@ object Packing {
       ctxLen: Int,
       numParts: Int = 0): DataFrame = {
     require(ctxLen > 0, "ctxLen must be positive")
-    val spark = df.sparkSession
-    val p =
-      if (numParts > 0) numParts
-      else spark.sessionState.conf.numShufflePartitions
-    val counts = df
-      .select(col(idCol), TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
-      .repartitionByRange(p, col(idCol))
-      .sortWithinPartitions(idCol)
-      .withColumn("__pid", spark_partition_id())
-      .persist()
-    // P rows to the driver — the partials, never the data
-    val partSums = counts.groupBy("__pid")
-      .agg(sum("n_tokens").as("s"))
-      .collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
-      .toMap
-    // exclusive prefix over ALL pids (empty partitions contribute 0 and
-    // never reach the groupBy result)
-    val perPart = Array.tabulate(p)(partSums.getOrElse(_, 0L))
-    val offsets = (0 until p)
-      .map(i => i -> perPart.take(i).sum)
-      .toMap
-    // finishing pass: running sum WITHIN each pid group + its broadcast
-    // offset. The window clusters on __pid — a P-way-parallel exchange
-    // of the narrow count table, never a single global sort
-    val w = Window.partitionBy("__pid").orderBy(idCol)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsetOf = typedlit(offsets)
-    counts
-      .withColumn("token_offset",
-        sum("n_tokens").over(w) - col("n_tokens") +
-          element_at(offsetOf, col("__pid")))
+    val counts = df.select(col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+    val (packed, _) = graft.stats.GlobalOrder.exclusivePrefix(
+      counts, Seq(col(idCol)), col("n_tokens"), "token_offset", numParts)
+    packed
       .withColumn("seq_id", expr(s"token_offset div $ctxLen"))
       .withColumn("n_seqs_spanned",
         expr(s"(token_offset + n_tokens - 1) div $ctxLen") -
           col("seq_id") + lit(1L))
-      .drop("__pid")
   }
 
   /** Sequence-level summary: docs whose first token lands in each

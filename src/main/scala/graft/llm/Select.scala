@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Budget-bounded corpus selection: "take the best N tokens" — order
@@ -11,11 +10,12 @@ import org.apache.spark.sql.functions._
   * fixed training-token count rather than a fixed document count.
   *
   * Like sequence packing this is a GLOBAL ORDERED PREFIX SUM, so it
-  * reuses the same scale decomposition ([[Packing.packSequences]]):
-  * range-partition by (priority desc, id), per-partition token totals
-  * (a P-row aggregate — the only data that reaches the driver),
-  * broadcast exclusive offsets, partition-local running sum. Two
-  * budget-specific shapes matter at 100 TB:
+  * reuses the shared decomposition
+  * ([[graft.stats.GlobalOrder.exclusivePrefix]]): range-partition by
+  * (priority desc, id), per-partition token totals (a P-row aggregate
+  * — the only data that reaches the driver), broadcast exclusive
+  * offsets, partition-local running sum. Two budget-specific shapes
+  * matter at 100 TB:
   *
   *   - ONLY the narrow (id, priority, n_tokens) projection rides the
   *     range exchange, the cache, and the window — ~tens of bytes per
@@ -56,42 +56,16 @@ object Select {
       budget: Long,
       numParts: Int = 0): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val spark = df.sparkSession
-    val p =
-      if (numParts > 0) numParts
-      else spark.sessionState.conf.numShufflePartitions
-    val counts = df
-      // narrow FIRST: this projection is all that shuffles and caches
-      .select(col(idCol), priority.as("__prio"),
-        coalesce(TextAnalysis.tokenCount(col(textCol)), lit(0L))
-          .as("__ntok"))
-      .repartitionByRange(p, col("__prio").desc_nulls_last, col(idCol))
-      .sortWithinPartitions(col("__prio").desc_nulls_last, col(idCol))
-      .withColumn("__pid", spark_partition_id())
-      .persist()
-    // P rows to the driver — the partials, never the data
-    val partSums = counts.groupBy("__pid")
-      .agg(sum("__ntok").as("s"))
-      .collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
-      .toMap
-    val perPart = Array.tabulate(p)(partSums.getOrElse(_, 0L))
-    val offsets = (0 until p).map(i => i -> perPart.take(i).sum).toMap
-    // budget-specific pruning: a partition whose EXCLUSIVE offset is
-    // already >= budget contributes nothing — drop it before the window
-    val keepPids = (0 until p).filter(offsets(_) < budget)
-    val w = Window.partitionBy("__pid")
-      .orderBy(col("__prio").desc_nulls_last, col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsetOf = typedlit(offsets)
-    counts
-      .filter(col("__pid").isin(keepPids: _*))
-      .withColumn("tokens_before",
-        sum("__ntok").over(w) - col("__ntok") +
-          element_at(offsetOf, col("__pid")))
+    // narrow FIRST: this projection is all that shuffles and caches
+    val counts = df.select(col(idCol), priority.as("__prio"),
+      coalesce(TextAnalysis.tokenCount(col(textCol)), lit(0L))
+        .as("n_tokens"))
+    val (ranked, _) = graft.stats.GlobalOrder.exclusivePrefix(
+      counts, Seq(col("__prio").desc_nulls_last, col(idCol)),
+      col("n_tokens"), "tokens_before", numParts, maxPrefix = Some(budget))
+    ranked
       .filter(col("tokens_before") < budget)
-      .withColumnRenamed("__ntok", "n_tokens")
-      .drop("__pid", "__prio")
+      .drop("__prio")
   }
 
   /** Full document rows for a [[takeTokenBudget]] selection: inner

@@ -327,6 +327,20 @@ object LlmQueries {
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("ida", "idb")),
 
+    // corpus-percentile score normalization ("keep the top X%"):
+    // global 0-based rank + rank/(N−1) percentile of the alpha-ratio
+    // quality score, (score, doc_id) total order — the third user of
+    // the GlobalOrder prefix-sum decomposition (no global window)
+    "llm_score_percentile" -> ((s, dir) => {
+      val alpha =
+        length(regexp_replace(col("text"), "[^\\p{L}]", "")).cast("double") /
+          length(col("text"))
+      graft.stats.GlobalOrder.percentileRank(
+          t(s, dir, "documents").select(col("doc_id"), alpha.as("score")),
+          Seq(col("score"), col("doc_id")))
+        .orderBy("doc_id")
+    }),
+
     // BM25 corpus scoring against a 3-term probe with a real idf
     // spread at sf0.01 (df 25/373/402 of 500). Two passes: one
     // |terms|+2-wide aggregate row to the driver, then map-only
@@ -1010,6 +1024,19 @@ object LlmQueries {
         |cs AS (SELECT d.ida, d.idb, d.dot / (na.nv * nb.nv) AS c FROM dp d JOIN nrm na ON na.vec_id = d.ida JOIN nrm nb ON nb.vec_id = d.idb)
         |SELECT ida, idb, round(c, 6) AS cosine FROM cs WHERE c >= 0.9 ORDER BY ida, idb""".stripMargin
     },
+    // percentile mirror: one global window row_number — the exact
+    // semantics the distributed decomposition must reproduce
+    "llm_score_percentile" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE) / length(text) AS score
+        |  FROM documents),
+        |r AS (SELECT doc_id, score,
+        |    row_number() OVER (ORDER BY score, doc_id) - 1 AS rank,
+        |    count(*) OVER () AS n FROM m)
+        |SELECT doc_id, score, CAST(rank AS BIGINT) AS rank,
+        |  CAST(rank AS DOUBLE) / (n - 1) AS percentile
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     // BM25 mirror: same two-pass shape (stats CTE, map-only score) and
     // the same float-op order — contributions summed in term order,
     // (1.2 + 1.0) kept symbolic so both engines fold the same doubles

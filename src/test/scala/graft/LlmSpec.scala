@@ -651,6 +651,30 @@ class LlmSpec extends SparkSpec {
     assert(dead(3) == ((3, "after", 0L, 0L, None)))
   }
 
+  test("global order: percentile rank, ties, partition invariance") {
+    import graft.stats.GlobalOrder
+    val d = Seq((0L, 10.0), (1L, 5.0), (2L, 5.0), (3L, 20.0))
+      .toDF("id", "s")
+    val r = GlobalOrder.percentileRank(d, Seq(col("s"), col("id")),
+        numParts = 3)
+      .select("id", "rank", "percentile")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // order (s, id): 1(5), 2(5 — tie broken by id), 0(10), 3(20)
+    assert(r == Seq((0L, 2L, 2.0 / 3), (1L, 0L, 0.0), (2L, 1L, 1.0 / 3),
+      (3L, 3L, 1.0)))
+    // the decomposition reproduces the single-partition global window
+    val one = GlobalOrder.percentileRank(d, Seq(col("s"), col("id")),
+        numParts = 1)
+      .select("id", "rank", "percentile")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(one == r)
+    // single-row corpus: percentile 0, no division by zero
+    val s1 = GlobalOrder.percentileRank(Seq((9L, 1.0)).toDF("id", "s"),
+        Seq(col("s"), col("id")))
+      .select("percentile").as[Double].head()
+    assert(s1 == 0.0)
+  }
+
   test("temperature mixing: T=1 identity, flattening, token budget") {
     val df = ((0L until 8L).map(i => (i, "a")) ++ Seq((8L, "b"), (9L, "b")))
       .toDF("doc_id", "source")
