@@ -697,6 +697,35 @@ object Dedup {
     corpus.join(bad, Seq(idCol), "left_anti")
   }
 
+  /** Cross-source duplication audit: for every unordered source pair,
+    * the number of distinct winnowed fingerprints
+    * ([[TextAnalysis.winnowed]]) present in BOTH sources — the "who
+    * copies from whom" matrix a corpus assembly review starts from
+    * (licensing leaks, mirrored sites, shared boilerplate show up as
+    * hot cells).
+    *
+    * Scale shape: distinct (source, fingerprint) is one shuffle of the
+    * winnowed sketch (a small fraction of the text by construction);
+    * the pair join keys on the fingerprint, where even a fingerprint
+    * shared by EVERY source contributes at most |sources|² rows — the
+    * output and all intermediates are bounded by sketch size, and the
+    * matrix itself is |sources|²/2 rows, driver-small for any real
+    * source taxonomy. */
+  def crossSourceOverlap(
+      df: DataFrame,
+      textCol: String,
+      sourceCol: String,
+      window: Int = 4): DataFrame = {
+    val fp = df
+      .select(col(sourceCol).as("src"),
+        explode(TextAnalysis.winnowed(col(textCol), window)).as("fp"))
+      .distinct()
+    val a = fp.select(col("src").as("src_a"), col("fp"))
+    val b = fp.select(col("src").as("src_b"), col("fp"))
+    a.join(b, Seq("fp")).filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+  }
+
   // --------------------------------------------- embedding near-duplicate
 
   /** Embedding cosine near-dup: LSH-bucketed (random hyperplane signs)

@@ -171,6 +171,14 @@ object LlmQueries {
           explode(TextAnalysis.winnowed(col("text"), 4)).as("fp"))
         .orderBy("doc_id", "fp")),
 
+    // cross-source duplication audit: distinct winnowed fingerprints
+    // shared per source pair ("who copies from whom") — sketch-bounded
+    // join, |sources|²/2-row output. lang used as the source taxonomy
+    // at sf0.01 (5 groups → 10 cells, all non-trivial)
+    "llm_source_overlap" -> ((s, dir) =>
+      Dedup.crossSourceOverlap(t(s, dir, "documents"), "text", "lang")
+        .orderBy("src_a", "src_b")),
+
     // deterministic source-weighted mixing: per-source keep rates via
     // the id-hash bucket (fnv64 mod 1000) — audit view of kept counts
     "llm_mix_sources" -> ((s, dir) =>
@@ -802,6 +810,39 @@ object LlmQueries {
         |SELECT source, CAST(sum(copies) AS BIGINT) AS n_rows,
         | CAST(count(CASE WHEN copies > 0 THEN 1 END) AS BIGINT) AS n_docs
         |FROM c WHERE copies > 0 GROUP BY source ORDER BY source""".stripMargin,
+    // source-overlap mirror: the llm_winnow fingerprint CTEs, then
+    // distinct (lang, fp) and a fingerprint-keyed pair join
+    "llm_source_overlap" ->
+      """WITH RECURSIVE
+        |tok0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l FROM documents),
+        |tokx AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i FROM tok0),
+        |strs AS (SELECT DISTINCT w AS s FROM tokx),
+        |hx AS (SELECT s, hex(encode(s)) AS hs, octet_length(encode(s)) AS nb FROM strs),
+        |fnv AS (
+        |  SELECT s, hs, nb, 0 AS i, CAST(14695981039346656037 AS HUGEINT) AS h FROM hx
+        |  UNION ALL
+        |  SELECT s, hs, nb, i + 1,
+        |    (xor(h, CAST((strpos('0123456789ABCDEF', substring(hs, 2*i+1, 1))-1)*16 + strpos('0123456789ABCDEF', substring(hs, 2*i+2, 1))-1 AS HUGEINT)) * 1099511628211) % 18446744073709551616
+        |  FROM fnv WHERE i < nb),
+        |hsig AS (SELECT s, CAST(h - CASE WHEN h >= 9223372036854775808 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS hv
+        |         FROM fnv WHERE i = nb),
+        |th AS (SELECT t.doc_id, t.i, g.hv FROM tokx t JOIN hsig g ON g.s = t.w),
+        |nn AS (SELECT doc_id, CAST(max(i) AS INT) AS n FROM th GROUP BY doc_id),
+        |wins AS (
+        |  SELECT a.doc_id, a.i, min(b.hv) AS fp
+        |  FROM th a JOIN nn ON nn.doc_id = a.doc_id
+        |  JOIN th b ON b.doc_id = a.doc_id AND b.i >= a.i AND b.i <= a.i + 3
+        |  WHERE a.i <= nn.n - 3
+        |  GROUP BY a.doc_id, a.i),
+        |big AS (SELECT DISTINCT doc_id, fp FROM wins),
+        |small AS (SELECT t.doc_id, min(t.hv) AS fp FROM th t JOIN nn ON nn.doc_id = t.doc_id
+        |          WHERE nn.n < 4 GROUP BY t.doc_id),
+        |fps AS (SELECT doc_id, fp FROM (SELECT * FROM big UNION ALL SELECT * FROM small)),
+        |sf AS (SELECT DISTINCT d.lang AS src, f.fp FROM fps f JOIN documents d USING (doc_id))
+        |SELECT a.src AS src_a, b.src AS src_b, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM sf a JOIN sf b ON a.fp = b.fp AND a.src < b.src
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // temperature-mix mirror: per-lang counts, pow(n, 1/T) normalizer
     // summed in SORTED lang order (the engine's fixed fold), weights
     // left-assoc pw/z*target/n, then the llm_mix_weighted FNV/bucket

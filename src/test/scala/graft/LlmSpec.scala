@@ -651,6 +651,24 @@ class LlmSpec extends SparkSpec {
     assert(dead(3) == ((3, "after", 0L, 0L, None)))
   }
 
+  test("cross-source overlap: shared fingerprints, once per pair") {
+    val d = Seq(
+      (0L, "alpha beta gamma delta epsilon", "A"),
+      (1L, "alpha beta gamma delta epsilon", "B"), // full copy of doc 0
+      (2L, "alpha beta gamma delta epsilon", "B"), // within-B duplicate:
+      //   distinct (source, fp) must not double count the pair cell
+      (3L, "zeta eta theta iota kappa", "C")
+    ).toDF("doc_id", "text", "src")
+    val m = Dedup.crossSourceOverlap(d, "text", "src")
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val nfp = d.filter(col("doc_id") === 0L)
+      .select(explode(TextAnalysis.winnowed(col("text"), 4)))
+      .distinct().count()
+    // A∩B = every fingerprint of the copied doc; C shares nothing →
+    // absent cells mean zero (inner-join contract)
+    assert(nfp > 0 && m == Seq(("A", "B", nfp)))
+  }
+
   test("global order: percentile rank, ties, partition invariance") {
     import graft.stats.GlobalOrder
     val d = Seq((0L, 10.0), (1L, 5.0), (2L, 5.0), (3L, 20.0))
