@@ -104,6 +104,37 @@ object Similarity {
       if ((z & 1L) == 0L) 1.0 else -1.0
     }
 
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions:
+    * yⱼ = (1/√outDim)·Σ_d x_d·P_jd over the deterministic Rademacher
+    * ±1 [[planes]] matrix (Achlioptas' database-friendly JL variant —
+    * distances preserved within (1±ε) for outDim ≈ 8·ln n/ε²). The
+    * cheap pre-ANN compression: project once, bucket/scan in the low
+    * dimension, exact-rerank survivors in the original space.
+    *
+    * Scale shape: map-only — the outDim×dim matrix folds into the
+    * plan as literals (a few KB), each row costs one fused
+    * zip_with/aggregate pass per output dim, nothing shuffles. Same
+    * `dim` contract as [[hyperplaneSignature]]. */
+  def projectRandom(
+      df: DataFrame,
+      embCol: String,
+      outDim: Int,
+      dim: Int = -1,
+      outCol: String = "proj"): DataFrame = {
+    require(outDim > 0, "output dimensionality must be positive")
+    val d = if (dim > 0) dim else {
+      val first = df.select(size(col(embCol))).limit(1).collect()
+      require(first.nonEmpty,
+        s"projectRandom: empty corpus — cannot derive embedding dim " +
+          s"from '$embCol'; pass dim explicitly")
+      first(0).getInt(0)
+    }
+    val ps = planes(outDim, d)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    df.withColumn(outCol, array((0 until outDim).map(j =>
+      dot(col(embCol), typedlit(ps(j))) * lit(scale)): _*))
+  }
+
   /** LSH signature: sign bits of projections onto the deterministic
     * hyperplanes, packed into one long (`lsh_sig`).
     *

@@ -359,6 +359,15 @@ object LlmQueries {
         .withColumn("bm25", round(col("bm25"), 6))
         .orderBy("doc_id")),
 
+    // JL random projection 64→16 dims (exploded to (vec_id, j, y) rows
+    // for the value compare); outDim=16 makes the 1/√outDim scale an
+    // exact 0.25 so both engines multiply the same double
+    "llm_jl_project" -> ((s, dir) =>
+      Similarity.projectRandom(t(s, dir, "embeddings"), "embedding", 16)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "y")))
+        .withColumn("y", round(col("y"), 6))
+        .orderBy("vec_id", "j")),
+
     // SemDeDup-shaped semantic dedup: k-means clusters (the llm_ann_ivf
     // Lloyd quantizer, k=8/2 rounds) partition the corpus; exact cosine
     // only within a cluster; drop every vector with a smaller-id
@@ -1101,6 +1110,17 @@ object LlmQueries {
         |  + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * tf2 * (1.2 + 1.0) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6) AS bm25
         |FROM tf, st ORDER BY doc_id""".stripMargin,
 
+    // JL mirror: the inlined deterministic plane matrix (the
+    // llm_emb_neardup pattern at 16×64), per-(vector, row) dots
+    "llm_jl_project" -> {
+      val pl = graft.llm.Similarity.planes(16, 64)
+      val vals = (for (j <- 0 until 16; d <- 0 until 64)
+        yield s"($j, $d, ${pl(j)(d).toInt})").mkString(", ")
+      s"""WITH pl AS (SELECT j, d, p FROM (VALUES $vals) AS t(j, d, p)),
+        |e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, generate_subscripts(embedding, 1) - 1 AS d FROM embeddings),
+        |dots AS (SELECT e.vec_id, pl.j, sum(e.x * pl.p) AS dt FROM e JOIN pl ON pl.d = e.d GROUP BY e.vec_id, pl.j)
+        |SELECT vec_id, CAST(j AS INT) AS j, round(dt * 0.25, 6) AS y FROM dots ORDER BY vec_id, j""".stripMargin
+    },
     // SemDeDup mirror: the llm_ann_ivf Lloyd CTEs (2 unrolled rounds,
     // centroids rounded to 6 like the engine) → final assignment s3 →
     // within-cluster pairs → exact cosine → drop ids with a smaller-id

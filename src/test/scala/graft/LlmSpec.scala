@@ -651,6 +651,24 @@ class LlmSpec extends SparkSpec {
     assert(dead(3) == ((3, "after", 0L, 0L, None)))
   }
 
+  test("jl projection: exact matmul against the plane matrix") {
+    val v = Array(1.0f, -2.0f, 0.5f, 3.0f)
+    val d = Seq((0L, v), (1L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.projectRandom(d, "embedding", 4)
+      .select("vec_id", "proj").as[(Long, Seq[Double])]
+      .collect().sortBy(_._1).toSeq
+    val pl = Similarity.planes(4, 4)
+    val exp = (0 until 4).map { j =>
+      // same fold order as the zip_with/aggregate kernel: sequential
+      // over dimensions, then the exact 0.5 scale
+      v.zip(pl(j)).foldLeft(0.0) { case (a, (x, p)) => a + x.toDouble * p } * 0.5
+    }
+    assert(got.head._2 == exp)
+    // the zero vector projects to exactly zero in every dimension
+    assert(got(1)._2.forall(_ == 0.0))
+  }
+
   test("cross-source overlap: shared fingerprints, once per pair") {
     val d = Seq(
       (0L, "alpha beta gamma delta epsilon", "A"),
