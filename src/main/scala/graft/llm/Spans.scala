@@ -1,0 +1,68 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Duplicated-span detection — the exact-substring dedup shape
+  * (suffix-array dedup's "any ≥k-token substring occurring more than
+  * once in the corpus", recast for Spark): every k-token window whose
+  * content appears at ≥2 corpus positions is a duplicated gram;
+  * per document, overlapping/adjacent duplicated grams merge into
+  * MAXIMAL [span_start, span_end) token spans — the regions a
+  * substring-level deduper would cut.
+  *
+  * Scale shape: the gram table is linear in corpus tokens (the
+  * irreducible cost of substring-level dedup — a suffix array is the
+  * same size); it is hashed to 8-byte keys map-side, so ONE count
+  * aggregate (map-side combined) finds hot grams and ONE
+  * co-partitioned hash join streams the duplicated occurrences back.
+  * The interval merge is a per-document window — parallel across
+  * docs, bounded by document length, never a global sort. Same
+  * hash-vs-string contract as line dedup: the engine joins xxhash64
+  * keys, exact absent 64-bit collisions.
+  */
+object Spans {
+
+  /** (idCol, span_start, span_end, n_grams): maximal merged token
+    * intervals [span_start, span_end) of `df`'s whitespace token
+    * streams in which EVERY k-window is duplicated somewhere in the
+    * corpus (incl. within the same document — self-repetition is
+    * duplication). `n_grams` = duplicated k-windows merged into the
+    * span (span length = span_end − span_start ∈ [k, k + n_grams − 1]).
+    * Documents shorter than k tokens emit nothing. */
+  def duplicatedSpans(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "window length must be positive")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val grams = df
+      .withColumn("__toks", toks)
+      .filter(col("__toks").isNotNull && size(col("__toks")) >= k &&
+        !(size(col("__toks")) === 1 && element_at(col("__toks"), 1) === ""))
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(col("__toks")) - k),
+          i => xxhash64(concat_ws(" ", slice(col("__toks"), i + 1, lit(k))))))
+        .as(Seq("start", "__gh")))
+    // one map-side-combined count finds grams occurring ≥2 times
+    val hot = grams.groupBy("__gh").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select("__gh")
+    val dup = grams.join(hot, Seq("__gh"))
+    // gaps-and-islands per document: with fixed window k, a sorted
+    // gram overlaps-or-touches its predecessor iff start − prev ≤ k
+    val w = Window.partitionBy(idCol).orderBy("start")
+    dup
+      .withColumn("__brk",
+        when(coalesce(col("start") - lag("start", 1).over(w), lit(0L)) > k,
+          1L).otherwise(0L))
+      .withColumn("__span",
+        sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__span"))
+      .agg(min("start").as("span_start"),
+        (max("start") + k).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .drop("__span")
+  }
+}

@@ -171,6 +171,19 @@ object LlmQueries {
           explode(TextAnalysis.winnowed(col("text"), 4)).as("fp"))
         .orderBy("doc_id", "fp")),
 
+    // exact-substring dedup spans: maximal merged token intervals whose
+    // every 8-token window occurs ≥2 times in the corpus (1015 hot
+    // grams / 2101 duplicated occurrences at sf0.01) — the suffix-array
+    // dedup shape as one count + one co-partitioned join + per-doc
+    // windows
+    "llm_dup_spans" -> ((s, dir) =>
+      Spans.duplicatedSpans(t(s, dir, "documents"), "text", "doc_id", 8)
+        .select(col("doc_id"),
+          col("span_start").cast("long").as("span_start"),
+          col("span_end").cast("long").as("span_end"),
+          col("n_grams"))
+        .orderBy("doc_id", "span_start")),
+
     // cross-source duplication audit: distinct winnowed fingerprints
     // shared per source pair ("who copies from whom") — sketch-bounded
     // join, |sources|²/2-row output. lang used as the source taxonomy
@@ -819,6 +832,25 @@ object LlmQueries {
         |SELECT source, CAST(sum(copies) AS BIGINT) AS n_rows,
         | CAST(count(CASE WHEN copies > 0 THEN 1 END) AS BIGINT) AS n_docs
         |FROM c WHERE copies > 0 GROUP BY source ORDER BY source""".stripMargin,
+    // dup-span mirror: gram STRINGS where the engine joins xxhash64
+    // keys (the line-dedup contract), same gaps-and-islands windows
+    "llm_dup_spans" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(range(0, len(toks) - 8 + 1)) AS s, toks FROM t WHERE len(toks) >= 8),
+        |gg AS (SELECT doc_id, s, array_to_string(toks[s + 1 : s + 8], ' ') AS gram FROM g),
+        |hot AS (SELECT gram FROM gg GROUP BY gram HAVING count(*) > 1),
+        |d AS (SELECT doc_id, s FROM gg JOIN hot USING (gram)),
+        |m AS (SELECT doc_id, s,
+        |    CASE WHEN coalesce(s - lag(s) OVER (PARTITION BY doc_id ORDER BY s), 0) > 8 THEN 1 ELSE 0 END AS brk
+        |  FROM d),
+        |sp AS (SELECT doc_id, s,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS span
+        |  FROM m)
+        |SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+        |  CAST(max(s) + 8 AS BIGINT) AS span_end,
+        |  CAST(count(*) AS BIGINT) AS n_grams
+        |FROM sp GROUP BY doc_id, span ORDER BY doc_id, span_start""".stripMargin,
+
     // source-overlap mirror: the llm_winnow fingerprint CTEs, then
     // distinct (lang, fp) and a fingerprint-keyed pair join
     "llm_source_overlap" ->

@@ -651,6 +651,26 @@ class LlmSpec extends SparkSpec {
     assert(dead(3) == ((3, "after", 0L, 0L, None)))
   }
 
+  test("duplicated spans: self-repeats, gap split, overlap merge") {
+    val d = Seq(
+      // "a b c d" repeats at tokens 0 and 8 with a unique middle:
+      // two spans split by the > k gap
+      (0L, "a b c d M N O P a b c d"),
+      // every 3-gram repeats → overlapping grams merge to ONE span
+      (1L, "z w z w z w z w"),
+      (2L, "p q r s t u"), // all grams unique → no rows
+      (3L, "xx yy"), // shorter than k → no rows
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = Spans.duplicatedSpans(d, "text", "doc_id", 3)
+      .select(col("doc_id"), col("span_start").cast("long"),
+        col("span_end").cast("long"), col("n_grams"))
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(got == Seq(
+      (0L, 0L, 4L, 2L), (0L, 8L, 12L, 2L),
+      (1L, 0L, 8L, 6L)))
+  }
+
   test("jl projection: exact matmul against the plane matrix") {
     val v = Array(1.0f, -2.0f, 0.5f, 3.0f)
     val d = Seq((0L, v), (1L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
