@@ -65,4 +65,36 @@ object Spans {
         count(lit(1)).as("n_grams"))
       .drop("__span")
   }
+
+  /** The dedup ACTION: rewrite `textCol` with every duplicated span
+    * cut out (tokens in no span survive, in original order, rejoined
+    * with single spaces — span-free documents keep their text byte-for
+    * byte, including original whitespace). A fully-duplicated document
+    * becomes the empty string, not a dropped row — downstream length
+    * filters decide its fate.
+    *
+    * Scale shape: the span table is doc-keyed and carries a handful of
+    * (start, end) pairs per document (bounded by doc length / k), so
+    * the join back is one hash exchange of the corpus against a much
+    * smaller side (AQE broadcasts it when it fits); the token cut is a
+    * map-only higher-order filter — no explode, no per-token rows. */
+  def removeDuplicatedSpans(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    val spans = duplicatedSpans(df, textCol, idCol, k)
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__spans"))
+    df.join(spans, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col("__spans").isNull, col(textCol))
+          .otherwise(concat_ws(" ",
+            filter(split(trim(col(textCol)), "\\s+"), (t, i) =>
+              !exists(col("__spans"), sp =>
+                i >= sp.getField("span_start") &&
+                  i < sp.getField("span_end"))))))
+      .drop("__spans")
+  }
 }

@@ -184,6 +184,16 @@ object LlmQueries {
           col("n_grams"))
         .orderBy("doc_id", "span_start")),
 
+    // the span-removal action: md5 + length audit of the rewritten
+    // corpus (span-free docs keep their bytes; spanned docs rejoin
+    // surviving tokens)
+    "llm_dup_span_removal" -> ((s, dir) =>
+      Spans.removeDuplicatedSpans(t(s, dir, "documents"), "text",
+          "doc_id", 8)
+        .select(col("doc_id"), md5(col("text")).as("h"),
+          length(col("text")).cast("long").as("len"))
+        .orderBy("doc_id")),
+
     // cross-source duplication audit: distinct winnowed fingerprints
     // shared per source pair ("who copies from whom") — sketch-bounded
     // join, |sources|²/2-row output. lang used as the source taxonomy
@@ -850,6 +860,32 @@ object LlmQueries {
         |  CAST(max(s) + 8 AS BIGINT) AS span_end,
         |  CAST(count(*) AS BIGINT) AS n_grams
         |FROM sp GROUP BY doc_id, span ORDER BY doc_id, span_start""".stripMargin,
+
+    // span-removal mirror: the llm_dup_spans CTEs, then a NOT EXISTS
+    // token cut and an ordered string_agg rebuild; span-free docs fall
+    // through to their original text (the engine's isNull branch)
+    "llm_dup_span_removal" ->
+      """WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(range(0, len(toks) - 8 + 1)) AS s, toks FROM t WHERE len(toks) >= 8),
+        |gg AS (SELECT doc_id, s, array_to_string(toks[s + 1 : s + 8], ' ') AS gram FROM g),
+        |hot AS (SELECT gram FROM gg GROUP BY gram HAVING count(*) > 1),
+        |d AS (SELECT doc_id, s FROM gg JOIN hot USING (gram)),
+        |m AS (SELECT doc_id, s,
+        |    CASE WHEN coalesce(s - lag(s) OVER (PARTITION BY doc_id ORDER BY s), 0) > 8 THEN 1 ELSE 0 END AS brk
+        |  FROM d),
+        |sp AS (SELECT doc_id, s,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS span
+        |  FROM m),
+        |spans AS (SELECT doc_id, min(s) AS a, max(s) + 8 AS b FROM sp GROUP BY doc_id, span),
+        |tok AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) - 1 AS p FROM t),
+        |keep AS (SELECT tk.doc_id, tk.w, tk.p FROM tok tk
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans s WHERE s.doc_id = tk.doc_id AND tk.p >= s.a AND tk.p < s.b)),
+        |reb AS (SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS txt FROM keep GROUP BY doc_id),
+        |fin AS (SELECT t.doc_id,
+        |    CASE WHEN t.doc_id IN (SELECT doc_id FROM spans) THEN coalesce(r.txt, '') ELSE t.text END AS txt
+        |  FROM t LEFT JOIN reb r ON r.doc_id = t.doc_id)
+        |SELECT doc_id, md5(txt) AS h, CAST(length(txt) AS BIGINT) AS len
+        |FROM fin ORDER BY doc_id""".stripMargin,
 
     // source-overlap mirror: the llm_winnow fingerprint CTEs, then
     // distinct (lang, fp) and a fingerprint-keyed pair join

@@ -669,6 +669,18 @@ class LlmSpec extends SparkSpec {
     assert(got == Seq(
       (0L, 0L, 4L, 2L), (0L, 8L, 12L, 2L),
       (1L, 0L, 8L, 6L)))
+    // the removal action: spanned tokens cut, survivors rejoined;
+    // fully-duplicated doc → empty string; span-free docs keep their
+    // text byte-for-byte; null text stays null
+    val rem = Spans.removeDuplicatedSpans(d, "text", "doc_id", 3)
+      .select("doc_id", "text").as[(Long, Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(rem == Seq(
+      (0L, Some("M N O P")),
+      (1L, Some("")),
+      (2L, Some("p q r s t u")),
+      (3L, Some("xx yy")),
+      (4L, None)))
   }
 
   test("jl projection: exact matmul against the plane matrix") {
