@@ -114,6 +114,10 @@ object ScaleStress {
         time(s"bigram familiarity x$mult")(
           force(TextAnalysis.bigramFamiliarity(d, "text", "doc_id")))
         spark.catalog.clearCache()
+        // worst case under replication: EVERY gram is hot, the dup
+        // table equals the full gram table
+        time(s"dup spans x$mult")(
+          force(graft.llm.Spans.duplicatedSpans(d, "text", "doc_id", 8)))
         time(s"bm25 score x$mult")(
           force(graft.llm.Rank.bm25(d, "text", "doc_id",
             Seq("dup", "key", "batch"))))
