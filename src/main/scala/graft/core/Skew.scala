@@ -61,7 +61,14 @@ object Skew {
   /** Probe + WARN when salting has degenerated on a sampled hot key —
     * callers get a runtime signal instead of silently keeping the
     * serialized-hot-key plan they salted to avoid. Returns true when
-    * a degenerate hot key was found. */
+    * a degenerate hot key was found.
+    *
+    * OPT-IN (`checkSpread = false` by default, ADVICE r06): the probe
+    * runs an eager Spark job at plan-CONSTRUCTION time, and `limit()`
+    * only short-circuits scan-shaped inputs — if the input plan
+    * contains shuffles/aggregates upstream, those stages execute (and
+    * are later recomputed by the real job). Enable it as a diagnostic
+    * on scan-shaped inputs only. */
   private def warnIfDegenerate(
       df: DataFrame, keys: Seq[String], salts: Int): Boolean = {
     val bad = saltSpreadDiagnostics(df, keys, salts)
@@ -106,7 +113,7 @@ object Skew {
       key: String,
       salts: Int = 16,
       joinType: String = "inner",
-      checkSpread: Boolean = true): DataFrame = {
+      checkSpread: Boolean = false): DataFrame = {
     require(salts > 0, "salts must be positive")
     require(replicationSafeJoins(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports big-side-preserving join types only " +
@@ -136,7 +143,7 @@ object Skew {
       keys: Seq[String],
       salts: Int,
       partials: Map[String, (Column, Column => Column)],
-      checkSpread: Boolean = true): DataFrame = {
+      checkSpread: Boolean = false): DataFrame = {
     require(salts > 0, "salts must be positive")
     require(partials.nonEmpty, "saltedAgg needs at least one aggregate")
     if (checkSpread) warnIfDegenerate(df, keys, salts)

@@ -65,9 +65,13 @@ object Mixing {
       temperature: Double,
       targetRows: Long = 0L): DataFrame = {
     require(temperature > 0, "temperature must be positive")
-    val cnts = df.groupBy(sourceCol).count().collect()
+    // Null sources are excluded from the share computation — they would
+    // otherwise surface as a null groupBy key and NPE the driver-side
+    // sort (ADVICE r06). Pass 2 drops them anyway (defaultWeight 0.0).
+    val cnts = df.filter(col(sourceCol).isNotNull)
+      .groupBy(sourceCol).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
-    require(cnts.nonEmpty, "empty corpus")
+    require(cnts.nonEmpty, "empty corpus (or all sources null)")
     val n = cnts.map(_._2).sum
     val target = (if (targetRows > 0) targetRows else n).toDouble
     val pows = cnts.map { case (s, ni) =>

@@ -30,23 +30,35 @@ object Packing {
     * RUNNER CONTRACT: persists the range-partitioned count table the
     * returned plan reads (two passes: partial sums + final); released
     * by the session's per-query cache hygiene like the other persisted
-    * pipelines. */
+    * pipelines — or eagerly via [[packSequencesReleasable]]'s handle
+    * (ADVICE r06). */
   def packSequences(
       df: DataFrame,
       textCol: String,
       idCol: String,
       ctxLen: Int,
-      numParts: Int = 0): DataFrame = {
+      numParts: Int = 0): DataFrame =
+    packSequencesReleasable(df, textCol, idCol, ctxLen, numParts)._1
+
+  /** [[packSequences]] plus the prefix cache's release handle — call
+    * it once the packing table has been materialized. */
+  def packSequencesReleasable(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      ctxLen: Int,
+      numParts: Int = 0): (DataFrame, () => Unit) = {
     require(ctxLen > 0, "ctxLen must be positive")
     val counts = df.select(col(idCol),
       TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
-    val (packed, _) = graft.stats.GlobalOrder.exclusivePrefix(
-      counts, Seq(col(idCol)), col("n_tokens"), "token_offset", numParts)
-    packed
+    val (packed, _, release) =
+      graft.stats.GlobalOrder.exclusivePrefixReleasable(
+        counts, Seq(col(idCol)), col("n_tokens"), "token_offset", numParts)
+    (packed
       .withColumn("seq_id", expr(s"token_offset div $ctxLen"))
       .withColumn("n_seqs_spanned",
         expr(s"(token_offset + n_tokens - 1) div $ctxLen") -
-          col("seq_id") + lit(1L))
+          col("seq_id") + lit(1L)), release)
   }
 
   /** Sequence-level summary: docs whose first token lands in each

@@ -47,25 +47,40 @@ object Select {
     * RUNNER CONTRACT: persists the range-partitioned narrow count
     * table the returned plan reads (two passes: partials + final);
     * released by the session's per-query cache hygiene like the other
-    * persisted pipelines. */
+    * persisted pipelines — or eagerly via
+    * [[takeTokenBudgetReleasable]]'s handle (ADVICE r06). */
   def takeTokenBudget(
       df: DataFrame,
       textCol: String,
       idCol: String,
       priority: Column,
       budget: Long,
-      numParts: Int = 0): DataFrame = {
+      numParts: Int = 0): DataFrame =
+    takeTokenBudgetReleasable(df, textCol, idCol, priority, budget,
+      numParts)._1
+
+  /** [[takeTokenBudget]] plus the prefix cache's release handle — call
+    * it once the selection has been materialized. */
+  def takeTokenBudgetReleasable(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      priority: Column,
+      budget: Long,
+      numParts: Int = 0): (DataFrame, () => Unit) = {
     require(budget > 0, "budget must be positive")
     // narrow FIRST: this projection is all that shuffles and caches
     val counts = df.select(col(idCol), priority.as("__prio"),
       coalesce(TextAnalysis.tokenCount(col(textCol)), lit(0L))
         .as("n_tokens"))
-    val (ranked, _) = graft.stats.GlobalOrder.exclusivePrefix(
-      counts, Seq(col("__prio").desc_nulls_last, col(idCol)),
-      col("n_tokens"), "tokens_before", numParts, maxPrefix = Some(budget))
-    ranked
+    val (ranked, _, release) =
+      graft.stats.GlobalOrder.exclusivePrefixReleasable(
+        counts, Seq(col("__prio").desc_nulls_last, col(idCol)),
+        col("n_tokens"), "tokens_before", numParts,
+        maxPrefix = Some(budget))
+    (ranked
       .filter(col("tokens_before") < budget)
-      .drop("__prio")
+      .drop("__prio"), release)
   }
 
   /** Full document rows for a [[takeTokenBudget]] selection: inner

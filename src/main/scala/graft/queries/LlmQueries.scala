@@ -157,10 +157,11 @@ object LlmQueries {
     // sequence packing: head-to-tail token layout split every 64
     // tokens (docs span boundaries) — the distributed-prefix-sum
     // operator; the oracle is the closed-form global window cumsum
-    "llm_pack_sequences" -> ((s, dir) =>
-      Packing.packSequences(t(s, dir, "documents"), "text", "doc_id",
-          ctxLen = 64)
-        .orderBy("doc_id")),
+    "llm_pack_sequences" -> ((s, dir) => {
+      val (packed, release) = Packing.packSequencesReleasable(
+        t(s, dir, "documents"), "text", "doc_id", ctxLen = 64)
+      collectAndRelease(s, packed.orderBy("doc_id"))(release)
+    }),
 
     // winnowing k-gram sketch (window w=4 over FNV-1a token hashes),
     // exploded to (doc_id, fingerprint) rows — the plagiarism-style
@@ -260,10 +261,11 @@ object LlmQueries {
       val alpha =
         length(regexp_replace(col("text"), "[^\\p{L}]", "")).cast("double") /
           length(col("text"))
-      Select.takeTokenBudget(t(s, dir, "documents"), "text", "doc_id",
-          alpha, budget = 12000L)
-        .select("doc_id", "n_tokens", "tokens_before")
-        .orderBy("doc_id")
+      val (sel, release) = Select.takeTokenBudgetReleasable(
+        t(s, dir, "documents"), "text", "doc_id", alpha, budget = 12000L)
+      collectAndRelease(s,
+        sel.select("doc_id", "n_tokens", "tokens_before")
+          .orderBy("doc_id"))(release)
     }),
 
     // fastText-style hashed linear classifier scoring (the
@@ -366,10 +368,11 @@ object LlmQueries {
       val alpha =
         length(regexp_replace(col("text"), "[^\\p{L}]", "")).cast("double") /
           length(col("text"))
-      graft.stats.GlobalOrder.percentileRank(
+      val (ranked, release) =
+        graft.stats.GlobalOrder.percentileRankReleasable(
           t(s, dir, "documents").select(col("doc_id"), alpha.as("score")),
           Seq(col("score"), col("doc_id")))
-        .orderBy("doc_id")
+      collectAndRelease(s, ranked.orderBy("doc_id"))(release)
     }),
 
     // BM25 corpus scoring against a 3-term probe with a real idf

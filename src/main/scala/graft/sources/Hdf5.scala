@@ -258,16 +258,25 @@ final class Hdf5File(path: String) extends AutoCloseable {
       case (0x0B, body) => // filter pipeline (v1 or v2)
         val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
         val ver = body(0) & 0xFF
+        require(ver == 1 || ver == 2,
+          s"$path/$p: filter pipeline v$ver unsupported")
         val nf = body(1) & 0xFF
         var p0 = if (ver == 1) 8 else 2
         filters = (0 until nf).map { _ =>
           val id = bb.getShort(p0) & 0xFFFF
+          // v2 with id < 256 has NO name-length field: flags/ncv shift
+          // up two bytes (ADVICE r06 — the old code read v1 offsets
+          // unconditionally and would misparse a v2 pipeline).
+          val hasNameLen = ver == 1 || id >= 256
           val nameLen =
-            if (ver == 1 || id >= 256) bb.getShort(p0 + 2) & 0xFFFF else 0
-          val flags = bb.getShort(p0 + 4) & 0xFFFF
-          val ncv = bb.getShort(p0 + 6) & 0xFFFF
-          var q = p0 + 8
-          if (nameLen > 0) q += (nameLen + 7) / 8 * 8 // v1 pads name to 8
+            if (hasNameLen) bb.getShort(p0 + 2) & 0xFFFF else 0
+          val base = if (hasNameLen) p0 + 4 else p0 + 2
+          val flags = bb.getShort(base) & 0xFFFF
+          val ncv = bb.getShort(base + 2) & 0xFFFF
+          var q = base + 4
+          if (nameLen > 0)
+            q += (if (ver == 1) (nameLen + 7) / 8 * 8 // v1 pads name to 8
+                  else nameLen)                       // v2 does not pad
           val cvs = (0 until ncv).map(i => bb.getInt(q + 4 * i)).toArray
           q += 4 * ncv
           if (ver == 1 && ncv % 2 == 1) q += 4 // v1 pads odd client data

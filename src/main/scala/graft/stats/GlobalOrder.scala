@@ -35,7 +35,10 @@ object GlobalOrder {
     * RUNNER CONTRACT: persists the range-partitioned input the
     * returned plan reads (two passes: partials + final); released by
     * the session's per-query cache hygiene like the other persisted
-    * pipelines. */
+    * pipelines. Long-lived sessions should use
+    * [[exclusivePrefixReleasable]] and fire the release handle once
+    * the result is materialized (ADVICE r06 — this form leaks one
+    * cached table per call otherwise). */
   def exclusivePrefix(
       df: DataFrame,
       orderCols: Seq[Column],
@@ -43,6 +46,23 @@ object GlobalOrder {
       prefixName: String,
       numParts: Int = 0,
       maxPrefix: Option[Long] = None): (DataFrame, Long) = {
+    val (out, total, _) = exclusivePrefixReleasable(
+      df, orderCols, valueCol, prefixName, numParts, maxPrefix)
+    (out, total)
+  }
+
+  /** [[exclusivePrefix]] plus a release handle for the internal
+    * range-partitioned cache — same contract as the Dedup
+    * `...Releasable` variants: call the thunk once the returned plan's
+    * output has been materialized (both passes read the cache, so
+    * releasing earlier would recompute the range exchange). */
+  def exclusivePrefixReleasable(
+      df: DataFrame,
+      orderCols: Seq[Column],
+      valueCol: Column,
+      prefixName: String,
+      numParts: Int = 0,
+      maxPrefix: Option[Long] = None): (DataFrame, Long, () => Unit) = {
     require(orderCols.nonEmpty, "order columns required")
     val spark = df.sparkSession
     val p =
@@ -78,7 +98,7 @@ object GlobalOrder {
         sum("__val").over(w) - col("__val") +
           element_at(typedlit(offsets), col("__pid")))
       .drop("__pid", "__val")
-    (out, perPart.sum)
+    (out, perPart.sum, () => { parted.unpersist(); () })
   }
 
   /** `df` plus `rankName` = 0-based global rank under the total order
@@ -91,11 +111,20 @@ object GlobalOrder {
       orderCols: Seq[Column],
       rankName: String = "rank",
       pctName: String = "percentile",
-      numParts: Int = 0): DataFrame = {
-    val (ranked, n) =
-      exclusivePrefix(df, orderCols, lit(1L), rankName, numParts)
-    ranked.withColumn(pctName,
+      numParts: Int = 0): DataFrame =
+    percentileRankReleasable(df, orderCols, rankName, pctName, numParts)._1
+
+  /** [[percentileRank]] plus the prefix cache's release handle. */
+  def percentileRankReleasable(
+      df: DataFrame,
+      orderCols: Seq[Column],
+      rankName: String = "rank",
+      pctName: String = "percentile",
+      numParts: Int = 0): (DataFrame, () => Unit) = {
+    val (ranked, n, release) =
+      exclusivePrefixReleasable(df, orderCols, lit(1L), rankName, numParts)
+    (ranked.withColumn(pctName,
       if (n <= 1L) lit(0.0)
-      else col(rankName).cast("double") / lit((n - 1).toDouble))
+      else col(rankName).cast("double") / lit((n - 1).toDouble)), release)
   }
 }

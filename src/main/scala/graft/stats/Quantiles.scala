@@ -50,18 +50,23 @@ object Quantiles {
     * sample is at most `maxExactRows` rows, GK sketch above. The size
     * probe is LIMIT-bounded — it scans at most maxExactRows+1 rows and
     * stops, so the check itself never pays a full pass at scale. */
-  /** True when `df` MAY exceed `maxExactRows` rows. Catalyst size stats
-    * first: every row is ≥ 8 bytes, so a plan whose estimated byte size
-    * is ≤ 8·maxExactRows cannot exceed the row limit — the probe JOB is
-    * skipped entirely for provably-small samples (the common
-    * conditioned-estimation case; the probe showed up as +0.07 s on
-    * every t3 bench call, r06). Otherwise a LIMIT-bounded count probe
-    * decides — it scans at most maxExactRows+1 rows and stops. */
+  /** True when `df` MAY exceed `maxExactRows` rows. The r06 byte-size
+    * shortcut (`sizeInBytes ≤ 8·maxExactRows ⇒ small`) was UNSOUND for
+    * parquet scans — `sizeInBytes` there is COMPRESSED file size, so a
+    * highly compressed sample far above the row limit could be declared
+    * "provably small" and routed to the exact percentile, defeating the
+    * guard (ADVICE r06). Only the plan's `rowCount` statistic is trusted
+    * now — when Catalyst reports one (LocalRelation, Range, cached
+    * relations) it is a real row count, not a byte guess. Otherwise a
+    * LIMIT-bounded count probe decides — it scans at most
+    * maxExactRows+1 rows and stops, so the check never pays a full
+    * pass at scale. */
   def exceedsExactLimit(df: DataFrame, maxExactRows: Int): Boolean = {
     if (maxExactRows == Int.MaxValue) return false
-    val sizeHint = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (sizeHint <= BigInt(maxExactRows) * 8) false
-    else df.limit(maxExactRows + 1).count() > maxExactRows
+    df.queryExecution.optimizedPlan.stats.rowCount match {
+      case Some(n) => n > maxExactRows
+      case None    => df.limit(maxExactRows + 1).count() > maxExactRows
+    }
   }
 
   def thresholdQuantiles(

@@ -141,7 +141,10 @@ class CacheAndCapSpec extends SparkSpec {
     // library) — run WITHOUT any clearCache between them, materialize
     // fully, and assert the session cache ends empty
     val names = Seq("llm_ngram_jaccard", "llm_containment",
-      "llm_minhash_neardup", "llm_neardup_dedup", "llm_simhash_neardup")
+      "llm_minhash_neardup", "llm_neardup_dedup", "llm_simhash_neardup",
+      // GlobalOrder prefix-sum users (ADVICE r06: exclusivePrefix used
+      // to persist with no release handle — these now collectAndRelease)
+      "llm_token_budget", "llm_pack_sequences", "llm_score_percentile")
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, dir)
       assert(df.count() >= 0L)
