@@ -23,6 +23,9 @@ import java.util.zip.Inflater
   *     IEEE float (4/8-byte LE), fixed-length strings
   *   - data layout v3: compact, contiguous, and chunked (v1 chunk
   *     B-tree) with the deflate / shuffle / fletcher32 filters
+  *   - attribute messages v1-v3 (fixed-point / float / fixed-string /
+  *     vlen-string values, scalar or array; vlen payloads via the
+  *     global heap) — acquisition metadata and units travel here
   *
   * Anything outside the subset fails with a descriptive exception
   * naming the unsupported feature — never a silent misread.
@@ -33,6 +36,8 @@ import java.util.zip.Inflater
   * platform; big-endian files are rejected explicitly.
   */
 final class Hdf5File(path: String) extends AutoCloseable {
+
+  import Hdf5File._
 
   private val raf = new RandomAccessFile(path, "r")
 
@@ -199,9 +204,167 @@ final class Hdf5File(path: String) extends AutoCloseable {
   def isGroup(objectPath: String): Boolean =
     headerMessages(resolve(objectPath)).exists(_._1 == 0x11)
 
+  // ---------------------------------------------------------- attributes
+
+  /** Attributes of the object at `objectPath` ("/" = root). Values
+    * decode to `Long` / `Double` / `String` for scalar attributes and
+    * `Array[Long]` / `Array[Double]` / `Array[String]` for rank ≥ 1
+    * (row-major; multidimensional attribute shapes are flattened).
+    * Covers the subset real acquisition metadata uses: fixed-point,
+    * IEEE float, fixed strings, and h5py's variable-length strings
+    * (global-heap backed). Anything else fails loudly. */
+  def attributes(objectPath: String): Map[String, Any] =
+    headerMessages(resolve(objectPath)).collect {
+      case (0x0C, body) => parseAttribute(body, objectPath)
+    }.toMap
+
+  /** One attribute message (v1/v2/v3) → (name, decoded value). */
+  private def parseAttribute(body: Array[Byte], ctx: String): (String, Any) = {
+    val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+    val ver = body(0) & 0xFF
+    require(ver >= 1 && ver <= 3,
+      s"$path/$ctx: attribute message v$ver unsupported")
+    val flags = if (ver == 1) 0 else body(1) & 0xFF
+    require((flags & 0x03) == 0,
+      s"$path/$ctx: shared attribute datatype/dataspace unsupported")
+    val nameSize = bb.getShort(2) & 0xFFFF // includes the NUL
+    val dtSize = bb.getShort(4) & 0xFFFF
+    val dsSize = bb.getShort(6) & 0xFFFF
+    // v3 inserts a name-encoding byte; v1 pads each field to 8 bytes
+    var p = if (ver == 3) 9 else 8
+    def pad(n: Int) = if (ver == 1) (n + 7) / 8 * 8 else n
+    val nameEnd = {
+      var e = p
+      while (e < p + nameSize && body(e) != 0) e += 1
+      e
+    }
+    val name = new String(body, p, nameEnd - p, "UTF-8")
+    p += pad(nameSize)
+    val dtype = parseDatatype(
+      java.util.Arrays.copyOfRange(body, p, p + dtSize), s"$ctx@$name")
+    p += pad(dtSize)
+    val dims = parseDataspace(
+      java.util.Arrays.copyOfRange(body, p, p + dsSize), s"$ctx@$name")
+    p += pad(dsSize)
+    val n = dims.product.toInt // empty dims → scalar → product = 1
+    val data = ByteBuffer.wrap(body, p, body.length - p).slice()
+      .order(ByteOrder.LITTLE_ENDIAN)
+    name -> decodeAttrValue(dtype, dims, n, data, s"$ctx@$name")
+  }
+
+  private def decodeAttrValue(
+      dtype: Dtype,
+      dims: Seq[Long],
+      n: Int,
+      data: ByteBuffer,
+      ctx: String): Any = {
+    def longs: Array[Long] = Array.tabulate(n) { i =>
+      dtype.size match {
+        case 8 => data.getLong(i * 8)
+        case 4 => if (dtype.signed) data.getInt(i * 4).toLong
+                  else data.getInt(i * 4) & 0xFFFFFFFFL
+        case 2 => if (dtype.signed) data.getShort(i * 2).toLong
+                  else (data.getShort(i * 2) & 0xFFFF).toLong
+        case 1 => if (dtype.signed) data.get(i).toLong
+                  else (data.get(i) & 0xFF).toLong
+        case s => throw new UnsupportedOperationException(
+          s"$path/$ctx: $s-byte attribute integers unsupported")
+      }
+    }
+    def doubles: Array[Double] = Array.tabulate(n) { i =>
+      if (dtype.size == 8) data.getDouble(i * 8)
+      else data.getFloat(i * 4).toDouble
+    }
+    def strings: Array[String] = dtype.clazz match {
+      case 3 => Array.tabulate(n) { i =>
+        val raw = new Array[Byte](dtype.size)
+        data.position(i * dtype.size); data.get(raw); data.rewind()
+        var end = raw.length
+        while (end > 0 && (raw(end - 1) == 0 || raw(end - 1) == ' '))
+          end -= 1
+        new String(raw, 0, end, "UTF-8")
+      }
+      case 9 => Array.tabulate(n) { i => // vlen: (len, gheap addr, index)
+        val base = i * 16
+        val len = data.getInt(base)
+        val gaddr = data.getLong(base + 4)
+        val gidx = data.getInt(base + 12)
+        new String(globalHeapObject(gaddr, gidx, ctx), 0, len, "UTF-8")
+      }
+      case _ => throw new IllegalStateException("not a string dtype")
+    }
+    val scalar = dims.isEmpty ||
+      (dims.sizeIs == 1 && dims.head == 1L && n == 1)
+    dtype.clazz match {
+      case 0 => if (scalar) longs(0) else longs
+      case 1 => if (scalar) doubles(0) else doubles
+      case 3 | 9 => if (scalar) strings(0) else strings
+      case c => throw new UnsupportedOperationException(
+        s"$path/$ctx: attribute datatype class $c unsupported")
+    }
+  }
+
+  /** Fetch one object's bytes from a global heap collection ("GCOL",
+    * "Disk Format: Level 1E") — where h5py stores vlen attribute
+    * payloads. */
+  private def globalHeapObject(
+      collectionAddr: Long, index: Int, ctx: String): Array[Byte] = {
+    require(new String(bytesAt(collectionAddr, 4), "ASCII") == "GCOL",
+      s"$path/$ctx: expected global heap collection at $collectionAddr")
+    val collSize = u64(collectionAddr + 8)
+    var p = collectionAddr + 16
+    val end = collectionAddr + collSize
+    while (p < end) {
+      val objIdx = u16(p)
+      val objSize = u64(p + 8)
+      if (objIdx == index) return bytesAt(p + 16, objSize.toInt)
+      if (objIdx == 0) p = end // free space runs to collection end
+      else p += 16 + (objSize + 7) / 8 * 8
+    }
+    throw new NoSuchElementException(
+      s"$path/$ctx: global heap object $index not in collection " +
+        s"at $collectionAddr")
+  }
+
   // ----------------------------------------------------------- datasets
 
-  import Hdf5File._
+
+  /** Dataspace message body → dimension sizes (empty = scalar). */
+  private def parseDataspace(body: Array[Byte], ctx: String): Seq[Long] = {
+    val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+    val ver = body(0)
+    val rank = body(1) & 0xFF
+    val dimsOff = if (ver == 1) 8 else 4 // v1 has 5 reserved bytes
+    (0 until rank).map(i => bb.getLong(dimsOff + 8 * i))
+  }
+
+  /** Datatype message body → [[Hdf5File.Dtype]] (clazz 9 = vlen string,
+    * attribute values only — datasets of vlen strings stay outside the
+    * subset). */
+  private def parseDatatype(body: Array[Byte], ctx: String): Dtype = {
+    val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+    val cls = body(0) & 0x0F
+    val b0 = body(1) & 0xFF
+    val size = bb.getInt(4)
+    cls match {
+      case 0 => // fixed-point; bit0 = byte order, bit3 = signed
+        require((b0 & 1) == 0, s"$ctx: big-endian ints unsupported")
+        Dtype(0, size, (b0 & 0x08) != 0)
+      case 1 =>
+        require((b0 & 1) == 0, s"$ctx: big-endian floats unsupported")
+        require(size == 4 || size == 8,
+          s"$ctx: only f4/f8 floats supported, got size $size")
+        Dtype(1, size, signed = true)
+      case 3 =>
+        Dtype(3, size, signed = false) // fixed-length string
+      case 9 if (b0 & 0x0F) == 1 => // variable-length string (h5py str)
+        Dtype(9, size, signed = false)
+      case c =>
+        throw new UnsupportedOperationException(
+          s"$ctx: datatype class $c not in the supported subset " +
+            "(fixed-point, IEEE float, fixed string, vlen string)")
+    }
+  }
 
   def dataset(p: String): Dataset = {
     val msgs = headerMessages(resolve(p))
@@ -211,32 +374,12 @@ final class Hdf5File(path: String) extends AutoCloseable {
     var filters: Seq[(Int, Array[Int])] = Nil
     msgs.foreach {
       case (0x01, body) => // dataspace
-        val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
-        val ver = body(0)
-        val rank = body(1) & 0xFF
-        val dimsOff = if (ver == 1) 8 else 4 // v1 has 5 reserved bytes
-        dims = (0 until rank).map(i => bb.getLong(dimsOff + 8 * i))
+        dims = parseDataspace(body, s"$path/$p")
       case (0x03, body) => // datatype
-        val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
-        val cls = body(0) & 0x0F
-        val b0 = body(1) & 0xFF
-        val size = bb.getInt(4)
-        cls match {
-          case 0 => // fixed-point; bit0 = byte order, bit3 = signed
-            require((b0 & 1) == 0, s"$path/$p: big-endian ints unsupported")
-            dtype = Dtype(0, size, (b0 & 0x08) != 0)
-          case 1 =>
-            require((b0 & 1) == 0, s"$path/$p: big-endian floats unsupported")
-            require(size == 4 || size == 8,
-              s"$path/$p: only f4/f8 floats supported, got size $size")
-            dtype = Dtype(1, size, signed = true)
-          case 3 =>
-            dtype = Dtype(3, size, signed = false) // fixed-length string
-          case c =>
-            throw new UnsupportedOperationException(
-              s"$path/$p: datatype class $c not in the supported subset " +
-                "(fixed-point, IEEE float, fixed string)")
-        }
+        dtype = parseDatatype(body, s"$path/$p")
+        require(dtype.clazz != 9,
+          s"$path/$p: vlen-string DATASETS are outside the subset " +
+            "(vlen strings are supported in attributes only)")
       case (0x08, body) => // data layout
         val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
         val ver = body(0) & 0xFF

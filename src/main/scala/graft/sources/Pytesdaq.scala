@@ -1,0 +1,243 @@
+package graft.sources
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** [[RawConvert.RawEventReader]] for the raw/"triggered" event container
+  * the reference fetches waveforms from (`H5Reader.read_many_events`,
+  * `analyzer.py:1030-1046`; `read_next_event`,
+  * `vibration_analyzer.py:384-388`) — the pytesdaq HDF5 layout, an
+  * openly documented open-source DAQ format:
+  *
+  * {{{
+  * /adc<i>                      one group per digitizer
+  *   @sample_rate               samples/second
+  *   @nb_samples                trace length
+  *   @nb_samples_pretrigger     pre-trigger samples
+  *   @adc_conversion_factor     ADC→volts polynomial coefficients,
+  *                              highest power first (numpy polyval
+  *                              order); per-channel rows or one shared
+  *                              row
+  *   @channel_list / @adc_channel_indices   connected channels
+  *   @series_num, @dump_num     acquisition series / file dump
+  *   event_<n>                  rank-2 (nb_channels × nb_samples)
+  *                              fixed-point ADC counts
+  *     @event_id/@event_num, @event_index, @event_time, @trigger_index
+  * }}}
+  *
+  * Backed by the pure-JVM [[Hdf5File]] (attribute + dataset subset), so
+  * raw dumps convert to the curated trace store with no native
+  * dependency: [[RawConvert.convertTraces]] → [[Ingest.writeTraces]] →
+  * [[graft.traces.TraceStore]] queries.
+  *
+  * Output rows carry the full curated trace schema
+  * `(series_number, dump_number, event_number, event_index, group_name,
+  * trigger_index, channel, trace, sample_rate, pretrigger_samples)` —
+  * one row per (event, channel), trace as float64.
+  *
+  * ADC conversion: counts → volts via the `adc_conversion_factor`
+  * polynomial (Horner, highest power first — the numpy convention the
+  * DAQ writes). The reference's further volts → amps step
+  * (`adctoamp=True`) divides by the per-channel detector normalization
+  * (driver gain × close-loop norm) held in its detector-settings
+  * store; pass it as `ampsNorm` (channel → divisor) to get amps, or
+  * leave empty to keep volts. Missing metadata fails loudly — a raw
+  * file without calibration attributes converts with `rawCounts=true`
+  * only.
+  *
+  * Series/dump resolution order: ADC-group attrs (`series_num`,
+  * `dump_num`) → trailing `_S<digits>` / `_F<digits>` tokens of the
+  * file name (the DAQ's `..._S<series>_F<dump>.hdf5` convention).
+  *
+  * Scale shape: one raw file per task ([[RawConvert.decode]]); events
+  * stream file-locally (one rank-2 dataset decoded at a time), so
+  * memory is bounded by a single event's trace block, not the file.
+  */
+final class PytesdaqReader(
+    ampsNorm: Map[String, Double] = Map.empty,
+    rawCounts: Boolean = false)
+  extends RawConvert.RawEventReader {
+
+  val schema: StructType = PytesdaqReader.schema
+
+  def readFile(path: String): Iterator[Row] = {
+    val f = new Hdf5File(path)
+    val adcGroups = f.list("/").filter(_.startsWith("adc"))
+    if (adcGroups.isEmpty) {
+      f.close()
+      throw new IllegalArgumentException(
+        s"$path: no adc<i> groups — not a pytesdaq raw event file")
+    }
+    val perGroup = adcGroups.iterator.map { g =>
+      new PytesdaqReader.GroupEvents(f, path, g, ampsNorm, rawCounts)
+    }
+    // flatten lazily; close the file when the last event is consumed
+    new Iterator[Row] {
+      private val it = perGroup.flatten
+      private var closed = false
+      def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h && !closed) { f.close(); closed = true }
+        h
+      }
+      def next(): Row = it.next()
+    }
+  }
+}
+
+object PytesdaqReader {
+
+  val schema: StructType = StructType(Seq(
+    StructField("series_number", LongType, nullable = false),
+    StructField("dump_number", LongType, nullable = false),
+    StructField("event_number", LongType, nullable = false),
+    StructField("event_index", LongType, nullable = false),
+    StructField("group_name", StringType, nullable = false),
+    StructField("trigger_index", LongType, nullable = true),
+    StructField("channel", StringType, nullable = false),
+    StructField("trace", ArrayType(DoubleType, containsNull = false),
+      nullable = false),
+    StructField("sample_rate", DoubleType, nullable = false),
+    StructField("pretrigger_samples", LongType, nullable = false)))
+
+  private def asLong(v: Any): Long = v match {
+    case l: Long => l
+    case d: Double => d.toLong
+    case a: Array[Long] => a.head
+    case a: Array[Double] => a.head.toLong
+    case other => throw new IllegalArgumentException(
+      s"cannot read $other as integer metadata")
+  }
+
+  private def asDouble(v: Any): Double = v match {
+    case l: Long => l.toDouble
+    case d: Double => d
+    case a: Array[Long] => a.head.toDouble
+    case a: Array[Double] => a.head
+    case other => throw new IllegalArgumentException(
+      s"cannot read $other as float metadata")
+  }
+
+  /** First present attribute under any of `names`. */
+  private def attr(attrs: Map[String, Any], names: String*): Option[Any] =
+    names.iterator.flatMap(attrs.get).nextOption()
+
+  /** `..._S<series>` / `..._F<dump>` file-name tokens. */
+  private[sources] def fileNameToken(path: String, tag: Char): Option[Long] = {
+    val base = path.substring(path.lastIndexOf('/') + 1)
+    val re = s"(?:^|_)$tag(\\d+)".r
+    re.findAllMatchIn(base).map(_.group(1).toLong).toSeq.lastOption
+  }
+
+  /** Lazily yields one file's rows for a single adc group. */
+  private final class GroupEvents(
+      f: Hdf5File,
+      path: String,
+      group: String,
+      ampsNorm: Map[String, Double],
+      rawCounts: Boolean)
+    extends Iterator[Row] {
+
+    private val gAttrs = f.attributes(s"/$group")
+    private val sampleRate =
+      attr(gAttrs, "sample_rate").map(asDouble).getOrElse(
+        throw new IllegalArgumentException(
+          s"$path/$group: missing sample_rate attribute"))
+    private val pretrigger =
+      attr(gAttrs, "nb_samples_pretrigger", "pretrigger_samples")
+        .map(asLong).getOrElse(0L)
+    private val series =
+      attr(gAttrs, "series_num", "series_number").map(asLong)
+        .orElse(fileNameToken(path, 'S'))
+        .getOrElse(throw new IllegalArgumentException(
+          s"$path/$group: no series_num attribute and no _S<digits> " +
+            "file-name token"))
+    private val dump =
+      attr(gAttrs, "dump_num", "dump_number").map(asLong)
+        .orElse(fileNameToken(path, 'F'))
+        .getOrElse(throw new IllegalArgumentException(
+          s"$path/$group: no dump_num attribute and no _F<digits> " +
+            "file-name token"))
+    private val channels: Array[String] =
+      attr(gAttrs, "channel_list") match {
+        case Some(a: Array[String]) => a
+        case Some(s: String) => Array(s)
+        case _ => attr(gAttrs, "adc_channel_indices") match {
+          case Some(a: Array[Long]) => a.map(i => s"ch$i")
+          case Some(l: Long) => Array(s"ch$l")
+          case _ => null // sized per event from the dataset's first dim
+        }
+      }
+    /** coefficient rows, highest power first; one row shared or one per
+      * channel. */
+    private val calRows: Array[Array[Double]] =
+      attr(gAttrs, "adc_conversion_factor") match {
+        case Some(a: Array[Double]) if channels != null &&
+            channels.length > 1 && a.length % channels.length == 0 &&
+            a.length > channels.length =>
+          // rank-2 attribute (nchan × ncoeff) arrives flattened row-major
+          a.grouped(a.length / channels.length).toArray
+        case Some(a: Array[Double]) => Array(a)
+        case Some(d: Double) => Array(Array(d))
+        case _ if rawCounts => Array(Array(1.0, 0.0))
+        case _ => throw new IllegalArgumentException(
+          s"$path/$group: missing adc_conversion_factor attribute " +
+            "(pass rawCounts=true to convert uncalibrated counts)")
+      }
+
+    // event_<n> datasets in ascending event order
+    private val eventNames = f.list(s"/$group")
+      .filter(_.startsWith("event_"))
+      .sortBy(n => n.stripPrefix("event_").toLong)
+    private var ev = 0
+    private var chan = 0
+    private var current: Array[Array[Double]] = null
+    private var meta: (Long, Long, Option[Long]) = null
+
+    private def loadEvent(): Unit = {
+      val name = eventNames(ev)
+      val dsPath = s"/$group/$name"
+      val ds = f.dataset(dsPath)
+      require(ds.dims.length == 2,
+        s"$path$dsPath: expected rank-2 (channels × samples) event data")
+      val nchan = ds.dims.head.toInt
+      val nsamp = ds.dims(1).toInt
+      if (channels != null) require(nchan == channels.length,
+        s"$path$dsPath: $nchan rows but ${channels.length} channels listed")
+      val flat = f.readLongs(dsPath)
+      val eAttrs = f.attributes(dsPath)
+      val eventNum = attr(eAttrs, "event_num", "event_id").map(asLong)
+        .getOrElse(name.stripPrefix("event_").toLong)
+      val eventIdx = attr(eAttrs, "event_index").map(asLong)
+        .getOrElse(eventNum)
+      val trigIdx = attr(eAttrs, "trigger_index").map(asLong)
+      current = Array.tabulate(nchan) { c =>
+        val coeffs = calRows(math.min(c, calRows.length - 1))
+        val chName = if (channels != null) channels(c) else s"ch$c"
+        val norm = ampsNorm.getOrElse(chName, 1.0)
+        Array.tabulate(nsamp) { s =>
+          // Horner, highest power first (numpy polyval order)
+          var acc = 0.0
+          var k = 0
+          while (k < coeffs.length) {
+            acc = acc * flat(c * nsamp + s) + coeffs(k); k += 1
+          }
+          acc / norm
+        }
+      }
+      meta = (eventNum, eventIdx, trigIdx)
+    }
+
+    def hasNext: Boolean = ev < eventNames.length
+    def next(): Row = {
+      if (current == null) loadEvent()
+      val chName = if (channels != null) channels(chan) else s"ch$chan"
+      val row = Row(series, dump, meta._1, meta._2, group,
+        meta._3.map(java.lang.Long.valueOf).orNull, chName,
+        current(chan).toIndexedSeq, sampleRate, pretrigger)
+      chan += 1
+      if (chan >= current.length) { chan = 0; current = null; ev += 1 }
+      row
+    }
+  }
+}

@@ -24,13 +24,28 @@ object Hdf5TestWriter {
   final case class Double2Col(name: String, values: Array[Array[Double]],
       chunkRows: Int, chunkCols: Int, deflate: Boolean = false)
     extends Col
+  /** rank-2 int16 matrix, contiguous — the pytesdaq raw-event shape
+    * (nb_channels × nb_samples ADC counts). */
+  final case class Short2Col(name: String, values: Array[Array[Short]])
+    extends Col
+
+  /** Attribute values (v1 attribute messages on any node). */
+  sealed trait Attr
+  final case class ALong(v: Long) extends Attr
+  final case class ADouble(v: Double) extends Attr
+  final case class AStr(v: String) extends Attr // fixed-length, NUL-padded
+  final case class ALongs(v: Array[Long]) extends Attr
+  final case class ADoubles(v: Array[Double]) extends Attr
+  final case class AStrs(v: Array[String]) extends Attr
 
   private val UNDEF = -1L
 
   /** Group-tree node: either a dataset leaf or a nested group. */
   sealed trait Node
-  final case class DatasetNode(col: Col) extends Node
-  final case class GroupNode(children: Map[String, Node]) extends Node
+  final case class DatasetNode(col: Col,
+      attrs: Seq[(String, Attr)] = Nil) extends Node
+  final case class GroupNode(children: Map[String, Node],
+      attrs: Seq[(String, Attr)] = Nil) extends Node
 
   /** Flat form: all datasets in the root group. */
   def write(path: String, cols: Seq[Col]): Unit =
@@ -73,8 +88,8 @@ object Hdf5TestWriter {
   /** Bottom-up: children first, then this node's header; returns the
     * node's object-header address. */
   private def writeNode(buf: GrowBuf, node: Node): Long = node match {
-    case DatasetNode(c) => writeDataset(buf, c)
-    case GroupNode(children) =>
+    case DatasetNode(c, attrs) => writeDataset(buf, c, attrs)
+    case GroupNode(children, attrs) =>
       val sorted = children.toSeq.sortBy(_._1)
       val childAddr = sorted.map { case (n, ch) => n -> writeNode(buf, ch) }
 
@@ -104,30 +119,133 @@ object Hdf5TestWriter {
         buf.u32(0); buf.u32(0); buf.zeros(16)
       }
 
-      // ---- group B-tree: one leaf pointing at the SNOD
+      // ---- group B-tree: one leaf pointing at the SNOD (or none for
+      // an empty group — attribute-only nodes)
       val btreeAddr = buf.pos
       buf.bytes("TREE".getBytes("ASCII"))
       buf.u8(0); buf.u8(0) // node type 0, level 0
-      buf.u16(1) // one child
+      buf.u16(if (childAddr.isEmpty) 0 else 1)
       buf.u64(UNDEF); buf.u64(UNDEF) // siblings
-      buf.u64(nameOff(childAddr.head._1)) // key 0
-      buf.u64(snodAddr) // child 0
-      buf.u64(nameOff(childAddr.last._1)) // key 1
+      if (childAddr.nonEmpty) {
+        buf.u64(nameOff(childAddr.head._1)) // key 0
+        buf.u64(snodAddr) // child 0
+        buf.u64(nameOff(childAddr.last._1)) // key 1
+      }
 
-      // ---- group object header (symbol table message)
-      val ohdr = buf.pos
-      buf.u8(1); buf.u8(0); buf.u16(1) // v1, nmsg = 1
-      buf.u32(1) // ref count
-      buf.u32(24) // header size: one 8+16 message
-      buf.u32(0) // v1 pad to 16-byte boundary of messages
-      buf.u16(0x11); buf.u16(16); buf.u32(0)
-      buf.u64(btreeAddr); buf.u64(heapAddr)
-      ohdr
+      // ---- group object header (symbol table message + attributes)
+      val stBody = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      stBody.putLong(btreeAddr); stBody.putLong(heapAddr)
+      writeHeader(buf,
+        (0x11, stBody.array()) +: attrs.map { case (n, a) => attrMsg(n, a) })
+  }
+
+  /** v1 object header around `msgs`; returns its address. */
+  private def writeHeader(
+      buf: GrowBuf, msgs: Seq[(Int, Array[Byte])]): Long = {
+    val bodySize = msgs.map(m => 8 + pad8(m._2.length)).sum
+    val addr = buf.pos
+    buf.u8(1); buf.u8(0); buf.u16(msgs.size)
+    buf.u32(1); buf.u32(bodySize); buf.u32(0)
+    msgs.foreach { case (t, b) =>
+      buf.u16(t); buf.u16(pad8(b.length)); buf.u32(0)
+      buf.bytes(b); buf.zeros(pad8(b.length) - b.length)
+    }
+    addr
+  }
+
+  // ---------------------------------------------------------- attributes
+
+  private def dtIntBody(size: Int): Array[Byte] = {
+    val bb = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(0x10.toByte); bb.put(0x08.toByte) // class 0 v1, LE signed
+    bb.put(0.toByte); bb.put(0.toByte)
+    bb.putInt(size)
+    bb.putShort(0); bb.putShort((size * 8).toShort)
+    bb.array()
+  }
+
+  private def dtF64Body: Array[Byte] = {
+    val bb = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(0x11.toByte)
+    bb.put(0x20.toByte); bb.put(0x3F.toByte); bb.put(0.toByte)
+    bb.putInt(8)
+    bb.putShort(0); bb.putShort(64)
+    bb.put(52.toByte); bb.put(11.toByte)
+    bb.put(0.toByte); bb.put(52.toByte)
+    bb.putInt(1023)
+    bb.array()
+  }
+
+  private def dtStrBody(width: Int): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(0x13.toByte) // class 3 (string) v1
+    bb.put(0.toByte) // NUL-terminated padding
+    bb.put(0.toByte); bb.put(0.toByte)
+    bb.putInt(width)
+    bb.array()
+  }
+
+  private def dsBody(dims: Seq[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + dims.length * 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte); bb.put(dims.length.toByte); bb.put(0.toByte)
+    bb.position(8)
+    dims.foreach(bb.putLong)
+    bb.array()
+  }
+
+  private def fixedStrBytes(vs: Array[String], width: Int): Array[Byte] = {
+    val out = new Array[Byte](vs.length * width)
+    vs.zipWithIndex.foreach { case (s, i) =>
+      val b = s.getBytes("UTF-8")
+      System.arraycopy(b, 0, out, i * width, b.length)
+    }
+    out
+  }
+
+  /** v1 attribute message (type 0x0C). */
+  private def attrMsg(name: String, a: Attr): (Int, Array[Byte]) = {
+    val (dt, ds, data) = a match {
+      case ALong(v) =>
+        val d = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        d.putLong(v)
+        (dtIntBody(8), dsBody(Nil), d.array())
+      case ADouble(v) =>
+        val d = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        d.putDouble(v)
+        (dtF64Body, dsBody(Nil), d.array())
+      case AStr(v) =>
+        val w = v.getBytes("UTF-8").length + 1
+        (dtStrBody(w), dsBody(Nil), fixedStrBytes(Array(v), w))
+      case ALongs(v) =>
+        val d = ByteBuffer.allocate(v.length * 8)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        v.foreach(d.putLong)
+        (dtIntBody(8), dsBody(Seq(v.length.toLong)), d.array())
+      case ADoubles(v) =>
+        val d = ByteBuffer.allocate(v.length * 8)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        v.foreach(d.putDouble)
+        (dtF64Body, dsBody(Seq(v.length.toLong)), d.array())
+      case AStrs(v) =>
+        val w = v.map(_.getBytes("UTF-8").length).max + 1
+        (dtStrBody(w), dsBody(Seq(v.length.toLong)), fixedStrBytes(v, w))
+    }
+    val nameB = name.getBytes("UTF-8") :+ 0.toByte
+    val out = new GrowBuf
+    out.u8(1); out.u8(0) // v1 + reserved
+    out.u16(nameB.length); out.u16(dt.length); out.u16(ds.length)
+    out.bytes(nameB); out.zeros(pad8(nameB.length) - nameB.length)
+    out.bytes(dt); out.zeros(pad8(dt.length) - dt.length)
+    out.bytes(ds); out.zeros(pad8(ds.length) - ds.length)
+    out.bytes(data)
+    (0x0C, out.toArray)
   }
 
   // ------------------------------------------------------------ datasets
 
-  private def writeDataset(buf: GrowBuf, c: Col): Long = {
+  private def writeDataset(
+      buf: GrowBuf, c: Col, attrs: Seq[(String, Attr)] = Nil): Long = {
     val (dims, elemSize, isFloat, bytes, chunkDims, deflate, shuffle) =
       c match {
         case LongCol(_, v, ch, df, sh) =>
@@ -149,6 +267,13 @@ object Hdf5TestWriter {
           v.foreach(_.foreach(bb.putDouble))
           (Seq(rows.toLong, colsN.toLong), 8, true, bb.array(),
             Seq(cr, cc, 8), df, false)
+        case Short2Col(_, v) =>
+          val rows = v.length; val colsN = v(0).length
+          val bb = ByteBuffer.allocate(rows * colsN * 2)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          v.foreach(_.foreach(bb.putShort))
+          (Seq(rows.toLong, colsN.toLong), 2, false, bb.array(),
+            Nil, false, false)
       }
 
     // data (chunked or contiguous) goes first; the object header points back
@@ -260,22 +385,7 @@ object Hdf5TestWriter {
     dims.foreach(spaceBody.putLong)
     msgs += ((0x01, spaceBody.array()))
 
-    val dtBody = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
-    if (isFloat) {
-      dtBody.put(0x11.toByte) // class 1, version 1
-      dtBody.put(0x20.toByte); dtBody.put(0x3F.toByte); dtBody.put(0.toByte)
-      dtBody.putInt(8)
-      dtBody.putShort(0); dtBody.putShort(64) // bit offset / precision
-      dtBody.put(52.toByte); dtBody.put(11.toByte) // exp loc / size
-      dtBody.put(0.toByte); dtBody.put(52.toByte) // mant loc / size
-      dtBody.putInt(1023) // exponent bias
-    } else {
-      dtBody.put(0x10.toByte) // class 0, version 1
-      dtBody.put(0x08.toByte); dtBody.put(0.toByte); dtBody.put(0.toByte)
-      dtBody.putInt(8)
-      dtBody.putShort(0); dtBody.putShort(64)
-    }
-    msgs += ((0x03, dtBody.array()))
+    msgs += ((0x03, if (isFloat) dtF64Body else dtIntBody(elemSize)))
 
     if (deflate || shuffle) {
       val nf = (if (shuffle) 1 else 0) + (if (deflate) 1 else 0)
@@ -292,17 +402,8 @@ object Hdf5TestWriter {
       msgs += ((0x0B, fb.toArray))
     }
     msgs += ((0x08, layoutBody))
-
-    val msgList = msgs.result()
-    val bodySize = msgList.map(m => 8 + pad8(m._2.length)).sum
-    val addr = buf.pos
-    buf.u8(1); buf.u8(0); buf.u16(msgList.size)
-    buf.u32(1); buf.u32(bodySize); buf.u32(0)
-    msgList.foreach { case (t, b) =>
-      buf.u16(t); buf.u16(pad8(b.length)); buf.u32(0)
-      buf.bytes(b); buf.zeros(pad8(b.length) - b.length)
-    }
-    addr
+    attrs.foreach { case (n, a) => msgs += attrMsg(n, a) }
+    writeHeader(buf, msgs.result())
   }
 
   private def pad8(n: Int): Int = (n + 7) / 8 * 8
