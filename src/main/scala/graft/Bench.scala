@@ -23,6 +23,12 @@ import org.apache.spark.sql.SparkSession
   *     gate on tens of milliseconds of scheduler jitter — meaningless
   *     for load detection.) A high `noisy` count means the run is not
   *     load-clean and should not be compared round-over-round.
+  *   - LOAD GUARD (r07): a series whose noisy count exceeds
+  *     SPARK_GRAFT_BENCH_NOISY_MAX (default max(8, suite/8)) is
+  *     re-measured, up to SPARK_GRAFT_BENCH_ATTEMPTS (default 3) total
+  *     attempts, keeping the least-noisy series; the JSON line carries
+  *     `attempts` and `load_flagged` so a never-clean run is visibly
+  *     marked instead of silently recorded (VERDICT r06 §1).
   *
   * Mirror-only queries (correctness mirrors of an operator whose scale
   * path is benched under its own name) are excluded from the measured
@@ -76,17 +82,52 @@ object Bench {
         name -> dt
       }
 
+    // Load guard (VERDICT r06 §1: the official BENCH_r06 artifact was
+    // load-flagged by the repo's own protocol yet recorded as the
+    // round's number). A measured series whose noisy count exceeds the
+    // threshold is re-run — bounded attempts, keeping the LEAST noisy
+    // series — instead of silently recording an ambient-inflated one.
+    // The final JSON self-reports `attempts` and `load_flagged` so a
+    // series that never came clean cannot masquerade as one that did.
+    val maxAttempts =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt
+    val noisyMax = sys.env.get("SPARK_GRAFT_BENCH_NOISY_MAX").map(_.toInt)
+      .getOrElse(math.max(8, names.size / 8))
+
     onePass(measure = false) // warm-up, not recorded
-    val passes = (1 to runs).map(_ => onePass(measure = true))
-    val byQuery = names.map { case (name, _) =>
-      val ts = passes.map(_.find(_._1 == name).get._2)
-      val med = median(ts)
-      val spread = if (med > 0) (ts.max - ts.min) / med else 0.0
-      (name, ts, med, spread)
+    def measureSeries()
+        : (Seq[(String, Seq[Double], Double, Double)], Int) = {
+      val passes = (1 to runs).map(_ => onePass(measure = true))
+      val byQuery = names.map { case (name, _) =>
+        val ts = passes.map(_.find(_._1 == name).get._2)
+        val med = median(ts)
+        val spread = if (med > 0) (ts.max - ts.min) / med else 0.0
+        (name, ts, med, spread)
+      }
+      val n = byQuery.count { case (_, ts, _, spread) =>
+        spread > 0.30 && (ts.max - ts.min) > 0.15 }
+      (byQuery, n)
     }
+    var attempt = 0
+    var best: (Seq[(String, Seq[Double], Double, Double)], Int) = null
+    while (attempt < maxAttempts &&
+        (best == null || best._2 > noisyMax)) {
+      attempt += 1
+      val series = measureSeries()
+      if (best == null || series._2 < best._2) best = series
+      if (series._2 > noisyMax) {
+        System.err.println(s"[bench] load-flagged series: noisy=" +
+          s"${series._2} > $noisyMax (attempt $attempt/$maxAttempts)" +
+          (if (attempt < maxAttempts) " — re-running" else
+            " — out of attempts, recording the least noisy series"))
+        if (attempt < maxAttempts) Thread.sleep(10000L) // let load pass
+      }
+    }
+    val byQuery = best._1
     val total = byQuery.map(_._3).sum
     val noisy = byQuery.filter { case (_, ts, med, spread) =>
       spread > 0.30 && (ts.max - ts.min) > 0.15 }
+    val loadFlagged = noisy.length > noisyMax
 
     def jnum(v: Double): String = f"$v%.3f"
     def jmap(rs: Seq[(String, Double)]): String = rs
@@ -100,8 +141,9 @@ object Bench {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("target/bench_detail.json"),
         (s"""{"metric":"total_median","value":${jnum(total)},"unit":"sec",""" +
-          s""""runs":$runs,"noisy":$noisyList,"queries":$detail,""" +
-          s""""sf":"$sfDir"}""").getBytes("UTF-8"))
+          s""""runs":$runs,"attempts":$attempt,""" +
+          s""""load_flagged":$loadFlagged,"noisy":$noisyList,""" +
+          s""""queries":$detail,"sf":"$sfDir"}""").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     val headline = Set(
       "tpch_q1_pricing", "tpch_q5_local_supplier", "tpch_join_revenue",
@@ -118,7 +160,7 @@ object Bench {
       case (name, _, med, _) if headline(name) => name -> med
     })
     val line =
-      s"""{"metric":"total_median","value":${jnum(total)},"unit":"sec","runs":$runs,"noisy":${noisy.length},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total_median","value":${jnum(total)},"unit":"sec","runs":$runs,"noisy":${noisy.length},"attempts":$attempt,"load_flagged":$loadFlagged,"queries":$qs,"sf":"$sfDir"}"""
     // the harness tail-captures the last ~2000 chars of output: silence
     // shutdown logging and RE-print the line after stop() so nothing —
     // not a stray shutdown WARN, not a cleanup message — can push the
