@@ -30,14 +30,33 @@ object Spans {
     * corpus (incl. within the same document — self-repetition is
     * duplication). `n_grams` = duplicated k-windows merged into the
     * span (span length = span_end − span_start ∈ [k, k + n_grams − 1]).
-    * Documents shorter than k tokens emit nothing. */
+    * Documents shorter than k tokens emit nothing.
+    *
+    * RUNNER CONTRACT: persists the narrow gram projection (the hot-gram
+    * count and the occurrence join both read it — without the cache the
+    * tokenize+posexplode subtree executes TWICE, doubling the
+    * operator's dominant cost at scale, VERDICT r06 §2); released by
+    * the session's per-query cache hygiene, or eagerly via
+    * [[duplicatedSpansReleasable]]. */
   def duplicatedSpans(
       df: DataFrame,
       textCol: String,
       idCol: String,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    duplicatedSpansReleasable(df, textCol, idCol, k)._1
+
+  /** [[duplicatedSpans]] plus the gram cache's release handle — call it
+    * once the span table has been materialized. */
+  def duplicatedSpansReleasable(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int): (DataFrame, () => Unit) = {
     require(k > 0, "window length must be positive")
     val toks = split(trim(col(textCol)), "\\s+")
+    // ONE scan of the corpus: the 20-byte (id, start, gram-hash) rows
+    // are cached (disk-spilling) across the two consumers below —
+    // linear in corpus tokens, the irreducible substring-dedup size
     val grams = df
       .withColumn("__toks", toks)
       .filter(col("__toks").isNotNull && size(col("__toks")) >= k &&
@@ -46,6 +65,8 @@ object Spans {
         transform(sequence(lit(0), size(col("__toks")) - k),
           i => xxhash64(concat_ws(" ", slice(col("__toks"), i + 1, lit(k))))))
         .as(Seq("start", "__gh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    grams.count() // materialize before the two consumers race to fill it
     // one map-side-combined count finds grams occurring ≥2 times
     val hot = grams.groupBy("__gh").agg(count(lit(1)).as("__c"))
       .filter(col("__c") > 1).select("__gh")
@@ -53,7 +74,7 @@ object Spans {
     // gaps-and-islands per document: with fixed window k, a sorted
     // gram overlaps-or-touches its predecessor iff start − prev ≤ k
     val w = Window.partitionBy(idCol).orderBy("start")
-    dup
+    val out = dup
       .withColumn("__brk",
         when(coalesce(col("start") - lag("start", 1).over(w), lit(0L)) > k,
           1L).otherwise(0L))
@@ -64,6 +85,7 @@ object Spans {
         (max("start") + k).as("span_end"),
         count(lit(1)).as("n_grams"))
       .drop("__span")
+    (out, () => { grams.unpersist(); () })
   }
 
   /** The dedup ACTION: rewrite `textCol` with every duplicated span
@@ -82,12 +104,22 @@ object Spans {
       df: DataFrame,
       textCol: String,
       idCol: String,
-      k: Int): DataFrame = {
-    val spans = duplicatedSpans(df, textCol, idCol, k)
+      k: Int): DataFrame =
+    removeDuplicatedSpansReleasable(df, textCol, idCol, k)._1
+
+  /** [[removeDuplicatedSpans]] plus the gram cache's release handle. */
+  def removeDuplicatedSpansReleasable(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int): (DataFrame, () => Unit) = {
+    val (spanTable, release) =
+      duplicatedSpansReleasable(df, textCol, idCol, k)
+    val spans = spanTable
       .groupBy(idCol)
       .agg(collect_list(struct(col("span_start"), col("span_end")))
         .as("__spans"))
-    df.join(spans, Seq(idCol), "left")
+    val out = df.join(spans, Seq(idCol), "left")
       .withColumn(textCol,
         when(col("__spans").isNull, col(textCol))
           .otherwise(concat_ws(" ",
@@ -96,5 +128,6 @@ object Spans {
                 i >= sp.getField("span_start") &&
                   i < sp.getField("span_end"))))))
       .drop("__spans")
+    (out, release)
   }
 }

@@ -177,23 +177,28 @@ object LlmQueries {
     // grams / 2101 duplicated occurrences at sf0.01) — the suffix-array
     // dedup shape as one count + one co-partitioned join + per-doc
     // windows
-    "llm_dup_spans" -> ((s, dir) =>
-      Spans.duplicatedSpans(t(s, dir, "documents"), "text", "doc_id", 8)
-        .select(col("doc_id"),
+    "llm_dup_spans" -> ((s, dir) => {
+      val (spans, release) = Spans.duplicatedSpansReleasable(
+        t(s, dir, "documents"), "text", "doc_id", 8)
+      collectAndRelease(s,
+        spans.select(col("doc_id"),
           col("span_start").cast("long").as("span_start"),
           col("span_end").cast("long").as("span_end"),
           col("n_grams"))
-        .orderBy("doc_id", "span_start")),
+          .orderBy("doc_id", "span_start"))(release)
+    }),
 
     // the span-removal action: md5 + length audit of the rewritten
     // corpus (span-free docs keep their bytes; spanned docs rejoin
     // surviving tokens)
-    "llm_dup_span_removal" -> ((s, dir) =>
-      Spans.removeDuplicatedSpans(t(s, dir, "documents"), "text",
-          "doc_id", 8)
-        .select(col("doc_id"), md5(col("text")).as("h"),
+    "llm_dup_span_removal" -> ((s, dir) => {
+      val (removed, release) = Spans.removeDuplicatedSpansReleasable(
+        t(s, dir, "documents"), "text", "doc_id", 8)
+      collectAndRelease(s,
+        removed.select(col("doc_id"), md5(col("text")).as("h"),
           length(col("text")).cast("long").as("len"))
-        .orderBy("doc_id")),
+          .orderBy("doc_id"))(release)
+    }),
 
     // cross-source duplication audit: distinct winnowed fingerprints
     // shared per source pair ("who copies from whom") — sketch-bounded

@@ -114,10 +114,6 @@ object ScaleStress {
         time(s"bigram familiarity x$mult")(
           force(TextAnalysis.bigramFamiliarity(d, "text", "doc_id")))
         spark.catalog.clearCache()
-        // worst case under replication: EVERY gram is hot, the dup
-        // table equals the full gram table
-        time(s"dup spans x$mult")(
-          force(graft.llm.Spans.duplicatedSpans(d, "text", "doc_id", 8)))
         time(s"bm25 score x$mult")(
           force(graft.llm.Rank.bm25(d, "text", "doc_id",
             Seq("dup", "key", "batch"))))
@@ -128,15 +124,32 @@ object ScaleStress {
               .cast("double") / length(col("text")) > 0.818)))))
         time(s"chunk overlap x$mult")(
           force(graft.llm.Chunk.chunkTokens(d, "text", "doc_id", 32, 8)))
-        // budget scales WITH the corpus (25% of tokens) so the curve
-        // shape is comparable across multipliers; the persisted counts
-        // table is released by the clearCache below
-        time(s"token budget x$mult")(
-          force(graft.llm.Select.takeTokenBudget(d, "text", "doc_id",
-              col("n_chars").cast("double"), budget = 68000L * mult)
-            .select("doc_id", "n_tokens", "tokens_before")))
         spark.catalog.clearCache()
       }
+      // round-6 operators promoted to the second decade (VERDICT r06
+      // §7): dup spans / span removal / token budget run at 64× too.
+      // Worst case under replication: EVERY gram is hot, the dup table
+      // equals the full gram table
+      time(s"dup spans x$mult") {
+        val (sp, rel) = graft.llm.Spans.duplicatedSpansReleasable(
+          d, "text", "doc_id", 8)
+        val n = force(sp); rel(); n
+      }
+      time(s"span removal x$mult") {
+        val (rm, rel) = graft.llm.Spans.removeDuplicatedSpansReleasable(
+          d, "text", "doc_id", 8)
+        val n = force(rm); rel(); n
+      }
+      // budget scales WITH the corpus (25% of tokens) so the curve
+      // shape is comparable across multipliers
+      time(s"token budget x$mult") {
+        val (sel, rel) = graft.llm.Select.takeTokenBudgetReleasable(
+          d, "text", "doc_id", col("n_chars").cast("double"),
+          budget = 68000L * mult)
+        val n = force(sel.select("doc_id", "n_tokens", "tokens_before"))
+        rel(); n
+      }
+      spark.catalog.clearCache()
     }
 
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -159,14 +172,15 @@ object ScaleStress {
             planes = 10, minCosine = 0.99).count())
         time(s"int8 quantization x$mult")(
           force(graft.llm.Quantize.quantizationReport(e, "embedding", "vec_id")))
-        // k scales WITH the corpus (constant mean cluster size — the
-        // prescription in Dedup.semanticNearDups' scaladoc), so the
-        // cluster-local quadratic verify stays bounded per cluster
-        time(s"semantic dedup x$mult") {
-          val cents = Similarity.ivfCentroidsLloyd(
-            e, "embedding", "vec_id", k = 8 * mult, iters = 1)
-          Dedup.dedupSemantic(e, "embedding", "vec_id", cents, 0.35).count()
-        }
+      }
+      // k scales WITH the corpus (constant mean cluster size — the
+      // prescription in Dedup.semanticNearDups' scaladoc), so the
+      // cluster-local quadratic verify stays bounded per cluster;
+      // promoted to 64× (VERDICT r06 §7)
+      time(s"semantic dedup x$mult") {
+        val cents = Similarity.ivfCentroidsLloyd(
+          e, "embedding", "vec_id", k = 8 * mult, iters = 1)
+        Dedup.dedupSemantic(e, "embedding", "vec_id", cents, 0.35).count()
       }
       spark.catalog.clearCache()
     }

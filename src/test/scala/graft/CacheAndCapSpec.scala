@@ -144,7 +144,9 @@ class CacheAndCapSpec extends SparkSpec {
       "llm_minhash_neardup", "llm_neardup_dedup", "llm_simhash_neardup",
       // GlobalOrder prefix-sum users (ADVICE r06: exclusivePrefix used
       // to persist with no release handle — these now collectAndRelease)
-      "llm_token_budget", "llm_pack_sequences", "llm_score_percentile")
+      "llm_token_budget", "llm_pack_sequences", "llm_score_percentile",
+      // gram-cache users (VERDICT r06 §2: single-scan dup spans)
+      "llm_dup_spans", "llm_dup_span_removal")
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, dir)
       assert(df.count() >= 0L)
