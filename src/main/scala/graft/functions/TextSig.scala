@@ -103,6 +103,14 @@ object TextTokenize {
   private val FnvBasis = 0xcbf29ce484222325L
   private val FnvPrime = 0x100000001b3L
 
+  /** FNV-1a 64 of the raw bytes [from, until). */
+  def fnv(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = FnvBasis
+    var i = from
+    while (i < until) { h ^= bytes(i) & 0xFF; h *= FnvPrime; i += 1 }
+    h
+  }
+
   /** FNV-1a 64 of tokens [from, until) joined by a single 0x20 —
     * bit-identical to `MinHashSig.fnv64(concat_ws(" ", tokens))`. */
   def fnvJoined(bytes: Array[Byte], starts: Array[Int], ends: Array[Int],

@@ -117,6 +117,11 @@ object ScaleStress {
         time(s"bm25 score x$mult")(
           force(graft.llm.Rank.bm25(d, "text", "doc_id",
             Seq("dup", "key", "batch"))))
+        // 100-term probe: per-doc cost must stay ~flat vs the 3-term
+        // probe now that TermCounts builds all frequencies in one pass
+        time(s"bm25 100-term x$mult")(
+          force(graft.llm.Rank.bm25(d, "text", "doc_id",
+            Seq("dup", "key", "batch") ++ (1 to 97).map(i => s"probe$i"))))
         time(s"curation funnel x$mult")(
           force(graft.llm.Curate.funnel(d, Seq(
             "tok" -> TextAnalysis.tokenCount(col("text")).between(30L, 80L),

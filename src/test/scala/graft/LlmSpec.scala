@@ -799,6 +799,50 @@ class LlmSpec extends SparkSpec {
     assert(idfC > idfA)
   }
 
+  test("term_counts kernel ≡ composed per-term filter (incl. edge cases)") {
+    val docs = Seq(
+      (0L, "alpha beta alpha  gamma\talpha"),
+      (1L, ""), // one empty token, matches no real term
+      (2L, "  beta  "), // leading/trailing whitespace trims
+      (3L, null.asInstanceOf[String]), // null → null counts
+      (4L, "betamax alphabet beta"), // prefixes must NOT match
+      (5L, "δ unicode δ tokens")
+    ).toDF("doc_id", "text")
+    val terms = Seq("alpha", "beta", "δ", "missing", "beta") // dup term
+    val kernel = docs.select(col("doc_id"),
+      graft.functions.TermCounts(col("text"), terms).as("tc"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1).toSeq)).toMap
+    // composed form yields an array of per-term NULLs for null text
+    // where the kernel (nullIntolerant) yields a null array — same
+    // downstream semantics (every tf coalesces to 0); normalize here
+    val composed = docs.select(col("doc_id"),
+      array(terms.map(t =>
+        size(filter(split(trim(col("text")), "\\s+"), x => x === t))
+          .cast("long")): _*).as("tc"))
+      .collect().map { r =>
+        val v = if (r.isNullAt(1)) null else {
+          val xs = r.getSeq[Any](1)
+          if (xs.forall(_ == null)) null else xs.map(_.asInstanceOf[Long])
+        }
+        r.getLong(0) -> v
+      }.toMap
+    assert(kernel == composed)
+    assert(kernel(0L) == Seq(3L, 1L, 0L, 0L, 1L))
+    assert(kernel(5L) == Seq(0L, 0L, 2L, 0L, 0L))
+    assert(kernel(3L) == null)
+    // a 100-term probe agrees with the composed form on real-ish text
+    val big = (1 to 100).map(i => s"t$i")
+    val doc = Seq((0L, (1 to 200).map(i => s"t${i % 37}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val kb = doc.select(graft.functions.TermCounts(col("text"), big))
+      .head().getSeq[Long](0).toSeq
+    val cb = doc.select(array(big.map(t =>
+      size(filter(split(trim(col("text")), "\\s+"), x => x === t))
+        .cast("long")): _*)).head().getSeq[Long](0).toSeq
+    assert(kb == cb)
+  }
+
   test("semantic dedup: cluster-local drops, cross-cluster blindness") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)), // cluster 0
