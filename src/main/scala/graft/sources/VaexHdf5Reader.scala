@@ -66,7 +66,14 @@ object VaexHdf5Reader {
     "series_number", "dump_number", "event_number", "event_index",
     "event_id", "trigger_type")
 
-  /** Infer the batch schema from one sample file. */
+  /** Infer the batch schema from one sample file. Per-column `unit`
+    * attributes (the physical-units metadata `df.unit(expr)` serves in
+    * the reference, `analyzer.py:135-136`) are carried into the
+    * StructField Metadata under the key `unit` — Spark persists field
+    * metadata through Parquet, so units survive the full
+    * HDF5 → curated store → [[graft.core.EventTable.unit]] chain. Both
+    * the column group and its `data` dataset are consulted (writers
+    * differ on where they hang the attribute). */
   def inferSchema(sampleFile: String): StructType = {
     val f = new Hdf5File(sampleFile)
     try {
@@ -86,7 +93,12 @@ object VaexHdf5Reader {
                 s"$sampleFile: column '$name' datatype class $c unsupported")
             }
           }
-        StructField(name, tpe, nullable = false)
+        val unit = (f.attributes(g) ++
+          (if (members.contains("data")) f.attributes(s"$g/data")
+           else Map.empty)).get("unit").collect { case s: String => s }
+        val md = unit.fold(Metadata.empty)(u =>
+          new MetadataBuilder().putString("unit", u).build())
+        StructField(name, tpe, nullable = false, metadata = md)
       }
       StructType(fields)
     } finally f.close()

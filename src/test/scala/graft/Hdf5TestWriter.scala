@@ -54,11 +54,15 @@ object Hdf5TestWriter {
 
   /** The vaex column layout the reference's feature files use:
     * `/table/columns/<name>/data` (numeric columns only — what the
-    * synthetic fixtures need). */
-  def writeVaex(path: String, cols: Seq[Col]): Unit =
+    * synthetic fixtures need). `units` attaches a `unit` string
+    * attribute to the named column groups. */
+  def writeVaex(path: String, cols: Seq[Col],
+      units: Map[String, String] = Map.empty): Unit =
     writeTree(path, GroupNode(Map("table" -> GroupNode(Map(
       "columns" -> GroupNode(cols.map(c =>
-        c.name -> (GroupNode(Map("data" -> DatasetNode(c))): Node)).toMap))))))
+        c.name -> (GroupNode(Map("data" -> DatasetNode(c)),
+          units.get(c.name).map(u => "unit" -> (AStr(u): Attr)).toSeq)
+          : Node)).toMap))))))
 
   /** Write an arbitrary group tree (classic v0 layout). */
   def writeTree(path: String, root: GroupNode): Unit = {

@@ -29,6 +29,26 @@ class NotebookParitySpec extends SparkSpec {
     EventTable(Ingest.readEvents(spark, store))
   }
 
+  test("§2 units metadata survives HDF5 → curated Parquet → load") {
+    // df.unit(expr) (`analyzer.py:135-136`): the vaex file's per-column
+    // `unit` attribute rides StructField Metadata through the parquet
+    // round trip and surfaces via EventTable.unit. The demo file ships
+    // no unit attrs, so a synthetic vaex fixture carries them.
+    val d = Files.createTempDirectory("units").toString
+    Hdf5TestWriter.writeVaex(s"$d/f.h5", Seq(
+      Hdf5TestWriter.DoubleCol("series_number", Array(1.0, 1.0)),
+      Hdf5TestWriter.DoubleCol("dump_number", Array(0.0, 0.0)),
+      Hdf5TestWriter.DoubleCol("event_number", Array(1.0, 2.0)),
+      Hdf5TestWriter.DoubleCol("amp", Array(0.25, 0.5))),
+      units = Map("amp" -> "amps", "event_number" -> "")) // "" ≡ unitless
+    val reader = VaexHdf5Reader(s"$d/f.h5")
+    assert(reader.schema("amp").metadata.getString("unit") == "amps")
+    RawConvert.convertEvents(spark, Seq(s"$d/f.h5"), reader, s"$d/store")
+    val t = EventTable(Ingest.readEvents(spark, s"$d/store"))
+    assert(t.unit("amp").contains("amps"))
+    assert(t.unit("series_number").isEmpty) // no attr → no unit
+  }
+
   test("§1 load + describe") {
     assume(demoExists, s"$demoFile not present")
     assert(table.view.count() == 1000L)
