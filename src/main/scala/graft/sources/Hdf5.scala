@@ -16,8 +16,11 @@ import java.util.zip.Inflater
   * compression options:
   *
   *   - superblock v0 (classic) and v2/v3
-  *   - v1 object headers (incl. continuation blocks)
-  *   - symbol-table groups (v1 B-tree + SNOD + local heap)
+  *   - v1 object headers (incl. continuation blocks) and v2 "OHDR"
+  *     headers (h5py `libver='latest'`; incl. "OCHK" continuations)
+  *   - symbol-table groups (v1 B-tree + SNOD + local heap) and
+  *     new-style groups with COMPACT link messages (dense/fractal-heap
+  *     link storage fails loudly by name)
   *   - dataspace v1/v2 (simple, any rank)
   *   - datatypes: fixed-point (1/2/4/8-byte, signed/unsigned LE),
   *     IEEE float (4/8-byte LE), fixed-length strings
@@ -87,11 +90,20 @@ final class Hdf5File(path: String) extends AutoCloseable {
 
   // ----------------------------------------------------- object headers
 
-  /** One header message: (type, body bytes). */
-  private def headerMessages(addr: Long): Seq[(Int, Array[Byte])] = {
-    val ver = u8(addr)
-    require(ver == 1, s"$path@$addr: object header v$ver (only v1 " +
-      "headers — the h5py/vaex classic layout — are supported)")
+  /** One header message: (type, body bytes). Dispatches on the header
+    * version at `addr`: v1 (classic, no signature) or v2 ("OHDR",
+    * h5py `libver='latest'`). */
+  private def headerMessages(addr: Long): Seq[(Int, Array[Byte])] =
+    if (new String(bytesAt(addr, 4), "ASCII") == "OHDR")
+      headerMessagesV2(addr)
+    else {
+      val ver = u8(addr)
+      require(ver == 1, s"$path@$addr: object header v$ver (v1 and v2 " +
+        "'OHDR' headers are supported)")
+      headerMessagesV1(addr)
+    }
+
+  private def headerMessagesV1(addr: Long): Seq[(Int, Array[Byte])] = {
     val nmsg = u16(addr + 2)
     val hsize = u32(addr + 8)
     val out = Seq.newBuilder[(Int, Array[Byte])]
@@ -114,6 +126,55 @@ final class Hdf5File(path: String) extends AutoCloseable {
         }
         remaining -= 1
         p += 8 + msize
+      }
+    }
+    out.result()
+  }
+
+  /** v2 ("OHDR") object header: 1-byte message types, explicit chunk-0
+    * size (width from flags bits 0-1), optional times / phase-change
+    * fields, trailing checksum per chunk (not validated — a torn file
+    * fails on structure, which is the contract that matters here),
+    * "OCHK" continuation blocks. */
+  private def headerMessagesV2(addr: Long): Seq[(Int, Array[Byte])] = {
+    val flags = u8(addr + 5)
+    var p = addr + 6
+    if ((flags & 0x20) != 0) p += 16 // access/mod/change/birth times
+    if ((flags & 0x10) != 0) p += 4 // max-compact / min-dense
+    val szWidth = 1 << (flags & 0x03)
+    val chunk0 = szWidth match {
+      case 1 => u8(p).toLong
+      case 2 => u16(p).toLong
+      case 4 => u32(p)
+      case 8 => u64(p)
+    }
+    p += szWidth
+    val track = (flags & 0x04) != 0 // creation order tracked per message
+    val out = Seq.newBuilder[(Int, Array[Byte])]
+    // (message area start, message area length) — chunk 0 then OCHKs
+    var blocks = List((p, chunk0))
+    val hdr = if (track) 6 else 4 // type(1) + size(2) + flags(1) [+ord(2)]
+    while (blocks.nonEmpty) {
+      val (bstart, bsize) = blocks.head
+      blocks = blocks.tail
+      var q = bstart
+      val end = bstart + bsize
+      // messages pack the block; a gap smaller than one message header
+      // may remain before the checksum
+      while (end - q >= hdr) {
+        val mtype = u8(q)
+        val msize = u16(q + 1)
+        val body = bytesAt(q + hdr, msize)
+        if (mtype == 0x10) { // continuation → "OCHK" block
+          val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+          val (caddr, clen) = (bb.getLong(0), bb.getLong(8))
+          require(new String(bytesAt(caddr, 4), "ASCII") == "OCHK",
+            s"$path@$caddr: expected continuation block signature")
+          blocks = blocks :+ ((caddr + 4, clen - 8)) // minus sig+checksum
+        } else if (mtype != 0) { // skip NIL padding
+          out += ((mtype, body))
+        }
+        q += hdr + msize
       }
     }
     out.result()
@@ -143,15 +204,37 @@ final class Hdf5File(path: String) extends AutoCloseable {
     sb.toString
   }
 
-  /** (name, object header address) pairs of a symbol-table group. */
+  /** (name, object header address) pairs of a group: classic
+    * symbol-table groups, or new-style groups with COMPACT link
+    * messages (h5py `libver='latest'` with ≤ max_compact links). Dense
+    * link storage (fractal heap) fails loudly by name. */
   private def groupEntries(headerAddr: Long): Seq[(String, Long)] = {
-    val stab = headerMessages(headerAddr).collectFirst {
+    val msgs = headerMessages(headerAddr)
+    val stabOpt = msgs.collectFirst {
       case (0x11, body) =>
         val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
         (bb.getLong(0), bb.getLong(8)) // (v1 B-tree addr, local heap addr)
-    }.getOrElse(throw new UnsupportedOperationException(
-      s"$path@$headerAddr: not a symbol-table group (new-style " +
-        "link-message groups are outside the supported subset)"))
+    }
+    if (stabOpt.isEmpty) {
+      val links = msgs.collect { case (0x06, body) => parseLink(body) }
+      if (links.nonEmpty) return links
+      // no links: either a genuinely empty new-style group or dense
+      // storage (links in a fractal heap) — message 0x02 (Link Info)
+      // tells them apart
+      msgs.collectFirst { case (0x02, body) => body }.foreach { body =>
+        val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+        val fl = body(1) & 0xFF
+        val heapOff = 2 + (if ((fl & 0x01) != 0) 8 else 0)
+        require(bb.getLong(heapOff) == UNDEF,
+          s"$path@$headerAddr: dense link storage (fractal heap) is " +
+            "outside the supported subset — rewrite the file with " +
+            "compact links (h5py default below 8 links per group)")
+        return Nil // empty new-style group
+      }
+    }
+    val stab = stabOpt.getOrElse(throw new UnsupportedOperationException(
+      s"$path@$headerAddr: not a group (no symbol table and no link " +
+        "messages)"))
     val dataSeg = localHeapDataSeg(stab._2)
     val out = Seq.newBuilder[(String, Long)]
 
@@ -188,6 +271,32 @@ final class Hdf5File(path: String) extends AutoCloseable {
     out.result()
   }
 
+  /** One link message (0x06) → (name, object header address). Only
+    * hard links are in the subset (h5py emits hard links for regular
+    * group members). */
+  private def parseLink(body: Array[Byte]): (String, Long) = {
+    val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+    require((body(0) & 0xFF) == 1,
+      s"$path: link message v${body(0)} unsupported")
+    val fl = body(1) & 0xFF
+    var p = 2
+    val linkType =
+      if ((fl & 0x08) != 0) { val t = body(p) & 0xFF; p += 1; t } else 0
+    require(linkType == 0,
+      s"$path: link type $linkType unsupported (hard links only)")
+    if ((fl & 0x04) != 0) p += 8 // creation order
+    if ((fl & 0x10) != 0) p += 1 // name charset
+    val nameLen = (1 << (fl & 0x03)) match {
+      case 1 => body(p) & 0xFF
+      case 2 => bb.getShort(p) & 0xFFFF
+      case 4 => bb.getInt(p)
+      case 8 => bb.getLong(p).toInt
+    }
+    p += (1 << (fl & 0x03))
+    val name = new String(body, p, nameLen, "UTF-8")
+    (name, bb.getLong(p + nameLen))
+  }
+
   private def resolve(p: String): Long =
     p.split('/').filter(_.nonEmpty).foldLeft(rootHeaderAddr) { (addr, seg) =>
       groupEntries(addr).collectFirst { case (n, a) if n == seg => a }
@@ -200,9 +309,11 @@ final class Hdf5File(path: String) extends AutoCloseable {
   def list(groupPath: String): Seq[String] =
     groupEntries(resolve(groupPath)).map(_._1).sorted
 
-  /** True when the named child object is itself a group. */
+  /** True when the named child object is itself a group (classic
+    * symbol-table or new-style link-message group). */
   def isGroup(objectPath: String): Boolean =
-    headerMessages(resolve(objectPath)).exists(_._1 == 0x11)
+    headerMessages(resolve(objectPath)).exists(m =>
+      m._1 == 0x11 || m._1 == 0x06 || m._1 == 0x02)
 
   // ---------------------------------------------------------- attributes
 

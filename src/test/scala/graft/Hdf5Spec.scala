@@ -36,6 +36,38 @@ class Hdf5Spec extends SparkSpec {
     } finally h.close()
   }
 
+  test("v2 'OHDR' headers + link-message groups round trip (r07)") {
+    // the h5py libver='latest' shape: superblock v3, OHDR object
+    // headers, new-style groups carrying links as compact messages
+    val f = tmp("v2.h5")
+    val longs = Array.tabulate(100)(i => i.toLong * 7 - 50)
+    val doubles = Array.tabulate(100)(i => i * 0.25)
+    Hdf5TestWriter.writeTreeV2(f, Hdf5TestWriter.GroupNode(Map(
+      "grp" -> Hdf5TestWriter.GroupNode(
+        Map(
+          "ints" -> Hdf5TestWriter.DatasetNode(
+            Hdf5TestWriter.LongCol("ints", longs),
+            Seq("unit" -> Hdf5TestWriter.AStr("counts"))),
+          "floats" -> Hdf5TestWriter.DatasetNode(
+            Hdf5TestWriter.DoubleCol("floats", doubles))),
+        Seq("sample_rate" -> Hdf5TestWriter.ADouble(1.25e6))),
+      "empty" -> Hdf5TestWriter.GroupNode(Map.empty,
+        Seq("note" -> Hdf5TestWriter.AStr("attrs only"))))))
+    val h = new Hdf5File(f)
+    try {
+      assert(h.list("/") == Seq("empty", "grp"))
+      assert(h.isGroup("/grp"))
+      assert(h.list("/grp") == Seq("floats", "ints"))
+      assert(h.readLongs("/grp/ints").toSeq == longs.toSeq)
+      assert(h.readDoubles("/grp/floats").toSeq == doubles.toSeq)
+      // attributes inside v2 headers (group + dataset + empty group)
+      assert(h.attributes("/grp")("sample_rate") == 1.25e6)
+      assert(h.attributes("/grp/ints")("unit") == "counts")
+      assert(h.attributes("/empty")("note") == "attrs only")
+      assert(h.list("/empty").isEmpty)
+    } finally h.close()
+  }
+
   test("chunked + deflate + shuffle round trip, partial edge chunk") {
     val f = tmp("chunked.h5")
     val longs = Array.tabulate(1000)(i => (i * 2654435761L) % 100003)

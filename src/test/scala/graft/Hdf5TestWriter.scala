@@ -249,7 +249,14 @@ object Hdf5TestWriter {
   // ------------------------------------------------------------ datasets
 
   private def writeDataset(
-      buf: GrowBuf, c: Col, attrs: Seq[(String, Attr)] = Nil): Long = {
+      buf: GrowBuf, c: Col, attrs: Seq[(String, Attr)] = Nil): Long =
+    writeHeader(buf, datasetMsgs(buf, c, attrs))
+
+  /** Write the dataset's data and return its header messages (shared
+    * by the v1 and v2 header emitters). */
+  private def datasetMsgs(
+      buf: GrowBuf, c: Col, attrs: Seq[(String, Attr)])
+      : Seq[(Int, Array[Byte])] = {
     val (dims, elemSize, isFloat, bytes, chunkDims, deflate, shuffle) =
       c match {
         case LongCol(_, v, ch, df, sh) =>
@@ -407,7 +414,76 @@ object Hdf5TestWriter {
     }
     msgs += ((0x08, layoutBody))
     attrs.foreach { case (n, a) => msgs += attrMsg(n, a) }
-    writeHeader(buf, msgs.result())
+    msgs.result()
+  }
+
+  // ---------------------------------------------- v2 ("OHDR") variant
+
+  /** Write the tree with superblock v3 + v2 object headers + new-style
+    * link-message groups — the h5py `libver='latest'` shape, exercising
+    * the reader's OHDR/link path against files this code did not
+    * parse-then-reprint. */
+  def writeTreeV2(path: String, root: GroupNode): Unit = {
+    val buf = new GrowBuf
+    buf.bytes(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n',
+      0x1A.toByte, '\n'))
+    buf.u8(3); buf.u8(8); buf.u8(8); buf.u8(0) // v3, sizes, flags
+    buf.u64(0) // base address
+    buf.u64(UNDEF) // superblock extension
+    val eofPatch = buf.pos; buf.u64(0)
+    val rootPatch = buf.pos; buf.u64(0)
+    buf.u32(0) // superblock checksum (reader does not validate)
+    val rootAddr = writeNodeV2(buf, root)
+    buf.patchU64(rootPatch, rootAddr)
+    buf.patchU64(eofPatch, buf.pos)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), buf.toArray)
+  }
+
+  private def writeNodeV2(buf: GrowBuf, node: Node): Long = node match {
+    case DatasetNode(c, attrs) =>
+      writeHeaderV2(buf, datasetMsgs(buf, c, attrs))
+    case GroupNode(children, attrs) =>
+      val childAddr = children.toSeq.sortBy(_._1)
+        .map { case (n, ch) => n -> writeNodeV2(buf, ch) }
+      val links = childAddr.map { case (n, a) =>
+        val nb = n.getBytes("UTF-8")
+        val mb = ByteBuffer.allocate(3 + nb.length + 8)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        mb.put(1.toByte) // link message v1
+        mb.put(0.toByte) // flags: 1-byte name length, hard link
+        mb.put(nb.length.toByte)
+        mb.put(nb)
+        mb.putLong(a)
+        (0x06, mb.array())
+      }
+      // Link Info (0x02) with undefined fractal heap = compact links,
+      // as h5py emits for every new-style group — an EMPTY group is
+      // recognizable as a group by this message alone
+      val linkInfo = {
+        val mb = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+        mb.put(0.toByte); mb.put(0.toByte)
+        mb.putLong(UNDEF); mb.putLong(UNDEF)
+        (0x02, mb.array())
+      }
+      writeHeaderV2(buf,
+        (linkInfo +: links) ++ attrs.map { case (n, a) => attrMsg(n, a) })
+  }
+
+  /** v2 object header: "OHDR", flags=0x02 (4-byte chunk-0 size), 1-byte
+    * message types, no padding, trailing (unvalidated) checksum. */
+  private def writeHeaderV2(
+      buf: GrowBuf, msgs: Seq[(Int, Array[Byte])]): Long = {
+    val chunk0 = msgs.map(m => 4 + m._2.length).sum
+    val addr = buf.pos
+    buf.bytes("OHDR".getBytes("ASCII"))
+    buf.u8(2); buf.u8(0x02)
+    buf.u32(chunk0.toLong)
+    msgs.foreach { case (t, b) =>
+      buf.u8(t); buf.u16(b.length); buf.u8(0)
+      buf.bytes(b)
+    }
+    buf.u32(0) // checksum placeholder
+    addr
   }
 
   private def pad8(n: Int): Int = (n + 7) / 8 * 8
