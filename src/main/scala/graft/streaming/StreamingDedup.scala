@@ -110,17 +110,30 @@ object StreamingDedup {
           } else {
             if (!state.exists && stateTtl.nonEmpty)
               state.setTimeoutDuration(stateTtl)
-            var members = state.getOption.getOrElse(Nil)
-            val out = List.newBuilder[CandPair]
-            rows.toSeq.map(_._1).sorted.foreach { id =>
-              members.foreach { m =>
-                if (m != id)
-                  out += CandPair(math.min(m, id), math.max(m, id))
-              }
-              if (members.length < maxBucket) members = id :: members
+            // Bounded-memory hot-bucket contract (VERDICT r06 §8, the
+            // streaming mirror of the batch slice-block fix): per
+            // bucket per batch this function holds O(batch ids + cap)
+            // — the sorted id array and the capped member list — and
+            // the pair OUTPUT is a lazy iterator the runner drains
+            // row-by-row, never a materialized size² list. All state
+            // calls happen before the iterator escapes; the closure
+            // captures only plain arrays.
+            val prior = state.getOption.getOrElse(Nil)
+            val ids = rows.map(_._1).toArray
+            java.util.Arrays.sort(ids)
+            // ids admitted to state: first nAdd (sorted) while the
+            // member list is under the cap — same semantics as the
+            // eager fold this replaces
+            val nAdd = math.min(ids.length,
+              math.max(0, maxBucket - prior.length))
+            state.update(
+              ids.take(nAdd).reverse.foldRight(prior)(_ :: _))
+            val priorArr = prior.toArray
+            ids.iterator.zipWithIndex.flatMap { case (id, i) =>
+              (priorArr.iterator ++ ids.iterator.take(math.min(i, nAdd)))
+                .filter(_ != id)
+                .map(m => CandPair(math.min(m, id), math.max(m, id)))
             }
-            state.update(members)
-            out.result().iterator
           }
         })
   }

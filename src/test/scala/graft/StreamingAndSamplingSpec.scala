@@ -137,6 +137,40 @@ class StreamingAndSamplingSpec extends SparkSpec {
     assert(capped == Set((1L, 2L), (1L, 3L)))
   }
 
+  test("streaming near-dup: replicated hot bucket, bounded members (r07)") {
+    import graft.streaming.StreamingDedup
+    import graft.streaming.StreamingDedup.Doc
+    implicit val sqlCtx = spark.sqlContext
+    // 300 identical docs land in the SAME bucket of every band — the
+    // hot-bucket worst case. Members are capped at 20, so doc i pairs
+    // against min(i, 20) predecessors; the emission is a lazy iterator
+    // (the state function holds O(batch + cap), never a size² list)
+    val text = "same exact content in every copy of this document today"
+    val hot = (1L to 300L).map(Doc(_, text)).toDS()
+    val pairs = StreamingDedup
+      .nearDupCandidatesStream(hot, maxBucket = 20).collect()
+    val perBand = (0 until 300).map(i => math.min(i, 20)).sum
+    assert(pairs.length == 16 * perBand)
+    // the smaller side of every pair is one of the 20 admitted members
+    assert(pairs.forall(p => p.ida >= 1L && p.ida <= 20L))
+    // cross-batch: a later arrival pairs ONLY against the capped
+    // member set, not the 300 seen ids
+    val stream = MemoryStream[Doc]
+    val q = StreamingDedup
+      .nearDupCandidatesStream(stream.toDS(), maxBucket = 20)
+      .writeStream.format("memory").queryName("hot_pairs")
+      .outputMode("append").start()
+    stream.addData((1L to 300L).map(Doc(_, text)): _*)
+    q.processAllAvailable()
+    stream.addData(Doc(1000L, text))
+    q.processAllAvailable()
+    q.stop()
+    val late = spark.sql(
+      "SELECT DISTINCT ida, idb FROM hot_pairs WHERE idb = 1000")
+      .as[(Long, Long)].collect().toSet
+    assert(late == (1L to 20L).map(i => (i, 1000L)).toSet)
+  }
+
   test("L3 exact-n seeded sample: size, determinism, no replacement") {
     val df = (0 until 1000).map(Tuple1(_)).toDF("x")
     val s1 = Sampling.exactN(df, 50, seed = 7).as[Int].collect()
