@@ -12,11 +12,13 @@ import org.apache.spark.sql.types._
   * REAL image decoder (javax.imageio ships with the JDK): width/height
   * + luminance histogram. [[WavDecoder]] is a REAL audio decoder
   * (javax.sound.sampled, also JDK-shipped): sample rate / frame count
-  * + 16-bit amplitude histogram over WAV/PCM payloads.
-  * [[FakeDecoder]] remains the deterministic stand-in for modalities
-  * whose codecs this container does not ship (video) — the Spark-side
-  * plumbing (schema, batching, partitioning, batch shape) is identical
-  * and real for all three.
+  * + 16-bit amplitude histogram over WAV/PCM payloads. [[Y4mDecoder]]
+  * is a REAL video decoder over the Y4M raw-video container (pure JVM,
+  * r07 — video no longer rides the stand-in): geometry / frame count /
+  * fps + luma histogram with frame striding. [[FakeDecoder]] remains a
+  * deterministic stand-in for compressed codecs the container does not
+  * ship — the Spark-side plumbing (schema, batching, partitioning,
+  * batch shape) is identical and real for all of them.
   */
 object Multimodal {
 
@@ -323,6 +325,120 @@ object Multimodal {
     val out = new java.io.ByteArrayOutputStream()
     javax.sound.sampled.AudioSystem.write(ais,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** REAL video decoder over the Y4M (YUV4MPEG2) container — a public,
+    * headerwise-trivial raw-video format (plain-text stream header
+    * `YUV4MPEG2 W<w> H<h> F<num>:<den> ... C<space>`, then per frame a
+    * `FRAME...\n` marker followed by planar YUV bytes), decodable with
+    * zero native codecs. Closes the r06 "FakeDecoder stands in for
+    * video" gap: bytes →
+    * `[width, height, n_frames, fps, lum_hist_0..hist_{b-1}]` with the
+    * histogram counting 8-bit LUMA (Y-plane) samples of every
+    * `frameStride`-th frame in `256/bins`-wide bins. Supported chroma
+    * modes: C420*, C422, C444, Cmono (luma geometry is what the
+    * features need; chroma planes are skipped, not decoded).
+    * Counts are exact integers carried as floats → deterministic and
+    * oracle-mirrorable. Undecodable payloads yield all-zero features —
+    * the [[ImageIoDecoder]] poison-pill contract. */
+  final class Y4mDecoder(val bins: Int = 8, val frameStride: Int = 1)
+    extends Decoder {
+    require(256 % bins == 0, "bins must divide 256")
+    require(frameStride > 0, "frameStride must be positive")
+    val dim: Int = 4 + bins
+
+    def decodeBatch(batch: Seq[Array[Byte]]): Seq[Array[Float]] = {
+      val zero = Array.ofDim[Float](dim)
+      batch.map { bytes =>
+        if (bytes == null) zero.clone()
+        else try decodeOne(bytes).getOrElse(zero.clone())
+        catch { case scala.util.control.NonFatal(_) => zero.clone() }
+      }
+    }
+
+    private def lineEnd(bytes: Array[Byte], from: Int): Int = {
+      var i = from
+      while (i < bytes.length && bytes(i) != '\n') i += 1
+      i // index of '\n' (or length when unterminated → caller rejects)
+    }
+
+    private def decodeOne(bytes: Array[Byte]): Option[Array[Float]] = {
+      val hEnd = lineEnd(bytes, 0)
+      if (hEnd >= bytes.length) return None
+      val header = new String(bytes, 0, hEnd, "US-ASCII")
+      val toks = header.split(' ')
+      if (toks.head != "YUV4MPEG2") return None
+      def param(tag: Char): Option[String] =
+        toks.tail.find(t => t.nonEmpty && t.head == tag).map(_.tail)
+      val w = param('W').map(_.toInt).getOrElse(return None)
+      val h = param('H').map(_.toInt).getOrElse(return None)
+      if (w <= 0 || h <= 0) return None
+      val fps = param('F').map { r =>
+        val Array(num, den) = r.split(':')
+        num.toFloat / den.toFloat
+      }.getOrElse(0f)
+      val chroma = param('C').getOrElse("420") // spec default is 4:2:0
+      val lumaBytes = w * h
+      val chromaBytes =
+        if (chroma.startsWith("mono")) 0
+        else if (chroma.startsWith("420")) 2 * ((w / 2) * (h / 2))
+        else if (chroma.startsWith("422")) 2 * ((w / 2) * h)
+        else if (chroma.startsWith("444")) 2 * lumaBytes
+        else return None // unsupported sampling — poison-pill, not a guess
+      val div = 256 / bins
+      val f = Array.ofDim[Float](dim)
+      f(0) = w.toFloat; f(1) = h.toFloat; f(3) = fps
+      var p = hEnd + 1
+      var nFrames = 0L
+      while (p < bytes.length) {
+        val fEnd = lineEnd(bytes, p)
+        // frame marker: "FRAME" + optional parameters up to '\n'
+        if (fEnd - p < 5 || bytes(p) != 'F' || bytes(p + 1) != 'R' ||
+            bytes(p + 2) != 'A' || bytes(p + 3) != 'M' ||
+            bytes(p + 4) != 'E') return None
+        p = fEnd + 1
+        if (p + lumaBytes + chromaBytes > bytes.length) return None
+        if (nFrames % frameStride == 0) {
+          var i = 0
+          while (i < lumaBytes) {
+            f(4 + (bytes(p + i) & 0xFF) / div) += 1.0f
+            i += 1
+          }
+        }
+        p += lumaBytes + chromaBytes
+        nFrames += 1
+      }
+      f(2) = nFrames.toFloat
+      Some(f)
+    }
+  }
+
+  /** Deterministic synthetic Y4M (C420, 25 fps): luma sample i of frame
+    * f is `(id·31 + f·13 + i·7) mod 256`; chroma planes are constant
+    * 128. Lossless raw video, so decoded features are a pure
+    * closed-form function of (id, w, h, frames) — the video-decode
+    * oracle mirrors the formula in SQL. */
+  def syntheticY4m(id: Long, w: Int, h: Int, frames: Int): Array[Byte] = {
+    require(w % 2 == 0 && h % 2 == 0, "C420 needs even dimensions")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n"
+      .getBytes("US-ASCII"))
+    val chromaPlane = Array.fill((w / 2) * (h / 2))(128.toByte)
+    var fr = 0
+    while (fr < frames) {
+      out.write("FRAME\n".getBytes("US-ASCII"))
+      val luma = new Array[Byte](w * h)
+      var i = 0
+      while (i < luma.length) {
+        luma(i) = ((((id * 31 + fr * 13 + i.toLong * 7) % 256) + 256) % 256)
+          .toByte
+        i += 1
+      }
+      out.write(luma)
+      out.write(chromaPlane); out.write(chromaPlane)
+      fr += 1
+    }
     out.toByteArray
   }
 

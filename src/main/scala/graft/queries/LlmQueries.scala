@@ -642,6 +642,29 @@ object LlmQueries {
           (0 until 8).map(b => element_at(col("features"), 3 + b)
             .cast("long").as(s"hb$b")): _*)
         .orderBy("doc_id")
+    }),
+
+    // video decode over the pure-JVM Y4M container (r07 — the real
+    // decoder replacing the video stand-in): synthesized 16×8 C420
+    // clips with 3 + id%3 frames, per-clip geometry + frame count +
+    // luma histogram; every decoded number is a closed form of doc_id
+    "mm_video_decode" -> ((s, dir) => {
+      val gen = udf { id: Long =>
+        Multimodal.syntheticY4m(id, 16, 8, (3 + id % 3).toInt)
+      }
+      val withVid = t(s, dir, "documents").select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("vid", gen(col("doc_id")))
+      Multimodal.extractFeatures(withVid, "vid", "doc_id",
+          new Multimodal.Y4mDecoder(8), batchSize = 64)
+        .select(col("doc_id") +:
+          element_at(col("features"), 1).cast("long").as("w") +:
+          element_at(col("features"), 2).cast("long").as("h") +:
+          element_at(col("features"), 3).cast("long").as("n_frames") +:
+          element_at(col("features"), 4).cast("long").as("fps") +:
+          (0 until 8).map(b => element_at(col("features"), 5 + b)
+            .cast("long").as(s"hb$b")): _*)
+        .orderBy("doc_id")
     })
   )
 
@@ -1507,6 +1530,23 @@ object LlmQueries {
         |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate, CAST(n AS BIGINT) AS n_frames,
         | $hbs
         |FROM sm GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+    },
+    // video mirror: luma sample i of frame f is
+    // (doc_id*31 + f*13 + i*7) mod 256, 16×8 luma plane, 3 + id%3
+    // frames, bins of width 32
+    "mm_video_decode" -> {
+      val hbs = (0 until 8).map(b =>
+        s"CAST(sum(CASE WHEN b = $b THEN 1 ELSE 0 END) AS BIGINT) AS hb$b")
+        .mkString(",\n | ")
+      s"""WITH d AS (SELECT doc_id, 3 + doc_id % 3 AS nf FROM documents),
+        |sm AS (SELECT d.doc_id, d.nf,
+        |    ((d.doc_id*31 + f.f*13 + g.i*7) % 256) // 32 AS b
+        |  FROM d, generate_series(0, 4) AS f(f), generate_series(0, 127) AS g(i)
+        |  WHERE f.f < d.nf)
+        |SELECT doc_id, CAST(16 AS BIGINT) AS w, CAST(8 AS BIGINT) AS h,
+        | CAST(nf AS BIGINT) AS n_frames, CAST(25 AS BIGINT) AS fps,
+        | $hbs
+        |FROM sm GROUP BY doc_id, nf ORDER BY doc_id""".stripMargin
     }
   )
 }

@@ -441,6 +441,34 @@ class LlmSpec extends SparkSpec {
     assert(cut.head.forall(_ == 0.0f))
   }
 
+  test("y4m video decoder: geometry, frames, luma histogram, stride, poison") {
+    val vid = Multimodal.syntheticY4m(5L, 16, 8, 4)
+    assert(new String(vid.take(9), "US-ASCII") == "YUV4MPEG2")
+    val dec = new Multimodal.Y4mDecoder(8)
+    val f = dec.decodeBatch(Seq(vid)).head
+    assert(f(0) == 16.0f && f(1) == 8.0f && f(2) == 4.0f && f(3) == 25.0f)
+    // luma histogram matches the closed-form sample formula
+    val expect = Array.ofDim[Int](8)
+    for (fr <- 0 until 4; i <- 0 until 128)
+      expect((((5 * 31 + fr * 13 + i * 7) % 256) / 32).toInt) += 1
+    assert(f.drop(4).map(_.toInt).toSeq == expect.toSeq)
+    assert(expect.sum == 4 * 128)
+    // frame striding: only frames 0 and 2 histogrammed, n_frames still 4
+    val s2 = new Multimodal.Y4mDecoder(8, frameStride = 2)
+      .decodeBatch(Seq(vid)).head
+    assert(s2(2) == 4.0f)
+    val expect2 = Array.ofDim[Int](8)
+    for (fr <- Seq(0, 2); i <- 0 until 128)
+      expect2((((5 * 31 + fr * 13 + i * 7) % 256) / 32).toInt) += 1
+    assert(s2.drop(4).map(_.toInt).toSeq == expect2.toSeq)
+    // poison pills: garbage, null, truncated mid-frame, bad chroma tag
+    val cut = vid.take(vid.length - 10)
+    val badChroma = ("YUV4MPEG2 W4 H4 F25:1 C410\nFRAME\n" + "x" * 64)
+      .getBytes("US-ASCII")
+    val bad = dec.decodeBatch(Seq(Array[Byte](9, 9), null, cut, badChroma))
+    assert(bad.forall(_.forall(_ == 0.0f)))
+  }
+
   test("multimodal: batched feature extraction is deterministic, frames sample") {
     val bin = docs.withColumn("payload", col("text").cast("binary"))
     val f1 = Multimodal.extractFeatures(bin, "payload", "doc_id",
