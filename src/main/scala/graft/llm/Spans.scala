@@ -81,8 +81,8 @@ object Spans {
       .withColumn("__span",
         sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col(idCol), col("__span"))
-      .agg(min("start").as("span_start"),
-        (max("start") + k).as("span_end"),
+      .agg(min("start").cast("long").as("span_start"),
+        (max("start") + k).cast("long").as("span_end"),
         count(lit(1)).as("n_grams"))
       .drop("__span")
     (out, () => { grams.unpersist(); () })
@@ -119,14 +119,15 @@ object Spans {
       .groupBy(idCol)
       .agg(collect_list(struct(col("span_start"), col("span_end")))
         .as("__spans"))
+    // the rewrite is the graft.functions.CutSpans kernel: one
+    // byte-level pass with a sorted-interval sweep, replacing the
+    // composed filter/exists form whose O(|spans|)-per-token cost
+    // dominated the 64× stress curve (SCALE.md r07)
     val out = df.join(spans, Seq(idCol), "left")
       .withColumn(textCol,
         when(col("__spans").isNull, col(textCol))
-          .otherwise(concat_ws(" ",
-            filter(split(trim(col(textCol)), "\\s+"), (t, i) =>
-              !exists(col("__spans"), sp =>
-                i >= sp.getField("span_start") &&
-                  i < sp.getField("span_end"))))))
+          .otherwise(graft.functions.CutSpans(col(textCol),
+            col("__spans"))))
       .drop("__spans")
     (out, release)
   }

@@ -711,6 +711,37 @@ class LlmSpec extends SparkSpec {
       (4L, None)))
   }
 
+  test("cut_spans kernel ≡ composed filter/exists rewrite") {
+    // synthetic spans — incl. shapes the producer never emits
+    // (unsorted, overlapping) — against the composed HOF form
+    val rows = Seq(
+      (0L, "t0 t1 t2 t3 t4 t5 t6 t7", Seq((1L, 3L), (5L, 6L))),
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7", Seq((4L, 6L), (0L, 2L))), // unsorted
+      (2L, "t0 t1 t2 t3 t4 t5", Seq((1L, 4L), (2L, 5L))), // overlapping
+      (3L, "a  b\tc d", Seq((1L, 2L))), // multi/odd whitespace
+      (4L, "solo", Seq((0L, 1L))), // fully cut → ""
+      (5L, "keep all of these", Seq.empty[(Long, Long)]))
+    val d = rows.toDF("doc_id", "text", "sp")
+      .withColumn("__spans", transform(col("sp"), s =>
+        struct(s.getField("_1").as("span_start"),
+          s.getField("_2").as("span_end"))))
+    val kernel = d.select(col("doc_id"),
+      graft.functions.CutSpans(col("text"), col("__spans")).as("t"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val composed = d.select(col("doc_id"),
+      concat_ws(" ",
+        filter(split(trim(col("text")), "\\s+"), (t, i) =>
+          !exists(col("__spans"), sp =>
+            i >= sp.getField("span_start") &&
+              i < sp.getField("span_end")))).as("t"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(kernel == composed)
+    assert(kernel(0)._2 == "t0 t3 t4 t6 t7")
+    assert(kernel(2)._2 == "t0 t5")
+    assert(kernel(4)._2 == "")
+    assert(kernel(5)._2 == "keep all of these")
+  }
+
   test("jl projection: exact matmul against the plane matrix") {
     val v = Array(1.0f, -2.0f, 0.5f, 3.0f)
     val d = Seq((0L, v), (1L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
