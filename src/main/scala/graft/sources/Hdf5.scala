@@ -324,10 +324,26 @@ final class Hdf5File(path: String) extends AutoCloseable {
     * Covers the subset real acquisition metadata uses: fixed-point,
     * IEEE float, fixed strings, and h5py's variable-length strings
     * (global-heap backed). Anything else fails loudly. */
-  def attributes(objectPath: String): Map[String, Any] =
-    headerMessages(resolve(objectPath)).collect {
+  def attributes(objectPath: String): Map[String, Any] = {
+    val msgs = headerMessages(resolve(objectPath))
+    // DENSE attribute storage (h5py: > 8 attributes with
+    // libver='latest') moves attributes into a fractal heap behind an
+    // Attribute Info message — absent from the compact subset. Without
+    // this check the method would silently return {} for such files,
+    // breaking the fail-loudly contract.
+    msgs.collectFirst { case (0x15, body) => body }.foreach { body =>
+      val fl = body(1) & 0xFF
+      val heapOff = 2 + (if ((fl & 0x01) != 0) 2 else 0)
+      val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+      require(bb.getLong(heapOff) == UNDEF,
+        s"$path/$objectPath: dense attribute storage (fractal heap) is " +
+          "outside the supported subset — rewrite with compact " +
+          "attributes (h5py default up to 8 attributes per object)")
+    }
+    msgs.collect {
       case (0x0C, body) => parseAttribute(body, objectPath)
     }.toMap
+  }
 
   /** One attribute message (v1/v2/v3) → (name, decoded value). */
   private def parseAttribute(body: Array[Byte], ctx: String): (String, Any) = {

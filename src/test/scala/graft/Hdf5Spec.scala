@@ -66,6 +66,28 @@ class Hdf5Spec extends SparkSpec {
       assert(h.attributes("/empty")("note") == "attrs only")
       assert(h.list("/empty").isEmpty)
     } finally h.close()
+
+    // dense attribute storage (Attribute Info with a DEFINED fractal
+    // heap) names itself instead of silently returning {} — the
+    // fail-loudly contract for the one v2 feature outside the subset
+    val fDense = tmp("dense.h5")
+    val attrInfo = {
+      val bb = java.nio.ByteBuffer.allocate(18)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(0.toByte); bb.put(0.toByte)
+      bb.putLong(4096L) // fractal heap address: DEFINED → dense
+      bb.putLong(-1L)
+      bb.array()
+    }
+    Hdf5TestWriter.writeTreeV2(fDense, Hdf5TestWriter.GroupNode(Map(
+      "obj" -> Hdf5TestWriter.RawV2Node(Seq((0x15, attrInfo))))))
+    val hd = new Hdf5File(fDense)
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        hd.attributes("/obj")
+      }
+      assert(ex.getMessage.contains("dense attribute storage"))
+    } finally hd.close()
   }
 
   test("chunked + deflate + shuffle round trip, partial edge chunk") {

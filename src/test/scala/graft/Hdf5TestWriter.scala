@@ -46,6 +46,10 @@ object Hdf5TestWriter {
       attrs: Seq[(String, Attr)] = Nil) extends Node
   final case class GroupNode(children: Map[String, Node],
       attrs: Seq[(String, Attr)] = Nil) extends Node
+  /** Raw header messages, v2 writer only — for negative tests that
+    * need message types the writer does not model (e.g. a dense
+    * Attribute Info message). */
+  final case class RawV2Node(msgs: Seq[(Int, Array[Byte])]) extends Node
 
   /** Flat form: all datasets in the root group. */
   def write(path: String, cols: Seq[Col]): Unit =
@@ -92,6 +96,8 @@ object Hdf5TestWriter {
   /** Bottom-up: children first, then this node's header; returns the
     * node's object-header address. */
   private def writeNode(buf: GrowBuf, node: Node): Long = node match {
+    case RawV2Node(_) =>
+      throw new IllegalArgumentException("RawV2Node is v2-writer-only")
     case DatasetNode(c, attrs) => writeDataset(buf, c, attrs)
     case GroupNode(children, attrs) =>
       val sorted = children.toSeq.sortBy(_._1)
@@ -440,6 +446,7 @@ object Hdf5TestWriter {
   }
 
   private def writeNodeV2(buf: GrowBuf, node: Node): Long = node match {
+    case RawV2Node(msgs) => writeHeaderV2(buf, msgs)
     case DatasetNode(c, attrs) =>
       writeHeaderV2(buf, datasetMsgs(buf, c, attrs))
     case GroupNode(children, attrs) =>
