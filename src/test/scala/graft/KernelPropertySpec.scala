@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Hdf5File
+
+/** Property-style (seeded-random, deterministic) checks for the r07
+  * native kernels against independent JVM reference implementations,
+  * plus byte-level robustness of the from-spec HDF5 parser: random
+  * truncations must either throw (fail loudly) or return data equal to
+  * the untruncated read — never a silent misread. */
+class KernelPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** split(trim(text), "\\s+") exactly: Spark's trim removes ASCII
+    * spaces only; java's \s matches the same class as the engine's
+    * tokenizer. */
+  private def refTokens(text: String): Array[String] = {
+    var lo = 0
+    var hi = text.length
+    while (lo < hi && text(lo) == ' ') lo += 1
+    while (hi > lo && text(hi - 1) == ' ') hi -= 1
+    text.substring(lo, hi).split("\\s+", -1)
+  }
+
+  private val words = Array("alpha", "beta", "gamma", "δδ", "x", "yy",
+    "alpha", "tok1", "tok2", "", "éclair")
+
+  test("property: term_counts ≡ reference counting over random docs") {
+    val rnd = new scala.util.Random(20260813L)
+    val terms = Seq("alpha", "beta", "δδ", "nope", "alpha", "tok2")
+    val cases = (0 until 300).map { i =>
+      val n = rnd.nextInt(40)
+      val seps = Array(" ", "  ", "\t", "\n", " \t ")
+      val sb = new StringBuilder
+      if (rnd.nextBoolean()) sb.append(seps(rnd.nextInt(seps.length)))
+      (0 until n).foreach { _ =>
+        sb.append(words(rnd.nextInt(words.length)))
+        sb.append(seps(rnd.nextInt(seps.length)))
+      }
+      val s = sb.toString
+      (i.toLong, if (rnd.nextInt(20) == 0) null else s)
+    }
+    val got = cases.toDF("id", "text")
+      .select(col("id"),
+        graft.functions.TermCounts(col("text"), terms).as("tc"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1).toSeq)).toMap
+    cases.foreach { case (id, text) =>
+      val expect =
+        if (text == null) null
+        else {
+          val toks = refTokens(text)
+          terms.map(t => toks.count(_ == t).toLong)
+        }
+      assert(got(id) == expect, s"case $id: '$text'")
+    }
+  }
+
+  test("property: cut_spans ≡ reference cut over random span lists") {
+    val rnd = new scala.util.Random(7071234L)
+    val cases = (0 until 300).map { i =>
+      val n = rnd.nextInt(25)
+      val text = (0 until n).map(k => s"t$k").mkString(
+        if (rnd.nextBoolean()) " " else "  ")
+      val nSpans = rnd.nextInt(5)
+      val spans = (0 until nSpans).map { _ =>
+        val s = rnd.nextInt(n + 4) - 2 // incl. out-of-range / negative
+        val len = rnd.nextInt(6)
+        (s.toLong, (s + len).toLong)
+      }
+      (i.toLong, text, spans)
+    }
+    val d = cases.toDF("id", "text", "sp")
+      .withColumn("__spans", transform(col("sp"), s =>
+        struct(s.getField("_1").as("span_start"),
+          s.getField("_2").as("span_end"))))
+    val got = d.select(col("id"),
+      graft.functions.CutSpans(col("text"), col("__spans")).as("t"))
+      .as[(Long, String)].collect().toMap
+    cases.foreach { case (id, text, spans) =>
+      val toks = refTokens(text)
+      val expect = toks.zipWithIndex.collect {
+        case (t, i) if !spans.exists(sp => i >= sp._1 && i < sp._2) => t
+      }.mkString(" ")
+      assert(got(id) == expect,
+        s"case $id: '$text' spans=$spans")
+    }
+  }
+
+  test("property: truncated HDF5 reads throw or agree — never misread") {
+    val d = java.nio.file.Files.createTempDirectory("trunc").toString
+    val longs = Array.tabulate(64)(i => i.toLong * 13 - 7)
+    val doubles = Array.tabulate(64)(i => i * 0.75)
+    def readAll(p: String): (Seq[Long], Seq[Double], Map[String, Any]) = {
+      val h = new Hdf5File(p)
+      try (h.readLongs("/g/ints").toSeq, h.readDoubles("/g/floats").toSeq,
+        h.attributes("/g"))
+      finally h.close()
+    }
+    for ((name, write) <- Seq[(String, String => Unit)](
+      ("classic", p => Hdf5TestWriter.writeTree(p, Hdf5TestWriter.GroupNode(
+        Map("g" -> Hdf5TestWriter.GroupNode(
+          Map("ints" -> Hdf5TestWriter.DatasetNode(
+            Hdf5TestWriter.LongCol("ints", longs, chunk = 16,
+              deflate = true)),
+            "floats" -> Hdf5TestWriter.DatasetNode(
+              Hdf5TestWriter.DoubleCol("floats", doubles))),
+          Seq("rate" -> Hdf5TestWriter.ADouble(1e6))))))),
+      ("v2", p => Hdf5TestWriter.writeTreeV2(p, Hdf5TestWriter.GroupNode(
+        Map("g" -> Hdf5TestWriter.GroupNode(
+          Map("ints" -> Hdf5TestWriter.DatasetNode(
+            Hdf5TestWriter.LongCol("ints", longs)),
+            "floats" -> Hdf5TestWriter.DatasetNode(
+              Hdf5TestWriter.DoubleCol("floats", doubles))),
+          Seq("rate" -> Hdf5TestWriter.ADouble(1e6))))))))) {
+      val full = s"$d/$name.h5"
+      write(full)
+      val expect = readAll(full)
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(full))
+      val rnd = new scala.util.Random(991L)
+      var threw = 0
+      var agreed = 0
+      (0 until 60).foreach { _ =>
+        val cut = 8 + rnd.nextInt(bytes.length - 8)
+        val p = s"$d/${name}_cut$cut.h5"
+        java.nio.file.Files.write(java.nio.file.Paths.get(p),
+          java.util.Arrays.copyOf(bytes, cut))
+        try {
+          val got = readAll(p)
+          assert(got == expect,
+            s"$name truncated at $cut/${bytes.length} SILENTLY misread")
+          agreed += 1
+        } catch { case _: Throwable => threw += 1 }
+      }
+      // sanity: truncation actually bites (most cuts land before data)
+      assert(threw > 30, s"$name: only $threw/60 truncations threw")
+      info(s"$name: $threw threw, $agreed agreed (of 60 truncations)")
+    }
+  }
+}
