@@ -11,8 +11,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // nanosecond parquet timestamps (events.ts) read as raw int64 ns —
-      // compared against DuckDB epoch_us(ts) via `ts div 1000`
+      // events.ts is parquet timestamp[us] (TIMESTAMP_NTZ in Spark);
+      // compared against DuckDB epoch_us(ts) via unix_micros under UTC.
+      // nanosAsLong kept for older nanos-typed fixtures (no-op on us).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

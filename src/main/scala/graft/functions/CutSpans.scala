@@ -48,8 +48,10 @@ case class CutSpans(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
 
   def compute(text: UTF8String, spansData: ArrayData): UTF8String = {
+    // no m==0 shortcut: an explicit empty span list still goes through
+    // tokenize+rejoin, matching the declared split/concat_ws model
+    // (raw-text passthrough is the caller's `when(spans IS NULL, …)`)
     val m = spansData.numElements()
-    if (m == 0) return text
     val starts = new Array[Long](m)
     val ends = new Array[Long](m)
     var k = 0

@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   *   - double sums/averages over 2-decimal columns go through exact
   *     integer cents (`round(x*100)::long`) — order-independent, so
   *     Spark's partial-aggregation order can't perturb the result;
-  *   - nanosecond parquet timestamps are read as raw longs
-  *     (`spark.sql.legacy.parquet.nanosAsLong`) and compared in
-  *     microseconds (`ts div 1000` ≡ DuckDB `epoch_us(ts)`).
+  *   - parquet `timestamp[us]` event times (read by Spark as
+  *     TIMESTAMP_NTZ) are compared in integer microseconds under the
+  *     UTC session timezone (`unix_micros(cast(ts as timestamp))` ≡
+  *     DuckDB `epoch_us(ts)` — both treat the naive value as UTC).
   */
 object Q {
   type QFn = (SparkSession, String) => DataFrame
@@ -23,7 +24,7 @@ object Q {
   def events(s: SparkSession, dir: String): DataFrame = t(s, dir, "events")
 
   /** Event time in integer microseconds (DuckDB: `epoch_us(ts)`). */
-  val tsUs: Column = expr("ts div 1000")
+  val tsUs: Column = expr("unix_micros(cast(ts as timestamp))")
 
   /** Exact integer cents of a 2-decimal double column. */
   def cents(c: Column): Column = round(c * 100).cast("long")

@@ -30,7 +30,7 @@ class StreamingQueriesSpec extends SparkSpec {
     val streamed = StreamingQueries.queries("stream_window_counts")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     val batch = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("us", expr("ts div 1000"))
+      .withColumn("us", graft.queries.Q.tsUs)
       .withColumn("win_start", col("us") - pmod(col("us"), lit(3600000000L)))
       .groupBy("win_start", "event_type").agg(count(lit(1)).as("cnt"))
       .orderBy("win_start", "event_type")
