@@ -33,12 +33,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ StatsQueries.queries ++ CutQueries.queries ++
       JoinQueries.queries ++ LlmQueries.queries ++ TraceQueries.queries ++
-      StreamingQueries.queries
+      StreamingQueries.queries ++ TemporalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ StatsQueries.oracle ++ CutQueries.oracle ++
       JoinQueries.oracle ++ LlmQueries.oracle ++ TraceQueries.oracle ++
-      StreamingQueries.oracle
+      StreamingQueries.oracle ++ TemporalQueries.oracle
 }

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Temporal
+import Q._
+
+/** Temporal operator surface (engine extensions — the reference has no
+  * join-shaped temporal ops; see `core/Temporal.scala` for the
+  * single-exchange designs). Event times are integer microseconds
+  * (`Q.tsUs`); money sums go through exact integer cents.
+  *
+  * Determinism notes:
+  *   - asof right side is pre-deduped on (user_id, us) with
+  *     min(event_id), so the closest-match row is fully specified in
+  *     both engines (DuckDB ASOF JOIN picks an arbitrary row among
+  *     exact ts ties otherwise);
+  *   - session ids are 1-based in time order; rows with equal
+  *     (user_id, us) share a session whatever the tie order, so the
+  *     per-session aggregates are stable.
+  */
+object TemporalQueries {
+
+  private val usPerDay = 86400000000L
+
+  val queries: Map[String, QFn] = Map(
+    // as-of join: each purchase ⇒ most recent click at-or-before it,
+    // per user. Union-tag + running last(): ONE hash exchange on
+    // user_id, no per-key pair list (`core/Temporal.asofJoin`).
+    "asof_join_clicks" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("us", tsUs)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "us").agg(min("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"))
+      Temporal.asofJoin(purchases, clicks, Seq("user_id"),
+          leftTs = "us", rightTs = "us", rightPayload = Seq("click_id"),
+          prefix = "c_")
+        .select(col("event_id"), col("user_id"), col("us").as("pts"),
+          col("c_us").as("click_us"), col("c_click_id").as("click_id"))
+        .orderBy("event_id")
+    }),
+
+    // interval join: purchases inside [signup, signup + 7 days) per
+    // user, aggregated per signup. Intervals grid onto 1-day buckets →
+    // bucket equi-join + exact range predicate, never a cross product.
+    "interval_join_signup" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("us", tsUs)
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id"),
+          col("us").as("lo"), (col("us") + lit(7 * usPerDay)).as("hi"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us"), col("value"))
+      Temporal.intervalJoin(purchases, "us", signups, "lo", "hi",
+          bucketWidth = usPerDay, keys = Seq("user_id"))
+        .groupBy("signup_id")
+        .agg(count(lit(1)).as("n"),
+          (sum(cents(col("value"))).cast("double") / 100.0)
+            .as("sum_value"))
+        .orderBy("signup_id")
+    }),
+
+    // gap sessionization: 12-hour-gap sessions per user → per-session
+    // event count, start, duration. One exchange + sort on user_id.
+    "sessionize_gap" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), tsUs.as("us"))
+      Temporal.sessionize(ev, Seq("user_id"), "us", gap = 12L * 3600000000L)
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"), min("us").as("start_us"),
+          (max("us") - min("us")).as("dur_us"))
+        .orderBy("user_id", "session_id")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "asof_join_clicks" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+        |c AS (SELECT user_id, us, min(event_id) AS click_id FROM e WHERE event_type = 'click' GROUP BY user_id, us),
+        |p AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.us AS pts, c.us AS click_us, c.click_id
+        |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.us >= c.us
+        |ORDER BY p.event_id""".stripMargin,
+    "interval_join_signup" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us FROM events),
+        |s AS (SELECT event_id AS signup_id, user_id, us AS lo, us + 604800000000 AS hi FROM e WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, us, value FROM e WHERE event_type = 'purchase')
+        |SELECT s.signup_id, count(*) AS n, CAST(sum(CAST(round(p.value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+        |FROM p JOIN s ON p.user_id = s.user_id AND p.us >= s.lo AND p.us < s.hi
+        |GROUP BY s.signup_id ORDER BY s.signup_id""".stripMargin,
+    "sessionize_gap" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |l AS (SELECT user_id, us, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 43200000000 THEN 1 ELSE 0 END AS ns FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |sj AS (SELECT user_id, us, sum(ns) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS session_id FROM l)
+        |SELECT user_id, session_id, count(*) AS n_events, min(us) AS start_us, max(us) - min(us) AS dur_us
+        |FROM sj GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)
+}

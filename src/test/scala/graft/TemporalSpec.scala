@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Temporal
+
+/** core/Temporal operators vs brute-force references on small frames,
+  * plus the plan-shape guarantees the scale story rests on. */
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (key, ts, id) rows; ids unique so matches are fully specified
+  private val leftRows = Seq(
+    (1L, 100L, 10L), (1L, 200L, 11L), (1L, 300L, 12L),
+    (2L, 150L, 20L), (2L, 151L, 21L), (3L, 500L, 30L))
+  private val rightRows = Seq(
+    (1L, 90L, 910L), (1L, 200L, 920L), (1L, 250L, 930L),
+    (2L, 151L, 940L), (4L, 100L, 950L))
+
+  private def leftDf = leftRows.toDF("k", "t", "lid")
+  private def rightDf = rightRows.toDF("k", "t", "rid")
+
+  private def bruteAsof(backward: Boolean, tol: Option[Long])
+      : Map[Long, Option[Long]] =
+    leftRows.map { case (k, lt, lid) =>
+      val cand = rightRows.filter(r => r._1 == k &&
+        (if (backward) r._2 <= lt else r._2 >= lt) &&
+        tol.forall(v => math.abs(r._2 - lt) <= v))
+      val best =
+        if (cand.isEmpty) None
+        else Some(if (backward) cand.maxBy(_._2)._3 else cand.minBy(_._2)._3)
+      lid -> best
+    }.toMap
+
+  test("asofJoin backward matches brute force (inner + left outer)") {
+    val expect = bruteAsof(backward = true, tol = None)
+    val inner = Temporal.asofJoin(leftDf, rightDf, Seq("k"), "t", "t",
+      Seq("rid")).collect()
+      .map(r => r.getAs[Long]("lid") -> r.getAs[Long]("r_rid")).toMap
+    assert(inner == expect.collect { case (l, Some(r)) => l -> r })
+    val outer = Temporal.asofJoin(leftDf, rightDf, Seq("k"), "t", "t",
+      Seq("rid"), leftOuter = true).collect()
+      .map(r => r.getAs[Long]("lid") ->
+        Option(r.getAs[java.lang.Long]("r_rid")).map(_.longValue)).toMap
+    assert(outer == expect)
+    assert(outer.size == leftRows.size)
+  }
+
+  test("asofJoin forward matches brute force") {
+    val expect = bruteAsof(backward = false, tol = None)
+    val got = Temporal.asofJoin(leftDf, rightDf, Seq("k"), "t", "t",
+      Seq("rid"), direction = Temporal.Forward, leftOuter = true).collect()
+      .map(r => r.getAs[Long]("lid") ->
+        Option(r.getAs[java.lang.Long]("r_rid")).map(_.longValue)).toMap
+    assert(got == expect)
+  }
+
+  test("asofJoin tolerance drops stale matches") {
+    val expect = bruteAsof(backward = true, tol = Some(10L))
+    val got = Temporal.asofJoin(leftDf, rightDf, Seq("k"), "t", "t",
+      Seq("rid"), tolerance = Some(10L), leftOuter = true).collect()
+      .map(r => r.getAs[Long]("lid") ->
+        Option(r.getAs[java.lang.Long]("r_rid")).map(_.longValue)).toMap
+    assert(got == expect)
+    // k=1: t=100 within 10 of right t=90 → match; t=300 is 50 from
+    // 250 → nulled even though a backward match exists
+    assert(got(10L).contains(910L) && got(12L).isEmpty)
+  }
+
+  test("asofJoin shuffles exactly once (union-tag plan shape)") {
+    val plan = Temporal.asofJoin(leftDf, rightDf, Seq("k"), "t", "t",
+      Seq("rid")).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges == 1, s"expected one hash exchange, plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("intervalJoin equals the naive range join, any bucket width") {
+    val intervals = Seq((1L, 95L, 210L, 800L), (1L, 205L, 206L, 801L),
+      (2L, 0L, 1000L, 802L), (3L, 501L, 900L, 803L))
+      .toDF("k", "lo", "hi", "iid")
+    val naive = leftDf.join(intervals, Seq("k"))
+      .filter(col("t") >= col("lo") && col("t") < col("hi"))
+      .select("lid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    for (w <- Seq(1L, 7L, 100L, 5000L)) {
+      val got = Temporal.intervalJoin(leftDf, "t", intervals, "lo", "hi",
+        bucketWidth = w, keys = Seq("k"))
+        .select("lid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == naive, s"bucketWidth=$w")
+    }
+    // half-open: t=500 not in [501,900); t=205 in [205,206)
+    assert(!naive.contains((30L, 803L)))
+  }
+
+  test("sessionize splits on gap and keeps ts ties together") {
+    val rows = Seq((1L, 0L), (1L, 50L), (1L, 50L), (1L, 200L), (1L, 201L),
+      (2L, 1000L)).toDF("k", "t")
+    val got = Temporal.sessionize(rows, Seq("k"), "t", gap = 100L)
+      .groupBy("k", "session_id")
+      .agg(count(lit(1)).as("n"), min("t").as("lo"), max("t").as("hi"))
+      .orderBy("k", "session_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 3L, 0L, 50L), (1L, 2L, 2L, 200L, 201L),
+      (2L, 1L, 1L, 1000L, 1000L)))
+  }
+
+  test("temporal driver queries run and are deterministic at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    for (name <- graft.queries.TemporalQueries.queries.keys) {
+      val fn = graft.queries.TemporalQueries.queries(name)
+      val a = fn(spark, sf).collect()
+      val b = fn(spark, sf).collect()
+      assert(a.nonEmpty, s"$name returned no rows")
+      assert(a.sameElements(b), s"$name not deterministic")
+    }
+  }
+}
