@@ -29,6 +29,8 @@ import org.apache.spark.sql.functions._
   * Timestamps are plain numeric columns (the engine's convention:
   * integer microseconds, `queries/Q.tsUs`), so the operators are
   * unit-agnostic — gaps/widths/tolerances are in the caller's units.
+  * Gap/tolerance/slice arithmetic runs in doubles, so timestamps must
+  * be double-exact: |t| < 2^53 (for µs since epoch, the 23rd century).
   */
 object Temporal {
 
@@ -52,6 +54,12 @@ object Temporal {
     * sort order on the payload struct (first field ascending), so
     * results are deterministic when payloads differ; pre-dedup the
     * right side on (keys, ts) for a fully specified contract.
+    *
+    * Skew: the keyed window processes one key in one task, so a single
+    * pathologically hot key serializes (the TemporalStress `deep`
+    * curve measures that axis). For such feeds use [[asofJoinSliced]],
+    * which partitions by (key, time-slice) and carries each slice's
+    * boundary state through a tiny per-slice aggregate instead.
     */
   def asofJoin(
       left: DataFrame,
@@ -104,6 +112,115 @@ object Temporal {
       leftCols.map(col) ++
         (col("__last.__rt").as(prefix + rightTs) +:
           rightPayload.map(p => col("__last").getField(p).as(prefix + p))): _*)
+  }
+
+  /** Skew-immune as-of join: identical contract to [[asofJoin]], but
+    * partitioned by (keys, time-slice of width `sliceWidth`) so a hot
+    * key spreads across ⌈range/width⌉ tasks instead of serializing
+    * into one. Carry-in state (the latest right row before each
+    * slice) is computed over a per-(key, slice) aggregate — map-side
+    * combined, so the extra exchange moves one row per (key, slice),
+    * not the data — and injected into each slice as a synthetic right
+    * row whose timestamp (strictly below every in-slice timestamp)
+    * makes the in-slice running `last` equal the global one.
+    *
+    * Cost: the full data crosses two exchanges instead of one. Use
+    * [[asofJoin]] unless a key can dominate a partition.
+    * Forward direction delegates to the backward plan on negated
+    * timestamps (forward-inclusive ≡ backward-inclusive on −t).
+    */
+  def asofJoinSliced(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String],
+      sliceWidth: Long,
+      direction: AsOfDirection = Backward,
+      tolerance: Option[Long] = None,
+      leftOuter: Boolean = false,
+      prefix: String = "r_"): DataFrame = {
+    require(keys.nonEmpty, "asofJoinSliced needs at least one equality key")
+    require(rightPayload.nonEmpty, "asofJoinSliced needs payload columns")
+    require(sliceWidth > 0, "sliceWidth must be positive")
+    direction match {
+      case Forward =>
+        val out = asofJoinSliced(
+          left.withColumn(leftTs, -col(leftTs)),
+          right.withColumn(rightTs, -col(rightTs)),
+          keys, leftTs, rightTs, rightPayload, sliceWidth,
+          Backward, tolerance, leftOuter, prefix)
+        out.withColumn(leftTs, -col(leftTs))
+          .withColumn(prefix + rightTs, -col(prefix + rightTs))
+      case Backward =>
+        val leftCols = left.columns.toSeq
+        // floor division: pmod (≥ 0) makes the numerator an exact
+        // multiple of the width, so the double quotient is exact for
+        // any double-representable timestamp (module contract)
+        def sliceOf(c: Column): Column =
+          ((c - pmod(c, lit(sliceWidth))) / sliceWidth).cast("long")
+        val rStruct = struct(
+          (col(rightTs).as("__rt") +: rightPayload.map(col)): _*)
+        val rightPrep = right.select(
+          keys.map(col) :+ col(rightTs).as("__t") :+ rStruct.as("__r"): _*)
+          .withColumn("__slice", sliceOf(col("__t")))
+          .withColumn("__tag", lit(0))
+        val leftPrep = left
+          .withColumn("__t", col(leftTs))
+          .withColumn("__slice", sliceOf(col("__t")))
+          .withColumn("__tag", lit(1))
+        // latest right row per (key, slice) — map-side combined
+        val perSlice = rightPrep
+          .groupBy((keys :+ "__slice").map(col): _*)
+          .agg(max_by(col("__r"), struct(col("__t"), col("__r")))
+            .as("__sliceLast"))
+        // spine = every (key, slice) either side touches; carry-in =
+        // latest right row over STRICTLY earlier slices. Window input
+        // is one row per (key, slice) — tiny even for a hot key.
+        val leftSlices = leftPrep
+          .select((keys :+ "__slice").map(col): _*).distinct()
+          .withColumn("__hasLeft", lit(true))
+        val spine = leftSlices.join(perSlice, keys :+ "__slice", "full_outer")
+        val wS = Window.partitionBy(keys.map(col): _*)
+          .orderBy(col("__slice").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carries = spine
+          .withColumn("__carry",
+            last(col("__sliceLast"), ignoreNulls = true).over(wS))
+          .filter(col("__carry").isNotNull && col("__hasLeft"))
+          .select(keys.map(col) :+ col("__slice") :+
+            col("__carry").as("__r"): _*)
+          // the carried row's true timestamp lies in an earlier slice,
+          // so it sorts before every in-slice row — global `last` ≡
+          // in-slice `last` with the carry seeded first
+          .withColumn("__t", col("__r").getField("__rt"))
+          .withColumn("__tag", lit(0))
+        val unioned = leftPrep
+          .unionByName(rightPrep, allowMissingColumns = true)
+          .unionByName(carries, allowMissingColumns = true)
+        val w = Window.partitionBy((keys :+ "__slice").map(col): _*)
+          .orderBy(col("__t").asc, col("__tag").asc, col("__r").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val matched = unioned
+          .withColumn("__last", last(col("__r"), ignoreNulls = true).over(w))
+          .filter(col("__tag") === 1)
+        val withinTol = tolerance match {
+          case Some(tol) =>
+            matched.withColumn("__last",
+              when(abs(col("__t").cast("double") -
+                col("__last.__rt").cast("double")) <= tol.toDouble,
+                col("__last")))
+          case None => matched
+        }
+        val base = if (leftOuter) withinTol
+          else withinTol.filter(col("__last").isNotNull)
+        base.select(
+          leftCols.map(col) ++
+            (col("__last.__rt").as(prefix + rightTs) +:
+              rightPayload.map(p =>
+                col("__last").getField(p).as(prefix + p))): _*)
+    }
   }
 
   /** Interval (range) join: rows whose `rowTs` falls in `[lo, hi)` of

@@ -88,6 +88,28 @@ object StreamingQueries {
         .orderBy("win_start", "event_type")
     }),
 
+    // streaming gap sessionization, end to end: Spark's native
+    // session_window (state-merging session aggregation) over the
+    // event file stream, 12-hour gap — the streaming twin of the
+    // batch core/Temporal.sessionize query (complete mode: bounded
+    // replay = every session final)
+    "stream_sessionize" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val ev = s.readStream.schema(schema)
+        .parquet(s"$dir/events.parque[t]") // glob form, see above
+        .withColumn("tstamp", timestamp_micros(tsUs))
+      val sessions = ev
+        .groupBy(col("user_id"), session_window(col("tstamp"), "12 hours"))
+        .agg(count(lit(1)).as("n_events"))
+      runToMemory(s, "stream_sessions", name =>
+        sessions.writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow()))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          col("n_events"))
+        .orderBy("user_id", "start_us")
+    }),
+
     // streaming W4 re-chunk, end to end: the bounded-state
     // flatMapGroupsWithState chop (carry-over < chunkLen samples per
     // channel) over the same synthetic trace stream as w4_rechunk —
@@ -182,6 +204,17 @@ object StreamingQueries {
     "stream_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id FROM documents
         |GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    // session_window ≡ gaps-and-islands with the same 12h gap. NOTE
+    // the boundary: windows [t, t+gap) merge only on strict overlap,
+    // so Spark opens a new session when the gap is EXACTLY 12h (>=
+    // split) — one tick stricter than core/Temporal.sessionize's
+    // classic > split. The oracle mirrors session_window.
+    "stream_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |l AS (SELECT user_id, us, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 43200000000 THEN 1 ELSE 0 END AS ns FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |sj AS (SELECT user_id, us, sum(ns) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM l)
+        |SELECT user_id, min(us) AS start_us, count(*) AS n_events
+        |FROM sj GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
     // tumbling 1h windows aligned to the epoch (Spark default, UTC)
     "stream_window_counts" ->
       """SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS win_start,

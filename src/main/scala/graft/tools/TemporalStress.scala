@@ -1,0 +1,102 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Temporal
+
+/** Scaling stress for the temporal operators (dev tool): replicates the
+  * sf0.1 events table N× along TWO axes and times asofJoin /
+  * intervalJoin / sessionize at 1×/4×/16×/64×. The axes matter more
+  * than the totals:
+  *
+  *   - `wide`: replicas get distinct user_ids — key count grows, rows
+  *     per key constant. The scale-out axis: all three operators
+  *     shuffle once on the key, so this curve must stay ~linear (flat
+  *     per-row) or the operator would not spread on a cluster.
+  *   - `deep`: replicas keep the SAME user_ids with time-shifted rows —
+  *     rows per key grow 64×. The skew axis: windowed operators
+  *     process one key in one task, so this curve shows the per-key
+  *     O(n log n) sort cost that a genuinely hot key would pay.
+  *     (Mitigation for a pathological key: time-slice pre-split, see
+  *     `core/Temporal` scaladoc; the curve documents where that
+  *     becomes worth it.)
+  *
+  * Results → SCALE.md. Uses the ScaleStress `force` discipline
+  * (xxhash64-of-struct + head) so Catalyst cannot prune measured work.
+  */
+object TemporalStress {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    def force(df: DataFrame): Long =
+      df.agg(
+        sum(pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)),
+          lit(1000000007L))).as("f"),
+        count(lit(1)).as("n")).head().getLong(1)
+
+    val base = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), graft.queries.Q.tsUs.as("us"))
+    val usPerDay = 86400000000L
+    val span = 31L * usPerDay // > the table's 30-day range
+
+    def replicate(mult: Int, deep: Boolean): String = {
+      val path = s"target/temporal_stress/ev_${if (deep) "deep" else "wide"}_x$mult"
+      (0 until mult).map { i =>
+        val shifted = base
+          .withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L))
+        if (deep) shifted.withColumn("us", col("us") + lit(i * span))
+        else shifted.withColumn("user_id",
+          col("user_id") + lit(i.toLong * 1000000L))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(path)
+      path
+    }
+
+    def run(tag: String, mult: Int, path: String): Unit = {
+      val ev = spark.read.parquet(path)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "us").agg(min("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"))
+      time(s"asof_$tag${"x"}$mult")(force(
+        Temporal.asofJoin(purchases, clicks, Seq("user_id"),
+          "us", "us", Seq("click_id"))))
+      // the sliced plan is the hot-key answer: flat on deep where the
+      // windowed plan serializes. Also timed on wide to show its
+      // two-exchange overhead on well-spread keys.
+      time(s"asof_sliced_$tag${"x"}$mult")(force(
+        Temporal.asofJoinSliced(purchases, clicks, Seq("user_id"),
+          "us", "us", Seq("click_id"), sliceWidth = usPerDay)))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id"),
+          col("us").as("lo"), (col("us") + lit(7 * usPerDay)).as("hi"))
+      time(s"interval_$tag${"x"}$mult")(force(
+        Temporal.intervalJoin(purchases, "us", signups, "lo", "hi",
+            bucketWidth = usPerDay, keys = Seq("user_id"))
+          .groupBy("signup_id").agg(count(lit(1)).as("n"))))
+      time(s"session_$tag${"x"}$mult")(force(
+        Temporal.sessionize(ev.select(col("user_id"), col("us")),
+            Seq("user_id"), "us", gap = 12L * 3600000000L)
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n"), min("us").as("lo"))))
+    }
+
+    for (deep <- Seq(false, true); mult <- Seq(1, 4, 16, 64)) {
+      val path = replicate(mult, deep)
+      run(if (deep) "deep" else "wide", mult, path)
+    }
+    spark.stop()
+  }
+}

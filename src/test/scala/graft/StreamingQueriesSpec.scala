@@ -48,6 +48,33 @@ class StreamingQueriesSpec extends SparkSpec {
     assert(batch.nonEmpty && streamed.sameElements(batch))
   }
 
+  test("stream_sessionize ≡ batch session_window ≡ sessionize(gap-1)") {
+    val streamed = StreamingQueries.queries("stream_sessionize")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), graft.queries.Q.tsUs.as("us"))
+    val batch = ev
+      .groupBy(col("user_id"),
+        session_window(timestamp_micros(col("us")), "12 hours"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        col("n_events"))
+      .orderBy("user_id", "start_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(batch.nonEmpty && streamed.sameElements(batch))
+    // session_window's >= split ≡ classic gaps-and-islands > split
+    // with gap-1 on integer timestamps
+    val islands = graft.core.Temporal
+      .sessionize(ev, Seq("user_id"), "us", gap = 12L * 3600000000L - 1)
+      .groupBy("user_id", "session_id")
+      .agg(min("us").as("start_us"), count(lit(1)).as("n_events"))
+      .select("user_id", "start_us", "n_events")
+      .orderBy("user_id", "start_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(islands.sameElements(streamed))
+  }
+
   test("stream_rate_monitor: every event lands in exactly two sliding windows") {
     val streamed = StreamingQueries.queries("stream_rate_monitor")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -76,6 +76,46 @@ class TemporalSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("asofJoinSliced ≡ asofJoin: widths × directions × tol × outer") {
+    def norm(df: org.apache.spark.sql.DataFrame): Set[(Long, Option[Long])] =
+      df.collect().map(r => (r.getAs[Long]("lid"),
+        Option(r.getAs[java.lang.Long]("r_rid")).map(_.longValue))).toSet
+    for (w <- Seq(1L, 10L, 64L, 1000L);
+         dir <- Seq[Temporal.AsOfDirection](Temporal.Backward,
+           Temporal.Forward);
+         tol <- Seq(None, Some(10L));
+         outer <- Seq(false, true)) {
+      val a = norm(Temporal.asofJoin(leftDf, rightDf, Seq("k"), "t", "t",
+        Seq("rid"), dir, tol, outer))
+      val b = norm(Temporal.asofJoinSliced(leftDf, rightDf, Seq("k"), "t",
+        "t", Seq("rid"), w, dir, tol, outer))
+      assert(a == b, s"w=$w dir=$dir tol=$tol outer=$outer: $a vs $b")
+    }
+  }
+
+  test("asofJoinSliced ≡ asofJoin on 400 random rows (deduped right)") {
+    val rnd = new scala.util.Random(42)
+    val l = Seq.tabulate(200)(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      .toDF("k", "t", "lid")
+    val r = Seq.tabulate(200)(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, (1000 + i).toLong))
+      .toDF("k", "t", "rid")
+      .groupBy("k", "t").agg(min("rid").as("rid")) // contract: deduped
+    def norm(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
+      df.collect().map(row => row.getAs[Long]("lid") ->
+        Option(row.getAs[java.lang.Long]("r_rid")).map(_.longValue)).toMap
+    for (dir <- Seq[Temporal.AsOfDirection](Temporal.Backward,
+        Temporal.Forward); w <- Seq(7L, 67L, 250L)) {
+      val a = norm(Temporal.asofJoin(l, r, Seq("k"), "t", "t",
+        Seq("rid"), dir, leftOuter = true))
+      val b = norm(Temporal.asofJoinSliced(l, r, Seq("k"), "t", "t",
+        Seq("rid"), w, dir, leftOuter = true))
+      assert(a == b, s"dir=$dir w=$w")
+      assert(a.size == 200)
+    }
+  }
+
   test("intervalJoin equals the naive range join, any bucket width") {
     val intervals = Seq((1L, 95L, 210L, 800L), (1L, 205L, 206L, 801L),
       (2L, 0L, 1000L, 802L), (3L, 501L, 900L, 803L))
