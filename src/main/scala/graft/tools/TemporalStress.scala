@@ -14,12 +14,13 @@ import graft.core.Temporal
   *     shuffle once on the key, so this curve must stay ~linear (flat
   *     per-row) or the operator would not spread on a cluster.
   *   - `deep`: replicas keep the SAME user_ids with time-shifted rows —
-  *     rows per key grow 64×. The skew axis: windowed operators
-  *     process one key in one task, so this curve shows the per-key
-  *     O(n log n) sort cost that a genuinely hot key would pay.
-  *     (Mitigation for a pathological key: time-slice pre-split, see
-  *     `core/Temporal` scaladoc; the curve documents where that
-  *     becomes worth it.)
+  *     rows per key grow 64× (150 keys still parallelize on 32 cores,
+  *     so this measures per-key sort growth, not serialization).
+  *   - `hot`: every row on ONE key — the pathological-skew axis. The
+  *     plain windowed asofJoin serializes the whole table into one
+  *     task here; asofJoinSliced (partition by key × time-slice) is
+  *     the design that keeps all cores busy. The crossover between
+  *     the two plans is the number this axis exists to print.
   *
   * Results → SCALE.md. Uses the ScaleStress `force` discipline
   * (xxhash64-of-struct + head) so Catalyst cannot prune measured work.
@@ -51,14 +52,18 @@ object TemporalStress {
     val usPerDay = 86400000000L
     val span = 31L * usPerDay // > the table's 30-day range
 
-    def replicate(mult: Int, deep: Boolean): String = {
-      val path = s"target/temporal_stress/ev_${if (deep) "deep" else "wide"}_x$mult"
+    def replicate(mult: Int, axis: String): String = {
+      val path = s"target/temporal_stress/ev_${axis}_x$mult"
       (0 until mult).map { i =>
         val shifted = base
           .withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L))
-        if (deep) shifted.withColumn("us", col("us") + lit(i * span))
-        else shifted.withColumn("user_id",
-          col("user_id") + lit(i.toLong * 1000000L))
+        axis match {
+          case "wide" => shifted.withColumn("user_id",
+            col("user_id") + lit(i.toLong * 1000000L))
+          case "deep" => shifted.withColumn("us", col("us") + lit(i * span))
+          case "hot" => shifted.withColumn("us", col("us") + lit(i * span))
+            .withColumn("user_id", lit(7L))
+        }
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(path)
       path
@@ -93,9 +98,11 @@ object TemporalStress {
           .agg(count(lit(1)).as("n"), min("us").as("lo"))))
     }
 
-    for (deep <- Seq(false, true); mult <- Seq(1, 4, 16, 64)) {
-      val path = replicate(mult, deep)
-      run(if (deep) "deep" else "wide", mult, path)
+    val axes =
+      if (args.length > 1) args.drop(1).toSeq else Seq("wide", "deep", "hot")
+    for (axis <- axes; mult <- Seq(1, 4, 16, 64)) {
+      val path = replicate(mult, axis)
+      run(axis, mult, path)
     }
     spark.stop()
   }
