@@ -223,6 +223,68 @@ object Temporal {
     }
   }
 
+  /** Broadcast as-of join: identical contract to [[asofJoin]], for the
+    * small-right-side case (calibration tables, sensor state feeds —
+    * dimensions, not events). The right side is grouped per key into a
+    * sorted struct array and BROADCAST, so the left side crosses ZERO
+    * exchanges: the probe is a map-only BroadcastHashJoin plus a
+    * higher-order `filter` + `array_max`/`array_min` pick — the plan
+    * you want when the left side is the 100 TB fact stream. Per-left-
+    * row cost is O(|right rows for the key|); keep the right side
+    * dimension-sized (it must fit in a broadcast either way).
+    *
+    * Tie-break matches [[asofJoin]]: lexicographic on
+    * (rightTs, payload...) — max for Backward, min for Forward.
+    */
+  def asofJoinBroadcast(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String],
+      direction: AsOfDirection = Backward,
+      tolerance: Option[Long] = None,
+      leftOuter: Boolean = false,
+      prefix: String = "r_"): DataFrame = {
+    require(keys.nonEmpty, "asofJoinBroadcast needs an equality key")
+    require(rightPayload.nonEmpty, "asofJoinBroadcast needs payload columns")
+    val leftCols = left.columns.toSeq
+    val rStruct = struct(
+      (col(rightTs).as("__rt") +: rightPayload.map(col)): _*)
+    val grouped = right
+      .groupBy(keys.map(col): _*)
+      .agg(collect_list(rStruct).as("__arr"))
+    val joined = left.join(broadcast(grouped), keys,
+      if (leftOuter) "left" else "inner")
+    val cand = direction match {
+      case Backward =>
+        filter(col("__arr"), x => x.getField("__rt") <= col(leftTs))
+      case Forward =>
+        filter(col("__arr"), x => x.getField("__rt") >= col(leftTs))
+    }
+    val pick = direction match {
+      case Backward => array_max(cand)
+      case Forward  => array_min(cand)
+    }
+    val matched = joined.withColumn("__last", pick)
+    val withinTol = tolerance match {
+      case Some(tol) =>
+        matched.withColumn("__last",
+          when(abs(col(leftTs).cast("double") -
+            col("__last.__rt").cast("double")) <= tol.toDouble,
+            col("__last")))
+      case None => matched
+    }
+    val base = if (leftOuter) withinTol
+      else withinTol.filter(col("__last").isNotNull)
+    base.select(
+      leftCols.map(col) ++
+        (col("__last.__rt").as(prefix + rightTs) +:
+          rightPayload.map(p =>
+            col("__last").getField(p).as(prefix + p))): _*)
+  }
+
   /** Interval (range) join: rows whose `rowTs` falls in `[lo, hi)` of
     * an interval, with optional extra equality `keys`. Both sides are
     * gridded onto `bucketWidth`-sized buckets so the join is an

@@ -40,6 +40,24 @@ object TemporalQueries {
         .orderBy("event_id")
     }),
 
+    // same contract, broadcast physical strategy: right side grouped +
+    // broadcast, left side crosses zero exchanges (the 100 TB-fact
+    // plan). Same oracle as the windowed form — one semantics, two
+    // physical strategies, both gated.
+    "asof_join_bcast" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("us", tsUs)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "us").agg(min("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"))
+      Temporal.asofJoinBroadcast(purchases, clicks, Seq("user_id"),
+          leftTs = "us", rightTs = "us", rightPayload = Seq("click_id"),
+          prefix = "c_")
+        .select(col("event_id"), col("user_id"), col("us").as("pts"),
+          col("c_us").as("click_us"), col("c_click_id").as("click_id"))
+        .orderBy("event_id")
+    }),
+
     // interval join: purchases inside [signup, signup + 7 days) per
     // user, aggregated per signup. Intervals grid onto 1-day buckets →
     // bucket equi-join + exact range predicate, never a cross product.
@@ -72,6 +90,13 @@ object TemporalQueries {
 
   val oracle: Map[String, String] = Map(
     "asof_join_clicks" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+        |c AS (SELECT user_id, us, min(event_id) AS click_id FROM e WHERE event_type = 'click' GROUP BY user_id, us),
+        |p AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.us AS pts, c.us AS click_us, c.click_id
+        |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.us >= c.us
+        |ORDER BY p.event_id""".stripMargin,
+    "asof_join_bcast" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
         |c AS (SELECT user_id, us, min(event_id) AS click_id FROM e WHERE event_type = 'click' GROUP BY user_id, us),
         |p AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase')

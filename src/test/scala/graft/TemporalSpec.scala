@@ -116,6 +116,32 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("asofJoinBroadcast ≡ asofJoin: directions × tol × outer") {
+    def norm(df: org.apache.spark.sql.DataFrame): Set[(Long, Option[Long])] =
+      df.collect().map(r => (r.getAs[Long]("lid"),
+        Option(r.getAs[java.lang.Long]("r_rid")).map(_.longValue))).toSet
+    for (dir <- Seq[Temporal.AsOfDirection](Temporal.Backward,
+           Temporal.Forward);
+         tol <- Seq(None, Some(10L));
+         outer <- Seq(false, true)) {
+      val a = norm(Temporal.asofJoin(leftDf, rightDf, Seq("k"), "t", "t",
+        Seq("rid"), dir, tol, outer))
+      val b = norm(Temporal.asofJoinBroadcast(leftDf, rightDf, Seq("k"),
+        "t", "t", Seq("rid"), dir, tol, outer))
+      assert(a == b, s"dir=$dir tol=$tol outer=$outer: $a vs $b")
+    }
+  }
+
+  test("asofJoinBroadcast never shuffles the left side") {
+    val plan = Temporal.asofJoinBroadcast(leftDf, rightDf, Seq("k"), "t",
+      "t", Seq("rid")).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the only hash exchange allowed is the (small) right-side groupBy
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"left side must not shuffle, plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"), plan)
+  }
+
   test("intervalJoin equals the naive range join, any bucket width") {
     val intervals = Seq((1L, 95L, 210L, 800L), (1L, 205L, 206L, 801L),
       (2L, 0L, 1000L, 802L), (3L, 501L, 900L, 803L))
