@@ -304,6 +304,15 @@ object LlmQueries {
         .select("source", "doc_id")
         .orderBy("source", "doc_id")),
 
+    // weighted exact-n sample: 200 docs, inclusion ∝ n_chars —
+    // sequential Poisson priorities (integer-exact hash / weight, one
+    // IEEE division: bit-identical in the oracle engine)
+    "llm_weighted_sample" -> ((s, dir) =>
+      graft.stats.Sampling.weightedPriorityN(
+          t(s, dir, "documents"), "doc_id", "n_chars", 200)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")),
+
     // weighted mixing with UP-sampling: src0 2.5x (2 copies + half a
     // 3rd by id bucket), src1 0.5x, others 1x — audit counts per source
     "llm_mix_weighted" -> ((s, dir) =>
@@ -833,6 +842,28 @@ object LlmQueries {
         |GROUP BY gr.doc_id ORDER BY gr.doc_id""".stripMargin,
     // stratified mirror: the same FNV hash as rank key (full signed
     // value, ties on id), row_number ≤ 10 per source
+    // sequential Poisson mirror: same FNV CTE, u = hv mod 2^52,
+    // priority = u / n_chars (double division — correctly rounded,
+    // so bit-identical to the Spark side), n smallest win
+    "llm_weighted_sample" ->
+      """WITH RECURSIVE
+        |ids AS (SELECT doc_id, source, n_chars, CAST(doc_id AS VARCHAR) AS s FROM documents),
+        |hx AS (SELECT DISTINCT s FROM ids),
+        |hh AS (SELECT s, hex(encode(s)) AS hs, octet_length(encode(s)) AS nb FROM hx),
+        |fnv AS (
+        |  SELECT s, hs, nb, 0 AS i, CAST(14695981039346656037 AS HUGEINT) AS h FROM hh
+        |  UNION ALL
+        |  SELECT s, hs, nb, i + 1,
+        |    (xor(h, CAST((strpos('0123456789ABCDEF', substring(hs, 2*i+1, 1))-1)*16 + strpos('0123456789ABCDEF', substring(hs, 2*i+2, 1))-1 AS HUGEINT)) * 1099511628211) % 18446744073709551616
+        |  FROM fnv WHERE i < nb),
+        |sgn AS (SELECT s, CAST(h - CASE WHEN h >= 9223372036854775808 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS hv
+        |        FROM fnv WHERE i = nb),
+        |pri AS (SELECT i.doc_id, i.source, i.n_chars,
+        |  CAST(((sg.hv % 4503599627370496) + 4503599627370496) % 4503599627370496 AS DOUBLE) / CAST(i.n_chars AS DOUBLE) AS p
+        |  FROM ids i JOIN sgn sg ON sg.s = i.s WHERE i.n_chars > 0)
+        |SELECT doc_id, source, n_chars FROM
+        |  (SELECT doc_id, source, n_chars FROM pri ORDER BY p, doc_id LIMIT 200)
+        |ORDER BY doc_id""".stripMargin,
     "llm_stratified_sample" ->
       """WITH RECURSIVE
         |ids AS (SELECT doc_id, source, CAST(doc_id AS VARCHAR) AS s FROM documents),

@@ -38,6 +38,33 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Weighted exact-n sample without replacement — sequential Poisson
+    * sampling (Ohlsson 1998, the πps-approximate priority scheme):
+    * each row gets priority `u / w` where `u` is a 52-bit uniform
+    * derived from the id hash, and the `n` SMALLEST priorities win, so
+    * inclusion probability grows ∝ weight. Chosen over
+    * Efraimidis–Spirakis `u^(1/w)` keys deliberately: the priority
+    * here is one integer-exact hash and ONE IEEE division (both
+    * bit-identical in any engine), where pow/ln keys can differ in the
+    * last ulp between libm implementations and flip a selection —
+    * this sampler is exactly mirrorable by an external SQL oracle.
+    * RNG-free and partitioning-independent like [[stratifiedExactN]];
+    * rows with weight ≤ 0 are never sampled. `orderBy().limit(n)` is
+    * a distributed ordered take, not a full sort. */
+  def weightedPriorityN(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      n: Int): DataFrame = {
+    val u = pmod(graft.functions.Fnv64(col(idCol).cast("string")),
+      lit(1L << 52)).cast("double")
+    df.filter(col(weightCol) > 0)
+      .withColumn("__pri", u / col(weightCol).cast("double"))
+      .orderBy(col("__pri").asc, col(idCol).asc)
+      .limit(n)
+      .drop("__pri")
+  }
+
   /** L5: log-spaced index subset of an axis of length `n` — the plot
     * downsampler (`_downsample_log`, `vibration_analyzer.py:1051-1102`,
     * default 20,000 points). Driver-side: it prepares plot indices, not

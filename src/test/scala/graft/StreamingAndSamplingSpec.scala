@@ -182,6 +182,26 @@ class StreamingAndSamplingSpec extends SparkSpec {
     assert(s3.toSeq != s1.toSeq)          // seed-sensitive
   }
 
+  test("weightedPriorityN: ∝-weight inclusion, deterministic, w≤0 excluded") {
+    import spark.implicits._
+    // 1000 ids weight 1 vs 1000 ids weight 10 → the heavy group should
+    // take the strong majority of a 400-row sample (E[heavy] ≈ 10/11)
+    val df = ((0 until 1000).map(i => (i.toLong, 1.0)) ++
+      (1000 until 2000).map(i => (i.toLong, 10.0)) ++
+      Seq((2000L, 0.0), (2001L, -3.0))).toDF("id", "w")
+    val got = graft.stats.Sampling.weightedPriorityN(df, "id", "w", 400)
+      .collect().map(_.getLong(0))
+    assert(got.length == 400)
+    assert(!got.contains(2000L) && !got.contains(2001L)) // w ≤ 0 never
+    val heavy = got.count(_ >= 1000)
+    assert(heavy > 300, s"heavy group took $heavy/400 — not ∝ weight")
+    // deterministic: same input → same sample, any partitioning
+    val again = graft.stats.Sampling
+      .weightedPriorityN(df.repartition(7), "id", "w", 400)
+      .collect().map(_.getLong(0))
+    assert(got.sorted.sameElements(again.sorted))
+  }
+
   test("L5 log-downsample: identity below target, monotone above") {
     assert(Sampling.logDownsampleIndices(100, 200).toSeq == (0 until 100))
     val idx = Sampling.logDownsampleIndices(100000, 500)
