@@ -21,7 +21,9 @@ object PlanAudit {
       "tpch_join_revenue", "a7_hist1d", "t6_binned_percentile_cut",
       "t7_rate_cut", "llm_minhash_neardup", "llm_sim_topk", "w4_rechunk",
       "llm_simhash_neardup", "llm_decontaminate", "llm_pack_sequences",
-      "llm_line_dedup", "llm_classifier_score")
+      "llm_line_dedup", "llm_classifier_score",
+      "asof_join_clicks", "asof_join_bcast", "interval_join_signup",
+      "sessionize_gap", "llm_weighted_sample")
 
     // allowed nested-loop joins: tiny driver-generated pair sets, plus
     // the classifier's ONE-ROW dense-model broadcast (a deliberate

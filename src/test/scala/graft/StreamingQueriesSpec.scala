@@ -75,6 +75,42 @@ class StreamingQueriesSpec extends SparkSpec {
     assert(islands.sameElements(streamed))
   }
 
+  test("asofJoinBroadcast enriches a stream against a static dimension") {
+    // stream-static as-of: the broadcast strategy is map-only, so it
+    // lifts to Structured Streaming unchanged — the canonical "enrich
+    // facts with latest calibration row" shape
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val leftStream = spark.readStream.schema(schema)
+      .parquet(s"$sf/events.parque[t]")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        graft.queries.Q.tsUs.as("us"))
+    val dim = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), graft.queries.Q.tsUs.as("us"))
+      .groupBy("user_id", "us").agg(min(col("event_id")).as("click_id"))
+    val enriched = graft.core.Temporal.asofJoinBroadcast(
+      leftStream, dim, Seq("user_id"), "us", "us", Seq("click_id"))
+    val qname = s"asof_stream_${System.nanoTime()}"
+    val q = enriched.writeStream.format("memory").queryName(qname)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table(qname)
+      .select("event_id", "r_click_id").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val batchLeft = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        graft.queries.Q.tsUs.as("us"))
+    val batch = graft.core.Temporal.asofJoin(
+      batchLeft, dim, Seq("user_id"), "us", "us", Seq("click_id"))
+      .select("event_id", "r_click_id").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(batch.nonEmpty && streamed.sameElements(batch))
+  }
+
   test("stream_rate_monitor: every event lands in exactly two sliding windows") {
     val streamed = StreamingQueries.queries("stream_rate_monitor")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
