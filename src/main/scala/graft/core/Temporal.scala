@@ -31,6 +31,15 @@ import org.apache.spark.sql.functions._
   * unit-agnostic — gaps/widths/tolerances are in the caller's units.
   * Gap/tolerance/slice arithmetic runs in doubles, so timestamps must
   * be double-exact: |t| < 2^53 (for µs since epoch, the 23rd century).
+  *
+  * Null keys: the window-based operators (asofJoin, asofJoinSliced,
+  * sessionize) PARTITION on the key, so null keys group together and
+  * can match each other — unlike SQL join equality, where null never
+  * equals null ([[intervalJoin]] and [[asofJoinBroadcast]] use real
+  * joins and follow SQL semantics). Filter null keys out beforehand
+  * when SQL-equivalent behavior matters. Null timestamps sort first
+  * in the window frame and therefore never match (backward) /
+  * match nothing (forward) — drop them for a fully specified result.
   */
 object Temporal {
 

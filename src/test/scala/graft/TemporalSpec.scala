@@ -142,6 +142,23 @@ class TemporalSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"), plan)
   }
 
+  test("null keys: window strategy groups them, join strategy drops them") {
+    // documented divergence (core/Temporal scaladoc): window PARTITION
+    // groups null keys; SQL join equality never matches them
+    val l = Seq((null.asInstanceOf[String], 100L, 1L), ("a", 100L, 2L))
+      .toDF("k", "t", "lid")
+    val r = Seq((null.asInstanceOf[String], 90L, 10L), ("a", 90L, 20L))
+      .toDF("k", "t", "rid")
+    val windowed = Temporal.asofJoin(l, r, Seq("k"), "t", "t", Seq("rid"))
+      .select("lid", "r_rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(windowed == Set((1L, 10L), (2L, 20L))) // null grouped with null
+    val joined = Temporal.asofJoinBroadcast(l, r, Seq("k"), "t", "t",
+      Seq("rid")).select("lid", "r_rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(joined == Set((2L, 20L))) // SQL semantics: null never equal
+  }
+
   test("intervalJoin equals the naive range join, any bucket width") {
     val intervals = Seq((1L, 95L, 210L, 800L), (1L, 205L, 206L, 801L),
       (2L, 0L, 1000L, 802L), (3L, 501L, 900L, 803L))
