@@ -317,10 +317,15 @@ object Temporal {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val rPrep = rows.withColumn("__bucket",
       floor(col(rowTs).cast("double") / bucketWidth).cast("long"))
-    val iPrep = intervals.withColumn("__bucket",
-      explode(sequence(
-        floor(col(lo).cast("double") / bucketWidth).cast("long"),
-        floor(col(hi).cast("double") / bucketWidth).cast("long"))))
+    // degenerate intervals (hi <= lo, i.e. empty [lo, hi)) are dropped
+    // up front: `sequence` would grid them DESCENDING (wasted explode
+    // work for candidates the exact predicate then prunes)
+    val iPrep = intervals
+      .filter(col(lo) < col(hi))
+      .withColumn("__bucket",
+        explode(sequence(
+          floor(col(lo).cast("double") / bucketWidth).cast("long"),
+          floor(col(hi).cast("double") / bucketWidth).cast("long"))))
     rPrep.join(iPrep, keys :+ "__bucket")
       .filter(col(rowTs) >= col(lo) && col(rowTs) < col(hi))
       .drop("__bucket")

@@ -161,7 +161,8 @@ class TemporalSpec extends SparkSpec {
 
   test("intervalJoin equals the naive range join, any bucket width") {
     val intervals = Seq((1L, 95L, 210L, 800L), (1L, 205L, 206L, 801L),
-      (2L, 0L, 1000L, 802L), (3L, 501L, 900L, 803L))
+      (2L, 0L, 1000L, 802L), (3L, 501L, 900L, 803L),
+      (1L, 300L, 300L, 804L), (2L, 900L, 100L, 805L)) // degenerate: empty
       .toDF("k", "lo", "hi", "iid")
     val naive = leftDf.join(intervals, Seq("k"))
       .filter(col("t") >= col("lo") && col("t") < col("hi"))
