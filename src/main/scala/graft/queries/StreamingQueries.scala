@@ -110,6 +110,35 @@ object StreamingQueries {
         .orderBy("user_id", "start_us")
     }),
 
+    // stream-stream backward as-of enrichment: purchases enriched with
+    // the latest click (value) at-or-before them per user, both sides
+    // file streams through StreamingAsOf's O(1)-per-key state. On the
+    // bounded single-batch replay the result equals the batch as-of
+    // (equal-ts click ties resolve to max value — mirrored by the
+    // oracle's pre-dedup GROUP BY)
+    "stream_asof_enrich" -> ((s, dir) => {
+      import s.implicits._
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val ev = s.readStream.schema(schema)
+        .parquet(s"$dir/events.parque[t]") // glob form, see above
+        .withColumn("us", tsUs)
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("key"), col("us").as("ts"),
+          col("event_id").as("factId"))
+        .as[graft.streaming.StreamingAsOf.Fact]
+      val dims = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("key"), col("us").as("ts"), col("value"))
+        .as[graft.streaming.StreamingAsOf.Dim]
+      val enriched =
+        graft.streaming.StreamingAsOf.asofEnrichStream(facts, dims)
+      runToMemory(s, "stream_asof", name =>
+        enriched.toDF().writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()))
+        .select(col("factId").as("event_id"),
+          col("dimTs").as("click_us"), col("dimValue").as("click_val"))
+        .orderBy("event_id")
+    }),
+
     // streaming W4 re-chunk, end to end: the bounded-state
     // flatMapGroupsWithState chop (carry-over < chunkLen samples per
     // channel) over the same synthetic trace stream as w4_rechunk —
@@ -204,6 +233,15 @@ object StreamingQueries {
     "stream_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id FROM documents
         |GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    // single-batch bounded replay ≡ batch backward as-of; ties on
+    // (user, click ts) pre-deduped to max(value) in both engines
+    "stream_asof_enrich" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us FROM events),
+        |c AS (SELECT user_id, us, max(value) AS click_val FROM e WHERE event_type = 'click' GROUP BY user_id, us),
+        |p AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase')
+        |SELECT p.event_id, c.us AS click_us, c.click_val
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us >= c.us
+        |ORDER BY p.event_id""".stripMargin,
     // session_window ≡ gaps-and-islands with the same 12h gap. NOTE
     // the boundary: windows [t, t+gap) merge only on strict overlap,
     // so Spark opens a new session when the gap is EXACTLY 12h (>=

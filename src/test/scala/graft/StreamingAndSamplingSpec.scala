@@ -171,6 +171,56 @@ class StreamingAndSamplingSpec extends SparkSpec {
     assert(late == (1L to 20L).map(i => (i, 1000L)).toSet)
   }
 
+  test("streaming as-of enrich: batch parity, state carry, late-fact guard") {
+    import graft.streaming.StreamingAsOf
+    import graft.streaming.StreamingAsOf.{Dim, Fact}
+    implicit val sqlCtx = spark.sqlContext
+
+    // (1) bounded single-batch replay ≡ batch asofJoin(leftOuter) on
+    // the events fixture: purchases enriched with latest click value
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("us", graft.queries.Q.tsUs)
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("key"), col("us").as("ts"),
+        col("event_id").as("factId")).as[Fact]
+    val dims = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "us").agg(min("value").as("v"))
+      .select(col("user_id").as("key"), col("us").as("ts"),
+        col("v").as("value")).as[Dim]
+    val streamed = StreamingAsOf.asofEnrichStream(facts, dims)
+      .collect()
+      .map(e => (e.factId, e.dimTs.getOrElse(-1L),
+        e.dimValue.getOrElse(-1.0))).sortBy(_._1)
+    val batch = graft.core.Temporal.asofJoin(
+      facts.toDF(), dims.toDF(), Seq("key"), "ts", "ts", Seq("value"),
+      leftOuter = true)
+      .select(col("factId"), coalesce(col("r_ts"), lit(-1L)),
+        coalesce(col("r_value"), lit(-1.0)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(batch.nonEmpty && streamed.sameElements(batch))
+
+    // (2) cross-batch carry + (3) late-fact guard
+    val dstream = MemoryStream[Dim]
+    val fstream = MemoryStream[Fact]
+    val q = StreamingAsOf.asofEnrichStream(fstream.toDS(), dstream.toDS())
+      .writeStream.format("memory").queryName("asof_enrich")
+      .outputMode("append").start()
+    dstream.addData(Dim(1L, 100L, 1.5))
+    q.processAllAvailable()
+    fstream.addData(Fact(1L, 200L, 10L), // matches the batch-1 dim
+      Fact(1L, 50L, 11L)) // LATE: older than consumed dim → unmatched
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql(
+      "SELECT factId, dimTs, dimValue FROM asof_enrich ORDER BY factId")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2)))
+    assert(got.toSeq == Seq((10L, 100L, 1.5), (11L, -1L, -1.0)))
+  }
+
   test("L3 exact-n seeded sample: size, determinism, no replacement") {
     val df = (0 until 1000).map(Tuple1(_)).toDF("x")
     val s1 = Sampling.exactN(df, 50, seed = 7).as[Int].collect()
