@@ -331,6 +331,48 @@ object Temporal {
       .drop("__bucket")
   }
 
+  /** LOCF resampling: lay a regular time grid over each key's observed
+    * span and carry the last observation forward onto every grid point
+    * (pandas `resample().ffill()`; TimescaleDB `time_bucket_gapfill` +
+    * `locf`). Grid points are the multiples of `step` inside
+    * `[min(ts), max(ts)]` per key — the first grid point is the
+    * smallest multiple ≥ the key's first observation, so every point
+    * has a backward match and the output carries no nulls. Keys whose
+    * span contains no multiple of `step` produce no rows.
+    *
+    * Output: `keys ++ (ts at grid points) ++ prefix+valueCols` (the
+    * carried values) + `prefix+ts` (the matched observation time).
+    * Built as bounds-aggregate → `sequence` explode → [[asofJoin]], so
+    * the cost is one small per-key aggregate plus the single-exchange
+    * as-of; per-key expansion is span/step rows — pick `step`
+    * accordingly. Observation-time ties resolve like [[asofJoin]]
+    * (lexicographic max payload); pre-dedup for a fixed contract.
+    */
+  def resampleLocf(
+      df: DataFrame,
+      keys: Seq[String],
+      ts: String,
+      valueCols: Seq[String],
+      step: Long,
+      prefix: String = "r_"): DataFrame = {
+    require(keys.nonEmpty, "resampleLocf needs at least one key")
+    require(step > 0, "step must be positive")
+    require(valueCols.nonEmpty, "resampleLocf needs value columns")
+    val bounds = df.groupBy(keys.map(col): _*)
+      .agg(min(col(ts)).as("__lo"), max(col(ts)).as("__hi"))
+    // smallest multiple of step ≥ lo; largest multiple ≤ hi (exact
+    // integer arithmetic via pmod — no double floor)
+    val gStart = col("__lo") + pmod(lit(step) - pmod(col("__lo"), lit(step)),
+      lit(step))
+    val gEnd = col("__hi") - pmod(col("__hi"), lit(step))
+    val grid = bounds
+      .filter(gStart <= gEnd)
+      .select(keys.map(col) :+
+        explode(sequence(gStart, gEnd, lit(step))).as(ts): _*)
+    asofJoin(grid, df.select((keys :+ ts).map(col) ++ valueCols.map(col): _*),
+      keys, ts, ts, valueCols, Backward, prefix = prefix)
+  }
+
   /** Gap sessionization: assign each row a per-key `session_id`
     * (1-based, in time order) that increments whenever the gap from the
     * previous row exceeds `gap` (same units as the numeric `ts`).

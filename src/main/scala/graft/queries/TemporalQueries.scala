@@ -77,6 +77,21 @@ object TemporalQueries {
         .orderBy("signup_id")
     }),
 
+    // LOCF resampling: each user's value carried forward onto a daily
+    // grid over their observed span (bounds agg → sequence explode →
+    // the single-exchange as-of); observation ties pre-deduped to
+    // max(value) in both engines
+    "resample_locf" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), tsUs.as("us"), col("value"))
+        .groupBy("user_id", "us").agg(max("value").as("value"))
+      Temporal.resampleLocf(ev, Seq("user_id"), "us", Seq("value"),
+          step = usPerDay)
+        .select(col("user_id"), col("us"), col("r_us").as("obs_us"),
+          col("r_value").as("value_locf"))
+        .orderBy("user_id", "us")
+    }),
+
     // gap sessionization: 12-hour-gap sessions per user → per-session
     // event count, start, duration. One exchange + sort on user_id.
     "sessionize_gap" -> ((s, dir) => {
@@ -110,6 +125,14 @@ object TemporalQueries {
         |SELECT s.signup_id, count(*) AS n, CAST(sum(CAST(round(p.value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
         |FROM p JOIN s ON p.user_id = s.user_id AND p.us >= s.lo AND p.us < s.hi
         |GROUP BY s.signup_id ORDER BY s.signup_id""".stripMargin,
+    "resample_locf" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+        |d AS (SELECT user_id, us, max(value) AS value FROM e GROUP BY user_id, us),
+        |b AS (SELECT user_id, min(us) AS lo, max(us) AS hi FROM d GROUP BY user_id),
+        |g AS (SELECT user_id, unnest(generate_series(lo + (86400000000 - lo % 86400000000) % 86400000000, hi - hi % 86400000000, 86400000000)) AS us FROM b)
+        |SELECT g.user_id, g.us, d.us AS obs_us, d.value AS value_locf
+        |FROM g ASOF JOIN d ON g.user_id = d.user_id AND g.us >= d.us
+        |ORDER BY g.user_id, g.us""".stripMargin,
     "sessionize_gap" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
         |l AS (SELECT user_id, us, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 43200000000 THEN 1 ELSE 0 END AS ns FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),

@@ -179,6 +179,24 @@ class TemporalSpec extends SparkSpec {
     assert(!naive.contains((30L, 803L)))
   }
 
+  test("resampleLocf: grid inside span, values carried forward, no nulls") {
+    // key 1: obs at t=7,25,52 → step-10 grid {10,20,30,40,50}:
+    //   10→7, 20→7, 30→25, 40→25, 50→25 (52 is past the last grid pt)
+    // key 2: obs at 15,18 → grid {} (no multiple of 10 in [15,18]...
+    //   wait: none — 20 > 18) → key dropped
+    // key 3: obs exactly at 30 → grid {30} → matches itself
+    val obs = Seq((1L, 7L, 1.0), (1L, 25L, 2.0), (1L, 52L, 3.0),
+      (2L, 15L, 4.0), (2L, 18L, 5.0), (3L, 30L, 6.0))
+      .toDF("k", "t", "v")
+    val got = Temporal.resampleLocf(obs, Seq("k"), "t", Seq("v"), step = 10L)
+      .select("k", "t", "r_t", "r_v").orderBy("k", "t")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 10L, 7L, 1.0), (1L, 20L, 7L, 1.0), (1L, 30L, 25L, 2.0),
+      (1L, 40L, 25L, 2.0), (1L, 50L, 25L, 2.0), (3L, 30L, 30L, 6.0)))
+  }
+
   test("sessionize splits on gap and keeps ts ties together") {
     val rows = Seq((1L, 0L), (1L, 50L), (1L, 50L), (1L, 200L), (1L, 201L),
       (2L, 1000L)).toDF("k", "t")
