@@ -92,6 +92,23 @@ object TemporalQueries {
         .orderBy("user_id", "us")
     }),
 
+    // trailing 7-day rolling aggregates per user — a RANGE-frame
+    // window over numeric event time (native Spark, one exchange;
+    // peers at equal ts are all in-frame in both engines). Sums in
+    // exact integer cents so partial order can't perturb the hash.
+    "rolling_7d_user" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("us")
+        .rangeBetween(-7 * usPerDay, 0)
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), tsUs.as("us"),
+          cents(col("value")).as("vc"))
+        .select(col("event_id"), col("user_id"), col("us"),
+          count(lit(1)).over(w).as("n_7d"),
+          sum(col("vc")).over(w).as("sum_7d_cents"))
+        .orderBy("event_id")
+    }),
+
     // gap sessionization: 12-hour-gap sessions per user → per-session
     // event count, start, duration. One exchange + sort on user_id.
     "sessionize_gap" -> ((s, dir) => {
@@ -133,6 +150,11 @@ object TemporalQueries {
         |SELECT g.user_id, g.us, d.us AS obs_us, d.value AS value_locf
         |FROM g ASOF JOIN d ON g.user_id = d.user_id AND g.us >= d.us
         |ORDER BY g.user_id, g.us""".stripMargin,
+    "rolling_7d_user" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, CAST(round(value*100) AS BIGINT) AS vc FROM events)
+        |SELECT event_id, user_id, us, count(*) OVER w AS n_7d, CAST(sum(vc) OVER w AS BIGINT) AS sum_7d_cents
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "sessionize_gap" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
         |l AS (SELECT user_id, us, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 43200000000 THEN 1 ELSE 0 END AS ns FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
