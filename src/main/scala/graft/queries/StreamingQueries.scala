@@ -88,6 +88,32 @@ object StreamingQueries {
         .orderBy("win_start", "event_type")
     }),
 
+    // native stream-stream interval join: purchases ⋈ signups of the
+    // same user within [signup, signup + 7 days), both sides file
+    // streams with event-time watermarks (the state-bounding pattern;
+    // the bounded replay completes in one batch regardless). Spark's
+    // built-in time-bound join — no custom state needed for this shape
+    "stream_interval_join" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      def ev = s.readStream.schema(schema)
+        .parquet(s"$dir/events.parque[t]") // glob form, see above
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id").as("su"),
+          timestamp_micros(tsUs).as("sts"))
+        .withWatermark("sts", "1 hour")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("pu"), timestamp_micros(tsUs).as("pts"))
+        .withWatermark("pts", "1 hour")
+      val joined = purchases.join(signups, expr(
+        "pu = su AND pts >= sts AND pts < sts + interval 7 days"))
+      runToMemory(s, "stream_ivj", name =>
+        joined.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()))
+        .select(col("signup_id"), col("purchase_id"))
+        .orderBy("signup_id", "purchase_id")
+    }),
+
     // streaming gap sessionization, end to end: Spark's native
     // session_window (state-merging session aggregation) over the
     // event file stream, 12-hour gap — the streaming twin of the
@@ -233,6 +259,13 @@ object StreamingQueries {
     "stream_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id FROM documents
         |GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    "stream_interval_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s AS (SELECT event_id AS signup_id, user_id, us FROM e WHERE event_type = 'signup'),
+        |p AS (SELECT event_id AS purchase_id, user_id, us FROM e WHERE event_type = 'purchase')
+        |SELECT s.signup_id, p.purchase_id
+        |FROM p JOIN s ON p.user_id = s.user_id AND p.us >= s.us AND p.us < s.us + 604800000000
+        |ORDER BY signup_id, purchase_id""".stripMargin,
     // single-batch bounded replay ≡ batch backward as-of; ties on
     // (user, click ts) pre-deduped to max(value) in both engines
     "stream_asof_enrich" ->
