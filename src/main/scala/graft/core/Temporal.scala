@@ -373,6 +373,62 @@ object Temporal {
       keys, ts, ts, valueCols, Backward, prefix = prefix)
   }
 
+  /** Linear trailing-window sum/count: for every row, the sum and
+    * count of `valueCol` over `[ts - window, ts]` (peer-inclusive,
+    * RANGE semantics) per key — computed as prefix aggregates minus an
+    * as-of lookup instead of a sliding RANGE frame.
+    *
+    * Why not `rangeBetween(-window, 0)` directly: Spark's sliding
+    * window frame has NO aggregate retraction — every time the lower
+    * bound moves it re-aggregates the rows still in frame, so a key's
+    * cost is O(rows × rows-per-frame) in ONE task. Measured on a
+    * 1.3M-row hot key with ~4.6k-row frames: the RANGE-frame plan ran
+    * 25+ minutes single-threaded before being killed (TemporalStress
+    * hot axis); this formulation is three linear passes: an EXPANDING
+    * RANGE frame (incremental in Spark — no retraction needed), a
+    * per-(key, ts) projection of the prefix table, and the
+    * single-exchange [[asofJoin]] fetching the prefix just BEFORE the
+    * window start (`ts - window - 1`, so the subtraction leaves
+    * exactly `[ts - window, ts]`). Integer timestamps required.
+    *
+    * Adds `sumCol` and `cntCol` to the input columns. Use the plain
+    * RANGE frame for small per-key row counts; use this once keys can
+    * hold thousands of in-frame rows.
+    */
+  def rollingSumLinear(
+      df: DataFrame,
+      keys: Seq[String],
+      ts: String,
+      valueCol: String,
+      window: Long,
+      sumCol: String = "rolling_sum",
+      cntCol: String = "rolling_cnt"): DataFrame = {
+    require(keys.nonEmpty, "rollingSumLinear needs at least one key")
+    require(window >= 0, "window must be non-negative")
+    // expanding RANGE frame: peer rows (equal ts) share the same
+    // prefix, and Spark evaluates it incrementally — one linear pass
+    val wCum = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ts).asc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = df
+      .withColumn("__cs", sum(col(valueCol)).over(wCum))
+      .withColumn("__cn", count(lit(1)).over(wCum))
+    // peers carry identical prefixes → one row per (key, ts)
+    val prefixes = withCum
+      .groupBy((keys :+ ts).map(col): _*)
+      .agg(max(col("__cs")).as("__ps"), max(col("__cn")).as("__pn"))
+    val probed = asofJoin(
+      withCum.withColumn("__target", col(ts) - window - 1),
+      prefixes, keys,
+      leftTs = "__target", rightTs = ts,
+      rightPayload = Seq("__ps", "__pn"),
+      leftOuter = true, prefix = "__b_")
+    probed
+      .withColumn(sumCol, col("__cs") - coalesce(col("__b___ps"), lit(0)))
+      .withColumn(cntCol, col("__cn") - coalesce(col("__b___pn"), lit(0L)))
+      .drop("__cs", "__cn", "__target", s"__b_$ts", "__b___ps", "__b___pn")
+  }
+
   /** Gap sessionization: assign each row a per-key `session_id`
     * (1-based, in time order) that increments whenever the gap from the
     * previous row exceeds `gap` (same units as the numeric `ts`).

@@ -92,20 +92,23 @@ object TemporalQueries {
         .orderBy("user_id", "us")
     }),
 
-    // trailing 7-day rolling aggregates per user — a RANGE-frame
-    // window over numeric event time (native Spark, one exchange;
-    // peers at equal ts are all in-frame in both engines). Sums in
-    // exact integer cents so partial order can't perturb the hash.
+    // trailing 7-day rolling aggregates per user. Runs the LINEAR
+    // prefix+as-of formulation (Temporal.rollingSumLinear), not the
+    // sliding RANGE frame: Spark re-aggregates a sliding frame on
+    // every lower-bound move (no retraction), which is O(rows × frame)
+    // per key — measured 25+ min single-threaded on a 1.3M-row hot
+    // key. Equivalence with the RANGE frame is spec-pinned
+    // (TemporalSpec); the oracle mirrors the frame semantics directly.
+    // Sums in exact integer cents so float order can't perturb hashes.
     "rolling_7d_user" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("us")
-        .rangeBetween(-7 * usPerDay, 0)
-      events(s, dir)
+      val ev = events(s, dir)
         .select(col("event_id"), col("user_id"), tsUs.as("us"),
           cents(col("value")).as("vc"))
+      Temporal.rollingSumLinear(ev, Seq("user_id"), "us", "vc",
+          window = 7 * usPerDay,
+          sumCol = "sum_7d_cents", cntCol = "n_7d")
         .select(col("event_id"), col("user_id"), col("us"),
-          count(lit(1)).over(w).as("n_7d"),
-          sum(col("vc")).over(w).as("sum_7d_cents"))
+          col("n_7d"), col("sum_7d_cents"))
         .orderBy("event_id")
     }),
 

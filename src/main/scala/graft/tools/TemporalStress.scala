@@ -96,6 +96,20 @@ object TemporalStress {
             Seq("user_id"), "us", gap = 12L * 3600000000L)
           .groupBy("user_id", "session_id")
           .agg(count(lit(1)).as("n"), min("us").as("lo"))))
+      val obs = ev.select(col("user_id"), col("us"), col("value"))
+        .groupBy("user_id", "us").agg(max("value").as("value"))
+      time(s"resample_$tag${"x"}$mult")(force(
+        Temporal.resampleLocf(obs, Seq("user_id"), "us", Seq("value"),
+          step = usPerDay)))
+      // the sliding RANGE frame is O(rows × frame) per key (no
+      // aggregate retraction in Spark) — on the hot axis at 64× it ran
+      // 25+ min single-threaded before being killed. rollingSumLinear
+      // is the three-linear-passes formulation; only it is stressed.
+      time(s"rolling_$tag${"x"}$mult")(force(
+        Temporal.rollingSumLinear(
+          ev.select(col("event_id"), col("user_id"), col("us"),
+            (col("value") * 100).cast("long").as("vc")),
+          Seq("user_id"), "us", "vc", 7 * usPerDay)))
     }
 
     val axes =

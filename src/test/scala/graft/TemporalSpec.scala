@@ -45,6 +45,28 @@ class TemporalSpec extends SparkSpec {
     assert(outer.size == leftRows.size)
   }
 
+  test("asofJoin carries multi-column payloads consistently") {
+    val r2 = rightDf.withColumn("rv", col("rid") * 1.5)
+    val got = Temporal.asofJoin(leftDf, r2, Seq("k"), "t", "t",
+      Seq("rid", "rv")).collect()
+    assert(got.nonEmpty)
+    got.foreach { row =>
+      assert(row.getAs[Double]("r_rv") == row.getAs[Long]("r_rid") * 1.5,
+        s"payload columns drifted: $row")
+    }
+    val sliced = Temporal.asofJoinSliced(leftDf, r2, Seq("k"), "t", "t",
+      Seq("rid", "rv"), sliceWidth = 64L).collect()
+      .map(r => (r.getAs[Long]("lid"), r.getAs[Long]("r_rid"),
+        r.getAs[Double]("r_rv"))).toSet
+    val bcast = Temporal.asofJoinBroadcast(leftDf, r2, Seq("k"), "t", "t",
+      Seq("rid", "rv")).collect()
+      .map(r => (r.getAs[Long]("lid"), r.getAs[Long]("r_rid"),
+        r.getAs[Double]("r_rv"))).toSet
+    val plain = got.map(r => (r.getAs[Long]("lid"), r.getAs[Long]("r_rid"),
+      r.getAs[Double]("r_rv"))).toSet
+    assert(sliced == plain && bcast == plain)
+  }
+
   test("asofJoin forward matches brute force") {
     val expect = bruteAsof(backward = false, tol = None)
     val got = Temporal.asofJoin(leftDf, rightDf, Seq("k"), "t", "t",
@@ -195,6 +217,44 @@ class TemporalSpec extends SparkSpec {
     assert(got.toSeq == Seq(
       (1L, 10L, 7L, 1.0), (1L, 20L, 7L, 1.0), (1L, 30L, 25L, 2.0),
       (1L, 40L, 25L, 2.0), (1L, 50L, 25L, 2.0), (3L, 30L, 30L, 6.0)))
+  }
+
+  test("rollingSumLinear ≡ RANGE-frame rolling aggregates at sf0.001") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), col("user_id"),
+        graft.queries.Q.tsUs.as("us"),
+        (col("value") * 100).cast("long").as("vc"))
+    val day = 86400000000L
+    val wR = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-7 * day, 0)
+    val frame = ev
+      .select(col("event_id"), sum("vc").over(wR).as("s"),
+        count(lit(1)).over(wR).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val linear = graft.core.Temporal.rollingSumLinear(
+      ev, Seq("user_id"), "us", "vc", 7 * day)
+      .select(col("event_id"), col("rolling_sum"), col("rolling_cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(frame.nonEmpty && linear.sameElements(frame))
+  }
+
+  test("rollingSumLinear handles ts ties (peers share the full window)") {
+    val rows = Seq((1L, 10L, 1L), (1L, 10L, 2L), (1L, 15L, 4L),
+      (1L, 21L, 8L), (2L, 10L, 16L)).toDF("k", "t", "v")
+    val got = graft.core.Temporal
+      .rollingSumLinear(rows, Seq("k"), "t", "v", window = 10L)
+      .select("k", "t", "v", "rolling_sum", "rolling_cnt")
+      .orderBy("k", "t", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // window [t-10, t]: at t=21 rows with ts in [11, 21] → 4+8
+    assert(got.toSeq == Seq(
+      (1L, 10L, 1L, 3L, 2L), (1L, 10L, 2L, 3L, 2L),
+      (1L, 15L, 4L, 7L, 3L), (1L, 21L, 8L, 12L, 2L),
+      (2L, 10L, 16L, 16L, 1L)))
   }
 
   test("sessionize splits on gap and keeps ts ties together") {
