@@ -9,21 +9,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Semantics: each fact is enriched with the latest dimension row for
   * its key whose timestamp is ≤ the fact's (backward-inclusive), among
-  * the dims CONSUMED SO FAR. Keyed state is ONE (ts, value) tuple per
-  * key — the max-ts dim seen — so state is O(keys), never a buffer:
+  * the dims RETAINED so far. Keyed state is the last `dimHistory`
+  * (ts, value) pairs per key — O(keys × K), never data-sized:
   *
-  *   - within a micro-batch, rows sort by (ts, tag[, value]) and walk
-  *     with the carried state, so any arrival order inside a batch
-  *     matches the batch operator exactly — on a bounded single-batch
-  *     replay the output EQUALS `asofJoin(leftOuter = true)`;
-  *   - across batches the state carries forward: a dim from batch N
-  *     enriches facts of batch N+1 (the standard slowly-changing
-  *     dimension feed);
-  *   - a LATE fact — event-time older than the newest consumed dim —
-  *     emits unmatched rather than matching a future dim (the guard
-  *     keeps backward semantics honest). Exact late-data replay would
-  *     need watermark-bounded dim buffering; this operator trades that
-  *     for O(1) per-key state, like the capped/TTL'd streaming dedups.
+  *   - within a micro-batch, carried dims re-enter the sorted
+  *     (ts, tag[, value]) walk as synthetic rows, so matching is EXACT
+  *     with respect to every retained dim, whatever the arrival order —
+  *     on a bounded single-batch replay the output EQUALS
+  *     `asofJoin(leftOuter = true)` for any `dimHistory ≥ 1`;
+  *   - across batches the history carries forward: dims from batch N
+  *     enrich facts of batch N+1 (the slowly-changing dimension feed),
+  *     and a LATE fact — event-time older than the newest consumed
+  *     dim — still matches exactly if its dim is within the retained
+  *     history, and emits unmatched otherwise (never a future dim).
+  *     Unbounded-history exactness would need watermark-bounded
+  *     buffering; this trades the tail of that guarantee for fixed
+  *     state, like the capped/TTL'd streaming dedups.
   *
   * `stateTtl` (processing-time) expires idle keys for unbounded
   * ingest; empty string keeps state forever (bounded backfills only).
@@ -43,7 +44,9 @@ object StreamingAsOf {
   def asofEnrichStream(
       facts: Dataset[Fact],
       dims: Dataset[Dim],
+      dimHistory: Int = 64,
       stateTtl: String = ""): Dataset[Enriched] = {
+    require(dimHistory >= 1, "dimHistory must be at least 1")
     val spark = facts.sparkSession
     import spark.implicits._
     val timeout =
@@ -55,34 +58,41 @@ object StreamingAsOf {
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append(), timeout)(
         (key: Long, rows: Iterator[Tagged],
-            state: GroupState[(Long, Double)]) => {
+            state: GroupState[List[(Long, Double)]]) => {
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
-            // dim before fact at equal ts (backward-inclusive); equal-ts
-            // dims tie-break on value like the batch operator's
-            // lexicographic (rt, payload) max
-            val sorted = rows.toSeq.sortBy(r => (r.ts, r.tag, r.value))
-            var last = state.getOption
+            // carried history re-enters the walk as dim rows, so the
+            // ascending (ts, tag, value) order makes "the last dim seen
+            // so far" the exact backward match for every fact: dim
+            // before fact at equal ts (inclusive), equal-ts dims
+            // tie-break on value like the batch operator
+            val carried = state.getOption.getOrElse(Nil)
+              .map(d => Tagged(key, d._1, 0, 0L, d._2))
+            val sorted = (rows.toSeq ++ carried)
+              .sortBy(r => (r.ts, r.tag, r.value))
+            val hist = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Double)]
             val out = Seq.newBuilder[Enriched]
             sorted.foreach { r =>
               if (r.tag == 0) {
-                val keep = last.exists(l =>
-                  l._1 > r.ts || (l._1 == r.ts && l._2 >= r.value))
-                if (!keep) last = Some((r.ts, r.value))
+                // walk is ts-ascending → append keeps hist sorted;
+                // skip exact duplicates (a carried dim meeting itself
+                // cannot happen, but identical dims across batches can)
+                if (hist.isEmpty || (hist.last._1, hist.last._2) !=
+                    ((r.ts, r.value)))
+                  hist += ((r.ts, r.value))
               } else {
-                // guard: never match a dim from the fact's future (a
-                // late fact behind the carried state goes unmatched)
-                last match {
-                  case Some((dt, dv)) if dt <= r.ts =>
+                hist.lastOption match {
+                  case Some((dt, dv)) =>
                     out += Enriched(key, r.ts, r.factId, Some(dt), Some(dv))
-                  case _ =>
+                  case None =>
                     out += Enriched(key, r.ts, r.factId, None, None)
                 }
               }
             }
-            last.foreach(state.update)
+            state.update(hist.takeRight(dimHistory).toList)
             if (stateTtl.nonEmpty) state.setTimeoutDuration(stateTtl)
             out.result().iterator
           }

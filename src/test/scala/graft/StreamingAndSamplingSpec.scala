@@ -200,16 +200,18 @@ class StreamingAndSamplingSpec extends SparkSpec {
       .sortBy(_._1)
     assert(batch.nonEmpty && streamed.sameElements(batch))
 
-    // (2) cross-batch carry + (3) late-fact guard
+    // (2) cross-batch carry + (3) late facts: exact within retained
+    // history, unmatched beyond it
     val dstream = MemoryStream[Dim]
     val fstream = MemoryStream[Fact]
     val q = StreamingAsOf.asofEnrichStream(fstream.toDS(), dstream.toDS())
       .writeStream.format("memory").queryName("asof_enrich")
       .outputMode("append").start()
-    dstream.addData(Dim(1L, 100L, 1.5))
+    dstream.addData(Dim(1L, 40L, 0.5), Dim(1L, 100L, 1.5))
     q.processAllAvailable()
-    fstream.addData(Fact(1L, 200L, 10L), // matches the batch-1 dim
-      Fact(1L, 50L, 11L)) // LATE: older than consumed dim → unmatched
+    fstream.addData(Fact(1L, 200L, 10L), // matches the newest dim
+      Fact(1L, 50L, 11L), // LATE, but dim ts=40 is in history → exact
+      Fact(1L, 30L, 12L)) // LATE, nothing ≤ 30 ever consumed → none
     q.processAllAvailable()
     q.stop()
     val got = spark.sql(
@@ -218,7 +220,27 @@ class StreamingAndSamplingSpec extends SparkSpec {
       .map(r => (r.getLong(0),
         if (r.isNullAt(1)) -1L else r.getLong(1),
         if (r.isNullAt(2)) -1.0 else r.getDouble(2)))
-    assert(got.toSeq == Seq((10L, 100L, 1.5), (11L, -1L, -1.0)))
+    assert(got.toSeq == Seq(
+      (10L, 100L, 1.5), (11L, 40L, 0.5), (12L, -1L, -1.0)))
+
+    // (4) dimHistory=1 degenerates to latest-only: the late fact that
+    // needed the evicted dim goes unmatched rather than matching a
+    // future dim
+    val d1 = MemoryStream[Dim]
+    val f1 = MemoryStream[Fact]
+    val q1 = StreamingAsOf
+      .asofEnrichStream(f1.toDS(), d1.toDS(), dimHistory = 1)
+      .writeStream.format("memory").queryName("asof_enrich_k1")
+      .outputMode("append").start()
+    d1.addData(Dim(1L, 40L, 0.5), Dim(1L, 100L, 1.5))
+    q1.processAllAvailable()
+    f1.addData(Fact(1L, 50L, 21L))
+    q1.processAllAvailable()
+    q1.stop()
+    val gotK1 = spark.sql(
+      "SELECT factId, dimTs FROM asof_enrich_k1").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(gotK1.toSeq == Seq((21L, -1L)))
   }
 
   test("L3 exact-n seeded sample: size, determinism, no replacement") {
