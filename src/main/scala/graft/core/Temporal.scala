@@ -65,7 +65,7 @@ object Temporal {
     * right side on (keys, ts) for a fully specified contract.
     *
     * Skew: the keyed window processes one key in one task, so a single
-    * pathologically hot key serializes (the TemporalStress `deep`
+    * pathologically hot key serializes (the TemporalStress `hot`
     * curve measures that axis). For such feeds use [[asofJoinSliced]],
     * which partitions by (key, time-slice) and carries each slice's
     * boundary state through a tiny per-slice aggregate instead.
