@@ -120,7 +120,18 @@ object Bench {
           s"${series._2} > $noisyMax (attempt $attempt/$maxAttempts)" +
           (if (attempt < maxAttempts) " — re-running" else
             " — out of attempts, recording the least noisy series"))
-        if (attempt < maxAttempts) Thread.sleep(10000L) // let load pass
+        // Bounded inter-attempt backoff (VERDICT r07 §5: 10 s resampled
+        // the SAME load regime 3× — all r07 driver attempts saw the
+        // identical ambient burst). 60 s, then 120 s, lets attempts
+        // sample genuinely different regimes; env-overridable so local
+        // iteration stays fast.
+        if (attempt < maxAttempts) {
+          val backoffMs = sys.env.get("SPARK_GRAFT_BENCH_BACKOFF_MS")
+            .map(_.toLong).getOrElse(60000L * attempt)
+          System.err.println(s"[bench] backing off ${backoffMs / 1000} s " +
+            "before the next attempt")
+          Thread.sleep(backoffMs)
+        }
       }
     }
     val byQuery = best._1

@@ -31,6 +31,9 @@ import org.apache.spark.sql.functions._
   * unit-agnostic — gaps/widths/tolerances are in the caller's units.
   * Gap/tolerance/slice arithmetic runs in doubles, so timestamps must
   * be double-exact: |t| < 2^53 (for µs since epoch, the 23rd century).
+  * The bound is ENFORCED at runtime on the double paths
+  * ([[DoubleExactBound]]): an out-of-range timestamp raises a named
+  * error instead of silently losing precision.
   *
   * Null keys: the window-based operators (asofJoin, asofJoinSliced,
   * sessionize) PARTITION on the key, so null keys group together and
@@ -42,6 +45,31 @@ import org.apache.spark.sql.functions._
   * match nothing (forward) — drop them for a fully specified result.
   */
 object Temporal {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Double-exactness bound for timestamp arithmetic: 2^53. The
+    * gap/tolerance/slice paths cast timestamps to double, which is
+    * lossless only for |t| < 2^53 (µs since epoch: the 23rd century).
+    * Enforced at runtime (VERDICT r07 §3): [[exactTs]] wraps the ts
+    * column wherever double arithmetic happens, so a nanosecond-epoch
+    * caller fails loudly instead of silently losing exactness. Cost is
+    * one codegen'd abs+compare per row, only on the guarded paths.
+    */
+  val DoubleExactBound: Long = 1L << 53
+
+  /** Returns `c` unchanged, raising a runtime error (message names the
+    * operator and the 2^53 contract) on any row where |c| ≥ 2^53.
+    * Embedded in the value expression — not a droppable side column —
+    * so Catalyst cannot prune the check away. Nulls pass through (the
+    * operators define null-ts behavior separately). */
+  private def exactTs(c: Column, op: String): Column =
+    when(assert_true(
+        c.isNull || abs(c.cast("double")) < DoubleExactBound.toDouble,
+        concat(lit(s"graft.Temporal.$op: timestamp "), c.cast("string"),
+          lit(s" exceeds the double-exact bound 2^53=$DoubleExactBound" +
+            " (use a coarser unit, e.g. µs instead of ns)")))
+      .isNull, c)
 
   sealed trait AsOfDirection
   /** Match the latest right row with `rightTs <= leftTs`. */
@@ -110,8 +138,9 @@ object Temporal {
     val withinTol = tolerance match {
       case Some(tol) =>
         matched.withColumn("__last",
-          when(abs(col("__t").cast("double") -
-            col("__last.__rt").cast("double")) <= tol.toDouble,
+          when(abs(exactTs(col("__t"), "asofJoin").cast("double") -
+            exactTs(col("__last.__rt"), "asofJoin").cast("double"))
+            <= tol.toDouble,
             col("__last")))
       case None => matched
     }
@@ -136,7 +165,11 @@ object Temporal {
     * Cost: the full data crosses two exchanges instead of one. Use
     * [[asofJoin]] unless a key can dominate a partition.
     * Forward direction delegates to the backward plan on negated
-    * timestamps (forward-inclusive ≡ backward-inclusive on −t).
+    * timestamps (forward-inclusive ≡ backward-inclusive on −t), with
+    * the right side pre-deduped to the min payload per (keys, ts) so
+    * duplicate-timestamp ties resolve exactly like [[asofJoin]] /
+    * [[asofJoinBroadcast]] Forward (min payload, not the negated
+    * plan's max).
     */
   def asofJoinSliced(
       left: DataFrame,
@@ -155,9 +188,23 @@ object Temporal {
     require(sliceWidth > 0, "sliceWidth must be positive")
     direction match {
       case Forward =>
+        // Forward delegates to Backward on negated timestamps — but
+        // payloads are NOT negated, so at duplicate (keys, rightTs)
+        // right rows the Backward tie-break (lexicographic MAX payload)
+        // would diverge from the windowed/broadcast Forward contract
+        // (MIN payload, ADVICE r07). Pre-deduping the right side to the
+        // min payload struct per (keys, ts) removes the ties before
+        // delegation; the aggregate is map-side combined, one extra
+        // right-side exchange only when ties can exist.
+        val pStruct = struct(rightPayload.map(col): _*)
+        val rightDedup = right
+          .groupBy((keys :+ rightTs).map(col): _*)
+          .agg(min(pStruct).as("__p"))
+          .select(keys.map(col) ++ (col(rightTs) +:
+            rightPayload.map(p => col("__p").getField(p).as(p))): _*)
         val out = asofJoinSliced(
           left.withColumn(leftTs, -col(leftTs)),
-          right.withColumn(rightTs, -col(rightTs)),
+          rightDedup.withColumn(rightTs, -col(rightTs)),
           keys, leftTs, rightTs, rightPayload, sliceWidth,
           Backward, tolerance, leftOuter, prefix)
         out.withColumn(leftTs, -col(leftTs))
@@ -167,8 +214,10 @@ object Temporal {
         // floor division: pmod (≥ 0) makes the numerator an exact
         // multiple of the width, so the double quotient is exact for
         // any double-representable timestamp (module contract)
-        def sliceOf(c: Column): Column =
-          ((c - pmod(c, lit(sliceWidth))) / sliceWidth).cast("long")
+        def sliceOf(c: Column): Column = {
+          val g = exactTs(c, "asofJoinSliced")
+          ((g - pmod(g, lit(sliceWidth))) / sliceWidth).cast("long")
+        }
         val rStruct = struct(
           (col(rightTs).as("__rt") +: rightPayload.map(col)): _*)
         val rightPrep = right.select(
@@ -217,8 +266,9 @@ object Temporal {
         val withinTol = tolerance match {
           case Some(tol) =>
             matched.withColumn("__last",
-              when(abs(col("__t").cast("double") -
-                col("__last.__rt").cast("double")) <= tol.toDouble,
+              when(abs(exactTs(col("__t"), "asofJoinSliced").cast("double") -
+                exactTs(col("__last.__rt"), "asofJoinSliced").cast("double"))
+                <= tol.toDouble,
                 col("__last")))
           case None => matched
         }
@@ -280,8 +330,9 @@ object Temporal {
     val withinTol = tolerance match {
       case Some(tol) =>
         matched.withColumn("__last",
-          when(abs(col(leftTs).cast("double") -
-            col("__last.__rt").cast("double")) <= tol.toDouble,
+          when(abs(exactTs(col(leftTs), "asofJoinBroadcast").cast("double") -
+            exactTs(col("__last.__rt"), "asofJoinBroadcast").cast("double"))
+            <= tol.toDouble,
             col("__last")))
       case None => matched
     }
@@ -316,7 +367,8 @@ object Temporal {
       keys: Seq[String] = Nil): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val rPrep = rows.withColumn("__bucket",
-      floor(col(rowTs).cast("double") / bucketWidth).cast("long"))
+      floor(exactTs(col(rowTs), "intervalJoin").cast("double") /
+        bucketWidth).cast("long"))
     // degenerate intervals (hi <= lo, i.e. empty [lo, hi)) are dropped
     // up front: `sequence` would grid them DESCENDING (wasted explode
     // work for candidates the exact predicate then prunes)
@@ -324,8 +376,10 @@ object Temporal {
       .filter(col(lo) < col(hi))
       .withColumn("__bucket",
         explode(sequence(
-          floor(col(lo).cast("double") / bucketWidth).cast("long"),
-          floor(col(hi).cast("double") / bucketWidth).cast("long"))))
+          floor(exactTs(col(lo), "intervalJoin").cast("double") /
+            bucketWidth).cast("long"),
+          floor(exactTs(col(hi), "intervalJoin").cast("double") /
+            bucketWidth).cast("long"))))
     rPrep.join(iPrep, keys :+ "__bucket")
       .filter(col(rowTs) >= col(lo) && col(rowTs) < col(hi))
       .drop("__bucket")
@@ -446,7 +500,7 @@ object Temporal {
     require(gap >= 0, "gap must be non-negative")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ts).asc)
     val newSession = when(
-      col(ts).cast("double") -
+      exactTs(col(ts), "sessionize").cast("double") -
         lag(col(ts), 1).over(w).cast("double") > gap.toDouble, 1L)
       .otherwise(when(lag(col(ts), 1).over(w).isNull, 1L).otherwise(0L))
     df.withColumn("__ns", newSession)
@@ -454,5 +508,228 @@ object Temporal {
         sum(col("__ns")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("__ns")
+  }
+
+  /** Linear trailing-window min/max: for every row, the min and max of
+    * `valueCol` over `[ts - window, ts]` (peer-inclusive, RANGE
+    * semantics) per key — the non-subtractable companion to
+    * [[rollingSumLinear]] (VERDICT r07 §2: min/max can't use the
+    * prefix-difference trick, and the sliding RANGE frame re-aggregates
+    * the whole frame on every lower-bound move — the measured 25+ min
+    * retraction hazard on a hot key).
+    *
+    * Formulation: block decomposition (the relational form of the
+    * two-stack sliding-window-minimum queue). Rows land in
+    * `window`-wide blocks, so any trailing window spans at most the
+    * current block and its predecessor:
+    *
+    *   1. per (key, block): prefix min/max (EXPANDING range frame,
+    *      incremental in Spark — linear) and suffix min/max (the same
+    *      frame over descending ts);
+    *   2. the in-block part of the window is the row's own prefix;
+    *   3. the cross-block part `[ts - window, block start)` is the
+    *      suffix min/max at the first predecessor-block row at or
+    *      after `ts - window` — a Forward [[asofJoin]] into the
+    *      (key, block, ts)-deduped suffix table.
+    *
+    * Three linear passes, two exchanges; a hot key costs O(n) in one
+    * task per pass (same bound as [[rollingSumLinear]]'s expanding
+    * frame), never O(n × frame). Integer timestamps required.
+    * Adds `minCol` and `maxCol` to the input columns.
+    */
+  def rollingMinMaxLinear(
+      df: DataFrame,
+      keys: Seq[String],
+      ts: String,
+      valueCol: String,
+      window: Long,
+      minCol: String = "rolling_min",
+      maxCol: String = "rolling_max"): DataFrame = {
+    require(keys.nonEmpty, "rollingMinMaxLinear needs at least one key")
+    require(window > 0, "window must be positive")
+    // floor division via pmod: exact for any double-exact timestamp
+    def blockOf(c: Column): Column = {
+      val g = exactTs(c, "rollingMinMaxLinear")
+      ((g - pmod(g, lit(window))) / window).cast("long")
+    }
+    val withBlk = df.withColumn("__blk", blockOf(col(ts)))
+    val pk = (keys :+ "__blk").map(col)
+    // RANGE (not ROWS) frames so equal-ts peers share one value — the
+    // suffix table then collapses to one row per (key, block, ts)
+    val wPfx = Window.partitionBy(pk: _*).orderBy(col(ts).asc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSfx = Window.partitionBy(pk: _*).orderBy(col(ts).desc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val enriched = withBlk
+      .withColumn("__pn", min(col(valueCol)).over(wPfx))
+      .withColumn("__px", max(col(valueCol)).over(wPfx))
+      .withColumn("__sn", min(col(valueCol)).over(wSfx))
+      .withColumn("__sx", max(col(valueCol)).over(wSfx))
+    val sfx = enriched
+      .groupBy((pk :+ col(ts)): _*)
+      .agg(min(col("__sn")).as("__cn"), max(col("__sx")).as("__cx"))
+    // probe the PREDECESSOR block at ts - window: overwrite __blk so
+    // the as-of equality key lands each row in partition (key, blk-1)
+    val probed = asofJoin(
+      enriched
+        .withColumn("__blk", col("__blk") - 1)
+        .withColumn("__target", col(ts) - window),
+      sfx, keys :+ "__blk",
+      leftTs = "__target", rightTs = ts,
+      rightPayload = Seq("__cn", "__cx"),
+      direction = Forward, leftOuter = true, prefix = "__c_")
+    // least/greatest skip nulls; the row's own prefix is never null
+    probed
+      .withColumn(minCol, least(col("__pn"), col("__c___cn")))
+      .withColumn(maxCol, greatest(col("__px"), col("__c___cx")))
+      .drop("__blk", "__pn", "__px", "__sn", "__sx", "__target",
+        s"__c_$ts", "__c___cn", "__c___cx")
+  }
+
+  /** Aggregating interval join: [[intervalJoin]] followed by a
+    * count/sum per interval, with the aggregation PUSHED INTO the
+    * bucket grid so interior buckets never materialize row-level
+    * candidates (VERDICT r07 §3: the hot-axis intervalJoin cost is
+    * pure match cardinality — ~700 matches/row at 64× — which is
+    * output cost only when the caller wants the pairs; an aggregating
+    * consumer shouldn't pay it).
+    *
+    * A gridded bucket is INTERIOR when `[b·W, (b+1)·W) ⊆ [lo, hi)` —
+    * every row in it matches, so the interval takes the bucket's
+    * pre-aggregated (count, sums) in O(1) instead of O(rows-in-bucket).
+    * Only the ≤ 2 boundary buckets per interval join row-level with the
+    * exact predicate. Per-interval cost falls from O(matches) to
+    * O(length/W + boundary-bucket rows); bucket width trades the two
+    * terms (smaller W shrinks boundary work, grows the grid — near the
+    * typical row spacing × interval length geometric mean is a good
+    * default).
+    *
+    * Output: one row per matched interval (inner semantics — empty
+    * intervals are absent, like an inner [[intervalJoin]] + groupBy):
+    * all interval columns, `cntCol` (long), and `sumPrefix + v` for
+    * each value column. Intervals rows must be DISTINCT (they are the
+    * group identity) and column names disjoint from `rows` apart from
+    * `keys`. Sum types follow Spark's `sum` of the value column type.
+    */
+  def intervalJoinAgg(
+      rows: DataFrame,
+      rowTs: String,
+      valueCols: Seq[String],
+      intervals: DataFrame,
+      lo: String,
+      hi: String,
+      bucketWidth: Long,
+      keys: Seq[String] = Nil,
+      cntCol: String = "n",
+      sumPrefix: String = "sum_"): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val iCols = intervals.columns.toSeq
+    def bucketOf(c: Column): Column =
+      floor(exactTs(c, "intervalJoinAgg").cast("double") / bucketWidth)
+        .cast("long")
+    val rPrep = rows.withColumn("__bucket", bucketOf(col(rowTs)))
+    val bucketAgg = rPrep
+      .groupBy((keys :+ "__bucket").map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        valueCols.map(v => sum(col(v)).as("__s_" + v)): _*)
+    val aggSchema = bucketAgg.schema
+    val iPrep = intervals
+      .filter(col(lo) < col(hi))
+      .withColumn("__bucket",
+        explode(sequence(bucketOf(col(lo)), bucketOf(col(hi)))))
+    val bStart = col("__bucket") * bucketWidth // long × long: exact
+    val interior = bStart >= col(lo) && (bStart + bucketWidth) <= col(hi)
+    // interior: one pre-aggregated row per (interval, bucket)
+    val interiorContrib = iPrep.filter(interior)
+      .join(bucketAgg, keys :+ "__bucket")
+      .select(iCols.map(col) ++
+        (col("__n") +: valueCols.map(v => col("__s_" + v))): _*)
+    // boundary: row-level with the exact predicate, cast to the
+    // partial-aggregate types so the union lines up
+    val boundaryContrib = iPrep.filter(!interior)
+      .join(rPrep, keys :+ "__bucket")
+      .filter(col(rowTs) >= col(lo) && col(rowTs) < col(hi))
+      .select(iCols.map(col) ++
+        (lit(1L).as("__n") +: valueCols.map(v =>
+          col(v).cast(aggSchema("__s_" + v).dataType).as("__s_" + v))): _*)
+    interiorContrib.unionByName(boundaryContrib)
+      .groupBy(iCols.map(col): _*)
+      .agg(sum(col("__n")).as(cntCol),
+        valueCols.map(v => sum(col("__s_" + v)).as(sumPrefix + v)): _*)
+  }
+
+  /** Estimated row count of the HOTTEST single (keys) group across both
+    * as-of sides — the quantity that decides [[asofJoin]] (one key =
+    * one window task) vs [[asofJoinSliced]] (hot key spread over
+    * slices). LIMIT-bounded samples of each side give per-key shares;
+    * shares scale by that side's full count (a column-pruned,
+    * metadata-cheap pass); the hottest combined |L_k|+|R_k| estimate is
+    * returned. Like [[Skew.saltSpreadDiagnostics]], `limit()` sampling
+    * is cheap on scan-shaped inputs and positionally biased — a hot key
+    * absent from the sampled prefix is missed, so treat the estimate as
+    * a lower bound.
+    */
+  def estimateAsofHotKey(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      sampleRows: Int = 100000): Double = {
+    def est(df: DataFrame): Map[Seq[Any], Double] = {
+      val total = df.count().toDouble
+      if (total == 0) Map.empty
+      else {
+        val top = df.select(keys.map(col): _*).limit(sampleRows)
+          .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__c"))
+          .orderBy(desc("__c")).head(16)
+        val sampledN = math.min(total, sampleRows.toDouble)
+        top.iterator.map { r =>
+          (keys.indices.map(r.get).toSeq,
+            r.getLong(keys.size) / sampledN * total)
+        }.toMap
+      }
+    }
+    val l = est(left)
+    val r = est(right)
+    val hot = (l.keySet ++ r.keySet)
+      .map(k => l.getOrElse(k, 0.0) + r.getOrElse(k, 0.0))
+    if (hot.isEmpty) 0.0 else hot.max
+  }
+
+  /** As-of join with automatic strategy selection (VERDICT r07 §4: the
+    * windowed/sliced crossover — measured ≈1M rows/key at local[32] —
+    * shouldn't require the caller to know their skew). Runs the
+    * [[estimateAsofHotKey]] probe at plan-construction time (eager,
+    * bounded — two sampled aggregates and two column-pruned counts),
+    * routes to [[asofJoinSliced]] when the hottest key's estimated
+    * combined rows exceed `hotKeyThreshold`, and logs the decision.
+    * Callers with known skew should call the chosen strategy directly
+    * and skip the probe cost.
+    */
+  def asofJoinAuto(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String],
+      sliceWidth: Long,
+      direction: AsOfDirection = Backward,
+      tolerance: Option[Long] = None,
+      leftOuter: Boolean = false,
+      prefix: String = "r_",
+      hotKeyThreshold: Long = 1000000L,
+      sampleRows: Int = 100000): DataFrame = {
+    val estHot = estimateAsofHotKey(left, right, keys, sampleRows)
+    val useSliced = estHot > hotKeyThreshold
+    log.info(s"asofJoinAuto: est hottest key ≈ ${estHot.toLong} rows, " +
+      s"threshold $hotKeyThreshold → " +
+      (if (useSliced) "asofJoinSliced (skew-immune, two exchanges)"
+       else "asofJoin (windowed, one exchange)"))
+    if (useSliced)
+      asofJoinSliced(left, right, keys, leftTs, rightTs, rightPayload,
+        sliceWidth, direction, tolerance, leftOuter, prefix)
+    else
+      asofJoin(left, right, keys, leftTs, rightTs, rightPayload,
+        direction, tolerance, leftOuter, prefix)
   }
 }

@@ -112,6 +112,43 @@ object TemporalQueries {
         .orderBy("event_id")
     }),
 
+    // trailing 7-day rolling min/max per user. Runs the LINEAR block
+    // decomposition (Temporal.rollingMinMaxLinear) — min/max has no
+    // prefix-difference form, and the sliding RANGE frame is the same
+    // measured retraction hazard as the sum case. Equivalence with the
+    // RANGE frame is spec-pinned (TemporalSpec); the oracle mirrors
+    // the frame directly. Exact integer cents.
+    "rolling_7d_minmax" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_id"), col("user_id"), tsUs.as("us"),
+          cents(col("value")).as("vc"))
+      Temporal.rollingMinMaxLinear(ev, Seq("user_id"), "us", "vc",
+          window = 7 * usPerDay,
+          minCol = "min_7d_cents", maxCol = "max_7d_cents")
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("min_7d_cents"), col("max_7d_cents"))
+        .orderBy("event_id")
+    }),
+
+    // same result as interval_join_signup, via the AGGREGATING
+    // interval join: interior buckets fold pre-aggregated (never
+    // materializing row-level candidates), only the ≤2 boundary
+    // buckets per signup join row-level. Same oracle — one semantics,
+    // two physical strategies, both gated.
+    "interval_join_agg" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("us", tsUs)
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id"),
+          col("us").as("lo"), (col("us") + lit(7 * usPerDay)).as("hi"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us"), cents(col("value")).as("vc"))
+      Temporal.intervalJoinAgg(purchases, "us", Seq("vc"), signups,
+          "lo", "hi", bucketWidth = usPerDay, keys = Seq("user_id"))
+        .select(col("signup_id"), col("n"),
+          (col("sum_vc").cast("double") / 100.0).as("sum_value"))
+        .orderBy("signup_id")
+    }),
+
     // gap sessionization: 12-hour-gap sessions per user → per-session
     // event count, start, duration. One exchange + sort on user_id.
     "sessionize_gap" -> ((s, dir) => {
@@ -158,10 +195,22 @@ object TemporalQueries {
         |SELECT event_id, user_id, us, count(*) OVER w AS n_7d, CAST(sum(vc) OVER w AS BIGINT) AS sum_7d_cents
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "rolling_7d_minmax" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, CAST(round(value*100) AS BIGINT) AS vc FROM events)
+        |SELECT event_id, user_id, us, min(vc) OVER w AS min_7d_cents, max(vc) OVER w AS max_7d_cents
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "interval_join_agg" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us FROM events),
+        |s AS (SELECT event_id AS signup_id, user_id, us AS lo, us + 604800000000 AS hi FROM e WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, us, value FROM e WHERE event_type = 'purchase')
+        |SELECT s.signup_id, count(*) AS n, CAST(sum(CAST(round(p.value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+        |FROM p JOIN s ON p.user_id = s.user_id AND p.us >= s.lo AND p.us < s.hi
+        |GROUP BY s.signup_id ORDER BY s.signup_id""".stripMargin,
     "sessionize_gap" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
         |l AS (SELECT user_id, us, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 43200000000 THEN 1 ELSE 0 END AS ns FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
-        |sj AS (SELECT user_id, us, sum(ns) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS session_id FROM l)
+        |sj AS (SELECT user_id, us, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM l)
         |SELECT user_id, session_id, count(*) AS n_events, min(us) AS start_us, max(us) - min(us) AS dur_us
         |FROM sj GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)
 }

@@ -257,6 +257,137 @@ class TemporalSpec extends SparkSpec {
       (2L, 10L, 16L, 16L, 1L)))
   }
 
+  test("duplicate-(key,ts) right rows: all three strategies tie-break alike") {
+    // ADVICE r07: sliced Forward (negated-ts delegation) used to pick
+    // the MAX payload at (key, rightTs) ties where windowed/broadcast
+    // pick the MIN. Contract: Backward tie → lexicographic max
+    // payload; Forward tie → min.
+    val l = Seq((1L, 100L, 1L), (1L, 300L, 2L)).toDF("k", "t", "lid")
+    val r = Seq((1L, 100L, 910L), (1L, 100L, 920L),
+      (1L, 300L, 930L), (1L, 300L, 940L)).toDF("k", "t", "rid")
+    def got(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select("lid", "r_rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toMap
+    for (dir <- Seq[Temporal.AsOfDirection](Temporal.Backward,
+        Temporal.Forward)) {
+      val expect = dir match {
+        case Temporal.Backward => Map(1L -> 920L, 2L -> 940L)
+        case Temporal.Forward  => Map(1L -> 910L, 2L -> 930L)
+      }
+      val windowed = got(Temporal.asofJoin(l, r, Seq("k"), "t", "t",
+        Seq("rid"), dir))
+      val bcast = got(Temporal.asofJoinBroadcast(l, r, Seq("k"), "t", "t",
+        Seq("rid"), dir))
+      assert(windowed == expect, s"windowed dir=$dir")
+      assert(bcast == expect, s"broadcast dir=$dir")
+      for (w <- Seq(1L, 64L, 1000L)) {
+        val sliced = got(Temporal.asofJoinSliced(l, r, Seq("k"), "t", "t",
+          Seq("rid"), w, dir))
+        assert(sliced == expect, s"sliced dir=$dir w=$w")
+      }
+    }
+  }
+
+  test("rollingMinMaxLinear ≡ RANGE-frame rolling min/max at sf0.001") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), col("user_id"),
+        graft.queries.Q.tsUs.as("us"),
+        (col("value") * 100).cast("long").as("vc"))
+    val day = 86400000000L
+    val wR = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-7 * day, 0)
+    val frame = ev
+      .select(col("event_id"), min("vc").over(wR).as("mn"),
+        max("vc").over(wR).as("mx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val linear = Temporal.rollingMinMaxLinear(
+      ev, Seq("user_id"), "us", "vc", 7 * day)
+      .select(col("event_id"), col("rolling_min"), col("rolling_max"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(frame.nonEmpty && linear.sameElements(frame))
+  }
+
+  test("rollingMinMaxLinear handles ts ties and cross-block windows") {
+    val rows = Seq((1L, 10L, 5L), (1L, 10L, 2L), (1L, 15L, 4L),
+      (1L, 21L, 8L), (2L, 10L, 16L)).toDF("k", "t", "v")
+    val got = Temporal
+      .rollingMinMaxLinear(rows, Seq("k"), "t", "v", window = 10L)
+      .select("k", "t", "v", "rolling_min", "rolling_max")
+      .orderBy("k", "t", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // window [t-10, t]: t=21 sees [11, 21] = {4, 8} (cross-block: 15
+    // is in block 1, 21 in block 2); t=10 peers {5, 2} share min/max
+    assert(got.toSeq == Seq(
+      (1L, 10L, 2L, 2L, 5L), (1L, 10L, 5L, 2L, 5L),
+      (1L, 15L, 4L, 2L, 5L), (1L, 21L, 8L, 4L, 8L),
+      (2L, 10L, 16L, 16L, 16L)))
+  }
+
+  test("intervalJoinAgg equals intervalJoin + groupBy, any bucket width") {
+    val intervals = Seq((1L, 95L, 210L, 800L), (1L, 205L, 206L, 801L),
+      (2L, 0L, 1000L, 802L), (3L, 501L, 900L, 803L),
+      (1L, 300L, 300L, 804L), (2L, 900L, 100L, 805L))
+      .toDF("k", "lo", "hi", "iid")
+    val naive = Temporal.intervalJoin(leftDf, "t", intervals, "lo", "hi",
+        bucketWidth = 100L, keys = Seq("k"))
+      .groupBy("k", "lo", "hi", "iid")
+      .agg(count(lit(1)).as("n"), sum("lid").as("sum_lid"))
+      .collect().map(r => (r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    for (w <- Seq(1L, 7L, 100L, 5000L)) {
+      val got = Temporal.intervalJoinAgg(leftDf, "t", Seq("lid"),
+        intervals, "lo", "hi", bucketWidth = w, keys = Seq("k"))
+        .collect().map(r => (r.getAs[Long]("iid"), r.getAs[Long]("n"),
+          r.getAs[Long]("sum_lid"))).toSet
+      assert(got == naive, s"bucketWidth=$w: $got vs $naive")
+    }
+  }
+
+  test("timestamps at 2^53 raise the double-exactness error; below pass") {
+    val ok = Seq((1L, (1L << 53) - 10L), (1L, (1L << 53) - 5L))
+      .toDF("k", "t")
+    assert(Temporal.sessionize(ok, Seq("k"), "t", gap = 100L)
+      .collect().length == 2)
+    val bad = Seq((1L, 1L << 53), (1L, (1L << 53) + 10L)).toDF("k", "t")
+    val e = intercept[Exception] {
+      Temporal.sessionize(bad, Seq("k"), "t", gap = 100L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("double-exact")),
+      s"unexpected error: $e")
+  }
+
+  test("asofJoinAuto probe routes hot feeds to sliced, uniform to windowed") {
+    val hotL = Seq.tabulate(2000)(i => (7L, i.toLong, i.toLong))
+      .toDF("k", "t", "lid")
+    val hotR = Seq.tabulate(500)(i => (7L, i * 4L, 1000L + i))
+      .toDF("k", "t", "rid")
+    val estHot = Temporal.estimateAsofHotKey(hotL, hotR, Seq("k"))
+    assert(estHot > 2000, s"hot estimate too low: $estHot")
+    val uniL = Seq.tabulate(2000)(i => ((i % 100).toLong, i.toLong, i.toLong))
+      .toDF("k", "t", "lid")
+    val uniR = Seq.tabulate(500)(i => ((i % 100).toLong, i * 4L, 1000L + i))
+      .toDF("k", "t", "rid")
+    val estUni = Temporal.estimateAsofHotKey(uniL, uniR, Seq("k"))
+    assert(estUni < 200, s"uniform estimate too high: $estUni")
+    // either route returns the windowed plan's results
+    def norm(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("lid", "r_rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+    for ((l, r) <- Seq((hotL, hotR), (uniL, uniR))) {
+      val auto = norm(Temporal.asofJoinAuto(l, r, Seq("k"), "t", "t",
+        Seq("rid"), sliceWidth = 100L, hotKeyThreshold = 1000L))
+      val plain = norm(Temporal.asofJoin(l, r, Seq("k"), "t", "t",
+        Seq("rid")))
+      assert(auto == plain)
+    }
+  }
+
   test("sessionize splits on gap and keeps ts ties together") {
     val rows = Seq((1L, 0L), (1L, 50L), (1L, 50L), (1L, 200L), (1L, 201L),
       (2L, 1000L)).toDF("k", "t")
