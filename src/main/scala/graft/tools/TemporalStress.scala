@@ -35,11 +35,17 @@ object TemporalStress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def time(label: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
-    }
+    // SPARK_GRAFT_STRESS_OPS=asof,rolling — comma-separated label
+    // prefixes to time (default: all). Lets a new operator's decade run
+    // without re-measuring the recorded ones.
+    val opFilter = sys.env.get("SPARK_GRAFT_STRESS_OPS")
+      .map(_.split(",").map(_.trim).toSet)
+    def time(label: String)(f: => Long): Unit =
+      if (opFilter.forall(_.exists(label.startsWith))) {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
     def force(df: DataFrame): Long =
       df.agg(
         sum(pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)),
@@ -91,6 +97,20 @@ object TemporalStress {
         Temporal.intervalJoin(purchases, "us", signups, "lo", "hi",
             bucketWidth = usPerDay, keys = Seq("user_id"))
           .groupBy("signup_id").agg(count(lit(1)).as("n"))))
+      // the aggregating form folds interior buckets pre-aggregated —
+      // on the hot axis (~700 true matches/row) this must sit WELL
+      // under the pair-materializing curve above
+      time(s"intervalagg_$tag${"x"}$mult")(force(
+        Temporal.intervalJoinAgg(purchases.drop("event_id"), "us", Nil,
+            signups, "lo", "hi",
+            bucketWidth = usPerDay, keys = Seq("user_id"))
+          .select(col("signup_id"), col("n"))))
+      // auto-routing probe + chosen plan: on hot, the probe must pick
+      // the sliced strategy (decision logged) and the total must track
+      // the sliced curve, not the windowed one
+      time(s"asof_auto_$tag${"x"}$mult")(force(
+        Temporal.asofJoinAuto(purchases, clicks, Seq("user_id"),
+          "us", "us", Seq("click_id"), sliceWidth = usPerDay)))
       time(s"session_$tag${"x"}$mult")(force(
         Temporal.sessionize(ev.select(col("user_id"), col("us")),
             Seq("user_id"), "us", gap = 12L * 3600000000L)
@@ -107,6 +127,13 @@ object TemporalStress {
       // is the three-linear-passes formulation; only it is stressed.
       time(s"rolling_$tag${"x"}$mult")(force(
         Temporal.rollingSumLinear(
+          ev.select(col("event_id"), col("user_id"), col("us"),
+            (col("value") * 100).cast("long").as("vc")),
+          Seq("user_id"), "us", "vc", 7 * usPerDay)))
+      // block-decomposition min/max — the non-subtractable rolling
+      // aggregate; must track rollingSumLinear's linear hot-axis bound
+      time(s"rollminmax_$tag${"x"}$mult")(force(
+        Temporal.rollingMinMaxLinear(
           ev.select(col("event_id"), col("user_id"), col("us"),
             (col("value") * 100).cast("long").as("vc")),
           Seq("user_id"), "us", "vc", 7 * usPerDay)))

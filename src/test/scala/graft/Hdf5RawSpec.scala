@@ -114,6 +114,47 @@ class Hdf5RawSpec extends SparkSpec {
     assert(counts.head.getSeq[Double](7) == Seq(5.0, 6.0))
   }
 
+  test("detconfig settings resolve the amps divisor without a caller map") {
+    // the DAQ's detconfig<i> sibling group: divisor = close_loop_norm ×
+    // output_total_gain per channel. chanA → 0.4 × 5 = 2, chanB →
+    // 0.8 × 5 = 4 — the same divisors the `norm` map supplies by hand,
+    // so the expected amps are the shared closed form.
+    val d = Files.createTempDirectory("rawdet").toString
+    val p = s"$d/raw_det_S7001_F0001.h5"
+    val gattrs = Seq(
+      "sample_rate" -> ADouble(1.25e6),
+      "nb_samples" -> ALong(nSamp.toLong),
+      "nb_samples_pretrigger" -> ALong(4L),
+      "adc_conversion_factor" -> ADoubles(coeffs),
+      "channel_list" -> AStrs(Array("chanA", "chanB")),
+      "series_num" -> ALong(7001L))
+    val events: Map[String, Node] = Seq(1L, 2L).map { e =>
+      s"event_$e" -> (DatasetNode(
+        Short2Col(s"event_$e",
+          Array.tabulate(2)(c => Array.tabulate(nSamp)(s => adc(e, c, s)))),
+        Seq("event_num" -> ALong(e))): Node)
+    }.toMap
+    writeTree(p, GroupNode(Map(
+      "adc1" -> GroupNode(events, gattrs),
+      "detconfig1" -> GroupNode(Map.empty, Seq(
+        "channel_list" -> AStrs(Array("chanA", "chanB")),
+        "close_loop_norm" -> ADoubles(Array(0.4, 0.8)),
+        "output_total_gain" -> ADouble(5.0))))))
+    val rows = new PytesdaqReader().readFile(p).toSeq
+    assert(rows.size == 4)
+    for (r <- rows; (v, s) <- r.getSeq[Double](7).zipWithIndex) {
+      val c = if (r.getString(6) == "chanA") 0 else 1
+      assert(math.abs(v - amps(r.getLong(2), c, s)) < 1e-12,
+        s"ch=${r.getString(6)} s=$s")
+    }
+    // the explicit ampsNorm argument overrides the file's settings
+    val over = new PytesdaqReader(Map("chanA" -> 1.0)).readFile(p).toSeq
+    val a0 = over.find(_.getString(6) == "chanA").get.getSeq[Double](7)
+    val b0 = over.find(_.getString(6) == "chanB").get.getSeq[Double](7)
+    assert(math.abs(a0.head - (0.5 * adc(1L, 0, 0) - 1.0)) < 1e-12) // volts
+    assert(math.abs(b0.head - amps(1L, 1, 0)) < 1e-12) // detconfig amps
+  }
+
   test("raw HDF5 → curated trace Parquet → S5 windowed fetch + W4 rechunk") {
     val d = Files.createTempDirectory("rawe2e").toString
     writeRaw(s"$d/raw_S7001_F0001.h5", Seq(1L, 2L, 3L), dumpInAttr = None)
