@@ -427,10 +427,87 @@ object Temporal {
       keys, ts, ts, valueCols, Backward, prefix = prefix)
   }
 
+  /** One trailing-window aggregate for [[rollingBlockAgg]]: `agg` is
+    * the aggregate expression evaluated over the in-block prefix and
+    * suffix frames; `combine(inBlock, crossBlock)` merges the row's
+    * in-block prefix with the (nullable — no predecessor rows)
+    * cross-block contribution; `out` names the output column. */
+  private case class BlockAgg(
+      agg: Column,
+      combine: (Column, Column) => Column,
+      out: String)
+
+  /** Shared block-decomposition core for linear trailing-window
+    * aggregates (the relational form of the two-stack sliding-window
+    * queue — works for ANY associative aggregate). Rows land in
+    * `window`-wide blocks, so `[ts - window, ts]` spans at most the
+    * current block and its predecessor:
+    *
+    *   1. per (key, block): prefix and suffix aggregates (EXPANDING
+    *      range frames — incremental in Spark, linear, never the
+    *      sliding frame's O(rows × frame) re-aggregation);
+    *   2. the in-block part of the window is the row's own prefix;
+    *   3. the cross-block part `[ts - window, block start)` is the
+    *      suffix aggregate at the first predecessor-block row at or
+    *      after `ts - window` — a Forward [[asofJoin]] into the
+    *      (key, block, ts)-deduped suffix table.
+    *
+    * Partitioning by (key, BLOCK) — not key alone — makes every
+    * rolling aggregate SKEW-RESISTANT: a hot key spreads over its
+    * time blocks instead of serializing one task (measured 64×-hot
+    * 5.5 s vs 40 s for the per-key prefix formulation, SCALE.md r08).
+    * Three linear passes, two exchanges. Integer timestamps required.
+    */
+  private def rollingBlockAgg(
+      df: DataFrame,
+      keys: Seq[String],
+      ts: String,
+      window: Long,
+      specs: Seq[BlockAgg],
+      op: String): DataFrame = {
+    require(keys.nonEmpty, s"$op needs at least one key")
+    require(window > 0, "window must be positive")
+    // floor division via pmod: exact for any double-exact timestamp
+    def blockOf(c: Column): Column = {
+      val g = exactTs(c, op)
+      ((g - pmod(g, lit(window))) / window).cast("long")
+    }
+    val withBlk = df.withColumn("__blk", blockOf(col(ts)))
+    val pk = (keys :+ "__blk").map(col)
+    // RANGE (not ROWS) frames so equal-ts peers share one value — the
+    // suffix table then collapses to one row per (key, block, ts)
+    val wPfx = Window.partitionBy(pk: _*).orderBy(col(ts).asc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSfx = Window.partitionBy(pk: _*).orderBy(col(ts).desc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val enriched = specs.zipWithIndex.foldLeft(withBlk) {
+      case (d, (s, i)) =>
+        d.withColumn(s"__p$i", s.agg.over(wPfx))
+          .withColumn(s"__s$i", s.agg.over(wSfx))
+    }
+    val sfxAggs = specs.indices.map(i => max(col(s"__s$i")).as(s"__c$i"))
+    val sfx = enriched.groupBy((pk :+ col(ts)): _*)
+      .agg(sfxAggs.head, sfxAggs.tail: _*)
+    // probe the PREDECESSOR block at ts - window: overwrite __blk so
+    // the as-of equality key lands each row in partition (key, blk-1)
+    val probed = asofJoin(
+      enriched
+        .withColumn("__blk", col("__blk") - 1)
+        .withColumn("__target", col(ts) - window),
+      sfx, keys :+ "__blk",
+      leftTs = "__target", rightTs = ts,
+      rightPayload = specs.indices.map(i => s"__c$i"),
+      direction = Forward, leftOuter = true, prefix = "__x_")
+    val out = specs.zipWithIndex.foldLeft(probed) { case (d, (s, i)) =>
+      d.withColumn(s.out, s.combine(col(s"__p$i"), col(s"__x___c$i")))
+    }
+    out.drop(Seq("__blk", "__target", s"__x_$ts") ++
+      specs.indices.flatMap(i => Seq(s"__p$i", s"__s$i", s"__x___c$i")): _*)
+  }
+
   /** Linear trailing-window sum/count: for every row, the sum and
     * count of `valueCol` over `[ts - window, ts]` (peer-inclusive,
-    * RANGE semantics) per key — computed as prefix aggregates minus an
-    * as-of lookup instead of a sliding RANGE frame.
+    * RANGE semantics) per key.
     *
     * Why not `rangeBetween(-window, 0)` directly: Spark's sliding
     * window frame has NO aggregate retraction — every time the lower
@@ -438,12 +515,10 @@ object Temporal {
     * cost is O(rows × rows-per-frame) in ONE task. Measured on a
     * 1.3M-row hot key with ~4.6k-row frames: the RANGE-frame plan ran
     * 25+ minutes single-threaded before being killed (TemporalStress
-    * hot axis); this formulation is three linear passes: an EXPANDING
-    * RANGE frame (incremental in Spark — no retraction needed), a
-    * per-(key, ts) projection of the prefix table, and the
-    * single-exchange [[asofJoin]] fetching the prefix just BEFORE the
-    * window start (`ts - window - 1`, so the subtraction leaves
-    * exactly `[ts - window, ts]`). Integer timestamps required.
+    * hot axis). This runs on [[rollingBlockAgg]] — formerly a per-key
+    * prefix-difference (whose expanding frame still serialized a hot
+    * key at 40 s/6.4M, the r07 structural residual); the block form
+    * spreads hot keys across time blocks (r08, 7× on that axis).
     *
     * Adds `sumCol` and `cntCol` to the input columns. Use the plain
     * RANGE frame for small per-key row counts; use this once keys can
@@ -459,28 +534,20 @@ object Temporal {
       cntCol: String = "rolling_cnt"): DataFrame = {
     require(keys.nonEmpty, "rollingSumLinear needs at least one key")
     require(window >= 0, "window must be non-negative")
-    // expanding RANGE frame: peer rows (equal ts) share the same
-    // prefix, and Spark evaluates it incrementally — one linear pass
-    val wCum = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(ts).asc)
-      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    val withCum = df
-      .withColumn("__cs", sum(col(valueCol)).over(wCum))
-      .withColumn("__cn", count(lit(1)).over(wCum))
-    // peers carry identical prefixes → one row per (key, ts)
-    val prefixes = withCum
-      .groupBy((keys :+ ts).map(col): _*)
-      .agg(max(col("__cs")).as("__ps"), max(col("__cn")).as("__pn"))
-    val probed = asofJoin(
-      withCum.withColumn("__target", col(ts) - window - 1),
-      prefixes, keys,
-      leftTs = "__target", rightTs = ts,
-      rightPayload = Seq("__ps", "__pn"),
-      leftOuter = true, prefix = "__b_")
-    probed
-      .withColumn(sumCol, col("__cs") - coalesce(col("__b___ps"), lit(0)))
-      .withColumn(cntCol, col("__cn") - coalesce(col("__b___pn"), lit(0L)))
-      .drop("__cs", "__cn", "__target", s"__b_$ts", "__b___ps", "__b___pn")
+    if (window == 0) {
+      // peers only: disjoint frames, one linear pass, no retraction
+      val w0 = Window.partitionBy(keys.map(col): _*)
+        .orderBy(col(ts).asc).rangeBetween(0, 0)
+      df.withColumn(sumCol, sum(col(valueCol)).over(w0))
+        .withColumn(cntCol, count(lit(1)).over(w0))
+    } else rollingBlockAgg(df, keys, ts, window, Seq(
+      // null-skipping add: either side may be null (all-null values in
+      // that part); both null → null, matching RANGE-frame sum
+      BlockAgg(sum(col(valueCol)),
+        (p, x) => coalesce(p + x, p, x), sumCol),
+      BlockAgg(count(lit(1)),
+        (p, x) => p + coalesce(x, lit(0L)), cntCol)),
+      "rollingSumLinear")
   }
 
   /** Gap sessionization: assign each row a per-key `session_id`
@@ -513,29 +580,11 @@ object Temporal {
   /** Linear trailing-window min/max: for every row, the min and max of
     * `valueCol` over `[ts - window, ts]` (peer-inclusive, RANGE
     * semantics) per key — the non-subtractable companion to
-    * [[rollingSumLinear]] (VERDICT r07 §2: min/max can't use the
+    * [[rollingSumLinear]] (VERDICT r07 §2: min/max can't use a
     * prefix-difference trick, and the sliding RANGE frame re-aggregates
     * the whole frame on every lower-bound move — the measured 25+ min
-    * retraction hazard on a hot key).
-    *
-    * Formulation: block decomposition (the relational form of the
-    * two-stack sliding-window-minimum queue). Rows land in
-    * `window`-wide blocks, so any trailing window spans at most the
-    * current block and its predecessor:
-    *
-    *   1. per (key, block): prefix min/max (EXPANDING range frame,
-    *      incremental in Spark — linear) and suffix min/max (the same
-    *      frame over descending ts);
-    *   2. the in-block part of the window is the row's own prefix;
-    *   3. the cross-block part `[ts - window, block start)` is the
-    *      suffix min/max at the first predecessor-block row at or
-    *      after `ts - window` — a Forward [[asofJoin]] into the
-    *      (key, block, ts)-deduped suffix table.
-    *
-    * Three linear passes, two exchanges; a hot key costs O(n) in one
-    * task per pass (same bound as [[rollingSumLinear]]'s expanding
-    * frame), never O(n × frame). Integer timestamps required.
-    * Adds `minCol` and `maxCol` to the input columns.
+    * retraction hazard on a hot key). Runs on [[rollingBlockAgg]];
+    * adds `minCol` and `maxCol` to the input columns.
     */
   def rollingMinMaxLinear(
       df: DataFrame,
@@ -544,47 +593,12 @@ object Temporal {
       valueCol: String,
       window: Long,
       minCol: String = "rolling_min",
-      maxCol: String = "rolling_max"): DataFrame = {
-    require(keys.nonEmpty, "rollingMinMaxLinear needs at least one key")
-    require(window > 0, "window must be positive")
-    // floor division via pmod: exact for any double-exact timestamp
-    def blockOf(c: Column): Column = {
-      val g = exactTs(c, "rollingMinMaxLinear")
-      ((g - pmod(g, lit(window))) / window).cast("long")
-    }
-    val withBlk = df.withColumn("__blk", blockOf(col(ts)))
-    val pk = (keys :+ "__blk").map(col)
-    // RANGE (not ROWS) frames so equal-ts peers share one value — the
-    // suffix table then collapses to one row per (key, block, ts)
-    val wPfx = Window.partitionBy(pk: _*).orderBy(col(ts).asc)
-      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    val wSfx = Window.partitionBy(pk: _*).orderBy(col(ts).desc)
-      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    val enriched = withBlk
-      .withColumn("__pn", min(col(valueCol)).over(wPfx))
-      .withColumn("__px", max(col(valueCol)).over(wPfx))
-      .withColumn("__sn", min(col(valueCol)).over(wSfx))
-      .withColumn("__sx", max(col(valueCol)).over(wSfx))
-    val sfx = enriched
-      .groupBy((pk :+ col(ts)): _*)
-      .agg(min(col("__sn")).as("__cn"), max(col("__sx")).as("__cx"))
-    // probe the PREDECESSOR block at ts - window: overwrite __blk so
-    // the as-of equality key lands each row in partition (key, blk-1)
-    val probed = asofJoin(
-      enriched
-        .withColumn("__blk", col("__blk") - 1)
-        .withColumn("__target", col(ts) - window),
-      sfx, keys :+ "__blk",
-      leftTs = "__target", rightTs = ts,
-      rightPayload = Seq("__cn", "__cx"),
-      direction = Forward, leftOuter = true, prefix = "__c_")
-    // least/greatest skip nulls; the row's own prefix is never null
-    probed
-      .withColumn(minCol, least(col("__pn"), col("__c___cn")))
-      .withColumn(maxCol, greatest(col("__px"), col("__c___cx")))
-      .drop("__blk", "__pn", "__px", "__sn", "__sx", "__target",
-        s"__c_$ts", "__c___cn", "__c___cx")
-  }
+      maxCol: String = "rolling_max"): DataFrame =
+    rollingBlockAgg(df, keys, ts, window, Seq(
+      // least/greatest skip nulls (cross part absent or all-null)
+      BlockAgg(min(col(valueCol)), (p, x) => least(p, x), minCol),
+      BlockAgg(max(col(valueCol)), (p, x) => greatest(p, x), maxCol)),
+      "rollingMinMaxLinear")
 
   /** Aggregating interval join: [[intervalJoin]] followed by a
     * count/sum per interval, with the aggregation PUSHED INTO the

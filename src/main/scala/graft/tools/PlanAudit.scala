@@ -23,7 +23,8 @@ object PlanAudit {
       "llm_simhash_neardup", "llm_decontaminate", "llm_pack_sequences",
       "llm_line_dedup", "llm_classifier_score",
       "asof_join_clicks", "asof_join_bcast", "interval_join_signup",
-      "sessionize_gap", "llm_weighted_sample")
+      "sessionize_gap", "llm_weighted_sample",
+      "rolling_7d_minmax", "interval_join_agg")
 
     // allowed nested-loop joins: tiny driver-generated pair sets, plus
     // the classifier's ONE-ROW dense-model broadcast (a deliberate

@@ -388,6 +388,65 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("rolling aggregates: null values match RANGE-frame null semantics") {
+    import org.apache.spark.sql.expressions.Window
+    // k=1: null-valued rows inside and outside windows; k=2 all-null
+    val rows = Seq((1L, 0L, Some(3L)), (1L, 5L, None), (1L, 12L, Some(4L)),
+      (1L, 30L, None), (2L, 0L, None), (2L, 8L, None))
+      .toDF("k", "t", "v")
+    val wR = Window.partitionBy("k").orderBy("t").rangeBetween(-10L, 0L)
+    val frame = rows.select(col("k"), col("t"),
+        sum("v").over(wR).as("s"), count(lit(1)).over(wR).as("n"),
+        min("v").over(wR).as("mn"), max("v").over(wR).as("mx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)), r.getLong(3), Option(r.get(4)), Option(r.get(5))))
+      .toSet
+    val sums = Temporal.rollingSumLinear(rows, Seq("k"), "t", "v", 10L)
+    val got = Temporal
+      .rollingMinMaxLinear(sums, Seq("k"), "t", "v", 10L)
+      .select(col("k"), col("t"), col("rolling_sum").as("s"),
+        col("rolling_cnt").as("n"), col("rolling_min").as("mn"),
+        col("rolling_max").as("mx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)), r.getLong(3), Option(r.get(4)), Option(r.get(5))))
+      .toSet
+    assert(got == frame)
+  }
+
+  test("rollingMinMaxLinear ≡ brute force on random data incl. negative ts") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(300)(i =>
+      (rnd.nextInt(4).toLong, (rnd.nextInt(2001) - 1000).toLong,
+        rnd.nextInt(100).toLong, i.toLong))
+    val df = rows.toDF("k", "t", "v", "id")
+    for (w <- Seq(1L, 13L, 250L, 5000L)) {
+      val expect = rows.map { case (k, t, _, id) =>
+        val inWin = rows.filter(r => r._1 == k && r._2 >= t - w && r._2 <= t)
+        id -> (inWin.map(_._3).min, inWin.map(_._3).max)
+      }.toMap
+      val got = Temporal.rollingMinMaxLinear(df, Seq("k"), "t", "v", w)
+        .select("id", "rolling_min", "rolling_max")
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == expect, s"window=$w")
+    }
+  }
+
+  test("intervalJoinAgg handles negative timestamps and empty results") {
+    val rows = Seq((1L, -95L, 3L), (1L, -5L, 5L), (1L, 40L, 7L))
+      .toDF("k", "t", "v")
+    val ivs = Seq((1L, -100L, -90L, 1L), (1L, -10L, 50L, 2L),
+      (1L, 60L, 70L, 3L)).toDF("k", "lo", "hi", "iid")
+    for (w <- Seq(1L, 7L, 64L)) {
+      val got = Temporal.intervalJoinAgg(rows, "t", Seq("v"), ivs,
+        "lo", "hi", bucketWidth = w, keys = Seq("k"))
+        .select("iid", "n", "sum_v").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // iid=1 gets only t=-95; iid=2 gets -5 and 40; iid=3 empty → absent
+      assert(got == Set((1L, 1L, 3L), (2L, 2L, 12L)), s"w=$w: $got")
+    }
+  }
+
   test("sessionize splits on gap and keeps ts ties together") {
     val rows = Seq((1L, 0L), (1L, 50L), (1L, 50L), (1L, 200L), (1L, 201L),
       (2L, 1000L)).toDF("k", "t")
