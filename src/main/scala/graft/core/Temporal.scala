@@ -457,6 +457,14 @@ object Temporal {
     * time blocks instead of serializing one task (measured 64×-hot
     * 5.5 s vs 40 s for the per-key prefix formulation, SCALE.md r08).
     * Three linear passes, two exchanges. Integer timestamps required.
+    *
+    * Plan shape note: the probe and the suffix table are two consumers
+    * of the same windowed intermediate, and Spark shares subplans only
+    * at exchanges — so the INPUT IS SCANNED TWICE (column-pruned to
+    * keys+ts+value; the window lookup "value at ts − window" is an
+    * as-of self-join by nature, not expressible as one window pass).
+    * Fine when the input is a pruned columnar scan; `.cache()` the
+    * input first if it is an expensive derived frame.
     */
   private def rollingBlockAgg(
       df: DataFrame,
@@ -614,9 +622,14 @@ object Temporal {
     * Only the ≤ 2 boundary buckets per interval join row-level with the
     * exact predicate. Per-interval cost falls from O(matches) to
     * O(length/W + boundary-bucket rows); bucket width trades the two
-    * terms (smaller W shrinks boundary work, grows the grid — near the
-    * typical row spacing × interval length geometric mean is a good
-    * default).
+    * terms. Measured guidance (SCALE.md r08 sweep,
+    * `tools/IntervalAggSweep`): W ≈ interval length / 5-10 — finer and
+    * the interior grid outgrows the saved boundary work, coarser and
+    * the containment test stops firing (an interval spanning ≤ 3
+    * buckets has almost no interior ones), degrading toward the
+    * pair-materializing [[intervalJoin]]. For wildly varying lengths
+    * grid by the MEDIAN length; longer intervals just gain more
+    * interior (cheap) buckets.
     *
     * Output: one row per matched interval (inner semantics — empty
     * intervals are absent, like an inner [[intervalJoin]] + groupBy):
