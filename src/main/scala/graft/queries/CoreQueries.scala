@@ -139,7 +139,49 @@ object CoreQueries {
     "l3_sample_hash" -> ((s, dir) =>
       events(s, dir).filter(col("event_id") % 97 === 0)
         .select(col("event_id"), col("value"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // S3/L1: file/series glob pruning over a deterministic synthetic
+    // listing (one name per distinct user), exercising the series
+    // substring + parity-prefix selection and the sorted-distinct load
+    // order. Driver-side over the listing, like the reference — the
+    // file list is metadata-scale even at 100 TB.
+    "s3_file_pruning" -> ((s, dir) => {
+      val users = events(s, dir).select(col("user_id")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val names = users.map { u =>
+        val par = if (u % 2 == 0) "even" else "odd"
+        s"${par}_series_${u}_dump.parquet"
+      }
+      val pruned = EventTable.pruneFiles(
+        names, series = Seq("series_1"), parity = Some("even"))
+      import s.implicits._
+      pruned.toDF("fname").orderBy("fname")
+    }),
+
+    // S8: reload/reset — two independent loads of the same path must be
+    // bit-identical INCLUDING the derived positional event_uid (the
+    // reference's __event_index__); symmetric difference must be empty.
+    "s8_reload_consistency" -> ((s, dir) => {
+      val p = s"$dir/events.parquet"
+      val a = EventTable.load(s, Seq(p)).full
+      val b = EventTable.load(s, Seq(p)).full
+      val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+      val n = a.count()
+      a.unpersist(); b.unpersist()
+      import s.implicits._
+      Seq((diff, n)).toDF("diff_count", "n")
+    }),
+
+    // L5: log-spaced downsample indices for an axis of length n =
+    // count(events); driver-side plot-index preparation, oracle
+    // replicates the exact exp/ln grid arithmetic.
+    "l5_log_downsample" -> ((s, dir) => {
+      val n = events(s, dir).count().toInt
+      val idx = graft.stats.Sampling.logDownsampleIndices(n, points = 256)
+      import s.implicits._
+      idx.toSeq.map(_.toLong).toDF("idx").orderBy("idx")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -174,6 +216,23 @@ object CoreQueries {
     "l2_limit" ->
       "SELECT event_id, value FROM events ORDER BY event_id LIMIT 100",
     "l3_sample_hash" ->
-      "SELECT event_id, value FROM events WHERE event_id % 97 = 0 ORDER BY event_id"
+      "SELECT event_id, value FROM events WHERE event_id % 97 = 0 ORDER BY event_id",
+    "s3_file_pruning" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |n AS (SELECT (CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END)
+        |  || '_series_' || CAST(user_id AS VARCHAR) || '_dump.parquet' AS fname FROM u)
+        |SELECT fname FROM n
+        |WHERE fname LIKE '%series_1%' AND fname LIKE 'even\_%' ESCAPE '\'
+        |ORDER BY fname""".stripMargin,
+    "s8_reload_consistency" ->
+      "SELECT CAST(0 AS BIGINT) AS diff_count, count(*) AS n FROM events",
+    "l5_log_downsample" ->
+      """WITH c AS (SELECT count(*) AS n FROM events),
+        |raw AS (SELECT LEAST(n - 1,
+        |    CAST(floor(exp((i / 255.0) * ln(n))) AS BIGINT) - 1
+        |    + CASE WHEN i = 0 THEN 1 ELSE 0 END) AS idx
+        |  FROM generate_series(0, 255) AS t(i), c),
+        |allidx AS (SELECT CAST(0 AS BIGINT) AS idx UNION SELECT idx FROM raw)
+        |SELECT DISTINCT idx FROM allidx ORDER BY idx""".stripMargin
   )
 }

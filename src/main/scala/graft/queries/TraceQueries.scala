@@ -356,6 +356,43 @@ object TraceQueries {
           aggregate(col("trace"), lit(0.0), (acc, x) => acc + x)
             .as("chunk_sum"))
         .orderBy("chunk_id")
+    }),
+
+    // S9: dPdI filter-file round trip — build a deterministic per-channel
+    // (channel, dpdi_re[], dpdi_im[]) table from events (exact-integer
+    // doubles: per-bucket counts and cent sums), write it as the KB-scale
+    // parquet "filter file" the reference stores, then load it back
+    // through PhotonCalib.loadDpdi and emit the interleaved [re, im, …]
+    // half-spectrum. The artifact is driver-temp-dir local; at scale the
+    // filter file stays KB-sized regardless of event volume.
+    "s9_dpdi_filter_file" -> ((s, dir) => {
+      import graft.calib.PhotonCalib
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_dpdi").toString
+      val buckets = events(s, dir)
+        .groupBy(col("event_type").as("channel"),
+          (col("user_id") % 8).as("k"))
+        .agg(count(lit(1)).cast("double").as("re"),
+          sum(cents(col("value"))).cast("double").as("im"))
+      buckets.groupBy("channel")
+        .agg(
+          transform(array_sort(collect_list(struct(col("k"), col("re")))),
+            x => x("re")).as("dpdi_re"),
+          transform(array_sort(collect_list(struct(col("k"), col("im")))),
+            x => x("im")).as("dpdi_im"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val interleaved =
+        try PhotonCalib.loadDpdi(s, tmp, "click")
+        finally { // temp artifact: remove after the load-back completes
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+            .sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      import s.implicits._
+      interleaved.toSeq.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }
+        .toDF("idx", "value").orderBy("idx")
     })
   )
 
@@ -520,6 +557,14 @@ object TraceQueries {
         |o AS (SELECT x, row_number() OVER (ORDER BY event_id, p) - 1 AS g FROM s),
         |c AS (SELECT g // 7 AS chunk_id, x FROM o),
         |ok AS (SELECT chunk_id FROM c GROUP BY chunk_id HAVING count(*) = 7)
-        |SELECT c.chunk_id AS chunk_id, sum(x) AS chunk_sum FROM c JOIN ok USING (chunk_id) GROUP BY c.chunk_id ORDER BY chunk_id""".stripMargin
+        |SELECT c.chunk_id AS chunk_id, sum(x) AS chunk_sum FROM c JOIN ok USING (chunk_id) GROUP BY c.chunk_id ORDER BY chunk_id""".stripMargin,
+    "s9_dpdi_filter_file" ->
+      """WITH b AS (SELECT user_id % 8 AS k, CAST(count(*) AS DOUBLE) AS re,
+        |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE) AS im
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |r AS (SELECT row_number() OVER (ORDER BY k) - 1 AS p, re, im FROM b)
+        |SELECT CAST(2*p AS BIGINT) AS idx, re AS value FROM r
+        |UNION ALL SELECT CAST(2*p+1 AS BIGINT) AS idx, im AS value FROM r
+        |ORDER BY idx""".stripMargin
   )
 }
