@@ -225,4 +225,48 @@ object TextAnalysis {
         i => array_min(slice(hs, i + 1, lit(w))))))
       .otherwise(array(array_min(hs)))
   }
+
+  /** Exact corpus-wide top-k terms by frequency, via two bounded scans
+    * and NO token-stream shuffle:
+    *
+    *   1. a merged Misra–Gries sketch
+    *      ([[graft.functions.SpaceSavingTerms]], one `capacity`-entry
+    *      summary per partition on the exchange) yields a candidate set
+    *      guaranteed to contain every term with true frequency
+    *      > N/(capacity+1);
+    *   2. the candidates (≤ capacity strings, broadcast inside the
+    *      [[graft.functions.TermCounts]] kernel) are recounted EXACTLY
+    *      in one O(tokens + capacity)/doc pass, reduced by
+    *      [[graft.functions.LongVectorSum]] (map-side combine, one
+    *      vector per partition on the exchange).
+    *
+    * Result: (term, cnt) ordered (cnt DESC, term ASC), provably the
+    * true top-k whenever the k-th true count exceeds N/(capacity+1) —
+    * size capacity ≥ N/expected-kth-count (a few hundred covers Zipfian
+    * corpora; the explode + groupBy exact mirror shuffles the whole
+    * token stream instead). Null texts contribute nothing. */
+  def heavyHitterTerms(
+      df: DataFrame,
+      text: Column,
+      k: Int,
+      capacity: Int): DataFrame = {
+    require(k > 0 && capacity >= k, "need capacity >= k > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val candidates = df
+      .agg(graft.functions.SpaceSavingTerms(text, capacity).as("sketch"))
+      .select(explode(col("sketch")).as("e"))
+      .select(col("e.term")).as[String].collect().toSeq.sorted
+    if (candidates.isEmpty) return Seq.empty[(String, Long)].toDF("term", "cnt")
+    val sums = df
+      .filter(text.isNotNull)
+      .select(graft.functions.TermCounts(text, candidates).as("tc"))
+      .agg(graft.functions.LongVectorSum(col("tc"), candidates.length)
+        .as("sums"))
+      .head().getSeq[Long](0)
+    candidates.zip(sums)
+      .sortBy { case (t, c) => (-c, t) }
+      .take(k)
+      .toDF("term", "cnt")
+  }
 }

@@ -674,6 +674,35 @@ object LlmQueries {
           (0 until 8).map(b => element_at(col("features"), 5 + b)
             .cast("long").as(s"hb$b")): _*)
         .orderBy("doc_id")
+    }),
+
+    // corpus heavy hitters: merged Misra-Gries sketch (no token-stream
+    // shuffle) -> bounded exact recount via the TermCounts kernel ->
+    // provably-true top-k (capacity 64 > vocab here, so the sketch is
+    // exact; at scale the N/(capacity+1) bound governs — see
+    // TextAnalysis.heavyHitterTerms scaladoc)
+    "llm_heavy_hitters" -> ((s, dir) =>
+      TextAnalysis.heavyHitterTerms(
+        t(s, dir, "documents"), col("text"), k = 10, capacity = 64)
+        .orderBy(desc("cnt"), asc("term"))),
+
+    // per-source vocabulary: exact distinct (the shuffle-heavy mirror)
+    // + the one-pass mergeable HLL++ sketch, gated by its error bound —
+    // the a5-style error-bound oracle shape (exact value + bound flag,
+    // both DuckDB-checkable). At 100 TB the sketch column IS the path:
+    // approx_count_distinct merges partials without a distinct shuffle.
+    "llm_vocab_sketch" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("term"))
+      toks.groupBy("source")
+        .agg(countDistinct("term").as("n_distinct"),
+          approx_count_distinct("term", 0.05).as("est"))
+        .select(col("source"), col("n_distinct"),
+          (abs(col("est") - col("n_distinct"))
+            <= lit(0.15) * col("n_distinct")).as("hll_ok"))
+        .orderBy("source")
     })
   )
 
@@ -1578,6 +1607,17 @@ object LlmQueries {
         | CAST(nf AS BIGINT) AS n_frames, CAST(25 AS BIGINT) AS fps,
         | $hbs
         |FROM sm GROUP BY doc_id, nf ORDER BY doc_id""".stripMargin
-    }
+    },
+    "llm_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term)
+        |SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 10""".stripMargin,
+    "llm_vocab_sketch" ->
+      """WITH toks AS (SELECT source,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT source, count(DISTINCT term) AS n_distinct, true AS hll_ok
+        |FROM toks GROUP BY source ORDER BY source""".stripMargin
   )
 }

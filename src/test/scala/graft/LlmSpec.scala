@@ -1140,4 +1140,56 @@ class LlmSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
       Seq((4L, 3L), (4L, 3L), (3L, 2L), (2L, 2L), (1L, 0L), (1L, 1L)))
   }
+
+  test("heavy hitters: sketch+recount equals exact top-k, tight capacity") {
+    import graft.functions.MgSummary
+    // Zipf-ish corpus: vocab (26 terms) far exceeds capacity (8), but
+    // the top terms clear the N/(capacity+1) bound comfortably
+    val corpus = (0 until 200).map { i =>
+      val hot = Seq.fill(6)("alpha") ++ Seq.fill(4)("beta") ++
+        Seq.fill(3)("gamma") ++ Seq.fill(2)("delta")
+      val cold = Seq(('a' + i % 26).toChar.toString,
+        ('a' + (i * 7) % 26).toChar.toString)
+      (i.toLong, (hot ++ cold).mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = TextAnalysis
+      .heavyHitterTerms(corpus, col("text"), k = 4, capacity = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = corpus
+      .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .groupBy("t").count()
+      .orderBy(desc("count"), asc("t")).limit(4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == exact)
+    assert(got.take(4).map(_._1) == Seq("alpha", "beta", "gamma", "delta"))
+    assert(got.head._2 == 1200L) // counts are the exact recount
+
+    // null text contributes nothing; empty corpus returns empty frame
+    val withNull = corpus.union(
+      Seq((999L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val got2 = TextAnalysis
+      .heavyHitterTerms(withNull, col("text"), k = 1, capacity = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got2 == Seq(("alpha", 1200L)))
+
+    // MgSummary merge keeps the undercount bound: absorbing two
+    // summaries never invents counts and never loses a true heavy term
+    val a = new MgSummary(4); val b = new MgSummary(4)
+    (1 to 50).foreach(_ => a.offer("x")); (1 to 3).foreach(_ => a.offer("y"))
+    (1 to 40).foreach(_ => b.offer("x")); (1 to 5).foreach(_ => b.offer("z"))
+    a.absorb(b)
+    val m = a.sortedEntries.toMap
+    assert(m("x") <= 90L && m("x") >= 90L - (98L / 5L)) // N=98, cap+1=5
+    assert(a.size <= 4)
+  }
+
+  test("long_vector_sum: elementwise exact, null rows skipped") {
+    val rows = Seq(
+      (Seq(1L, 2L, 3L), 1), (Seq(10L, 20L, 30L), 2),
+      (null.asInstanceOf[Seq[Long]], 3)).toDF("v", "id")
+    val out = rows.agg(
+      graft.functions.LongVectorSum(col("v").cast("array<long>"), 3)
+        .as("s")).head().getSeq[Long](0)
+    assert(out == Seq(11L, 22L, 33L))
+  }
 }
