@@ -194,6 +194,19 @@ object TextAnalysis {
       acc.withColumn(s"n_$name", regexp_count(text, lit(pat)))
     }
 
+  /** Text canonicalization before dedup/fingerprinting (CCNet shape):
+    * Unicode normalize (NFC default, NFKC folds ligatures/fullwidth) +
+    * case fold + ASCII-whitespace collapse, as one codegen'd scalar
+    * kernel — [[graft.functions.NormalizeText]] (see its scaladoc for
+    * the exact byte contract and the `\x0B` regex-dialect note). */
+  def normalizeText(text: Column): Column =
+    graft.functions.NormalizeText(text)
+
+  def normalizeText(
+      text: Column, form: String,
+      caseFold: Boolean, collapseWs: Boolean): Column =
+    graft.functions.NormalizeText(text, form, caseFold, collapseWs)
+
   /** Rolling polynomial fingerprint (Rabin-Karp style, 64-bit wrapping)
     * over UTF-8 bytes: the native codegen'd
     * [[graft.functions.Fingerprint64]] expression. Stable across

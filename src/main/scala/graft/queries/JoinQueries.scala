@@ -29,33 +29,45 @@ object JoinQueries {
 
     // TPC-H Q1 shape: wide aggregate, exact cents arithmetic
     "tpch_q1_pricing" -> ((s, dir) => {
+      // Money sums must stay EXACT past long range at 100 TB: per-row
+      // products reach ~2e11, so a single long accumulator overflows
+      // past ~5e7 rows per group. A decimal(38,0) accumulator is exact
+      // but BigDecimal-backed (precision > 18 leaves Spark's compact
+      // long representation) — measured ~4× the whole-query cost at
+      // sf0.1. Instead each product is split hi = p div 1e6 /
+      // lo = p % 1e6 and both halves sum as PLAIN LONGS (fully
+      // codegen'd, map-side combined); the exact value is recombined in
+      // decimal(38,0) only on the handful of OUTPUT groups. Overflow
+      // bounds: hi ≤ 2e5, lo < 1e6 → both half-sums hold to ~1e13 rows
+      // per group (~2 PB of lineitem), and the recombined decimal →
+      // double cast matches the oracle's hugeint → double conversion
+      // bit for bit.
+      val SPLIT = 1000000L
       val li = t(s, dir, "lineitem")
         .withColumn("qc", cents(col("l_quantity")))
         .withColumn("epc", cents(col("l_extendedprice")))
         .withColumn("dc", cents(col("l_discount")))
         .withColumn("tc", cents(col("l_tax")))
-      // money sums accumulate in decimal(38,0): per-row products reach
-      // ~1e11, so a long accumulator overflows past ~8e7 rows per group —
-      // decimal is the 100 TB-safe exact accumulator (values are still
-      // exact integers; the final cast to double matches the oracle's
-      // hugeint→double conversion bit for bit)
+        .withColumn("pdp", col("epc") * (lit(100L) - col("dc")))
+        .withColumn("pcp", col("pdp") * (lit(100L) + col("tc")))
+      def halves(c: String) = Seq(
+        sum(expr(s"$c div $SPLIT")).as(s"${c}_hi"),
+        sum(expr(s"$c % $SPLIT")).as(s"${c}_lo"))
+      def exact(c: String) =
+        (col(s"${c}_hi").cast("decimal(38,0)") * lit(SPLIT)
+          + col(s"${c}_lo")).cast("double")
+      val aggs = Seq(sum(col("qc")).as("sq")) ++
+        halves("epc") ++ halves("pdp") ++ halves("pcp") ++
+        Seq(sum(col("dc")).as("sd"), count(lit(1)).as("count_order"))
       li.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          sum(col("qc")).as("sq"),
-          sum(col("epc").cast("decimal(38,0)")).cast("double").as("sp"),
-          sum((col("epc") * (lit(100L) - col("dc"))).cast("decimal(38,0)"))
-            .cast("double").as("sdp"),
-          sum((col("epc") * (lit(100L) - col("dc")) * (lit(100L) + col("tc")))
-            .cast("decimal(38,0)")).cast("double").as("scp"),
-          sum(col("dc")).as("sd"),
-          count(lit(1)).as("count_order"))
+        .agg(aggs.head, aggs.tail: _*)
         .select(col("l_returnflag"), col("l_linestatus"),
           (col("sq") / 100.0).as("sum_qty"),
-          (col("sp") / 100.0).as("sum_base_price"),
-          (col("sdp") / 10000.0).as("sum_disc_price"),
-          (col("scp") / 1000000.0).as("sum_charge"),
+          (exact("epc") / 100.0).as("sum_base_price"),
+          (exact("pdp") / 10000.0).as("sum_disc_price"),
+          (exact("pcp") / 1000000.0).as("sum_charge"),
           (col("sq") / 100.0 / col("count_order")).as("avg_qty"),
-          (col("sp") / 100.0 / col("count_order")).as("avg_price"),
+          (exact("epc") / 100.0 / col("count_order")).as("avg_price"),
           (col("sd") / 100.0 / col("count_order")).as("avg_disc"),
           col("count_order"))
         .orderBy("l_returnflag", "l_linestatus")

@@ -686,6 +686,22 @@ object LlmQueries {
         t(s, dir, "documents"), col("text"), k = 10, capacity = 64)
         .orderBy(desc("cnt"), asc("term"))),
 
+    // text canonicalization (pre-dedup normalize): NFC + case fold +
+    // explicit-class whitespace collapse — byte-exact DuckDB mirror
+    // (nfc_normalize + lower + regexp_replace/trim); synthetic docs are
+    // ASCII so the Unicode branches are pinned by LlmSpec instead. A
+    // mixed-case/spacing variant column makes the kernel load-bearing.
+    "llm_normalize_text" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("variant",
+          concat(lit("  "), upper(substring(col("text"), 1, 40)),
+            lit("\t \n"), substring(col("text"), 41, 1000000), lit(" ")))
+        .select(col("doc_id"),
+          md5(TextAnalysis.normalizeText(col("variant"))).as("norm_hash"),
+          length(TextAnalysis.normalizeText(col("variant")))
+            .cast("long").as("n_norm"))
+        .orderBy("doc_id")),
+
     // per-source vocabulary: exact distinct (the shuffle-heavy mirror)
     // + the one-pass mergeable HLL++ sketch, gated by its error bound —
     // the a5-style error-bound oracle shape (exact value + bound flag,
@@ -1608,6 +1624,17 @@ object LlmQueries {
         | $hbs
         |FROM sm GROUP BY doc_id, nf ORDER BY doc_id""".stripMargin
     },
+    "llm_normalize_text" ->
+      """WITH v AS (SELECT doc_id,
+        |  '  ' || upper(substr(text, 1, 40)) || chr(9) || ' ' || chr(10)
+        |    || substr(text, 41) || ' ' AS variant
+        |  FROM documents),
+        |n AS (SELECT doc_id,
+        |  trim(regexp_replace(lower(nfc_normalize(variant)),
+        |    '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ') AS norm FROM v)
+        |SELECT doc_id, md5(norm) AS norm_hash,
+        |  CAST(length(norm) AS BIGINT) AS n_norm
+        |FROM n ORDER BY doc_id""".stripMargin,
     "llm_heavy_hitters" ->
       """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
         |  FROM documents WHERE text IS NOT NULL),

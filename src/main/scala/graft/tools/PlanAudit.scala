@@ -24,7 +24,8 @@ object PlanAudit {
       "llm_line_dedup", "llm_classifier_score",
       "asof_join_clicks", "asof_join_bcast", "interval_join_signup",
       "sessionize_gap", "llm_weighted_sample",
-      "rolling_7d_minmax", "interval_join_agg")
+      "rolling_7d_minmax", "interval_join_agg",
+      "tpch_q1_pricing", "llm_heavy_hitters", "llm_vocab_sketch")
 
     // allowed nested-loop joins: tiny driver-generated pair sets, plus
     // the classifier's ONE-ROW dense-model broadcast (a deliberate

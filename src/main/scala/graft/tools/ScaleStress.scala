@@ -91,6 +91,20 @@ object ScaleStress {
         force(graft.llm.Classify.scoreHashedLinear(
           d, "text", "doc_id", w, 1024, -50L))
       }
+      // heavy hitters: the sketch pass dominates (tokenize-in-aggregate,
+      // no explode); replication multiplies token volume but NOT distinct
+      // terms, so the candidate set and recount width stay constant —
+      // the curve should be ~linear in tokens with a flat constant
+      time(s"heavy hitters x$mult")(
+        TextAnalysis.heavyHitterTerms(d, col("text"), 10, 256).count())
+      // vocab sketch: one-pass mergeable HLL++ (the 100 TB path alone —
+      // the exact-distinct mirror is gated at sf0.01, not stressed)
+      time(s"vocab sketch x$mult")(
+        force(d.filter(col("text").isNotNull)
+          .select(col("source"),
+            explode(TextAnalysis.tokens(col("text"))).as("term"))
+          .groupBy("source")
+          .agg(approx_count_distinct("term", 0.05).as("est"))))
       spark.catalog.clearCache()
       if (mult <= 16) {
         time(s"exact dedup x$mult")(

@@ -1183,6 +1183,36 @@ class LlmSpec extends SparkSpec {
     assert(a.size <= 4)
   }
 
+  test("normalize_text: unicode forms, case fold, whitespace contract") {
+    import graft.functions.NormalizeText
+    def norm(s: String, form: String = "NFC", lower: Boolean = true,
+        ws: Boolean = true): String =
+      Seq(Tuple1(s)).toDF("t")
+        .select(NormalizeText(col("t"), form, lower, ws).as("n"))
+        .head.getString(0)
+    // whitespace: ASCII runs collapse (incl. \t \n ), unicode
+    // spaces (U+00A0) are content and survive
+    assert(norm("  a\t\nb  c  ") == "a b c")
+    assert(norm("a b") == "a b")
+    // case fold via Locale.ROOT
+    assert(norm("HeLLo WoRLD") == "hello world")
+    // NFC composes e + combining acute into é; NFKC additionally folds
+    // the fi ligature and fullwidth forms — NFC leaves those alone
+    assert(norm("é") == "é")
+    assert(norm("ﬁle Ａ", "NFC") == "ﬁle ａ")
+    assert(norm("ﬁle Ａ", "NFKC") == "file a")
+    // flags off = identity on those dimensions
+    assert(norm("A  B", lower = false, ws = false) == "A  B")
+    // null in → null out
+    val n = Seq(Tuple1(null.asInstanceOf[String])).toDF("t")
+      .select(NormalizeText(col("t")).as("n")).head
+    assert(n.isNullAt(0))
+    // interpreted (non-codegen) path agrees with the codegen path
+    assert(graft.functions.NormalizeText.normalize(
+      org.apache.spark.unsafe.types.UTF8String.fromString(" X\tY "),
+      "NFC", caseFold = true, collapseWs = true).toString == "x y")
+  }
+
   test("long_vector_sum: elementwise exact, null rows skipped") {
     val rows = Seq(
       (Seq(1L, 2L, 3L), 1), (Seq(10L, 20L, 30L), 2),
