@@ -131,6 +131,38 @@ object StreamingQueries {
         .orderBy("signup_id", "purchase_id")
     }),
 
+    // streaming heavy hitters: the mergeable Misra-Gries summary
+    // (functions/SpaceSavingTerms) as STREAMING STATE — the sketch
+    // buffer serializes into the state store per group and absorbs
+    // each micro-batch's partials, so an unbounded feed keeps one
+    // bounded summary per key forever (the streaming twin of
+    // llm_heavy_hitters' batch sketch pass). Complete mode; top-5
+    // prop-tokens per event_type ranked from the sink in batch.
+    // Capacity 256 exceeds the per-type token vocabulary here, so the
+    // summary is EXACT and the oracle can gate counts; on a real feed
+    // the MG undercount bound N/(cap+1) governs instead.
+    "stream_heavy_hitters" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val ev = s.readStream.schema(schema)
+        .parquet(s"$dir/events.parque[t]") // glob form, see above
+      val sketches = ev.groupBy(col("event_type"))
+        .agg(graft.functions.SpaceSavingTerms(col("props"), 256)
+          .as("sketch"))
+      val ranked = runToMemory(s, "stream_hh", name =>
+        sketches.writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow()))
+        .select(col("event_type"), explode(col("sketch")).as("e"))
+        .select(col("event_type"), col("e.term").as("term"),
+          col("e.count").as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("cnt").desc, col("term").asc)
+      ranked.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("event_type"), col("rk"), col("term"), col("cnt"))
+        .orderBy("event_type", "rk")
+    }),
+
     // streaming gap sessionization, end to end: Spark's native
     // session_window (state-merging session aggregation) over the
     // event file stream, 12-hour gap — the streaming twin of the
@@ -272,6 +304,17 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // capacity (256) > per-type token vocabulary → the streaming MG
+    // summary is exact, so plain count ranking mirrors it
+    "stream_heavy_hitters" ->
+      """WITH toks AS (SELECT event_type,
+        |    unnest(regexp_split_to_array(trim(props), '\s+')) AS term
+        |  FROM events),
+        |c AS (SELECT event_type, term, count(*) AS cnt FROM toks GROUP BY 1, 2),
+        |r AS (SELECT event_type, term, cnt, row_number() OVER
+        |    (PARTITION BY event_type ORDER BY cnt DESC, term) AS rk FROM c)
+        |SELECT event_type, rk, term, cnt FROM r WHERE rk <= 5
+        |ORDER BY event_type, rk""".stripMargin,
     // single-batch first-seen-wins = smallest doc_id per hash group
     "stream_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id FROM documents
