@@ -160,17 +160,28 @@ object CoreQueries {
     }),
 
     // S8: reload/reset — two independent loads of the same path must be
-    // bit-identical INCLUDING the derived positional event_uid (the
-    // reference's __event_index__); symmetric difference must be empty.
+    // identical INCLUDING the derived positional event_uid (the
+    // reference's __event_index__). The scale-shaped witness: an
+    // order-independent row-checksum aggregate per load (ONE map-only
+    // pass each, no shuffle — the full-row exceptAll mirror shuffles
+    // the table twice and is kept as the exact check in IngestSpec).
+    // pmod keeps addends < 1e9 so the ANSI long sum cannot overflow.
     "s8_reload_consistency" -> ((s, dir) => {
       val p = s"$dir/events.parquet"
-      val a = EventTable.load(s, Seq(p)).full
-      val b = EventTable.load(s, Seq(p)).full
-      val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
-      val n = a.count()
-      a.unpersist(); b.unpersist()
+      def loadSig(): (Long, Long) = {
+        val df = EventTable.load(s, Seq(p)).full
+        val r = df.agg(
+          sum(pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)),
+            lit(1000000007L))).as("cks"),
+          count(lit(1)).as("n")).head()
+        df.unpersist()
+        (r.getLong(0), r.getLong(1))
+      }
+      val (c1, n1) = loadSig()
+      val (c2, n2) = loadSig()
+      val diff = if (c1 == c2 && n1 == n2) 0L else 1L
       import s.implicits._
-      Seq((diff, n)).toDF("diff_count", "n")
+      Seq((diff, n1)).toDF("diff_count", "n")
     }),
 
     // L5: log-spaced downsample indices for an axis of length n =

@@ -75,6 +75,22 @@ object MinhashProfile {
     time("  [anat] fused simhash_text")(
       fanned.select(max(graft.functions.SimHashText(col("text")))).head())
     fanned.unpersist()
+
+    // ---- lshCandidates anatomy over the cached signature table
+    val banded = sigs.filter(col("sig").isNotNull).select(
+      col("doc_id"),
+      explode(transform(sequence(lit(0), lit(15)), j =>
+        struct(j.as("band"),
+          slice(col("sig"), j * 4 + 1, lit(4)).as("bhash"))))
+        .as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bhash"))
+    time("  [cand] banding only")(banded.count())
+    val buckets = banded.groupBy("band", "bhash")
+      .agg(graft.functions.CappedCollectLong(col("doc_id"), 1000).as("ids"))
+      .filter(size(col("ids")).between(2, 1000))
+    time("  [cand] bucket aggregate")(buckets.count())
+    time("  [cand] full (incl. pair expand + distinct)")(
+      Dedup.lshCandidates(sigs, "doc_id", 16, 4).count())
     spark.stop()
   }
 }

@@ -155,4 +155,17 @@ class IngestSpec extends SparkSpec {
     assert(u1 == u2)
     assert(u1.values.toSeq.distinct.size == 400)
   }
+
+  test("S8 reload: two loads are EXACTLY identical incl. positional uid") {
+    // full-row exceptAll mirror of the s8_reload_consistency query's
+    // zero-shuffle checksum witness: exact multiset equality here, the
+    // scale-shaped hash-sum in the driver query
+    val p = "/root/testdata/sf0.001/events.parquet"
+    val a = graft.core.EventTable.load(spark, Seq(p)).full
+    val b = graft.core.EventTable.load(spark, Seq(p)).full
+    assert(a.exceptAll(b).count() == 0L)
+    assert(b.exceptAll(a).count() == 0L)
+    assert(a.count() > 0L)
+    a.unpersist(); b.unpersist()
+  }
 }
