@@ -156,29 +156,39 @@ final class MgSummary(val capacity: Int) {
     }
   }
 
+  /** Add a pre-counted (term, count) entry, then re-bound if needed —
+    * the absorb path for both whole summaries and persisted rows. */
+  def addEntry(term: String, count: Long): Unit = {
+    val cur = counts.get(term)
+    counts.put(term, if (cur == null) count else cur + count)
+  }
+
+  /** Re-impose the capacity bound after [[addEntry]] calls: subtract
+    * the (capacity+1)-th largest count from all entries and drop the
+    * non-positive ones (Agarwal et al. 2012 — keeps the undercount
+    * bound additive across merges). */
+  def truncate(): Unit = if (counts.size > capacity) {
+    val all = new Array[Long](counts.size)
+    var i = 0
+    val vit = counts.values().iterator()
+    while (vit.hasNext) { all(i) = vit.next(); i += 1 }
+    java.util.Arrays.sort(all)
+    val threshold = all(all.length - capacity - 1)
+    val eit = counts.entrySet().iterator()
+    while (eit.hasNext) {
+      val e = eit.next()
+      if (e.getValue <= threshold) eit.remove()
+      else e.setValue(e.getValue - threshold)
+    }
+  }
+
   def absorb(other: MgSummary): Unit = {
     val it = other.counts.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      val cur = counts.get(e.getKey)
-      counts.put(e.getKey,
-        if (cur == null) e.getValue else cur + e.getValue)
+      addEntry(e.getKey, e.getValue)
     }
-    if (counts.size > capacity) {
-      // (capacity+1)-th largest count is the subtraction threshold
-      val all = new Array[Long](counts.size)
-      var i = 0
-      val vit = counts.values().iterator()
-      while (vit.hasNext) { all(i) = vit.next(); i += 1 }
-      java.util.Arrays.sort(all)
-      val threshold = all(all.length - capacity - 1)
-      val eit = counts.entrySet().iterator()
-      while (eit.hasNext) {
-        val e = eit.next()
-        if (e.getValue <= threshold) eit.remove()
-        else e.setValue(e.getValue - threshold)
-      }
-    }
+    truncate()
   }
 
   /** Entries ordered (count DESC, term ASC). */
@@ -194,6 +204,93 @@ final class MgSummary(val capacity: Int) {
         x._2 > y._2 || (x._2 == y._2 && x._1 < y._1))
     arr
   }
+}
+
+/** `merge_term_summaries(summary, capacity)` → re-aggregate PERSISTED
+  * Misra–Gries summaries (rows of `array<struct<term:string,
+  * count:bigint>>`, the [[SpaceSavingTerms]] output shape) into one
+  * bounded summary. This is the incremental-corpus path at 100 TB:
+  * sketch each day's partition once, persist the KB-scale summary rows,
+  * and answer "top terms over any window of days" by merging stored
+  * sketches — no rescan of the text. The Agarwal et al. merge keeps the
+  * total undercount ≤ N/(capacity+1) across any merge tree, and when
+  * capacity exceeds the true vocabulary every summary is exact, so
+  * incremental == direct == true counts (the oracle-gated case). Null
+  * summary rows contribute nothing. */
+case class MergeTermSummaries(
+    child: Expression,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[MgSummary] {
+
+  require(capacity > 0, "capacity must be positive")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("count", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(Array(a, b)), _)
+        if a.dataType == StringType && b.dataType == LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      "merge_term_summaries expects array<struct<term:string," +
+        s"count:bigint>>, got ${other.catalogString}")
+  }
+
+  override def createAggregationBuffer(): MgSummary = new MgSummary(capacity)
+
+  override def update(buf: MgSummary, row: InternalRow): MgSummary = {
+    val v = child.eval(row)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        val e = arr.getStruct(i, 2)
+        buf.addEntry(e.getUTF8String(0).toString, e.getLong(1))
+        i += 1
+      }
+      buf.truncate()
+    }
+    buf
+  }
+
+  override def merge(a: MgSummary, b: MgSummary): MgSummary = { a.absorb(b); a }
+
+  override def eval(buf: MgSummary): Any = {
+    val entries = buf.sortedEntries
+    new GenericArrayData(entries.map { case (t, c) =>
+      new GenericInternalRow(Array[Any](UTF8String.fromString(t), c))
+    })
+  }
+
+  override def serialize(buf: MgSummary): Array[Byte] =
+    SpaceSavingTerms(child, capacity).serialize(buf)
+  override def deserialize(bytes: Array[Byte]): MgSummary =
+    SpaceSavingTerms(child, capacity).deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): MergeTermSummaries =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MergeTermSummaries =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MergeTermSummaries =
+    copy(child = newChildren(0))
+
+  override def prettyName: String = "merge_term_summaries"
+}
+
+object MergeTermSummaries {
+  def apply(summary: Column, capacity: Int): Column =
+    GraftSqlBridge.column(
+      MergeTermSummaries(GraftSqlBridge.expression(summary), capacity)
+        .toAggregateExpression())
 }
 
 /** `long_vector_sum(arr, dim)` → element-wise sum of fixed-length

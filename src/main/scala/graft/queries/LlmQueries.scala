@@ -686,6 +686,24 @@ object LlmQueries {
         t(s, dir, "documents"), col("text"), k = 10, capacity = 64)
         .orderBy(desc("cnt"), asc("term"))),
 
+    // incremental sketch merge: sketch two corpus halves independently
+    // (the per-day persisted-summary shape), then merge the stored
+    // summaries with merge_term_summaries and rank — at 100 TB this
+    // answers "top terms over a window of days" from KB-scale sketch
+    // rows with NO rescan of the text. Capacity 256 > vocab here, so
+    // incremental == direct == true counts and the oracle gates exactly.
+    "llm_sketch_merge" -> ((s, dir) => {
+      val halves = t(s, dir, "documents")
+        .withColumn("half", pmod(col("doc_id"), lit(2)))
+        .groupBy("half")
+        .agg(graft.functions.SpaceSavingTerms(col("text"), 256).as("sk"))
+      halves
+        .agg(graft.functions.MergeTermSummaries(col("sk"), 256).as("m"))
+        .select(explode(col("m")).as("e"))
+        .select(col("e.term").as("term"), col("e.count").as("cnt"))
+        .orderBy(desc("cnt"), asc("term")).limit(10)
+    }),
+
     // text canonicalization (pre-dedup normalize): NFC + case fold +
     // explicit-class whitespace collapse — byte-exact DuckDB mirror
     // (nfc_normalize + lower + regexp_replace/trim); synthetic docs are
@@ -1624,6 +1642,13 @@ object LlmQueries {
         | $hbs
         |FROM sm GROUP BY doc_id, nf ORDER BY doc_id""".stripMargin
     },
+    // capacity > vocab → both half-sketches and the merge are exact,
+    // so the incremental path reproduces the plain top-10 count
+    "llm_sketch_merge" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term)
+        |SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 10""".stripMargin,
     "llm_normalize_text" ->
       """WITH v AS (SELECT doc_id,
         |  '  ' || upper(substr(text, 1, 40)) || chr(9) || ' ' || chr(10)

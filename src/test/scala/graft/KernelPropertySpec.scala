@@ -138,4 +138,51 @@ class KernelPropertySpec extends SparkSpec {
       info(s"$name: $threw threw, $agreed agreed (of 60 truncations)")
     }
   }
+
+  test("property: Misra-Gries bound holds under random streams + merges") {
+    // For ANY token stream partitioned ANY way into per-partition
+    // summaries merged in ANY order: every final count is an
+    // UNDERestimate by at most N/(capacity+1), and every term with
+    // true frequency > N/(capacity+1) survives — the guarantee
+    // heavyHitterTerms' candidate-recount correctness rests on.
+    import graft.functions.MgSummary
+    val rnd = new scala.util.Random(20260814L)
+    (0 until 40).foreach { trial =>
+      val cap = 2 + rnd.nextInt(12)
+      val vocab = 1 + rnd.nextInt(40)
+      val n = 50 + rnd.nextInt(2000)
+      // Zipf-ish skew so some terms actually clear the bound
+      val stream = Array.fill(n) {
+        val z = math.min(vocab - 1,
+          (math.pow(rnd.nextDouble(), 2.5) * vocab).toInt)
+        s"t$z"
+      }
+      val truth = stream.groupBy(identity).map { case (k, v) =>
+        k -> v.length.toLong }
+      val parts = 1 + rnd.nextInt(6)
+      val summaries = stream.grouped(
+        math.max(1, n / parts)).map { chunk =>
+        val m = new MgSummary(cap)
+        chunk.foreach(m.offer)
+        m
+      }.toBuffer
+      // merge in shuffled order
+      val order = rnd.shuffle(summaries)
+      val merged = order.reduceLeft { (a, b) => a.absorb(b); a }
+      val bound = n.toLong / (cap + 1) + 1 // classic MG: error ≤ N/(cap+1)
+      val got = merged.sortedEntries.toMap
+      got.foreach { case (t, c) =>
+        val tr = truth(t)
+        assert(c <= tr, s"trial $trial: $t overcounted $c > $tr")
+        assert(c >= tr - bound,
+          s"trial $trial: $t undercounted $c < $tr - $bound (cap=$cap n=$n)")
+      }
+      truth.foreach { case (t, tr) =>
+        if (tr > bound)
+          assert(got.contains(t),
+            s"trial $trial: heavy term $t (freq $tr > $bound) evicted")
+      }
+      assert(merged.size <= cap)
+    }
+  }
 }
