@@ -704,6 +704,27 @@ object LlmQueries {
         .orderBy(desc("cnt"), asc("term")).limit(10)
     }),
 
+    // incremental distinct-count: DataSketches HLL sketches built per
+    // corpus half (the per-day persisted shape — hll_sketch_agg emits a
+    // binary sketch column you can store), unioned with hll_union_agg
+    // and estimated — the distinct-count twin of llm_sketch_merge.
+    // DataSketches HLL is EXACT below its list/set-mode threshold
+    // (verified by tools/HllProbe: direct == union == exact here), so
+    // the oracle gates true per-source distincts; at real vocabulary
+    // scale the ±rsd estimate bound governs instead.
+    "llm_sketch_union" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("term"))
+      toks.withColumn("half", pmod(col("doc_id"), lit(2)))
+        .groupBy("source", "half")
+        .agg(expr("hll_sketch_agg(term)").as("sk"))
+        .groupBy("source")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
+          .as("n_distinct"))
+        .orderBy("source")
+    }),
+
     // text canonicalization (pre-dedup normalize): NFC + case fold +
     // explicit-class whitespace collapse — byte-exact DuckDB mirror
     // (nfc_normalize + lower + regexp_replace/trim); synthetic docs are
@@ -1642,6 +1663,14 @@ object LlmQueries {
         | $hbs
         |FROM sm GROUP BY doc_id, nf ORDER BY doc_id""".stripMargin
     },
+    // list/set-mode HLL is exact at this vocabulary, so the unioned
+    // estimate equals the true per-source distinct count
+    "llm_sketch_union" ->
+      """WITH toks AS (SELECT source,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT source, count(DISTINCT term) AS n_distinct
+        |FROM toks GROUP BY source ORDER BY source""".stripMargin,
     // capacity > vocab → both half-sketches and the merge are exact,
     // so the incremental path reproduces the plain top-10 count
     "llm_sketch_merge" ->
