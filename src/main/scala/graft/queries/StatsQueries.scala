@@ -159,6 +159,24 @@ object StatsQueries {
         .groupBy("bin").agg(count(lit(1)).as("cnt")).orderBy("bin")
     }),
 
+    // engine extension: quantiles from a MERGEABLE equi-width histogram
+    // sketch — sketch each corpus half independently (the persisted
+    // per-day shape, bounded by range/width not rows), merge by summing
+    // counts, report each p as the upper edge of the bucket reaching
+    // rank ceil(p·N). Error contract: ≤ one bucket width. The
+    // incremental-quantile twin of llm_sketch_merge / llm_sketch_union.
+    "w6_quantile_sketch" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("half", pmod(col("event_id"), lit(2)))
+      val sk0 = Quantiles.histogramSketch(
+        ev.filter(col("half") === 0), col("value"), 5.0)
+      val sk1 = Quantiles.histogramSketch(
+        ev.filter(col("half") === 1), col("value"), 5.0)
+      val merged = Quantiles.mergeHistogramSketches(sk0.unionByName(sk1))
+      Quantiles.sketchQuantiles(merged, Seq(0.5, 0.9, 0.99), 5.0)
+        .orderBy("p")
+    }),
+
     // W3: amplitude binning — first bin (min, 0), then equal-width above 0
     // (`semiautocuts.py:272-292`); emulated on a centered value
     "w3_amplitude_bins" -> ((s, dir) => {
@@ -175,6 +193,15 @@ object StatsQueries {
       |t AS (SELECT q2 AS med, ((q2 - q1) + (q3 - q2)) / 2.0 AS sigma FROM q)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "w6_quantile_sketch" ->
+      """WITH b AS (SELECT CAST(floor(value/5.0) AS BIGINT) AS bucket, count(*) AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM b),
+        |cum AS (SELECT bucket, sum(c) OVER (ORDER BY bucket) AS cs FROM b),
+        |ps AS (SELECT unnest([0.5, 0.9, 0.99]) AS p)
+        |SELECT p, min(bucket) AS bucket, (min(bucket)+1)*5.0 AS est
+        |FROM ps, cum, t WHERE cs >= ceil(p*n)
+        |GROUP BY p ORDER BY p""".stripMargin,
     "a1_count_groupby" ->
       "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type",
     "a2_mean_std" ->

@@ -129,4 +129,51 @@ object Quantiles {
     }
     coalesce(base :+ lit(null.asInstanceOf[java.lang.Long]): _*)
   }
+
+  /** Mergeable equi-width histogram sketch of `c`: `(bucket, cnt)` rows
+    * with bucket = floor(c / width). The HdrHistogram-style incremental
+    * quantile path at 100 TB: sketch each partition/day once (ONE
+    * map-side-combined aggregation — the sketch exchange is bounded by
+    * value-range/width, not rows), persist the KB-scale rows, and
+    * answer quantiles over any window of sketches by summing counts.
+    * Null values are excluded, like `percentile_approx`. */
+  def histogramSketch(df: DataFrame, c: Column, width: Double): DataFrame = {
+    require(width > 0, "width must be positive")
+    df.filter(c.isNotNull)
+      .select(floor(c / width).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge persisted [[histogramSketch]] rows (any number of sketches
+    * unioned together): counts sum by bucket. */
+  def mergeHistogramSketches(sketches: DataFrame): DataFrame =
+    sketches.groupBy("bucket").agg(sum("cnt").as("cnt"))
+
+  /** Quantiles from a merged sketch: for each p, the smallest bucket
+    * whose cumulative count reaches ceil(p·N), reported as the bucket's
+    * UPPER edge — so the estimate is ≥ the true quantile by at most
+    * `width` (the sketch's whole error contract: one bucket). Runs on
+    * the driver: a merged sketch is range/width rows (KB) by
+    * construction. */
+  def sketchQuantiles(
+      sketch: DataFrame,
+      ps: Seq[Double],
+      width: Double): DataFrame = {
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val rows = sketch.orderBy("bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = rows.map(_._2).sum
+    val out = ps.map { p =>
+      val rank = math.ceil(p * n).toLong
+      var cum = 0L
+      var i = 0
+      while (i < rows.length && cum + rows(i)._2 < rank) {
+        cum += rows(i)._2; i += 1
+      }
+      val b = if (rows.isEmpty) 0L else rows(math.min(i, rows.length - 1))._1
+      (p, b, (b + 1) * width)
+    }
+    out.toDF("p", "bucket", "est")
+  }
 }

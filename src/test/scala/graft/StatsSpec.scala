@@ -93,4 +93,34 @@ class StatsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("empty estimation sample"))
   }
+
+  test("histogram sketch quantiles: merge ≡ direct, error ≤ one width") {
+    val rnd = new scala.util.Random(42)
+    val vals = Seq.fill(3000)(rnd.nextDouble() * 200.0)
+    val d = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "x")
+    val width = 2.5
+    // three-way split sketched independently, merged — must equal the
+    // direct single sketch bucket-for-bucket
+    val parts = (0 until 3).map(k =>
+      Quantiles.histogramSketch(
+        d.filter(pmod(col("id"), lit(3)) === k), col("x"), width))
+    val merged = Quantiles.mergeHistogramSketches(
+      parts.reduce(_ unionByName _))
+    val direct = Quantiles.histogramSketch(d, col("x"), width)
+    assert(merged.orderBy("bucket").collect().toSeq
+      == direct.orderBy("bucket").collect().toSeq)
+    // error contract: upper-edge estimate covers the exact quantile by
+    // at most one bucket width
+    val ps = Seq(0.1, 0.5, 0.9, 0.99)
+    val est = Quantiles.sketchQuantiles(merged, ps, width)
+      .orderBy("p").collect().map(_.getDouble(2))
+    val exact = Quantiles.exact(d, col("x"), ps)
+    ps.indices.foreach { i =>
+      assert(est(i) >= exact(i) - 1e-9,
+        s"p=${ps(i)}: est ${est(i)} below exact ${exact(i)}")
+      assert(est(i) - exact(i) <= width + 1e-9,
+        s"p=${ps(i)}: est ${est(i)} over exact ${exact(i)} by > width")
+    }
+  }
 }
