@@ -350,4 +350,173 @@ object Similarity {
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), col("pos").as("rank"),
         col("col.score").as("cosine"), col("col.id").as("corpus_id"))
+
+  // ---------------------------------------------------------------- PCA
+
+  /** Fitted PCA model: per-dimension mean, top-k components (rows of
+    * unit eigenvectors, eigenvalue-descending), and their eigenvalues. */
+  final case class PcaModel(
+      mean: Array[Double],
+      components: Array[Array[Double]],
+      eigenvalues: Array[Double])
+
+  /** Exact sample covariance of an embedding column, as one distributed
+    * pass with ORDER-INDEPENDENT arithmetic: embeddings quantize to
+    * integers at `scale`, the d-vector sum and the flattened d² Gram
+    * accumulate as plain longs ([[graft.functions.LongVectorSum]] —
+    * map-side combined, one vector per partition on the exchange), and
+    * cov(i,j) = (n·G_ij − s_i·s_j) / (n²·scale²) divides one exact
+    * integer by another — bit-deterministic under ANY partitioning
+    * (float dot-product partial sums are not). Upper triangle
+    * (i ≤ j) as rows. Bounds: |n·G| must stay < 2^63 for the long
+    * accumulation and < 2^53 for the exact final divide — with |x| ≤ 1
+    * and scale 1e4 that holds to ~90M rows; shrink `scale` (error is
+    * quantization only, ~1/scale per entry) or pre-aggregate per shard
+    * beyond. The standard pre-ANN dimensionality-reduction fit pass. */
+  def pcaCovariance(
+      df: DataFrame,
+      embCol: String,
+      dim: Int,
+      scale: Long = 10000L): DataFrame = {
+    require(dim > 0 && scale > 0, "dim and scale must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val q = df.filter(col(embCol).isNotNull)
+      .select(transform(col(embCol),
+        x => round(x.cast("double") * scale).cast("long")).as("q"))
+    val flat = q.select(col("q"),
+      flatten(transform(col("q"),
+        xi => transform(col("q"), xj => xi * xj))).as("g"))
+    val row = flat.agg(
+      graft.functions.LongVectorSum(col("g"), dim * dim).as("gram"),
+      graft.functions.LongVectorSum(col("q"), dim).as("s"),
+      count(lit(1)).as("n")).head()
+    val gram = row.getSeq[Long](0)
+    val s = row.getSeq[Long](1)
+    val n = row.getLong(2)
+    require(n > 0, "pcaCovariance: empty corpus")
+    val den = n.toDouble * n.toDouble * scale.toDouble * scale.toDouble
+    val out = for (i <- 0 until dim; j <- i until dim) yield {
+      val num = n * gram(i * dim + j) - s(i) * s(j)
+      (i.toLong, j.toLong, num.toDouble / den)
+    }
+    out.toDF("i", "j", "cov")
+  }
+
+  /** Fit PCA: [[pcaCovariance]] + a driver-side cyclic Jacobi
+    * eigendecomposition (d×d symmetric, d ≤ a few hundred — microseconds
+    * next to the scan). Sign convention: each component's
+    * largest-magnitude entry is positive, so the fit is deterministic.
+    * The mean is reconstructed from the same exact integer sums. */
+  def pcaFit(
+      df: DataFrame,
+      embCol: String,
+      dim: Int,
+      k: Int,
+      scale: Long = 10000L): PcaModel = {
+    require(k > 0 && k <= dim, "need 0 < k <= dim")
+    val cov = Array.ofDim[Double](dim, dim)
+    val rows = pcaCovariance(df, embCol, dim, scale).collect()
+    rows.foreach { r =>
+      val (i, j, c) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2))
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    // mean from one light pass (exact integer sums again)
+    val mrow = df.filter(col(embCol).isNotNull)
+      .select(transform(col(embCol),
+        x => round(x.cast("double") * scale).cast("long")).as("q"))
+      .agg(graft.functions.LongVectorSum(col("q"), dim).as("s"),
+        count(lit(1)).as("n")).head()
+    val s = mrow.getSeq[Long](0)
+    val n = mrow.getLong(1)
+    val mean = Array.tabulate(dim)(i => s(i).toDouble / (n * scale.toDouble))
+    val (vals, vecs) = jacobiEigen(cov)
+    val order = vals.indices.sortBy(i => -vals(i)).take(k)
+    val comps = order.map { ei =>
+      val v = Array.tabulate(dim)(r => vecs(r)(ei))
+      val mx = v.indices.maxBy(i => math.abs(v(i)))
+      if (v(mx) < 0) v.map(x => -x) else v
+    }.toArray
+    PcaModel(mean, comps, order.map(vals).toArray)
+  }
+
+  /** Project onto a fitted model: map-only — mean and components fold
+    * into the plan as literals (KBs), each output dim is one fused
+    * zip_with/aggregate pass, nothing shuffles. */
+  def pcaProject(
+      df: DataFrame,
+      embCol: String,
+      model: PcaModel,
+      outCol: String = "proj"): DataFrame = {
+    val centered = zip_with(col(embCol), typedlit(model.mean.toSeq),
+      (x, m) => x.cast("double") - m)
+    df.withColumn(outCol, array(model.components.toIndexedSeq.map { c =>
+      aggregate(zip_with(centered, typedlit(c.toSeq), (x, w) => x * w),
+        lit(0.0), (acc, v) => acc + v)
+    }: _*))
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
+    * (eigenvalues, eigenvector-COLUMN matrix). O(d³) per sweep,
+    * converges quadratically; plenty for the d ≤ few-hundred covariance
+    * matrices PCA sees (the data pass is the cost, not this). */
+  private[llm] def jacobiEigen(
+      m: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = Array.tabulate(d, d)((i, j) => m(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offDiagNorm(a)
+    while (off > 1e-12 && sweep < 100) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          if (math.abs(a(p)(q)) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            // tan of the annihilating rotation; theta == 0 → 45°
+            val t =
+              if (theta == 0.0) 1.0
+              else math.signum(theta) /
+                (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val sn = t * c
+            var r = 0
+            while (r < d) {
+              val arp = a(r)(p); val arq = a(r)(q)
+              a(r)(p) = c * arp - sn * arq
+              a(r)(q) = sn * arp + c * arq
+              r += 1
+            }
+            r = 0
+            while (r < d) {
+              val apr = a(p)(r); val aqr = a(q)(r)
+              a(p)(r) = c * apr - sn * aqr
+              a(q)(r) = sn * apr + c * aqr
+              val vrp = v(r)(p); val vrq = v(r)(q)
+              v(r)(p) = c * vrp - sn * vrq
+              v(r)(q) = sn * vrp + c * vrq
+              r += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = offDiagNorm(a)
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  private def offDiagNorm(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      var j = i + 1
+      while (j < a.length) { s += a(i)(j) * a(i)(j); j += 1 }
+      i += 1
+    }
+    math.sqrt(s)
+  }
 }

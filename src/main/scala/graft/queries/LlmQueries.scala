@@ -686,6 +686,20 @@ object LlmQueries {
         t(s, dir, "documents"), col("text"), k = 10, capacity = 64)
         .orderBy(desc("cnt"), asc("term"))),
 
+    // PCA fit pass: exact-integer covariance of the embedding corpus —
+    // quantized long sums make the result bit-deterministic under any
+    // partitioning (float dot-product partials are not), so the full
+    // 64×64 upper triangle hash-matches a DuckDB mirror. The eigen +
+    // projection stages are driver/map-only and spec-pinned (LlmSpec
+    // pca test: planted axes, projection parity, repartition
+    // determinism).
+    "llm_pca_covariance" -> ((s, dir) =>
+      // no rounding: the single exact-integer division is already
+      // bit-identical across engines
+      Similarity.pcaCovariance(
+        t(s, dir, "embeddings"), "embedding", dim = 64)
+        .orderBy("i", "j")),
+
     // incremental sketch merge: sketch two corpus halves independently
     // (the per-day persisted-summary shape), then merge the stored
     // summaries with merge_term_summaries and rank — at 100 TB this
@@ -1663,6 +1677,27 @@ object LlmQueries {
         | $hbs
         |FROM sm GROUP BY doc_id, nf ORDER BY doc_id""".stripMargin
     },
+    // same quantized integer sums, same single exact division —
+    // (n·G_ij − s_i·s_j) and n²·scale² are both < 2^53, so the double
+    // quotient is bit-identical across engines
+    "llm_pca_covariance" ->
+      """WITH e AS (SELECT row_number() OVER () AS rid, embedding
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |q AS (SELECT rid, generate_subscripts(embedding, 1) - 1 AS i,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS q
+        |  FROM e),
+        |s AS (SELECT i, CAST(sum(q) AS BIGINT) AS s FROM q GROUP BY i),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+        |g AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS g
+        |  FROM q a JOIN q b USING (rid) WHERE b.i >= a.i GROUP BY 1, 2)
+        |SELECT g.i, g.j,
+        |  CAST(n.n * g.g - sa.s * sb.s AS DOUBLE)
+        |    / (CAST(n.n AS DOUBLE) * n.n * 10000 * 10000) AS cov
+        |FROM g
+        |CROSS JOIN n
+        |JOIN s sa ON sa.i = g.i
+        |JOIN s sb ON sb.i = g.j
+        |ORDER BY g.i, g.j""".stripMargin,
     // list/set-mode HLL is exact at this vocabulary, so the unioned
     // estimate equals the true per-source distinct count
     "llm_sketch_union" ->

@@ -1213,6 +1213,49 @@ class LlmSpec extends SparkSpec {
       "NFC", caseFold = true, collapseWs = true).toString == "x y")
   }
 
+  test("pca: recovers planted axes, projection matches, deterministic") {
+    import graft.llm.Similarity
+    // planted 2-factor data in d=4: x = a*v1 + b*v2, var(a) >> var(b),
+    // v1 = e0, v2 = (e1+e2)/sqrt2 — top-2 components must recover them
+    val rnd = new scala.util.Random(7)
+    val s2 = math.sqrt(2.0)
+    val rows = (0 until 800).map { i =>
+      val aa = rnd.nextGaussian() * 0.3  // sd 0.3 along v1
+      val bb = rnd.nextGaussian() * 0.1  // sd 0.1 along v2
+      (i.toLong, Seq(aa.toFloat, (bb / s2).toFloat, (bb / s2).toFloat,
+        (rnd.nextGaussian() * 0.005).toFloat))
+    }.toDF("vec_id", "embedding")
+    val model = Similarity.pcaFit(rows, "embedding", dim = 4, k = 2)
+    assert(model.eigenvalues(0) > model.eigenvalues(1))
+    assert(math.abs(math.sqrt(model.eigenvalues(0)) - 0.3) < 0.05)
+    assert(math.abs(math.sqrt(model.eigenvalues(1)) - 0.1) < 0.02)
+    // component 0 ≈ e0; component 1 ≈ (e1+e2)/sqrt2 (signs fixed by the
+    // largest-entry-positive convention)
+    assert(math.abs(model.components(0)(0)) > 0.99)
+    assert(model.components(0)(0) > 0) // sign convention
+    assert(math.abs(model.components(1)(1) - 1 / s2) < 0.05)
+    assert(math.abs(model.components(1)(2) - 1 / s2) < 0.05)
+    // distributed projection == driver-side dot products
+    val proj = Similarity.pcaProject(rows, "embedding", model)
+      .select(col("vec_id"), col("proj")).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val raw = rows.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    proj.zip(raw).foreach { case ((id1, p), (id2, x)) =>
+      assert(id1 == id2)
+      model.components.indices.foreach { c =>
+        val expect = x.indices.map(j =>
+          (x(j).toDouble - model.mean(j)) * model.components(c)(j)).sum
+        assert(math.abs(p(c) - expect) < 1e-9)
+      }
+    }
+    // determinism: refit under a different partitioning → identical model
+    val model2 = Similarity.pcaFit(
+      rows.repartition(7), "embedding", dim = 4, k = 2)
+    assert(model.components.flatten.toSeq == model2.components.flatten.toSeq)
+    assert(model.eigenvalues.toSeq == model2.eigenvalues.toSeq)
+  }
+
   test("long_vector_sum: elementwise exact, null rows skipped") {
     val rows = Seq(
       (Seq(1L, 2L, 3L), 1), (Seq(10L, 20L, 30L), 2),
