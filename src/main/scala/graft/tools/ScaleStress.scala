@@ -185,6 +185,12 @@ object ScaleStress {
         .getSeq[Float](0).toArray
       time(s"ann lsh topk x$mult")(
         force(Similarity.annTopK(e, "embedding", "vec_id", q, 5, nPlanes = 8)))
+      // PCA fit pass: the d² Gram flatten dominates (64·64 longs/row);
+      // the exchange is ONE 4096-vector per partition at any scale
+      time(s"pca covariance x$mult") {
+        val c = Similarity.pcaCovariance(e, "embedding", 64)
+        c.count()
+      }
       if (mult <= 16) {
         time(s"emb near-dup x$mult")(
           Dedup.embeddingNearDups(e, "embedding", "vec_id",
