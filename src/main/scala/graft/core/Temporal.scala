@@ -759,4 +759,93 @@ object Temporal {
       asofJoin(left, right, keys, leftTs, rightTs, rightPayload,
         direction, tolerance, leftOuter, prefix)
   }
+
+  /** One row of [[funnel]] output. */
+  final case class FunnelRow(
+      user_id: Long,
+      stages: Long,
+      t_first: Option[Long],
+      t_last: Option[Long],
+      completed: Boolean)
+
+  /** Funnel analysis: per user, the earliest ordered completion of
+    * `steps` within `withinUs` of the first step — the standard
+    * event-analytics "signup → activate → purchase" question.
+    *
+    * Semantics (the nested-min contract, mirrorable in ANSI SQL):
+    * t₁ = min ts of steps(0); tₛ = min ts of steps(s) with
+    * tₛ > tₛ₋₁ and tₛ ≤ t₁ + withinUs. `stages` = how far the chain
+    * got; `completed` = all steps matched. A user appears iff they
+    * have ≥ 1 event whose step is IN the funnel (irrelevant steps are
+    * pruned at the scan — at 100 TB the funnel events are a sliver of
+    * the feed and the filter pushes into the parquet scan). Repeated
+    * steps, ties: tₛ is STRICTLY after tₛ₋₁, so an event can never
+    * satisfy two stages; equal-ts events process in (ts, step) order
+    * but cannot change the nested-min result.
+    *
+    * Shape: prune → ONE hash exchange on user → sort within partitions
+    * by (user, ts, step) → a streaming per-partition automaton with
+    * O(1) state per user (stage index + two timestamps). No per-user
+    * event list is ever materialized, so a hot user costs one linear
+    * pass — the same skew posture as [[asofJoin]], without even a
+    * window frame. Null timestamps are dropped.
+    */
+  def funnel(
+      df: DataFrame,
+      userCol: String,
+      tsCol: Column,
+      stepCol: String,
+      steps: Seq[String],
+      withinUs: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, "funnel steps must be unique")
+    require(withinUs > 0, "withinUs must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pruned = df
+      .filter(col(stepCol).isin(steps: _*) && tsCol.isNotNull &&
+        col(userCol).isNotNull)
+      .select(col(userCol).cast("long").as("u"),
+        tsCol.cast("long").as("t"), col(stepCol).as("s"))
+      .repartition(col("u"))
+      .sortWithinPartitions(col("u"), col("t"), col("s"))
+      .as[(Long, Long, String)]
+    val k = steps.length
+    val stepArr = steps.toArray
+    pruned.mapPartitions { it =>
+      new Iterator[FunnelRow] {
+        private var cur: Option[Long] = None
+        private var stage = 0
+        private var tFirst = 0L
+        private var tPrev = 0L
+        private var pending: FunnelRow = null
+        private def close(): FunnelRow = FunnelRow(
+          cur.get, stage,
+          if (stage > 0) Some(tFirst) else None,
+          if (stage > 0) Some(tPrev) else None,
+          stage == k)
+        private def step(): Unit =
+          while (pending == null && it.hasNext) {
+            val (u, t, s) = it.next()
+            if (cur.isEmpty) { cur = Some(u); stage = 0 }
+            else if (cur.get != u) { pending = close(); cur = Some(u); stage = 0 }
+            if (stage < k && s == stepArr(stage) &&
+                (stage == 0 || (t > tPrev && t - tFirst <= withinUs))) {
+              if (stage == 0) tFirst = t
+              tPrev = t
+              stage += 1
+            }
+          }
+        override def hasNext: Boolean = {
+          step()
+          pending != null || (cur.nonEmpty && !it.hasNext)
+        }
+        override def next(): FunnelRow = {
+          step()
+          if (pending != null) { val r = pending; pending = null; r }
+          else { val r = close(); cur = None; r }
+        }
+      }
+    }.toDF("user_id", "stages", "t_first", "t_last", "completed")
+  }
 }

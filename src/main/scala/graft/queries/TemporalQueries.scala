@@ -158,9 +158,42 @@ object TemporalQueries {
         .agg(count(lit(1)).as("n_events"), min("us").as("start_us"),
           (max("us") - min("us")).as("dur_us"))
         .orderBy("user_id", "session_id")
+    }),
+
+    // funnel analysis: earliest signup → click → purchase chain within
+    // 7 days of the first signup, per user (nested-min semantics; see
+    // Temporal.funnel). Prune → one exchange → streaming automaton.
+    "funnel_signup_purchase" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), tsUs.as("us"), col("event_type"))
+      Temporal.funnel(ev, "user_id", col("us"), "event_type",
+          Seq("signup", "click", "purchase"), withinUs = 604800000000L)
+        .orderBy("user_id")
     }))
 
   val oracle: Map[String, String] = Map(
+    // nested-min mirror of the funnel automaton: t1 = earliest signup,
+    // t2 = earliest later click within the window, t3 = earliest
+    // later purchase within the window of t1
+    "funnel_signup_purchase" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS s FROM events
+        |  WHERE event_type IN ('signup', 'click', 'purchase') AND ts IS NOT NULL),
+        |u1 AS (SELECT u, min(t) AS t1 FROM e WHERE s = 'signup' GROUP BY u),
+        |u2 AS (SELECT e.u, min(t) AS t2, any_value(t1) AS t1b FROM e JOIN u1 USING (u)
+        |  WHERE s = 'click' AND t > t1 AND t <= t1 + 604800000000 GROUP BY e.u),
+        |u3 AS (SELECT e.u, min(t) AS t3 FROM e JOIN u2 USING (u)
+        |  WHERE s = 'purchase' AND t > t2 AND t <= t1b + 604800000000 GROUP BY e.u),
+        |allu AS (SELECT DISTINCT u FROM e)
+        |SELECT a.u AS user_id,
+        |  CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stages,
+        |  t1 AS t_first, coalesce(t3, t2, t1) AS t_last,
+        |  t3 IS NOT NULL AS completed
+        |FROM allu a
+        |LEFT JOIN u1 ON u1.u = a.u
+        |LEFT JOIN u2 ON u2.u = a.u
+        |LEFT JOIN u3 ON u3.u = a.u
+        |ORDER BY user_id""".stripMargin,
     "asof_join_clicks" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
         |c AS (SELECT user_id, us, min(event_id) AS click_id FROM e WHERE event_type = 'click' GROUP BY user_id, us),

@@ -471,4 +471,40 @@ class TemporalSpec extends SparkSpec {
       assert(a.sameElements(b), s"$name not deterministic")
     }
   }
+
+  test("funnel: nested-min semantics on hand-built edge cases") {
+    val steps = Seq("a", "b", "c")
+    val ev = Seq(
+      // u1: clean completion a@10 b@20 c@30
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"),
+      // u2: b before a is ignored; b@25 after a@15 counts; no c → stage 2
+      (2L, 5L, "b"), (2L, 15L, "a"), (2L, 25L, "b"),
+      // u3: c at SAME ts as b must not advance (strict >); later c does
+      (3L, 10L, "a"), (3L, 20L, "b"), (3L, 20L, "c"), (3L, 40L, "c"),
+      // u4: within window expiry — b arrives at t1+101 > within=100
+      (4L, 10L, "a"), (4L, 111L, "b"),
+      // u5: only non-first steps → stage 0, null times
+      (5L, 10L, "b"), (5L, 20L, "c"),
+      // u6: repeated first step — earliest a anchors the window; the
+      // later a does NOT re-anchor even though its window would fit
+      (6L, 10L, "a"), (6L, 200L, "a"), (6L, 250L, "b"), (6L, 260L, "c"))
+      .toDF("u", "t", "s")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Temporal.funnel(df, "u", col("t"), "s", steps, withinUs = 100L)
+        .orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          r.getBoolean(4))).toSeq
+    val got = run(ev)
+    assert(got == Seq(
+      (1L, 3L, 10L, 30L, true),
+      (2L, 2L, 15L, 25L, false),
+      (3L, 3L, 10L, 40L, true),
+      (4L, 1L, 10L, 10L, false),
+      (5L, 0L, -1L, -1L, false),
+      (6L, 1L, 10L, 10L, false)))
+    // partitioning-independent (the repartition inside pins ownership)
+    assert(run(ev.repartition(7)) == got)
+  }
 }
