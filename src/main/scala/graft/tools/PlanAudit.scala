@@ -25,7 +25,8 @@ object PlanAudit {
       "asof_join_clicks", "asof_join_bcast", "interval_join_signup",
       "sessionize_gap", "llm_weighted_sample",
       "rolling_7d_minmax", "interval_join_agg",
-      "tpch_q1_pricing", "llm_heavy_hitters", "llm_vocab_sketch")
+      "tpch_q1_pricing", "llm_heavy_hitters", "llm_vocab_sketch",
+      "funnel_signup_purchase", "w6_quantile_sketch")
 
     // allowed nested-loop joins: tiny driver-generated pair sets, plus
     // the classifier's ONE-ROW dense-model broadcast (a deliberate

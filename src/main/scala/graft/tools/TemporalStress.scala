@@ -137,6 +137,12 @@ object TemporalStress {
           ev.select(col("event_id"), col("user_id"), col("us"),
             (col("value") * 100).cast("long").as("vc")),
           Seq("user_id"), "us", "vc", 7 * usPerDay)))
+      // funnel automaton: O(1) state per user, one linear pass — the
+      // hot axis (all rows one user) must stay linear, not quadratic;
+      // deep grows per-user history 64×, wide grows user count 64×
+      time(s"funnel_$tag${"x"}$mult")(force(
+        Temporal.funnel(ev, "user_id", col("us"), "event_type",
+          Seq("signup", "click", "purchase"), withinUs = 7 * usPerDay)))
     }
 
     val axes =
