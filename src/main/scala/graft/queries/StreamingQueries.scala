@@ -163,6 +163,27 @@ object StreamingQueries {
         .orderBy("event_type", "rk")
     }),
 
+    // streaming funnel: the Temporal.funnel automaton as keyed
+    // streaming state — (stage, tFirst, tPrev) per user, three numbers,
+    // independent of event volume; a row emits whenever a user's stage
+    // advances (update semantics). Bounded single-batch replay ≡ batch
+    // funnel exactly, so the batch nested-min oracle gates it.
+    "stream_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val ev = s.readStream.schema(schema)
+        .parquet(s"$dir/events.parque[t]") // glob form, see above
+        .select(col("user_id").as("user"), tsUs.as("ts"),
+          col("event_type").as("step"))
+        .as[graft.streaming.StreamingFunnel.Ev]
+      val progress = graft.streaming.StreamingFunnel.funnelStream(
+        ev, Seq("signup", "click", "purchase"), withinUs = 604800000000L)
+      runToMemory(s, "stream_funnel", name =>
+        progress.writeStream.format("memory").queryName(name)
+          .outputMode("update").trigger(Trigger.AvailableNow()))
+        .orderBy("user_id")
+    }),
+
     // streaming gap sessionization, end to end: Spark's native
     // session_window (state-merging session aggregation) over the
     // event file stream, 12-hour gap — the streaming twin of the
@@ -304,6 +325,27 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // single-batch bounded replay ≡ batch Temporal.funnel — same
+    // nested-min mirror as funnel_signup_purchase
+    "stream_funnel" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS s FROM events
+        |  WHERE event_type IN ('signup', 'click', 'purchase') AND ts IS NOT NULL),
+        |u1 AS (SELECT u, min(t) AS t1 FROM e WHERE s = 'signup' GROUP BY u),
+        |u2 AS (SELECT e.u, min(t) AS t2, any_value(t1) AS t1b FROM e JOIN u1 USING (u)
+        |  WHERE s = 'click' AND t > t1 AND t <= t1 + 604800000000 GROUP BY e.u),
+        |u3 AS (SELECT e.u, min(t) AS t3 FROM e JOIN u2 USING (u)
+        |  WHERE s = 'purchase' AND t > t2 AND t <= t1b + 604800000000 GROUP BY e.u),
+        |allu AS (SELECT DISTINCT u FROM e)
+        |SELECT a.u AS user_id,
+        |  CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stages,
+        |  t1 AS t_first, coalesce(t3, t2, t1) AS t_last,
+        |  t3 IS NOT NULL AS completed
+        |FROM allu a
+        |LEFT JOIN u1 ON u1.u = a.u
+        |LEFT JOIN u2 ON u2.u = a.u
+        |LEFT JOIN u3 ON u3.u = a.u
+        |ORDER BY user_id""".stripMargin,
     // capacity (256) > per-type token vocabulary → the streaming MG
     // summary is exact, so plain count ranking mirrors it
     "stream_heavy_hitters" ->

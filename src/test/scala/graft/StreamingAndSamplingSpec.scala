@@ -291,4 +291,40 @@ class StreamingAndSamplingSpec extends SparkSpec {
     val d = graft.calib.PhotonCalib.loadDpdi(spark, path, "ch1")
     assert(d.toSeq == Seq(1.0, 0.5, 2.0, -0.5))
   }
+
+  test("streaming funnel: cross-batch advance, no rewind, emit-on-change") {
+    import graft.streaming.StreamingFunnel
+    import graft.streaming.StreamingFunnel.Ev
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = StreamingFunnel
+      .funnelStream(stream.toDS(), Seq("a", "b", "c"), withinUs = 100L)
+      .writeStream.format("memory").queryName("funnel_prog")
+      .outputMode("update").start()
+    // batch 1: u1 anchors (a@10); u2 has only a later step → stage 0
+    stream.addData(Ev(1L, 10L, "a"), Ev(2L, 5L, "b"))
+    q.processAllAvailable()
+    // batch 2: u1 advances b@20 then completes c@30 — IN ONE batch;
+    // u2 emits nothing (no change). An out-of-window b for u1 at
+    // t=500 must not advance (window expired at 110).
+    stream.addData(Ev(1L, 20L, "b"), Ev(1L, 30L, "c"), Ev(2L, 40L, "c"))
+    q.processAllAvailable()
+    // batch 3: late/duplicate events cannot rewind u1's completion
+    stream.addData(Ev(1L, 15L, "b"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql(
+      "SELECT user_id, stages, t_first, t_last, completed FROM funnel_prog")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+    // u1: batch1 emitted stage 1, batch2 emitted stage 3, batch3 silent
+    assert(rows.filter(_._1 == 1L).toSet ==
+      Set((1L, 1L, 10L, 10L, false), (1L, 3L, 10L, 30L, true)))
+    // u2: one stage-0 emission (first batch), nothing after
+    assert(rows.filter(_._1 == 2L).toSeq == Seq((2L, 0L, -1L, -1L, false)))
+    // latest state per user = max stages (monotone)
+    val latest = rows.groupBy(_._1).map { case (u, rs) => u -> rs.maxBy(_._2) }
+    assert(latest(1L) == (1L, 3L, 10L, 30L, true))
+  }
 }
