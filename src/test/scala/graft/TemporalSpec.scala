@@ -507,4 +507,50 @@ class TemporalSpec extends SparkSpec {
     // partitioning-independent (the repartition inside pins ownership)
     assert(run(ev.repartition(7)) == got)
   }
+
+  test("funnel: property — automaton ≡ brute nested-min on random streams") {
+    val rnd = new scala.util.Random(20260814L)
+    val stepsAll = Seq("a", "b", "c", "d")
+    (0 until 15).foreach { trial =>
+      val k = 2 + rnd.nextInt(3)
+      val steps = stepsAll.take(k)
+      val within = 20L + rnd.nextInt(200)
+      val nUsers = 1 + rnd.nextInt(12)
+      val ev = (0 until 300).map { _ =>
+        (rnd.nextInt(nUsers).toLong, rnd.nextInt(400).toLong,
+          stepsAll(rnd.nextInt(stepsAll.length))) // incl. non-funnel 'd'
+      }
+      // brute nested-min per user
+      def brute(u: Long): (Long, Long, Long, Boolean) = {
+        val mine = ev.filter(e => e._1 == u && steps.contains(e._3))
+        var stage = 0
+        var tFirst = -1L
+        var tPrev = -1L
+        var advancing = true
+        while (advancing && stage < k) {
+          val cand = mine.filter(e => e._3 == steps(stage) &&
+            (stage == 0 || (e._2 > tPrev && e._2 - tFirst <= within)))
+          if (cand.isEmpty) advancing = false
+          else {
+            val t = cand.map(_._2).min
+            if (stage == 0) tFirst = t
+            tPrev = t
+            stage += 1
+          }
+        }
+        (stage.toLong, tFirst, if (stage > 0) tPrev else -1L, stage == k)
+      }
+      val funnelUsers = ev.filter(e => steps.contains(e._3)).map(_._1).distinct
+      val expect = funnelUsers.sorted.map(u =>
+        (u, brute(u)._1, brute(u)._2, brute(u)._3, brute(u)._4))
+      val got = Temporal.funnel(ev.toDF("u", "t", "s"), "u", col("t"), "s",
+          steps, within)
+        .orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          r.getBoolean(4))).toSeq
+      assert(got == expect, s"trial $trial (k=$k within=$within)")
+    }
+  }
 }
