@@ -169,6 +169,24 @@ object TemporalQueries {
       Temporal.funnel(ev, "user_id", col("us"), "event_type",
           Seq("signup", "click", "purchase"), withinUs = 604800000000L)
         .orderBy("user_id")
+    }),
+
+    // cohort conversion: the funnel rolled up by signup week — the
+    // reporting shape every funnel feeds (per-cohort entered /
+    // mid-stage / completed counts). Same operator, one extra
+    // KB-scale aggregation on its bounded output.
+    "funnel_cohorts" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), tsUs.as("us"), col("event_type"))
+      Temporal.funnel(ev, "user_id", col("us"), "event_type",
+          Seq("signup", "click", "purchase"), withinUs = 604800000000L)
+        .filter(col("stages") >= 1)
+        .withColumn("cohort_week", expr("t_first div 604800000000"))
+        .groupBy("cohort_week")
+        .agg(count(lit(1)).as("n_entered"),
+          sum(when(col("stages") >= 2, 1L).otherwise(0L)).as("n_stage2"),
+          sum(when(col("completed"), 1L).otherwise(0L)).as("n_completed"))
+        .orderBy("cohort_week")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -194,6 +212,22 @@ object TemporalQueries {
         |LEFT JOIN u2 ON u2.u = a.u
         |LEFT JOIN u3 ON u3.u = a.u
         |ORDER BY user_id""".stripMargin,
+    "funnel_cohorts" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS s FROM events
+        |  WHERE event_type IN ('signup', 'click', 'purchase') AND ts IS NOT NULL),
+        |u1 AS (SELECT u, min(t) AS t1 FROM e WHERE s = 'signup' GROUP BY u),
+        |u2 AS (SELECT e.u, min(t) AS t2, any_value(t1) AS t1b FROM e JOIN u1 USING (u)
+        |  WHERE s = 'click' AND t > t1 AND t <= t1 + 604800000000 GROUP BY e.u),
+        |u3 AS (SELECT e.u, min(t) AS t3 FROM e JOIN u2 USING (u)
+        |  WHERE s = 'purchase' AND t > t2 AND t <= t1b + 604800000000 GROUP BY e.u)
+        |SELECT t1 // 604800000000 AS cohort_week,
+        |  count(*) AS n_entered,
+        |  CAST(sum(CASE WHEN u2.u IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_stage2,
+        |  CAST(sum(CASE WHEN u3.u IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_completed
+        |FROM u1
+        |LEFT JOIN u2 ON u2.u = u1.u
+        |LEFT JOIN u3 ON u3.u = u1.u
+        |GROUP BY cohort_week ORDER BY cohort_week""".stripMargin,
     "asof_join_clicks" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
         |c AS (SELECT user_id, us, min(event_id) AS click_id FROM e WHERE event_type = 'click' GROUP BY user_id, us),

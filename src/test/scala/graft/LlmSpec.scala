@@ -1256,6 +1256,36 @@ class LlmSpec extends SparkSpec {
     assert(model.eigenvalues.toSeq == model2.eigenvalues.toSeq)
   }
 
+  test("merge_term_summaries: lossy capacity keeps heavy terms, null rows skip") {
+    import graft.functions.{MergeTermSummaries, SpaceSavingTerms}
+    // 10 distinct terms but merge capacity 4: the dominant term must
+    // survive the truncating merge with its count within the MG bound
+    val docs = (0 until 60).map { i =>
+      val hot = Seq.fill(5)("major")
+      val cold = Seq(s"rare${i % 10}")
+      (i.toLong, (hot ++ cold).mkString(" "))
+    }.toDF("doc_id", "text")
+    val halves = docs.withColumn("half", pmod(col("doc_id"), lit(3)))
+      .groupBy("half").agg(SpaceSavingTerms(col("text"), 64).as("sk"))
+    val merged = halves
+      .agg(MergeTermSummaries(col("sk"), 4).as("m"))
+      .select(explode(col("m")).as("e"))
+      .select(col("e.term"), col("e.count"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(merged.size <= 4)
+    val n = 60L * 6L
+    assert(merged.contains("major"))
+    assert(merged("major") <= 300L && merged("major") >= 300L - n / 5)
+    // null summary rows contribute nothing
+    val withNull = halves.select(
+      when(col("half") === 0, col("sk")).as("sk"))
+    val m2 = withNull.agg(MergeTermSummaries(col("sk"), 64).as("m"))
+      .select(explode(col("m")).as("e"))
+      .select(col("e.term"), col("e.count"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(m2("major") == 100L) // exactly the half-0 share (20 docs × 5)
+  }
+
   test("long_vector_sum: elementwise exact, null rows skipped") {
     val rows = Seq(
       (Seq(1L, 2L, 3L), 1), (Seq(10L, 20L, 30L), 2),
