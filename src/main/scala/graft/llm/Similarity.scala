@@ -395,9 +395,22 @@ object Similarity {
     val s = row.getSeq[Long](1)
     val n = row.getLong(2)
     require(n > 0, "pcaCovariance: empty corpus")
+    // enforce the documented exactness bounds instead of silently
+    // overflowing/rounding (the Temporal 2^53 posture): n·G and s_i·s_j
+    // must multiply without long overflow AND the numerator must stay
+    // double-exact (< 2^53) for the bit-deterministic divide
+    val exact = graft.core.Temporal.DoubleExactBound
+    val maxG = gram.iterator.map(math.abs).max
+    val maxS = s.iterator.map(math.abs).max
+    require(maxG <= Long.MaxValue / n && (maxS == 0 || maxS <= Long.MaxValue / maxS),
+      s"pcaCovariance: accumulator overflow risk at n=$n (max|G|=$maxG, " +
+        s"max|s|=$maxS) — shrink `scale` or pre-aggregate per shard")
     val den = n.toDouble * n.toDouble * scale.toDouble * scale.toDouble
     val out = for (i <- 0 until dim; j <- i until dim) yield {
       val num = n * gram(i * dim + j) - s(i) * s(j)
+      require(math.abs(num) < exact && den < exact,
+        s"pcaCovariance: |numerator| ${math.abs(num)} or denominator $den " +
+          s"exceeds the double-exact bound 2^53 — shrink `scale`")
       (i.toLong, j.toLong, num.toDouble / den)
     }
     out.toDF("i", "j", "cov")
