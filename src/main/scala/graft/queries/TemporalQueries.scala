@@ -187,6 +187,28 @@ object TemporalQueries {
           sum(when(col("stages") >= 2, 1L).otherwise(0L)).as("n_stage2"),
           sum(when(col("completed"), 1L).otherwise(0L)).as("n_completed"))
         .orderBy("cohort_week")
+    }),
+
+    // cohort retention: users active in week cohort+k, per signup-week
+    // cohort — the other half of the product-analytics pair with the
+    // funnel. Shape: two aggregates (cohort dim = one row per signed-up
+    // user; activity = distinct (user, week) — both ONE exchange) and
+    // a user-keyed join; the cohort dim broadcasts while users fit an
+    // executor and degrades to a co-partitioned shuffle join beyond.
+    "retention_cohorts" -> ((s, dir) => {
+      val weekUs = 604800000000L
+      val ev = events(s, dir)
+        .select(col("user_id"), tsUs.as("us"), col("event_type"))
+        .withColumn("w", expr(s"us div $weekUs"))
+      val cohorts = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("w").as("cohort_week"))
+      val activity = ev.select(col("user_id"), col("w")).distinct()
+      activity.join(cohorts, "user_id")
+        .filter(col("w") >= col("cohort_week"))
+        .groupBy(col("cohort_week"),
+          (col("w") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct("user_id").as("n_active"))
+        .orderBy("cohort_week", "week_offset")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -228,6 +250,14 @@ object TemporalQueries {
         |LEFT JOIN u2 ON u2.u = u1.u
         |LEFT JOIN u3 ON u3.u = u1.u
         |GROUP BY cohort_week ORDER BY cohort_week""".stripMargin,
+    "retention_cohorts" ->
+      """WITH s AS (SELECT user_id AS u, min(epoch_us(ts) // 604800000000) AS cw
+        |  FROM events WHERE event_type = 'signup' GROUP BY u),
+        |a AS (SELECT DISTINCT user_id AS u, epoch_us(ts) // 604800000000 AS w FROM events)
+        |SELECT s.cw AS cohort_week, a.w - s.cw AS week_offset,
+        |  count(DISTINCT s.u) AS n_active
+        |FROM s JOIN a ON a.u = s.u WHERE a.w >= s.cw
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "asof_join_clicks" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
         |c AS (SELECT user_id, us, min(event_id) AS click_id FROM e WHERE event_type = 'click' GROUP BY user_id, us),
