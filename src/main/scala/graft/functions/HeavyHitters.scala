@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** `space_saving_terms(text, capacity)` → the mergeable Misra–Gries
+/** `misra_gries_terms(text, capacity)` → the mergeable Misra–Gries
   * heavy-hitter summary of the corpus token stream, as
   * `array<struct<term:string, count:bigint>>` ordered by
   * (count DESC, term ASC).
@@ -38,7 +38,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * after a null filter). The reference has no corpus-vocabulary
   * operator; this is engine surface for the training-data pipeline.
   */
-case class SpaceSavingTerms(
+case class MisraGriesTerms(
     child: Expression,
     capacity: Int,
     mutableAggBufferOffset: Int = 0,
@@ -58,7 +58,7 @@ case class SpaceSavingTerms(
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"space_saving_terms expects string, got ${other.catalogString}")
+      s"misra_gries_terms expects string, got ${other.catalogString}")
   }
 
   override def createAggregationBuffer(): MgSummary = new MgSummary(capacity)
@@ -113,21 +113,21 @@ case class SpaceSavingTerms(
     buf
   }
 
-  override def withNewMutableAggBufferOffset(o: Int): SpaceSavingTerms =
+  override def withNewMutableAggBufferOffset(o: Int): MisraGriesTerms =
     copy(mutableAggBufferOffset = o)
-  override def withNewInputAggBufferOffset(o: Int): SpaceSavingTerms =
+  override def withNewInputAggBufferOffset(o: Int): MisraGriesTerms =
     copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(
-      newChildren: IndexedSeq[Expression]): SpaceSavingTerms =
+      newChildren: IndexedSeq[Expression]): MisraGriesTerms =
     copy(child = newChildren(0))
 
-  override def prettyName: String = "space_saving_terms"
+  override def prettyName: String = "misra_gries_terms"
 }
 
-object SpaceSavingTerms {
+object MisraGriesTerms {
   def apply(text: Column, capacity: Int): Column =
     GraftSqlBridge.column(
-      SpaceSavingTerms(GraftSqlBridge.expression(text), capacity)
+      MisraGriesTerms(GraftSqlBridge.expression(text), capacity)
         .toAggregateExpression())
 }
 
@@ -208,7 +208,7 @@ final class MgSummary(val capacity: Int) {
 
 /** `merge_term_summaries(summary, capacity)` → re-aggregate PERSISTED
   * Misra–Gries summaries (rows of `array<struct<term:string,
-  * count:bigint>>`, the [[SpaceSavingTerms]] output shape) into one
+  * count:bigint>>`, the [[MisraGriesTerms]] output shape) into one
   * bounded summary. This is the incremental-corpus path at 100 TB:
   * sketch each day's partition once, persist the KB-scale summary rows,
   * and answer "top terms over any window of days" by merging stored
@@ -271,9 +271,9 @@ case class MergeTermSummaries(
   }
 
   override def serialize(buf: MgSummary): Array[Byte] =
-    SpaceSavingTerms(child, capacity).serialize(buf)
+    MisraGriesTerms(child, capacity).serialize(buf)
   override def deserialize(bytes: Array[Byte]): MgSummary =
-    SpaceSavingTerms(child, capacity).deserialize(bytes)
+    MisraGriesTerms(child, capacity).deserialize(bytes)
 
   override def withNewMutableAggBufferOffset(o: Int): MergeTermSummaries =
     copy(mutableAggBufferOffset = o)

@@ -368,11 +368,19 @@ object Similarity {
     * cov(i,j) = (n·G_ij − s_i·s_j) / (n²·scale²) divides one exact
     * integer by another — bit-deterministic under ANY partitioning
     * (float dot-product partial sums are not). Upper triangle
-    * (i ≤ j) as rows. Bounds: |n·G| must stay < 2^63 for the long
-    * accumulation and < 2^53 for the exact final divide — with |x| ≤ 1
-    * and scale 1e4 that holds to ~90M rows; shrink `scale` (error is
-    * quantization only, ~1/scale per entry) or pre-aggregate per shard
-    * beyond. The standard pre-ANN dimensionality-reduction fit pass. */
+    * (i ≤ j) as rows. Bounds: the integer NUMERATOR n·G_ij − s_i·s_j
+    * must stay exact — within long range (enforced loudly via
+    * multiplyExact/subtractExact, no silent wrap) and < 2^53 for the
+    * exact integer→double conversion. With |x| ≤ 1 the numerator is
+    * ≤ 2·n²·scale², so the 2^53 bound is guaranteed while n·scale <
+    * 2^26 ≈ 6.7e7 (≈6,700 rows at the default scale 1e4; ≈670k at
+    * scale 100; looser in practice since G and s concentrate well
+    * below their worst case) — shrink `scale` (error is quantization
+    * only, ~1/scale per entry) or pre-aggregate per shard beyond. The
+    * DENOMINATOR needs no bound: every engine evaluates the identical
+    * double expression n²·scale², so the quotient is deterministic
+    * regardless of its magnitude. The standard pre-ANN
+    * dimensionality-reduction fit pass. */
   def pcaCovariance(
       df: DataFrame,
       embCol: String,
@@ -396,21 +404,26 @@ object Similarity {
     val n = row.getLong(2)
     require(n > 0, "pcaCovariance: empty corpus")
     // enforce the documented exactness bounds instead of silently
-    // overflowing/rounding (the Temporal 2^53 posture): n·G and s_i·s_j
-    // must multiply without long overflow AND the numerator must stay
-    // double-exact (< 2^53) for the bit-deterministic divide
+    // overflowing/rounding (the Temporal 2^53 posture): the numerator's
+    // long arithmetic fails loudly on overflow (multiplyExact /
+    // subtractExact — a wrapped value could otherwise slip PAST the
+    // 2^53 check), and the result must stay double-exact (< 2^53) for
+    // the bit-deterministic divide. The denominator is unconstrained:
+    // it is the same double expression on every engine.
     val exact = graft.core.Temporal.DoubleExactBound
-    val maxG = gram.iterator.map(math.abs).max
-    val maxS = s.iterator.map(math.abs).max
-    require(maxG <= Long.MaxValue / n && (maxS == 0 || maxS <= Long.MaxValue / maxS),
-      s"pcaCovariance: accumulator overflow risk at n=$n (max|G|=$maxG, " +
-        s"max|s|=$maxS) — shrink `scale` or pre-aggregate per shard")
     val den = n.toDouble * n.toDouble * scale.toDouble * scale.toDouble
     val out = for (i <- 0 until dim; j <- i until dim) yield {
-      val num = n * gram(i * dim + j) - s(i) * s(j)
-      require(math.abs(num) < exact && den < exact,
-        s"pcaCovariance: |numerator| ${math.abs(num)} or denominator $den " +
-          s"exceeds the double-exact bound 2^53 — shrink `scale`")
+      val num =
+        try math.subtractExact(math.multiplyExact(n, gram(i * dim + j)),
+          math.multiplyExact(s(i), s(j)))
+        catch {
+          case e: ArithmeticException => throw new ArithmeticException(
+            s"pcaCovariance: numerator long overflow at ($i,$j), n=$n — " +
+              s"shrink `scale` or pre-aggregate per shard (${e.getMessage})")
+        }
+      require(math.abs(num) < exact,
+        s"pcaCovariance: |numerator| ${math.abs(num)} at ($i,$j) exceeds " +
+          "the double-exact bound 2^53 — shrink `scale`")
       (i.toLong, j.toLong, num.toDouble / den)
     }
     out.toDF("i", "j", "cov")

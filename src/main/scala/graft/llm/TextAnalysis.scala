@@ -243,7 +243,7 @@ object TextAnalysis {
     * and NO token-stream shuffle:
     *
     *   1. a merged Misra–Gries sketch
-    *      ([[graft.functions.SpaceSavingTerms]], one `capacity`-entry
+    *      ([[graft.functions.MisraGriesTerms]], one `capacity`-entry
     *      summary per partition on the exchange) yields a candidate set
     *      guaranteed to contain every term with true frequency
     *      > N/(capacity+1);
@@ -267,7 +267,7 @@ object TextAnalysis {
     val spark = df.sparkSession
     import spark.implicits._
     val candidates = df
-      .agg(graft.functions.SpaceSavingTerms(text, capacity).as("sketch"))
+      .agg(graft.functions.MisraGriesTerms(text, capacity).as("sketch"))
       .select(explode(col("sketch")).as("e"))
       .select(col("e.term")).as[String].collect().toSeq.sorted
     if (candidates.isEmpty) return Seq.empty[(String, Long)].toDF("term", "cnt")

@@ -710,7 +710,7 @@ object LlmQueries {
       val halves = t(s, dir, "documents")
         .withColumn("half", pmod(col("doc_id"), lit(2)))
         .groupBy("half")
-        .agg(graft.functions.SpaceSavingTerms(col("text"), 256).as("sk"))
+        .agg(graft.functions.MisraGriesTerms(col("text"), 256).as("sk"))
       halves
         .agg(graft.functions.MergeTermSummaries(col("sk"), 256).as("m"))
         .select(explode(col("m")).as("e"))

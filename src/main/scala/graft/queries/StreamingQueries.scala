@@ -132,7 +132,7 @@ object StreamingQueries {
     }),
 
     // streaming heavy hitters: the mergeable Misra-Gries summary
-    // (functions/SpaceSavingTerms) as STREAMING STATE — the sketch
+    // (functions/MisraGriesTerms) as STREAMING STATE — the sketch
     // buffer serializes into the state store per group and absorbs
     // each micro-batch's partials, so an unbounded feed keeps one
     // bounded summary per key forever (the streaming twin of
@@ -146,7 +146,7 @@ object StreamingQueries {
       val ev = s.readStream.schema(schema)
         .parquet(s"$dir/events.parque[t]") // glob form, see above
       val sketches = ev.groupBy(col("event_type"))
-        .agg(graft.functions.SpaceSavingTerms(col("props"), 256)
+        .agg(graft.functions.MisraGriesTerms(col("props"), 256)
           .as("sketch"))
       val ranked = runToMemory(s, "stream_hh", name =>
         sketches.writeStream.format("memory").queryName(name)
@@ -178,9 +178,20 @@ object StreamingQueries {
         .as[graft.streaming.StreamingFunnel.Ev]
       val progress = graft.streaming.StreamingFunnel.funnelStream(
         ev, Seq("signup", "click", "purchase"), withinUs = 604800000000L)
+      // update mode emits one row per STAGE ADVANCE, so a multi-batch
+      // replay leaves several rows per user in the sink; reduce to the
+      // current funnel state (max `stages` — monotone per the automaton
+      // contract) so the gate doesn't depend on the replay landing in
+      // a single micro-batch (file-count / maxFilesPerTrigger layout)
       runToMemory(s, "stream_funnel", name =>
         progress.writeStream.format("memory").queryName(name)
           .outputMode("update").trigger(Trigger.AvailableNow()))
+        .groupBy("user_id")
+        .agg(max(struct(col("stages"), col("t_first"), col("t_last"),
+          col("completed"))).as("m"))
+        .select(col("user_id"), col("m.stages").as("stages"),
+          col("m.t_first").as("t_first"), col("m.t_last").as("t_last"),
+          col("m.completed").as("completed"))
         .orderBy("user_id")
     }),
 

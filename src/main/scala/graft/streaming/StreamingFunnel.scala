@@ -78,12 +78,16 @@ object StreamingFunnel {
             }
             if (st.stage != before || !state.exists) {
               state.update(st)
-              if (stateTtl.nonEmpty) state.setTimeoutDuration(stateTtl)
               emitted = Progress(user, st.stage,
                 if (st.stage > 0) Some(st.tFirst) else None,
                 if (st.stage > 0) Some(st.tPrev) else None,
                 st.stage == k) :: emitted
             }
+            // refresh the TTL on EVERY batch that saw events for this
+            // key (not just stage advances) — an active-but-stalled
+            // user stays alive; TTL measures idleness, as documented
+            if (stateTtl.nonEmpty && state.exists)
+              state.setTimeoutDuration(stateTtl)
             emitted.iterator
           }
         })

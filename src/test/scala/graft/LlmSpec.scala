@@ -1257,7 +1257,7 @@ class LlmSpec extends SparkSpec {
   }
 
   test("merge_term_summaries: lossy capacity keeps heavy terms, null rows skip") {
-    import graft.functions.{MergeTermSummaries, SpaceSavingTerms}
+    import graft.functions.{MergeTermSummaries, MisraGriesTerms}
     // 10 distinct terms but merge capacity 4: the dominant term must
     // survive the truncating merge with its count within the MG bound
     val docs = (0 until 60).map { i =>
@@ -1266,7 +1266,7 @@ class LlmSpec extends SparkSpec {
       (i.toLong, (hot ++ cold).mkString(" "))
     }.toDF("doc_id", "text")
     val halves = docs.withColumn("half", pmod(col("doc_id"), lit(3)))
-      .groupBy("half").agg(SpaceSavingTerms(col("text"), 64).as("sk"))
+      .groupBy("half").agg(MisraGriesTerms(col("text"), 64).as("sk"))
     val merged = halves
       .agg(MergeTermSummaries(col("sk"), 4).as("m"))
       .select(explode(col("m")).as("e"))
