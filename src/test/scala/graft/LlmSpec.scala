@@ -284,6 +284,95 @@ class LlmSpec extends SparkSpec {
     assert(!dups.exists(p => p._1 == 3L || p._2 == 3L || p._2 == 4L))
   }
 
+  test("PairExpansion.bucketPairs: exact below cap, drop-whole above") {
+    val members = (0L until 10L).map(i => (1, i)).toDF("b", "id")
+    // one bucket of 10 at the cap: all C(10,2) ordered pairs, via
+    // multiple slice blocks (cap 3 → 4 slices)
+    val all = PairExpansion.bucketPairs(members, Seq("b"), "id",
+        maxBucket = 10, rowLocalCap = 3, dedupPairs = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(all.length == 45 && all.toSet.size == 45)
+    assert(all.forall(p => p._1 < p._2))
+    // over the cap: the bucket is dropped WHOLE; a small bucket in the
+    // same frame survives untouched
+    val mixed = members.union(Seq((2, 100L), (2, 101L)).toDF("b", "id"))
+    val capped = PairExpansion.bucketPairs(mixed, Seq("b"), "id",
+        maxBucket = 9, rowLocalCap = 3, dedupPairs = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)))
+  }
+
+  test("PairExpansion.bucketPairsBipartite: per-bucket cross, per-side caps") {
+    val left = Seq((1, 0L), (1, 1L), (2, 2L)).toDF("b", "qid")
+    val right = Seq((1, 10L), (1, 11L), (1, 12L), (2, 13L)).toDF("b", "cid")
+    val all = PairExpansion.bucketPairsBipartite(left, right, Seq("b"),
+        "qid", "cid", maxBucketLeft = 10, maxBucketRight = 10,
+        rowLocalCap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // bucket 1: 2×3 cross; bucket 2: 1×1 — never cross-bucket
+    assert(all == Set((0L, 10L), (0L, 11L), (0L, 12L),
+      (1L, 10L), (1L, 11L), (1L, 12L), (2L, 13L)))
+    // cap the corpus side at 2: bucket 1 (3 corpus members) drops whole
+    val capped = PairExpansion.bucketPairsBipartite(left, right, Seq("b"),
+        "qid", "cid", maxBucketLeft = 10, maxBucketRight = 2,
+        rowLocalCap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((2L, 13L)))
+  }
+
+  test("embeddingNearDups: hot signature bucket drops at the cap") {
+    // five identical vectors collapse to ONE signature bucket
+    val embs = (0L until 5L).map(i => (i, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val uncapped = Dedup.embeddingNearDups(embs, "embedding", "vec_id",
+      planes = 6, minCosine = 0.99)
+    assert(uncapped.count() == 10) // C(5,2), all cosine 1.0
+    val capped = Dedup.embeddingNearDups(embs, "embedding", "vec_id",
+      planes = 6, minCosine = 0.99, maxBucket = 4)
+    assert(capped.count() == 0) // drop-whole: deterministic, no subset
+  }
+
+  test("ivfCentroidsSplit: mega-cluster re-split preserves SemDeDup recall") {
+    // skewed fixture: two 20-copy duplicate blobs in orthogonal
+    // directions that an initial k=1 quantizer lumps into ONE
+    // 40-member cluster. Identical vectors assign identically, so each
+    // blob moves between lists as an atom — the split either separates
+    // the blobs or doesn't (no fragmentation), keeping the outcome
+    // exactly determined.
+    val blobs = ((0 until 20).map { i =>
+      (i.toLong, Array(1.0f, 0.0f, 0.0f, 0.0f))
+    } ++ (0 until 20).map { i =>
+      (20L + i, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    }).toDF("vec_id", "embedding")
+    val maxCluster = 25
+    // cap WITHOUT split: the oversized cluster is dropped whole →
+    // silent recall loss (everything "survives")
+    val lumped = Similarity.ivfCentroidsLloyd(blobs, "embedding",
+      "vec_id", k = 1, iters = 2)
+    assert(Dedup.dedupSemantic(blobs, "embedding", "vec_id", lumped,
+      0.9, maxCluster = maxCluster).count() == 40)
+    // split training: every list lands under the cap…
+    val cents = Similarity.ivfCentroidsSplit(blobs, "embedding", "vec_id",
+      k = 1, maxCluster = maxCluster, iters = 2)
+    val sizes = Similarity.ivfAssign(blobs, "embedding", cents)
+      .groupBy("ivf_list").count().collect().map(_.getLong(1))
+    assert(sizes.forall(_ <= maxCluster), s"sizes: ${sizes.mkString(",")}")
+    // …and capped SemDeDup now equals uncapped brute force (all-pairs
+    // cosine + the same smaller-id-neighbor drop rule)
+    val survivors = Dedup.dedupSemantic(blobs, "embedding", "vec_id",
+        cents, 0.9, maxCluster = maxCluster)
+      .select("vec_id").as[Long].collect().toSet
+    val a = blobs.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+    val b = blobs.select(col("vec_id").as("idb"), col("embedding").as("eb"))
+    val bruteDropped = a.crossJoin(b)
+      .filter(col("ida") < col("idb"))
+      .filter(Similarity.cosine(col("ea"), col("eb")) >= 0.9)
+      .select("idb").as[Long].collect().toSet
+    val bruteSurvivors = (0L until 40L).toSet -- bruteDropped
+    assert(survivors == bruteSurvivors,
+      s"split-path survivors $survivors != brute $bruteSurvivors")
+  }
+
   test("SQL surface: minhash_sig and histogram2d via functionRegistry") {
     graft.functions.GraftFunctions.register(spark)
     docs.createOrReplaceTempView("docs_sql")
