@@ -97,6 +97,11 @@ object GraftFunctions {
     NgramHashes(exprs.head, intLit(exprs(1), "n"))
   }
 
+  private def bpeBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "bpe_encode(text) [default merge table]")
+    BpeEncode(exprs.head, graft.llm.Bpe.defaultMerges)
+  }
+
   private def topkByBuilder(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 3, "topk_by(score, id, k)")
     import org.apache.spark.sql.catalyst.expressions.Cast
@@ -131,6 +136,8 @@ object GraftFunctions {
       : Expression = ngramHashesBuilder(exprs)
   private[functions] def topkByBuilderPublic(exprs: Seq[Expression])
       : Expression = topkByBuilder(exprs)
+  private[functions] def bpeBuilderPublic(exprs: Seq[Expression])
+      : Expression = bpeBuilder(exprs)
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -147,6 +154,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("shingle_hashes", shingleHashesBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("ngram_hashes", ngramHashesBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("topk_by", topkByBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("bpe_encode", bpeBuilder, "scala_udf")
   }
 }
 
@@ -205,5 +213,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("topk_by"),
       new ExpressionInfo(classOf[TopKByScore].getName, "topk_by"),
       GraftFunctions.topkByBuilderPublic _))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
+      GraftFunctions.bpeBuilderPublic _))
   }
 }

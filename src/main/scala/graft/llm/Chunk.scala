@@ -60,5 +60,39 @@ object Chunk {
           .as("chunk_text"))
   }
 
+  /** [[chunkTokens]] over a PRE-TOKENIZED id array (e.g.
+    * [[Bpe.encode]] output): (idCol, chunk_idx, chunk_start,
+    * n_chunk_tokens, chunk_ids) with the same windowing contract —
+    * ids `[k·stride, k·stride + size)` for every `k·stride < n`,
+    * final chunk may be short, null/empty arrays emit no rows. Same
+    * map-only scale shape; the id slices are what an
+    * embedding/training pipeline actually feeds the model, where
+    * [[chunkTokens]]' rejoined text is the retrieval-display form. */
+  def chunkIds(
+      df: DataFrame,
+      idsCol: String,
+      idCol: String,
+      size: Int,
+      overlap: Int = 0): DataFrame = {
+    require(size > 0, "chunk size must be positive")
+    require(overlap >= 0 && overlap < size,
+      "overlap must be in [0, size)")
+    val stride = size - overlap
+    df
+      .filter(col(idsCol).isNotNull && size_(col(idsCol)) > 0)
+      .select(col(idCol), col(idsCol).as("__ids"),
+        posexplode(sequence(lit(0),
+          size_(col(idsCol)) - 1, lit(stride)))
+          .as(Seq("chunk_idx", "chunk_start")))
+      .select(col(idCol),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        least(lit(size).cast("long"),
+          size_(col("__ids")).cast("long") - col("chunk_start"))
+          .as("n_chunk_tokens"),
+        slice(col("__ids"), col("chunk_start") + 1, lit(size))
+          .as("chunk_ids"))
+  }
+
   private def size_(c: Column): Column = size(c)
 }

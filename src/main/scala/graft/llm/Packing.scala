@@ -24,8 +24,9 @@ object Packing {
     * `token_offset` is the doc's first-token position in the packed
     * stream, `seq_id = token_offset div ctxLen` the training sequence
     * holding that first token, and `n_seqs_spanned` how many sequences
-    * the doc crosses. Token counts are the engine's whitespace
-    * tokenizer ([[TextAnalysis.tokenCount]]).
+    * the doc crosses. Token counts come from `tokenCounter` — default
+    * the whitespace heuristic ([[TextAnalysis.tokenCount]]); pass
+    * [[Bpe.count]] to pack on REAL subword counts.
     *
     * RUNNER CONTRACT: persists the range-partitioned count table the
     * returned plan reads (two passes: partial sums + final); released
@@ -37,8 +38,11 @@ object Packing {
       textCol: String,
       idCol: String,
       ctxLen: Int,
-      numParts: Int = 0): DataFrame =
-    packSequencesReleasable(df, textCol, idCol, ctxLen, numParts)._1
+      numParts: Int = 0,
+      tokenCounter: org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column = TextAnalysis.tokenCount): DataFrame =
+    packSequencesReleasable(df, textCol, idCol, ctxLen, numParts,
+      tokenCounter)._1
 
   /** [[packSequences]] plus the prefix cache's release handle — call
     * it once the packing table has been materialized. */
@@ -47,10 +51,13 @@ object Packing {
       textCol: String,
       idCol: String,
       ctxLen: Int,
-      numParts: Int = 0): (DataFrame, () => Unit) = {
+      numParts: Int = 0,
+      tokenCounter: org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column = TextAnalysis.tokenCount)
+      : (DataFrame, () => Unit) = {
     require(ctxLen > 0, "ctxLen must be positive")
     val counts = df.select(col(idCol),
-      TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+      tokenCounter(col(textCol)).as("n_tokens"))
     val (packed, _, release) =
       graft.stats.GlobalOrder.exclusivePrefixReleasable(
         counts, Seq(col(idCol)), col("n_tokens"), "token_offset", numParts)

@@ -78,7 +78,7 @@ object PairExpansion {
       rowLocalCap: Int = 256,
       dedupPairs: Boolean = true): DataFrame = {
     require(maxBucket >= 2, "maxBucket must be at least 2")
-    require(rowLocalCap >= 2, "rowLocalCap must be at least 2")
+    require(rowLocalCap >= 1, "rowLocalCap must be at least 1")
     val cap = rowLocalCap
     val buckets = members
       .groupBy(bucketCols.map(col): _*)
@@ -131,7 +131,7 @@ object PairExpansion {
       rowLocalCap: Int = 256): DataFrame = {
     require(maxBucketLeft >= 1 && maxBucketRight >= 1,
       "bucket caps must be at least 1")
-    require(rowLocalCap >= 2, "rowLocalCap must be at least 2")
+    require(rowLocalCap >= 1, "rowLocalCap must be at least 1")
     val cap = rowLocalCap
     val lm = left.select(
       bucketCols.map(col) :+ col(leftIdCol).cast("bigint").as("pid")

@@ -55,23 +55,29 @@ object Select {
       idCol: String,
       priority: Column,
       budget: Long,
-      numParts: Int = 0): DataFrame =
+      numParts: Int = 0,
+      tokenCounter: Column => Column = TextAnalysis.tokenCount): DataFrame =
     takeTokenBudgetReleasable(df, textCol, idCol, priority, budget,
-      numParts)._1
+      numParts, tokenCounter)._1
 
   /** [[takeTokenBudget]] plus the prefix cache's release handle — call
-    * it once the selection has been materialized. */
+    * it once the selection has been materialized.
+    *
+    * `tokenCounter` defaults to the whitespace heuristic; pass
+    * [[Bpe.count]] to budget on REAL subword counts. */
   def takeTokenBudgetReleasable(
       df: DataFrame,
       textCol: String,
       idCol: String,
       priority: Column,
       budget: Long,
-      numParts: Int = 0): (DataFrame, () => Unit) = {
+      numParts: Int = 0,
+      tokenCounter: Column => Column = TextAnalysis.tokenCount)
+      : (DataFrame, () => Unit) = {
     require(budget > 0, "budget must be positive")
     // narrow FIRST: this projection is all that shuffles and caches
     val counts = df.select(col(idCol), priority.as("__prio"),
-      coalesce(TextAnalysis.tokenCount(col(textCol)), lit(0L))
+      coalesce(tokenCounter(col(textCol)), lit(0L))
         .as("n_tokens"))
     val (ranked, _, release) =
       graft.stats.GlobalOrder.exclusivePrefixReleasable(

@@ -373,6 +373,57 @@ class LlmSpec extends SparkSpec {
       s"split-path survivors $survivors != brute $bruteSurvivors")
   }
 
+  test("BPE encode: greedy lowest-rank-leftmost merges, total id scheme") {
+    // expected ids from an independent reference implementation of the
+    // pinned spec (leftmost occurrence of the lowest-rank pair, code
+    // point ids for single symbols, MergedIdBase + rank for merges)
+    val cases = Seq(
+      "theory" -> Seq(1000001, 1000010, 121), // the | or | y
+      "thin" -> Seq(1000000, 1000002), // th | in (not t|hin)
+      "and" -> Seq(1000004), // multi-level: a+n → an, an+d → and
+      "processing" -> Seq(1000021, 99, 1000011, 115, 1000018),
+      "standard" -> Seq(1000012, 1000004, 1000015, 100),
+      "中文测试" -> Seq(20013, 25991, 27979, 35797), // raw code points
+      "a" -> Seq(97))
+    val df = cases.zipWithIndex
+      .map { case ((w, _), i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), Bpe.encode(col("text")).as("ids"))
+      .orderBy("doc_id").collect()
+      .map(r => r.getSeq[Int](1).toSeq)
+    assert(got.toSeq == cases.map(_._2))
+    // documents concatenate word encodings; extra whitespace collapses;
+    // null text → null; whitespace-only text → empty array
+    val doc = Seq((0L, "  theory   thin\tand "), (1L, null),
+      (2L, "   \t ")).toDF("doc_id", "text")
+    val rows = doc.select(col("doc_id"), Bpe.encode(col("text")).as("ids"))
+      .orderBy("doc_id").collect()
+    assert(rows(0).getSeq[Int](1) ==
+      Seq(1000001, 1000010, 121, 1000000, 1000002, 1000004))
+    assert(rows(1).isNullAt(1))
+    assert(rows(2).getSeq[Int](1).isEmpty)
+    // count: real subword counts differ from the whitespace heuristic
+    val c = doc.filter(col("doc_id") === 0)
+      .select(Bpe.count(col("text")), TextAnalysis.tokenCount(col("text")))
+      .head()
+    assert(c.getLong(0) == 6L && c.getLong(1) == 3L)
+  }
+
+  test("BPE merge table validates distinct results; chunkIds windows arrays") {
+    intercept[IllegalArgumentException] {
+      // ("a","bc") and ("ab","c") both yield "abc"
+      new graft.functions.BpeMerges(Array("a" -> "bc", "ab" -> "c"))
+    }
+    val ids = Seq((0L, Seq(1, 2, 3, 4, 5)), (1L, Seq.empty[Int]))
+      .toDF("doc_id", "ids")
+    val chunks = Chunk.chunkIds(ids, "ids", "doc_id", size = 3, overlap = 1)
+      .orderBy("doc_id", "chunk_idx").collect()
+    // stride 2: starts 0, 2, 4 → [1,2,3], [3,4,5], [5]; empty doc: none
+    assert(chunks.length == 3)
+    assert(chunks.map(_.getSeq[Int](4)).toSeq ==
+      Seq(Seq(1, 2, 3), Seq(3, 4, 5), Seq(5)))
+    assert(chunks.map(_.getLong(3)).toSeq == Seq(3L, 3L, 1L))
+  }
+
   test("SQL surface: minhash_sig and histogram2d via functionRegistry") {
     graft.functions.GraftFunctions.register(spark)
     docs.createOrReplaceTempView("docs_sql")
@@ -401,6 +452,9 @@ class LlmSpec extends SparkSpec {
     val fv = spark.sql("SELECT fnv64('abc') AS h").head.getLong(0)
     assert(fv == graft.functions.MinHashSig.fnv64(
       org.apache.spark.unsafe.types.UTF8String.fromString("abc")))
+    val bp = spark.sql("SELECT bpe_encode('thin and') AS ids")
+      .head.getSeq[Int](0)
+    assert(bp == Seq(1000000, 1000002, 1000004)) // th | in | and
   }
 
   test("nearest_centroid: assignment, tie-break to lower index, integral input") {
