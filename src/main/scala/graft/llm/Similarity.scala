@@ -358,10 +358,31 @@ object Similarity {
     cents
   }
 
+  /** Persist an IVF index: the assigned corpus written as parquet
+    * PARTITIONED BY `ivf_list` — the "list id as a partition column at
+    * ingest" layout [[ivfTopK]]'s scaladoc promises, made real. A
+    * probe that filters `ivf_list IN (nprobe lists)` against the
+    * read-back index is then a PARTITION-PRUNED scan: Spark's file
+    * listing keeps only the probed list directories, so the other
+    * k − nprobe lists' files are never opened — the probe reads
+    * ~nprobe/k of the corpus BY I/O, not just by filter. (Plan witness:
+    * `PartitionFilters: [ivf_list IN (...)]` on the scan —
+    * PlanAudit asserts it; at 100 TB pair with list-size-aware
+    * `maxRecordsPerFile` so each list directory splits into
+    * cluster-parallel files.) */
+  def writeIvfIndex(
+      df: DataFrame,
+      embCol: String,
+      cents: Array[Array[Double]],
+      path: String): Unit =
+    ivfAssign(df, embCol, cents)
+      .write.mode("overwrite").partitionBy("ivf_list").parquet(path)
+
   /** IVF ANN top-k: probe the `nprobe` nearest lists to the query, exact
     * cosine rerank inside — scans nprobe/k of the corpus. At 100 TB the
     * assignment is computed once at ingest and the list id is a Parquet
-    * partition column, making the probe a partition-pruned scan. */
+    * partition column ([[writeIvfIndex]]), making the probe a
+    * partition-pruned scan. */
   def ivfTopK(
       assigned: DataFrame,
       embCol: String,

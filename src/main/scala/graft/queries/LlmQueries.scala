@@ -60,6 +60,37 @@ object LlmQueries {
       |bt AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY wi, si) - 1 AS pos, token_id FROM idt)""".stripMargin
   }
 
+  /** IVF ANN mirror (shared by llm_ann_ivf and its persisted-index
+    * twin): the fixed-depth Lloyd training unrolled round by round —
+    * init = the 8 smallest ids' embeddings, each round = argmin
+    * assignment (ties to the lower list id, same as the kernel's
+    * strict <) + per-list per-dim round-6 mean with empty lists
+    * keeping their previous centroid — then nprobe=2 list probe and
+    * exact cosine rerank, the llm_ann_lsh pattern. */
+  private val annIvfOracleSql: String =
+    """WITH sel AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8),
+      |seli AS (SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) - 1 AS l FROM sel),
+      |e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, generate_subscripts(embedding, 1) - 1 AS d FROM embeddings),
+      |c0 AS (SELECT l, CAST(unnest(embedding) AS DOUBLE) AS v, generate_subscripts(embedding, 1) - 1 AS d FROM seli),
+      |a1 AS (SELECT e.vec_id, c0.l, sum((e.x - c0.v)*(e.x - c0.v)) AS dist FROM e JOIN c0 ON c0.d = e.d GROUP BY e.vec_id, c0.l),
+      |s1 AS (SELECT vec_id, l FROM (SELECT vec_id, l, row_number() OVER (PARTITION BY vec_id ORDER BY dist, l) AS rn FROM a1) WHERE rn = 1),
+      |m1 AS (SELECT s1.l, e.d, round(avg(e.x), 6) AS v FROM s1 JOIN e ON e.vec_id = s1.vec_id GROUP BY s1.l, e.d),
+      |c1 AS (SELECT c0.l, c0.d, coalesce(m1.v, c0.v) AS v FROM c0 LEFT JOIN m1 ON m1.l = c0.l AND m1.d = c0.d),
+      |a2 AS (SELECT e.vec_id, c1.l, sum((e.x - c1.v)*(e.x - c1.v)) AS dist FROM e JOIN c1 ON c1.d = e.d GROUP BY e.vec_id, c1.l),
+      |s2 AS (SELECT vec_id, l FROM (SELECT vec_id, l, row_number() OVER (PARTITION BY vec_id ORDER BY dist, l) AS rn FROM a2) WHERE rn = 1),
+      |m2 AS (SELECT s2.l, e.d, round(avg(e.x), 6) AS v FROM s2 JOIN e ON e.vec_id = s2.vec_id GROUP BY s2.l, e.d),
+      |c2 AS (SELECT c1.l, c1.d, coalesce(m2.v, c1.v) AS v FROM c1 LEFT JOIN m2 ON m2.l = c1.l AND m2.d = c1.d),
+      |qe AS (SELECT d, x FROM e WHERE vec_id = 0),
+      |qd AS (SELECT c2.l, sum((qe.x - c2.v)*(qe.x - c2.v)) AS dist FROM qe JOIN c2 ON c2.d = qe.d GROUP BY c2.l),
+      |probe AS (SELECT l FROM (SELECT l, row_number() OVER (ORDER BY dist, l) AS rn FROM qd) WHERE rn <= 2),
+      |a3 AS (SELECT e.vec_id, c2.l, sum((e.x - c2.v)*(e.x - c2.v)) AS dist FROM e JOIN c2 ON c2.d = e.d GROUP BY e.vec_id, c2.l),
+      |s3 AS (SELECT vec_id, l FROM (SELECT vec_id, l, row_number() OVER (PARTITION BY vec_id ORDER BY dist, l) AS rn FROM a3) WHERE rn = 1),
+      |cand AS (SELECT s3.vec_id FROM s3 JOIN probe ON probe.l = s3.l),
+      |sc AS (SELECT e.vec_id, sum(e.x * qe.x) AS dot, sqrt(sum(e.x * e.x)) AS ne FROM e JOIN cand ON cand.vec_id = e.vec_id JOIN qe ON qe.d = e.d GROUP BY e.vec_id),
+      |nq AS (SELECT sqrt(sum(x * x)) AS nrm FROM qe),
+      |top AS (SELECT vec_id, dot / (ne * nq.nrm) AS c FROM sc, nq ORDER BY c DESC, vec_id LIMIT 5)
+      |SELECT vec_id, round(c, 6) AS cosine FROM top ORDER BY cosine DESC, vec_id""".stripMargin
+
   /** Materialize a DRIVER-SMALL result (bounded by construction — a
     * `limit`, an aggregate row, or a hard-filtered pair slice), release
     * the pipeline's internal caches, and hand back the rows as a local
@@ -655,6 +686,26 @@ object LlmQueries {
       val cents = Similarity.ivfCentroidsLloyd(emb, "embedding", "vec_id",
         k = 8, iters = 2)
       val assigned = Similarity.ivfAssign(emb, "embedding", cents)
+      Similarity.ivfTopK(assigned, "embedding", "vec_id", q, 5, cents)
+        .withColumn("cosine", round(col("cosine"), 6))
+    }),
+
+    // PERSISTED IVF index (r09): the same quantizer, but the assigned
+    // corpus is WRITTEN as parquet partitioned by ivf_list
+    // (Similarity.writeIvfIndex — the ingest-time layout) and the
+    // probe runs against the read-back index as a PARTITION-PRUNED
+    // scan (PlanAudit asserts PartitionFilters on the scan). Same
+    // answers as llm_ann_ivf — the shared oracle gates both.
+    "llm_ann_ivf_persisted" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val cents = Similarity.ivfCentroidsLloyd(emb, "embedding", "vec_id",
+        k = 8, iters = 2)
+      val path =
+        s"target/ivf_index/${new java.io.File(dir).getName}"
+      Similarity.writeIvfIndex(emb, "embedding", cents, path)
+      val assigned = s.read.parquet(path)
       Similarity.ivfTopK(assigned, "embedding", "vec_id", q, 5, cents)
         .withColumn("cosine", round(col("cosine"), 6))
     }),
@@ -1686,29 +1737,10 @@ object LlmQueries {
     // kernel's strict <) + per-list per-dim round-6 mean with empty
     // lists keeping their previous centroid — then nprobe=2 list probe
     // and exact cosine rerank, the llm_ann_lsh pattern
-    "llm_ann_ivf" ->
-      """WITH sel AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8),
-        |seli AS (SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) - 1 AS l FROM sel),
-        |e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, generate_subscripts(embedding, 1) - 1 AS d FROM embeddings),
-        |c0 AS (SELECT l, CAST(unnest(embedding) AS DOUBLE) AS v, generate_subscripts(embedding, 1) - 1 AS d FROM seli),
-        |a1 AS (SELECT e.vec_id, c0.l, sum((e.x - c0.v)*(e.x - c0.v)) AS dist FROM e JOIN c0 ON c0.d = e.d GROUP BY e.vec_id, c0.l),
-        |s1 AS (SELECT vec_id, l FROM (SELECT vec_id, l, row_number() OVER (PARTITION BY vec_id ORDER BY dist, l) AS rn FROM a1) WHERE rn = 1),
-        |m1 AS (SELECT s1.l, e.d, round(avg(e.x), 6) AS v FROM s1 JOIN e ON e.vec_id = s1.vec_id GROUP BY s1.l, e.d),
-        |c1 AS (SELECT c0.l, c0.d, coalesce(m1.v, c0.v) AS v FROM c0 LEFT JOIN m1 ON m1.l = c0.l AND m1.d = c0.d),
-        |a2 AS (SELECT e.vec_id, c1.l, sum((e.x - c1.v)*(e.x - c1.v)) AS dist FROM e JOIN c1 ON c1.d = e.d GROUP BY e.vec_id, c1.l),
-        |s2 AS (SELECT vec_id, l FROM (SELECT vec_id, l, row_number() OVER (PARTITION BY vec_id ORDER BY dist, l) AS rn FROM a2) WHERE rn = 1),
-        |m2 AS (SELECT s2.l, e.d, round(avg(e.x), 6) AS v FROM s2 JOIN e ON e.vec_id = s2.vec_id GROUP BY s2.l, e.d),
-        |c2 AS (SELECT c1.l, c1.d, coalesce(m2.v, c1.v) AS v FROM c1 LEFT JOIN m2 ON m2.l = c1.l AND m2.d = c1.d),
-        |qe AS (SELECT d, x FROM e WHERE vec_id = 0),
-        |qd AS (SELECT c2.l, sum((qe.x - c2.v)*(qe.x - c2.v)) AS dist FROM qe JOIN c2 ON c2.d = qe.d GROUP BY c2.l),
-        |probe AS (SELECT l FROM (SELECT l, row_number() OVER (ORDER BY dist, l) AS rn FROM qd) WHERE rn <= 2),
-        |a3 AS (SELECT e.vec_id, c2.l, sum((e.x - c2.v)*(e.x - c2.v)) AS dist FROM e JOIN c2 ON c2.d = e.d GROUP BY e.vec_id, c2.l),
-        |s3 AS (SELECT vec_id, l FROM (SELECT vec_id, l, row_number() OVER (PARTITION BY vec_id ORDER BY dist, l) AS rn FROM a3) WHERE rn = 1),
-        |cand AS (SELECT s3.vec_id FROM s3 JOIN probe ON probe.l = s3.l),
-        |sc AS (SELECT e.vec_id, sum(e.x * qe.x) AS dot, sqrt(sum(e.x * e.x)) AS ne FROM e JOIN cand ON cand.vec_id = e.vec_id JOIN qe ON qe.d = e.d GROUP BY e.vec_id),
-        |nq AS (SELECT sqrt(sum(x * x)) AS nrm FROM qe),
-        |top AS (SELECT vec_id, dot / (ne * nq.nrm) AS c FROM sc, nq ORDER BY c DESC, vec_id LIMIT 5)
-        |SELECT vec_id, round(c, 6) AS cosine FROM top ORDER BY cosine DESC, vec_id""".stripMargin,
+    "llm_ann_ivf" -> annIvfOracleSql,
+    // persisted-index twin: identical answers by construction (same
+    // quantizer, same probe; only the storage layout differs)
+    "llm_ann_ivf_persisted" -> annIvfOracleSql,
     // int8-ANN mirror: quantization CTE (same expression tree as
     // llm_quantize_int8), integer dot against vec 0's codes, the same
     // est = di·scale·qscale/127² ranking with id tiebreak, LIMIT-40

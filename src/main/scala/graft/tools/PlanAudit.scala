@@ -71,6 +71,15 @@ object PlanAudit {
     if (!j2.queryExecution.executedPlan.toString.contains("BroadcastHashJoin")) {
       println("!! j2: key join is not broadcast"); bad += 1
     }
+    // the persisted-IVF probe must be a PARTITION-PRUNED scan: the
+    // nprobe list filter has to land in the scan's PartitionFilters
+    // (non-empty brackets), not just as a post-scan Filter
+    val ivf = graft.SparkEntry.queries("llm_ann_ivf_persisted")(spark, dir)
+    val ivfPlan = ivf.queryExecution.executedPlan.toString
+    if (!ivfPlan.matches("(?s).*PartitionFilters: \\[[^\\]].*")) {
+      println("!! llm_ann_ivf_persisted: probe scan is not partition-pruned")
+      bad += 1
+    }
     println(s"\naudit ${if (bad == 0) "CLEAN" else s"$bad issue(s)"}")
     spark.stop()
   }

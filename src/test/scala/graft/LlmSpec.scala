@@ -373,6 +373,32 @@ class LlmSpec extends SparkSpec {
       s"split-path survivors $survivors != brute $bruteSurvivors")
   }
 
+  test("persisted IVF index: partition-pruned probe == in-memory probe") {
+    val vecs = (0 until 40).map { i =>
+      val base = Array(0.0f, 0.0f, 0.0f, 0.0f)
+      base(i % 4) = 1.0f
+      base((i + 1) % 4) = 0.05f * (i / 4)
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroidsLloyd(vecs, "embedding", "vec_id",
+      k = 4, iters = 2)
+    val q = Array(1.0f, 0.02f, 0.0f, 0.0f)
+    val path = java.nio.file.Files
+      .createTempDirectory("ivf_index_spec").toString + "/idx"
+    Similarity.writeIvfIndex(vecs, "embedding", cents, path)
+    val probe = Similarity.ivfTopK(spark.read.parquet(path),
+      "embedding", "vec_id", q, k = 5, cents)
+    // the nprobe filter must land in the scan's PartitionFilters —
+    // a pruned file listing, not a post-scan row filter
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]].*"), plan.take(2000))
+    val inMem = Similarity.ivfTopK(
+      Similarity.ivfAssign(vecs, "embedding", cents),
+      "embedding", "vec_id", q, k = 5, cents)
+    assert(probe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      inMem.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
   test("BPE encode: greedy lowest-rank-leftmost merges, total id scheme") {
     // expected ids from an independent reference implementation of the
     // pinned spec (leftmost occurrence of the lowest-rank pair, code
