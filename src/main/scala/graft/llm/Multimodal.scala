@@ -15,10 +15,13 @@ import org.apache.spark.sql.types._
   * + 16-bit amplitude histogram over WAV/PCM payloads. [[Y4mDecoder]]
   * is a REAL video decoder over the Y4M raw-video container (pure JVM,
   * r07 — video no longer rides the stand-in): geometry / frame count /
-  * fps + luma histogram with frame striding. [[FakeDecoder]] remains a
-  * deterministic stand-in for compressed codecs the container does not
-  * ship — the Spark-side plumbing (schema, batching, partitioning,
-  * batch shape) is identical and real for all of them.
+  * fps + luma histogram with frame striding. [[MjpegAviDecoder]] (r09)
+  * is a REAL COMPRESSED-video decoder — Motion-JPEG frames inside a
+  * hand-parsed AVI/RIFF container, each frame decoded by the JDK's
+  * actual JPEG codec. [[FakeDecoder]] remains a deterministic stand-in
+  * for codecs with no pure-JVM path (H.264, AAC, …) — the Spark-side
+  * plumbing (schema, batching, partitioning, batch shape) is identical
+  * and real for all of them.
   */
 object Multimodal {
 
@@ -439,6 +442,204 @@ object Multimodal {
       out.write(chromaPlane); out.write(chromaPlane)
       fr += 1
     }
+    out.toByteArray
+  }
+
+  /** REAL compressed-video decoder: Motion-JPEG inside an AVI (RIFF)
+    * container, pure JVM — the RIFF walk is hand-parsed and each video
+    * frame chunk (`00dc`/`00db`) is a complete JPEG decoded by the
+    * JDK's ImageIO codec. This retires [[FakeDecoder]] for one real
+    * compressed video path (VERDICT r08 next-round 6).
+    *
+    * Features: `[width, height, n_frames, fps, hist_0..hist_{b-1}]` —
+    * geometry from the first decoded frame, fps from the `avih` main
+    * header (10^6 / dwMicroSecPerFrame, 0 when absent), luminance
+    * histogram over every `frameStride`-th frame's raster band 0 (the
+    * [[ImageIoDecoder]] binning, shift-normalized to 8 bits). RIFF
+    * oddities handled: chunk data pads to even sizes; `movi` frame
+    * chunks may sit inside nested `rec ` LISTs; `idx1` and audio
+    * chunks are skipped. Malformed payloads (bad magic, truncated
+    * chunks, undecodable JPEGs) yield all-zero features — the
+    * poison-pill contract, never an escaped exception. */
+  final class MjpegAviDecoder(val bins: Int = 8, val frameStride: Int = 1)
+    extends Decoder {
+    require(256 % bins == 0, "bins must divide 256")
+    require(frameStride > 0, "frameStride must be positive")
+    val dim: Int = 4 + bins
+
+    def decodeBatch(batch: Seq[Array[Byte]]): Seq[Array[Float]] = {
+      Multimodal.disableImageIoDiskCache()
+      val zero = Array.ofDim[Float](dim)
+      batch.map { bytes =>
+        if (bytes == null) zero.clone()
+        else try decodeOne(bytes).getOrElse(zero.clone())
+        catch { case scala.util.control.NonFatal(_) => zero.clone() }
+      }
+    }
+
+    private def u32(b: Array[Byte], p: Int): Long =
+      (b(p) & 0xFFL) | ((b(p + 1) & 0xFFL) << 8) |
+        ((b(p + 2) & 0xFFL) << 16) | ((b(p + 3) & 0xFFL) << 24)
+
+    private def fourcc(b: Array[Byte], p: Int): String =
+      new String(b, p, 4, "US-ASCII")
+
+    private def decodeOne(bytes: Array[Byte]): Option[Array[Float]] = {
+      if (bytes.length < 12 || fourcc(bytes, 0) != "RIFF" ||
+          fourcc(bytes, 8) != "AVI ") return None
+      val f = Array.ofDim[Float](dim)
+      val div = 256 / bins
+      var nFrames = 0L
+      var decodedGeom = false
+      var ok = true
+      // walk chunks in [from, until); recurse into LISTs (hdrl, movi,
+      // and movi's nested 'rec ' groups)
+      def walk(from: Int, until: Int): Unit = {
+        var p = from
+        while (ok && p + 8 <= until) {
+          val cc = fourcc(bytes, p)
+          val size = u32(bytes, p + 4)
+          if (size > until - p - 8) { ok = false; return }
+          val dataStart = p + 8
+          val dataEnd = dataStart + size.toInt
+          if (cc == "LIST") {
+            walk(dataStart + 4, dataEnd) // skip the 4-byte list type
+          } else if (cc == "avih") {
+            if (size >= 4) {
+              val usPerFrame = u32(bytes, dataStart)
+              if (usPerFrame > 0) f(3) = (1e6 / usPerFrame.toDouble).toFloat
+            }
+          } else if (cc.endsWith("dc") || cc.endsWith("db")) {
+            if (nFrames % frameStride == 0 || !decodedGeom) {
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes, dataStart, size.toInt))
+              if (img == null) { ok = false; return }
+              if (!decodedGeom) {
+                f(0) = img.getWidth.toFloat
+                f(1) = img.getHeight.toFloat
+                decodedGeom = true
+              }
+              if (nFrames % frameStride == 0) {
+                val raster = img.getRaster
+                val shift =
+                  math.max(raster.getSampleModel.getSampleSize(0) - 8, 0)
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    val b = (raster.getSample(x, y, 0) >>> shift) / div
+                    f(4 + math.min(math.max(b, 0), bins - 1)) += 1.0f
+                    x += 1
+                  }
+                  y += 1
+                }
+              }
+            }
+            nFrames += 1
+          }
+          // chunk data pads to even length
+          p = dataEnd + (size.toInt & 1)
+        }
+      }
+      walk(12, bytes.length)
+      if (!ok || !decodedGeom) return None
+      f(2) = nFrames.toFloat
+      Some(f)
+    }
+  }
+
+  /** Deterministic synthetic MJPEG-AVI (real JDK JPEG encoder inside a
+    * minimal RIFF): frame `fr` is UNIFORM gray
+    * `((id·31 + fr·13) mod 16) · 16`. Uniform blocks at multiples of
+    * 16 are FIXED POINTS of the JPEG round trip (all AC coefficients
+    * zero; the DC coefficient 8·(v−128) is a multiple of every
+    * standard-table DC quantizer step, verified against the JDK codec
+    * for all 16 values), so the decoded luminance histogram is a
+    * closed-form function of (id, w, h, frames) even though the codec
+    * path is REAL lossy-JPEG machinery — that is what lets a SQL
+    * oracle gate a compressed-codec decode end to end. Container
+    * carries real avih/strh/strf headers; w and h must be multiples
+    * of 8 (whole JPEG blocks). */
+  def syntheticMjpegAvi(
+      id: Long, w: Int, h: Int, frames: Int, fps: Int = 25): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0, "whole JPEG blocks only")
+    require(fps > 0, "fps must be positive")
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def chunk(cc: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(cc.getBytes("US-ASCII")); out.write(le32(data.length))
+      out.write(data)
+      if ((data.length & 1) == 1) out.write(0)
+      out.toByteArray
+    }
+    def list(listType: String, payload: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("LIST".getBytes("US-ASCII"))
+      out.write(le32(payload.length + 4))
+      out.write(listType.getBytes("US-ASCII")); out.write(payload)
+      out.toByteArray
+    }
+    val jpegs = (0 until frames).map { fr =>
+      val v = (((id * 31 + fr * 13) % 16 + 16) % 16).toInt * 16
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.getRaster.setSample(x, y, 0, v); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val avih = {
+      val b = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(1000000 / fps) // dwMicroSecPerFrame
+      b.putInt(0).putInt(0).putInt(0)
+      b.putInt(frames) // dwTotalFrames
+      b.putInt(0)
+      b.putInt(1) // dwStreams
+      b.putInt(0)
+      b.putInt(w).putInt(h)
+      b.putInt(0).putInt(0).putInt(0).putInt(0)
+      b.array()
+    }
+    val strh = {
+      val b = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+      b.putInt(0).putShort(0).putShort(0).putInt(0)
+      b.putInt(1) // dwScale
+      b.putInt(fps) // dwRate → fps = rate/scale
+      b.putInt(0)
+      b.putInt(frames)
+      b.putInt(0).putInt(-1).putInt(0)
+      b.putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+      b.array()
+    }
+    val strf = {
+      val b = java.nio.ByteBuffer.allocate(40)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(40).putInt(w).putInt(h)
+      b.putShort(1).putShort(24)
+      b.put("MJPG".getBytes("US-ASCII"))
+      b.putInt(w * h * 3).putInt(0).putInt(0).putInt(0).putInt(0)
+      b.array()
+    }
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++
+        list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi",
+      jpegs.map(j => chunk("00dc", j)).reduce(_ ++ _))
+    val payload = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(le32(payload.length))
+    out.write(payload)
     out.toByteArray
   }
 

@@ -825,6 +825,31 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // COMPRESSED video decode (r09): Motion-JPEG in an AVI RIFF
+    // container — hand-parsed RIFF walk, every frame a real JDK
+    // JPEG decode. Synthetic clips carry uniform frames at
+    // multiples-of-16 gray (JPEG round-trip FIXED POINTS), so the
+    // decoded histogram stays a closed form of doc_id even through
+    // the real lossy codec — which is what lets SQL gate it
+    "mm_video_mjpeg" -> ((s, dir) => {
+      val gen = udf { id: Long =>
+        Multimodal.syntheticMjpegAvi(id, 16, 8, (3 + id % 3).toInt)
+      }
+      val withVid = t(s, dir, "documents").select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("vid", gen(col("doc_id")))
+      Multimodal.extractFeatures(withVid, "vid", "doc_id",
+          new Multimodal.MjpegAviDecoder(8), batchSize = 64)
+        .select(col("doc_id") +:
+          element_at(col("features"), 1).cast("long").as("w") +:
+          element_at(col("features"), 2).cast("long").as("h") +:
+          element_at(col("features"), 3).cast("long").as("n_frames") +:
+          element_at(col("features"), 4).cast("long").as("fps") +:
+          (0 until 8).map(b => element_at(col("features"), 5 + b)
+            .cast("long").as(s"hb$b")): _*)
+        .orderBy("doc_id")
+    }),
+
     // corpus heavy hitters: merged Misra-Gries sketch (no token-stream
     // shuffle) -> bounded exact recount via the TermCounts kernel ->
     // provably-true top-k (capacity 64 > vocab here, so the sketch is
@@ -1868,6 +1893,23 @@ object LlmQueries {
         | CAST(nf AS BIGINT) AS n_frames, CAST(25 AS BIGINT) AS fps,
         | $hbs
         |FROM sm GROUP BY doc_id, nf ORDER BY doc_id""".stripMargin
+    },
+    // MJPEG mirror: frame fr of doc id is UNIFORM gray
+    // ((id*31 + fr*13) mod 16)*16 — a JPEG round-trip fixed point, so
+    // the REAL codec decode reproduces it exactly and each frame drops
+    // its full 16×8 = 128 samples into one bin of width 32
+    "mm_video_mjpeg" -> {
+      val hbs = (0 until 8).map(b =>
+        s"CAST(sum(CASE WHEN b = $b THEN 128 ELSE 0 END) AS BIGINT) AS hb$b")
+        .mkString(",\n | ")
+      s"""WITH d AS (SELECT doc_id, 3 + doc_id % 3 AS nf FROM documents),
+        |fr AS (SELECT d.doc_id, d.nf,
+        |    (((d.doc_id*31 + f.f*13) % 16) * 16) // 32 AS b
+        |  FROM d, generate_series(0, 4) AS f(f) WHERE f.f < d.nf)
+        |SELECT doc_id, CAST(16 AS BIGINT) AS w, CAST(8 AS BIGINT) AS h,
+        | CAST(nf AS BIGINT) AS n_frames, CAST(25 AS BIGINT) AS fps,
+        | $hbs
+        |FROM fr GROUP BY doc_id, nf ORDER BY doc_id""".stripMargin
     },
     // same quantized integer sums, same single exact division —
     // (n·G_ij − s_i·s_j) and n²·scale² are both < 2^53, so the double

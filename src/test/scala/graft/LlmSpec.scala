@@ -373,6 +373,31 @@ class LlmSpec extends SparkSpec {
       s"split-path survivors $survivors != brute $bruteSurvivors")
   }
 
+  test("MJPEG-AVI: RIFF walk + real JDK JPEG decode, closed-form histogram") {
+    val id = 7L
+    val frames = 4
+    val avi = Multimodal.syntheticMjpegAvi(id, 16, 8, frames)
+    val dec = new Multimodal.MjpegAviDecoder(8)
+    val f = dec.decodeBatch(Seq(avi)).head
+    assert(f(0) == 16f && f(1) == 8f && f(2) == frames.toFloat &&
+      f(3) == 25f)
+    // uniform frames at multiples of 16 are JPEG round-trip fixed
+    // points → the histogram is the closed form of (id, frame)
+    val expected = Array.ofDim[Float](8)
+    (0 until frames).foreach { fr =>
+      expected(((id * 31 + fr * 13) % 16).toInt * 16 / 32) += 16 * 8
+    }
+    assert(f.drop(4).toSeq == expected.toSeq)
+    // frame striding: n_frames still counts all, histogram every 2nd
+    val f2 = new Multimodal.MjpegAviDecoder(8, frameStride = 2)
+      .decodeBatch(Seq(avi)).head
+    assert(f2(2) == frames.toFloat && f2.drop(4).sum == 2 * 16 * 8)
+    // poison pills: null, garbage, RIFF-but-truncated → all-zero
+    val pills = dec.decodeBatch(Seq(null, Array[Byte](1, 2, 3),
+      "RIFF   AVI ".getBytes("US-ASCII")))
+    assert(pills.forall(_.forall(_ == 0f)))
+  }
+
   test("persisted IVF index: partition-pruned probe == in-memory probe") {
     val vecs = (0 until 40).map { i =>
       val base = Array(0.0f, 0.0f, 0.0f, 0.0f)
