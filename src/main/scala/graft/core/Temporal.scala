@@ -768,6 +768,13 @@ object Temporal {
       t_last: Option[Long],
       completed: Boolean)
 
+  /** One row of [[funnelTimes]] output: `stage_ts(i)` is the matched
+    * timestamp of step i (length = stages reached). */
+  final case class FunnelTimesRow(
+      user_id: Long,
+      stages: Long,
+      stage_ts: Seq[Long])
+
   /** Funnel analysis: per user, the earliest ordered completion of
     * `steps` within `withinUs` of the first step — the standard
     * event-analytics "signup → activate → purchase" question.
@@ -796,6 +803,27 @@ object Temporal {
       tsCol: Column,
       stepCol: String,
       steps: Seq[String],
+      withinUs: Long): DataFrame =
+    funnelTimes(df, userCol, tsCol, stepCol, steps, withinUs)
+      .select(col("user_id"), col("stages"),
+        when(col("stages") > 0, element_at(col("stage_ts"), 1))
+          .as("t_first"),
+        when(col("stages") > 0,
+          element_at(col("stage_ts"), col("stages").cast("int")))
+          .as("t_last"),
+        (col("stages") === lit(steps.length.toLong)).as("completed"))
+
+  /** [[funnel]] with the full per-stage timestamp vector: (user_id,
+    * stages, stage_ts) where `stage_ts(i)` is the matched time of step
+    * i (length = stages). Same automaton, same O(1)-per-user state
+    * plus the ≤ k-long stage array — the input to per-step drop-off /
+    * time-to-convert reporting ([[funnelDropoff]]). */
+  def funnelTimes(
+      df: DataFrame,
+      userCol: String,
+      tsCol: Column,
+      stepCol: String,
+      steps: Seq[String],
       withinUs: Long): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size, "funnel steps must be unique")
@@ -813,26 +841,22 @@ object Temporal {
     val k = steps.length
     val stepArr = steps.toArray
     pruned.mapPartitions { it =>
-      new Iterator[FunnelRow] {
+      new Iterator[FunnelTimesRow] {
         private var cur: Option[Long] = None
         private var stage = 0
-        private var tFirst = 0L
-        private var tPrev = 0L
-        private var pending: FunnelRow = null
-        private def close(): FunnelRow = FunnelRow(
-          cur.get, stage,
-          if (stage > 0) Some(tFirst) else None,
-          if (stage > 0) Some(tPrev) else None,
-          stage == k)
+        private val ts = new Array[Long](k)
+        private var pending: FunnelTimesRow = null
+        private def close(): FunnelTimesRow = FunnelTimesRow(
+          cur.get, stage, ts.take(stage).toSeq)
         private def step(): Unit =
           while (pending == null && it.hasNext) {
             val (u, t, s) = it.next()
             if (cur.isEmpty) { cur = Some(u); stage = 0 }
             else if (cur.get != u) { pending = close(); cur = Some(u); stage = 0 }
             if (stage < k && s == stepArr(stage) &&
-                (stage == 0 || (t > tPrev && t - tFirst <= withinUs))) {
-              if (stage == 0) tFirst = t
-              tPrev = t
+                (stage == 0 ||
+                  (t > ts(stage - 1) && t - ts(0) <= withinUs))) {
+              ts(stage) = t
               stage += 1
             }
           }
@@ -840,12 +864,58 @@ object Temporal {
           step()
           pending != null || (cur.nonEmpty && !it.hasNext)
         }
-        override def next(): FunnelRow = {
+        override def next(): FunnelTimesRow = {
           step()
           if (pending != null) { val r = pending; pending = null; r }
           else { val r = close(); cur = None; r }
         }
       }
-    }.toDF("user_id", "stages", "t_first", "t_last", "completed")
+    }.toDF("user_id", "stages", "stage_ts")
+  }
+
+  /** Per-step funnel drop-off table — the reporting twin of the cohort
+    * rollup: for each stage s (1-based, named by its step),
+    * `n_entered` = users who reached stage s, `n_converted` = users
+    * who went on to stage s+1, `conversion_rate` = their ratio, and
+    * `median_us_to_next` = exact median (numpy-style interpolation,
+    * the A4 percentile contract) of the time from the stage-s match to
+    * the stage-(s+1) match over converters. The final stage reports
+    * 0 converted / null timing.
+    *
+    * Shape: [[funnelTimes]] (one bounded row per funnel user) → a ≤
+    * k-way explode of reached stages → one aggregation to k rows. The
+    * exact median shuffles the per-stage dt multiset (one value per
+    * converting user); at extreme scale swap in the GK-guarded
+    * estimation path the T2/T3 thresholds use
+    * ([[graft.stats.Quantiles.defaultMaxExactRows]]). */
+  def funnelDropoff(
+      df: DataFrame,
+      userCol: String,
+      tsCol: Column,
+      stepCol: String,
+      steps: Seq[String],
+      withinUs: Long): DataFrame = {
+    val k = steps.length
+    val ft = funnelTimes(df, userCol, tsCol, stepCol, steps, withinUs)
+    ft.filter(col("stages") >= 1)
+      .select(col("stages"), col("stage_ts"),
+        explode(sequence(lit(1L), col("stages"))).as("stage"))
+      .select(col("stage"),
+        (col("stages") > col("stage")).as("conv"),
+        when(col("stages") > col("stage"),
+          element_at(col("stage_ts"), (col("stage") + 1).cast("int")) -
+            element_at(col("stage_ts"), col("stage").cast("int")))
+          .as("dt_next"))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_entered"),
+        sum(when(col("conv"), 1L).otherwise(0L)).as("n_converted"),
+        percentile(col("dt_next"), lit(0.5)).as("median_us_to_next"))
+      .select(col("stage"),
+        element_at(typedlit(steps), col("stage").cast("int")).as("step"),
+        col("n_entered"), col("n_converted"),
+        (col("n_converted").cast("double") / col("n_entered"))
+          .as("conversion_rate"),
+        col("median_us_to_next"))
+      .orderBy("stage")
   }
 }

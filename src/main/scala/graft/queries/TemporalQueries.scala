@@ -189,6 +189,17 @@ object TemporalQueries {
         .orderBy("cohort_week")
     }),
 
+    // funnel drop-off (r09): per-step entered / converted / rate /
+    // exact-median time-to-next — the third member of the funnel
+    // reporting family (per-user rows → ≤k-way stage explode → one
+    // KB-scale aggregate)
+    "funnel_dropoff" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), tsUs.as("us"), col("event_type"))
+      Temporal.funnelDropoff(ev, "user_id", col("us"), "event_type",
+        Seq("signup", "click", "purchase"), withinUs = 604800000000L)
+    }),
+
     // cohort retention: users active in week cohort+k, per signup-week
     // cohort — the other half of the product-analytics pair with the
     // funnel. Shape: two aggregates (cohort dim = one row per signed-up
@@ -250,6 +261,36 @@ object TemporalQueries {
         |LEFT JOIN u2 ON u2.u = u1.u
         |LEFT JOIN u3 ON u3.u = u1.u
         |GROUP BY cohort_week ORDER BY cohort_week""".stripMargin,
+    // drop-off mirror: the nested-min CTE chain extended to carry each
+    // stage's predecessor time, then three per-stage aggregate rows;
+    // median = quantile_cont ≡ Spark's exact percentile (A4 contract)
+    "funnel_dropoff" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS s FROM events
+        |  WHERE event_type IN ('signup', 'click', 'purchase') AND ts IS NOT NULL),
+        |u1 AS (SELECT u, min(t) AS t1 FROM e WHERE s = 'signup' GROUP BY u),
+        |u2 AS (SELECT e.u, min(t) AS t2, any_value(t1) AS t1b FROM e JOIN u1 USING (u)
+        |  WHERE s = 'click' AND t > t1 AND t <= t1 + 604800000000 GROUP BY e.u),
+        |u3 AS (SELECT e.u, min(t) AS t3, any_value(t2) AS t2b FROM e JOIN u2 USING (u)
+        |  WHERE s = 'purchase' AND t > t2 AND t <= t1b + 604800000000 GROUP BY e.u)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS step,
+        |    (SELECT count(*) FROM u1) AS n_entered,
+        |    (SELECT count(*) FROM u2) AS n_converted,
+        |    CAST((SELECT count(*) FROM u2) AS DOUBLE) / (SELECT count(*) FROM u1) AS conversion_rate,
+        |    (SELECT quantile_cont(t2 - t1b, 0.5) FROM u2) AS median_us_to_next
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'click',
+        |    (SELECT count(*) FROM u2),
+        |    (SELECT count(*) FROM u3),
+        |    CAST((SELECT count(*) FROM u3) AS DOUBLE) / (SELECT count(*) FROM u2),
+        |    (SELECT quantile_cont(t3 - t2b, 0.5) FROM u3)
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), 'purchase',
+        |    (SELECT count(*) FROM u3),
+        |    CAST(0 AS BIGINT),
+        |    0.0,
+        |    NULL
+        |) ORDER BY stage""".stripMargin,
     "retention_cohorts" ->
       """WITH s AS (SELECT user_id AS u, min(epoch_us(ts) // 604800000000) AS cw
         |  FROM events WHERE event_type = 'signup' GROUP BY u),

@@ -19,8 +19,13 @@ import java.util.zip.Inflater
   *   - v1 object headers (incl. continuation blocks) and v2 "OHDR"
   *     headers (h5py `libver='latest'`; incl. "OCHK" continuations)
   *   - symbol-table groups (v1 B-tree + SNOD + local heap) and
-  *     new-style groups with COMPACT link messages (dense/fractal-heap
-  *     link storage fails loudly by name)
+  *     new-style groups with COMPACT link messages or DENSE link
+  *     storage (fractal heap + name-index v2 B-tree, r09 — what h5py
+  *     emits past max_compact links or with `track_order=True`); dense
+  *     ATTRIBUTE storage reads through the same machinery. Subset
+  *     bounds: unfiltered heaps, managed objects, root direct block or
+  *     an indirect root of direct rows, B-tree depth ≤ 1 (thousands of
+  *     links at default node sizes) — beyond fails loudly by name
   *   - dataspace v1/v2 (simple, any rank)
   *   - datatypes: fixed-point (1/2/4/8-byte, signed/unsigned LE),
   *     IEEE float (4/8-byte LE), fixed-length strings
@@ -180,6 +185,195 @@ final class Hdf5File(path: String) extends AutoCloseable {
     out.result()
   }
 
+  // --------------------------------------- fractal heap + v2 B-tree
+  // ("Disk Format: Level 1F — Fractal Heap" / "Level 1A2 — Version 2
+  // B-trees") — the DENSE storage machinery h5py emits for groups with
+  // many links (> max_compact, default 8) or `track_order=True`, and
+  // for objects with many attributes. Subset: unfiltered heaps,
+  // managed objects only (link/attribute messages are tiny — huge/tiny
+  // object classes never arise), root direct block or a root indirect
+  // block of DIRECT rows; B-trees of depth ≤ 1. Everything beyond
+  // fails loudly by name.
+
+  private final case class FractalHeap(
+      idLen: Int,
+      maxHeapBits: Int,
+      tableWidth: Int,
+      startBlockSize: Long,
+      maxDirectSize: Long,
+      rootAddr: Long,
+      curRows: Int)
+
+  private def fractalHeapHeader(addr: Long): FractalHeap = {
+    require(new String(bytesAt(addr, 4), "ASCII") == "FRHP",
+      s"$path@$addr: expected fractal heap header")
+    require(u8(addr + 4) == 0,
+      s"$path@$addr: fractal heap version ${u8(addr + 4)} unsupported")
+    val idLen = u16(addr + 5)
+    val filterLen = u16(addr + 7)
+    require(filterLen == 0,
+      s"$path@$addr: filtered fractal heaps are outside the supported " +
+        "subset (h5py link/attribute heaps are unfiltered)")
+    FractalHeap(
+      idLen = idLen,
+      tableWidth = u16(addr + 110),
+      startBlockSize = u64(addr + 112),
+      maxDirectSize = u64(addr + 120),
+      maxHeapBits = u16(addr + 128),
+      rootAddr = u64(addr + 132),
+      curRows = u16(addr + 140))
+  }
+
+  /** Managed-object bytes for a heap ID (offset/length into the heap's
+    * linear address space, which maps 1:1 onto block bytes INCLUDING
+    * each direct block's header — the first object's offset is past the
+    * first header, never 0). */
+  private def fractalHeapObject(fh: FractalHeap, heapId: Array[Byte])
+      : Array[Byte] = {
+    require((heapId(0) & 0x30) == 0,
+      s"$path: only MANAGED fractal-heap objects are supported " +
+        s"(heap ID type ${(heapId(0) & 0x30) >> 4})")
+    val offBytes = (fh.maxHeapBits + 7) / 8
+    val lenBytes = fh.idLen - 1 - offBytes
+    require(offBytes >= 1 && offBytes <= 8 && lenBytes >= 1 && lenBytes <= 8,
+      s"$path: unsupported fractal-heap ID layout (idLen ${fh.idLen}, " +
+        s"maxHeapBits ${fh.maxHeapBits})")
+    def le(from: Int, n: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < n) { v |= (heapId(from + i) & 0xFFL) << (8 * i); i += 1 }
+      v
+    }
+    val off = le(1, offBytes)
+    val len = le(1 + offBytes, lenBytes).toInt
+    // locate the direct block covering `off`
+    val (blockAddr, blockStart) =
+      if (fh.curRows == 0) (fh.rootAddr, 0L) // root IS a direct block
+      else {
+        // root indirect block: rows of direct-block addresses, row r
+        // size = start (r ≤ 1) else start · 2^(r−1), tableWidth per row
+        require(new String(bytesAt(fh.rootAddr, 4), "ASCII") == "FHIB",
+          s"$path@${fh.rootAddr}: expected fractal heap indirect block")
+        val offBytesIb = (fh.maxHeapBits + 7) / 8
+        val entries0 = fh.rootAddr + 4 + 1 + 8 + offBytesIb
+        val maxDirectRows = (java.lang.Long.numberOfTrailingZeros(
+          java.lang.Long.highestOneBit(fh.maxDirectSize)) -
+          java.lang.Long.numberOfTrailingZeros(
+            java.lang.Long.highestOneBit(fh.startBlockSize))) + 2
+        var found: Option[(Long, Long)] = None
+        var cum = 0L
+        var r = 0
+        while (found.isEmpty && r < fh.curRows) {
+          require(r < maxDirectRows,
+            s"$path@${fh.rootAddr}: nested indirect fractal-heap blocks " +
+              "are outside the supported subset")
+          val rowSize =
+            if (r <= 1) fh.startBlockSize else fh.startBlockSize << (r - 1)
+          var c = 0
+          while (found.isEmpty && c < fh.tableWidth) {
+            if (off >= cum && off < cum + rowSize) {
+              val a = u64(entries0 + (r * fh.tableWidth + c) * 8L)
+              require(a != UNDEF,
+                s"$path: fractal-heap offset $off points into an " +
+                  "unallocated direct block")
+              found = Some((a, cum))
+            }
+            cum += rowSize
+            c += 1
+          }
+          r += 1
+        }
+        found.getOrElse(throw new IllegalStateException(
+          s"$path: fractal-heap offset $off beyond the root indirect " +
+            s"block's ${fh.curRows} row(s)"))
+      }
+    require(new String(bytesAt(blockAddr, 4), "ASCII") == "FHDB",
+      s"$path@$blockAddr: expected fractal heap direct block")
+    bytesAt(blockAddr + (off - blockStart), len)
+  }
+
+  /** All records of a version-2 B-tree, in tree order. Depth ≤ 1 (a
+    * root leaf, or a root internal node of leaves — thousands of
+    * records at default node sizes); deeper trees fail loudly. */
+  private def v2BtreeRecords(addr: Long, expectType: Int)
+      : Seq[Array[Byte]] = {
+    require(new String(bytesAt(addr, 4), "ASCII") == "BTHD",
+      s"$path@$addr: expected v2 B-tree header")
+    require(u8(addr + 4) == 0,
+      s"$path@$addr: v2 B-tree version ${u8(addr + 4)} unsupported")
+    val btType = u8(addr + 5)
+    require(btType == expectType,
+      s"$path@$addr: v2 B-tree record type $btType (expected $expectType)")
+    val nodeSize = u32(addr + 6)
+    val recordSize = u16(addr + 10)
+    val depth = u16(addr + 12)
+    val rootAddr = u64(addr + 16)
+    val rootNRecs = u16(addr + 24)
+    require(depth <= 1,
+      s"$path@$addr: v2 B-tree depth $depth is outside the supported " +
+        "subset (≤ 1)")
+    val out = Seq.newBuilder[Array[Byte]]
+    // capacity of a leaf: node minus prefix (sig 4 + ver 1 + type 1)
+    // and checksum (4); sizes of internal child-pointer count fields
+    // derive from it ("III.A.2: Child Node Pointer")
+    val leafCap = ((nodeSize - 10) / recordSize).toInt
+    def minBytes(v: Long): Int = {
+      var n = 1
+      while ((v >> (8 * n)) != 0) n += 1
+      n
+    }
+    val childNRecBytes = minBytes(leafCap.toLong)
+    def leafRecords(a: Long, n: Int): Unit = {
+      require(new String(bytesAt(a, 4), "ASCII") == "BTLF",
+        s"$path@$a: expected v2 B-tree leaf")
+      val body = bytesAt(a + 6, n * recordSize)
+      var i = 0
+      while (i < n) {
+        out += java.util.Arrays.copyOfRange(body,
+          i * recordSize, (i + 1) * recordSize)
+        i += 1
+      }
+    }
+    if (depth == 0) leafRecords(rootAddr, rootNRecs)
+    else {
+      require(new String(bytesAt(rootAddr, 4), "ASCII") == "BTIN",
+        s"$path@$rootAddr: expected v2 B-tree internal node")
+      // N records then N+1 child pointers {addr(8), nrec(childNRecBytes)}
+      val recs = bytesAt(rootAddr + 6, rootNRecs * recordSize)
+      val ptrBase = rootAddr + 6 + rootNRecs * recordSize
+      val ptrSize = 8 + childNRecBytes
+      var i = 0
+      while (i <= rootNRecs) {
+        val pa = ptrBase + i.toLong * ptrSize
+        val childAddr = u64(pa)
+        var nrec = 0L
+        var b = 0
+        while (b < childNRecBytes) {
+          nrec |= (u8(pa + 8 + b).toLong & 0xFF) << (8 * b)
+          b += 1
+        }
+        leafRecords(childAddr, nrec.toInt)
+        if (i < rootNRecs)
+          out += java.util.Arrays.copyOfRange(recs,
+            i * recordSize, (i + 1) * recordSize)
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Dense group links: name-index v2 B-tree records (type 5: 4-byte
+    * name hash + heap ID) → link-message bytes from the fractal heap →
+    * the same [[parseLink]] as compact storage. */
+  private def denseLinks(fheapAddr: Long, nameBtAddr: Long)
+      : Seq[(String, Long)] = {
+    val fh = fractalHeapHeader(fheapAddr)
+    v2BtreeRecords(nameBtAddr, 5).map { rec =>
+      val heapId = java.util.Arrays.copyOfRange(rec, 4, rec.length)
+      parseLink(fractalHeapObject(fh, heapId))
+    }
+  }
+
   // ------------------------------------------------------------- groups
 
   private def localHeapDataSeg(addr: Long): Long = {
@@ -218,18 +412,22 @@ final class Hdf5File(path: String) extends AutoCloseable {
     if (stabOpt.isEmpty) {
       val links = msgs.collect { case (0x06, body) => parseLink(body) }
       if (links.nonEmpty) return links
-      // no links: either a genuinely empty new-style group or dense
-      // storage (links in a fractal heap) — message 0x02 (Link Info)
-      // tells them apart
+      // no compact links: either a genuinely empty new-style group or
+      // DENSE storage (links in a fractal heap, indexed by a name v2
+      // B-tree) — message 0x02 (Link Info) tells them apart and names
+      // the structures (r09: dense storage is now read, not rejected —
+      // h5py emits it for > max_compact links or track_order=True)
       msgs.collectFirst { case (0x02, body) => body }.foreach { body =>
         val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
         val fl = body(1) & 0xFF
         val heapOff = 2 + (if ((fl & 0x01) != 0) 8 else 0)
-        require(bb.getLong(heapOff) == UNDEF,
-          s"$path@$headerAddr: dense link storage (fractal heap) is " +
-            "outside the supported subset — rewrite the file with " +
-            "compact links (h5py default below 8 links per group)")
-        return Nil // empty new-style group
+        val fheapAddr = bb.getLong(heapOff)
+        if (fheapAddr == UNDEF) return Nil // empty new-style group
+        val nameBtAddr = bb.getLong(heapOff + 8)
+        require(nameBtAddr != UNDEF,
+          s"$path@$headerAddr: dense link storage without a name index " +
+            "B-tree")
+        return denseLinks(fheapAddr, nameBtAddr)
       }
     }
     val stab = stabOpt.getOrElse(throw new UnsupportedOperationException(
@@ -327,22 +525,36 @@ final class Hdf5File(path: String) extends AutoCloseable {
   def attributes(objectPath: String): Map[String, Any] = {
     val msgs = headerMessages(resolve(objectPath))
     // DENSE attribute storage (h5py: > 8 attributes with
-    // libver='latest') moves attributes into a fractal heap behind an
-    // Attribute Info message — absent from the compact subset. Without
-    // this check the method would silently return {} for such files,
-    // breaking the fail-loudly contract.
-    msgs.collectFirst { case (0x15, body) => body }.foreach { body =>
-      val fl = body(1) & 0xFF
-      val heapOff = 2 + (if ((fl & 0x01) != 0) 2 else 0)
-      val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
-      require(bb.getLong(heapOff) == UNDEF,
-        s"$path/$objectPath: dense attribute storage (fractal heap) is " +
-          "outside the supported subset — rewrite with compact " +
-          "attributes (h5py default up to 8 attributes per object)")
-    }
-    msgs.collect {
+    // libver='latest') moves attribute messages into a fractal heap
+    // behind an Attribute Info message, name-indexed by a v2 B-tree
+    // (record type 8: 8-byte heap ID + message flags + creation order +
+    // name hash) — read through the same machinery as dense links
+    // (r09; previously rejected loudly).
+    val dense = msgs.collectFirst { case (0x15, body) => body }.toSeq
+      .flatMap { body =>
+        val fl = body(1) & 0xFF
+        val heapOff = 2 + (if ((fl & 0x01) != 0) 2 else 0)
+        val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+        val fheapAddr = bb.getLong(heapOff)
+        if (fheapAddr == UNDEF) Nil
+        else {
+          val nameBtAddr = bb.getLong(heapOff + 8)
+          require(nameBtAddr != UNDEF,
+            s"$path/$objectPath: dense attribute storage without a " +
+              "name index B-tree")
+          val fh = fractalHeapHeader(fheapAddr)
+          v2BtreeRecords(nameBtAddr, 8).map { rec =>
+            // the record's heap-ID field is 8 bytes; the heap's actual
+            // ID length governs how many of them are meaningful
+            val heapId = java.util.Arrays.copyOfRange(rec, 0,
+              math.min(fh.idLen, 8))
+            parseAttribute(fractalHeapObject(fh, heapId), objectPath)
+          }
+        }
+      }
+    (msgs.collect {
       case (0x0C, body) => parseAttribute(body, objectPath)
-    }.toMap
+    } ++ dense).toMap
   }
 
   /** One attribute message (v1/v2/v3) → (name, decoded value). */

@@ -67,16 +67,17 @@ class Hdf5Spec extends SparkSpec {
       assert(h.list("/empty").isEmpty)
     } finally h.close()
 
-    // dense attribute storage (Attribute Info with a DEFINED fractal
-    // heap) names itself instead of silently returning {} — the
-    // fail-loudly contract for the one v2 feature outside the subset
+    // a MALFORMED dense attribute layout (defined fractal heap, but no
+    // name-index B-tree) still names itself instead of silently
+    // returning {} — the fail-loudly contract (valid dense storage is
+    // READ since r09, see the dense-storage tests)
     val fDense = tmp("dense.h5")
     val attrInfo = {
       val bb = java.nio.ByteBuffer.allocate(18)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       bb.put(0.toByte); bb.put(0.toByte)
       bb.putLong(4096L) // fractal heap address: DEFINED → dense
-      bb.putLong(-1L)
+      bb.putLong(-1L) // …but no name index: malformed
       bb.array()
     }
     Hdf5TestWriter.writeTreeV2(fDense, Hdf5TestWriter.GroupNode(Map(
@@ -88,6 +89,72 @@ class Hdf5Spec extends SparkSpec {
       }
       assert(ex.getMessage.contains("dense attribute storage"))
     } finally hd.close()
+  }
+
+  test("dense link storage: fractal heap + name B-tree, root leaf") {
+    import Hdf5TestWriter._
+    val f = tmp("dense_links.h5")
+    // 40 links > h5py's max_compact (8) → dense storage; 40 records fit
+    // one 512-byte B-tree leaf ((512−10)/11 = 45)
+    val children: Map[String, Node] = (0 until 40).map { i =>
+      f"ds$i%02d" -> (DatasetNode(LongCol(f"ds$i%02d",
+        Array.tabulate(5)(j => i * 100L + j))): Node)
+    }.toMap
+    writeTreeV2(f, GroupNode(Map("big" -> DenseGroupNode(children))))
+    val h = new Hdf5File(f)
+    try {
+      assert(h.isGroup("/big"))
+      assert(h.list("/big") == (0 until 40).map(i => f"ds$i%02d"))
+      // every link resolves through the heap and reads its data
+      assert(h.readLongs("/big/ds00").toSeq ==
+        Seq(0L, 1L, 2L, 3L, 4L))
+      assert(h.readLongs("/big/ds37").toSeq ==
+        Seq(3700L, 3701L, 3702L, 3703L, 3704L))
+    } finally h.close()
+  }
+
+  test("dense link storage: depth-1 name B-tree (internal + leaves)") {
+    import Hdf5TestWriter._
+    val f = tmp("dense_links_deep.h5")
+    // node size 64 → 4 records per leaf → 40 links force an internal
+    // root (the depth-1 reader path)
+    val children: Map[String, Node] = (0 until 40).map { i =>
+      f"d$i%02d" -> (DatasetNode(LongCol(f"d$i%02d",
+        Array(i.toLong))): Node)
+    }.toMap
+    writeTreeV2(f, GroupNode(Map(
+      "deep" -> DenseGroupNode(children, btNodeSize = 64))))
+    val h = new Hdf5File(f)
+    try {
+      assert(h.list("/deep") == (0 until 40).map(i => f"d$i%02d"))
+      assert((0 until 40).forall(i =>
+        h.readLongs(f"/deep/d$i%02d").toSeq == Seq(i.toLong)))
+    } finally h.close()
+  }
+
+  test("dense attribute storage: fractal heap + type-8 name B-tree") {
+    import Hdf5TestWriter._
+    val f = tmp("dense_attrs.h5")
+    // 12 attributes > h5py's compact limit (8) → dense storage
+    val attrs = (0 until 12).map { i =>
+      f"meta$i%02d" -> (if (i % 3 == 0) ALong(i.toLong * 7)
+        else if (i % 3 == 1) ADouble(i * 0.5)
+        else AStr(s"v$i"): Attr)
+    }
+    writeTreeV2(f, GroupNode(Map(
+      "obj" -> DenseGroupNode(
+        Map("child" -> DatasetNode(LongCol("child", Array(1L, 2L)))),
+        attrs = attrs, denseAttrs = true))))
+    val h = new Hdf5File(f)
+    try {
+      val got = h.attributes("/obj")
+      assert(got.size == 12)
+      assert(got("meta00") == 0L && got("meta03") == 21L)
+      assert(got("meta01") == 0.5 && got("meta04") == 2.0)
+      assert(got("meta02") == "v2" && got("meta11") == "v11")
+      // the dense group's links still resolve
+      assert(h.readLongs("/obj/child").toSeq == Seq(1L, 2L))
+    } finally h.close()
   }
 
   test("chunked + deflate + shuffle round trip, partial edge chunk") {

@@ -46,6 +46,15 @@ object Hdf5TestWriter {
       attrs: Seq[(String, Attr)] = Nil) extends Node
   final case class GroupNode(children: Map[String, Node],
       attrs: Seq[(String, Attr)] = Nil) extends Node
+  /** v2-writer group with DENSE storage: links in a fractal heap behind
+    * a name-index v2 B-tree (what h5py emits past max_compact or with
+    * `track_order=True`); `denseAttrs` routes the attributes through
+    * the same machinery (h5py: > 8 attributes). `btNodeSize` shrinks
+    * the B-tree node to force a depth-1 tree at test scale. */
+  final case class DenseGroupNode(children: Map[String, Node],
+      attrs: Seq[(String, Attr)] = Nil,
+      denseAttrs: Boolean = false,
+      btNodeSize: Int = 512) extends Node
   /** Raw header messages, v2 writer only — for negative tests that
     * need message types the writer does not model (e.g. a dense
     * Attribute Info message). */
@@ -98,6 +107,8 @@ object Hdf5TestWriter {
   private def writeNode(buf: GrowBuf, node: Node): Long = node match {
     case RawV2Node(_) =>
       throw new IllegalArgumentException("RawV2Node is v2-writer-only")
+    case _: DenseGroupNode =>
+      throw new IllegalArgumentException("DenseGroupNode is v2-writer-only")
     case DatasetNode(c, attrs) => writeDataset(buf, c, attrs)
     case GroupNode(children, attrs) =>
       val sorted = children.toSeq.sortBy(_._1)
@@ -445,6 +456,18 @@ object Hdf5TestWriter {
     java.nio.file.Files.write(java.nio.file.Paths.get(path), buf.toArray)
   }
 
+  private def linkBody(name: String, addr: Long): Array[Byte] = {
+    val nb = name.getBytes("UTF-8")
+    val mb = ByteBuffer.allocate(3 + nb.length + 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    mb.put(1.toByte) // link message v1
+    mb.put(0.toByte) // flags: 1-byte name length, hard link
+    mb.put(nb.length.toByte)
+    mb.put(nb)
+    mb.putLong(addr)
+    mb.array()
+  }
+
   private def writeNodeV2(buf: GrowBuf, node: Node): Long = node match {
     case RawV2Node(msgs) => writeHeaderV2(buf, msgs)
     case DatasetNode(c, attrs) =>
@@ -452,17 +475,7 @@ object Hdf5TestWriter {
     case GroupNode(children, attrs) =>
       val childAddr = children.toSeq.sortBy(_._1)
         .map { case (n, ch) => n -> writeNodeV2(buf, ch) }
-      val links = childAddr.map { case (n, a) =>
-        val nb = n.getBytes("UTF-8")
-        val mb = ByteBuffer.allocate(3 + nb.length + 8)
-          .order(ByteOrder.LITTLE_ENDIAN)
-        mb.put(1.toByte) // link message v1
-        mb.put(0.toByte) // flags: 1-byte name length, hard link
-        mb.put(nb.length.toByte)
-        mb.put(nb)
-        mb.putLong(a)
-        (0x06, mb.array())
-      }
+      val links = childAddr.map { case (n, a) => (0x06, linkBody(n, a)) }
       // Link Info (0x02) with undefined fractal heap = compact links,
       // as h5py emits for every new-style group — an EMPTY group is
       // recognizable as a group by this message alone
@@ -474,6 +487,232 @@ object Hdf5TestWriter {
       }
       writeHeaderV2(buf,
         (linkInfo +: links) ++ attrs.map { case (n, a) => attrMsg(n, a) })
+    case DenseGroupNode(children, attrs, denseAttrs, btNodeSize) =>
+      val childAddr = children.toSeq.sortBy(_._1)
+        .map { case (n, ch) => n -> writeNodeV2(buf, ch) }
+      // links live in a fractal heap, indexed by a name v2 B-tree
+      // (record type 5: lookup3 name hash + heap ID) — the layout h5py
+      // emits for > max_compact links or track_order=True
+      val (heapAddr, ids) = writeFractalHeap(buf,
+        childAddr.map { case (n, a) => linkBody(n, a) })
+      val recs = childAddr.zip(ids).map { case ((n, _), id) =>
+        val h = lookup3(n.getBytes("UTF-8"))
+        val r = ByteBuffer.allocate(4 + id.length)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        r.putInt(h); r.put(id)
+        (h.toLong & 0xFFFFFFFFL, n, r.array())
+      }.sortBy(t => (t._1, t._2)).map(_._3)
+      val btAddr = writeV2Btree(buf, recs, recType = 5, btNodeSize)
+      val linkInfo = {
+        val mb = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+        mb.put(0.toByte); mb.put(0.toByte)
+        mb.putLong(heapAddr); mb.putLong(btAddr)
+        (0x02, mb.array())
+      }
+      val attrMsgs: Seq[(Int, Array[Byte])] =
+        if (!denseAttrs) attrs.map { case (n, a) => attrMsg(n, a) }
+        else {
+          // dense attributes: attribute-message bodies in their own
+          // fractal heap; name index records (type 8) carry an 8-byte
+          // heap-ID field (the heap's 7-byte IDs zero-padded), message
+          // flags, creation order, and the lookup3 name hash
+          val bodies = attrs.map { case (n, a) => n -> attrMsg(n, a)._2 }
+          val (aHeap, aIds) = writeFractalHeap(buf, bodies.map(_._2))
+          val arecs = bodies.zip(aIds).map { case ((n, _), id) =>
+            val h = lookup3(n.getBytes("UTF-8"))
+            val r = ByteBuffer.allocate(17).order(ByteOrder.LITTLE_ENDIAN)
+            r.put(id); r.put(new Array[Byte](8 - id.length))
+            r.put(0.toByte) // message flags
+            r.putInt(0) // creation order
+            r.putInt(h)
+            (h.toLong & 0xFFFFFFFFL, n, r.array())
+          }.sortBy(t => (t._1, t._2)).map(_._3)
+          val aBt = writeV2Btree(buf, arecs, recType = 8, btNodeSize)
+          val mb = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+          mb.put(0.toByte); mb.put(0.toByte)
+          mb.putLong(aHeap); mb.putLong(aBt)
+          Seq((0x15, mb.array()))
+        }
+      writeHeaderV2(buf, linkInfo +: attrMsgs)
+  }
+
+  /** Fractal heap with ONE root direct block (plenty for link/attribute
+    * messages at test scale): FRHP header + FHDB block; heap IDs are
+    * 7 bytes (managed flags, 4-byte offset into heap space — which
+    * includes the block header — and 2-byte length). Returns the heap
+    * header address and one ID per object. */
+  private def writeFractalHeap(
+      buf: GrowBuf, objects: Seq[Array[Byte]]): (Long, Seq[Array[Byte]]) = {
+    val dbHdr = 4 + 1 + 8 + 4 // sig, version, heap addr, 4-byte offset
+    val need = dbHdr + objects.map(_.length).sum
+    var blockSize = 512L
+    while (blockSize < need) blockSize <<= 1
+    require(blockSize <= 32768,
+      "test fractal heap: too many objects for one direct block")
+    val heapAddr = buf.pos
+    buf.bytes("FRHP".getBytes("ASCII"))
+    buf.u8(0) // version
+    buf.u16(7) // heap ID length
+    buf.u16(0) // I/O filter encoded length
+    buf.u8(0) // flags (no checksummed blocks)
+    buf.u32(4096) // max managed object size
+    buf.u64(0) // next huge id
+    buf.u64(UNDEF) // huge v2 btree
+    buf.u64(0) // free space
+    buf.u64(UNDEF) // free-space manager
+    buf.u64(blockSize) // managed space
+    buf.u64(blockSize) // allocated managed space
+    buf.u64(blockSize) // direct block iterator offset
+    buf.u64(objects.length.toLong) // managed object count
+    buf.u64(0); buf.u64(0); buf.u64(0); buf.u64(0) // huge/tiny sizes+counts
+    buf.u16(4) // table width
+    buf.u64(blockSize) // starting block size
+    buf.u64(32768) // maximum direct block size
+    buf.u16(32) // maximum heap size (bits)
+    buf.u16(1) // starting rows in root indirect block
+    val rootPatch = buf.pos; buf.u64(0)
+    buf.u16(0) // current rows in root indirect block = 0 → root direct
+    buf.u32(0) // checksum (not validated)
+    val dbAddr = buf.pos
+    buf.bytes("FHDB".getBytes("ASCII"))
+    buf.u8(0)
+    buf.u64(heapAddr)
+    buf.u32(0) // block offset within heap space
+    var off = dbHdr.toLong
+    val ids = objects.map { o =>
+      buf.bytes(o)
+      val id = ByteBuffer.allocate(7).order(ByteOrder.LITTLE_ENDIAN)
+      id.put(0.toByte) // managed, version 0
+      id.putInt(off.toInt)
+      id.putShort(o.length.toShort)
+      off += o.length
+      id.array()
+    }
+    buf.zeros((blockSize - off).toInt)
+    buf.patchU64(rootPatch, dbAddr)
+    (heapAddr, ids)
+  }
+
+  /** v2 B-tree over pre-sorted fixed-size records: a root leaf when
+    * they fit, else a depth-1 tree (internal root whose records
+    * separate leaf children) — exercising both reader paths. */
+  private def writeV2Btree(
+      buf: GrowBuf, records: Seq[Array[Byte]], recType: Int,
+      nodeSize: Int): Long = {
+    require(records.nonEmpty, "empty v2 btree not modeled")
+    val recordSize = records.head.length
+    val leafCap = (nodeSize - 10) / recordSize
+    require(leafCap >= 1, "node size too small for one record")
+    def minBytes(v: Long): Int = {
+      var n = 1
+      while ((v >> (8 * n)) != 0) n += 1
+      n
+    }
+    def writeLeaf(recs: Seq[Array[Byte]]): Long = {
+      val a = buf.pos
+      buf.bytes("BTLF".getBytes("ASCII"))
+      buf.u8(0); buf.u8(recType)
+      recs.foreach(buf.bytes)
+      buf.u32(0) // checksum
+      a
+    }
+    val (rootAddr, depth, rootN) =
+      if (records.length <= leafCap) (writeLeaf(records), 0, records.length)
+      else {
+        // depth-1 split: k leaves separated by k−1 records, leaf sizes
+        // distributed evenly (n = Σ leaf sizes + k − 1, each ≤ leafCap)
+        val n = records.length
+        val k = (n + 1 + leafCap) / (leafCap + 1) // ceil((n+1)/(cap+1))
+        val leafTotal = n - (k - 1)
+        val base = leafTotal / k
+        val extra = leafTotal % k
+        val leaves = Seq.newBuilder[(Long, Int)]
+        val seps = Seq.newBuilder[Array[Byte]]
+        var i = 0
+        var li = 0
+        while (li < k) {
+          val sz = base + (if (li < extra) 1 else 0)
+          require(sz >= 1 && sz <= leafCap, s"bad leaf split size $sz")
+          leaves += ((writeLeaf(records.slice(i, i + sz)), sz))
+          i += sz
+          if (li < k - 1) { seps += records(i); i += 1 }
+          li += 1
+        }
+        val a = buf.pos
+        buf.bytes("BTIN".getBytes("ASCII"))
+        buf.u8(0); buf.u8(recType)
+        val sepSeq = seps.result()
+        sepSeq.foreach(buf.bytes)
+        val nb = minBytes(leafCap.toLong)
+        leaves.result().foreach { case (addr, n) =>
+          buf.u64(addr)
+          var b = 0
+          while (b < nb) { buf.u8((n >> (8 * b)) & 0xFF); b += 1 }
+        }
+        buf.u32(0) // checksum
+        (a, 1, sepSeq.length)
+      }
+    val hdr = buf.pos
+    buf.bytes("BTHD".getBytes("ASCII"))
+    buf.u8(0); buf.u8(recType)
+    buf.u32(nodeSize.toLong)
+    buf.u16(recordSize)
+    buf.u16(depth)
+    buf.u8(100); buf.u8(40) // split / merge percent
+    buf.u64(rootAddr)
+    buf.u16(rootN)
+    buf.u64(records.length.toLong)
+    buf.u32(0) // checksum
+    hdr
+  }
+
+  /** Jenkins lookup3 ("hashlittle", initval 0) — the hash HDF5 keys
+    * dense-storage name indexes by. The reader iterates records rather
+    * than probing by hash, but the fixture writes the real thing so the
+    * files stay faithful to what h5py emits. */
+  private def lookup3(key: Array[Byte]): Int = {
+    @inline def rot(x: Int, k: Int): Int = (x << k) | (x >>> (32 - k))
+    var a = 0xdeadbeef + key.length
+    var b = a
+    var c = a
+    var i = 0
+    var len = key.length
+    def k(j: Int): Int = key(i + j) & 0xFF
+    while (len > 12) {
+      a += k(0) | (k(1) << 8) | (k(2) << 16) | (k(3) << 24)
+      b += k(4) | (k(5) << 8) | (k(6) << 16) | (k(7) << 24)
+      c += k(8) | (k(9) << 8) | (k(10) << 16) | (k(11) << 24)
+      a -= c; a ^= rot(c, 4); c += b
+      b -= a; b ^= rot(a, 6); a += c
+      c -= b; c ^= rot(b, 8); b += a
+      a -= c; a ^= rot(c, 16); c += b
+      b -= a; b ^= rot(a, 19); a += c
+      c -= b; c ^= rot(b, 4); b += a
+      i += 12
+      len -= 12
+    }
+    if (len > 0) {
+      if (len >= 1) a += k(0)
+      if (len >= 2) a += k(1) << 8
+      if (len >= 3) a += k(2) << 16
+      if (len >= 4) a += k(3) << 24
+      if (len >= 5) b += k(4)
+      if (len >= 6) b += k(5) << 8
+      if (len >= 7) b += k(6) << 16
+      if (len >= 8) b += k(7) << 24
+      if (len >= 9) c += k(8)
+      if (len >= 10) c += k(9) << 8
+      if (len >= 11) c += k(10) << 16
+      if (len >= 12) c += k(11) << 24
+      c ^= b; c -= rot(b, 14)
+      a ^= c; a -= rot(c, 11)
+      b ^= a; b -= rot(a, 25)
+      c ^= b; c -= rot(b, 16)
+      a ^= c; a -= rot(c, 4)
+      b ^= a; b -= rot(a, 14)
+      c ^= b; c -= rot(b, 24)
+    }
+    c
   }
 
   /** v2 object header: "OHDR", flags=0x02 (4-byte chunk-0 size), 1-byte

@@ -508,6 +508,35 @@ class TemporalSpec extends SparkSpec {
     assert(run(ev.repartition(7)) == got)
   }
 
+  test("funnelTimes + funnelDropoff: per-stage times and drop-off table") {
+    val steps = Seq("a", "b", "c")
+    val ev = Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"), // complete, dt 10/10
+      (2L, 5L, "a"), (2L, 45L, "b"), // stage 2, dt1 = 40
+      (3L, 10L, "a"), // stage 1
+      (4L, 10L, "b")) // stage 0 — excluded from the table
+      .toDF("u", "t", "s")
+    val times = Temporal.funnelTimes(ev, "u", col("t"), "s", steps, 100L)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toSeq))
+    assert(times.toSeq == Seq(
+      (1L, 3L, Seq(10L, 20L, 30L)),
+      (2L, 2L, Seq(5L, 45L)),
+      (3L, 1L, Seq(10L)),
+      (4L, 0L, Seq.empty)))
+    val drop = Temporal.funnelDropoff(ev, "u", col("t"), "s", steps, 100L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4),
+        if (r.isNullAt(5)) -1.0 else r.getDouble(5)))
+    // stage 1: entered 3 (u1,u2,u3), converted 2 (u1,u2),
+    //   dts {10, 40} → median 25; stage 2: entered 2, converted 1,
+    //   dt {10}; stage 3: entered 1, terminal
+    assert(drop.toSeq == Seq(
+      (1L, "a", 3L, 2L, 2.0 / 3.0, 25.0),
+      (2L, "b", 2L, 1L, 0.5, 10.0),
+      (3L, "c", 1L, 0L, 0.0, -1.0)))
+  }
+
   test("funnel: property — automaton ≡ brute nested-min on random streams") {
     val rnd = new scala.util.Random(20260814L)
     val stepsAll = Seq("a", "b", "c", "d")
