@@ -690,6 +690,21 @@ object LlmQueries {
         .withColumn("cosine", round(col("cosine"), 6))
     }),
 
+    // corpus-vs-corpus ANN bucket join (r09 oracle coverage for the
+    // capped BIPARTITE pair expansion): the 8 smallest ids as the
+    // query table against the rest as corpus, 6-plane signatures
+    // (64 buckets → every query finds bucket-mates at sf0.01), exact
+    // cosine on every bucket-shared pair
+    "llm_ann_join" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.annJoin(
+          corpus = emb.filter(col("vec_id") >= 8),
+          queries = emb.filter(col("vec_id") < 8),
+          "embedding", "vec_id", nPlanes = 6)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "corpus_id")
+    }),
+
     // PERSISTED IVF index (r09): the same quantizer, but the assigned
     // corpus is WRITTEN as parquet partitioned by ivf_list
     // (Similarity.writeIvfIndex — the ingest-time layout) and the
@@ -1762,6 +1777,37 @@ object LlmQueries {
     // kernel's strict <) + per-list per-dim round-6 mean with empty
     // lists keeping their previous centroid — then nprobe=2 list probe
     // and exact cosine rerank, the llm_ann_lsh pattern
+    // bipartite bucket-join mirror: 6-plane signatures (the
+    // llm_emb_neardup pattern), query side = vec_id < 8, corpus side =
+    // the rest; per-side bucket-count caps mirror the drop-whole
+    // maxBucket semantics (inert at this SF)
+    "llm_ann_join" -> {
+      val pl = graft.llm.Similarity.planes(6, 64)
+      val vals = (for (j <- 0 until 6; d <- 0 until 64)
+        yield s"($j, $d, ${pl(j)(d).toInt})").mkString(", ")
+      s"""WITH pl AS (SELECT j, d, p FROM (VALUES $vals) AS t(j, d, p)),
+        |e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, generate_subscripts(embedding, 1) - 1 AS d FROM embeddings),
+        |dots AS (SELECT e.vec_id, pl.j, sum(e.x * pl.p) AS dt FROM e JOIN pl ON pl.d = e.d GROUP BY e.vec_id, pl.j),
+        |sigs AS (SELECT vec_id, sum(CASE WHEN dt >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS sig FROM dots GROUP BY vec_id),
+        |qs AS (SELECT vec_id, sig FROM sigs WHERE vec_id < 8),
+        |cs AS (SELECT vec_id, sig FROM sigs WHERE vec_id >= 8),
+        |qsz AS (SELECT sig, count(*) AS c FROM qs GROUP BY sig),
+        |csz AS (SELECT sig, count(*) AS c FROM cs GROUP BY sig),
+        |cand AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id
+        |  FROM qs q JOIN cs c ON c.sig = q.sig
+        |  JOIN qsz zq ON zq.sig = q.sig AND zq.c <= 10000
+        |  JOIN csz zc ON zc.sig = q.sig AND zc.c <= 10000),
+        |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nv FROM e GROUP BY vec_id),
+        |dp AS (SELECT cd.query_id, cd.corpus_id, sum(ea.x * eb.x) AS dot
+        |  FROM cand cd JOIN e ea ON ea.vec_id = cd.query_id
+        |  JOIN e eb ON eb.vec_id = cd.corpus_id AND eb.d = ea.d
+        |  GROUP BY cd.query_id, cd.corpus_id)
+        |SELECT d.query_id, d.corpus_id,
+        |  round(d.dot / (na.nv * nb.nv), 6) AS cosine
+        |FROM dp d JOIN nrm na ON na.vec_id = d.query_id
+        |JOIN nrm nb ON nb.vec_id = d.corpus_id
+        |ORDER BY query_id, corpus_id""".stripMargin
+    },
     "llm_ann_ivf" -> annIvfOracleSql,
     // persisted-index twin: identical answers by construction (same
     // quantizer, same probe; only the storage layout differs)

@@ -186,9 +186,13 @@ object ScaleStress {
       time(s"ann lsh topk x$mult")(
         force(Similarity.annTopK(e, "embedding", "vec_id", q, 5, nPlanes = 8)))
       // PCA fit pass: the d² Gram flatten dominates (64·64 longs/row);
-      // the exchange is ONE 4096-vector per partition at any scale
+      // the exchange is ONE 4096-vector per partition at any scale.
+      // scale = 1000 keeps the exact-integer numerator inside 2^53 at
+      // the 128k-row decade (the documented shrink-`scale` escape
+      // hatch — at the default 1e4 the r09 overflow guard fires, BY
+      // DESIGN, once n·G crosses the double-exact bound)
       time(s"pca covariance x$mult") {
-        val c = Similarity.pcaCovariance(e, "embedding", 64)
+        val c = Similarity.pcaCovariance(e, "embedding", 64, scale = 1000L)
         c.count()
       }
       if (mult <= 16) {
