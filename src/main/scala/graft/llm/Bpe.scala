@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{BpeEncode, BpeMerges}
@@ -42,4 +42,77 @@ object Bpe {
     * [[TextAnalysis.tokenCount]] — callers coalesce). */
   def count(text: Column, merges: BpeMerges = defaultMerges): Column =
     size(encode(text, merges)).cast("long")
+
+  /** Learn `nMerges` BPE merges FROM the corpus (Sennrich training):
+    * each round, the adjacent symbol pair with the highest
+    * frequency-weighted count over the word table merges — ties break
+    * count DESC then (left, right) lexicographic, both engines —
+    * and training stops early when the best count falls below
+    * `minPairCount`. Returns (left, right, count) in merge order;
+    * wrap the pairs in a [[graft.functions.BpeMerges]] for
+    * [[encode]]/[[count]].
+    *
+    * Scale shape: training runs over the WORD-FREQUENCY table (ONE
+    * tokenize + count shuffle; Zipf — distinct words ≪ corpus), never
+    * the raw text again. Each round is one bounded pair-count
+    * aggregate (map-side combined; the exchange carries distinct
+    * pairs) plus a 1-row argmax, and the chosen merge applies
+    * DECLARATIVELY — a left fold over each word's symbol list via the
+    * `aggregate` higher-order function (leftmost non-overlapping
+    * occurrences, the classic regex-replace semantics) — no UDF, no
+    * driver-held word list at any corpus size. `localCheckpoint`
+    * between rounds caps the iterative lineage (the Lloyd pattern).
+    * Counting counts EVERY adjacent position (overlaps included),
+    * matching the reference BPE trainer. */
+  def learnMerges(
+      df: DataFrame,
+      textCol: String,
+      nMerges: Int,
+      minPairCount: Long = 2L): Seq[(String, String, Long)] = {
+    require(nMerges > 0, "nMerges must be positive")
+    val words = df.filter(col(textCol).isNotNull)
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      // functions.count spelled out — this object's `count` shadows it
+      .groupBy("word")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
+    // symbols = code points (substring is code-point-based in both
+    // engines; surrogate pairs stay whole)
+    var state = words.select(
+      expr("transform(sequence(1, length(word)), " +
+        "i -> substring(word, i, 1))").as("syms"),
+      col("cnt"))
+      .localCheckpoint()
+    val out = Seq.newBuilder[(String, String, Long)]
+    var round = 0
+    var done = false
+    while (round < nMerges && !done) {
+      val best = state.filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS l, " +
+            "element_at(syms, i + 1) AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("c"))
+        .orderBy(desc("c"), col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty || best(0).getLong(2) < minPairCount) done = true
+      else {
+        val (l, r, c) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        out += ((l, r, c))
+        // left fold: merge leftmost non-overlapping (l, r) occurrences
+        val folded = aggregate(col("syms"),
+          array().cast("array<string>"),
+          (acc, x) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(x))))
+        state = state.select(folded.as("syms"), col("cnt"))
+          .localCheckpoint()
+      }
+      round += 1
+    }
+    out.result()
+  }
 }

@@ -402,6 +402,18 @@ object LlmQueries {
           col("ipos").cast("long").as("ipos"), col("token_id"))
         .orderBy("doc_id", "chunk_idx", "ipos")),
 
+    // BPE vocabulary TRAINING (r09): 4 Sennrich rounds over the
+    // word-frequency table — per round one pair-count aggregate + a
+    // 1-row argmax (ties count DESC, then (l, r)); the merge applies
+    // as a declarative left fold. Oracle: the rounds unroll into SQL
+    // (the Lloyd pattern), merge application via list_reduce
+    "llm_bpe_learn" -> ((s, dir) => {
+      import s.implicits._
+      Bpe.learnMerges(t(s, dir, "documents"), "text", nMerges = 4)
+        .zipWithIndex.map { case ((l, r, c), i) => (i + 1L, l, r, c) }
+        .toDF("rank", "left_sym", "right_sym", "pair_count")
+    }),
+
     // fastText-style hashed linear classifier scoring (the
     // CCNet/DCLM/FineWeb quality-filter shape): unigram+bigram FNV
     // features folded into 1024 buckets, deterministic synthetic model
@@ -1127,6 +1139,38 @@ object LlmQueries {
         |  CAST(generate_subscripts(cids, 1) - 1 AS BIGINT) AS ipos,
         |  CAST(unnest(cids) AS INT) AS token_id
         |FROM ch ORDER BY doc_id, chunk_idx, ipos""".stripMargin,
+
+    // BPE-training mirror: 4 unrolled rounds, each = adjacent-pair
+    // count (every position, overlaps included) weighted by word
+    // frequency → argmax (count DESC, then l, r) → merge applied as a
+    // list_reduce left fold over single-symbol lists (leftmost
+    // non-overlapping occurrences)
+    "llm_bpe_learn" -> {
+      def fold(syms: String, l: String, r: String) =
+        s"""list_reduce(list_transform($syms, s -> [s]), (acc, x) ->
+          |  CASE WHEN len(acc) > 0 AND acc[-1] = $l AND x[1] = $r
+          |       THEN acc[1:len(acc)-1] || [$l || $r] ELSE acc || x END)"""
+          .stripMargin
+      val rounds = (1 to 4).map { i =>
+        val prev = s"st${i - 1}"
+        s"""pc$i AS (SELECT s.syms[i] AS l, s.syms[i+1] AS r, sum(s.cnt) AS c
+          |  FROM (SELECT syms, cnt, unnest(range(1, len(syms))) AS i FROM $prev) s(syms, cnt, i)
+          |  GROUP BY 1, 2),
+          |b$i AS (SELECT l, r, c FROM pc$i WHERE c >= 2 ORDER BY c DESC, l, r LIMIT 1),
+          |st$i AS (SELECT ${fold("p.syms", "b.l", "b.r")} AS syms, p.cnt AS cnt
+          |  FROM $prev p, b$i b)""".stripMargin
+      }.mkString(",\n")
+      val sel = (1 to 4).map(i =>
+        s"SELECT $i AS rank, l AS left_sym, r AS right_sym, " +
+          s"CAST(c AS BIGINT) AS pair_count FROM b$i")
+        .mkString(" UNION ALL ")
+      s"""WITH w0 AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word FROM documents WHERE text IS NOT NULL),
+        |wc AS (SELECT word, count(*) AS cnt FROM w0 WHERE word <> '' GROUP BY word),
+        |st0 AS (SELECT list_transform(range(1, length(word) + 1), i -> substring(word, CAST(i AS INT), 1)) AS syms, cnt FROM wc),
+        |$rounds
+        |SELECT CAST(rank AS BIGINT) AS rank, left_sym, right_sym, pair_count
+        |FROM ($sel) ORDER BY rank""".stripMargin
+    },
 
     // budget mirror: one global window cumsum ordered (prio DESC,
     // doc_id) — exactly the order the engine range-partitions on

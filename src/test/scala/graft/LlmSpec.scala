@@ -459,6 +459,64 @@ class LlmSpec extends SparkSpec {
     assert(c.getLong(0) == 6L && c.getLong(1) == 3L)
   }
 
+  test("BPE learnMerges: distributed trainer == reference; overlap + ties") {
+    // independent reference: classic Sennrich training over the
+    // word-count dict (count every adjacent position, merge the
+    // highest count — ties count DESC then (l, r) — via a leftmost
+    // non-overlapping fold)
+    def ref(texts: Seq[String], n: Int): Seq[(String, String, Long)] = {
+      val wc = scala.collection.mutable.Map.empty[String, Long]
+      texts.foreach(_.trim.split("\\s+").filter(_.nonEmpty)
+        .foreach(w => wc(w) = wc.getOrElse(w, 0L) + 1))
+      var st = wc.keys.map(w => w -> w.map(_.toString).toVector).toMap
+      val out = Seq.newBuilder[(String, String, Long)]
+      var done = false
+      for (_ <- 0 until n if !done) {
+        val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        st.foreach { case (w, syms) =>
+          syms.sliding(2).filter(_.size == 2).foreach(p =>
+            pc((p(0), p(1))) = pc.getOrElse((p(0), p(1)), 0L) + wc(w))
+        }
+        if (pc.isEmpty) done = true
+        else {
+          val ((l, r), c) = pc.minBy { case ((l, r), c) => (-c, l, r) }
+          if (c < 2) done = true
+          else {
+            out += ((l, r, c))
+            st = st.view.mapValues(_.foldLeft(Vector.empty[String]) {
+              (acc, x) =>
+                if (acc.nonEmpty && acc.last == l && x == r)
+                  acc.init :+ (l + r)
+                else acc :+ x
+            }).toMap
+          }
+        }
+      }
+      out.result()
+    }
+    val texts = Seq(
+      "low low low low low", "lower lower widest",
+      "newest newest newest widest", "aaaa aaaa aa",
+      "the theme thesis", "zz zz zz zz")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Bpe.learnMerges(df, "text", nMerges = 6)
+    val expect = ref(texts, 6)
+    assert(got == expect, s"got $got\nexpect $expect")
+    // overlap counting: "aaaa" has THREE (a,a) positions; the fold
+    // merges leftmost non-overlapping → [aa, aa]
+    val aa = Bpe.learnMerges(
+      Seq((0L, "aaaa aaaa")).toDF("doc_id", "text"), "text", 2)
+    assert(aa.head._1 == "a" && aa.head._2 == "a" && aa.head._3 == 6L)
+    assert(aa(1) == ("aa", "aa", 2L))
+    // learned merges drive the encoder end to end
+    val m = new graft.functions.BpeMerges(
+      got.map(t => (t._1, t._2)).toArray)
+    val enc = df.select(Bpe.encode(col("text"), m).as(s"ids"))
+      .collect().map(_.getSeq[Int](0))
+    assert(enc.forall(_.nonEmpty))
+  }
+
   test("BPE merge table validates distinct results; chunkIds windows arrays") {
     intercept[IllegalArgumentException] {
       // ("a","bc") and ("ab","c") both yield "abc"
