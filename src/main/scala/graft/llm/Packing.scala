@@ -68,6 +68,65 @@ object Packing {
           col("seq_id") + lit(1L)), release)
   }
 
+  /** MATERIALIZE the packed training sequences (r09): every document's
+    * token-id array (e.g. [[Bpe.encode]] output) laid head-to-tail in
+    * `idCol` order and cut every `ctxLen` ids — one row per training
+    * sequence `(seq_id, n_tokens, token_ids)`, the final partial
+    * sequence allowed short. The last pipeline mile:
+    * [[packSequences]] is the ASSIGNMENT view (which docs land where);
+    * this emits the sequences a trainer actually reads.
+    *
+    * Scale shape: the same [[graft.stats.GlobalOrder.exclusivePrefix]]
+    * decomposition computes each doc's token offset over the NARROW
+    * (id, count) table; offsets join back to the id arrays (one hash
+    * join keyed on the doc id), and tokens explode with their global
+    * position — the one token-level shuffle, inherent to the operator
+    * (a token's sequence is a global function of the whole corpus).
+    * Sequence assembly is a groupBy(seq_id) whose per-group state is
+    * bounded by `ctxLen`, so no skew surface exists; the exploded rows
+    * are 3 narrow numerics each. */
+  def materializeSequences(
+      df: DataFrame,
+      idsCol: String,
+      idCol: String,
+      ctxLen: Int,
+      numParts: Int = 0): DataFrame =
+    materializeSequencesReleasable(df, idsCol, idCol, ctxLen, numParts)._1
+
+  /** [[materializeSequences]] plus the prefix cache's release handle —
+    * fire it only AFTER the result is materialized (both prefix passes
+    * read the cache; releasing earlier recomputes the range exchange,
+    * whose sampled partitioning the collected partials no longer
+    * describe). Callers that can't control materialization order use
+    * the plain form and the session's per-query cache hygiene. */
+  def materializeSequencesReleasable(
+      df: DataFrame,
+      idsCol: String,
+      idCol: String,
+      ctxLen: Int,
+      numParts: Int = 0): (DataFrame, () => Unit) = {
+    require(ctxLen > 0, "ctxLen must be positive")
+    val counts = df.select(col(idCol),
+      coalesce(size(col(idsCol)), lit(0)).cast("long").as("n_tokens"))
+    val (packed, _, release) =
+      graft.stats.GlobalOrder.exclusivePrefixReleasable(
+        counts, Seq(col(idCol)), col("n_tokens"), "token_offset", numParts)
+    val toks = df.select(col(idCol), col(idsCol).as("__ids"))
+      .join(packed.select(col(idCol), col("token_offset")), Seq(idCol))
+      .select(posexplode(col("__ids")).as(Seq("__p", "__tid")),
+        col("token_offset"))
+      .select(col("__tid"),
+        (col("token_offset") + col("__p")).as("__gpos"))
+    (toks
+      .groupBy(expr(s"__gpos div $ctxLen").as("seq_id"))
+      .agg(sort_array(collect_list(struct(
+        pmod(col("__gpos"), lit(ctxLen.toLong)).as("p"),
+        col("__tid").as("t")))).as("pt"))
+      .select(col("seq_id"),
+        size(col("pt")).cast("long").as("n_tokens"),
+        expr("transform(pt, x -> x.t)").as("token_ids")), release)
+  }
+
   /** Sequence-level summary: docs whose first token lands in each
     * packed sequence (`seq_id`, `n_docs_starting`, `n_tokens_starting`)
     * — the packing QA view (every sequence is exactly `ctxLen` tokens

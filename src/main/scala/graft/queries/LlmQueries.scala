@@ -402,6 +402,24 @@ object LlmQueries {
           col("ipos").cast("long").as("ipos"), col("token_id"))
         .orderBy("doc_id", "chunk_idx", "ipos")),
 
+    // MATERIALIZED packed sequences (r09): real BPE ids laid
+    // head-to-tail and cut every 128 — the rows a trainer reads, via
+    // the prefix-sum offset + one token-level shuffle; exploded for
+    // the value compare (every token's (sequence, slot, id) gated)
+    "llm_pack_emit" -> ((s, dir) => {
+      val ids = t(s, dir, "documents")
+        .select(col("doc_id"), Bpe.encode(col("text")).as("ids"))
+      // RUNNER CONTRACT: the prefix cache releases via the runners'
+      // per-query clearCache (the result is token-sized — bounded but
+      // not driver-small, so no collectAndRelease)
+      Packing.materializeSequences(ids, "ids", "doc_id", ctxLen = 128)
+        .select(col("seq_id"), posexplode(col("token_ids"))
+          .as(Seq("ipos", "token_id")))
+        .select(col("seq_id"), col("ipos").cast("long").as("ipos"),
+          col("token_id"))
+        .orderBy("seq_id", "ipos")
+    }),
+
     // BPE vocabulary TRAINING (r09): 4 Sennrich rounds over the
     // word-frequency table — per round one pair-count aggregate + a
     // 1-row argmax (ties count DESC, then (l, r)); the merge applies
@@ -1139,6 +1157,19 @@ object LlmQueries {
         |  CAST(generate_subscripts(cids, 1) - 1 AS BIGINT) AS ipos,
         |  CAST(unnest(cids) AS INT) AS token_id
         |FROM ch ORDER BY doc_id, chunk_idx, ipos""".stripMargin,
+
+    // packed-sequence emission mirror: global token position = one
+    // window row_number over (doc_id, pos) of the shared BPE token
+    // stream; sequence = gpos // 128, slot = gpos % 128
+    "llm_pack_emit" ->
+      s"""WITH RECURSIVE $bpeCte,
+        |g AS (SELECT token_id,
+        |    row_number() OVER (ORDER BY doc_id, pos) - 1 AS gpos
+        |  FROM bt)
+        |SELECT CAST(gpos // 128 AS BIGINT) AS seq_id,
+        |  CAST(gpos % 128 AS BIGINT) AS ipos,
+        |  CAST(token_id AS INT) AS token_id
+        |FROM g ORDER BY seq_id, ipos""".stripMargin,
 
     // BPE-training mirror: 4 unrolled rounds, each = adjacent-pair
     // count (every position, overlaps included) weighted by word
