@@ -139,6 +139,55 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: PairExpansion ≡ brute force under random buckets/caps") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    (0 until 8).foreach { trial =>
+      val n = 5 + rnd.nextInt(60)
+      // distinct (bucket, id) membership rows; ids unique per bucket
+      val members = scala.util.Random.javaRandomToRandom(
+        new java.util.Random(trial)).shuffle(
+        (0 until n).map(i => (rnd.nextInt(5), i.toLong))).distinct
+      val maxBucket = 2 + rnd.nextInt(12)
+      val rlc = 1 + rnd.nextInt(5)
+      val df = members.toDF("b", "id")
+      val got = graft.llm.PairExpansion.bucketPairs(df, Seq("b"), "id",
+          maxBucket, rowLocalCap = rlc, dedupPairs = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = members.groupBy(_._1).values
+        .filter(g => g.size >= 2 && g.size <= maxBucket)
+        .flatMap { g =>
+          val ids = g.map(_._2).sorted
+          for (i <- ids.indices; j <- (i + 1) until ids.size)
+            yield (ids(i), ids(j))
+        }.toSet
+      assert(got == expect,
+        s"trial $trial (cap $maxBucket, rlc $rlc): $got != $expect")
+      // bipartite: random left/right memberships, per-side caps
+      val left = (0 until (3 + rnd.nextInt(20)))
+        .map(i => (rnd.nextInt(4), i.toLong)).distinct
+      val right = (0 until (3 + rnd.nextInt(30)))
+        .map(i => (rnd.nextInt(4), 100L + i)).distinct
+      val capL = 1 + rnd.nextInt(6)
+      val capR = 1 + rnd.nextInt(8)
+      val gotB = graft.llm.PairExpansion.bucketPairsBipartite(
+          left.toDF("b", "qid"), right.toDF("b", "cid"), Seq("b"),
+          "qid", "cid", capL, capR, rowLocalCap = rlc)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val lByB = left.groupBy(_._1)
+      val rByB = right.groupBy(_._1)
+      val expectB = (lByB.keySet & rByB.keySet).flatMap { b =>
+        val ls = lByB(b).map(_._2)
+        val rs = rByB(b).map(_._2)
+        if (ls.size > capL || rs.size > capR) Nil
+        else for (l <- ls; r <- rs) yield (l, r)
+      }
+      assert(gotB == expectB,
+        s"trial $trial bipartite (caps $capL/$capR, rlc $rlc)")
+    }
+  }
+
   test("property: Misra-Gries bound holds under random streams + merges") {
     // For ANY token stream partitioned ANY way into per-partition
     // summaries merged in ANY order: every final count is an
