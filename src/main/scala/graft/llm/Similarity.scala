@@ -403,6 +403,79 @@ object Similarity {
       .limit(k)
   }
 
+  /** The `nprobe` nearest IVF lists for every row of a QUERY TABLE,
+    * declaratively: squared L2 to each centroid of the inlined matrix
+    * (a literal — a few KB in the plan), sorted, sliced — map-only,
+    * exploded to (query row ×, `ivf_list`, `probe_rank`). Ties break
+    * toward the lower list id (the [[ivfAssign]] strict-< contract,
+    * via (dist, id) struct ordering). */
+  def ivfProbeLists(
+      queries: DataFrame,
+      embCol: String,
+      cents: Array[Array[Double]],
+      nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= cents.length,
+      "need 1 <= nprobe <= number of lists")
+    val cm = typedlit(cents)
+    val dists = transform(cm, (c, i) => struct(
+      aggregate(zip_with(col(embCol), c,
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, v) => acc + v).as("dist"),
+      i.as("ivf_list")))
+    queries.withColumn("__probes",
+      slice(array_sort(dists), 1, nprobe))
+      .select(col("*"),
+        posexplode(col("__probes")).as(Seq("probe_rank", "__p")))
+      .select((queries.columns.map(col) :+
+        col("probe_rank") :+ col("__p.ivf_list").as("ivf_list")): _*)
+  }
+
+  /** Batch IVF ANN: top-k corpus matches for EVERY query row — the IVF
+    * analog of [[annJoinTopK]], completing the ANN matrix (LSH and IVF
+    * each in point-probe and corpus-vs-corpus form). Each query probes
+    * its `nprobe` nearest lists ([[ivfProbeLists]]); candidates come
+    * from the shared capped bipartite expansion on the list id (a
+    * mega-list is dropped whole — train with [[ivfCentroidsSplit]] so
+    * the cap never bites); exact cosine re-joins both embedding
+    * columns by id, and the k-bound applies through the map-side
+    * combined [[graft.functions.TopKByScore]] aggregate — at most k
+    * candidate rows per partition×query reach the final exchange.
+    * Output: (query_id, rank, cosine, corpus_id), rank 0-based,
+    * ties on cosine break toward the lower corpus id. */
+  def ivfJoinTopK(
+      assigned: DataFrame,
+      queries: DataFrame,
+      embCol: String,
+      idCol: String,
+      k: Int,
+      cents: Array[Array[Double]],
+      nprobe: Int = 2,
+      maxBucketQuery: Int = 100000,
+      maxBucketCorpus: Int = 100000): DataFrame = {
+    val qs = ivfProbeLists(queries, embCol, cents, nprobe)
+      .select(col("ivf_list"), col(idCol).as("query_id"))
+    val cs = assigned.select(col("ivf_list"), col(idCol).as("corpus_id"))
+    val cands = PairExpansion.bucketPairsBipartite(
+      qs, cs, Seq("ivf_list"), "query_id", "corpus_id",
+      maxBucketQuery, maxBucketCorpus)
+      // a corpus row can surface through several of a query's probed
+      // lists only if assignment were ambiguous — it is not (one list
+      // per row), so pairs are unique; queries probing nprobe lists
+      // never duplicate a (query, corpus) pair either
+    val qe = queries.select(col(idCol).cast("bigint").as("query_id"),
+      col(embCol).as("qe"))
+    val ce = assigned.select(col(idCol).cast("bigint").as("corpus_id"),
+      col(embCol).as("ce"))
+    cands.join(qe, "query_id").join(ce, "corpus_id")
+      .withColumn("cosine", cosine(col("qe"), col("ce")))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScore(col("cosine"), col("corpus_id"), k)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("pos").as("rank"),
+        col("col.score").as("cosine"), col("col.id").as("corpus_id"))
+  }
+
   /** All-pairs top-k joins for a QUERY TABLE (not all-pairs over the
     * corpus): bucket both sides by signature, pair within buckets,
     * rerank — the batch-ANN shape used for corpus-vs-corpus linking.

@@ -735,6 +735,23 @@ object LlmQueries {
         .orderBy("query_id", "corpus_id")
     }),
 
+    // batch IVF ANN join (r09): top-5 corpus matches for EVERY query
+    // row — per-query nprobe=2 list probes (declarative distance sort
+    // over the inlined centroid matrix), capped bipartite candidates
+    // on the list id, exact cosine, k-bounded native top-k. Completes
+    // the ANN matrix: LSH and IVF each in point and batch form.
+    "llm_ann_ivf_join" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroidsLloyd(emb, "embedding", "vec_id",
+        k = 8, iters = 2)
+      val corpus = Similarity.ivfAssign(
+        emb.filter(col("vec_id") >= 8), "embedding", cents)
+      Similarity.ivfJoinTopK(corpus, emb.filter(col("vec_id") < 8),
+          "embedding", "vec_id", k = 5, cents, nprobe = 2)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
     // PERSISTED IVF index (r09): the same quantizer, but the assigned
     // corpus is WRITTEN as parquet partitioned by ivf_list
     // (Similarity.writeIvfIndex — the ingest-time layout) and the
@@ -1883,6 +1900,41 @@ object LlmQueries {
         |JOIN nrm nb ON nb.vec_id = d.corpus_id
         |ORDER BY query_id, corpus_id""".stripMargin
     },
+    // batch-IVF mirror: the same unrolled Lloyd CTEs; corpus assignment
+    // = argmin over final centroids (vec_id >= 8), query probes = the
+    // 2 nearest lists per query (vec_id < 8, ties to the lower list),
+    // join on the list, exact cosine, top-5 per query by
+    // (cosine DESC, corpus_id)
+    "llm_ann_ivf_join" ->
+      """WITH sel AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8),
+        |seli AS (SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) - 1 AS l FROM sel),
+        |e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, generate_subscripts(embedding, 1) - 1 AS d FROM embeddings),
+        |c0 AS (SELECT l, CAST(unnest(embedding) AS DOUBLE) AS v, generate_subscripts(embedding, 1) - 1 AS d FROM seli),
+        |a1 AS (SELECT e.vec_id, c0.l, sum((e.x - c0.v)*(e.x - c0.v)) AS dist FROM e JOIN c0 ON c0.d = e.d GROUP BY e.vec_id, c0.l),
+        |s1 AS (SELECT vec_id, l FROM (SELECT vec_id, l, row_number() OVER (PARTITION BY vec_id ORDER BY dist, l) AS rn FROM a1) WHERE rn = 1),
+        |m1 AS (SELECT s1.l, e.d, round(avg(e.x), 6) AS v FROM s1 JOIN e ON e.vec_id = s1.vec_id GROUP BY s1.l, e.d),
+        |c1 AS (SELECT c0.l, c0.d, coalesce(m1.v, c0.v) AS v FROM c0 LEFT JOIN m1 ON m1.l = c0.l AND m1.d = c0.d),
+        |a2 AS (SELECT e.vec_id, c1.l, sum((e.x - c1.v)*(e.x - c1.v)) AS dist FROM e JOIN c1 ON c1.d = e.d GROUP BY e.vec_id, c1.l),
+        |s2 AS (SELECT vec_id, l FROM (SELECT vec_id, l, row_number() OVER (PARTITION BY vec_id ORDER BY dist, l) AS rn FROM a2) WHERE rn = 1),
+        |m2 AS (SELECT s2.l, e.d, round(avg(e.x), 6) AS v FROM s2 JOIN e ON e.vec_id = s2.vec_id GROUP BY s2.l, e.d),
+        |c2 AS (SELECT c1.l, c1.d, coalesce(m2.v, c1.v) AS v FROM c1 LEFT JOIN m2 ON m2.l = c1.l AND m2.d = c1.d),
+        |a3 AS (SELECT e.vec_id, c2.l, sum((e.x - c2.v)*(e.x - c2.v)) AS dist FROM e JOIN c2 ON c2.d = e.d GROUP BY e.vec_id, c2.l),
+        |s3 AS (SELECT vec_id, l FROM (SELECT vec_id, l, row_number() OVER (PARTITION BY vec_id ORDER BY dist, l) AS rn FROM a3) WHERE rn = 1 AND vec_id >= 8),
+        |qp AS (SELECT vec_id AS query_id, l FROM (SELECT vec_id, l, row_number() OVER (PARTITION BY vec_id ORDER BY dist, l) AS rn FROM a3 WHERE vec_id < 8) WHERE rn <= 2),
+        |cand AS (SELECT qp.query_id, s3.vec_id AS corpus_id FROM qp JOIN s3 ON s3.l = qp.l),
+        |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nv FROM e GROUP BY vec_id),
+        |dp AS (SELECT cd.query_id, cd.corpus_id, sum(ea.x * eb.x) AS dot
+        |  FROM cand cd JOIN e ea ON ea.vec_id = cd.query_id
+        |  JOIN e eb ON eb.vec_id = cd.corpus_id AND eb.d = ea.d
+        |  GROUP BY cd.query_id, cd.corpus_id),
+        |cs AS (SELECT d.query_id, d.corpus_id, d.dot / (na.nv * nb.nv) AS c
+        |  FROM dp d JOIN nrm na ON na.vec_id = d.query_id
+        |  JOIN nrm nb ON nb.vec_id = d.corpus_id),
+        |tk AS (SELECT query_id, corpus_id, c,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, corpus_id) AS rn
+        |  FROM cs)
+        |SELECT query_id, CAST(rn - 1 AS INT) AS rank, round(c, 6) AS cosine, corpus_id
+        |FROM tk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
     "llm_ann_ivf" -> annIvfOracleSql,
     // persisted-index twin: identical answers by construction (same
     // quantizer, same probe; only the storage layout differs)

@@ -398,6 +398,43 @@ class LlmSpec extends SparkSpec {
     assert(pills.forall(_.forall(_ == 0f)))
   }
 
+  test("ivfJoinTopK: per-query nprobe lists, capped join, bounded top-k") {
+    val cents = Array(
+      Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0),
+      Array(0.0, 0.0, 1.0, 0.0))
+    val corpus = Similarity.ivfAssign(Seq(
+      (10L, Array(0.9f, 0.1f, 0.0f, 0.0f)),  // list 0
+      (11L, Array(0.95f, 0.0f, 0.1f, 0.0f)), // list 0
+      (12L, Array(0.1f, 0.9f, 0.0f, 0.0f)),  // list 1
+      (13L, Array(0.0f, 0.0f, 0.9f, 0.0f))   // list 2
+    ).toDF("vec_id", "embedding"), "embedding", cents)
+    val queries = Seq(
+      (0L, Array(1.0f, 0.05f, 0.0f, 0.0f)), // lists {0, 1}
+      (1L, Array(0.0f, 0.05f, 1.0f, 0.0f))  // lists {2, 1}
+    ).toDF("vec_id", "embedding")
+    // probe lists: nearest-2, ties to the lower list id
+    val probes = Similarity.ivfProbeLists(queries, "embedding", cents, 2)
+      .select("vec_id", "probe_rank", "ivf_list")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(probes == Set((0L, 0, 0), (0L, 1, 1), (1L, 0, 2), (1L, 1, 1)))
+    val top = Similarity.ivfJoinTopK(corpus, queries, "embedding",
+        "vec_id", k = 2, cents, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3)))
+    // query 0 probes lists 0+1 → candidates {10, 11, 12}; top-2 by
+    // cosine are the list-0 neighbors; 13 (list 2) never considered
+    val q0 = top.filter(_._1 == 0L).sortBy(_._2).map(_._3)
+    assert(q0.toSeq == Seq(10L, 11L) || q0.toSeq == Seq(11L, 10L))
+    assert(!top.exists(t => t._1 == 0L && t._3 == 13L))
+    // query 1's rank-0 is the list-2 vector
+    assert(top.filter(_._1 == 1L).minBy(_._2)._3 == 13L)
+    // per-side cap: corpus list 0 has 2 members; cap 1 drops it whole
+    val capped = Similarity.ivfJoinTopK(corpus, queries, "embedding",
+        "vec_id", k = 2, cents, nprobe = 2, maxBucketCorpus = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(!capped.exists(t => t._2 == 10L || t._2 == 11L))
+    assert(capped.contains((1L, 13L)))
+  }
+
   test("persisted IVF index: partition-pruned probe == in-memory probe") {
     val vecs = (0 until 40).map { i =>
       val base = Array(0.0f, 0.0f, 0.0f, 0.0f)
