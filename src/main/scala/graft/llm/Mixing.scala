@@ -35,6 +35,48 @@ object Mixing {
   private def bucket(id: org.apache.spark.sql.Column) =
     pmod(graft.functions.Fnv64(id.cast("string")), lit(1000L))
 
+  /** Leakage-controlled train/validation split: rows are assigned by
+    * the deterministic id-hash bucket of their NEAR-DUP COMPONENT —
+    * not their own id — so a document and every near-duplicate of it
+    * always land in the SAME split. That is the leakage-control rule
+    * an eval pipeline needs: a near-dup of a validation document
+    * sitting in train is contamination a per-row split cannot prevent
+    * (at a 10% val rate, ~19% of near-dup pairs would straddle).
+    * `nearDupPairs` is any verified pair table ((ida, idb) —
+    * [[Dedup.lshCandidates]]/[[Dedup.embeddingNearDups]] output);
+    * rows with no near-dup edge are their own singleton component.
+    *
+    * Output: `df` plus `component` (min id of the row's near-dup
+    * component — the [[Dedup.nearDupComponents]] label) and `splitCol`
+    * ('val' iff bucket(component) < round(valFraction·1000), the
+    * [[mixBySources]] resolution and determinism contract).
+    *
+    * Scale shape: components are edge-bounded
+    * ([[Dedup.nearDupComponents]] — driver union-find under the edge
+    * cap, distributed min-label propagation above) and the labels
+    * join back on the id — one hash join, broadcastable while the
+    * near-dup set is small relative to the corpus (it is, by
+    * definition of dedup). The split itself is map-only. */
+  def leakageSplit(
+      df: DataFrame,
+      idCol: String,
+      nearDupPairs: DataFrame,
+      valFraction: Double,
+      splitCol: String = "split"): DataFrame = {
+    require(valFraction >= 0 && valFraction <= 1,
+      "valFraction must be in [0, 1]")
+    val comps = Dedup.nearDupComponents(nearDupPairs)
+      .toDF(idCol, "__component")
+    df.join(comps, Seq(idCol), "left")
+      .withColumn("component",
+        coalesce(col("__component"), col(idCol)))
+      .withColumn(splitCol,
+        when(bucket(col("component")) <
+          round(lit(valFraction) * 1000d).cast("long"), "val")
+          .otherwise("train"))
+      .drop("__component")
+  }
+
   /** General mixing with UP-weighting: weight 2.3 emits 2 copies of
     * every row plus a 3rd for the 30% of ids whose bucket falls under
     * the fractional part — the standard way high-quality sources are

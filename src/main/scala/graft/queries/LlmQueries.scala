@@ -283,6 +283,20 @@ object LlmQueries {
       Dedup.crossSourceOverlap(t(s, dir, "documents"), "text", "lang")
         .orderBy("src_a", "src_b")),
 
+    // leakage-controlled train/val split (r09): split key = the
+    // near-dup COMPONENT (embedding cosine ≥ 0.9 pairs → transitive
+    // closure), so near-duplicates never straddle splits; 10% val via
+    // the deterministic fnv64 bucket of the component label
+    "llm_leakage_split" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pairs = Dedup.embeddingNearDups(emb, "embedding", "vec_id",
+        planes = 8, minCosine = 0.9).select("ida", "idb")
+      Mixing.leakageSplit(emb.select("vec_id"), "vec_id", pairs,
+          valFraction = 0.1)
+        .select("vec_id", "component", "split")
+        .orderBy("vec_id")
+    }),
+
     // deterministic source-weighted mixing: per-source keep rates via
     // the id-hash bucket (fnv64 mod 1000) — audit view of kept counts
     "llm_mix_sources" -> ((s, dir) =>
