@@ -60,7 +60,11 @@ object PairExpansion {
     *
     * @param members one row per (bucket, member); `bucketCols` name the
     *                bucket key columns, `idCol` the member id (cast to
-    *                long — ids must be integral)
+    *                long — ids must be integral). Duplicate (bucket, id)
+    *                rows are tolerated: the member list is de-duplicated
+    *                after collection, so the ida < idb contract holds
+    *                regardless (the drop-whole cap still counts the raw
+    *                capped collection, duplicates included)
     * @param maxBucket drop-whole cap on bucket size (semantics above)
     * @param rowLocalCap slice width for the block expansion
     * @param dedupPairs add a final `distinct()` — needed when one id
@@ -84,7 +88,12 @@ object PairExpansion {
       .groupBy(bucketCols.map(col): _*)
       .agg(graft.functions.CappedCollectLong(col(idCol), maxBucket).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
-      .select(sort_array(col("ids")).as("ids"),
+      // distinct-then-sort: duplicate member ids would otherwise emit
+      // ida == idb and duplicate pairs from the triangle/cross-slice
+      // arms; array_distinct on the sorted list preserves order
+      .select(array_distinct(sort_array(col("ids"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(col("ids"),
         ceil(size(col("ids")).cast("double") / cap).cast("int").as("nsl"))
     val pairs = buckets
       .select(col("ids"),

@@ -283,14 +283,18 @@ object LlmQueries {
       Dedup.crossSourceOverlap(t(s, dir, "documents"), "text", "lang")
         .orderBy("src_a", "src_b")),
 
-    // leakage-controlled train/val split (r09): split key = the
-    // near-dup COMPONENT (embedding cosine ≥ 0.9 pairs → transitive
-    // closure), so near-duplicates never straddle splits; 10% val via
-    // the deterministic fnv64 bucket of the component label
+    // leakage-controlled train/val split (r09; oracle-gated r10):
+    // split key = the near-dup COMPONENT (embedding cosine pairs →
+    // transitive closure), so near-duplicates never straddle splits;
+    // 10% val via the deterministic fnv64 bucket of the component
+    // label. Cosine threshold 0.4 sits inside the synthetic
+    // embeddings' similarity distribution (max pairwise cosine ≈ 0.50)
+    // so real multi-row components form at sf0.01 AND sf0.1 and the
+    // oracle's transitive-closure CTE is actually exercised
     "llm_leakage_split" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val pairs = Dedup.embeddingNearDups(emb, "embedding", "vec_id",
-        planes = 8, minCosine = 0.9).select("ida", "idb")
+        planes = 8, minCosine = 0.4).select("ida", "idb")
       Mixing.leakageSplit(emb.select("vec_id"), "vec_id", pairs,
           valFraction = 0.1)
         .select("vec_id", "component", "split")
@@ -1657,6 +1661,44 @@ object LlmQueries {
         |dp AS (SELECT c.ida, c.idb, sum(ea.x * eb.x) AS dot FROM cand c JOIN e ea ON ea.vec_id = c.ida JOIN e eb ON eb.vec_id = c.idb AND eb.d = ea.d GROUP BY c.ida, c.idb),
         |cs AS (SELECT d.ida, d.idb, d.dot / (na.nv * nb.nv) AS c FROM dp d JOIN nrm na ON na.vec_id = d.ida JOIN nrm nb ON nb.vec_id = d.idb)
         |SELECT ida, idb, round(c, 6) AS cosine FROM cs WHERE c >= 0.9 ORDER BY ida, idb""".stripMargin
+    },
+    // leakage-split mirror (r10 — this row was rows-only in r09): the
+    // llm_emb_neardup pair CTEs (8 planes, cosine ≥ 0.4 — inside the
+    // data's similarity range so components are non-trivial) →
+    // transitive-closure components via a recursive reach CTE with
+    // min-label = component (the union-find result is exactly
+    // min-over-reachable-set) → the llm_mix_sources FNV-1a recursive
+    // CTE over the component rendered as a string → 'val' iff
+    // pmod(fnv, 1000) < round(0.1·1000)
+    "llm_leakage_split" -> {
+      val pl = graft.llm.Similarity.planes(8, 64)
+      val vals = (for (j <- 0 until 8; d <- 0 until 64)
+        yield s"($j, $d, ${pl(j)(d).toInt})").mkString(", ")
+      s"""WITH RECURSIVE pl AS (SELECT j, d, p FROM (VALUES $vals) AS t(j, d, p)),
+        |e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, generate_subscripts(embedding, 1) - 1 AS d FROM embeddings),
+        |dots AS (SELECT e.vec_id, pl.j, sum(e.x * pl.p) AS dt FROM e JOIN pl ON pl.d = e.d GROUP BY e.vec_id, pl.j),
+        |sigs AS (SELECT vec_id, sum(CASE WHEN dt >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS sig FROM dots GROUP BY vec_id),
+        |bsz AS (SELECT sig, count(*) AS c FROM sigs GROUP BY sig),
+        |cand AS (SELECT a.vec_id AS ida, b.vec_id AS idb FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id JOIN bsz z ON z.sig = a.sig AND z.c <= 10000),
+        |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nv FROM e GROUP BY vec_id),
+        |dp AS (SELECT c.ida, c.idb, sum(ea.x * eb.x) AS dot FROM cand c JOIN e ea ON ea.vec_id = c.ida JOIN e eb ON eb.vec_id = c.idb AND eb.d = ea.d GROUP BY c.ida, c.idb),
+        |prs AS (SELECT d.ida, d.idb FROM dp d JOIN nrm na ON na.vec_id = d.ida JOIN nrm nb ON nb.vec_id = d.idb WHERE d.dot / (na.nv * nb.nv) >= 0.4),
+        |ed AS (SELECT ida AS a, idb AS b FROM prs UNION SELECT idb, ida FROM prs),
+        |reach AS (SELECT a AS id, b AS r FROM ed UNION SELECT t.id, ed.b FROM reach t JOIN ed ON ed.a = t.r),
+        |comp AS (SELECT v.vec_id, CAST(least(v.vec_id, coalesce(min(r.r), v.vec_id)) AS BIGINT) AS component FROM embeddings v LEFT JOIN reach r ON r.id = v.vec_id GROUP BY v.vec_id),
+        |hx AS (SELECT DISTINCT CAST(component AS VARCHAR) AS s FROM comp),
+        |hh AS (SELECT s, hex(encode(s)) AS hs, octet_length(encode(s)) AS nb FROM hx),
+        |fnv AS (
+        |  SELECT s, hs, nb, 0 AS i, CAST(14695981039346656037 AS HUGEINT) AS h FROM hh
+        |  UNION ALL
+        |  SELECT s, hs, nb, i + 1,
+        |    (xor(h, CAST((strpos('0123456789ABCDEF', substring(hs, 2*i+1, 1))-1)*16 + strpos('0123456789ABCDEF', substring(hs, 2*i+2, 1))-1 AS HUGEINT)) * 1099511628211) % 18446744073709551616
+        |  FROM fnv WHERE i < nb),
+        |sgn AS (SELECT s, CAST(h - CASE WHEN h >= 9223372036854775808 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS hv FROM fnv WHERE i = nb)
+        |SELECT c.vec_id, c.component,
+        |  CASE WHEN ((sg.hv % 1000) + 1000) % 1000 < 100 THEN 'val' ELSE 'train' END AS split
+        |FROM comp c JOIN sgn sg ON sg.s = CAST(c.component AS VARCHAR)
+        |ORDER BY c.vec_id""".stripMargin
     },
     // percentile mirror: one global window row_number — the exact
     // semantics the distributed decomposition must reproduce

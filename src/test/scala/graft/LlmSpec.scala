@@ -302,6 +302,22 @@ class LlmSpec extends SparkSpec {
     assert(capped == Set((100L, 101L)))
   }
 
+  test("PairExpansion.bucketPairs: duplicate membership rows tolerated") {
+    // ADVICE r09: duplicate (bucket, id) rows must not emit ida == idb
+    // or duplicate pairs — the member list is deduped after collection
+    val dup = Seq((1, 5L), (1, 5L), (1, 7L), (1, 7L), (1, 9L))
+      .toDF("b", "id")
+    val got = PairExpansion.bucketPairs(dup, Seq("b"), "id",
+        maxBucket = 10, rowLocalCap = 2, dedupPairs = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 3 &&
+      got.toSet == Set((5L, 7L), (5L, 9L), (7L, 9L)))
+    // a bucket that is ALL duplicates of one id yields nothing
+    val mono = Seq((2, 3L), (2, 3L), (2, 3L)).toDF("b", "id")
+    assert(PairExpansion.bucketPairs(mono, Seq("b"), "id",
+      maxBucket = 10, rowLocalCap = 2, dedupPairs = false).count() == 0)
+  }
+
   test("PairExpansion.bucketPairsBipartite: per-bucket cross, per-side caps") {
     val left = Seq((1, 0L), (1, 1L), (2, 2L)).toDF("b", "qid")
     val right = Seq((1, 10L), (1, 11L), (1, 12L), (2, 13L)).toDF("b", "cid")
@@ -394,7 +410,7 @@ class LlmSpec extends SparkSpec {
     assert(f2(2) == frames.toFloat && f2.drop(4).sum == 2 * 16 * 8)
     // poison pills: null, garbage, RIFF-but-truncated → all-zero
     val pills = dec.decodeBatch(Seq(null, Array[Byte](1, 2, 3),
-      "RIFF   AVI ".getBytes("US-ASCII")))
+      "RIFF".getBytes("US-ASCII") ++ Array[Byte](1, 0, 0, 0) ++ "AVI ".getBytes("US-ASCII")))
     assert(pills.forall(_.forall(_ == 0f)))
   }
 
@@ -559,6 +575,13 @@ class LlmSpec extends SparkSpec {
       // ("a","bc") and ("ab","c") both yield "abc"
       new graft.functions.BpeMerges(Array("a" -> "bc", "ab" -> "c"))
     }
+    // pair-key injectivity (ADVICE r09): the table holds ("a ","b");
+    // the DIFFERENT pair ("a"," b") concatenates to the same string,
+    // so a separator-keyed map would return rank 0 for it — the
+    // length-prefixed key must not
+    val nul = new graft.functions.BpeMerges(Array("a " -> "b"))
+    assert(nul.rankOf("a ", "b") == 0)
+    assert(nul.rankOf("a", " b") == -1)
     val ids = Seq((0L, Seq(1, 2, 3, 4, 5)), (1L, Seq.empty[Int]))
       .toDF("doc_id", "ids")
     val chunks = Chunk.chunkIds(ids, "ids", "doc_id", size = 3, overlap = 1)
