@@ -1,0 +1,103 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model quality scoring — the CCNet/KenLM-style
+  * perplexity filter every web-scale pretraining pipeline runs: train
+  * a smoothed bigram model on a (reference or self) corpus, score each
+  * document by its perplexity under the model, and gate or bucket on
+  * the score. This engine ships the exact-arithmetic core of that
+  * stage: distributed bigram counting and map-shaped scoring whose
+  * result is bit-deterministic under any partitioning.
+  *
+  * Model: add-one-smoothed bigram probabilities over whitespace tokens
+  * (the engine's [[TextAnalysis.tokens]] walker),
+  * p(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V), with c(w1,·) the
+  * CONTEXT count (bigrams starting with w1) and V the corpus
+  * vocabulary size — so probabilities sum to 1 over each context.
+  *
+  * Determinism contract: per-bigram log-probabilities are quantized to
+  * integer MICRO-NATS (`round(ln(p)·10⁶)` as long) before the per-doc
+  * sum — an exact integer fold, so the perplexity is independent of
+  * partitioning and float-add order (the exact-cents pattern,
+  * SURVEY §5), and a SQL mirror reproduces it bit-for-bit.
+  *
+  * Scale shape (100 TB):
+  *  - '''training''' is one shuffle: the raw bigram stream partially
+  *    aggregates map-side into (w1, w2) counts, so what crosses the
+  *    exchange is vocabulary-bounded, not corpus-bounded; context
+  *    counts reduce the COUNTS table (never the stream) and the
+  *    vocabulary size is one partial-distinct aggregate.
+  *  - '''scoring''' re-scans the corpus once and joins each doc's
+  *    bigrams against the model. With `broadcastModel=true` (default —
+  *    right whenever the bigram table fits an executor, i.e. vocab² is
+  *    bounded) the join is a broadcast hash join: NO shuffle of the
+  *    corpus-sized bigram stream, and Zipf-hot bigrams ("of the" in
+  *    every document) cost nothing because nothing partitions by
+  *    bigram. With `broadcastModel=false` (billion-row models) both
+  *    joins shuffle by key and the Zipf head becomes a skew-join
+  *    problem — exactly the shape Spark AQE's skew-split handles;
+  *    enable AQE on such runs.
+  *  - the corpus is scanned twice (train + score) — inherent to
+  *    self-trained LM filtering; score-only runs against a persisted
+  *    model scan once.
+  */
+object LanguageModel {
+
+  /** One row per in-document adjacent token pair: (idCol, w1, w2).
+    * Documents with fewer than two tokens contribute nothing. */
+  def docBigrams(df: DataFrame, textCol: String, idCol: String)
+      : DataFrame = {
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(col(idCol),
+        explode(arrays_zip(
+          slice(col("__toks"), lit(1), size(col("__toks")) - 1).as("w1"),
+          slice(col("__toks"), lit(2), size(col("__toks")) - 1).as("w2")))
+          .as("__bg"))
+      .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+  }
+
+  /** Bigram count table (w1, w2, cb) — the trained model. Map-side
+    * combined; output is vocabulary²-bounded. */
+  def bigramCounts(df: DataFrame, textCol: String, idCol: String)
+      : DataFrame =
+    docBigrams(df, textCol, idCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+
+  /** Per-document perplexity under the corpus-trained add-one bigram
+    * model: (idCol, n_bigrams, ppl), docs with < 2 tokens excluded.
+    * ppl = exp(−Σ round(ln p·10⁶) / 10⁶ / n_bigrams), rounded to 6. */
+  def bigramPerplexity(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      broadcastModel: Boolean = true): DataFrame = {
+    val bg = docBigrams(df, textCol, idCol)
+    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    // contexts from the COUNTS table, not the raw stream: sums are
+    // equal, input is vocab²-bounded instead of corpus-bounded
+    val cu = cb.groupBy("w1").agg(sum("cb").as("cu"))
+    // the token walker yields [""] for empty/whitespace-only text —
+    // exclude that degenerate token from the vocabulary
+    val voc = df.select(
+        explode(TextAnalysis.tokens(col(textCol))).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .agg(countDistinct(col("__w")).as("__v"))
+    val cbJ = if (broadcastModel) broadcast(cb) else cb
+    val cuJ = if (broadcastModel) broadcast(cu) else cu
+    bg.join(cbJ, Seq("w1", "w2"))
+      .join(cuJ, Seq("w1"))
+      .crossJoin(broadcast(voc))
+      .select(col(idCol),
+        round(log((col("cb") + lit(1)).cast("double") /
+            (col("cu") + col("__v")).cast("double")) * lit(1e6))
+          .cast("long").as("__lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum("__lp").as("__slp"))
+      .select(col(idCol), col("n_bigrams"),
+        round(exp((col("__slp").cast("double") / lit(-1e6)) /
+          col("n_bigrams").cast("double")), 6).as("ppl"))
+  }
+}

@@ -144,4 +144,33 @@ object Mixing {
         explode(sequence(lit(0L), col("__copies") - 1)))
       .drop("__copies")
   }
+
+  /** Deterministic global shard-shuffle — the "shard and shuffle before
+    * training" stage: every row gets a `shard` (= pmod(fnv64(id),
+    * nShards)) and a dense 0-based `pos` within its shard, ordered by
+    * the id hash (ties broken by id). The result is a reproducible
+    * pseudo-random training order: a pure function of the id set, no
+    * RNG state, identical across runs/partitionings/engines — and
+    * near-duplicate input orderings (sorted-by-source, crawl order)
+    * are destroyed because the hash is uncorrelated with any input
+    * attribute.
+    *
+    * Scale shape: ONE shuffle (the window's hash partitioning by
+    * shard). Shards are hash-balanced (~N/nShards rows each), so the
+    * per-shard sort that ranks `pos` is bounded at `nShards` chosen
+    * for the cluster (one shard ≈ one training-file target size) —
+    * there is no global sort and no single-partition window. Writers
+    * follow with `.repartition(col("shard")).sortWithinPartitions
+    * ("pos")` to emit one ordered file per shard. */
+  def shardShuffle(df: DataFrame, idCol: String, nShards: Int)
+      : DataFrame = {
+    require(nShards >= 1, "nShards must be at least 1")
+    val h = graft.functions.Fnv64(col(idCol).cast("string"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("__hv"), col(idCol))
+    df.withColumn("__hv", h)
+      .withColumn("shard", pmod(col("__hv"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .drop("__hv")
+  }
 }

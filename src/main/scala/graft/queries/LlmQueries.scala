@@ -473,6 +473,40 @@ object LlmQueries {
           "text", "doc_id")
         .orderBy("doc_id")),
 
+    // bigram-LM perplexity (r10): the CCNet/KenLM-style quality filter
+    // — add-one-smoothed bigram model trained on the corpus, per-doc
+    // perplexity via integer micro-nat log-prob sums (exact under any
+    // partitioning); broadcast-model join, no corpus shuffle by bigram
+    "llm_lm_perplexity" -> ((s, dir) =>
+      LanguageModel.bigramPerplexity(t(s, dir, "documents"),
+          "text", "doc_id")
+        .orderBy("doc_id")),
+
+    // the trained LM's Zipf head: top-20 bigrams by count with their
+    // add-one conditional probability — the train-surface audit view
+    "llm_lm_bigrams" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cb = LanguageModel.bigramCounts(docs, "text", "doc_id")
+      val cu = cb.groupBy("w1").agg(sum("cb").as("cu"))
+      val voc = docs
+        .select(explode(TextAnalysis.tokens(col("text"))).as("__w"))
+        .filter(length(col("__w")) > 0)
+        .agg(countDistinct(col("__w")).as("__v"))
+      cb.join(cu, Seq("w1")).crossJoin(broadcast(voc))
+        .select(col("w1"), col("w2"), col("cb"),
+          round((col("cb") + lit(1)).cast("double") /
+            (col("cu") + col("__v")).cast("double"), 6).as("p_smoothed"))
+        .orderBy(desc("cb"), asc("w1"), asc("w2"))
+        .limit(20)
+    }),
+
+    // deterministic shard-shuffle (r10): reproducible training order —
+    // fnv64 shard + dense in-shard position, one hash-balanced window
+    "llm_shard_shuffle" -> ((s, dir) =>
+      Mixing.shardShuffle(
+          t(s, dir, "documents").select("doc_id"), "doc_id", 8)
+        .orderBy("doc_id")),
+
     // stratified exact-n: ≤ 10 docs per source, picked by id-hash
     // order — deterministic per-group caps; audit = kept ids per source
     "llm_stratified_sample" -> ((s, dir) =>
@@ -1294,6 +1328,50 @@ object LlmQueries {
         | CAST(sum(m.corpus_cnt) AS DOUBLE) / count(*) AS familiarity
         |FROM grams gr JOIN model m ON m.g = gr.g
         |GROUP BY gr.doc_id ORDER BY gr.doc_id""".stripMargin,
+    // bigram-LM mirror: zipped-unnest bigrams, add-one model, integer
+    // micro-nat per-bigram log-probs (exact order-free sum — the
+    // exact-cents pattern applied to ln p), final ppl rounded to 6
+    "llm_lm_perplexity" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |tk AS (SELECT doc_id, unnest(toks) AS w FROM d),
+        |v AS (SELECT count(DISTINCT w) AS v FROM tk WHERE w <> ''),
+        |bg AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2 FROM d WHERE len(toks) >= 2),
+        |bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+        |cc AS (SELECT w1, sum(cb) AS cu FROM bc GROUP BY 1),
+        |sc AS (SELECT g.doc_id, CAST(round(ln((bc.cb + 1.0) / CAST(cc.cu + v.v AS DOUBLE)) * 1000000) AS BIGINT) AS lp FROM bg g JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2 JOIN cc ON cc.w1 = g.w1 CROSS JOIN v),
+        |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, CAST(sum(lp) AS BIGINT) AS slp FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, round(exp((CAST(slp AS DOUBLE) / -1000000.0) / n_bigrams), 6) AS ppl
+        |FROM ag ORDER BY doc_id""".stripMargin,
+    // LM head mirror: same model CTEs, top-20 by (count desc, w1, w2)
+    // — a unique total order, so the LIMIT is deterministic
+    "llm_lm_bigrams" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |tk AS (SELECT doc_id, unnest(toks) AS w FROM d),
+        |v AS (SELECT count(DISTINCT w) AS v FROM tk WHERE w <> ''),
+        |bg AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2 FROM d WHERE len(toks) >= 2),
+        |bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+        |cc AS (SELECT w1, sum(cb) AS cu FROM bc GROUP BY 1)
+        |SELECT bc.w1, bc.w2, bc.cb, round((bc.cb + 1.0) / CAST(cc.cu + v.v AS DOUBLE), 6) AS p_smoothed
+        |FROM bc JOIN cc ON cc.w1 = bc.w1 CROSS JOIN v
+        |ORDER BY bc.cb DESC, bc.w1, bc.w2 LIMIT 20""".stripMargin,
+    // shard-shuffle mirror: the mix_sources FNV CTE gives the signed
+    // hash; shard = pmod 8, pos = per-shard row_number over (hash, id)
+    "llm_shard_shuffle" ->
+      """WITH RECURSIVE
+        |ids AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS s FROM documents),
+        |hx AS (SELECT DISTINCT s FROM ids),
+        |hh AS (SELECT s, hex(encode(s)) AS hs, octet_length(encode(s)) AS nb FROM hx),
+        |fnv AS (
+        |  SELECT s, hs, nb, 0 AS i, CAST(14695981039346656037 AS HUGEINT) AS h FROM hh
+        |  UNION ALL
+        |  SELECT s, hs, nb, i + 1,
+        |    (xor(h, CAST((strpos('0123456789ABCDEF', substring(hs, 2*i+1, 1))-1)*16 + strpos('0123456789ABCDEF', substring(hs, 2*i+2, 1))-1 AS HUGEINT)) * 1099511628211) % 18446744073709551616
+        |  FROM fnv WHERE i < nb),
+        |sgn AS (SELECT s, CAST(h - CASE WHEN h >= 9223372036854775808 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS hv FROM fnv WHERE i = nb)
+        |SELECT i.doc_id, ((sg.hv % 8) + 8) % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY ((sg.hv % 8) + 8) % 8 ORDER BY sg.hv, i.doc_id) - 1 AS BIGINT) AS pos
+        |FROM ids i JOIN sgn sg ON sg.s = i.s
+        |ORDER BY i.doc_id""".stripMargin,
     // stratified mirror: the same FNV hash as rank key (full signed
     // value, ties on id), row_number ≤ 10 per source
     // sequential Poisson mirror: same FNV CTE, u = hv mod 2^52,

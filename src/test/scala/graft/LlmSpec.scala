@@ -575,13 +575,13 @@ class LlmSpec extends SparkSpec {
       // ("a","bc") and ("ab","c") both yield "abc"
       new graft.functions.BpeMerges(Array("a" -> "bc", "ab" -> "c"))
     }
-    // pair-key injectivity (ADVICE r09): the table holds ("a ","b");
-    // the DIFFERENT pair ("a"," b") concatenates to the same string,
+    // pair-key injectivity (ADVICE r09): the table holds ("a\u0000","b");
+    // the DIFFERENT pair ("a","\u0000b") concatenates to the same string,
     // so a separator-keyed map would return rank 0 for it — the
     // length-prefixed key must not
-    val nul = new graft.functions.BpeMerges(Array("a " -> "b"))
-    assert(nul.rankOf("a ", "b") == 0)
-    assert(nul.rankOf("a", " b") == -1)
+    val nul = new graft.functions.BpeMerges(Array("a\u0000" -> "b"))
+    assert(nul.rankOf("a\u0000", "b") == 0)
+    assert(nul.rankOf("a", "\u0000b") == -1)
     val ids = Seq((0L, Seq(1, 2, 3, 4, 5)), (1L, Seq.empty[Int]))
       .toDF("doc_id", "ids")
     val chunks = Chunk.chunkIds(ids, "ids", "doc_id", size = 3, overlap = 1)
@@ -945,6 +945,55 @@ class LlmSpec extends SparkSpec {
     val idx = up.filter(col("source") === "src0" && col("doc_id") === 4)
       .select("copy_idx").as[Long].collect().sorted.toSeq
     assert(idx == (0L until idx.length).toSeq && idx.length >= 2)
+  }
+
+  test("bigram LM perplexity: hand-computed add-one model, exact sums") {
+    // corpus: ["a b a", "a b", "solo", ""] → V = {a, b, solo} = 3
+    // (the empty-text token is excluded); cb(a,b)=2, cb(b,a)=1;
+    // cu(a)=2, cu(b)=1; p(b|a)=(2+1)/(2+3)=0.6, p(a|b)=(1+1)/(1+3)=0.5
+    val d = Seq((0L, "a b a"), (1L, "a b"), (2L, "solo"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = LanguageModel.bigramPerplexity(d, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    // docs with < 2 tokens are excluded
+    assert(got.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    val lpAB = math.round(math.log(3.0 / 5.0) * 1e6)
+    val lpBA = math.round(math.log(2.0 / 4.0) * 1e6)
+    def ppl(slp: Long, n: Long): Double =
+      BigDecimal(math.exp((slp / -1e6) / n))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0).getLong(1) == 2L &&
+      got(0).getDouble(2) == ppl(lpAB + lpBA, 2))
+    assert(got(1).getLong(1) == 1L &&
+      got(1).getDouble(2) == ppl(lpAB, 1))
+    // integer micro-nat sums: bit-identical under repartitioning
+    val a = LanguageModel.bigramPerplexity(docs, "text", "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    val b = LanguageModel.bigramPerplexity(docs.repartition(7),
+      "text", "doc_id").orderBy("doc_id").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("shardShuffle: fnv shard, dense in-shard pos, repartition-stable") {
+    val d = spark.range(0, 200).toDF("doc_id")
+    val got = Mixing.shardShuffle(d, "doc_id", 4)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 200)
+    // shard is the fnv64 bucket of the id string
+    val expShard = d.select(col("doc_id"),
+        pmod(graft.functions.Fnv64(col("doc_id").cast("string")), lit(4L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.forall { case (id, sh, _) => expShard(id) == sh })
+    // pos is dense 0..n-1 within every shard
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq)
+    }
+    // pure function of the id set: identical under repartitioning
+    val again = Mixing.shardShuffle(d.repartition(7), "doc_id", 4)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
   test("gopher metrics: stopword / symbol / top-token ratios") {
