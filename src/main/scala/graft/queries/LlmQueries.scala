@@ -916,6 +916,31 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // COMPRESSED audio decode (r10): IMA/DVI ADPCM in WAV — the 4-bit
+    // predictive codec implemented from the public IMA spec
+    // (javax.sound cannot decode ADPCM). The synthetic fixture IS the
+    // compressed stream (a closed form of doc_id) and the decode is
+    // integer-exact, so a recursive-CTE oracle replays the (predictor,
+    // step-index) state machine bit-for-bit — the k3_lowpass pattern
+    // applied to a codec. Retires FakeDecoder for compressed audio,
+    // the audio twin of mm_video_mjpeg
+    "mm_audio_adpcm" -> ((s, dir) => {
+      val gen = udf { id: Long =>
+        Multimodal.syntheticImaAdpcmWav(id, (40 + id % 17).toInt)
+      }
+      val withWav = t(s, dir, "documents").select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("wav", gen(col("doc_id")))
+      Multimodal.extractFeatures(withWav, "wav", "doc_id",
+          new Multimodal.ImaAdpcmWavDecoder(8), batchSize = 64)
+        .select(col("doc_id") +:
+          element_at(col("features"), 1).cast("long").as("sample_rate") +:
+          element_at(col("features"), 2).cast("long").as("n_samples") +:
+          (0 until 8).map(b => element_at(col("features"), 3 + b)
+            .cast("long").as(s"hb$b")): _*)
+        .orderBy("doc_id")
+    }),
+
     // video decode over the pure-JVM Y4M container (r07 — the real
     // decoder replacing the video stand-in): synthesized 16×8 C420
     // clips with 3 + id%3 frames, per-clip geometry + frame count +
@@ -2183,6 +2208,46 @@ object LlmQueries {
         |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate, CAST(n AS BIGINT) AS n_frames,
         | $hbs
         |FROM sm GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+    },
+    // ADPCM mirror: the IMA (predictor, step-index) state machine as a
+    // recursive CTE (the k3_lowpass pattern applied to a codec) — step
+    // and index-adjust tables inlined as VALUES from the engine's own
+    // arrays, nibble i = (doc_id·7 + i·5) mod 16, integer-exact
+    // clamps; sample 0 is the block-header predictor
+    "mm_audio_adpcm" -> {
+      val stepVals = graft.llm.Multimodal.ImaStepTable.zipWithIndex
+        .map { case (s, i) => s"($i, $s)" }.mkString(", ")
+      val ixVals = graft.llm.Multimodal.ImaIndexTable.zipWithIndex
+        .map { case (d, n) => s"($n, $d)" }.mkString(", ")
+      val hbs = (0 until 8).map(b =>
+        s"CAST(sum(CASE WHEN (pred + 32768) // 8192 = $b THEN 1 ELSE 0 END) AS BIGINT) AS hb$b")
+        .mkString(",\n | ")
+      s"""WITH RECURSIVE
+        |st AS (SELECT i, s FROM (VALUES $stepVals) AS t(i, s)),
+        |ix AS (SELECT n, d FROM (VALUES $ixVals) AS t(n, d)),
+        |docs0 AS (SELECT doc_id, CAST(40 + doc_id % 17 AS INT) AS nn FROM documents),
+        |dec AS (
+        |  SELECT doc_id, nn, 0 AS i,
+        |    CAST((doc_id * 31) % 65536 - 32768 AS INT) AS pred,
+        |    CAST(doc_id % 89 AS INT) AS sidx
+        |  FROM docs0
+        |  UNION ALL
+        |  SELECT dec.doc_id, dec.nn, dec.i + 1,
+        |    CAST(greatest(-32768, least(32767,
+        |      dec.pred + (CASE WHEN (dec.doc_id*7 + dec.i*5) % 16 >= 8 THEN -1 ELSE 1 END) *
+        |        (st.s // 8
+        |         + CASE WHEN ((dec.doc_id*7 + dec.i*5) % 16) % 2 = 1 THEN st.s // 4 ELSE 0 END
+        |         + CASE WHEN (((dec.doc_id*7 + dec.i*5) % 16) // 2) % 2 = 1 THEN st.s // 2 ELSE 0 END
+        |         + CASE WHEN (((dec.doc_id*7 + dec.i*5) % 16) // 4) % 2 = 1 THEN st.s ELSE 0 END))) AS INT),
+        |    CAST(greatest(0, least(88, dec.sidx + ix.d)) AS INT)
+        |  FROM dec
+        |  JOIN st ON st.i = dec.sidx
+        |  JOIN ix ON ix.n = (dec.doc_id*7 + dec.i*5) % 16
+        |  WHERE dec.i < dec.nn)
+        |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+        | CAST(nn + 1 AS BIGINT) AS n_samples,
+        | $hbs
+        |FROM dec GROUP BY doc_id, nn ORDER BY doc_id""".stripMargin
     },
     // video mirror: luma sample i of frame f is
     // (doc_id*31 + f*13 + i*7) mod 256, 16×8 luma plane, 3 + id%3

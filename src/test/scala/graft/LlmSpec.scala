@@ -753,6 +753,61 @@ class LlmSpec extends SparkSpec {
     assert(cut.head.forall(_ == 0.0f))
   }
 
+  test("IMA-ADPCM decoder: state machine, odd-nibble cap, multi-block, poison") {
+    val dec = new Multimodal.ImaAdpcmWavDecoder(8)
+    // odd nibble count: 41 nibbles → 42 samples, final high nibble unused
+    val wav = Multimodal.syntheticImaAdpcmWav(5L, 41)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    val f = dec.decodeBatch(Seq(wav)).head
+    assert(f(0) == 8000.0f && f(1) == 42.0f)
+    // reference decode: replay the closed-form stream through imaStep
+    var pred = ((5L * 31) % 65536 - 32768).toInt
+    var sidx = (5L % 89).toInt
+    val expect = Array.ofDim[Int](8)
+    expect((pred + 32768) / 8192) += 1
+    for (i <- 0 until 41) {
+      val st = Multimodal.imaStep(pred, sidx, ((5L * 7 + i * 5) % 16).toInt)
+      pred = st._1; sidx = st._2
+      expect((pred + 32768) / 8192) += 1
+    }
+    assert(f.drop(2).map(_.toInt).toSeq == expect.toSeq)
+    assert(expect.sum == 42)
+    // clamps actually engage on a long one-direction run: all nibbles 7
+    // push the predictor up to +32767 and the step index to 88
+    val up = {
+      val base = Multimodal.syntheticImaAdpcmWav(0L, 80)
+      base // id 0: pred0 = -32768, sidx0 = 0
+    }
+    // overwrite the nibble payload with 0x77 (two 7-nibbles per byte)
+    val dataOff = up.length - 44 // 4 hdr + 40 payload bytes of the data chunk
+    val up2 = up.clone()
+    for (k <- 0 until 40) up2(dataOff + 4 + k) = 0x77.toByte
+    val fUp = dec.decodeBatch(Seq(up2)).head
+    assert(fUp(1) == 81.0f && fUp(9) > 0) // top bin reached, no overflow
+    // two blocks concatenate: decoder resets state per block header.
+    // 40 nibbles → blockAlign 24; data is the generator's LAST chunk,
+    // so doubling its payload in place makes a well-formed 2-block file
+    val one = Multimodal.syntheticImaAdpcmWav(9L, 40)
+    val f1 = dec.decodeBatch(Seq(one)).head
+    val ba = 24
+    val di = one.length - (8 + ba)
+    assert(new String(one, di, 4, "US-ASCII") == "data")
+    val two = one ++ one.slice(di + 8, di + 8 + ba)
+    two(di + 4) = (2 * ba).toByte        // data size 24 → 48 (LE byte 0)
+    two(4) = ((two.length - 8) & 0xFF).toByte
+    two(5) = (((two.length - 8) >> 8) & 0xFF).toByte
+    val f2 = dec.decodeBatch(Seq(two)).head
+    assert(f2(1) == 2 * f1(1))
+    assert(f2.drop(2).map(_.toInt).toSeq ==
+      f1.drop(2).map(v => 2 * v.toInt).toSeq)
+    // poison pills: null, garbage, truncated RIFF, and a PCM wav (wrong
+    // format tag for THIS decoder) → all-zero
+    val pcm = Multimodal.syntheticWav(5L, 60)
+    val pills = dec.decodeBatch(Seq(null, Array[Byte](1, 2, 3),
+      wav.take(16), pcm))
+    assert(pills.forall(_.forall(_ == 0f)))
+  }
+
   test("y4m video decoder: geometry, frames, luma histogram, stride, poison") {
     val vid = Multimodal.syntheticY4m(5L, 16, 8, 4)
     assert(new String(vid.take(9), "US-ASCII") == "YUV4MPEG2")
