@@ -18,17 +18,21 @@ import graft.llm.{Dedup, Similarity, TextAnalysis}
 object ScaleStress {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // optional label filter (substring): run only matching timings —
+    // dev aid so one new operator's decade doesn't re-run the suite
+    val only: Option[String] = args.lift(1)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def time(label: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
-    }
+    def time(label: String)(f: => Long): Unit =
+      if (only.forall(label.contains)) {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
 
     // Force FULL evaluation of every column: a bare .agg(sum(x)).count()
     // lets Catalyst prune the measured expressions under the outer count
@@ -168,6 +172,18 @@ object ScaleStress {
         val n = force(sel.select("doc_id", "n_tokens", "tokens_before"))
         rel(); n
       }
+      // r10: bigram-LM perplexity — replication multiplies the bigram
+      // stream but NOT the vocabulary, so the model (and its broadcast)
+      // stays constant-size while scoring scales with rows. This is the
+      // LM worst case for a bigram-partitioned shuffle (every replica
+      // shares every bigram — maximally hot keys); the broadcast-join
+      // design must keep the curve ~linear
+      time(s"lm perplexity x$mult")(
+        force(graft.llm.LanguageModel.bigramPerplexity(d, "text", "doc_id")))
+      // r10: shard-shuffle — one hash-balanced window; shards stay
+      // balanced under replication, so the curve is the per-shard sort
+      time(s"shard shuffle x$mult")(
+        force(graft.llm.Mixing.shardShuffle(d.select("doc_id"), "doc_id", 64)))
       spark.catalog.clearCache()
     }
 
