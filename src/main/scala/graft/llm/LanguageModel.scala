@@ -66,6 +66,56 @@ object LanguageModel {
     docBigrams(df, textCol, idCol)
       .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
 
+  /** Persist a corpus-trained model under `path`: `bigrams` (w1, w2,
+    * cb), `contexts` (w1, cu) and a one-row `vocab` (v) — the
+    * train-once layout behind score-only runs (ONE corpus scan instead
+    * of the self-trained path's two) and the stream-static twin. */
+  def writeModel(
+      df: DataFrame, textCol: String, idCol: String, path: String): Unit = {
+    val cb = bigramCounts(df, textCol, idCol)
+    cb.write.mode("overwrite").parquet(s"$path/bigrams")
+    cb.sparkSession.read.parquet(s"$path/bigrams")
+      .groupBy("w1").agg(sum("cb").as("cu"))
+      .write.mode("overwrite").parquet(s"$path/contexts")
+    df.select(explode(TextAnalysis.tokens(col(textCol))).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .agg(countDistinct(col("__w")).as("v"))
+      .write.mode("overwrite").parquet(s"$path/vocab")
+  }
+
+  /** Score a corpus against an EXTERNALLY-trained model ([[writeModel]]
+    * output, or any (w1, w2, cb)/(w1, cu) tables + vocabulary size):
+    * the same integer micro-nat arithmetic as [[bigramPerplexity]],
+    * identical results when the model was trained on `df` itself.
+    * Bigrams absent from the model are dropped from the sum (the
+    * in-vocabulary perplexity — a production filter scoring NEW text
+    * against a reference model would add an OOV/backoff term here).
+    * Works unchanged on a STREAMING `df` (stream-static broadcast
+    * joins + an update-mode per-doc aggregation). */
+  def scoreAgainstModel(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      bigrams: DataFrame,
+      contexts: DataFrame,
+      vocabSize: Long,
+      broadcastModel: Boolean = true): DataFrame = {
+    val cbJ = if (broadcastModel) broadcast(bigrams) else bigrams
+    val cuJ = if (broadcastModel) broadcast(contexts) else contexts
+    docBigrams(df, textCol, idCol)
+      .join(cbJ, Seq("w1", "w2"))
+      .join(cuJ, Seq("w1"))
+      .select(col(idCol),
+        round(log((col("cb") + lit(1)).cast("double") /
+            (col("cu") + lit(vocabSize)).cast("double")) * lit(1e6))
+          .cast("long").as("__lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum("__lp").as("__slp"))
+      .select(col(idCol), col("n_bigrams"),
+        round(exp((col("__slp").cast("double") / lit(-1e6)) /
+          col("n_bigrams").cast("double")), 6).as("ppl"))
+  }
+
   /** Per-document perplexity under the corpus-trained add-one bigram
     * model: (idCol, n_bigrams, ppl), docs with < 2 tokens excluded.
     * ppl = exp(−Σ round(ln p·10⁶) / 10⁶ / n_bigrams), rounded to 6. */

@@ -108,6 +108,22 @@ object LlmQueries {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
   }
 
+  /** LM-perplexity oracle, shared by three execution shapes of the one
+    * semantics: llm_lm_perplexity (self-trained), llm_lm_persisted
+    * (score-only against the on-disk model) and stream_lm_score (the
+    * stream-static twin in StreamingQueries). */
+  val lmPerplexityOracleSql: String =
+    """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      |tk AS (SELECT doc_id, unnest(toks) AS w FROM d),
+      |v AS (SELECT count(DISTINCT w) AS v FROM tk WHERE w <> ''),
+      |bg AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2 FROM d WHERE len(toks) >= 2),
+      |bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+      |cc AS (SELECT w1, sum(cb) AS cu FROM bc GROUP BY 1),
+      |sc AS (SELECT g.doc_id, CAST(round(ln((bc.cb + 1.0) / CAST(cc.cu + v.v AS DOUBLE)) * 1000000) AS BIGINT) AS lp FROM bg g JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2 JOIN cc ON cc.w1 = g.w1 CROSS JOIN v),
+      |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, CAST(sum(lp) AS BIGINT) AS slp FROM sc GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams, round(exp((CAST(slp AS DOUBLE) / -1000000.0) / n_bigrams), 6) AS ppl
+      |FROM ag ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     // exact dedup groups (hash → survivor id + multiplicity)
     "llm_dedup_exact" -> ((s, dir) =>
@@ -498,6 +514,21 @@ object LlmQueries {
             (col("cu") + col("__v")).cast("double"), 6).as("p_smoothed"))
         .orderBy(desc("cb"), asc("w1"), asc("w2"))
         .limit(20)
+    }),
+
+    // score-only LM run against the PERSISTED model (r10): train-once
+    // layout on disk (bigrams/contexts/vocab parquet), the score pass
+    // scans the corpus ONCE — same answers as the self-trained path by
+    // construction, gated by the same oracle
+    "llm_lm_persisted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = s"target/lm_model/${new java.io.File(dir).getName}"
+      LanguageModel.writeModel(docs, "text", "doc_id", path)
+      val v = s.read.parquet(s"$path/vocab").head().getLong(0)
+      LanguageModel.scoreAgainstModel(docs, "text", "doc_id",
+          s.read.parquet(s"$path/bigrams"),
+          s.read.parquet(s"$path/contexts"), v)
+        .orderBy("doc_id")
     }),
 
     // deterministic shard-shuffle (r10): reproducible training order —
@@ -1355,18 +1386,11 @@ object LlmQueries {
         |GROUP BY gr.doc_id ORDER BY gr.doc_id""".stripMargin,
     // bigram-LM mirror: zipped-unnest bigrams, add-one model, integer
     // micro-nat per-bigram log-probs (exact order-free sum — the
-    // exact-cents pattern applied to ln p), final ppl rounded to 6
-    "llm_lm_perplexity" ->
-      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
-        |tk AS (SELECT doc_id, unnest(toks) AS w FROM d),
-        |v AS (SELECT count(DISTINCT w) AS v FROM tk WHERE w <> ''),
-        |bg AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2 FROM d WHERE len(toks) >= 2),
-        |bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
-        |cc AS (SELECT w1, sum(cb) AS cu FROM bc GROUP BY 1),
-        |sc AS (SELECT g.doc_id, CAST(round(ln((bc.cb + 1.0) / CAST(cc.cu + v.v AS DOUBLE)) * 1000000) AS BIGINT) AS lp FROM bg g JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2 JOIN cc ON cc.w1 = g.w1 CROSS JOIN v),
-        |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, CAST(sum(lp) AS BIGINT) AS slp FROM sc GROUP BY doc_id)
-        |SELECT doc_id, n_bigrams, round(exp((CAST(slp AS DOUBLE) / -1000000.0) / n_bigrams), 6) AS ppl
-        |FROM ag ORDER BY doc_id""".stripMargin,
+    // exact-cents pattern applied to ln p), final ppl rounded to 6.
+    // Shared by the self-trained, persisted-model, and streaming
+    // shapes — one semantics, three execution paths
+    "llm_lm_perplexity" -> lmPerplexityOracleSql,
+    "llm_lm_persisted" -> lmPerplexityOracleSql,
     // LM head mirror: same model CTEs, top-20 by (count desc, w1, w2)
     // — a unique total order, so the LIMIT is deterministic
     "llm_lm_bigrams" ->

@@ -314,6 +314,33 @@ object StreamingQueries {
         .orderBy("lang")
     }),
 
+    // streaming LM scoring (r10): the perplexity filter as a stream —
+    // model trained STATICALLY first (the reference-model deployment
+    // shape), the doc stream explodes to bigrams and stream-static
+    // BROADCAST joins score it (no stream shuffle by bigram — Zipf-hot
+    // bigrams cost nothing), per-doc update-mode aggregation; bounded
+    // replay = one batch = the batch scorer, so the llm_lm_perplexity
+    // oracle gates it
+    "stream_lm_score" -> ((s, dir) => {
+      val docsStatic = s.read.parquet(s"$dir/documents.parquet")
+      val cb = graft.llm.LanguageModel.bigramCounts(
+        docsStatic, "text", "doc_id")
+      val cu = cb.groupBy("w1").agg(sum("cb").as("cu"))
+      val v = docsStatic
+        .select(explode(graft.llm.TextAnalysis.tokens(col("text")))
+          .as("__w"))
+        .filter(length(col("__w")) > 0)
+        .agg(countDistinct(col("__w"))).head().getLong(0)
+      val docs = s.readStream.schema(docsStatic.schema)
+        .parquet(s"$dir/documents.parque[t]")
+      val scored = graft.llm.LanguageModel.scoreAgainstModel(
+        docs, "text", "doc_id", cb, cu, v)
+      runToMemory(s, "stream_lm", name =>
+        scored.writeStream.format("memory").queryName(name)
+          .outputMode("update").trigger(Trigger.AvailableNow()))
+        .orderBy("doc_id")
+    }),
+
     // streaming T7 rate monitor, end to end: watermarked sliding-window
     // (2 h window, 1 h slide) in-range counts over the events stream —
     // complete mode emits every window of the bounded replay; each
@@ -336,6 +363,9 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // single-batch bounded replay ≡ the batch LM scorer — the shared
+    // perplexity mirror (one semantics, three execution shapes)
+    "stream_lm_score" -> LlmQueries.lmPerplexityOracleSql,
     // single-batch bounded replay ≡ batch Temporal.funnel — same
     // nested-min mirror as funnel_signup_purchase
     "stream_funnel" ->

@@ -26,12 +26,16 @@ object PlanAudit {
       "sessionize_gap", "llm_weighted_sample",
       "rolling_7d_minmax", "interval_join_agg",
       "tpch_q1_pricing", "llm_heavy_hitters", "llm_vocab_sketch",
-      "funnel_signup_purchase", "w6_quantile_sketch")
+      "funnel_signup_purchase", "w6_quantile_sketch",
+      "llm_lm_perplexity", "llm_shard_shuffle")
 
     // allowed nested-loop joins: tiny driver-generated pair sets, plus
     // the classifier's ONE-ROW dense-model broadcast (a deliberate
-    // map-only crossJoin — the build side is a single array row)
-    val nestedLoopAllowed = Set("llm_ngram_jaccard", "llm_classifier_score")
+    // map-only crossJoin — the build side is a single array row). The
+    // LM queries carry the same shape: crossJoin(broadcast(vocabSize))
+    // is a one-row scalar broadcast, not a pair blow-up
+    val nestedLoopAllowed = Set("llm_ngram_jaccard", "llm_classifier_score",
+      "llm_lm_perplexity", "llm_lm_bigrams")
 
     // full sweep, building each query exactly ONCE (several query
     // builders are eager — persist/count/collect at plan-build time):
@@ -78,6 +82,16 @@ object PlanAudit {
     val ivfPlan = ivf.queryExecution.executedPlan.toString
     if (!ivfPlan.matches("(?s).*PartitionFilters: \\[[^\\]].*")) {
       println("!! llm_ann_ivf_persisted: probe scan is not partition-pruned")
+      bad += 1
+    }
+    // LM scoring: both model joins (bigram counts, context counts)
+    // must be BROADCAST hash joins — the corpus-sized bigram stream
+    // never partitions by bigram (Zipf-hot keys would skew a shuffle)
+    val lm = graft.SparkEntry.queries("llm_lm_perplexity")(spark, dir)
+    val lmPlan = lm.queryExecution.executedPlan.toString
+    val nBhj = "BroadcastHashJoin".r.findAllIn(lmPlan).length
+    if (nBhj < 2) {
+      println(s"!! llm_lm_perplexity: expected 2 broadcast model joins, found $nBhj")
       bad += 1
     }
     println(s"\naudit ${if (bad == 0) "CLEAN" else s"$bad issue(s)"}")

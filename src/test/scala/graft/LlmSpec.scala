@@ -1029,6 +1029,19 @@ class LlmSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("LM scoreAgainstModel: persisted model == self-trained scorer") {
+    val path = "target/test_lm_model"
+    LanguageModel.writeModel(docs, "text", "doc_id", path)
+    val v = spark.read.parquet(s"$path/vocab").head().getLong(0)
+    val a = LanguageModel.scoreAgainstModel(docs, "text", "doc_id",
+        spark.read.parquet(s"$path/bigrams"),
+        spark.read.parquet(s"$path/contexts"), v)
+      .orderBy("doc_id").collect().toSeq
+    val b = LanguageModel.bigramPerplexity(docs, "text", "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("shardShuffle: fnv shard, dense in-shard pos, repartition-stable") {
     val d = spark.range(0, 200).toDF("doc_id")
     val got = Mixing.shardShuffle(d, "doc_id", 4)
