@@ -39,9 +39,12 @@ import java.util.zip.Inflater
   * naming the unsupported feature — never a silent misread.
   *
   * Concurrency: instances are NOT thread-safe (single RandomAccessFile
-  * cursor); use one instance per task. All multi-byte values are
-  * little-endian, which is what h5py/vaex emit on every mainstream
-  * platform; big-endian files are rejected explicitly.
+  * cursor); use one instance per task. File METADATA is little-endian
+  * per the HDF5 spec. Dataset/attribute VALUES may be either byte
+  * order (the datatype message's order bit — r10): big-endian ints
+  * and floats, as emitted on s390x/SPARC or via an explicit
+  * `>f8`-style dtype, byte-swap on read; VAX-ordered floats are
+  * rejected explicitly.
   */
 final class Hdf5File(path: String) extends AutoCloseable {
 
@@ -586,8 +589,11 @@ final class Hdf5File(path: String) extends AutoCloseable {
       java.util.Arrays.copyOfRange(body, p, p + dsSize), s"$ctx@$name")
     p += pad(dsSize)
     val n = dims.product.toInt // empty dims → scalar → product = 1
+    // numeric attribute VALUES follow the datatype's byte order; the
+    // vlen descriptor (class 9) is metadata and stays LE (bigEndian is
+    // only ever set for classes 0/1)
     val data = ByteBuffer.wrap(body, p, body.length - p).slice()
-      .order(ByteOrder.LITTLE_ENDIAN)
+      .order(dataOrder(dtype))
     name -> decodeAttrValue(dtype, dims, n, data, s"$ctx@$name")
   }
 
@@ -687,13 +693,13 @@ final class Hdf5File(path: String) extends AutoCloseable {
     val size = bb.getInt(4)
     cls match {
       case 0 => // fixed-point; bit0 = byte order, bit3 = signed
-        require((b0 & 1) == 0, s"$ctx: big-endian ints unsupported")
-        Dtype(0, size, (b0 & 0x08) != 0)
+        Dtype(0, size, (b0 & 0x08) != 0, (b0 & 1) != 0)
       case 1 =>
-        require((b0 & 1) == 0, s"$ctx: big-endian floats unsupported")
+        // float byte order is bits {0,6}: 00 = LE, 01 = BE, 11 = VAX
+        require((b0 & 0x40) == 0, s"$ctx: VAX-ordered floats unsupported")
         require(size == 4 || size == 8,
           s"$ctx: only f4/f8 floats supported, got size $size")
-        Dtype(1, size, signed = true)
+        Dtype(1, size, signed = true, (b0 & 1) != 0)
       case 3 =>
         Dtype(3, size, signed = false) // fixed-length string
       case 9 if (b0 & 0x0F) == 1 => // variable-length string (h5py str)
@@ -926,17 +932,22 @@ final class Hdf5File(path: String) extends AutoCloseable {
 
   // ------------------------------------------------------- typed reads
 
+  /** Value byte order: the datatype's, not the file's (metadata is
+    * always LE; data may be either — r10). */
+  private def dataOrder(dt: Dtype): ByteOrder =
+    if (dt.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+
   def readDoubles(p: String): Array[Double] = {
     val ds = dataset(p)
     val bytes = readBytes(p, ds)
-    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val bb = ByteBuffer.wrap(bytes).order(dataOrder(ds.dtype))
     ds.dtype match {
-      case Dtype(1, 8, _) =>
+      case Dtype(1, 8, _, _) =>
         val out = new Array[Double](ds.n.toInt)
         bb.asDoubleBuffer().get(out); out
-      case Dtype(1, 4, _) =>
+      case Dtype(1, 4, _, _) =>
         Array.tabulate(ds.n.toInt)(i => bb.getFloat(i * 4).toDouble)
-      case Dtype(0, _, _) => readLongsFrom(ds, bb).map(_.toDouble)
+      case Dtype(0, _, _, _) => readLongsFrom(ds, bb).map(_.toDouble)
       case t => throw new UnsupportedOperationException(
         s"$path/$p: cannot read ${t} as double")
     }
@@ -944,12 +955,12 @@ final class Hdf5File(path: String) extends AutoCloseable {
 
   def readFloats(p: String): Array[Float] = {
     val ds = dataset(p)
-    val bb = ByteBuffer.wrap(readBytes(p, ds)).order(ByteOrder.LITTLE_ENDIAN)
+    val bb = ByteBuffer.wrap(readBytes(p, ds)).order(dataOrder(ds.dtype))
     ds.dtype match {
-      case Dtype(1, 4, _) =>
+      case Dtype(1, 4, _, _) =>
         val out = new Array[Float](ds.n.toInt)
         bb.asFloatBuffer().get(out); out
-      case Dtype(1, 8, _) =>
+      case Dtype(1, 8, _, _) =>
         Array.tabulate(ds.n.toInt)(i => bb.getDouble(i * 8).toFloat)
       case t => throw new UnsupportedOperationException(
         s"$path/$p: cannot read ${t} as float")
@@ -958,10 +969,10 @@ final class Hdf5File(path: String) extends AutoCloseable {
 
   def readLongs(p: String): Array[Long] = {
     val ds = dataset(p)
-    val bb = ByteBuffer.wrap(readBytes(p, ds)).order(ByteOrder.LITTLE_ENDIAN)
+    val bb = ByteBuffer.wrap(readBytes(p, ds)).order(dataOrder(ds.dtype))
     ds.dtype match {
-      case Dtype(0, _, _) => readLongsFrom(ds, bb)
-      case Dtype(1, 8, _) => // float-stored keys (pandas→vaex convention)
+      case Dtype(0, _, _, _) => readLongsFrom(ds, bb)
+      case Dtype(1, 8, _, _) => // float-stored keys (pandas→vaex convention)
         Array.tabulate(ds.n.toInt)(i => bb.getDouble(i * 8).toLong)
       case t => throw new UnsupportedOperationException(
         s"$path/$p: cannot read ${t} as long")
@@ -1015,7 +1026,8 @@ object Hdf5File {
 
   /** Element type of the supported subset. `string` is FIXED-length
     * (`size` bytes, NUL-trimmed); integers are LE, signedness tracked. */
-  final case class Dtype(clazz: Int, size: Int, signed: Boolean)
+  final case class Dtype(clazz: Int, size: Int, signed: Boolean,
+      bigEndian: Boolean = false)
 
   final case class Dataset(
       dims: Seq[Long],

@@ -36,6 +36,32 @@ class Hdf5Spec extends SparkSpec {
     } finally h.close()
   }
 
+  test("big-endian int64/float64 datasets byte-swap on read (r10)") {
+    val f = tmp("bigendian.h5")
+    val longs = Array.tabulate(300)(i => i.toLong * 7919 - 100000)
+    val doubles = Array.tabulate(300)(i => math.cos(i * 0.21) * 1e5)
+    Hdf5TestWriter.write(f, Seq(
+      Hdf5TestWriter.LongCol("ints", longs, bigEndian = true),
+      Hdf5TestWriter.DoubleCol("floats", doubles, bigEndian = true),
+      // filters compose: shuffle de-interleaves bytes order-agnostically,
+      // the swap happens after on the reassembled elements
+      Hdf5TestWriter.LongCol("packed", longs, chunk = 64,
+        deflate = true, shuffle = true, bigEndian = true),
+      // mixed-order file: an LE column next to the BE ones
+      Hdf5TestWriter.DoubleCol("le", doubles)))
+    val h = new Hdf5File(f)
+    try {
+      assert(h.dataset("/ints").dtype.bigEndian)
+      assert(!h.dataset("/le").dtype.bigEndian)
+      assert(h.readLongs("/ints").toSeq == longs.toSeq)
+      assert(h.readDoubles("/floats").toSeq == doubles.toSeq)
+      assert(h.readLongs("/packed").toSeq == longs.toSeq)
+      assert(h.readDoubles("/le").toSeq == doubles.toSeq)
+      // cross-width promotion honors the order too
+      assert(h.readDoubles("/ints").toSeq == longs.map(_.toDouble).toSeq)
+    } finally h.close()
+  }
+
   test("v2 'OHDR' headers + link-message groups round trip (r07)") {
     // the h5py libver='latest' shape: superblock v3, OHDR object
     // headers, new-style groups carrying links as compact messages

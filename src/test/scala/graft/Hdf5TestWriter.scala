@@ -15,10 +15,12 @@ object Hdf5TestWriter {
 
   sealed trait Col { def name: String }
   final case class LongCol(name: String, values: Array[Long],
-      chunk: Int = 0, deflate: Boolean = false, shuffle: Boolean = false)
+      chunk: Int = 0, deflate: Boolean = false, shuffle: Boolean = false,
+      bigEndian: Boolean = false)
     extends Col
   final case class DoubleCol(name: String, values: Array[Double],
-      chunk: Int = 0, deflate: Boolean = false, shuffle: Boolean = false)
+      chunk: Int = 0, deflate: Boolean = false, shuffle: Boolean = false,
+      bigEndian: Boolean = false)
     extends Col
   /** rank-2 double matrix, chunked (rows × cols chunks). */
   final case class Double2Col(name: String, values: Array[Array[Double]],
@@ -176,19 +178,21 @@ object Hdf5TestWriter {
 
   // ---------------------------------------------------------- attributes
 
-  private def dtIntBody(size: Int): Array[Byte] = {
+  private def dtIntBody(size: Int, be: Boolean = false): Array[Byte] = {
     val bb = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
-    bb.put(0x10.toByte); bb.put(0x08.toByte) // class 0 v1, LE signed
+    // class 0 v1; bit field: bit3 signed, bit0 byte order
+    bb.put(0x10.toByte); bb.put((0x08 | (if (be) 1 else 0)).toByte)
     bb.put(0.toByte); bb.put(0.toByte)
     bb.putInt(size)
     bb.putShort(0); bb.putShort((size * 8).toShort)
     bb.array()
   }
 
-  private def dtF64Body: Array[Byte] = {
+  private def dtF64Body(be: Boolean = false): Array[Byte] = {
     val bb = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
     bb.put(0x11.toByte)
-    bb.put(0x20.toByte); bb.put(0x3F.toByte); bb.put(0.toByte)
+    bb.put((0x20 | (if (be) 1 else 0)).toByte)
+    bb.put(0x3F.toByte); bb.put(0.toByte)
     bb.putInt(8)
     bb.putShort(0); bb.putShort(64)
     bb.put(52.toByte); bb.put(11.toByte)
@@ -234,7 +238,7 @@ object Hdf5TestWriter {
       case ADouble(v) =>
         val d = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
         d.putDouble(v)
-        (dtF64Body, dsBody(Nil), d.array())
+        (dtF64Body(), dsBody(Nil), d.array())
       case AStr(v) =>
         val w = v.getBytes("UTF-8").length + 1
         (dtStrBody(w), dsBody(Nil), fixedStrBytes(Array(v), w))
@@ -247,7 +251,7 @@ object Hdf5TestWriter {
         val d = ByteBuffer.allocate(v.length * 8)
           .order(ByteOrder.LITTLE_ENDIAN)
         v.foreach(d.putDouble)
-        (dtF64Body, dsBody(Seq(v.length.toLong)), d.array())
+        (dtF64Body(), dsBody(Seq(v.length.toLong)), d.array())
       case AStrs(v) =>
         val w = v.map(_.getBytes("UTF-8").length).max + 1
         (dtStrBody(w), dsBody(Seq(v.length.toLong)), fixedStrBytes(v, w))
@@ -276,15 +280,15 @@ object Hdf5TestWriter {
       : Seq[(Int, Array[Byte])] = {
     val (dims, elemSize, isFloat, bytes, chunkDims, deflate, shuffle) =
       c match {
-        case LongCol(_, v, ch, df, sh) =>
+        case LongCol(_, v, ch, df, sh, be) =>
           val bb = ByteBuffer.allocate(v.length * 8)
-            .order(ByteOrder.LITTLE_ENDIAN)
+            .order(if (be) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
           v.foreach(bb.putLong)
           (Seq(v.length.toLong), 8, false, bb.array(),
             if (ch > 0) Seq(ch, 8) else Nil, df, sh)
-        case DoubleCol(_, v, ch, df, sh) =>
+        case DoubleCol(_, v, ch, df, sh, be) =>
           val bb = ByteBuffer.allocate(v.length * 8)
-            .order(ByteOrder.LITTLE_ENDIAN)
+            .order(if (be) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
           v.foreach(bb.putDouble)
           (Seq(v.length.toLong), 8, true, bb.array(),
             if (ch > 0) Seq(ch, 8) else Nil, df, sh)
@@ -413,7 +417,12 @@ object Hdf5TestWriter {
     dims.foreach(spaceBody.putLong)
     msgs += ((0x01, spaceBody.array()))
 
-    msgs += ((0x03, if (isFloat) dtF64Body else dtIntBody(elemSize)))
+    val be = c match {
+      case lc: LongCol => lc.bigEndian
+      case dc: DoubleCol => dc.bigEndian
+      case _ => false
+    }
+    msgs += ((0x03, if (isFloat) dtF64Body(be) else dtIntBody(elemSize, be)))
 
     if (deflate || shuffle) {
       val nf = (if (shuffle) 1 else 0) + (if (deflate) 1 else 0)
