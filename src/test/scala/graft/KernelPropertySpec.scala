@@ -56,6 +56,43 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: bigram LM perplexity ≡ brute reference on random corpora") {
+    val rnd = new scala.util.Random(20260814L)
+    (0 until 8).foreach { trial =>
+      val nDocs = 5 + rnd.nextInt(20)
+      val docs = (0 until nDocs).map { i =>
+        val n = rnd.nextInt(12)
+        (i.toLong, (0 until n).map(_ =>
+          words(rnd.nextInt(words.length))).filter(_.nonEmpty)
+          .mkString(" "))
+      }
+      // brute reference: add-one bigram model + integer micro-nat sums
+      val toks = docs.map { case (id, t) => id -> refTokens(t) }
+        .filter(_._2.exists(_.nonEmpty))
+      val vocab = toks.flatMap(_._2).filter(_.nonEmpty).distinct.size
+      val bigrams = toks.flatMap { case (id, ws) =>
+        ws.sliding(2).filter(_.length == 2).map(p => (id, p(0), p(1)))
+      }
+      val cb = bigrams.groupBy(p => (p._2, p._3)).view.mapValues(_.size)
+      val cu = bigrams.groupBy(_._2).view.mapValues(_.size)
+      val expect = bigrams.groupBy(_._1).map { case (id, bs) =>
+        val slp = bs.map { case (_, w1, w2) =>
+          math.round(math.log((cb((w1, w2)) + 1.0) /
+            (cu(w1).toDouble + vocab)) * 1e6)
+        }.sum
+        val ppl = BigDecimal(math.exp((slp / -1e6) / bs.length))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        id -> ((bs.length.toLong, ppl))
+      }
+      val got = graft.llm.LanguageModel.bigramPerplexity(
+          docs.toDF("doc_id", "text").repartition(1 + rnd.nextInt(7)),
+          "text", "doc_id")
+        .collect().map(r =>
+          r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
   test("property: cut_spans ≡ reference cut over random span lists") {
     val rnd = new scala.util.Random(7071234L)
     val cases = (0 until 300).map { i =>
