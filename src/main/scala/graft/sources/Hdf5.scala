@@ -27,8 +27,10 @@ import java.util.zip.Inflater
   *     an indirect root of direct rows, B-tree depth ≤ 1 (thousands of
   *     links at default node sizes) — beyond fails loudly by name
   *   - dataspace v1/v2 (simple, any rank)
-  *   - datatypes: fixed-point (1/2/4/8-byte, signed/unsigned LE),
-  *     IEEE float (4/8-byte LE), fixed-length strings
+  *   - datatypes: fixed-point (1/2/4/8-byte, signed/unsigned, either
+  *     byte order — r10), IEEE float (4/8-byte, either byte order),
+  *     fixed-length strings, and vlen strings (r10 — h5py's default
+  *     `str` dataset layout: 16-byte global-heap descriptors)
   *   - data layout v3: compact, contiguous, and chunked (v1 chunk
   *     B-tree) with the deflate / shuffle / fletcher32 filters
   *   - attribute messages v1-v3 (fixed-point / float / fixed-string /
@@ -683,9 +685,9 @@ final class Hdf5File(path: String) extends AutoCloseable {
     (0 until rank).map(i => bb.getLong(dimsOff + 8 * i))
   }
 
-  /** Datatype message body → [[Hdf5File.Dtype]] (clazz 9 = vlen string,
-    * attribute values only — datasets of vlen strings stay outside the
-    * subset). */
+  /** Datatype message body → [[Hdf5File.Dtype]] (clazz 9 = vlen
+    * string — attribute values AND datasets since r10; dataset
+    * elements are 16-byte global-heap descriptors). */
   private def parseDatatype(body: Array[Byte], ctx: String): Dtype = {
     val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
     val cls = body(0) & 0x0F
@@ -722,9 +724,6 @@ final class Hdf5File(path: String) extends AutoCloseable {
         dims = parseDataspace(body, s"$path/$p")
       case (0x03, body) => // datatype
         dtype = parseDatatype(body, s"$path/$p")
-        require(dtype.clazz != 9,
-          s"$path/$p: vlen-string DATASETS are outside the subset " +
-            "(vlen strings are supported in attributes only)")
       case (0x08, body) => // data layout
         val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
         val ver = body(0) & 0xFF
@@ -997,17 +996,38 @@ final class Hdf5File(path: String) extends AutoCloseable {
     }
   }
 
-  /** Fixed-length strings, NUL/space-trimmed. */
+  /** String dataset: fixed-length (class 3, NUL/space-trimmed) or
+    * variable-length (class 9 — h5py's default `str` layout, r10):
+    * each element is a 16-byte (length, global-heap address, index)
+    * descriptor resolved through the same GCOL machinery as vlen
+    * attributes; zero-length/null descriptors yield "". Works for
+    * contiguous and chunked (the descriptors chunk; heap objects are
+    * global). */
   def readStrings(p: String): Array[String] = {
     val ds = dataset(p)
-    require(ds.dtype.clazz == 3, s"$path/$p: not a string dataset")
     val bytes = readBytes(p, ds)
-    val w = ds.dtype.size
-    Array.tabulate(ds.n.toInt) { i =>
-      var end = (i + 1) * w
-      while (end > i * w && (bytes(end - 1) == 0 || bytes(end - 1) == ' '))
-        end -= 1
-      new String(bytes, i * w, end - i * w, "UTF-8")
+    ds.dtype.clazz match {
+      case 3 =>
+        val w = ds.dtype.size
+        Array.tabulate(ds.n.toInt) { i =>
+          var end = (i + 1) * w
+          while (end > i * w &&
+              (bytes(end - 1) == 0 || bytes(end - 1) == ' '))
+            end -= 1
+          new String(bytes, i * w, end - i * w, "UTF-8")
+        }
+      case 9 =>
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        Array.tabulate(ds.n.toInt) { i =>
+          val len = bb.getInt(i * 16)
+          val gaddr = bb.getLong(i * 16 + 4)
+          val gidx = bb.getInt(i * 16 + 12)
+          if (len == 0 || gaddr == 0) ""
+          else new String(
+            globalHeapObject(gaddr, gidx, p), 0, len, "UTF-8")
+        }
+      case c => throw new UnsupportedOperationException(
+        s"$path/$p: not a string dataset (datatype class $c)")
     }
   }
 

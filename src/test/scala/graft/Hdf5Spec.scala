@@ -62,6 +62,24 @@ class Hdf5Spec extends SparkSpec {
     } finally h.close()
   }
 
+  test("vlen-string dataset round trip via the global heap (r10)") {
+    val f = tmp("vlen.h5")
+    val strs = Array("plain", "", "éclair ∂x", "x" * 37,
+      "trailing space ", "NUL-free")
+    Hdf5TestWriter.write(f, Seq(
+      Hdf5TestWriter.VlenStrCol("names", strs),
+      Hdf5TestWriter.LongCol("ids", Array.tabulate(6)(_.toLong))))
+    val h = new Hdf5File(f)
+    try {
+      val ds = h.dataset("/names")
+      assert(ds.dtype.clazz == 9 && ds.dims == Seq(6L))
+      // exact round trip: vlen preserves trailing spaces and length
+      // (unlike the fixed-width NUL/space-trimmed class-3 path)
+      assert(h.readStrings("/names").toSeq == strs.toSeq)
+      assert(h.readLongs("/ids").length == 6)
+    } finally h.close()
+  }
+
   test("v2 'OHDR' headers + link-message groups round trip (r07)") {
     // the h5py libver='latest' shape: superblock v3, OHDR object
     // headers, new-style groups carrying links as compact messages

@@ -30,6 +30,11 @@ object Hdf5TestWriter {
     * (nb_channels × nb_samples ADC counts). */
   final case class Short2Col(name: String, values: Array[Array[Short]])
     extends Col
+  /** variable-length strings (h5py's default `str` dataset layout):
+    * payloads in a global heap collection, dataset data = 16-byte
+    * (len, GCOL addr, index) descriptors. */
+  final case class VlenStrCol(name: String, values: Array[String])
+    extends Col
 
   /** Attribute values (v1 attribute messages on any node). */
   sealed trait Attr
@@ -210,6 +215,36 @@ object Hdf5TestWriter {
     bb.array()
   }
 
+  private def dtVlenStrBody: Array[Byte] = {
+    // class 9 v1; bit field low nibble 1 = vlen STRING; element size =
+    // the 16-byte heap descriptor; base type (ascii char) appended
+    val bb = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(0x19.toByte); bb.put(0x01.toByte)
+    bb.put(0.toByte); bb.put(0.toByte)
+    bb.putInt(16)
+    bb.put(0x13.toByte); bb.put(0.toByte) // base: class-3 string v1
+    bb.put(0.toByte); bb.put(0.toByte)
+    bb.putInt(1)
+    bb.array()
+  }
+
+  /** Global heap collection ("GCOL") holding every string payload;
+    * object index i+1 = values(i). Returns the collection address. */
+  private def writeGcol(buf: GrowBuf, vs: Array[String]): Long = {
+    val addr = buf.pos
+    val payloads = vs.map(_.getBytes("UTF-8"))
+    val total = 16 + payloads.map(p => 16 + pad8(p.length)).sum
+    buf.bytes("GCOL".getBytes("US-ASCII"))
+    buf.u8(1); buf.zeros(3)
+    buf.u64(total.toLong)
+    payloads.zipWithIndex.foreach { case (p, i) =>
+      buf.u16(i + 1); buf.u16(1); buf.u32(0)
+      buf.u64(p.length.toLong)
+      buf.bytes(p); buf.zeros(pad8(p.length) - p.length)
+    }
+    addr
+  }
+
   private def dsBody(dims: Seq[Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(8 + dims.length * 8)
       .order(ByteOrder.LITTLE_ENDIAN)
@@ -306,6 +341,16 @@ object Hdf5TestWriter {
           v.foreach(_.foreach(bb.putShort))
           (Seq(rows.toLong, colsN.toLong), 2, false, bb.array(),
             Nil, false, false)
+        case VlenStrCol(_, v) =>
+          val gaddr = writeGcol(buf, v)
+          val bb = ByteBuffer.allocate(v.length * 16)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          v.zipWithIndex.foreach { case (str, i) =>
+            bb.putInt(str.getBytes("UTF-8").length)
+            bb.putLong(gaddr)
+            bb.putInt(i + 1)
+          }
+          (Seq(v.length.toLong), 16, false, bb.array(), Nil, false, false)
       }
 
     // data (chunked or contiguous) goes first; the object header points back
@@ -422,7 +467,11 @@ object Hdf5TestWriter {
       case dc: DoubleCol => dc.bigEndian
       case _ => false
     }
-    msgs += ((0x03, if (isFloat) dtF64Body(be) else dtIntBody(elemSize, be)))
+    msgs += ((0x03, c match {
+      case _: VlenStrCol => dtVlenStrBody
+      case _ if isFloat => dtF64Body(be)
+      case _ => dtIntBody(elemSize, be)
+    }))
 
     if (deflate || shuffle) {
       val nf = (if (shuffle) 1 else 0) + (if (deflate) 1 else 0)
