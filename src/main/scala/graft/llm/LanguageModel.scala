@@ -116,6 +116,87 @@ object LanguageModel {
           col("n_bigrams").cast("double")), 6).as("ppl"))
   }
 
+  /** One row per in-document adjacent token TRIPLE:
+    * (idCol, w1, w2, w3); documents with < 3 tokens contribute
+    * nothing. */
+  def docTrigrams(df: DataFrame, textCol: String, idCol: String)
+      : DataFrame = {
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 3)
+      .select(col(idCol),
+        explode(arrays_zip(
+          slice(col("__toks"), lit(1), size(col("__toks")) - 2).as("w1"),
+          slice(col("__toks"), lit(2), size(col("__toks")) - 2).as("w2"),
+          slice(col("__toks"), lit(3), size(col("__toks")) - 2).as("w3")))
+          .as("__tg"))
+      .select(col(idCol), col("__tg.w1").as("w1"),
+        col("__tg.w2").as("w2"), col("__tg.w3").as("w3"))
+  }
+
+  /** Trigram Stupid Backoff scoring (Brants et al. 2007) — the
+    * web-scale LM score that skips normalization: per position,
+    *   S(w3|w1w2) = f(w1w2w3)/f(w1w2)            when the trigram is
+    *                                              in the model,
+    *              = 0.4·f(w2w3)/f(w2)             backing off to the
+    *                                              bigram,
+    *              = 0.4·0.4·(f(w3)+1)/(N+V)       at the unigram floor
+    *                                              (add-one so OOV
+    *                                              words score finitely
+    *                                              instead of −∞).
+    * `train` is the reference corpus (the model); `df` is scored
+    * against it — the deployment shape where backoff actually fires
+    * (a self-scored corpus never misses its own trigrams). Output:
+    * (idCol, n_trigrams, ppl) with the same integer micro-nat fold as
+    * [[bigramPerplexity]] — bit-deterministic, SQL-mirrorable. Docs
+    * with < 3 tokens are excluded.
+    *
+    * Scale shape: three count tables (trigram/bigram/unigram), all
+    * map-side combined and vocabulary-bounded; one 2-scalar stats row
+    * (N, V) rides a broadcast cross join; scoring joins all model
+    * tables BROADCAST (`broadcastModel=false` flips them to shuffle +
+    * AQE skew-split, as in [[bigramPerplexity]]). */
+  def stupidBackoff(
+      df: DataFrame,
+      train: DataFrame,
+      textCol: String,
+      idCol: String,
+      broadcastModel: Boolean = true): DataFrame = {
+    def b(m: DataFrame) = if (broadcastModel) broadcast(m) else m
+    val tc = docTrigrams(train, textCol, idCol)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("__tc"))
+    val bc = docBigrams(train, textCol, idCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("__cb"))
+    val uc = train
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("__cu"))
+    val st = uc.agg(sum("__cu").as("__n"), count(lit(1)).as("__v"))
+    val s = docTrigrams(df, textCol, idCol)
+      .join(b(tc), Seq("w1", "w2", "w3"), "left")
+      .join(b(bc.toDF("w1", "w2", "__cb12")), Seq("w1", "w2"), "left")
+      .join(b(bc.toDF("w2", "w3", "__cb23")), Seq("w2", "w3"), "left")
+      .join(b(uc.toDF("w2", "__cu2")), Seq("w2"), "left")
+      .join(b(uc.toDF("w3", "__cu3")), Seq("w3"), "left")
+      .crossJoin(broadcast(st))
+      .select(col(idCol),
+        round(
+          when(col("__tc").isNotNull,
+            log(col("__tc").cast("double") / col("__cb12").cast("double")))
+          .when(col("__cb23").isNotNull,
+            log(lit(0.4) *
+              (col("__cb23").cast("double") / col("__cu2").cast("double"))))
+          .otherwise(
+            log(lit(0.4) * lit(0.4) *
+              ((coalesce(col("__cu3"), lit(0L)).cast("double") + lit(1.0)) /
+                (col("__n") + col("__v")).cast("double")))) * lit(1e6))
+          .cast("long").as("__lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_trigrams"), sum("__lp").as("__slp"))
+    s.select(col(idCol), col("n_trigrams"),
+      round(exp((col("__slp").cast("double") / lit(-1e6)) /
+        col("n_trigrams").cast("double")), 6).as("ppl"))
+  }
+
   /** Per-document perplexity under the corpus-trained add-one bigram
     * model: (idCol, n_bigrams, ppl), docs with < 2 tokens excluded.
     * ppl = exp(−Σ round(ln p·10⁶) / 10⁶ / n_bigrams), rounded to 6. */

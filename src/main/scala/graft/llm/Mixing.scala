@@ -173,4 +173,17 @@ object Mixing {
       .withColumn("pos", row_number().over(w).cast("long") - 1L)
       .drop("__hv")
   }
+
+  /** Materialize the shard-shuffle as the training-file layout its
+    * scaladoc promises: parquet partitioned by `shard`, each shard's
+    * single file sorted by `pos` (repartition on the shard column +
+    * sortWithinPartitions — one exchange beyond [[shardShuffle]]'s
+    * window, no global sort). A trainer then streams
+    * `shard=K/part-*.parquet` files as ready-ordered input. */
+  def writeShards(
+      df: DataFrame, idCol: String, nShards: Int, path: String): Unit =
+    shardShuffle(df, idCol, nShards)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

@@ -516,6 +516,19 @@ object LlmQueries {
         .limit(20)
     }),
 
+    // trigram Stupid Backoff scored against a REFERENCE model (r10):
+    // model = every non-src0 doc, scored = the held-out src0 docs, so
+    // all three arms genuinely fire (a self-scored corpus never
+    // misses its own trigrams and the backoff would be dead code)
+    "llm_lm_backoff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      LanguageModel.stupidBackoff(
+          docs.filter(col("source") === "src0"),
+          docs.filter(col("source") =!= "src0"),
+          "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // score-only LM run against the PERSISTED model (r10): train-once
     // layout on disk (bigrams/contexts/vocab parquet), the score pass
     // scans the corpus ONCE — same answers as the self-trained path by
@@ -1391,6 +1404,35 @@ object LlmQueries {
     // shapes — one semantics, three execution paths
     "llm_lm_perplexity" -> lmPerplexityOracleSql,
     "llm_lm_persisted" -> lmPerplexityOracleSql,
+    // Stupid-Backoff mirror: train/test split CTEs, three count tables
+    // + a 2-scalar stats row, the exact CASE arms (trigram ratio →
+    // 0.4·bigram ratio → 0.4²·add-one unigram) in the same float-op
+    // order, integer micro-nat fold
+    "llm_lm_backoff" ->
+      """WITH tr AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents WHERE source <> 'src0'),
+        |te AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents WHERE source = 'src0'),
+        |trt AS (SELECT unnest(toks) AS w FROM tr),
+        |uc AS (SELECT w, count(*) AS c FROM trt WHERE w <> '' GROUP BY w),
+        |st AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v FROM uc),
+        |bg AS (SELECT unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2 FROM tr WHERE len(toks) >= 2),
+        |bc AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+        |tg AS (SELECT unnest(toks[1:len(toks)-2]) AS w1, unnest(toks[2:len(toks)-1]) AS w2, unnest(toks[3:len(toks)]) AS w3 FROM tr WHERE len(toks) >= 3),
+        |tc AS (SELECT w1, w2, w3, count(*) AS c FROM tg GROUP BY 1, 2, 3),
+        |q AS (SELECT doc_id, unnest(toks[1:len(toks)-2]) AS w1, unnest(toks[2:len(toks)-1]) AS w2, unnest(toks[3:len(toks)]) AS w3 FROM te WHERE len(toks) >= 3),
+        |sc AS (SELECT q.doc_id, CAST(round(
+        |    CASE WHEN tc.c IS NOT NULL THEN ln(CAST(tc.c AS DOUBLE) / CAST(b12.c AS DOUBLE))
+        |         WHEN b23.c IS NOT NULL THEN ln(0.4 * (CAST(b23.c AS DOUBLE) / CAST(u2.c AS DOUBLE)))
+        |         ELSE ln(0.4 * 0.4 * ((CAST(coalesce(u3.c, 0) AS DOUBLE) + 1.0) / CAST(st.n + st.v AS DOUBLE))) END * 1000000) AS BIGINT) AS lp
+        |  FROM q
+        |  LEFT JOIN tc ON tc.w1 = q.w1 AND tc.w2 = q.w2 AND tc.w3 = q.w3
+        |  LEFT JOIN bc b12 ON b12.w1 = q.w1 AND b12.w2 = q.w2
+        |  LEFT JOIN bc b23 ON b23.w1 = q.w2 AND b23.w2 = q.w3
+        |  LEFT JOIN uc u2 ON u2.w = q.w2
+        |  LEFT JOIN uc u3 ON u3.w = q.w3
+        |  CROSS JOIN st),
+        |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams, CAST(sum(lp) AS BIGINT) AS slp FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_trigrams, round(exp((CAST(slp AS DOUBLE) / -1000000.0) / n_trigrams), 6) AS ppl
+        |FROM ag ORDER BY doc_id""".stripMargin,
     // LM head mirror: same model CTEs, top-20 by (count desc, w1, w2)
     // — a unique total order, so the LIMIT is deterministic
     "llm_lm_bigrams" ->

@@ -1029,6 +1029,32 @@ class LlmSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("stupidBackoff: all three arms, hand-computed, incl. OOV floor") {
+    // train "a b c a b c": N=6, V=3; tc(a,b,c)=2; bc(a,b)=2, (b,c)=2,
+    // (c,a)=1; uc a=2, b=2, c=2
+    val train = Seq((100L, "a b c a b c")).toDF("doc_id", "text")
+    val test = Seq(
+      (0L, "a b c x"), // (a,b,c): trigram arm; (b,c,x): OOV floor
+      (1L, "b c a"),   // trigram arm, ln(1/2)
+      (2L, "c c a")    // (c,c,a): trigram miss, bigram arm ln(0.4·1/2)
+    ).toDF("doc_id", "text")
+    val got = LanguageModel.stupidBackoff(test, train, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def mk(lps: Seq[Double]): (Long, Double) = {
+      val slp = lps.map(x => math.round(x * 1e6)).sum
+      (lps.length.toLong,
+        BigDecimal(math.exp((slp / -1e6) / lps.length))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val oov = math.log(0.4 * 0.4 * (1.0 / 9.0)) // (f(x)+1)/(N+V) = 1/9
+    assert(got(0L) == mk(Seq(math.log(2.0 / 2.0), oov)))
+    assert(got(1L) == mk(Seq(math.log(1.0 / 2.0))))
+    assert(got(2L) == mk(Seq(math.log(0.4 * (1.0 / 2.0)))))
+    // a doc with < 3 tokens scores nothing
+    assert(!got.contains(3L))
+  }
+
   test("LM scoreAgainstModel: persisted model == self-trained scorer") {
     val path = "target/test_lm_model"
     LanguageModel.writeModel(docs, "text", "doc_id", path)
@@ -1062,6 +1088,15 @@ class LlmSpec extends SparkSpec {
       .select("doc_id", "shard", "pos").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // materialized layout: one partition dir per shard, rows inside
+    // each shard file already in pos order (no read-side sort)
+    val path = "target/test_shards"
+    Mixing.writeShards(d, "doc_id", 4, path)
+    (0L until 4L).foreach { sh =>
+      val rows = spark.read.parquet(s"$path/shard=$sh")
+        .select("pos").collect().map(_.getLong(0)).toSeq
+      assert(rows == rows.sorted && rows == (0L until rows.length).toSeq)
+    }
   }
 
   test("gopher metrics: stopword / symbol / top-token ratios") {
