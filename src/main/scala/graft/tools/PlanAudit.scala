@@ -35,7 +35,7 @@ object PlanAudit {
     // LM queries carry the same shape: crossJoin(broadcast(vocabSize))
     // is a one-row scalar broadcast, not a pair blow-up
     val nestedLoopAllowed = Set("llm_ngram_jaccard", "llm_classifier_score",
-      "llm_lm_perplexity", "llm_lm_bigrams")
+      "llm_lm_perplexity", "llm_lm_bigrams", "llm_lm_backoff")
 
     // full sweep, building each query exactly ONCE (several query
     // builders are eager — persist/count/collect at plan-build time):
@@ -92,6 +92,15 @@ object PlanAudit {
     val nBhj = "BroadcastHashJoin".r.findAllIn(lmPlan).length
     if (nBhj < 2) {
       println(s"!! llm_lm_perplexity: expected 2 broadcast model joins, found $nBhj")
+      bad += 1
+    }
+    // backoff: five model tables (tc, bc×2, uc×2), all broadcast —
+    // the corpus trigram stream must never partition by n-gram
+    val bo = graft.SparkEntry.queries("llm_lm_backoff")(spark, dir)
+    val nBo = "BroadcastHashJoin".r
+      .findAllIn(bo.queryExecution.executedPlan.toString).length
+    if (nBo < 5) {
+      println(s"!! llm_lm_backoff: expected 5 broadcast model joins, found $nBo")
       bad += 1
     }
     println(s"\naudit ${if (bad == 0) "CLEAN" else s"$bad issue(s)"}")

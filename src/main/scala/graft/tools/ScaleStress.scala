@@ -180,6 +180,13 @@ object ScaleStress {
       // design must keep the curve ~linear
       time(s"lm perplexity x$mult")(
         force(graft.llm.LanguageModel.bigramPerplexity(d, "text", "doc_id")))
+      // r10: trigram backoff — 3 count tables + 5 broadcast joins into
+      // the scoring scan; same replication worst case (every bigram/
+      // trigram maximally hot), must stay ~linear like the bigram path
+      time(s"lm backoff x$mult")(
+        force(graft.llm.LanguageModel.stupidBackoff(
+          d.filter(pmod(col("doc_id"), lit(4)) === 0),
+          d.filter(pmod(col("doc_id"), lit(4)) =!= 0), "text", "doc_id")))
       // r10: shard-shuffle — one hash-balanced window; shards stay
       // balanced under replication, so the curve is the per-shard sort
       time(s"shard shuffle x$mult")(
