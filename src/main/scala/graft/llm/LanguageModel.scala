@@ -197,6 +197,55 @@ object LanguageModel {
         col("n_trigrams").cast("double")), 6).as("ppl"))
   }
 
+  /** Interpolated Kneser–Ney bigram perplexity (the gold-standard
+    * n-gram smoothing — Kneser & Ney 1995, Chen & Goodman 1998),
+    * self-trained like [[bigramPerplexity]]:
+    *   P(w2|w1) = (max(c(w1w2)−D, 0) + D·N₁₊(w1·)·P_cont(w2)) / c(w1·)
+    *   P_cont(w2) = N₁₊(·w2) / |bigram types|
+    * with fixed discount D (default 0.75). The continuation
+    * probability is what distinguishes KN: a word seen in MANY
+    * contexts ("Francisco" appears often but only after "San") gets
+    * low continuation mass — the right behaviour for a quality
+    * filter. Self-trained scoring means every bigram is in the model,
+    * so P > 0 with no OOV arm (held-out scoring with backoff is
+    * [[stupidBackoff]]'s job).
+    *
+    * Same determinism contract and scale shape as the add-one scorer:
+    * integer micro-nat log sums, vocabulary-bounded model tables
+    * (counts, per-context (total, distinct-successors), per-word
+    * distinct-predecessors, one scalar type count), broadcast scoring
+    * joins. Output: (idCol, n_bigrams, ppl). */
+  def kneserNeyPerplexity(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      discount: Double = 0.75,
+      broadcastModel: Boolean = true): DataFrame = {
+    require(discount > 0 && discount < 1, "discount must be in (0, 1)")
+    def b(m: DataFrame) = if (broadcastModel) broadcast(m) else m
+    val bg = docBigrams(df, textCol, idCol)
+    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("__cb"))
+    val ctx = cb.groupBy("w1")
+      .agg(sum("__cb").as("__cu"), count(lit(1)).as("__n1f"))
+    val bwd = cb.groupBy("w2").agg(count(lit(1)).as("__n1b"))
+    val nt = cb.agg(count(lit(1)).as("__nt"))
+    val pCont = col("__n1b").cast("double") / col("__nt").cast("double")
+    val p = (greatest(col("__cb").cast("double") - lit(discount), lit(0.0))
+        + lit(discount) * col("__n1f").cast("double") * pCont) /
+      col("__cu").cast("double")
+    bg.join(b(cb), Seq("w1", "w2"))
+      .join(b(ctx), Seq("w1"))
+      .join(b(bwd), Seq("w2"))
+      .crossJoin(broadcast(nt))
+      .select(col(idCol),
+        round(log(p) * lit(1e6)).cast("long").as("__lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum("__lp").as("__slp"))
+      .select(col(idCol), col("n_bigrams"),
+        round(exp((col("__slp").cast("double") / lit(-1e6)) /
+          col("n_bigrams").cast("double")), 6).as("ppl"))
+  }
+
   /** Per-document perplexity under the corpus-trained add-one bigram
     * model: (idCol, n_bigrams, ppl), docs with < 2 tokens excluded.
     * ppl = exp(−Σ round(ln p·10⁶) / 10⁶ / n_bigrams), rounded to 6. */

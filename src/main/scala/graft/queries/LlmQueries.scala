@@ -516,6 +516,15 @@ object LlmQueries {
         .limit(20)
     }),
 
+    // interpolated Kneser-Ney perplexity (r10): the gold-standard
+    // smoothing — continuation-probability mass for words seen in many
+    // contexts, fixed discount 0.75; self-trained, so every bigram is
+    // in the model and no OOV arm exists
+    "llm_lm_kneser_ney" -> ((s, dir) =>
+      LanguageModel.kneserNeyPerplexity(t(s, dir, "documents"),
+          "text", "doc_id")
+        .orderBy("doc_id")),
+
     // trigram Stupid Backoff scored against a REFERENCE model (r10):
     // model = every non-src0 doc, scored = the held-out src0 docs, so
     // all three arms genuinely fire (a self-scored corpus never
@@ -1404,6 +1413,25 @@ object LlmQueries {
     // shapes — one semantics, three execution paths
     "llm_lm_perplexity" -> lmPerplexityOracleSql,
     "llm_lm_persisted" -> lmPerplexityOracleSql,
+    // Kneser-Ney mirror: counts + per-context (total, distinct
+    // successors) + per-word distinct predecessors + the scalar type
+    // count, the interpolation formula in the same float-op order
+    "llm_lm_kneser_ney" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |bg AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2 FROM d WHERE len(toks) >= 2),
+        |bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu, CAST(count(*) AS BIGINT) AS n1f FROM bc GROUP BY 1),
+        |bwd AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM bc GROUP BY 1),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM bc),
+        |sc AS (SELECT g.doc_id, CAST(round(ln(
+        |    (greatest(CAST(bc.cb AS DOUBLE) - 0.75, 0.0)
+        |     + 0.75 * CAST(ctx.n1f AS DOUBLE) * (CAST(bwd.n1b AS DOUBLE) / CAST(nt.nt AS DOUBLE)))
+        |    / CAST(ctx.cu AS DOUBLE)) * 1000000) AS BIGINT) AS lp
+        |  FROM bg g JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
+        |  JOIN ctx ON ctx.w1 = g.w1 JOIN bwd ON bwd.w2 = g.w2 CROSS JOIN nt),
+        |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, CAST(sum(lp) AS BIGINT) AS slp FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, round(exp((CAST(slp AS DOUBLE) / -1000000.0) / n_bigrams), 6) AS ppl
+        |FROM ag ORDER BY doc_id""".stripMargin,
     // Stupid-Backoff mirror: train/test split CTEs, three count tables
     // + a 2-scalar stats row, the exact CASE arms (trigram ratio →
     // 0.4·bigram ratio → 0.4²·add-one unigram) in the same float-op

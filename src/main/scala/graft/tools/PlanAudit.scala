@@ -35,7 +35,8 @@ object PlanAudit {
     // LM queries carry the same shape: crossJoin(broadcast(vocabSize))
     // is a one-row scalar broadcast, not a pair blow-up
     val nestedLoopAllowed = Set("llm_ngram_jaccard", "llm_classifier_score",
-      "llm_lm_perplexity", "llm_lm_bigrams", "llm_lm_backoff")
+      "llm_lm_perplexity", "llm_lm_bigrams", "llm_lm_backoff",
+      "llm_lm_kneser_ney")
 
     // full sweep, building each query exactly ONCE (several query
     // builders are eager — persist/count/collect at plan-build time):

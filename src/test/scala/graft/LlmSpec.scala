@@ -1029,6 +1029,29 @@ class LlmSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("kneserNeyPerplexity: hand-computed interpolated KN") {
+    // corpus "a b a b c": bigrams (a,b)=2, (b,a)=1, (b,c)=1
+    // ctx: a -> (cu 2, n1f 1), b -> (cu 2, n1f 2); bwd: a 1, b 1, c 1;
+    // types = 3; D = 0.75, P_cont = n1b/3
+    // p(b|a) = (max(2-.75,0) + .75*1*(1/3)) / 2 = 0.75
+    // p(a|b) = (0.25 + .75*2*(1/3)) / 2 = 0.375 ; p(c|b) likewise
+    val d = Seq((0L, "a b a b c")).toDF("doc_id", "text")
+    val got = LanguageModel.kneserNeyPerplexity(d, "text", "doc_id")
+      .head()
+    val lps = Seq(
+      0.75, 0.375, 0.75, 0.375).map(p => math.round(math.log(p) * 1e6))
+    val ppl = BigDecimal(math.exp((lps.sum / -1e6) / 4))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getLong(1) == 4L && got.getDouble(2) == ppl)
+    // KN sanity: seen-mass probabilities per context sum below 1 with
+    // the discounted head, and the model is repartition-invariant
+    val a = LanguageModel.kneserNeyPerplexity(docs, "text", "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    val b = LanguageModel.kneserNeyPerplexity(docs.repartition(5),
+      "text", "doc_id").orderBy("doc_id").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("stupidBackoff: all three arms, hand-computed, incl. OOV floor") {
     // train "a b c a b c": N=6, V=3; tc(a,b,c)=2; bc(a,b)=2, (b,c)=2,
     // (c,a)=1; uc a=2, b=2, c=2
