@@ -651,26 +651,49 @@ final class Hdf5File(path: String) extends AutoCloseable {
     }
   }
 
-  /** Fetch one object's bytes from a global heap collection ("GCOL",
-    * "Disk Format: Level 1E") — where h5py stores vlen attribute
-    * payloads. */
-  private def globalHeapObject(
-      collectionAddr: Long, index: Int, ctx: String): Array[Byte] = {
+  /** Per-collection object directory: index → (data offset, size).
+    * A vlen-string DATASET resolves one heap object per element, and
+    * a linear rescan per element would make each collection quadratic
+    * in its object count (with a file seek per step) — each GCOL is
+    * parsed ONCE and memoized instead. Collections are small (the
+    * library writers cap them around 4–64 KB), so the memo is
+    * KB-bounded per collection. */
+  private val gcolDir =
+    new java.util.HashMap[Long, java.util.HashMap[Integer, (Long, Int)]]()
+
+  private def gcolObjects(collectionAddr: Long, ctx: String)
+      : java.util.HashMap[Integer, (Long, Int)] = {
+    val cached = gcolDir.get(collectionAddr)
+    if (cached != null) return cached
     require(new String(bytesAt(collectionAddr, 4), "ASCII") == "GCOL",
       s"$path/$ctx: expected global heap collection at $collectionAddr")
     val collSize = u64(collectionAddr + 8)
+    val m = new java.util.HashMap[Integer, (Long, Int)]()
     var p = collectionAddr + 16
     val end = collectionAddr + collSize
     while (p < end) {
       val objIdx = u16(p)
       val objSize = u64(p + 8)
-      if (objIdx == index) return bytesAt(p + 16, objSize.toInt)
       if (objIdx == 0) p = end // free space runs to collection end
-      else p += 16 + (objSize + 7) / 8 * 8
+      else {
+        m.put(objIdx, (p + 16, objSize.toInt))
+        p += 16 + (objSize + 7) / 8 * 8
+      }
     }
-    throw new NoSuchElementException(
+    gcolDir.put(collectionAddr, m)
+    m
+  }
+
+  /** Fetch one object's bytes from a global heap collection ("GCOL",
+    * "Disk Format: Level 1E") — where h5py stores vlen attribute AND
+    * vlen dataset payloads. */
+  private def globalHeapObject(
+      collectionAddr: Long, index: Int, ctx: String): Array[Byte] = {
+    val obj = gcolObjects(collectionAddr, ctx).get(index)
+    if (obj == null) throw new NoSuchElementException(
       s"$path/$ctx: global heap object $index not in collection " +
         s"at $collectionAddr")
+    bytesAt(obj._1, obj._2)
   }
 
   // ----------------------------------------------------------- datasets
