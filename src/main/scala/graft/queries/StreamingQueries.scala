@@ -341,6 +341,32 @@ object StreamingQueries {
         .orderBy("doc_id")
     }),
 
+    // streaming weighted sampling (r10): sequential-Poisson priorities
+    // are a pure function of the id, so "the n smallest priorities
+    // seen so far" is a replayable reservoir — the bounded TopKByScore
+    // aggregate IS the streaming state (map-side combined, at most k
+    // rows per partition cross the exchange, complete mode re-emits
+    // the current sample each batch); single-batch replay equals the
+    // batch weightedPriorityN selection exactly, ties and all
+    "stream_weighted_sample" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val docs = s.readStream.schema(schema)
+        .parquet(s"$dir/documents.parque[t]")
+      val u = pmod(graft.functions.Fnv64(col("doc_id").cast("string")),
+        lit(1L << 52)).cast("double")
+      val agg = docs.filter(col("n_chars") > 0)
+        .select((-(u / col("n_chars").cast("double"))).as("negp"),
+          col("doc_id"))
+        .agg(graft.functions.TopKByScore(col("negp"), col("doc_id"), 200)
+          .as("top"))
+      runToMemory(s, "stream_wsample", name =>
+        agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow()))
+        .select(explode(col("top")).as("t"))
+        .select(col("t.id").as("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // streaming T7 rate monitor, end to end: watermarked sliding-window
     // (2 h window, 1 h slide) in-range counts over the events stream —
     // complete mode emits every window of the bounded replay; each
@@ -366,6 +392,27 @@ object StreamingQueries {
     // single-batch bounded replay ≡ the batch LM scorer — the shared
     // perplexity mirror (one semantics, three execution shapes)
     "stream_lm_score" -> LlmQueries.lmPerplexityOracleSql,
+    // streaming reservoir == the batch sequential-Poisson selection:
+    // the llm_weighted_sample FNV/priority CTEs, ids only
+    "stream_weighted_sample" ->
+      """WITH RECURSIVE
+        |ids AS (SELECT doc_id, n_chars, CAST(doc_id AS VARCHAR) AS s FROM documents),
+        |hx AS (SELECT DISTINCT s FROM ids),
+        |hh AS (SELECT s, hex(encode(s)) AS hs, octet_length(encode(s)) AS nb FROM hx),
+        |fnv AS (
+        |  SELECT s, hs, nb, 0 AS i, CAST(14695981039346656037 AS HUGEINT) AS h FROM hh
+        |  UNION ALL
+        |  SELECT s, hs, nb, i + 1,
+        |    (xor(h, CAST((strpos('0123456789ABCDEF', substring(hs, 2*i+1, 1))-1)*16 + strpos('0123456789ABCDEF', substring(hs, 2*i+2, 1))-1 AS HUGEINT)) * 1099511628211) % 18446744073709551616
+        |  FROM fnv WHERE i < nb),
+        |sgn AS (SELECT s, CAST(h - CASE WHEN h >= 9223372036854775808 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS hv
+        |        FROM fnv WHERE i = nb),
+        |pri AS (SELECT i.doc_id,
+        |  CAST(((sg.hv % 4503599627370496) + 4503599627370496) % 4503599627370496 AS DOUBLE) / CAST(i.n_chars AS DOUBLE) AS p
+        |  FROM ids i JOIN sgn sg ON sg.s = i.s WHERE i.n_chars > 0)
+        |SELECT doc_id FROM
+        |  (SELECT doc_id FROM pri ORDER BY p, doc_id LIMIT 200)
+        |ORDER BY doc_id""".stripMargin,
     // single-batch bounded replay ≡ batch Temporal.funnel — same
     // nested-min mirror as funnel_signup_purchase
     "stream_funnel" ->

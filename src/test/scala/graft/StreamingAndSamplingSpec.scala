@@ -105,6 +105,35 @@ class StreamingAndSamplingSpec extends SparkSpec {
     assert(got.map(_._2).distinct.length == got.length)
   }
 
+  test("streaming weighted reservoir: cross-batch == batch selection") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // (id, weight) rows; priorities are pure functions of the id, so
+    // the k-smallest reservoir replays deterministically
+    val stream = MemoryStream[(Long, Long)]
+    val u = pmod(graft.functions.Fnv64(col("_1").cast("string")),
+      lit(1L << 52)).cast("double")
+    val agg = stream.toDF().filter(col("_2") > 0)
+      .select((-(u / col("_2").cast("double"))).as("negp"), col("_1"))
+      .agg(graft.functions.TopKByScore(col("negp"), col("_1"), 5).as("top"))
+    val q = agg.writeStream.format("memory").queryName("wres")
+      .outputMode("complete").start()
+    val batch1 = (0L until 20L).map(i => (i, 10L + i % 7))
+    val batch2 = (20L until 40L).map(i => (i, 10L + i % 7))
+    stream.addData(batch1: _*)
+    q.processAllAvailable()
+    stream.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT top FROM wres").collect().last
+      .getSeq[org.apache.spark.sql.Row](0).map(_.getLong(1)).toSeq
+    // batch reference over ALL rows seen across both batches
+    val ref = graft.stats.Sampling.weightedPriorityN(
+        (batch1 ++ batch2).toDF("id", "w"), "id", "w", 5)
+      .select("id").as[Long].collect().toSeq
+    assert(got.sorted == ref.sorted && got.length == 5)
+  }
+
   test("streaming near-dup candidates: cross-batch detection, bounded state") {
     import graft.streaming.StreamingDedup
     import graft.streaming.StreamingDedup.Doc
