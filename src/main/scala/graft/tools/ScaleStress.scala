@@ -187,6 +187,9 @@ object ScaleStress {
         force(graft.llm.LanguageModel.stupidBackoff(
           d.filter(pmod(col("doc_id"), lit(4)) === 0),
           d.filter(pmod(col("doc_id"), lit(4)) =!= 0), "text", "doc_id")))
+      time(s"lm kneser-ney x$mult")(
+        force(graft.llm.LanguageModel.kneserNeyPerplexity(
+          d, "text", "doc_id")))
       // r10: shard-shuffle — one hash-balanced window; shards stay
       // balanced under replication, so the curve is the per-shard sort
       time(s"shard shuffle x$mult")(
