@@ -91,6 +91,19 @@ object Dedup {
     * near-dup candidate — contradicting both the equi-join semantics
     * this replaced (nulls never match) and the SQL oracle, where
     * null-text docs produce no shingle rows at all (ADVICE r05). */
+  /** One row per (id, band, band-signature-slice) — the LSH banding
+    * shared by the monopartite ([[lshCandidates]]) and incremental
+    * ([[nearDupsAgainstIndex]]) candidate generators. */
+  private def bandedRows(
+      sigs: DataFrame, idCol: String, bands: Int, rows: Int): DataFrame =
+    sigs.filter(col("sig").isNotNull).select(
+      col(idCol),
+      explode(transform(sequence(lit(0), lit(bands - 1)), j =>
+        struct(j.as("band"),
+          slice(col("sig"), j * rows + 1, lit(rows)).as("bhash"))))
+        .as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bhash"))
+
   def lshCandidates(
       sigs: DataFrame,
       idCol: String,
@@ -98,13 +111,7 @@ object Dedup {
       rows: Int,
       maxBucket: Int = 1000,
       rowLocalCap: Int = 256): DataFrame = {
-    val banded = sigs.filter(col("sig").isNotNull).select(
-      col(idCol),
-      explode(transform(sequence(lit(0), lit(bands - 1)), j =>
-        struct(j.as("band"),
-          slice(col("sig"), j * rows + 1, lit(rows)).as("bhash"))))
-        .as("bb"))
-      .select(col(idCol), col("bb.band"), col("bb.bhash"))
+    val banded = bandedRows(sigs, idCol, bands, rows)
     // capped collection + slice-block pair expansion + block spreading:
     // the shared machinery ([[PairExpansion.bucketPairs]], extracted
     // r09 — the r06 history and full rationale live on its scaladoc).
@@ -113,6 +120,115 @@ object Dedup {
     PairExpansion.bucketPairs(banded, Seq("band", "bhash"), idCol,
       maxBucket, rowLocalCap, dedupPairs = true)
   }
+
+  /** Persist the corpus FINGERPRINT index for incremental near-dup
+    * checking: one row per doc — (idCol, `sig` array<long> (the k-perm
+    * MinHash signature, ~8k bytes), `shingles` array<long>
+    * (sorted-distinct shingle hashes)). Daily ingest then runs
+    * entirely against fingerprints ([[nearDupsAgainstIndex]]): the old
+    * corpus TEXT is never re-read and its signatures never recomputed
+    * — the production incremental-dedup shape (a 100 TB corpus is
+    * fingerprinted once; each day's batch pays only its own size).
+    * Null-signature (null/empty-text) docs are excluded — they
+    * generate no candidates in any path. */
+  def writeMinhashIndex(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      path: String,
+      k: Int = 64,
+      shingleN: Int = 3): Unit = {
+    val src = graft.core.FanOut.cpuBound(df)
+    src.select(col(idCol),
+        graft.functions.MinHashTextSig(col(textCol), k, shingleN).as("sig"),
+        graft.functions.ShingleHashes(col(textCol), shingleN)
+          .as("shingles"))
+      .filter(col("sig").isNotNull)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Near-dup pairs between a NEW batch and the persisted fingerprint
+    * index — incremental ingest: band both sides, generate candidates
+    * through the capped BIPARTITE pair expansion (per-side drop-whole
+    * caps — a boilerplate bucket on either side never goes quadratic),
+    * estimate-prefilter on signatures, then exact shingle-set Jaccard
+    * entirely from stored fingerprints. Output: (new_id, corpus_id,
+    * jaccard) for pairs at or above `jaccardThreshold`.
+    *
+    * Scale shape: the index is scanned column-pruned (bands need
+    * `sig`; the verify joins need `shingles` for candidate ids only);
+    * candidates are bounded by the caps; nothing re-reads corpus text.
+    * The release handle drops the new batch's fingerprint cache. */
+  def nearDupsAgainstIndexReleasable(
+      newDf: DataFrame,
+      textCol: String,
+      idCol: String,
+      index: DataFrame,
+      jaccardThreshold: Double = 0.8,
+      k: Int = 64,
+      bands: Int = 16,
+      shingleN: Int = 3,
+      maxBucket: Int = 1000): (DataFrame, () => Unit) = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val newFp = graft.core.FanOut.cpuBound(newDf)
+      .select(col(idCol),
+        graft.functions.MinHashTextSig(col(textCol), k, shingleN)
+          .as("sig"),
+        graft.functions.ShingleHashes(col(textCol), shingleN)
+          .as("shingles"))
+      .filter(col("sig").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    newFp.count()
+    // an id occupies `bands` buckets → the same pair can surface once
+    // per band; distinct() collapses them (the bipartite expansion has
+    // no built-in dedup — its other callers are one-bucket-per-id)
+    val cands = PairExpansion.bucketPairsBipartite(
+        bandedRows(newFp.withColumnRenamed(idCol, "new_id"),
+          "new_id", bands, rows),
+        bandedRows(index.withColumnRenamed(idCol, "corpus_id"),
+          "corpus_id", bands, rows),
+        Seq("band", "bhash"), "new_id", "corpus_id",
+        maxBucket, maxBucket).distinct()
+    val est = cands
+      .join(newFp.select(col(idCol).as("new_id"), col("sig").as("siga")),
+        "new_id")
+      .join(index.select(col(idCol).as("corpus_id"),
+        col("sig").as("sigb")), "corpus_id")
+      .withColumn("__est",
+        aggregate(zip_with(col("siga"), col("sigb"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / size(col("siga")))
+      .filter(col("__est") >= jaccardThreshold * 0.5) // cheap prefilter
+      .select("new_id", "corpus_id")
+    val out = est
+      .join(newFp.select(col(idCol).as("new_id"),
+        col("shingles").as("sha")), "new_id")
+      .join(index.select(col(idCol).as("corpus_id"),
+        col("shingles").as("shb")), "corpus_id")
+      .withColumn("__it",
+        size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("jaccard", col("__it").cast("double") /
+        (size(col("sha")).cast("long") + size(col("shb")).cast("long") -
+          col("__it")).cast("double"))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("new_id", "corpus_id", "jaccard")
+    (out, () => { newFp.unpersist(); () })
+  }
+
+  /** [[nearDupsAgainstIndexReleasable]] without the release handle. */
+  def nearDupsAgainstIndex(
+      newDf: DataFrame,
+      textCol: String,
+      idCol: String,
+      index: DataFrame,
+      jaccardThreshold: Double = 0.8,
+      k: Int = 64,
+      bands: Int = 16,
+      shingleN: Int = 3,
+      maxBucket: Int = 1000): DataFrame =
+    nearDupsAgainstIndexReleasable(newDf, textCol, idCol, index,
+      jaccardThreshold, k, bands, shingleN, maxBucket)._1
 
   /** Estimated Jaccard from signatures for candidate pairs (fraction of
     * matching signature positions). Signature tables are re-joined by id —

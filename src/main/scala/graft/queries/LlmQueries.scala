@@ -108,6 +108,37 @@ object LlmQueries {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
   }
 
+  /** Shared MinHash mirror CTE chain (tokens → 3-shingles → FNV → k=64
+    * signatures → 16 bands), ending at `bnd(doc_id, band, sl)` — used
+    * by the monopartite llm_minhash_neardup mirror and the bipartite
+    * llm_incremental_dedup mirror. */
+  private val minhashMirrorCtes: String = {
+    val mixers = graft.functions.MinHashSig.mixers(64)
+      .zipWithIndex.map { case (a, j) => s"($j, $a)" }.mkString(", ")
+    s"""WITH RECURSIVE
+      |tok0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l FROM documents),
+      |tokx AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i FROM tok0),
+      |sh3 AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s FROM tokx a JOIN tokx b ON b.doc_id = a.doc_id AND b.i = a.i + 1 JOIN tokx c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+      |shfew AS (SELECT doc_id, array_to_string(l, ' ') AS s FROM tok0 WHERE len(l) < 3),
+      |shall AS (SELECT DISTINCT doc_id, s FROM (SELECT * FROM sh3 UNION ALL SELECT * FROM shfew)),
+      |strs AS (SELECT DISTINCT s FROM shall),
+      |hx AS (SELECT s, hex(encode(s)) AS hs, octet_length(encode(s)) AS nb FROM strs),
+      |fnv AS (
+      |  SELECT s, hs, nb, 0 AS i, CAST(14695981039346656037 AS HUGEINT) AS h FROM hx
+      |  UNION ALL
+      |  SELECT s, hs, nb, i + 1,
+      |    (xor(h, CAST((strpos('0123456789ABCDEF', substring(hs, 2*i+1, 1))-1)*16 + strpos('0123456789ABCDEF', substring(hs, 2*i+2, 1))-1 AS HUGEINT)) * 1099511628211) % 18446744073709551616
+      |  FROM fnv WHERE i < nb),
+      |hfin AS (SELECT s, h FROM fnv WHERE i = nb),
+      |mix AS (SELECT j, a FROM (VALUES $mixers) AS m(j, a)),
+      |persig AS (
+      |  SELECT sa.doc_id, m.j,
+      |    min(xor(CAST(hf.h % 2147483648 AS BIGINT) * CAST(m.a AS BIGINT), CAST(hf.h // 2147483648 AS BIGINT))) AS v
+      |  FROM shall sa JOIN hfin hf ON hf.s = sa.s CROSS JOIN mix m
+      |  GROUP BY sa.doc_id, m.j),
+      |bnd AS (SELECT doc_id, j // 4 AS band, list(v ORDER BY j) AS sl FROM persig GROUP BY doc_id, j // 4)""".stripMargin
+  }
+
   /** LM-perplexity oracle, shared by three execution shapes of the one
     * semantics: llm_lm_perplexity (self-trained), llm_lm_persisted
     * (score-only against the on-disk model) and stream_lm_score (the
@@ -289,6 +320,23 @@ object LlmQueries {
         removed.select(col("doc_id"), md5(col("text")).as("h"),
           length(col("text")).cast("long").as("len"))
           .orderBy("doc_id"))(release)
+    }),
+
+    // incremental dedup against the persisted fingerprint index (r10):
+    // the corpus (non-src0) is fingerprinted ONCE to disk (signatures
+    // + shingle hashes); the "daily batch" (src0) is then checked
+    // entirely against fingerprints — corpus text never re-read.
+    // Capped bipartite banding, estimate prefilter, exact shingle
+    // Jaccard >= 0.5
+    "llm_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = s"target/minhash_index/${new java.io.File(dir).getName}"
+      Dedup.writeMinhashIndex(docs.filter(col("source") =!= "src0"),
+        "text", "doc_id", path)
+      val (pairs, release) = Dedup.nearDupsAgainstIndexReleasable(
+        docs.filter(col("source") === "src0"), "text", "doc_id",
+        s.read.parquet(path), jaccardThreshold = 0.5)
+      collectAndRelease(s, pairs.orderBy("new_id", "corpus_id"))(release)
     }),
 
     // cross-source duplication audit: distinct winnowed fingerprints
@@ -1989,31 +2037,34 @@ object LlmQueries {
     // inlined from MinHashSig.mixers — products stay < 2^62 so plain
     // BIGINT suffices) → band buckets on the raw signature slices →
     // signature-estimate ranking → exact-Jaccard verify on the top-20
+    // incremental mirror: the shared minhash CTEs split by source into
+    // new (src0) vs corpus bands, per-SIDE drop-whole caps, the same
+    // est >= threshold/2 prefilter and exact shingle Jaccard
+    "llm_incremental_dedup" -> {
+      s"""$minhashMirrorCtes,
+        |srcs AS (SELECT doc_id, source FROM documents),
+        |bn AS (SELECT b.doc_id, b.band, b.sl FROM bnd b JOIN srcs s ON s.doc_id = b.doc_id AND s.source = 'src0'),
+        |bcx AS (SELECT b.doc_id, b.band, b.sl FROM bnd b JOIN srcs s ON s.doc_id = b.doc_id AND s.source <> 'src0'),
+        |szn AS (SELECT band, sl, count(*) AS c FROM bn GROUP BY band, sl),
+        |szc AS (SELECT band, sl, count(*) AS c FROM bcx GROUP BY band, sl),
+        |cand AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+        |  FROM bn n JOIN bcx c ON c.band = n.band AND c.sl = n.sl
+        |  JOIN szn zn ON zn.band = n.band AND zn.sl = n.sl AND zn.c <= 1000
+        |  JOIN szc zc ON zc.band = n.band AND zc.sl = n.sl AND zc.c <= 1000),
+        |eq AS (SELECT t.new_id, t.corpus_id, sum(CASE WHEN pa.v = pb.v THEN 1 ELSE 0 END) AS neq
+        |  FROM cand t JOIN persig pa ON pa.doc_id = t.new_id JOIN persig pb ON pb.doc_id = t.corpus_id AND pb.j = pa.j
+        |  GROUP BY t.new_id, t.corpus_id),
+        |pre AS (SELECT new_id, corpus_id FROM eq WHERE CAST(neq AS DOUBLE)/64 >= 0.25),
+        |nsh AS (SELECT doc_id, count(*) AS n FROM shall GROUP BY doc_id),
+        |iv AS (SELECT p.new_id, p.corpus_id, count(*) AS it FROM pre p JOIN shall x ON x.doc_id = p.new_id JOIN shall y ON y.doc_id = p.corpus_id AND y.s = x.s GROUP BY p.new_id, p.corpus_id),
+        |jac AS (SELECT p.new_id, p.corpus_id, coalesce(CAST(iv.it AS DOUBLE) / (na.n + nb.n - iv.it), 0.0) AS jaccard
+        |  FROM pre p LEFT JOIN iv ON iv.new_id = p.new_id AND iv.corpus_id = p.corpus_id
+        |  JOIN nsh na ON na.doc_id = p.new_id JOIN nsh nb ON nb.doc_id = p.corpus_id)
+        |SELECT new_id, corpus_id, jaccard FROM jac WHERE jaccard >= 0.5
+        |ORDER BY new_id, corpus_id""".stripMargin
+    },
     "llm_minhash_neardup" -> {
-      val mixers = graft.functions.MinHashSig.mixers(64)
-        .zipWithIndex.map { case (a, j) => s"($j, $a)" }.mkString(", ")
-      s"""WITH RECURSIVE
-        |tok0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l FROM documents),
-        |tokx AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i FROM tok0),
-        |sh3 AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s FROM tokx a JOIN tokx b ON b.doc_id = a.doc_id AND b.i = a.i + 1 JOIN tokx c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
-        |shfew AS (SELECT doc_id, array_to_string(l, ' ') AS s FROM tok0 WHERE len(l) < 3),
-        |shall AS (SELECT DISTINCT doc_id, s FROM (SELECT * FROM sh3 UNION ALL SELECT * FROM shfew)),
-        |strs AS (SELECT DISTINCT s FROM shall),
-        |hx AS (SELECT s, hex(encode(s)) AS hs, octet_length(encode(s)) AS nb FROM strs),
-        |fnv AS (
-        |  SELECT s, hs, nb, 0 AS i, CAST(14695981039346656037 AS HUGEINT) AS h FROM hx
-        |  UNION ALL
-        |  SELECT s, hs, nb, i + 1,
-        |    (xor(h, CAST((strpos('0123456789ABCDEF', substring(hs, 2*i+1, 1))-1)*16 + strpos('0123456789ABCDEF', substring(hs, 2*i+2, 1))-1 AS HUGEINT)) * 1099511628211) % 18446744073709551616
-        |  FROM fnv WHERE i < nb),
-        |hfin AS (SELECT s, h FROM fnv WHERE i = nb),
-        |mix AS (SELECT j, a FROM (VALUES $mixers) AS m(j, a)),
-        |persig AS (
-        |  SELECT sa.doc_id, m.j,
-        |    min(xor(CAST(hf.h % 2147483648 AS BIGINT) * CAST(m.a AS BIGINT), CAST(hf.h // 2147483648 AS BIGINT))) AS v
-        |  FROM shall sa JOIN hfin hf ON hf.s = sa.s CROSS JOIN mix m
-        |  GROUP BY sa.doc_id, m.j),
-        |bnd AS (SELECT doc_id, j // 4 AS band, list(v ORDER BY j) AS sl FROM persig GROUP BY doc_id, j // 4),
+      s"""$minhashMirrorCtes,
         |bsz AS (SELECT band, sl, count(*) AS c FROM bnd GROUP BY band, sl),
         |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
         |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.sl = b.sl AND a.doc_id < b.doc_id

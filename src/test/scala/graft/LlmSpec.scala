@@ -302,6 +302,33 @@ class LlmSpec extends SparkSpec {
     assert(capped == Set((100L, 101L)))
   }
 
+  test("incremental dedup: new batch vs persisted fingerprint index") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different content about spark physics data"),
+      (3L, "yet another unrelated corpus document body of words here"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // dup of 1
+      (11L, "a genuinely novel document with no corpus overlap at all"),
+      (12L, null.asInstanceOf[String])) // null text: no fingerprint
+      .toDF("doc_id", "text")
+    val path = "target/test_mh_index"
+    Dedup.writeMinhashIndex(corpus, "text", "doc_id", path)
+    // index stores fingerprints only — signatures + shingle hashes
+    val idx = spark.read.parquet(path)
+    assert(idx.columns.toSet == Set("doc_id", "sig", "shingles"))
+    assert(idx.count() == 3)
+    val (pairs, release) = Dedup.nearDupsAgainstIndexReleasable(
+      fresh, "text", "doc_id", idx, jaccardThreshold = 0.8)
+    val got = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    release()
+    // exactly the planted duplicate, at jaccard 1.0; the novel and
+    // null-text docs produce nothing
+    assert(got == Seq((10L, 1L, 1.0)))
+  }
+
   test("PairExpansion.bucketPairs: duplicate membership rows tolerated") {
     // ADVICE r09: duplicate (bucket, id) rows must not emit ida == idb
     // or duplicate pairs — the member list is deduped after collection
