@@ -190,6 +190,17 @@ object ScaleStress {
       time(s"lm kneser-ney x$mult")(
         force(graft.llm.LanguageModel.kneserNeyPerplexity(
           d, "text", "doc_id")))
+      // r10: incremental dedup — the replicated corpus IS the index
+      // (every band bucket holds all replicas of its text → the
+      // bipartite caps' worst case), checked by a constant-size batch
+      time(s"incremental dedup x$mult") {
+        val ipath = s"target/scale_stress/mh_index_x$mult"
+        graft.llm.Dedup.writeMinhashIndex(d, "text", "doc_id", ipath)
+        val (p, rel) = graft.llm.Dedup.nearDupsAgainstIndexReleasable(
+          base.limit(500), "text", "doc_id",
+          spark.read.parquet(ipath), jaccardThreshold = 0.8)
+        val n = force(p); rel(); n
+      }
       // r10: shard-shuffle — one hash-balanced window; shards stay
       // balanced under replication, so the curve is the per-shard sort
       time(s"shard shuffle x$mult")(
