@@ -93,6 +93,30 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: IMA-ADPCM decode ≡ imaStep replay on random streams") {
+    import graft.llm.Multimodal
+    val rnd = new scala.util.Random(20260814L)
+    val dec = new Multimodal.ImaAdpcmWavDecoder(8)
+    (0 until 60).foreach { trial =>
+      val id = rnd.nextLong().abs % 1000000
+      val n = rnd.nextInt(120) // 0..119 nibbles, odd and even
+      val wav = Multimodal.syntheticImaAdpcmWav(id, n)
+      val f = dec.decodeBatch(Seq(wav)).head
+      assert(f(0) == 8000.0f && f(1) == (n + 1).toFloat, s"trial $trial")
+      var pred = ((id * 31) % 65536 - 32768).toInt
+      var sidx = (id % 89).toInt
+      val expect = Array.ofDim[Int](8)
+      expect((pred + 32768) / 8192) += 1
+      (0 until n).foreach { i =>
+        val st = Multimodal.imaStep(pred, sidx, ((id * 7 + i * 5) % 16).toInt)
+        pred = st._1; sidx = st._2
+        expect((pred + 32768) / 8192) += 1
+      }
+      assert(f.drop(2).map(_.toInt).toSeq == expect.toSeq,
+        s"trial $trial id=$id n=$n")
+    }
+  }
+
   test("property: cut_spans ≡ reference cut over random span lists") {
     val rnd = new scala.util.Random(7071234L)
     val cases = (0 until 300).map { i =>
