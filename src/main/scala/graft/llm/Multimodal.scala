@@ -742,8 +742,9 @@ object Multimodal {
           sampleRate = u32(bytes, ds + 4)
           blockAlign = u16(bytes, ds + 12)
           val bits = u16(bytes, ds + 14)
+          // blockAlign 4 = a header-only block (one sample) — legal
           fmtOk = tag == 0x0011 && channels == 1 && bits == 4 &&
-            blockAlign >= 5
+            blockAlign >= 4
           if (size >= 20 && u16(bytes, ds + 16) >= 2)
             samplesPerBlock = u16(bytes, ds + 18)
         } else if (cc == "data") {
