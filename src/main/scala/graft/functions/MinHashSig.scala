@@ -11,8 +11,16 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Native Catalyst expression: MinHash signature of a shingle array.
   *
   * `minhash_sig(shingles, k)` → array<bigint> of length k: minima of k
-  * universal hashes h_i = (lo31(h)·a_i) xor hi33(h) over FNV-1a 64 of
-  * each shingle's UTF-8 bytes.
+  * universal hashes h_i = (lo31(h)·a_i mod 2⁶⁴) xor hi33(h) over
+  * FNV-1a 64 of each shingle's UTF-8 bytes, with FULL-WIDTH odd
+  * multipliers a_i — the product must WRAP (r10): with narrow
+  * multipliers the product never exceeded 2⁶³, making every h_i
+  * monotone in lo31 — all k "permutations" then rank shingles
+  * identically and the signature degenerates to k copies of the
+  * argmin-lo shingle (estimates collapse to ≈0/1, LSH recall breaks
+  * for near-dups that differ in their minimum-lo shingle). Wrapping
+  * multiplication by a random odd a is a bijection of Z₂⁶⁴ whose
+  * induced ordering differs per a — a genuine min-wise family.
   *
   * Why an Expression rather than a UDF (SURVEY §2.12 preference order):
   * it participates in whole-stage codegen via [[doGenCode]] and operates
@@ -54,13 +62,17 @@ object MinHashSig {
   private val mixerCache =
     new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
 
-  /** Deterministic 31-bit odd multipliers (splitmix64-derived). */
+  /** Deterministic FULL 64-bit odd multipliers (splitmix64-derived).
+    * Width matters: see the class scaladoc — 31-bit multipliers made
+    * the mix monotone and degenerated the signature (r10). Mirrors
+    * emit these as unsigned decimals and multiply in HUGEINT mod 2⁶⁴. */
   def mixers(k: Int): Array[Long] =
     mixerCache.computeIfAbsent(k, kk =>
       Array.tabulate(kk) { i =>
         var z = i.toLong * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
         z = (z ^ (z >>> 30)) * 0x94D049BB133111EBL
-        (z & 0x7FFFFFFFL) | 1L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z | 1L
       })
 
   /** FNV-1a 64 over UTF-8 bytes. */

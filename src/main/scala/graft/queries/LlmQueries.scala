@@ -114,7 +114,7 @@ object LlmQueries {
     * llm_incremental_dedup mirror. */
   private val minhashMirrorCtes: String = {
     val mixers = graft.functions.MinHashSig.mixers(64)
-      .zipWithIndex.map { case (a, j) => s"($j, $a)" }.mkString(", ")
+      .zipWithIndex.map { case (a, j) => s"($j, ${java.lang.Long.toUnsignedString(a)})" }.mkString(", ")
     s"""WITH RECURSIVE
       |tok0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l FROM documents),
       |tokx AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i FROM tok0),
@@ -131,11 +131,14 @@ object LlmQueries {
       |  FROM fnv WHERE i < nb),
       |hfin AS (SELECT s, h FROM fnv WHERE i = nb),
       |mix AS (SELECT j, a FROM (VALUES $mixers) AS m(j, a)),
+      |pmul AS (
+      |  SELECT sa.doc_id, m.j, CAST(hf.h // 2147483648 AS BIGINT) AS hi,
+      |    (CAST(hf.h % 2147483648 AS HUGEINT) * CAST(m.a AS HUGEINT)) % 18446744073709551616 AS p
+      |  FROM shall sa JOIN hfin hf ON hf.s = sa.s CROSS JOIN mix m),
       |persig AS (
-      |  SELECT sa.doc_id, m.j,
-      |    min(xor(CAST(hf.h % 2147483648 AS BIGINT) * CAST(m.a AS BIGINT), CAST(hf.h // 2147483648 AS BIGINT))) AS v
-      |  FROM shall sa JOIN hfin hf ON hf.s = sa.s CROSS JOIN mix m
-      |  GROUP BY sa.doc_id, m.j),
+      |  SELECT doc_id, j,
+      |    min(xor(CAST(p - CASE WHEN p >= 9223372036854775808 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT), hi)) AS v
+      |  FROM pmul GROUP BY doc_id, j),
       |bnd AS (SELECT doc_id, j // 4 AS band, list(v ORDER BY j) AS sl FROM persig GROUP BY doc_id, j // 4)""".stripMargin
   }
 
@@ -2034,8 +2037,8 @@ object LlmQueries {
         |FROM fin ORDER BY doc_id""".stripMargin,
     // Full MinHash-LSH pipeline mirror: shingles → FNV-1a 64 (HUGEINT
     // mod-2^64 emulation) → the 64 affine mixer transforms (constants
-    // inlined from MinHashSig.mixers — products stay < 2^62 so plain
-    // BIGINT suffices) → band buckets on the raw signature slices →
+    // inlined unsigned from MinHashSig.mixers; products WRAP mod 2^64
+    // via HUGEINT — full-width multipliers, r10) → band buckets on the raw signature slices →
     // signature-estimate ranking → exact-Jaccard verify on the top-20
     // incremental mirror: the shared minhash CTEs split by source into
     // new (src0) vs corpus bands, per-SIDE drop-whole caps, the same
@@ -2088,7 +2091,7 @@ object LlmQueries {
     // recursive CTE reaches the fixpoint) with min-id survivors
     "llm_neardup_dedup" -> {
       val mixers = graft.functions.MinHashSig.mixers(64)
-        .zipWithIndex.map { case (a, j) => s"($j, $a)" }.mkString(", ")
+        .zipWithIndex.map { case (a, j) => s"($j, ${java.lang.Long.toUnsignedString(a)})" }.mkString(", ")
       s"""WITH RECURSIVE
         |tot AS (SELECT CAST(count(*) AS BIGINT) AS td FROM documents),
         |reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
@@ -2107,11 +2110,14 @@ object LlmQueries {
         |  FROM fnv WHERE i < nb),
         |hfin AS (SELECT s, h FROM fnv WHERE i = nb),
         |mix AS (SELECT j, a FROM (VALUES $mixers) AS m(j, a)),
+        |pmul AS (
+        |  SELECT sa.doc_id, m.j, CAST(hf.h // 2147483648 AS BIGINT) AS hi,
+        |    (CAST(hf.h % 2147483648 AS HUGEINT) * CAST(m.a AS HUGEINT)) % 18446744073709551616 AS p
+        |  FROM shall sa JOIN hfin hf ON hf.s = sa.s CROSS JOIN mix m),
         |persig AS (
-        |  SELECT sa.doc_id, m.j,
-        |    min(xor(CAST(hf.h % 2147483648 AS BIGINT) * CAST(m.a AS BIGINT), CAST(hf.h // 2147483648 AS BIGINT))) AS v
-        |  FROM shall sa JOIN hfin hf ON hf.s = sa.s CROSS JOIN mix m
-        |  GROUP BY sa.doc_id, m.j),
+        |  SELECT doc_id, j,
+        |    min(xor(CAST(p - CASE WHEN p >= 9223372036854775808 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT), hi)) AS v
+        |  FROM pmul GROUP BY doc_id, j),
         |bnd AS (SELECT doc_id, j // 4 AS band, list(v ORDER BY j) AS sl FROM persig GROUP BY doc_id, j // 4),
         |bsz AS (SELECT band, sl, count(*) AS c FROM bnd GROUP BY band, sl),
         |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
