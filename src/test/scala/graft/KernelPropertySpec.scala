@@ -93,6 +93,34 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: MinHash estimate tracks true Jaccard (r10 mixer fix)") {
+    // the r10 regression class: monotone per-permutation mixing makes
+    // every position pick the same argmin shingle and estimates
+    // collapse to ~0/1. Guard: over constructed pairs spanning the
+    // similarity range, |est − trueJaccard| must stay within binomial
+    // noise of k = 64 positions (σ ≈ 0.06; bound 0.25 is > 4σ)
+    val rnd = new scala.util.Random(20260814L)
+    val base = (0 until 40).map(i => s"w${rnd.nextInt(500)}x$i")
+    (0 until 20).foreach { trial =>
+      val keep = 5 + rnd.nextInt(35) // overlap 5..39 of 40
+      val other = base.take(keep) ++
+        (0 until (40 - keep)).map(i => s"v${rnd.nextInt(500)}y$i$trial")
+      val docs = Seq((1L, base.mkString(" ")), (2L, other.mkString(" ")))
+        .toDF("doc_id", "text")
+      // 1-gram shingles: the jaccard is exactly set overlap
+      val sigs = graft.llm.Dedup.minhashSignatures(
+        docs, "text", "doc_id", k = 64, shingleN = 1)
+      val est = graft.llm.Dedup.estimateJaccard(
+          Seq((1L, 2L)).toDF("ida", "idb"), sigs, "doc_id")
+        .head().getDouble(2)
+      val a = base.toSet
+      val b = other.toSet
+      val truth = a.intersect(b).size.toDouble / a.union(b).size
+      assert(math.abs(est - truth) < 0.25,
+        s"trial $trial: est $est vs true $truth (keep=$keep)")
+    }
+  }
+
   test("property: IMA-ADPCM decode ≡ imaStep replay on random streams") {
     import graft.llm.Multimodal
     val rnd = new scala.util.Random(20260814L)
