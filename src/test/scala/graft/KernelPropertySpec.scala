@@ -121,6 +121,68 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: SimHash Hamming distance tracks token overlap") {
+    // graded behaviour, not just the hamming-0 identity case: pairs
+    // sharing most tokens must land close, disjoint pairs far. Bounds
+    // are loose (SimHash variance is real) but tight enough to catch
+    // a degenerate fingerprint (constant bits, monotone mixing, ...)
+    val rnd = new scala.util.Random(20260814L)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    (0 until 10).foreach { trial =>
+      val base = (0 until 256).map(i => s"t${rnd.nextInt(5000)}i$i")
+      def variant(keep: Int) = base.take(keep) ++
+        (0 until (256 - keep)).map(i => s"u${rnd.nextInt(5000)}j$i$trial")
+      val docs = Seq(
+        (0L, base.mkString(" ")),
+        (1L, variant(243).mkString(" ")), // ~95% overlap
+        (2L, variant(13).mkString(" ")))  // ~5% overlap
+        .toDF("doc_id", "text")
+      val sigs = graft.llm.Dedup.simhash(docs, "text", "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val near = ham(sigs(0L), sigs(1L))
+      val far = ham(sigs(0L), sigs(2L))
+      assert(near <= 20, s"trial $trial: near pair hamming $near")
+      assert(far >= 12, s"trial $trial: far pair hamming $far")
+      assert(near < far, s"trial $trial: $near !< $far")
+    }
+  }
+
+  test("property: hyperplane signature Hamming tracks vector angle") {
+    // P(one plane separates u, v) = angle/π for random hyperplanes —
+    // near-parallel pairs must agree on most sign bits, orthogonal
+    // pairs on about half. Catches correlated/degenerate plane sets.
+    val rnd = new scala.util.Random(20260814L)
+    val dim = 64
+    val nPlanes = 64
+    val pl = graft.llm.Similarity.planes(nPlanes, dim)
+    def sig(x: Array[Double]): Long = {
+      var s = 0L
+      for (j <- 0 until nPlanes) {
+        val dot = (0 until dim).map(d => x(d) * pl(j)(d)).sum
+        if (dot >= 0) s |= (1L << j)
+      }
+      s
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    (0 until 10).foreach { trial =>
+      val u = Array.fill(dim)(rnd.nextGaussian())
+      val w0 = Array.fill(dim)(rnd.nextGaussian())
+      // orthogonalize w against u
+      val uu = u.map(x => x * x).sum
+      val uw = u.zip(w0).map { case (a, b) => a * b }.sum
+      val w = w0.zip(u).map { case (b, a) => b - a * uw / uu }
+      def at(theta: Double): Array[Double] =
+        u.zip(w).map { case (a, b) =>
+          math.cos(theta) * a + math.sin(theta) *
+            b * math.sqrt(uu / w.map(x => x * x).sum) }
+      val near = ham(sig(u), sig(at(0.1 * math.Pi))) // E = 6.4 bits
+      val orth = ham(sig(u), sig(at(0.5 * math.Pi))) // E = 32 bits
+      assert(near <= 18, s"trial $trial: near-angle hamming $near")
+      assert(orth >= 18 && orth <= 46, s"trial $trial: orth hamming $orth")
+      assert(near < orth, s"trial $trial: $near !< $orth")
+    }
+  }
+
   test("property: IMA-ADPCM decode ≡ imaStep replay on random streams") {
     import graft.llm.Multimodal
     val rnd = new scala.util.Random(20260814L)
