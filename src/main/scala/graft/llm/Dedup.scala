@@ -147,6 +147,27 @@ object Dedup {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Append a (deduped) batch's fingerprints to an existing index —
+    * day N's close of the incremental loop: check the batch with
+    * [[nearDupsAgainstIndex]], drop its near-dups, then append the
+    * survivors' fingerprints so day N+1 sees them. Same row layout as
+    * [[writeMinhashIndex]]. */
+  def appendToMinhashIndex(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      path: String,
+      k: Int = 64,
+      shingleN: Int = 3): Unit = {
+    val src = graft.core.FanOut.cpuBound(df)
+    src.select(col(idCol),
+        graft.functions.MinHashTextSig(col(textCol), k, shingleN).as("sig"),
+        graft.functions.ShingleHashes(col(textCol), shingleN)
+          .as("shingles"))
+      .filter(col("sig").isNotNull)
+      .write.mode("append").parquet(path)
+  }
+
   /** Near-dup pairs between a NEW batch and the persisted fingerprint
     * index — incremental ingest: band both sides, generate candidates
     * through the capped BIPARTITE pair expansion (per-side drop-whole

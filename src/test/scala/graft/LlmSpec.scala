@@ -327,6 +327,20 @@ class LlmSpec extends SparkSpec {
     // exactly the planted duplicate, at jaccard 1.0; the novel and
     // null-text docs produce nothing
     assert(got == Seq((10L, 1L, 1.0)))
+    // close the loop: append the batch's survivors (the novel doc) and
+    // re-check a copy of it against the grown index
+    Dedup.appendToMinhashIndex(
+      fresh.filter(col("doc_id") === 11L), "text", "doc_id", path)
+    val idx2 = spark.read.parquet(path)
+    assert(idx2.count() == 4)
+    val day2 = Seq(
+      (20L, "a genuinely novel document with no corpus overlap at all"))
+      .toDF("doc_id", "text")
+    val (p2, rel2) = Dedup.nearDupsAgainstIndexReleasable(
+      day2, "text", "doc_id", idx2, jaccardThreshold = 0.8)
+    val got2 = p2.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    rel2()
+    assert(got2 == Seq((20L, 11L))) // caught by yesterday's append
   }
 
   test("PairExpansion.bucketPairs: duplicate membership rows tolerated") {
