@@ -88,6 +88,81 @@ object Spans {
     (out, () => { grams.unpersist(); () })
   }
 
+  /** Maximal token spans of `df` whose EVERY k-window occurs verbatim
+    * in `benchmark` — SPAN-LEVEL decontamination (the surgical variant
+    * of [[Dedup.contamination]]'s doc-level flag): a long document
+    * quoting a benchmark passage loses the passage, not the document.
+    * Output shape = [[duplicatedSpans]] ((idCol, span_start, span_end,
+    * n_grams)).
+    *
+    * Scale shape: the benchmark gram-hash set is DISTINCT'd and
+    * broadcast (a benchmark is small by definition — the
+    * [[Dedup.contamination]] stance); the corpus is scanned ONCE into
+    * (id, start, hash) gram rows and semi-joined map-side, so only
+    * contaminated occurrences (≪ corpus) reach the per-document
+    * islands window. No cache needed — each input has one consumer. */
+  def contaminatedSpans(
+      df: DataFrame,
+      benchmark: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "window length must be positive")
+    def gramHashes(src: DataFrame) = {
+      val toks = split(trim(col(textCol)), "\\s+")
+      src.withColumn("__toks", toks)
+        .filter(col("__toks").isNotNull && size(col("__toks")) >= k &&
+          !(size(col("__toks")) === 1 && element_at(col("__toks"), 1) === ""))
+    }
+    val bset = gramHashes(benchmark)
+      .select(explode(
+        transform(sequence(lit(0), size(col("__toks")) - k),
+          i => xxhash64(concat_ws(" ", slice(col("__toks"), i + 1, lit(k))))))
+        .as("__gh"))
+      .distinct()
+    val grams = gramHashes(df)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(col("__toks")) - k),
+          i => xxhash64(concat_ws(" ", slice(col("__toks"), i + 1, lit(k))))))
+        .as(Seq("start", "__gh")))
+    val dup = grams.join(broadcast(bset), Seq("__gh"))
+    val w = Window.partitionBy(idCol).orderBy("start")
+    dup
+      .withColumn("__brk",
+        when(coalesce(col("start") - lag("start", 1).over(w), lit(0L)) > k,
+          1L).otherwise(0L))
+      .withColumn("__span",
+        sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__span"))
+      .agg(min("start").cast("long").as("span_start"),
+        (max("start") + k).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .drop("__span")
+  }
+
+  /** The decontamination ACTION: rewrite `textCol` with every
+    * benchmark-contaminated span cut out (the [[removeDuplicatedSpans]]
+    * contract — span-free docs keep their text byte-for-byte, fully
+    * contaminated docs become the empty string for downstream length
+    * gates to judge). */
+  def removeContaminatedSpans(
+      df: DataFrame,
+      benchmark: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    val spans = contaminatedSpans(df, benchmark, textCol, idCol, k)
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__spans"))
+    df.join(spans, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col("__spans").isNull, col(textCol))
+          .otherwise(graft.functions.CutSpans(col(textCol),
+            col("__spans"))))
+      .drop("__spans")
+  }
+
   /** The dedup ACTION: rewrite `textCol` with every duplicated span
     * cut out (tokens in no span survive, in original order, rejoined
     * with single spaces — span-free documents keep their text byte-for

@@ -250,6 +250,19 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // span-level decontamination (r10): benchmark (src0) passages
+    // quoted VERBATIM inside corpus docs located as maximal token
+    // spans — the surgical counterpart of llm_decontaminate's
+    // doc-level flags (cut the passage, keep the document)
+    "llm_decontaminate_spans" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Spans.contaminatedSpans(
+          d.filter(col("source") =!= "src0"),
+          d.filter(col("source") === "src0"),
+          "text", "doc_id", 8)
+        .orderBy("doc_id", "span_start")
+    }),
+
     // PII redaction (C4-style scrub): deterministic synthetic PII is
     // appended per doc (the corpus itself is PII-free), then counted
     // and redacted — patterns are RE2-compatible so the oracle runs
@@ -1625,6 +1638,25 @@ object LlmQueries {
         |  CAST(count(*) AS BIGINT) AS n_grams
         |FROM sp GROUP BY doc_id, span ORDER BY doc_id, span_start""".stripMargin,
 
+    // contaminated-spans mirror: benchmark gram SET membership instead
+    // of the hot-count predicate, then the same islands merge
+    "llm_decontaminate_spans" ->
+      """WITH t AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |bg AS (SELECT DISTINCT array_to_string(toks[s + 1 : s + 8], ' ') AS gram
+        |  FROM (SELECT toks, unnest(range(0, len(toks) - 8 + 1)) AS s FROM t WHERE source = 'src0' AND len(toks) >= 8)),
+        |cg0 AS (SELECT doc_id, s, array_to_string(toks[s + 1 : s + 8], ' ') AS gram
+        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 8 + 1)) AS s FROM t WHERE source <> 'src0' AND len(toks) >= 8)),
+        |d AS (SELECT doc_id, s FROM cg0 JOIN bg USING (gram)),
+        |m AS (SELECT doc_id, s,
+        |    CASE WHEN coalesce(s - lag(s) OVER (PARTITION BY doc_id ORDER BY s), 0) > 8 THEN 1 ELSE 0 END AS brk
+        |  FROM d),
+        |sp AS (SELECT doc_id, s,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS span
+        |  FROM m)
+        |SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+        |  CAST(max(s) + 8 AS BIGINT) AS span_end,
+        |  CAST(count(*) AS BIGINT) AS n_grams
+        |FROM sp GROUP BY doc_id, span ORDER BY doc_id, span_start""".stripMargin,
     // span-removal mirror: the llm_dup_spans CTEs, then a NOT EXISTS
     // token cut and an ordered string_agg rebuild; span-free docs fall
     // through to their original text (the engine's isNull branch)

@@ -302,6 +302,29 @@ class LlmSpec extends SparkSpec {
     assert(capped == Set((100L, 101L)))
   }
 
+  test("contaminated spans: benchmark passage located and cut") {
+    val passage = "alpha beta gamma delta epsilon zeta"
+    val bench = Seq((0L, s"prefix words $passage suffix words"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, s"intro tokens here $passage outro tokens here"),
+      (11L, "a completely clean document with original content only"))
+      .toDF("doc_id", "text")
+    val spans = Spans.contaminatedSpans(corpus, bench,
+        "text", "doc_id", 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // the 6-token passage at token offset 3: k=4 windows [3..5] merge
+    // into [3, 9); the clean doc emits nothing
+    assert(spans == Seq((10L, 3L, 9L)))
+    val removed = Spans.removeContaminatedSpans(corpus, bench,
+        "text", "doc_id", 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(removed(10L) == "intro tokens here outro tokens here")
+    // span-free docs keep their text byte-for-byte
+    assert(removed(11L) ==
+      "a completely clean document with original content only")
+  }
+
   test("incremental dedup: new batch vs persisted fingerprint index") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
