@@ -1,0 +1,155 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Quality-classifier TRAINING — the step upstream of
+  * [[Classify.scoreHashedLinear]]'s inference pass in a public
+  * curation pipeline (CCNet/DCLM/FineWeb train a quality model on a
+  * labeled sample, then score the corpus). The reference has no
+  * counterpart; this owns the distributed-regression shape.
+  *
+  * The model is ridge-regularized least squares over INTEGER-VALUED
+  * document features (counts: tokens, stopword occurrences, symbol
+  * chars …) fit by the normal equations. The 100 TB shape: ONE
+  * map-side-combined aggregate reduces the corpus to the d(d+1)/2 + d
+  * moment sums (a single row — the only data that reaches the driver),
+  * and the d×d solve happens driver-side in exact BigInt arithmetic
+  * via Cramer's rule. No iteration, no per-row weight traffic, no
+  * second corpus pass.
+  *
+  * Exactness contract: features and label are integers, so every
+  * moment is an exact Long sum and every weight is an exact rational
+  * det(Aᵢ)/det(A) — reproducible bit for bit by an ANSI-SQL oracle
+  * that mirrors the same moments and the same cofactor expansion in
+  * 128-bit integers. Weights are REPORTED as the unreduced
+  * (numerator, denominator) pair precisely so no engine-specific
+  * float division ever enters the gated result.
+  *
+  * Bounds: moment sums accumulate in Long — exact while
+  * Σ xᵢxⱼ < 2^63 (at 10¹² docs that allows features up to ~10³, the
+  * realistic count range; larger features should be pre-scaled by the
+  * caller). Cramer determinants are BigInt on the driver (no bound);
+  * the DataFrame form emits DECIMAL(38,0) and fails loudly past 38
+  * digits rather than rounding.
+  */
+object Train {
+
+  /** An exact ridge fit: `weight(i) = num(i) / den` as unreduced
+    * BigInt rationals (den = det of the regularized normal matrix,
+    * identical for every coefficient). `weights` derives doubles for
+    * plain consumption. */
+  final case class RidgeFit(features: Seq[String], num: Seq[BigInt], den: BigInt) {
+    require(den != BigInt(0),
+      "singular normal matrix — features are linearly dependent " +
+        "(add ridge lambda > 0 or drop a feature)")
+    def weights: Seq[Double] = {
+      val mc = java.math.MathContext.DECIMAL128
+      num.map(n => (BigDecimal(n, mc) / BigDecimal(den, mc)).toDouble)
+    }
+  }
+
+  /** Fit `label ~ intercept + features` by exact ridge least squares.
+    *
+    * @param features (name, integer-valued column) pairs; an intercept
+    *                 ("intercept", 1) is prepended automatically
+    * @param label    integer-valued target (0/1 for a quality
+    *                 classifier; any bounded int regression target)
+    * @param lambda   ridge penalty added to the non-intercept diagonal
+    *                 of the normal matrix (same integer units as the
+    *                 moments; 0 = plain OLS)
+    */
+  def ridgeFitExact(
+      df: DataFrame,
+      features: Seq[(String, Column)],
+      label: Column,
+      lambda: Long = 0L): RidgeFit = {
+    require(features.nonEmpty, "at least one feature")
+    require(features.size <= 7,
+      s"${features.size} features — the exact Cramer solve is " +
+        "factorial in d; hash wide feature sets down first")
+    require(lambda >= 0L, "ridge lambda must be non-negative")
+    val names = "intercept" +: features.map(_._1)
+    val xs: Seq[Column] = lit(1L) +: features.map(_._2.cast("long"))
+    val y = label.cast("long")
+    val d = xs.size
+    // one row: the normal-equation moments S_ij = Σ x_i x_j (i ≤ j,
+    // symmetric) and b_i = Σ x_i y — map-side combined, corpus never
+    // moves
+    val sCols = for (i <- 0 until d; j <- i until d)
+      yield sum(xs(i) * xs(j)).as(s"s_${i}_$j")
+    val bCols = (0 until d).map(i => sum(xs(i) * y).as(s"b_$i"))
+    val row = df.agg((sCols ++ bCols).head, (sCols ++ bCols).tail: _*)
+      .collect()(0)
+    var k = -1
+    val a = Array.ofDim[BigInt](d, d)
+    for (i <- 0 until d; j <- i until d) {
+      k += 1
+      val v = BigInt(row.getLong(k))
+      a(i)(j) = v
+      a(j)(i) = v
+    }
+    for (i <- 1 until d) a(i)(i) += BigInt(lambda)
+    val b = (0 until d).map(i => BigInt(row.getLong(k + 1 + i))).toArray
+    val den = det(a)
+    val num = (0 until d).map { i =>
+      det(Array.tabulate(d, d)((r, c) => if (c == i) b(r) else a(r)(c)))
+    }
+    RidgeFit(names, num, den)
+  }
+
+  /** [[ridgeFitExact]] as a DataFrame: one row per coefficient,
+    * (feature, w_num DECIMAL(38,0), w_den DECIMAL(38,0)) — the exact
+    * unreduced rationals, so the result is oracle-comparable with zero
+    * float divergence risk. */
+  def ridgeFitDf(
+      df: DataFrame,
+      features: Seq[(String, Column)],
+      label: Column,
+      lambda: Long = 0L): DataFrame = {
+    val fit = ridgeFitExact(df, features, label, lambda)
+    def dec(v: BigInt): java.math.BigDecimal = {
+      require(v.abs.toString.length <= 38,
+        s"Cramer determinant $v exceeds DECIMAL(38,0) — pre-scale " +
+          "the features")
+      new java.math.BigDecimal(v.bigInteger)
+    }
+    val schema = StructType(Seq(
+      StructField("feature", StringType, nullable = false),
+      StructField("w_num", DecimalType(38, 0), nullable = false),
+      StructField("w_den", DecimalType(38, 0), nullable = false)))
+    val rows = fit.features.zip(fit.num).map { case (n, v) =>
+      Row(n, dec(v), dec(fit.den))
+    }
+    val spark = df.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Score a fit over a corpus: ŷ = Σ wᵢ xᵢ as a double column —
+    * map-only (the weights ride as literals), the inference twin of
+    * the train pass. Feature columns must line up with the fit's
+    * non-intercept features, in order. */
+  def scoreRidge(fit: RidgeFit, features: Seq[Column]): Column = {
+    require(features.size == fit.features.size - 1,
+      s"fit has ${fit.features.size - 1} features, got ${features.size}")
+    val w = fit.weights
+    features.zip(w.tail).map { case (c, wi) => c.cast("double") * wi }
+      .foldLeft(lit(w.head))(_ + _)
+  }
+
+  /** Exact determinant by Laplace expansion over the first row —
+    * factorial, fine for the d ≤ 8 this module admits. */
+  private def det(m: Array[Array[BigInt]]): BigInt = {
+    val n = m.length
+    if (n == 1) m(0)(0)
+    else if (n == 2) m(0)(0) * m(1)(1) - m(0)(1) * m(1)(0)
+    else (0 until n).foldLeft(BigInt(0)) { (acc, j) =>
+      val minor = Array.tabulate(n - 1, n - 1)((r, c) =>
+        m(r + 1)(if (c < j) c else c + 1))
+      val term = m(0)(j) * det(minor)
+      if (j % 2 == 0) acc + term else acc - term
+    }
+  }
+}

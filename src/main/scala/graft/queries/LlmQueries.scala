@@ -546,6 +546,25 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // quality-classifier TRAINING (r10): exact ridge least squares of
+    // the is-benchmark label on integer count features — one
+    // map-side-combined moment aggregate (the only corpus pass), exact
+    // BigInt Cramer solve on the driver, weights reported as unreduced
+    // (num, den) rationals so the oracle's 128-bit Cramer mirror
+    // matches bit for bit
+    "llm_ridge_fit" -> ((s, dir) => {
+      val stopList = array(TextAnalysis.stopwordUnion.map(lit): _*)
+      Train.ridgeFitDf(t(s, dir, "documents"),
+          Seq(
+            "x1_tokens" -> size(TextAnalysis.tokens(col("text"))),
+            "x2_stopwords" -> size(filter(
+              TextAnalysis.tokens(lower(col("text"))),
+              w => array_contains(stopList, w)))),
+          (col("source") === "src0").cast("long"),
+          lambda = 1000L)
+        .orderBy("feature")
+    }),
+
     // corpus-familiarity quality score: per-doc average corpus
     // frequency of its bigram occurrences (integer sums → exact)
     "llm_familiarity" -> ((s, dir) =>
@@ -1459,6 +1478,43 @@ object LlmQueries {
         |  CAST(-50 * n_feats + wsum_milli AS DOUBLE) / CAST(n_feats * 1000 AS DOUBLE) AS logit,
         |  (-50 * n_feats + wsum_milli) > 0 AS pass
         |FROM agg ORDER BY doc_id""".stripMargin,
+    // ridge-fit mirror: the same integer moments in HUGEINT, the same
+    // ridge diagonal, and the 3×3 Cramer cofactor expansion — all
+    // exact integer arithmetic, so any algebraically-equal det formula
+    // yields the identical (num, den) pair
+    "llm_ridge_fit" -> {
+      val stops = graft.llm.TextAnalysis.stopwordUnion
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH f AS (SELECT
+        |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y,
+        |    len(regexp_split_to_array(trim(text), '\\s+')) AS x1,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+        |        w -> list_contains([$stops], w))) AS x2
+        |  FROM documents),
+        |m AS (SELECT
+        |    CAST(count(*) AS HUGEINT) AS s00,
+        |    CAST(sum(x1) AS HUGEINT) AS s01, CAST(sum(x2) AS HUGEINT) AS s02,
+        |    CAST(sum(x1*x1) AS HUGEINT) + 1000 AS s11,
+        |    CAST(sum(x1*x2) AS HUGEINT) AS s12,
+        |    CAST(sum(x2*x2) AS HUGEINT) + 1000 AS s22,
+        |    CAST(sum(y) AS HUGEINT) AS b0, CAST(sum(x1*y) AS HUGEINT) AS b1,
+        |    CAST(sum(x2*y) AS HUGEINT) AS b2
+        |  FROM f),
+        |d AS (SELECT
+        |    s00*(s11*s22 - s12*s12) - s01*(s01*s22 - s12*s02) + s02*(s01*s12 - s11*s02) AS den,
+        |    b0*(s11*s22 - s12*s12) - s01*(b1*s22 - s12*b2) + s02*(b1*s12 - s11*b2) AS n0,
+        |    s00*(b1*s22 - s12*b2) - b0*(s01*s22 - s12*s02) + s02*(s01*b2 - b1*s02) AS n1,
+        |    s00*(s11*b2 - s12*b1) - s01*(s01*b2 - s12*b0) + b0*(s01*s12 - s11*s02) AS n2
+        |  FROM m)
+        |SELECT feature, w_num, w_den FROM (
+        |  SELECT 'intercept' AS feature, CAST(n0 AS DECIMAL(38,0)) AS w_num,
+        |         CAST(den AS DECIMAL(38,0)) AS w_den FROM d
+        |  UNION ALL
+        |  SELECT 'x1_tokens', CAST(n1 AS DECIMAL(38,0)), CAST(den AS DECIMAL(38,0)) FROM d
+        |  UNION ALL
+        |  SELECT 'x2_stopwords', CAST(n2 AS DECIMAL(38,0)), CAST(den AS DECIMAL(38,0)) FROM d)
+        |ORDER BY feature""".stripMargin
+    },
     "llm_familiarity" ->
       """WITH tok0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l FROM documents),
         |tokx AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i FROM tok0),
