@@ -151,7 +151,13 @@ object Dedup {
     * day N's close of the incremental loop: check the batch with
     * [[nearDupsAgainstIndex]], drop its near-dups, then append the
     * survivors' fingerprints so day N+1 sees them. Same row layout as
-    * [[writeMinhashIndex]]. */
+    * [[writeMinhashIndex]].
+    *
+    * Precondition: the batch's ids must not already be in the index —
+    * this is append-only (no upsert); re-appending an id would leave
+    * duplicate fingerprint rows. [[nearDupsAgainstIndex]] defends by
+    * deduping the index by id at read time, but duplicate rows still
+    * waste index scan bytes, so don't create them. */
   def appendToMinhashIndex(
       df: DataFrame,
       textCol: String,
@@ -184,7 +190,7 @@ object Dedup {
       newDf: DataFrame,
       textCol: String,
       idCol: String,
-      index: DataFrame,
+      index0: DataFrame,
       jaccardThreshold: Double = 0.8,
       k: Int = 64,
       bands: Int = 16,
@@ -192,6 +198,10 @@ object Dedup {
       maxBucket: Int = 1000): (DataFrame, () => Unit) = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
+    // defend against accidental double-append in the fingerprint
+    // index: duplicate rows for one corpus_id would multiply every
+    // joined candidate pair (and its output rows) by the dup count
+    val index = index0.dropDuplicates(idCol)
     val newFp = graft.core.FanOut.cpuBound(newDf)
       .select(col(idCol),
         graft.functions.MinHashTextSig(col(textCol), k, shingleN)

@@ -77,21 +77,35 @@ object Train {
     // one row: the normal-equation moments S_ij = Σ x_i x_j (i ≤ j,
     // symmetric) and b_i = Σ x_i y — map-side combined, corpus never
     // moves
+    // accumulate in DECIMAL(38,0), not LongType: under Spark's default
+    // non-ANSI mode a long sum overflow wraps silently, which would
+    // corrupt the "exact" moments; decimal overflow nulls out instead
+    // and is caught by the empty/overflow require below
+    val dec38 = DecimalType(38, 0)
     val sCols = for (i <- 0 until d; j <- i until d)
-      yield sum(xs(i) * xs(j)).as(s"s_${i}_$j")
-    val bCols = (0 until d).map(i => sum(xs(i) * y).as(s"b_$i"))
+      yield sum((xs(i) * xs(j)).cast(dec38)).as(s"s_${i}_$j")
+    val bCols = (0 until d).map(i => sum((xs(i) * y).cast(dec38)).as(s"b_$i"))
     val row = df.agg((sCols ++ bCols).head, (sCols ++ bCols).tail: _*)
       .collect()(0)
+    require(!row.isNullAt(0),
+      "ridgeFitExact: null moment sum — cannot fit on an empty corpus " +
+        "(or a DECIMAL(38,0) moment overflowed; pre-scale the features)")
+    def mom(idx: Int): BigInt = {
+      require(!row.isNullAt(idx),
+        s"ridgeFitExact: moment $idx overflowed DECIMAL(38,0) — " +
+          "pre-scale the features")
+      BigInt(row.getDecimal(idx).toBigInteger)
+    }
     var k = -1
     val a = Array.ofDim[BigInt](d, d)
     for (i <- 0 until d; j <- i until d) {
       k += 1
-      val v = BigInt(row.getLong(k))
+      val v = mom(k)
       a(i)(j) = v
       a(j)(i) = v
     }
     for (i <- 1 until d) a(i)(i) += BigInt(lambda)
-    val b = (0 until d).map(i => BigInt(row.getLong(k + 1 + i))).toArray
+    val b = (0 until d).map(i => mom(k + 1 + i)).toArray
     val den = det(a)
     val num = (0 until d).map { i =>
       det(Array.tabulate(d, d)((r, c) => if (c == i) b(r) else a(r)(c)))

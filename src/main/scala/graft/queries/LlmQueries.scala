@@ -1504,7 +1504,7 @@ object LlmQueries {
         |    s00*(s11*s22 - s12*s12) - s01*(s01*s22 - s12*s02) + s02*(s01*s12 - s11*s02) AS den,
         |    b0*(s11*s22 - s12*s12) - s01*(b1*s22 - s12*b2) + s02*(b1*s12 - s11*b2) AS n0,
         |    s00*(b1*s22 - s12*b2) - b0*(s01*s22 - s12*s02) + s02*(s01*b2 - b1*s02) AS n1,
-        |    s00*(s11*b2 - s12*b1) - s01*(s01*b2 - s12*b0) + b0*(s01*s12 - s11*s02) AS n2
+        |    s00*(s11*b2 - s12*b1) - s01*(s01*b2 - s02*b1) + b0*(s01*s12 - s11*s02) AS n2
         |  FROM m)
         |SELECT feature, w_num, w_den FROM (
         |  SELECT 'intercept' AS feature, CAST(n0 AS DECIMAL(38,0)) AS w_num,
