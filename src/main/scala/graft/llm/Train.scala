@@ -27,10 +27,10 @@ import org.apache.spark.sql.types._
   * (numerator, denominator) pair precisely so no engine-specific
   * float division ever enters the gated result.
   *
-  * Bounds: moment sums accumulate in Long — exact while
-  * Σ xᵢxⱼ < 2^63 (at 10¹² docs that allows features up to ~10³, the
-  * realistic count range; larger features should be pre-scaled by the
-  * caller). Cramer determinants are BigInt on the driver (no bound);
+  * Bounds: per-row products xᵢxⱼ are Long (exact while |xᵢxⱼ| < 2^63)
+  * and moment sums accumulate in DECIMAL(38,0), so an out-of-range
+  * corpus fails loudly instead of wrapping silently (Spark's default
+  * non-ANSI long sum wraps). Cramer determinants are BigInt (no bound);
   * the DataFrame form emits DECIMAL(38,0) and fails loudly past 38
   * digits rather than rounding.
   */
@@ -151,6 +151,42 @@ object Train {
     val w = fit.weights
     features.zip(w.tail).map { case (c, wi) => c.cast("double") * wi }
       .foldLeft(lit(w.head))(_ + _)
+  }
+
+  /** EXACT per-row score numerator: ŷ = scoreNum / den where
+    * scoreNum = num₀ + Σ numᵢ₊₁·xᵢ — pure integer arithmetic in
+    * DECIMAL(38,0), map-only (the Cramer numerators ride as decimal
+    * literals). Unlike [[scoreRidge]]'s double form, this is
+    * oracle-comparable bit for bit and supports exact threshold
+    * selection: score ≥ t/u ⇔ u·scoreNum ≥ t·den (den > 0 — the
+    * regularized normal matrix is positive-definite whenever it is
+    * nonsingular, enforced here). */
+  def scoreRidgeExactNum(fit: RidgeFit, features: Seq[Column]): Column = {
+    require(features.size == fit.features.size - 1,
+      s"fit has ${fit.features.size - 1} features, got ${features.size}")
+    require(fit.den.signum > 0,
+      "ridge normal-matrix determinant must be positive (PSD Gram + " +
+        "ridge diagonal) — a negative den means corrupted moments")
+    val dec38 = DecimalType(38, 0)
+    def l(v: BigInt): Column =
+      lit(new java.math.BigDecimal(v.bigInteger)).cast(dec38)
+    features.zip(fit.num.tail)
+      .map { case (c, ni) => l(ni) * c.cast("long") }
+      .foldLeft(l(fit.num.head))(_ + _)
+      .cast(dec38)
+  }
+
+  /** Exact threshold-selection predicate: score ≥ threshNum/threshDen
+    * with no float division on either side (threshDen > 0). */
+  def ridgeKeep(
+      fit: RidgeFit,
+      features: Seq[Column],
+      threshNum: Long,
+      threshDen: Long): Column = {
+    require(threshDen > 0, "threshold denominator must be positive")
+    scoreRidgeExactNum(fit, features) * threshDen >=
+      lit(new java.math.BigDecimal((fit.den * threshNum).bigInteger))
+        .cast(DecimalType(38, 0))
   }
 
   /** Exact determinant by Laplace expansion over the first row —

@@ -565,6 +565,34 @@ object LlmQueries {
         .orderBy("feature")
     }),
 
+    // the training loop CLOSED end-to-end (DCLM/FineWeb curation
+    // shape): fit the ridge quality model on a LABELED SAMPLE
+    // (doc_id % 5 == 0 — in production the human/LLM-labeled slice),
+    // then score the whole corpus map-only and select by threshold.
+    // The score is reported as the EXACT integer numerator over the
+    // shared Cramer denominator (score = score_num/score_den), and
+    // the keep decision score ≥ 1/2 is the integer comparison
+    // 2·score_num ≥ den — no float division anywhere in the gate
+    "llm_ridge_score" -> ((s, dir) => {
+      val stopList = array(TextAnalysis.stopwordUnion.map(lit): _*)
+      val x1 = size(TextAnalysis.tokens(col("text")))
+      val x2 = size(filter(TextAnalysis.tokens(lower(col("text"))),
+        w => array_contains(stopList, w)))
+      val docs = t(s, dir, "documents")
+      val fit = Train.ridgeFitExact(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+        Seq("x1_tokens" -> x1, "x2_stopwords" -> x2),
+        (col("source") === "src0").cast("long"),
+        lambda = 1000L)
+      docs.select(col("doc_id"),
+          Train.scoreRidgeExactNum(fit, Seq(x1, x2)).as("score_num"),
+          lit(new java.math.BigDecimal(fit.den.bigInteger))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            .as("score_den"),
+          Train.ridgeKeep(fit, Seq(x1, x2), 1L, 2L).as("kept"))
+        .orderBy("doc_id")
+    }),
+
     // corpus-familiarity quality score: per-doc average corpus
     // frequency of its bigram occurrences (integer sums → exact)
     "llm_familiarity" -> ((s, dir) =>
@@ -1514,6 +1542,42 @@ object LlmQueries {
         |  UNION ALL
         |  SELECT 'x2_stopwords', CAST(n2 AS DECIMAL(38,0)), CAST(den AS DECIMAL(38,0)) FROM d)
         |ORDER BY feature""".stripMargin
+    },
+    // train-on-sample → score-corpus mirror: moments restricted to the
+    // doc_id % 5 == 0 labeled slice, the same Cramer numerators, then
+    // per-doc exact integer score_num = n0 + n1·x1 + n2·x2 and the
+    // integer keep rule 2·score_num ≥ den
+    "llm_ridge_score" -> {
+      val stops = graft.llm.TextAnalysis.stopwordUnion
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH f AS (SELECT doc_id,
+        |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y,
+        |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS HUGEINT) AS x1,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+        |        w -> list_contains([$stops], w))) AS HUGEINT) AS x2
+        |  FROM documents),
+        |lab AS (SELECT * FROM f WHERE doc_id % 5 = 0),
+        |m AS (SELECT
+        |    CAST(count(*) AS HUGEINT) AS s00,
+        |    CAST(sum(x1) AS HUGEINT) AS s01, CAST(sum(x2) AS HUGEINT) AS s02,
+        |    CAST(sum(x1*x1) AS HUGEINT) + 1000 AS s11,
+        |    CAST(sum(x1*x2) AS HUGEINT) AS s12,
+        |    CAST(sum(x2*x2) AS HUGEINT) + 1000 AS s22,
+        |    CAST(sum(y) AS HUGEINT) AS b0, CAST(sum(x1*y) AS HUGEINT) AS b1,
+        |    CAST(sum(x2*y) AS HUGEINT) AS b2
+        |  FROM lab),
+        |d AS (SELECT
+        |    s00*(s11*s22 - s12*s12) - s01*(s01*s22 - s12*s02) + s02*(s01*s12 - s11*s02) AS den,
+        |    b0*(s11*s22 - s12*s12) - s01*(b1*s22 - s12*b2) + s02*(b1*s12 - s11*b2) AS n0,
+        |    s00*(b1*s22 - s12*b2) - b0*(s01*s22 - s12*s02) + s02*(s01*b2 - b1*s02) AS n1,
+        |    s00*(s11*b2 - s12*b1) - s01*(s01*b2 - s02*b1) + b0*(s01*s12 - s11*s02) AS n2
+        |  FROM m)
+        |SELECT doc_id,
+        |  CAST(n0 + n1*x1 + n2*x2 AS DECIMAL(38,0)) AS score_num,
+        |  CAST(den AS DECIMAL(38,0)) AS score_den,
+        |  (2*(n0 + n1*x1 + n2*x2) >= den) AS kept
+        |FROM f CROSS JOIN d
+        |ORDER BY doc_id""".stripMargin
     },
     "llm_familiarity" ->
       """WITH tok0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l FROM documents),

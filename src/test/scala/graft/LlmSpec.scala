@@ -1846,4 +1846,140 @@ class LlmSpec extends SparkSpec {
         .as("s")).head().getSeq[Long](0)
     assert(out == Seq(11L, 22L, 33L))
   }
+
+  // brute-force normal-equation solve in doubles (Gaussian elimination
+  // with partial pivoting) — the ground-truth cross-check the engine's
+  // exact BigInt Cramer weights must reproduce to float precision
+  private def bruteRidge(
+      rows: Seq[(Array[Long], Long)], lambda: Long): Array[Double] = {
+    val d = rows.head._1.length + 1
+    val a = Array.ofDim[Double](d, d + 1)
+    for ((fs, y) <- rows) {
+      val x = 1.0 +: fs.map(_.toDouble)
+      for (i <- 0 until d; j <- 0 until d) a(i)(j) += x(i) * x(j)
+      for (i <- 0 until d) a(i)(d) += x(i) * y.toDouble
+    }
+    for (i <- 1 until d) a(i)(i) += lambda.toDouble
+    for (p <- 0 until d) {
+      val piv = (p until d).maxBy(r => math.abs(a(r)(p)))
+      val tmp = a(p); a(p) = a(piv); a(piv) = tmp
+      for (r <- 0 until d if r != p) {
+        val f = a(r)(p) / a(p)(p)
+        for (c <- p to d) a(r)(c) -= f * a(p)(c)
+      }
+    }
+    Array.tabulate(d)(i => a(i)(d) / a(i)(i))
+  }
+
+  test("ridgeFitExact: d=3 weights match brute least squares to 1e-9") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(60) { i =>
+      val x1 = (rnd.nextInt(40) + 1).toLong
+      val x2 = rnd.nextInt(15).toLong
+      // noisy planted relation keeps the system well-conditioned
+      val y = 3L + x1 / 2 - x2 + rnd.nextInt(5).toLong
+      (Array(x1, x2), y)
+    }
+    val df = rows.map { case (fs, y) => (fs(0), fs(1), y) }
+      .toDF("x1", "x2", "y")
+    for (lambda <- Seq(0L, 1000L)) {
+      val fit = Train.ridgeFitExact(df,
+        Seq("x1" -> col("x1"), "x2" -> col("x2")), col("y"), lambda)
+      val brute = bruteRidge(rows, lambda)
+      assert(fit.features == Seq("intercept", "x1", "x2"))
+      fit.weights.zip(brute).foreach { case (w, b) =>
+        assert(math.abs(w - b) < 1e-9, s"lambda=$lambda: $w vs $b")
+      }
+    }
+  }
+
+  test("ridgeFitExact: d=4 exercises the generic determinant path") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(80) { _ =>
+      val fs = Array(
+        (rnd.nextInt(30) + 1).toLong, rnd.nextInt(9).toLong,
+        rnd.nextInt(50).toLong)
+      (fs, fs(0) - 2 * fs(1) + rnd.nextInt(3).toLong)
+    }
+    val df = rows.map { case (fs, y) => (fs(0), fs(1), fs(2), y) }
+      .toDF("x1", "x2", "x3", "y")
+    val fit = Train.ridgeFitExact(df,
+      Seq("x1" -> col("x1"), "x2" -> col("x2"), "x3" -> col("x3")),
+      col("y"), lambda = 7L)
+    val brute = bruteRidge(rows, 7L)
+    fit.weights.zip(brute).foreach { case (w, b) =>
+      assert(math.abs(w - b) < 1e-9, s"$w vs $b")
+    }
+    // the DataFrame form carries the identical unreduced rationals
+    val asDf = Train.ridgeFitDf(df,
+      Seq("x1" -> col("x1"), "x2" -> col("x2"), "x3" -> col("x3")),
+      col("y"), lambda = 7L)
+      .collect().map(r => (r.getString(0),
+        BigInt(r.getDecimal(1).toBigInteger),
+        BigInt(r.getDecimal(2).toBigInteger))).toSeq
+    assert(asDf.map(_._1).sorted ==
+      Seq("intercept", "x1", "x2", "x3").sorted)
+    asDf.foreach { case (name, num, den) =>
+      val i = fit.features.indexOf(name)
+      assert(num == fit.num(i) && den == fit.den)
+    }
+  }
+
+  test("ridgeFitExact: empty corpus fails with a clear message") {
+    val empty = Seq.empty[(Long, Long)].toDF("x1", "y")
+    val e = intercept[IllegalArgumentException] {
+      Train.ridgeFitExact(empty, Seq("x1" -> col("x1")), col("y"))
+    }
+    assert(e.getMessage.contains("empty corpus"))
+  }
+
+  test("ridge pipeline: train on sample, exact score + threshold select") {
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.tabulate(100) { i =>
+      val x1 = (rnd.nextInt(25) + 1).toLong
+      val x2 = rnd.nextInt(8).toLong
+      val y = if (x1 > 12) 1L else 0L // separable-ish quality label
+      (i.toLong, x1, x2, y)
+    }
+    val df = rows.toDF("doc_id", "x1", "x2", "y")
+    val sample = df.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val fit = Train.ridgeFitExact(sample,
+      Seq("x1" -> col("x1"), "x2" -> col("x2")), col("y"), 100L)
+    val out = df.select(col("doc_id"), col("x1"), col("x2"),
+        Train.scoreRidgeExactNum(fit, Seq(col("x1"), col("x2")))
+          .as("score_num"),
+        Train.ridgeKeep(fit, Seq(col("x1"), col("x2")), 1L, 2L)
+          .as("kept"))
+      .collect()
+    // cross-check against the brute float fit on the same sample
+    val brute = bruteRidge(
+      rows.filter(_._1 % 5 == 0).map(r => (Array(r._2, r._3), r._4)),
+      100L)
+    val den = BigDecimal(fit.den)
+    out.foreach { r =>
+      val (x1, x2) = (r.getLong(1), r.getLong(2))
+      val exact = BigDecimal(BigInt(r.getDecimal(3).toBigInteger)) / den
+      val float = brute(0) + brute(1) * x1 + brute(2) * x2
+      assert(math.abs(exact.toDouble - float) < 1e-9)
+      assert(r.getBoolean(4) == (exact >= BigDecimal(1) / 2),
+        s"kept mismatch at doc ${r.getLong(0)}: score=$exact")
+    }
+    // the threshold genuinely splits the corpus both ways
+    assert(out.exists(_.getBoolean(4)) && out.exists(!_.getBoolean(4)))
+  }
+
+  test("scoreRidge: map-only inference reproduces w·x") {
+    val df = Seq((2L, 3L, 10L), (5L, 1L, 14L), (8L, 0L, 19L),
+      (1L, 7L, 4L)).toDF("x1", "x2", "y")
+    val fit = Train.ridgeFitExact(df,
+      Seq("x1" -> col("x1"), "x2" -> col("x2")), col("y"), 0L)
+    val w = fit.weights
+    val scored = df.select(col("x1"), col("x2"),
+      Train.scoreRidge(fit, Seq(col("x1"), col("x2"))).as("s"))
+      .collect()
+    scored.foreach { r =>
+      val expect = w(0) + w(1) * r.getLong(0) + w(2) * r.getLong(1)
+      assert(math.abs(r.getDouble(2) - expect) < 1e-12)
+    }
+  }
 }
