@@ -727,12 +727,14 @@ final class Hdf5File(path: String) extends AutoCloseable {
         Dtype(1, size, signed = true, (b0 & 1) != 0)
       case 3 =>
         Dtype(3, size, signed = false) // fixed-length string
-      case 9 if (b0 & 0x0F) == 1 => // variable-length string (h5py str)
-        Dtype(9, size, signed = false)
+      case 9 => // variable-length: low nibble 1 = string (h5py str),
+        // 0 = sequence (PyTables VLArray). For class 9 the `signed`
+        // slot carries the IS-STRING flag (ints never reach it).
+        Dtype(9, size, signed = (b0 & 0x0F) == 1)
       case c =>
         throw new UnsupportedOperationException(
           s"$ctx: datatype class $c not in the supported subset " +
-            "(fixed-point, IEEE float, fixed string, vlen string)")
+            "(fixed-point, IEEE float, fixed string, vlen)")
     }
   }
 
@@ -1040,6 +1042,8 @@ final class Hdf5File(path: String) extends AutoCloseable {
           new String(bytes, i * w, end - i * w, "UTF-8")
         }
       case 9 =>
+        require(ds.dtype.signed, // class-9 is-string flag
+          s"$path/$p: vlen SEQUENCE dataset — use readVlenBytes")
         val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
         Array.tabulate(ds.n.toInt) { i =>
           val len = bb.getInt(i * 16)
@@ -1051,6 +1055,34 @@ final class Hdf5File(path: String) extends AutoCloseable {
         }
       case c => throw new UnsupportedOperationException(
         s"$path/$p: not a string dataset (datatype class $c)")
+    }
+  }
+
+  /** Variable-length SEQUENCE dataset (datatype class 9, any base
+    * type): raw payload bytes per element, resolved through the same
+    * 16-byte (length, GCOL address, index) descriptors as vlen
+    * strings. `length` counts BASE-TYPE elements, so the byte size is
+    * length × base-size. This is the PyTables `VLArray` shape —
+    * pandas fixed-format object blocks store one pickled payload as
+    * element 0 of a 1-element vlen-of-uint8 dataset. */
+  def readVlenBytes(p: String): Array[Array[Byte]] = {
+    val ds = dataset(p)
+    require(ds.dtype.clazz == 9,
+      s"$path/$p: not a vlen dataset (datatype class ${ds.dtype.clazz})")
+    val bytes = readBytes(p, ds)
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    Array.tabulate(ds.n.toInt) { i =>
+      val len = bb.getInt(i * 16)
+      val gaddr = bb.getLong(i * 16 + 4)
+      val gidx = bb.getInt(i * 16 + 12)
+      if (len == 0 || gaddr == 0) Array.emptyByteArray
+      else {
+        // len counts base-type elements; with a 1-byte base (the only
+        // caller shape — PyTables uint8 VLArray) it is the byte count.
+        // Heap objects are 8-padded, so trim to len.
+        val obj = globalHeapObject(gaddr, gidx, p)
+        if (obj.length == len) obj else java.util.Arrays.copyOf(obj, len)
+      }
     }
   }
 

@@ -378,4 +378,138 @@ class Hdf5Spec extends SparkSpec {
       0.0, curated.agg(max("trigger_amplitude")).head.getDouble(0))
     assert(hist.agg(sum("cnt")).head.getLong(0) > 0L)
   }
+
+  // --------------------------- pandas fixed-format (PyTables) legacy path
+
+  /** CPython 3.11 + numpy 1.26 `pickle.dumps(block_values.T, 5)` of the
+    * object block [[group_name, processing_id] × 5 rows] below —
+    * genuine bytes from the same pickler PyTables' ObjectAtom uses, so
+    * the decode side is tested against an independent writer. */
+  private val pandasObjBlockPickle = java.util.Base64.getDecoder.decode(
+    "gAWVwQAAAAAAAACMFW51bXB5LmNvcmUubXVsdGlhcnJheZSMDF9yZWNvbnN0cnVjdJST" +
+    "lIwFbnVtcHmUjAduZGFycmF5lJOUSwCFlEMBYpSHlFKUKEsBSwVLAoaUaAOMBWR0eXBl" +
+    "lJOUjAJPOJSJiIeUUpQoSwOMAXyUTk5OSv////9K/////0s/dJRiiF2UKIwHcnVuMTdf" +
+    "YZSMBXByb2NBlGgTTowHcnVuMTdfYpSMBXByb2NClGgTaBRoFYwGcHJvY8SGlGV0lGIu")
+
+  private def writePandasFixture(path: String): Unit = {
+    import Hdf5TestWriter._
+    val n = 5
+    val axis0 = Array("event_number", "baseline_ch1", "group_name",
+      "series_number", "amp_ch1", "processing_id", "dump_number",
+      "event_time", "trigger_type")
+    // float block (stored TRANSPOSED: nrows × nitems)
+    val f64Items = Array("baseline_ch1", "amp_ch1", "event_time",
+      "trigger_type")
+    val f64 = Array.tabulate(n, f64Items.length)((r, c) => c match {
+      case 0 => 0.1 * r + 5.0
+      case 1 => 2.0 * r
+      case 2 => 1.7e9 + r
+      case 3 => if (r % 2 == 0) 3.0 else 4.0
+    })
+    val i64Items = Array("event_number", "series_number", "dump_number")
+    val i64 = Array.tabulate(n, i64Items.length)((r, c) => c match {
+      case 0 => 100L + r
+      case 1 => 20230901L
+      case 2 => r.toLong / 2
+    })
+    val frameAttrs: Seq[(String, Attr)] = Seq(
+      "pandas_type" -> AStr("frame"),
+      "pandas_version" -> AStr("0.15.2"),
+      "encoding" -> AStr("UTF-8"), "errors" -> AStr("strict"),
+      "ndim" -> ALong(2), "nblocks" -> ALong(3),
+      "axis0_variety" -> AStr("regular"),
+      "axis1_variety" -> AStr("regular"),
+      "block0_items_variety" -> AStr("regular"),
+      "block1_items_variety" -> AStr("regular"),
+      "block2_items_variety" -> AStr("regular"))
+    def items(v: Array[String]) =
+      FixedStrCol("x", v, v.map(_.getBytes("UTF-8").length).max)
+    writeTree(path, GroupNode(Map("detprocess_df" -> GroupNode(Map(
+      "axis0" -> DatasetNode(items(axis0).copy(name = "axis0")),
+      "axis1" -> DatasetNode(LongCol("axis1",
+        Array.tabulate(n)(_.toLong))),
+      "block0_items" -> DatasetNode(
+        items(f64Items).copy(name = "block0_items")),
+      "block0_values" -> DatasetNode(
+        Double2Col("block0_values", f64, n, f64Items.length)),
+      "block1_items" -> DatasetNode(
+        items(i64Items).copy(name = "block1_items")),
+      "block1_values" -> DatasetNode(Long2Col("block1_values", i64)),
+      "block2_items" -> DatasetNode(items(
+        Array("group_name", "processing_id")).copy(name = "block2_items")),
+      "block2_values" -> DatasetNode(
+        VlenBytesCol("block2_values", Array(pandasObjBlockPickle)))),
+      frameAttrs))))
+  }
+
+  test("pandas fixed-format frame reads like pd.read_hdf (r11)") {
+    import graft.sources.PandasHdfReader
+    val f = tmp("pandas_fixed.h5")
+    writePandasFixture(f)
+
+    val schema = PandasHdfReader.inferSchema(f)
+    // axis0 order preserved; dtypes mapped; integral float keys → long
+    assert(schema.fieldNames.toSeq == Seq("event_number", "baseline_ch1",
+      "group_name", "series_number", "amp_ch1", "processing_id",
+      "dump_number", "event_time", "trigger_type"))
+    import org.apache.spark.sql.types._
+    assert(schema("event_number").dataType == LongType)
+    assert(schema("baseline_ch1").dataType == DoubleType)
+    assert(schema("group_name").dataType == StringType)
+    assert(schema("trigger_type").dataType == LongType) // float-stored key
+
+    val df = RawConvert.decode(spark, Seq(f), PandasHdfReader(f))
+      .orderBy("event_number").collect()
+    assert(df.length == 5)
+    val r0 = df(0)
+    assert(r0.getLong(0) == 100L)
+    assert(math.abs(r0.getDouble(1) - 5.0) < 1e-12)
+    assert(r0.getString(2) == "run17_a")
+    assert(r0.getLong(3) == 20230901L)
+    assert(math.abs(r0.getDouble(4) - 0.0) < 1e-12)
+    assert(r0.getString(5) == "procA")
+    assert(r0.getLong(6) == 0L)
+    assert(r0.getLong(8) == 3L)
+    // pandas NaN/None marker in an object column → null
+    assert(df(1).isNullAt(5))
+    // unicode string survives the pickle decode
+    assert(df(4).getString(5) == "procĆ")
+    assert(df.map(_.getString(2)).toSeq ==
+      Seq("run17_a", "run17_a", "run17_b", "run17_a", "run17_b"))
+
+    // full chain: legacy file → curated store → engine query
+    val outDir = tmp("curated_pandas")
+    RawConvert.convertEvents(spark, Seq(f), PandasHdfReader(f), outDir)
+    val curated = spark.read.parquet(outDir)
+    assert(curated.count() == 5)
+    assert(curated.filter(col("trigger_type") === 4L).count() == 2)
+  }
+
+  test("pandas format='table' files fail loudly, not misread (r11)") {
+    import Hdf5TestWriter._
+    import graft.sources.PandasHdfReader
+    val f = tmp("pandas_table.h5")
+    writeTree(f, GroupNode(Map("detprocess_df" -> GroupNode(
+      Map.empty, Seq("pandas_type" -> AStr("frame_table"))))))
+    val e = intercept[UnsupportedOperationException] {
+      PandasHdfReader.inferSchema(f)
+    }
+    assert(e.getMessage.contains("format='table'"))
+    val e2 = intercept[UnsupportedOperationException] {
+      new graft.sources.PandasHdfReader(
+        new org.apache.spark.sql.types.StructType(), "detprocess_df")
+        .readFile(f).toList
+    }
+    assert(e2.getMessage.contains("format='table'"))
+  }
+
+  test("PandasPickle: CPython object-array pickle decodes exactly") {
+    val (shape, flat) = graft.sources.PandasPickle
+      .objectNdArray(pandasObjBlockPickle)
+    assert(shape == Seq(5, 2))
+    assert(flat.toSeq == Seq("run17_a", "procA", "run17_a", null,
+      "run17_b", "procB", "run17_a", "procA", "run17_b", "procĆ"))
+    // memoized back-references (BINGET) resolved: run17_a appears 3×
+    assert(flat.count(_ == "run17_a") == 3)
+  }
 }

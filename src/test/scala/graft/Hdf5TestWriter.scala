@@ -35,6 +35,21 @@ object Hdf5TestWriter {
     * (len, GCOL addr, index) descriptors. */
   final case class VlenStrCol(name: String, values: Array[String])
     extends Col
+  /** variable-length SEQUENCES of uint8 (the PyTables `VLArray`
+    * layout pandas fixed-format object blocks use for pickled
+    * payloads): same heap machinery as vlen strings, vlen-sequence
+    * datatype with a 1-byte unsigned base. */
+  final case class VlenBytesCol(name: String, values: Array[Array[Byte]])
+    extends Col
+  /** rank-1 FIXED-length strings (NUL-padded, width bytes) — the
+    * pandas fixed-format axis0/block_items shape (numpy S dtype). */
+  final case class FixedStrCol(name: String, values: Array[String],
+      width: Int)
+    extends Col
+  /** rank-2 int64 matrix, contiguous — the pandas fixed-format
+    * integer block shape (stored transposed: nrows × nitems). */
+  final case class Long2Col(name: String, values: Array[Array[Long]])
+    extends Col
 
   /** Attribute values (v1 attribute messages on any node). */
   sealed trait Attr
@@ -228,11 +243,27 @@ object Hdf5TestWriter {
     bb.array()
   }
 
+  /** class-9 vlen SEQUENCE of uint8 (bit-field low nibble 0), the
+    * PyTables VLArray element type. */
+  private def dtVlenBytesBody: Array[Byte] = {
+    val bb = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(0x19.toByte); bb.put(0x00.toByte) // v1 class 9, sequence
+    bb.put(0.toByte); bb.put(0.toByte)
+    bb.putInt(16)
+    bb.put(0x10.toByte); bb.put(0.toByte) // base: class-0 int v1
+    bb.put(0.toByte); bb.put(0.toByte) // unsigned LE
+    bb.putInt(1) // 1 byte
+    bb.array()
+  }
+
   /** Global heap collection ("GCOL") holding every string payload;
     * object index i+1 = values(i). Returns the collection address. */
-  private def writeGcol(buf: GrowBuf, vs: Array[String]): Long = {
+  private def writeGcol(buf: GrowBuf, vs: Array[String]): Long =
+    writeGcolBytes(buf, vs.map(_.getBytes("UTF-8")))
+
+  private def writeGcolBytes(
+      buf: GrowBuf, payloads: Array[Array[Byte]]): Long = {
     val addr = buf.pos
-    val payloads = vs.map(_.getBytes("UTF-8"))
     val total = 16 + payloads.map(p => 16 + pad8(p.length)).sum
     buf.bytes("GCOL".getBytes("US-ASCII"))
     buf.u8(1); buf.zeros(3)
@@ -351,6 +382,26 @@ object Hdf5TestWriter {
             bb.putInt(i + 1)
           }
           (Seq(v.length.toLong), 16, false, bb.array(), Nil, false, false)
+        case VlenBytesCol(_, v) =>
+          val gaddr = writeGcolBytes(buf, v)
+          val bb = ByteBuffer.allocate(v.length * 16)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          v.zipWithIndex.foreach { case (payload, i) =>
+            bb.putInt(payload.length) // base elements = bytes (uint8)
+            bb.putLong(gaddr)
+            bb.putInt(i + 1)
+          }
+          (Seq(v.length.toLong), 16, false, bb.array(), Nil, false, false)
+        case FixedStrCol(_, v, w) =>
+          (Seq(v.length.toLong), w, false, fixedStrBytes(v, w),
+            Nil, false, false)
+        case Long2Col(_, v) =>
+          val rows = v.length; val colsN = v(0).length
+          val bb = ByteBuffer.allocate(rows * colsN * 8)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          v.foreach(_.foreach(bb.putLong))
+          (Seq(rows.toLong, colsN.toLong), 8, false, bb.array(),
+            Nil, false, false)
       }
 
     // data (chunked or contiguous) goes first; the object header points back
@@ -469,6 +520,8 @@ object Hdf5TestWriter {
     }
     msgs += ((0x03, c match {
       case _: VlenStrCol => dtVlenStrBody
+      case _: VlenBytesCol => dtVlenBytesBody
+      case fc: FixedStrCol => dtStrBody(fc.width)
       case _ if isFloat => dtF64Body(be)
       case _ => dtIntBody(elemSize, be)
     }))
