@@ -20,7 +20,9 @@ import org.apache.spark.sql.types._
   * hand-parsed AVI/RIFF container, each frame decoded by the JDK's
   * actual JPEG codec. [[ImaAdpcmWavDecoder]] (r10) is a REAL
   * COMPRESSED-audio decoder — IMA/DVI ADPCM implemented from the
-  * public IMA spec (javax.sound cannot decode it). [[FakeDecoder]]
+  * public IMA spec (javax.sound cannot decode it). [[G711WavDecoder]]
+  * (r11) decodes G.711 µ-law/A-law telephony audio (the telephony/ASR
+  * corpus staple) from the ITU-T arithmetic. [[FakeDecoder]]
   * remains a deterministic stand-in for codecs with no pure-JVM path
   * (H.264, AAC, …) — the Spark-side plumbing (schema, batching,
   * partitioning, batch shape) is identical and real for all of them.
@@ -832,6 +834,140 @@ object Multimodal {
     }
     val body = "WAVE".getBytes("US-ASCII") ++
       chunk("fmt ", fmt) ++ chunk("fact", fact) ++ chunk("data", data)
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  /** G.711 µ-law byte → 16-bit linear sample (ITU-T G.711 / the
+    * public-domain Sun `g711.c` reference arithmetic): complement,
+    * then magnitude `((mant·8 + 132) << exp) − 132` with the sign
+    * bit selecting the negative branch. Integer-exact, stateless —
+    * one closed form per byte, so a SQL oracle mirrors it with plain
+    * arithmetic (no recursion, unlike ADPCM's state machine). */
+  def ulawToLinear(byte: Int): Int = {
+    val u = ~byte & 0xFF
+    val t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** G.711 A-law byte → 16-bit linear sample (same reference
+    * arithmetic): XOR 0x55, segment 0 → `mant·16 + 8`, segment 1 →
+    * `mant·16 + 264`, else `(mant·16 + 264) << (seg − 1)`; the sign
+    * bit SET selects the positive branch (A-law's inverted-sign
+    * convention). */
+  def alawToLinear(byte: Int): Int = {
+    val a = (byte ^ 0x55) & 0xFF
+    val mant = a & 0x0F
+    val seg = (a >> 4) & 0x07
+    val t = seg match {
+      case 0 => (mant << 4) + 8
+      case 1 => (mant << 4) + 0x108
+      case _ => ((mant << 4) + 0x108) << (seg - 1)
+    }
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** REAL compressed-audio decoder #2: G.711 µ-law / A-law telephony
+    * audio inside a WAV container (format tags 0x0007 / 0x0006, 8
+    * bits per sample, mono) — the dominant codec of telephony/ASR
+    * corpora, decoded by pure table-free integer arithmetic from the
+    * ITU-T spec. Shrinks [[FakeDecoder]]'s surface by one more codec.
+    *
+    * Features: `[sample_rate, n_samples, hist_0..hist_{b-1}]` over
+    * the DECODED 16-bit samples — the [[WavDecoder]] /
+    * [[ImaAdpcmWavDecoder]] shape. Wrong tag / geometry / malformed
+    * RIFF → all-zero features (the poison-pill contract). */
+  final class G711WavDecoder(val bins: Int = 8) extends Decoder {
+    require(65536 % bins == 0, "bins must divide 65536")
+    val dim: Int = 2 + bins
+
+    private def u16(b: Array[Byte], p: Int): Int =
+      (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8)
+    private def u32(b: Array[Byte], p: Int): Long =
+      (b(p) & 0xFFL) | ((b(p + 1) & 0xFFL) << 8) |
+        ((b(p + 2) & 0xFFL) << 16) | ((b(p + 3) & 0xFFL) << 24)
+    private def fourcc(b: Array[Byte], p: Int): String =
+      new String(b, p, 4, "US-ASCII")
+
+    def decodeBatch(batch: Seq[Array[Byte]]): Seq[Array[Float]] = {
+      val zero = Array.ofDim[Float](dim)
+      batch.map { bytes =>
+        if (bytes == null) zero.clone()
+        else try decodeOne(bytes).getOrElse(zero.clone())
+        catch { case scala.util.control.NonFatal(_) => zero.clone() }
+      }
+    }
+
+    private def decodeOne(bytes: Array[Byte]): Option[Array[Float]] = {
+      if (bytes.length < 12 || fourcc(bytes, 0) != "RIFF" ||
+          fourcc(bytes, 8) != "WAVE") return None
+      var sampleRate = 0L
+      var aLaw = false
+      var fmtOk = false
+      var dataStart = -1
+      var dataLen = 0
+      var p = 12
+      while (p + 8 <= bytes.length) {
+        val cc = fourcc(bytes, p)
+        val size = u32(bytes, p + 4)
+        if (size > bytes.length - p - 8) return None
+        val ds = p + 8
+        if (cc == "fmt " && size >= 16) {
+          val tag = u16(bytes, ds)
+          val channels = u16(bytes, ds + 2)
+          sampleRate = u32(bytes, ds + 4)
+          val bits = u16(bytes, ds + 14)
+          aLaw = tag == 0x0006
+          fmtOk = (tag == 0x0006 || tag == 0x0007) &&
+            channels == 1 && bits == 8
+        } else if (cc == "data") {
+          dataStart = ds
+          dataLen = size.toInt
+        }
+        p = ds + size.toInt + (size.toInt & 1)
+      }
+      if (!fmtOk || dataStart < 0) return None
+      val f = Array.ofDim[Float](dim)
+      f(0) = sampleRate.toFloat
+      f(1) = dataLen.toFloat
+      val div = 65536 / bins
+      var i = 0
+      while (i < dataLen) {
+        val b = bytes(dataStart + i) & 0xFF
+        val v = if (aLaw) alawToLinear(b) else ulawToLinear(b)
+        f(2 + (v + 32768) / div) += 1.0f
+        i += 1
+      }
+      Some(f)
+    }
+  }
+
+  /** Deterministic synthetic G.711 WAV: mono, 8 bits, format tag
+    * 0x0007 (µ-law) or 0x0006 (A-law), encoded byte i =
+    * `(id·11 + i·3) mod 256` — the compressed stream is a closed form
+    * of `id`, and both decode formulas are stateless integer
+    * arithmetic, so a plain (non-recursive) SQL oracle reproduces the
+    * decoded histogram bit-for-bit. */
+  def syntheticG711Wav(
+      id: Long, n: Int, aLaw: Boolean,
+      sampleRate: Int = 8000): Array[Byte] = {
+    require(n >= 0, "n must be >= 0")
+    def le16(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    val data = Array.tabulate(n)(i =>
+      (((id * 11 + i * 3) % 256 + 256) % 256).toByte)
+    val tag = if (aLaw) 0x0006 else 0x0007
+    val fmt = le16(tag) ++ le16(1) ++ le32(sampleRate) ++
+      le32(sampleRate.toLong) ++ le16(1) ++ le16(8)
+    def chunk(cc: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = if ((payload.length & 1) == 1) Array(0.toByte)
+        else Array.empty[Byte]
+      cc.getBytes("US-ASCII") ++ le32(payload.length) ++ payload ++ pad
+    }
+    val body = "WAVE".getBytes("US-ASCII") ++
+      chunk("fmt ", fmt) ++ chunk("data", data)
     "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
   }
 

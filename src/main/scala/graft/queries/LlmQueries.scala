@@ -1105,6 +1105,29 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // G.711 telephony audio (r11): µ-law for even doc_ids, A-law for
+    // odd — both laws decode STATELESSLY (one integer closed form per
+    // byte, no predictor state), so the oracle is plain arithmetic
+    // rather than ADPCM's recursive CTE. Retires FakeDecoder for the
+    // telephony/ASR corpus codec
+    "mm_audio_g711" -> ((s, dir) => {
+      val gen = udf { id: Long =>
+        Multimodal.syntheticG711Wav(
+          id, (48 + id % 13).toInt, aLaw = id % 2 == 1)
+      }
+      val withWav = t(s, dir, "documents").select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("wav", gen(col("doc_id")))
+      Multimodal.extractFeatures(withWav, "wav", "doc_id",
+          new Multimodal.G711WavDecoder(8), batchSize = 64)
+        .select(col("doc_id") +:
+          element_at(col("features"), 1).cast("long").as("sample_rate") +:
+          element_at(col("features"), 2).cast("long").as("n_samples") +:
+          (0 until 8).map(b => element_at(col("features"), 3 + b)
+            .cast("long").as(s"hb$b")): _*)
+        .orderBy("doc_id")
+    }),
+
     // video decode over the pure-JVM Y4M container (r07 — the real
     // decoder replacing the video stand-in): synthesized 16×8 C420
     // clips with 3 + id%3 frames, per-clip geometry + frame count +
@@ -2551,6 +2574,36 @@ object LlmQueries {
         | CAST(nn + 1 AS BIGINT) AS n_samples,
         | $hbs
         |FROM dec GROUP BY doc_id, nn ORDER BY doc_id""".stripMargin
+    },
+    // G.711 mirror: encoded byte i = (doc_id·11 + i·3) mod 256; µ-law
+    // (even ids): u = 255−byte, t = ((u%16)·8+132)·2^((u//16)%8),
+    // sample = 132−t if u≥128 else t−132; A-law (odd ids): a = byte
+    // XOR 85, seg 0/1 offsets then shift, sign bit SET = positive —
+    // the g711.c arithmetic as plain SQL, stateless per byte
+    "mm_audio_g711" -> {
+      val hbs = (0 until 8).map(b =>
+        s"CAST(sum(CASE WHEN (smp + 32768) // 8192 = $b THEN 1 ELSE 0 END) AS BIGINT) AS hb$b")
+        .mkString(",\n | ")
+      s"""WITH d AS (SELECT doc_id, CAST(48 + doc_id % 13 AS INT) AS n FROM documents),
+        |enc AS (SELECT d.doc_id, d.n, (d.doc_id*11 + g.i*3) % 256 AS b
+        |  FROM d, generate_series(0, 60) AS g(i) WHERE g.i < d.n),
+        |dec AS (SELECT doc_id, n,
+        |  CASE WHEN doc_id % 2 = 0 THEN
+        |    CASE WHEN (255 - b) >= 128
+        |      THEN 132 - (((255 - b) % 16) * 8 + 132) * (1 << (((255 - b) // 16) % 8))
+        |      ELSE (((255 - b) % 16) * 8 + 132) * (1 << (((255 - b) // 16) % 8)) - 132 END
+        |  ELSE
+        |    CASE WHEN xor(b, 85) >= 128 THEN 1 ELSE -1 END *
+        |    CASE (xor(b, 85) // 16) % 8
+        |      WHEN 0 THEN (xor(b, 85) % 16) * 16 + 8
+        |      WHEN 1 THEN (xor(b, 85) % 16) * 16 + 264
+        |      ELSE ((xor(b, 85) % 16) * 16 + 264) * (1 << ((xor(b, 85) // 16) % 8 - 1)) END
+        |  END AS smp
+        |  FROM enc)
+        |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+        | CAST(n AS BIGINT) AS n_samples,
+        | $hbs
+        |FROM dec GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
     },
     // video mirror: luma sample i of frame f is
     // (doc_id*31 + f*13 + i*7) mod 256, 16×8 luma plane, 3 + id%3

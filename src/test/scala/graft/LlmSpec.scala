@@ -1847,6 +1847,43 @@ class LlmSpec extends SparkSpec {
     assert(out == Seq(11L, 22L, 33L))
   }
 
+  test("g711 decoder: known code points, synthetic wav, poison pill") {
+    import graft.llm.Multimodal
+    // canonical g711.c values: both laws' zero/near-zero codes
+    assert(Multimodal.ulawToLinear(0xFF) == 0)
+    assert(Multimodal.ulawToLinear(0x7F) == 0)
+    assert(Multimodal.ulawToLinear(0x80) == 32124) // max magnitude
+    assert(Multimodal.ulawToLinear(0x00) == -32124)
+    assert(Multimodal.alawToLinear(0x55) == -8)
+    assert(Multimodal.alawToLinear(0xD5) == 8)
+    assert(Multimodal.alawToLinear(0xAA) == 32256) // max magnitude
+    assert(Multimodal.alawToLinear(0x2A) == -32256)
+    // µ-law decode is odd-symmetric: code and code^0x80 negate
+    for (b <- 0 until 256)
+      assert(Multimodal.ulawToLinear(b) == -Multimodal.ulawToLinear(b ^ 0x80))
+    for (b <- 0 until 256)
+      assert(Multimodal.alawToLinear(b) == -Multimodal.alawToLinear(b ^ 0x80))
+    // synthetic wav decodes to the brute per-byte replay
+    val dec = new Multimodal.G711WavDecoder(8)
+    for (aLaw <- Seq(false, true)) {
+      val wav = Multimodal.syntheticG711Wav(42L, 57, aLaw)
+      val f = dec.decodeBatch(Seq(wav)).head
+      assert(f(0) == 8000f && f(1) == 57f)
+      val expect = Array.ofDim[Float](8)
+      for (i <- 0 until 57) {
+        val b = ((42L * 11 + i * 3) % 256).toInt
+        val v = if (aLaw) Multimodal.alawToLinear(b)
+          else Multimodal.ulawToLinear(b)
+        expect((v + 32768) / 8192) += 1.0f
+      }
+      assert(f.drop(2).toSeq == expect.toSeq)
+    }
+    // poison pill: PCM16 tag (not G.711) and garbage both zero out
+    val pcm = Multimodal.syntheticWav(7L, 16)
+    assert(dec.decodeBatch(Seq(pcm, Array[Byte](1, 2, 3), null))
+      .forall(_.forall(_ == 0f)))
+  }
+
   // brute-force normal-equation solve in doubles (Gaussian elimination
   // with partial pivoting) — the ground-truth cross-check the engine's
   // exact BigInt Cramer weights must reproduce to float precision
