@@ -46,6 +46,35 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact top-k corpus matches for EVERY query row — the ground-truth
+    * twin of [[annJoinTopK]]/[[ivfJoinTopK]]: broadcast the (small)
+    * query table against the corpus, exact cosine on every pair, then
+    * the map-side-combined k-bounded [[graft.functions.TopKByScore]]
+    * aggregate (at most k rows per partition×query reach the
+    * exchange). O(|Q|·N) — the recall-measurement / small-query-set
+    * tool; the ANN paths are the corpus-scale serving shape. Ties on
+    * cosine break toward the lower corpus id, same as every ANN
+    * variant, so recall@k comparisons are exact set comparisons. */
+  def bruteForceJoinTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      embCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    val qs = broadcast(queries.select(col(idCol).as("query_id"),
+      col(embCol).as("__qe")))
+    corpus.select(col(idCol).as("corpus_id"), col(embCol))
+      .join(qs)
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col(embCol), col("__qe")).as("cosine"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScore(col("cosine"), col("corpus_id"), k)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("pos").as("rank"),
+        col("col.score").as("cosine"), col("col.id").as("corpus_id"))
+  }
+
   /** Brute-force top-k over int8-QUANTIZED codes with exact float
     * rerank — the serving pattern for a quantized index at corpus
     * scale: the ranking scan reads codes at 1/4 the bytes of float32

@@ -951,6 +951,59 @@ object LlmQueries {
         .orderBy("query_id", "corpus_id")
     }),
 
+    // ANN RECALL GATE (r11): recall@10 of the IVF and LSH paths vs the
+    // exact bruteForceJoinTopK ground truth over the vec_id%20 query
+    // sample — the a5/vocab_sketch bound-oracle pattern: the oracle
+    // verifies n_queries and the engine-side assertions ride as
+    // booleans, so a silent ANN quality regression (the minhash-mixer
+    // failure mode) flips a flag and fails the hash gate. The sharpest
+    // row is ivf_full_exact: nprobe = every list is a full scan, so
+    // top-k MUST equal brute force bit-for-bit (equality, not a
+    // floor). The floors are regression pins with margin under the
+    // measured values on the near-uniform synthetic embeddings
+    // (recall ≈ probe coverage there: nprobe=4 → 0.74/0.76 at
+    // sf0.01/0.1, nprobe=2 → 0.52/0.53, 1-band 4-plane LSH →
+    // 0.26/0.23) — NOT absolute quality claims; clustered production
+    // embeddings sit far above them
+    "llm_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val k = 10
+      val queries = emb.filter(pmod(col("vec_id"), lit(20)) === 0)
+      def ids(df: org.apache.spark.sql.DataFrame, as: String) =
+        df.groupBy("query_id")
+          .agg(collect_set(col("corpus_id")).as(as))
+      val truth = ids(Similarity.bruteForceJoinTopK(
+        emb, queries, "embedding", "vec_id", k), "true_ids")
+      val cents = Similarity.ivfCentroidsLloyd(emb, "embedding", "vec_id",
+        k = 8, iters = 2)
+      val assigned = Similarity.ivfAssign(emb, "embedding", cents)
+      val ivf2 = ids(Similarity.ivfJoinTopK(assigned, queries,
+        "embedding", "vec_id", k, cents, nprobe = 2), "ivf2_ids")
+      val ivf4 = ids(Similarity.ivfJoinTopK(assigned, queries,
+        "embedding", "vec_id", k, cents, nprobe = 4), "ivf4_ids")
+      val ivf8 = ids(Similarity.ivfJoinTopK(assigned, queries,
+        "embedding", "vec_id", k, cents, nprobe = 8), "ivf8_ids")
+      val lsh = ids(Similarity.annJoinTopK(emb, queries,
+        "embedding", "vec_id", k, nPlanes = 4), "lsh_ids")
+      def hits(c: String) = sum(coalesce(
+        size(array_intersect(col("true_ids"), col(c))), lit(0)))
+      truth.join(ivf2, Seq("query_id"), "left")
+        .join(ivf4, Seq("query_id"), "left")
+        .join(ivf8, Seq("query_id"), "left")
+        .join(lsh, Seq("query_id"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          hits("ivf2_ids").as("__h2"), hits("ivf4_ids").as("__h4"),
+          hits("ivf8_ids").as("__h8"), hits("lsh_ids").as("__hl"))
+        .select(col("n_queries"),
+          (col("__h8") === col("n_queries") * k).as("ivf_full_exact"),
+          (col("__h4") >= col("n_queries") * k * 0.65)
+            .as("ivf4_recall_ok"),
+          (col("__h2") >= col("n_queries") * k * 0.40)
+            .as("ivf2_recall_ok"),
+          (col("__hl") >= col("n_queries") * k * 0.15)
+            .as("lsh_recall_ok"))
+    }),
+
     // batch IVF ANN join (r09): top-5 corpus matches for EVERY query
     // row — per-query nprobe=2 list probes (declarative distance sort
     // over the inlined centroid matrix), capped bipartite candidates
@@ -2421,6 +2474,15 @@ object LlmQueries {
         |SELECT query_id, CAST(rn - 1 AS INT) AS rank, round(c, 6) AS cosine, corpus_id
         |FROM tk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
     "llm_ann_ivf" -> annIvfOracleSql,
+    // recall-gate mirror: n_queries is the verifiable fact; the
+    // recall/exactness assertions execute ENGINE-side (brute-force
+    // ground truth vs each ANN path) and ride as booleans — the
+    // a5_percentile_approx error-bound-oracle pattern
+    "llm_ann_recall" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_queries, " +
+        "true AS ivf_full_exact, true AS ivf4_recall_ok, " +
+        "true AS ivf2_recall_ok, true AS lsh_recall_ok " +
+        "FROM embeddings WHERE vec_id % 20 = 0"),
     // persisted-index twin: identical answers by construction (same
     // quantizer, same probe; only the storage layout differs)
     "llm_ann_ivf_persisted" -> annIvfOracleSql,

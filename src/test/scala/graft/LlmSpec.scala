@@ -1847,6 +1847,41 @@ class LlmSpec extends SparkSpec {
     assert(out == Seq(11L, 22L, 33L))
   }
 
+  test("bruteForceJoinTopK: per-query parity with point brute force; " +
+      "full-probe IVF is exact") {
+    import graft.llm.Similarity
+    val rnd = new scala.util.Random(31)
+    val emb = Seq.tabulate(60)(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 11 === 0)
+    val batch = Similarity.bruteForceJoinTopK(
+        emb, queries, "embedding", "vec_id", k = 5)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(3)).toSeq)
+      .toMap
+    // parity with the point-probe tool, query by query
+    queries.collect().foreach { r =>
+      val q = r.getSeq[Float](1).toArray
+      val point = Similarity.bruteForceTopK(emb, "embedding", "vec_id",
+        q, 5).collect().map(_.getLong(0)).toSeq
+      assert(batch(r.getLong(0)) == point,
+        s"query ${r.getLong(0)}: ${batch(r.getLong(0))} vs $point")
+    }
+    // probing EVERY list is a full scan — IVF must equal brute force
+    val cents = Similarity.ivfCentroidsLloyd(emb, "embedding", "vec_id",
+      k = 4, iters = 2)
+    val assigned = Similarity.ivfAssign(emb, "embedding", cents)
+    val full = Similarity.ivfJoinTopK(assigned, queries, "embedding",
+        "vec_id", k = 5, cents, nprobe = 4)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(3)).toSeq)
+      .toMap
+    assert(full == batch)
+  }
+
   test("g711 decoder: known code points, synthetic wav, poison pill") {
     import graft.llm.Multimodal
     // canonical g711.c values: both laws' zero/near-zero codes
