@@ -174,6 +174,53 @@ object Dedup {
       .write.mode("append").parquet(path)
   }
 
+  /** Compact a persisted fingerprint index — the lifecycle close of
+    * the incremental loop: [[writeMinhashIndex]] once, then daily
+    * [[appendToMinhashIndex]] grows the index monotonically even as
+    * dedup REMOVES corpus docs, and accidental double-appends leave
+    * duplicate rows. Compaction drops fingerprints whose ids are no
+    * longer live (semi-join against `keepIds` — the surviving corpus
+    * ids, a column-pruned id scan, never text), collapses duplicate
+    * rows per id (first wins — fingerprints of one id are identical
+    * by construction), and rewrites the index with a bounded file
+    * count (`ceil(rows / targetRowsPerFile)` hash-partitioned files)
+    * so a replication decade of daily appends cannot accumulate
+    * thousands of tiny files.
+    *
+    * Swap: writes to `path + ".compact"`, deletes the old index, and
+    * renames — atomic on HDFS-like filesystems; on object stores
+    * (no atomic rename) run compaction in the ingest pause or write
+    * to a versioned path and flip a pointer. Returns the live row
+    * count. */
+  def compactMinhashIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      keepIds: DataFrame,
+      idCol: String,
+      targetRowsPerFile: Long = 4000000L): Long = {
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    require(keepIds.columns.length == 1,
+      s"keepIds must be a single id column, got " +
+        s"${keepIds.columns.mkString(", ")}")
+    val tmp = path + ".compact"
+    val live = spark.read.parquet(path)
+      .dropDuplicates(idCol)
+      .join(keepIds.withColumnRenamed(keepIds.columns.head, idCol),
+        Seq(idCol), "left_semi")
+    val n = live.count()
+    val nFiles = math.max(1L, (n + targetRowsPerFile - 1) /
+      targetRowsPerFile).toInt
+    live.repartition(nFiles, col(idCol))
+      .write.mode("overwrite").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(path)),
+      s"compaction swap failed: could not rename $tmp to $path")
+    n
+  }
+
   /** Near-dup pairs between a NEW batch and the persisted fingerprint
     * index — incremental ingest: band both sides, generate candidates
     * through the capped BIPARTITE pair expansion (per-side drop-whole

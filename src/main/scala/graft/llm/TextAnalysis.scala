@@ -12,7 +12,20 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Whitespace tokenization (the baseline tokenizer; a BPE-ish regex
-    * variant is [[subwordCount]]). */
+    * variant is [[subwordCount]]).
+    *
+    * DIALECT CONTRACT (the canonical note — every `tokens()` consumer
+    * and every oracle author inherits it): this is JAVA `\s+` =
+    * `[ \t\n\x0B\f\r]+`, while the DuckDB oracles mirror RE2 `\s+` =
+    * `[\t\n\f\r ]+` — the two disagree on VERTICAL TAB `\x0B` (Java
+    * splits, RE2 does not) and both leave Unicode whitespace
+    * (U+00A0, U+2028, …) unsplit. The driver corpora contain neither,
+    * so every oracle row is insensitive to the gap (verified at
+    * sf0.01: zero diffs); a corpus that might contain `\x0B` must be
+    * canonicalized FIRST with [[normalizeText]], whose explicit
+    * ASCII-whitespace class collapses `\x0B` identically in both
+    * dialects (see `functions/NormalizeText.scala`). KernelPropertySpec
+    * pins both behaviors so the divergence stays visible. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   def tokenCount(text: Column): Column =

@@ -25,6 +25,50 @@ class KernelPropertySpec extends SparkSpec {
   private val words = Array("alpha", "beta", "gamma", "δδ", "x", "yy",
     "alpha", "tok1", "tok2", "", "éclair")
 
+  test("tokenizer whitespace-dialect contract: \\x0B and U+00A0 " +
+      "through every tokens() consumer (r11)") {
+    import graft.llm.TextAnalysis
+    // the canonical divergence: Java \s splits on VERTICAL TAB, RE2
+    // (the DuckDB oracle dialect) does not; both leave U+00A0 alone.
+    // This pins the JAVA side — the engine's contract — and proves
+    // normalizeText removes the divergence before it can matter.
+    val docs = Seq(
+      (1L, "alpha\u000Bbeta gamma"), // \x0B: Java=3 tokens, RE2=2
+      (2L, "alpha\u00A0beta gamma"), // NBSP: 2 tokens both dialects
+      (3L, "a\u2028b c"), // LINE SEP: unsplit in both
+      (4L, " spaced out ")).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TextAnalysis.tokens(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq)
+      .toMap
+    assert(got(1L) == Seq("alpha", "beta", "gamma")) // Java splits \x0B
+    assert(got(2L) == Seq("alpha\u00A0beta", "gamma"))
+    assert(got(3L) == Seq("a\u2028b", "c"))
+    assert(got(4L) == Seq("spaced", "out"))
+    // consumers inherit it: token COUNTS (quality/budget path)
+    val counts = docs.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(counts == Map(1L -> 3, 2L -> 2, 3L -> 2, 4L -> 2))
+    // ...and the engine-side reference tokenizer in this spec agrees
+    docs.collect().foreach { r =>
+      assert(refTokens(r.getString(1)).toSeq == got(r.getLong(0)),
+        s"refTokens dialect drift on doc ${r.getLong(0)}")
+    }
+    // normalizeText collapses \x0B via the EXPLICIT class — identical
+    // in both regex dialects — so normalize-then-tokenize yields the
+    // same tokens whichever engine runs the normalize step
+    val norm = docs.select(col("doc_id"),
+        TextAnalysis.tokens(TextAnalysis.normalizeText(col("text")))
+          .as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq)
+      .toMap
+    assert(norm(1L) == Seq("alpha", "beta", "gamma"))
+    // NBSP survives normalize (it is NOT ASCII whitespace) — in the
+    // case-folded form, still one token
+    assert(norm(2L).length == 2)
+  }
+
   test("property: term_counts ≡ reference counting over random docs") {
     val rnd = new scala.util.Random(20260813L)
     val terms = Seq("alpha", "beta", "δδ", "nope", "alpha", "tok2")

@@ -366,6 +366,44 @@ class LlmSpec extends SparkSpec {
     assert(got2 == Seq((20L, 11L))) // caught by yesterday's append
   }
 
+  test("minhash index compaction: dead ids dropped, queries unchanged, " +
+      "file count bounded") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different content about spark physics data"),
+      (3L, "yet another unrelated corpus document body of words here"),
+      (4L, "a fourth corpus document which later gets deduped away"))
+      .toDF("doc_id", "text")
+    val path = "target/test_mh_compact"
+    Dedup.writeMinhashIndex(corpus, "text", "doc_id", path)
+    // simulate an accidental double-append of doc 2's fingerprints
+    Dedup.appendToMinhashIndex(corpus.filter(col("doc_id") === 2L),
+      "text", "doc_id", path)
+    assert(spark.read.parquet(path).count() == 5) // 4 + 1 dup row
+    // docs 1..3 stay live; 4 was deduped away since its append
+    val n = Dedup.compactMinhashIndex(spark, path,
+      Seq(1L, 2L, 3L).toDF("id"), "doc_id", targetRowsPerFile = 2L)
+    assert(n == 3)
+    val idx = spark.read.parquet(path)
+    assert(idx.count() == 3) // dup row collapsed, dead id gone
+    assert(idx.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    // ceil(3/2) = 2 data files — the bounded-file-count contract
+    val files = new java.io.File(path).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files == 2, s"expected 2 data files, got $files")
+    // queries against the compacted index: live dup still caught,
+    // the dead id can no longer produce candidates
+    val probe = Seq(
+      (30L, "the quick brown fox jumps over the lazy dog tonight"),
+      (31L, "a fourth corpus document which later gets deduped away"))
+      .toDF("doc_id", "text")
+    val got = Dedup.nearDupsAgainstIndex(
+        probe, "text", "doc_id", idx, jaccardThreshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((30L, 1L)))
+  }
+
   test("PairExpansion.bucketPairs: duplicate membership rows tolerated") {
     // ADVICE r09: duplicate (bucket, id) rows must not emit ida == idb
     // or duplicate pairs — the member list is deduped after collection
