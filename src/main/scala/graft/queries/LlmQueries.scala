@@ -423,6 +423,87 @@ object LlmQueries {
         .orderBy("stage_idx")
     }),
 
+    // URL canonicalization (r11) — the Common-Crawl curation step
+    // upstream of URL dedup: synthetic per-doc URLs (closed form of
+    // doc_id: mixed-case www hosts, utm_* tracking params, fragments)
+    // canonicalized map-only with regexp primitives whose patterns sit
+    // in the Java∩RE2 common subset: cut fragment, drop utm_* params,
+    // tidy dangling separators, lowercase host, strip leading www.
+    "llm_url_canonical" -> ((s, dir) => {
+      val url = concat(lit("https://"),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit("WWW.")).otherwise(lit("")),
+        lit("d"), pmod(col("doc_id"), lit(17)).cast("string"),
+        lit(".Example.org/p/"), col("doc_id").cast("string"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("?utm_source=feed&ref="), col("doc_id").cast("string")))
+          .when(pmod(col("doc_id"), lit(3)) === 1,
+            concat(lit("?id="), col("doc_id").cast("string")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit("#frag"))
+          .otherwise(lit("")))
+      val noFrag = regexp_replace(url, "#.*", "")
+      val host = regexp_extract(noFrag, "^https://([^/]+)", 1)
+      val tail0 = regexp_extract(noFrag, "^https://[^/]+(.*)", 1)
+      val tail = regexp_replace(
+        regexp_replace(tail0, "utm_[^&]*&?", ""), "[?&]$", "")
+      val canon = concat(lit("https://"),
+        regexp_replace(lower(host), "^www\\.", ""), tail)
+      t(s, dir, "documents")
+        .select(col("doc_id"), url.as("url"), canon.as("canon_url"))
+        .orderBy("doc_id")
+    }),
+
+    // WARC ingestion (r11) — the Common Crawl container: each doc is
+    // wrapped into a synthetic two-record WARC blob (warcinfo +
+    // response with a real HTTP message, the mm_* self-fixture
+    // pattern) and parsed back by the REAL streaming parser
+    // (sources/Warc.records) on executors; the oracle checks url /
+    // payload byte count / content hash straight from the table. At
+    // 100 TB the same parser runs one-crawl-file-per-task
+    // (Warc.readWarcFiles) — WARC is not splittable, files are
+    "llm_warc_ingest" -> ((s, dir) => {
+      val parse = udf { (id: Long, text: String) =>
+        val url = s"https://d${id % 17}.example.org/p/$id"
+        val blob = graft.sources.Warc.syntheticWarc(
+          url, "2026-01-01T00:00:00Z", text)
+        val recs = graft.sources.Warc.parseBytes(blob).toSeq
+        val resp = recs.find(_.warcType == "response").get
+        val (_, payload) = graft.sources.Warc.httpPayload(resp.body).get
+        (resp.targetUri.get, payload.length.toLong,
+          new String(payload, java.nio.charset.StandardCharsets.UTF_8))
+      }
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("__p", parse(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("__p._1").as("url"),
+          col("__p._2").as("n_bytes"), md5(col("__p._3")).as("content_hash"))
+        .orderBy("doc_id")
+    }),
+
+    // per-domain cap (r11) — the Common-Crawl anti-spam step: keep at
+    // most 3 docs per registered domain, best-first. The 100 TB shape
+    // is the k-bounded map-side TopKByScore aggregate (at most k rows
+    // per partition×domain reach the exchange), NOT a row_number
+    // window (which shuffles and sorts every group in full); the
+    // oracle mirrors it as the window form — one semantics, two
+    // physical strategies
+    "llm_domain_cap" -> ((s, dir) => {
+      val domain = concat(lit("d"),
+        pmod(col("doc_id"), lit(17)).cast("string"), lit(".example.org"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), domain.as("domain"),
+          col("n_chars").cast("double").as("score"))
+        .groupBy("domain")
+        .agg(graft.functions.TopKByScore(
+          col("score"), col("doc_id"), 3).as("top"))
+        .select(col("domain"), posexplode(col("top")))
+        .select(col("domain"), (col("pos") + 1).as("rank"),
+          col("col.id").as("doc_id"),
+          col("col.score").cast("long").as("n_chars"))
+        .orderBy("domain", "rank")
+    }),
+
     // overlapping chunking (context-window prep): 32-token windows,
     // 8-token overlap (stride 24) — map-only explode, bounded per-row
     "llm_chunk_overlap" -> ((s, dir) =>
@@ -1420,6 +1501,55 @@ object LlmQueries {
         |  UNION ALL SELECT 2, 'avg_token_len', s1, s2,
         |         CASE WHEN s1 > 0 THEN CAST(s2 AS DOUBLE) / s1 END FROM f
         |) ORDER BY stage_idx""".stripMargin,
+
+    // URL-canonicalization mirror: same synthetic URL closed form,
+    // same regexp pipeline — every pattern sits in the Java∩RE2
+    // common subset and matches at most once per URL, so the
+    // first-match-vs-global replace dialect gap cannot bite
+    "llm_url_canonical" ->
+      """WITH u AS (SELECT doc_id,
+        |  'https://' || CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END
+        |  || 'd' || CAST(doc_id % 17 AS VARCHAR) || '.Example.org/p/'
+        |  || CAST(doc_id AS VARCHAR)
+        |  || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&ref=' || CAST(doc_id AS VARCHAR)
+        |          WHEN doc_id % 3 = 1 THEN '?id=' || CAST(doc_id AS VARCHAR)
+        |          ELSE '' END
+        |  || CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS nofrag FROM u),
+        |c2 AS (SELECT doc_id, url,
+        |  regexp_extract(nofrag, '^https://([^/]+)', 1) AS host,
+        |  regexp_extract(nofrag, '^https://[^/]+(.*)', 1) AS tail0 FROM c)
+        |SELECT doc_id, url,
+        |  'https://' || regexp_replace(lower(host), '^www\.', '') ||
+        |  regexp_replace(regexp_replace(tail0, 'utm_[^&]*&?', ''), '[?&]$', '')
+        |    AS canon_url
+        |FROM c2 ORDER BY doc_id""".stripMargin,
+
+    // WARC-ingest mirror: the round trip doc → WARC blob → parsed
+    // response must surface the same url, payload BYTE count, and
+    // text — all closed forms of the table row
+    "llm_warc_ingest" ->
+      """SELECT doc_id,
+        |  'https://d' || CAST(doc_id % 17 AS VARCHAR) || '.example.org/p/'
+        |    || CAST(doc_id AS VARCHAR) AS url,
+        |  CAST(octet_length(ENCODE(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_hash
+        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
+
+    // domain-cap mirror: the row_number window form of the engine's
+    // k-bounded TopKByScore aggregate — (n_chars DESC, doc_id ASC) is
+    // the aggregate's exact total order
+    "llm_domain_cap" ->
+      """WITH d AS (SELECT doc_id,
+        |    'd' || CAST(doc_id % 17 AS VARCHAR) || '.example.org' AS domain,
+        |    n_chars FROM documents),
+        |r AS (SELECT domain, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY domain
+        |      ORDER BY n_chars DESC, doc_id) AS rank FROM d)
+        |SELECT domain, CAST(rank AS INT) AS rank, doc_id,
+        |  CAST(n_chars AS BIGINT) AS n_chars
+        |FROM r WHERE rank <= 3 ORDER BY domain, rank""".stripMargin,
     // chunk mirror: range(0, ntok, stride) starts, inclusive list
     // slice, single-space rejoin — the same tokens the engine slices
     "llm_chunk_overlap" ->

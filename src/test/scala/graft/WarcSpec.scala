@@ -1,0 +1,115 @@
+package graft
+
+import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+import java.nio.file.Files
+
+import graft.sources.Warc
+
+/** WARC/WET ingestion (r11): the streaming record parser against
+  * hand-framed fixtures (built HERE, independently of
+  * `Warc.syntheticWarc`, so both sides of the round trip are checked),
+  * per-record-gzip `.warc.gz` members, the distributed file reader,
+  * and loud-failure framing contracts. */
+class WarcSpec extends SparkSpec {
+
+  // hand-framed WARC bytes: warcinfo + response (with <URI> brackets,
+  // the WARC/1.0 form) + request (skipped by the reader) + conversion
+  private def fixture: Array[Byte] = {
+    val payload = "hello wärld".getBytes(UTF_8) // multi-byte UTF-8
+    val http = ("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/plain\r\n\r\n").getBytes(ISO_8859_1) ++ payload
+    val wet = "extracted text body".getBytes(UTF_8)
+    def rec(tpe: String, uri: String, body: Array[Byte]): Array[Byte] =
+      ("WARC/1.0\r\n" +
+        s"WARC-Type: $tpe\r\n" +
+        (if (uri != null) s"WARC-Target-URI: $uri\r\n" else "") +
+        "WARC-Date: 2026-02-03T04:05:06Z\r\n" +
+        s"Content-Length: ${body.length}\r\n" +
+        "\r\n").getBytes(ISO_8859_1) ++ body ++
+        "\r\n\r\n".getBytes(ISO_8859_1)
+    rec("warcinfo", null, "software: test\r\n".getBytes(ISO_8859_1)) ++
+      rec("response", "<https://ex.org/a>", http) ++
+      rec("request", "https://ex.org/a",
+        "GET /a HTTP/1.1\r\n\r\n".getBytes(ISO_8859_1)) ++
+      rec("conversion", "https://ex.org/a", wet)
+  }
+
+  test("streaming parser: records, headers, HTTP split, URI brackets") {
+    val recs = Warc.records(new ByteArrayInputStream(fixture)).toList
+    assert(recs.map(_.warcType) ==
+      List("warcinfo", "response", "request", "conversion"))
+    assert(recs.forall(_.version == "1.0"))
+    val resp = recs(1)
+    assert(resp.targetUri.contains("https://ex.org/a")) // <> stripped
+    assert(resp.date.contains("2026-02-03T04:05:06Z"))
+    assert(resp.header("warc-type").contains("response")) // case-insensitive
+    val Some((head, payload)) = Warc.httpPayload(resp.body)
+    assert(head.head == "HTTP/1.1 200 OK")
+    assert(new String(payload, UTF_8) == "hello wärld")
+    // conversion body is the text itself; no HTTP block inside
+    assert(new String(recs(3).body, UTF_8) == "extracted text body")
+    assert(Warc.httpPayload(recs(3).body).isEmpty)
+  }
+
+  test("readWarcFiles: plain + multi-member gzip, one row per " +
+      "response/conversion") {
+    val dir = Files.createTempDirectory("warcspec")
+    val plain = dir.resolve("a.warc")
+    Files.write(plain, fixture)
+    // Common Crawl shape: EACH record its own gzip member, concatenated
+    val gz = dir.resolve("b.warc.gz")
+    val out = new java.io.ByteArrayOutputStream()
+    val one = Warc.syntheticWarc("https://ex.org/b",
+      "2026-01-01T00:00:00Z", "gzipped page text")
+    // split the synthetic blob at record boundaries: re-parse framing
+    // by compressing the warcinfo and response separately
+    val recs = Warc.parseBytes(one).toList
+    recs.foreach { r =>
+      val hdr = (s"WARC/${r.version}\r\n" +
+        r.headers.map { case (k, v) => s"$k: $v\r\n" }.mkString +
+        "\r\n").getBytes(ISO_8859_1)
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(hdr); g.write(r.body)
+      g.write("\r\n\r\n".getBytes(ISO_8859_1)); g.finish()
+    }
+    Files.write(gz, out.toByteArray)
+
+    val df = Warc.readWarcFiles(spark,
+      Seq(plain.toString, gz.toString)).collect()
+    val byFile = df.groupBy(_.getString(0))
+    val a = byFile(plain.toString).sortBy(_.getLong(1))
+    assert(a.map(_.getString(2)).toSeq == Seq("response", "conversion"))
+    assert(a(0).getString(3) == "https://ex.org/a")
+    assert(a(0).getLong(5) == "hello wärld".getBytes(UTF_8).length)
+    assert(a(0).getString(6) == "hello wärld")
+    assert(a(1).getString(6) == "extracted text body")
+    val b = byFile(gz.toString)
+    assert(b.length == 1 && b(0).getString(2) == "response")
+    assert(b(0).getString(6) == "gzipped page text")
+    assert(b(0).getString(3) == "https://ex.org/b")
+  }
+
+  test("synthetic round trip and loud failures on malformed framing") {
+    val blob = Warc.syntheticWarc("https://x.io/p", "2026-01-01T00:00:00Z",
+      "round trip body")
+    val recs = Warc.parseBytes(blob).toList
+    assert(recs.map(_.warcType) == List("warcinfo", "response"))
+    val Some((_, payload)) = Warc.httpPayload(recs(1).body)
+    assert(new String(payload, UTF_8) == "round trip body")
+    // truncated body → EOF, never a silent short record
+    intercept[java.io.EOFException] {
+      Warc.parseBytes(blob.dropRight(10)).toList
+    }
+    // garbage at a record boundary → loud require
+    val e = intercept[IllegalArgumentException] {
+      Warc.parseBytes("NOT-A-WARC\r\n\r\n".getBytes(ISO_8859_1)).toList
+    }
+    assert(e.getMessage.contains("WARC record boundary"))
+    // missing Content-Length → loud require
+    intercept[IllegalArgumentException] {
+      Warc.parseBytes(("WARC/1.0\r\nWARC-Type: metadata\r\n\r\n")
+        .getBytes(ISO_8859_1)).toList
+    }
+  }
+}
