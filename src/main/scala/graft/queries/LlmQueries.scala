@@ -453,6 +453,28 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // cross-crawl URL dedup (r11) — day N's batch (odd doc_ids)
+    // against the seen-URL set (even doc_ids), urls built with small
+    // moduli so genuine cross-parity collisions exist. The engine path
+    // is Masks.bloomAntiJoin: Bloom sketches have no false negatives,
+    // so definitely-novel urls SKIP the shuffle and only the
+    // might-contain fraction pays the exact anti-join — identical
+    // result to a plain left_anti at a fraction of the exchange
+    "llm_url_dedup" -> ((s, dir) => {
+      def urlOf(id: org.apache.spark.sql.Column) = concat(lit("https://d"),
+        pmod(id, lit(7)).cast("string"), lit(".example.org/p/"),
+        pmod(id, lit(23)).cast("string"))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), urlOf(col("doc_id")).as("url"))
+      val seen = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select("url")
+      val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      graft.core.Masks.bloomAntiJoin(batch, seen, "url",
+          expectedItems = 1000000L)
+        .orderBy("doc_id")
+        .select("doc_id", "url")
+    }),
+
     // WARC ingestion (r11) — the Common Crawl container: each doc is
     // wrapped into a synthetic two-record WARC blob (warcinfo +
     // response with a real HTTP message, the mm_* self-fixture
@@ -1525,6 +1547,18 @@ object LlmQueries {
         |  regexp_replace(regexp_replace(tail0, 'utm_[^&]*&?', ''), '[?&]$', '')
         |    AS canon_url
         |FROM c2 ORDER BY doc_id""".stripMargin,
+
+    // URL-dedup mirror: plain NOT EXISTS anti join — the engine's
+    // bloom short-circuit is result-identical by construction
+    "llm_url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+        |  'https://d' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/p/'
+        |    || CAST(doc_id % 23 AS VARCHAR) AS url FROM documents),
+        |seen AS (SELECT DISTINCT url FROM u WHERE doc_id % 2 = 0)
+        |SELECT doc_id, url FROM u
+        |WHERE doc_id % 2 = 1
+        |  AND NOT EXISTS (SELECT 1 FROM seen WHERE seen.url = u.url)
+        |ORDER BY doc_id""".stripMargin,
 
     // WARC-ingest mirror: the round trip doc → WARC blob → parsed
     // response must surface the same url, payload BYTE count, and

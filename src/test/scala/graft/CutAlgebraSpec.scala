@@ -29,6 +29,26 @@ class CutAlgebraSpec extends SparkSpec {
     assert(passed < events.count())           // real pruning happened
   }
 
+  test("bloom anti-join equals the plain anti-join on string keys") {
+    import graft.core.Masks
+    // string keys with genuine overlap: urls from two small moduli
+    def url(i: Int) = s"https://d${i % 5}.example.org/p/${i % 13}"
+    val batch = (1 until 400 by 2).map(i => (i.toLong, url(i)))
+      .toDF("id", "url")
+    val seen = (0 until 400 by 2).map(i => Tuple1(url(i))).toDF("url")
+    val viaBloom = Masks.bloomAntiJoin(batch, seen, "url",
+        expectedItems = 1000)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val plain = batch.join(seen, Seq("url"), "left_anti")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(1), r.getString(0)))
+    assert(viaBloom.toSeq == plain.toSeq)
+    // empty seen set: everything is novel, nothing joins
+    val noneSeen = Seq.empty[Tuple1[String]].toDF("url")
+    assert(Masks.bloomAntiJoin(batch, noneSeen, "url", 10).count()
+      == batch.count())
+  }
+
   test("salted join and salted agg match their unsalted forms") {
     import graft.core.Skew
     // heavy skew: 90% of rows share key 0
