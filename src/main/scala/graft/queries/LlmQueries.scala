@@ -475,6 +475,39 @@ object LlmQueries {
         .select("doc_id", "url")
     }),
 
+    // HTML→text extraction (r11) — the WET conversion step: each doc's
+    // text is escaped and wrapped into a full synthetic page
+    // (doctype, title, style+script rawtext with decoy tags inside, a
+    // comment, entity-bearing h1/footer), then the REAL codegen'd
+    // tokenizer-state-machine kernel (functions/HtmlToText) recovers
+    // the visible text; the oracle computes the SAME expected string
+    // as a closed form of the table columns (never parsing HTML) —
+    // title line, h1 line, the whitespace-normalized body, the
+    // entity-decoded footer. Map-only, embarrassingly parallel; at
+    // 100 TB this runs inside the WARC-parse task, no exchange
+    "llm_html_extract" -> ((s, dir) => {
+      val esc = replace(replace(replace(col("text"),
+        lit("&"), lit("&amp;")), lit("<"), lit("&lt;")),
+        lit(">"), lit("&gt;"))
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<!DOCTYPE html><html><head><title>Doc "), id,
+        lit("</title>\n<style>body { color: #fff; }</style>\n" +
+          "<script>if (1 < 2) { var s = \"</div>\"; }</script>\n" +
+          "</head><body>\n<!-- boilerplate <nav> comment -->\n" +
+          "<h1>Doc &amp; "), id,
+        lit("</h1>\n<p>"), esc,
+        lit("</p>\n<div>footer&nbsp;&#169;2026</div>\n</body></html>"))
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.functions.HtmlToText(html).as("extracted"))
+        .select(col("doc_id"),
+          length(col("extracted")).as("n_chars"),
+          md5(col("extracted")).as("content_hash"))
+        .orderBy("doc_id")
+    }),
+
     // WARC ingestion (r11) — the Common Crawl container: each doc is
     // wrapped into a synthetic two-record WARC blob (warcinfo +
     // response with a real HTTP message, the mm_* self-fixture
@@ -1559,6 +1592,28 @@ object LlmQueries {
         |WHERE doc_id % 2 = 1
         |  AND NOT EXISTS (SELECT 1 FROM seen WHERE seen.url = u.url)
         |ORDER BY doc_id""".stripMargin,
+
+    // HTML-extract mirror: the expected visible text is a CLOSED FORM
+    // of the table row — title line, h1 line, the body with per-line
+    // ws collapse (explicit [ \t\x0B\f\r] class — the Java∩RE2
+    // dialect-safe spelling), empty lines dropped, the entity-decoded
+    // footer (chr(160)=nbsp, chr(169)=copy). The oracle never parses
+    // HTML; only the engine does
+    "llm_html_extract" ->
+      """WITH c AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(text,
+        |    '[ \t\x0B\f\r]+', ' ', 'g'), ' ?\n[\n ]*', chr(10), 'g'),
+        |    ' ' || chr(10)) AS body
+        |  FROM documents WHERE text IS NOT NULL),
+        |e AS (SELECT doc_id,
+        |  'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |  'Doc & ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |  (CASE WHEN body = '' THEN '' ELSE body || chr(10) END) ||
+        |  'footer' || chr(160) || chr(169) || '2026' AS expected
+        |  FROM c)
+        |SELECT doc_id, length(expected) AS n_chars,
+        |  md5(expected) AS content_hash
+        |FROM e ORDER BY doc_id""".stripMargin,
 
     // WARC-ingest mirror: the round trip doc → WARC blob → parsed
     // response must surface the same url, payload BYTE count, and

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.HtmlToText
+
+/** The HTML→text kernel: hand-written fixtures pin every tokenizer
+  * rule independently of the synthetic-HTML oracle query. */
+class HtmlToTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def x(html: String): String = HtmlToText.extract(html)
+
+  test("block tags break lines, inline tags vanish, cells space") {
+    assert(x("<p>one</p><p>two</p>") == "one\ntwo")
+    assert(x("a<b>b</b>c") == "abc")
+    assert(x("line one<br>line two") == "line one\nline two")
+    assert(x("<tr><td>a</td><td>b</td></tr>") == "a b")
+    assert(x("<h1>Title</h1>body") == "Title\nbody")
+  }
+
+  test("script/style are rawtext: content dropped, even fake tags") {
+    assert(x("a<script>var x = '<b>not text</b>';</script>b") == "ab")
+    assert(x("a<style>p { color: red; }</style>b") == "ab")
+    assert(x("a<SCRIPT TYPE='text/javascript'>if (1 < 2) {}</ScRiPt>b")
+      == "ab")
+    // unclosed rawtext swallows the rest (HTML5 eof-in-script)
+    assert(x("a<script>forever") == "a")
+  }
+
+  test("comments, doctype, CDATA, and processing instructions drop") {
+    assert(x("a<!-- c <p>x</p> -->b") == "ab")
+    assert(x("<!DOCTYPE html>a") == "a")
+    assert(x("a<![CDATA[ <p>hidden</p> ]]>b") == "ab")
+    assert(x("a<?xml version='1.0'?>b") == "ab")
+    assert(x("a<!-- unterminated") == "a")
+  }
+
+  test("quoted '>' in attributes does not end the tag") {
+    assert(x("""a<a href="x>y" title='p>q'>link</a>b""") == "alinkb")
+  }
+
+  test("a '<' not starting a tag is literal text") {
+    assert(x("1 < 2 and 2 <3 and <3") == "1 < 2 and 2 <3 and <3")
+    assert(x("trailing <") == "trailing <")
+  }
+
+  test("entities decode once, left to right, after tag removal") {
+    assert(x("&amp; &lt;p&gt; &quot;q&quot; &apos;a&apos;")
+      == "& <p> \"q\" 'a'")
+    assert(x("&amp;lt;") == "&lt;")            // no double decode
+    assert(x("&lt;script&gt;x&lt;/script&gt;") == "<script>x</script>")
+    assert(x("&#169;&#x2014;") == "©—")
+    assert(x("&nbsp;x") == "\u00A0x")          // NBSP is content
+    assert(x("&bogus; &toolongtodecode1234; & x") ==
+      "&bogus; &toolongtodecode1234; & x")
+    assert(x("&#xZZ; &#; &#999999999;") == "&#xZZ; &#; &#999999999;")
+  }
+
+  test("whitespace: collapse runs per line, drop empty lines, trim") {
+    assert(x("<p>  a\t\tb  </p>\n\n<p>c</p>") == "a b\nc")
+    assert(x("<div></div><div>  </div><div>x</div>") == "x")
+    assert(x("a  \f \r b") == "a b")
+    assert(x("a \u00A0 b") == "a \u00A0 b")    // U+00A0 not collapsed
+    assert(x("") == "")
+    assert(x("<p></p>") == "")
+  }
+
+  test("full page: head/title kept, chrome stripped in order") {
+    val page =
+      """<!DOCTYPE html><html><head><title>My&nbsp;Page</title>
+        |<style>body { margin: 0; }</style>
+        |<script>console.log("<p>");</script></head>
+        |<body><!-- nav --><h1>Hello &amp; welcome</h1>
+        |<p>First   paragraph.</p>
+        |<ul><li>one</li><li>two</li></ul>
+        |</body></html>""".stripMargin
+    assert(x(page) ==
+      "My Page\nHello & welcome\nFirst paragraph.\none\ntwo")
+  }
+
+  test("expression: codegen and interpreted agree; null propagates") {
+    val df = Seq(
+      Some("<p>a &amp; b</p><script>x</script>c"),
+      Some(""), None).toDF("h")
+    val got = df.select(HtmlToText(col("h")).as("t"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(got.toSeq == Seq(Some("a & b\nc"), Some(""), None))
+    // interpreted path (no codegen) must match
+    val interp = graft.functions.HtmlToText(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          "<p>a &amp; b</p><script>x</script>c")))
+      .eval(null).toString
+    assert(interp == "a & b\nc")
+  }
+}
