@@ -475,6 +475,55 @@ object LlmQueries {
         .select("doc_id", "url")
     }),
 
+    // robots.txt politeness filter (r11) — the RFC 9309 step between
+    // WARC ingestion and URL curation. Hosts d0..d6 get synthetic
+    // robots bodies exercising the full parser surface: even hosts a
+    // three-group file (a deny-all `*` group the specific GraftBot
+    // group must BEAT, a MegaBot group that must be skipped, wildcard
+    // `/*.pdf$` + longest-match-wins + an Allow/Disallow tie on /dl/);
+    // odd hosts a `*`-group-only file with mixed-case directives,
+    // comments, and a `/p` vs `/p/` length tie-break; host d6 has NO
+    // robots row (fetch convention: absent robots = allowed). The
+    // engine runs the REAL parser+matcher (sources/Robots via the
+    // memoizing codegen'd RobotsAllowed kernel, broadcast per-host
+    // dim); the oracle computes the verdict as a CLOSED FORM of the
+    // doc_id moduli — it never parses robots.txt
+    "llm_robots_filter" -> ((s, dir) => {
+      val evenRobots =
+        "# synthetic robots: specific group must beat *\n" +
+        "User-agent: *\nDisallow: /\n\n" +
+        "User-Agent: MegaBot\nDisallow: /\nDisallow:\n\n" +
+        "User-Agent: GraftBot\n" +
+        "Disallow: /private/\nDisallow: /*.pdf$\n" +
+        "Allow: /p/\nAllow: /dl/\nDisallow: /dl/\nCrawl-delay: 2\n"
+      val oddRobots =
+        "User-agent: megabot\r\nDisallow: /\r\n\r\n" +
+        "user-agent: *   # fallback group\r\n" +
+        "disallow: /p\r\nallow: /p/\r\n"
+      val h = pmod(col("doc_id"), lit(7))
+      val p4 = pmod(col("doc_id"), lit(4))
+      val path = when(p4 === 0,
+          concat(lit("/private/x"), col("doc_id").cast("string")))
+        .when(p4 === 1,
+          concat(lit("/p/"), col("doc_id").cast("string"), lit(".pdf")))
+        .when(p4 === 2, concat(lit("/p/"), col("doc_id").cast("string")))
+        .otherwise(concat(lit("/dl/"), col("doc_id").cast("string")))
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://d"), h.cast("string"), lit(".example.org"),
+          path).as("url"))
+      val robots = t(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(7)).as("hostnum")).distinct()
+        .filter(col("hostnum") =!= 6)
+        .select(
+          concat(lit("d"), col("hostnum").cast("string"),
+            lit(".example.org")).as("host"),
+          when(pmod(col("hostnum"), lit(2)) === 0, lit(evenRobots))
+            .otherwise(lit(oddRobots)).as("robots_txt"))
+      graft.sources.Robots.politenessFilter(urls, robots, "GraftBot")
+        .select("doc_id", "url", "allowed")
+        .orderBy("doc_id")
+    }),
+
     // HTML→text extraction (r11) — the WET conversion step: each doc's
     // text is escaped and wrapped into a full synthetic page
     // (doctype, title, style+script rawtext with decoy tags inside, a
@@ -1592,6 +1641,29 @@ object LlmQueries {
         |WHERE doc_id % 2 = 1
         |  AND NOT EXISTS (SELECT 1 FROM seen WHERE seen.url = u.url)
         |ORDER BY doc_id""".stripMargin,
+
+    // robots-filter mirror: the verdict is a CLOSED FORM of the doc_id
+    // moduli — the oracle never parses robots.txt; only the engine
+    // does. Derivation (agent=GraftBot): even hosts bind the GraftBot
+    // group {Disallow /private/, Disallow /*.pdf$, Allow /p/,
+    // Allow /dl/, Disallow /dl/} — /private/* loses to nothing (deny),
+    // *.pdf is denied by the len-7 wildcard beating the len-3 Allow,
+    // /p/* is allowed, /dl/* is an equal-length Allow/Disallow tie and
+    // Allow wins; odd hosts have no GraftBot group and fall back to *
+    // = {disallow /p, allow /p/} — /private/* matches only /p (deny),
+    // /p/* hits the longer Allow, /dl/* matches nothing (default
+    // allow); host d6 has no robots row = allowed by fetch convention
+    "llm_robots_filter" ->
+      """SELECT doc_id,
+        |  'https://d' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' ||
+        |  CASE WHEN doc_id % 4 = 0 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+        |       WHEN doc_id % 4 = 1 THEN '/p/' || CAST(doc_id AS VARCHAR) || '.pdf'
+        |       WHEN doc_id % 4 = 2 THEN '/p/' || CAST(doc_id AS VARCHAR)
+        |       ELSE '/dl/' || CAST(doc_id AS VARCHAR) END AS url,
+        |  CASE WHEN doc_id % 7 = 6 THEN TRUE
+        |       WHEN doc_id % 7 IN (0, 2, 4) THEN doc_id % 4 IN (2, 3)
+        |       ELSE doc_id % 4 <> 0 END AS allowed
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // HTML-extract mirror: the expected visible text is a CLOSED FORM
     // of the table row — title line, h1 line, the body with per-line

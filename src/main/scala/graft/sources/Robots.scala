@@ -1,0 +1,161 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** robots.txt politeness for the crawl-curation pipeline (RFC 9309):
+  * the step between WARC ingestion ([[Warc]]) and URL curation
+  * (canonicalize → robots filter → per-domain cap → cross-crawl dedup).
+  * Reference behavior: Common Crawl honors robots at fetch time; a
+  * re-crawl / re-filter pass re-applies the current rules to an
+  * already-fetched URL list.
+  *
+  * Semantics implemented (the RFC 9309 / REP core):
+  *   - groups = runs of `User-agent:` lines followed by rules; the
+  *     crawler obeys the union of all groups whose agent token equals
+  *     its own (case-insensitive exact token), falling back to the
+  *     union of `*` groups, falling back to allow-everything;
+  *   - rule matching is octet-wise path prefix with `*` (any run) and
+  *     a final `$` (end anchor); most-specific rule wins, specificity
+  *     = pattern length; on a tie `Allow` wins; no matching rule =
+  *     allowed;
+  *   - an empty `Disallow:` / `Allow:` value has no effect (the
+  *     historic "Disallow:" == allow-all spelling);
+  *   - `#` starts a comment; directive names are case-insensitive;
+  *     unknown directives (`Crawl-delay`, `Sitemap`, …) end a
+  *     user-agent run but contribute no rules; CRLF accepted.
+  *
+  * Scale shape: robots.txt is per-HOST data — the dimension is tiny
+  * (~millions of rows for a full crawl, KBs each) next to the URL fact
+  * table, so [[politenessFilter]] broadcasts it and the verdict is a
+  * map-only scalar kernel ([[graft.functions.RobotsAllowed]]) with a
+  * per-executor compiled-rules memo, parsed once per distinct robots
+  * body, not once per URL. */
+object Robots {
+
+  /** One access rule of the selected group, in file order. */
+  final case class Rule(allow: Boolean, pattern: String)
+
+  /** Parse a robots.txt body and select the rules binding `agent`
+    * (RFC 9309 group selection; see object doc). Returns rules in
+    * file order; empty when no group binds the agent. */
+  def rulesFor(content: String, agent: String): Vector[Rule] = {
+    final case class Group(
+        agents: scala.collection.mutable.Set[String],
+        rules: scala.collection.mutable.ArrayBuffer[Rule])
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
+    var inUaRun = false
+    content.split("\n", -1).foreach { raw =>
+      val noComment = {
+        val h = raw.indexOf('#')
+        if (h >= 0) raw.substring(0, h) else raw
+      }
+      val line = noComment.trim // also eats the \r of CRLF
+      if (line.nonEmpty) {
+        val colon = line.indexOf(':')
+        if (colon > 0) {
+          val key = line.substring(0, colon).trim
+            .toLowerCase(java.util.Locale.ROOT)
+          val value = line.substring(colon + 1).trim
+          key match {
+            case "user-agent" =>
+              if (!inUaRun || groups.isEmpty) {
+                groups += Group(scala.collection.mutable.Set.empty,
+                  scala.collection.mutable.ArrayBuffer.empty)
+                inUaRun = true
+              }
+              if (value.nonEmpty)
+                groups.last.agents +=
+                  value.toLowerCase(java.util.Locale.ROOT)
+            case "allow" | "disallow" =>
+              inUaRun = false
+              // rules before any User-agent line bind nobody (RFC:
+              // rules outside a group are ignored); empty value = no-op
+              if (groups.nonEmpty && value.nonEmpty)
+                groups.last.rules += Rule(key == "allow", value)
+            case _ =>
+              inUaRun = false // crawl-delay / sitemap / unknown
+          }
+        }
+      }
+    }
+    val me = agent.toLowerCase(java.util.Locale.ROOT)
+    val mine = groups.filter(_.agents.contains(me))
+    val chosen = if (mine.nonEmpty) mine else groups.filter(_.agents("*"))
+    chosen.iterator.flatMap(_.rules).toVector
+  }
+
+  /** Octet-wise prefix match of `pattern` against `path`, with `*` =
+    * any run of octets and a FINAL `$` = end-of-path anchor (a `$`
+    * anywhere else is a literal, per the RFC grammar). Patterns are
+    * short (path fragments), so plain backtracking is fine. */
+  def matches(pattern: String, path: String): Boolean = {
+    val anchored = pattern.nonEmpty && pattern.charAt(pattern.length - 1) == '$'
+    val pat = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
+    def m(pi: Int, si: Int): Boolean = {
+      if (pi == pat.length) !anchored || si == path.length
+      else if (pat.charAt(pi) == '*') {
+        var k = si
+        while (k <= path.length) {
+          if (m(pi + 1, k)) return true
+          k += 1
+        }
+        false
+      } else si < path.length && path.charAt(si) == pat.charAt(pi) &&
+        m(pi + 1, si + 1)
+    }
+    m(0, 0)
+  }
+
+  /** Most-specific-match verdict over a rule set (see object doc).
+    * Default (no rule matches, or no rules) = allowed. */
+  def isAllowed(rules: Vector[Rule], path: String): Boolean = {
+    var bestLen = -1
+    var bestAllow = true
+    rules.foreach { r =>
+      if (r.pattern.length >= bestLen && matches(r.pattern, path)) {
+        if (r.pattern.length > bestLen) {
+          bestLen = r.pattern.length
+          bestAllow = r.allow
+        } else if (r.allow) bestAllow = true // tie: Allow wins
+      }
+    }
+    bestAllow
+  }
+
+  /** Filter a URL fact table by per-host robots rules.
+    *
+    * `robots` is the per-host dimension `(hostCol, robotsCol)` —
+    * broadcast by default (robots bodies exist only per distinct host;
+    * even a full-crawl host list is dimension-sized next to the URL
+    * table). URLs whose host has no robots row are ALLOWED (the
+    * fetch-time convention: no robots.txt = no restrictions). Output =
+    * the input columns plus a boolean `allowed`; callers filter or
+    * audit. Map-only on the fact side — one broadcast hash join, no
+    * shuffle of the URLs. */
+  def politenessFilter(
+      urls: DataFrame,
+      robots: DataFrame,
+      agent: String,
+      urlCol: String = "url",
+      hostCol: String = "host",
+      robotsCol: String = "robots_txt",
+      broadcastRobots: Boolean = true): DataFrame = {
+    val host = lower(regexp_extract(col(urlCol), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val rawPath = regexp_extract(col(urlCol), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1)
+    val path = when(rawPath === "", lit("/")).otherwise(rawPath)
+    val dim0 = robots.select(
+      lower(col(hostCol)).as("__robots_host"),
+      col(robotsCol).as("__robots_txt"))
+    val dim = if (broadcastRobots) broadcast(dim0) else dim0
+    urls
+      .withColumn("__url_host", host)
+      .withColumn("__url_path", path)
+      .join(dim, col("__url_host") === col("__robots_host"), "left")
+      .withColumn("allowed",
+        when(col("__robots_txt").isNull, lit(true))
+          .otherwise(graft.functions.RobotsAllowed(
+            col("__robots_txt"), col("__url_path"), agent)))
+      .drop("__url_host", "__url_path", "__robots_host", "__robots_txt")
+  }
+}

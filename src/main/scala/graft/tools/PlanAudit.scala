@@ -27,7 +27,7 @@ object PlanAudit {
       "rolling_7d_minmax", "interval_join_agg",
       "tpch_q1_pricing", "llm_heavy_hitters", "llm_vocab_sketch",
       "funnel_signup_purchase", "w6_quantile_sketch",
-      "llm_lm_perplexity", "llm_shard_shuffle")
+      "llm_lm_perplexity", "llm_shard_shuffle", "llm_robots_filter")
 
     // allowed nested-loop joins: tiny driver-generated pair sets, plus
     // the classifier's ONE-ROW dense-model broadcast (a deliberate
@@ -36,7 +36,11 @@ object PlanAudit {
     // is a one-row scalar broadcast, not a pair blow-up
     val nestedLoopAllowed = Set("llm_ngram_jaccard", "llm_classifier_score",
       "llm_lm_perplexity", "llm_lm_bigrams", "llm_lm_backoff",
-      "llm_lm_kneser_ney")
+      "llm_lm_kneser_ney",
+      // the recall GATE's ground truth is brute-force by design — the
+      // one place all-pairs is the point (bounded: sampled query set
+      // broadcast against the corpus; production paths are IVF/LSH)
+      "llm_ann_recall")
 
     // full sweep, building each query exactly ONCE (several query
     // builders are eager — persist/count/collect at plan-build time):

@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Robots
+import graft.sources.Robots.Rule
+
+/** robots.txt politeness (r11): RFC 9309 group selection, wildcard/
+  * anchor matching, longest-match + Allow-tie precedence, and the
+  * broadcast politenessFilter plumbing (missing-host default, null
+  * handling, codegen kernel ≡ direct library calls). */
+class RobotsSpec extends SparkSpec {
+
+  // --- group selection -------------------------------------------------
+
+  test("rulesFor: exact agent group beats *, case-insensitive") {
+    val body =
+      "User-agent: *\nDisallow: /\n\n" +
+        "User-Agent: GraftBot\nAllow: /a\nDisallow: /b\n"
+    assert(Robots.rulesFor(body, "graftbot") ==
+      Vector(Rule(true, "/a"), Rule(false, "/b")))
+    // unknown agent falls back to the * group
+    assert(Robots.rulesFor(body, "OtherBot") == Vector(Rule(false, "/")))
+  }
+
+  test("rulesFor: multiple groups for the same agent UNION in file order") {
+    val body =
+      "User-agent: a\nDisallow: /x\n\n" +
+        "User-agent: b\nDisallow: /y\n\n" +
+        "User-agent: a\nAllow: /z\n"
+    assert(Robots.rulesFor(body, "a") ==
+      Vector(Rule(false, "/x"), Rule(true, "/z")))
+  }
+
+  test("rulesFor: stacked User-agent lines share one rule set") {
+    val body = "User-agent: a\nUser-agent: b\nDisallow: /q\n"
+    assert(Robots.rulesFor(body, "a") == Vector(Rule(false, "/q")))
+    assert(Robots.rulesFor(body, "b") == Vector(Rule(false, "/q")))
+  }
+
+  test("rulesFor: comments, CRLF, empty values, orphan rules, unknown " +
+      "directives") {
+    val body =
+      "Disallow: /orphan\r\n" + // before any group: binds nobody
+        "User-agent: a # inline comment\r\n" +
+        "Disallow:\r\n" + // empty value: historic allow-all no-op
+        "Crawl-delay: 5\r\n" + // unknown directive: no rule, ends UA run
+        "disallow: /real\r\n" // lowercase key still parses
+    assert(Robots.rulesFor(body, "a") == Vector(Rule(false, "/real")))
+    // the crawl-delay line ended the UA run: a later User-agent opens
+    // a NEW group rather than extending the first
+    val two = body + "User-agent: b\nDisallow: /other\n"
+    assert(Robots.rulesFor(two, "a") == Vector(Rule(false, "/real")))
+    assert(Robots.rulesFor(two, "b") == Vector(Rule(false, "/other")))
+  }
+
+  test("rulesFor: no matching group and no * group = empty (allow all)") {
+    assert(Robots.rulesFor("User-agent: x\nDisallow: /\n", "y").isEmpty)
+    assert(Robots.rulesFor("", "y").isEmpty)
+  }
+
+  // --- pattern matching -------------------------------------------------
+
+  test("matches: prefix, wildcard runs, final-$ anchor, literal mid-$") {
+    assert(Robots.matches("/p", "/private/x"))
+    assert(!Robots.matches("/p/", "/private/x"))
+    assert(Robots.matches("/*.pdf$", "/a/b.pdf"))
+    assert(!Robots.matches("/*.pdf$", "/a/b.pdfx"))
+    assert(Robots.matches("/*.pdf", "/a/b.pdfx")) // unanchored: prefix
+    assert(Robots.matches("/a*c*e", "/abcde"))
+    assert(!Robots.matches("/a*z", "/abc"))
+    // $ not in final position is a literal octet per the RFC grammar
+    assert(Robots.matches("/a$b", "/a$b/c"))
+    assert(!Robots.matches("/a$b", "/ab"))
+    // empty pattern matches everything (zero-length prefix)
+    assert(Robots.matches("", "/x"))
+  }
+
+  test("isAllowed: longest match wins; equal-length tie goes to Allow; " +
+      "no match = allowed") {
+    val rules = Vector(
+      Rule(false, "/p"), Rule(true, "/p/"), // longer Allow wins
+      Rule(true, "/dl/"), Rule(false, "/dl/")) // tie: Allow wins
+    assert(Robots.isAllowed(rules, "/p/x"))
+    assert(!Robots.isAllowed(rules, "/private"))
+    assert(Robots.isAllowed(rules, "/dl/x"))
+    assert(Robots.isAllowed(rules, "/elsewhere"))
+    assert(Robots.isAllowed(Vector.empty, "/anything"))
+    // order independence of the tie/longest logic
+    assert(Robots.isAllowed(rules.reverse, "/p/x"))
+    assert(Robots.isAllowed(rules.reverse, "/dl/x"))
+  }
+
+  // --- DataFrame politeness filter ---------------------------------------
+
+  test("politenessFilter: verdict column, missing-host default, " +
+      "root-path normalization") {
+    import spark.implicits._
+    val robots = Seq(
+      ("ex.org",
+        "User-agent: *\nDisallow: /\n\n" +
+          "User-agent: GraftBot\nDisallow: /private/\nAllow: /p/\n"),
+      ("other.org", "User-agent: *\nDisallow: /\n")
+    ).toDF("host", "robots_txt")
+    val urls = Seq(
+      (1L, "https://ex.org/p/1"), // GraftBot group: allowed
+      (2L, "https://ex.org/private/2"), // GraftBot group: denied
+      (3L, "https://EX.ORG/p/3"), // host match is case-insensitive
+      (4L, "https://other.org/x"), // * group deny-all
+      (5L, "https://norobots.org/y"), // no robots row: allowed
+      (6L, "https://ex.org"), // no path → "/" (not matched by /private/)
+      (7L, "https://ex.org/private/7?k=v") // query string is matched text
+    ).toDF("doc_id", "url")
+    val got = Robots.politenessFilter(urls, robots, "GraftBot")
+      .select("doc_id", "allowed").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false,
+      5L -> true, 6L -> true, 7L -> false))
+    // schema contract: input columns preserved, helpers dropped
+    assert(Robots.politenessFilter(urls, robots, "GraftBot").columns
+      .toSeq == Seq("doc_id", "url", "allowed"))
+  }
+
+  test("RobotsAllowed kernel: codegen path ≡ library calls; null in → " +
+      "null out") {
+    import spark.implicits._
+    val bodies = Seq(
+      "User-agent: *\nDisallow: /p\nAllow: /p/\n",
+      "User-agent: GraftBot\nDisallow: /*.pdf$\n",
+      "User-agent: other\nDisallow: /\n", // GraftBot unbound: allow
+      "")
+    val paths = Seq("/p", "/p/x", "/q/a.pdf", "/q/a.pdfz", "/")
+    val rows = for { b <- bodies; p <- paths } yield (b, p)
+    val df = rows.toDF("robots", "path").withColumn("v",
+      graft.functions.RobotsAllowed(col("robots"), col("path"), "GraftBot"))
+    val got = df.as[(String, String, Boolean)].collect()
+    got.foreach { case (b, p, v) =>
+      assert(v == Robots.isAllowed(Robots.rulesFor(b, "GraftBot"), p),
+        s"mismatch for body=${b.take(30)} path=$p")
+    }
+    val nulls = Seq((null: String, "/x"), ("User-agent: *\nDisallow: /\n",
+      null: String)).toDF("robots", "path").withColumn("v",
+      graft.functions.RobotsAllowed(col("robots"), col("path"), "GraftBot"))
+    assert(nulls.select("v").collect().forall(_.isNullAt(0)))
+  }
+
+  test("RobotsAllowed: wildcard agent token rejected at construction") {
+    intercept[IllegalArgumentException] {
+      graft.functions.RobotsAllowed(lit("x"), lit("/p"), "*")
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.RobotsAllowed(lit("x"), lit("/p"), "")
+    }
+  }
+}
