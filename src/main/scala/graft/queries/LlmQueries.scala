@@ -158,6 +158,37 @@ object LlmQueries {
       |SELECT doc_id, n_bigrams, round(exp((CAST(slp AS DOUBLE) / -1000000.0) / n_bigrams), 6) AS ppl
       |FROM ag ORDER BY doc_id""".stripMargin
 
+  /** Synthetic robots.txt bodies shared by `llm_robots_filter` and
+    * `llm_crawl_pipeline`. Even hosts: a three-group file (the deny-all
+    * `*` group the specific GraftBot group must BEAT, a MegaBot group
+    * that must be skipped, a `*.pdf$` path wildcard, longest-match-wins, an
+    * Allow/Disallow tie on /dl/). Odd hosts: a `*`-group-only file with
+    * mixed-case directives, comments, CRLF, and a `/p` vs `/p/` length
+    * tie-break. */
+  private val robotsEvenBody: String =
+    "# synthetic robots: specific group must beat *\n" +
+      "User-agent: *\nDisallow: /\n\n" +
+      "User-Agent: MegaBot\nDisallow: /\nDisallow:\n\n" +
+      "User-Agent: GraftBot\n" +
+      "Disallow: /private/\nDisallow: /*.pdf$\n" +
+      "Allow: /p/\nAllow: /dl/\nDisallow: /dl/\nCrawl-delay: 2\n"
+  private val robotsOddBody: String =
+    "User-agent: megabot\r\nDisallow: /\r\n\r\n" +
+      "user-agent: *   # fallback group\r\n" +
+      "disallow: /p\r\nallow: /p/\r\n"
+
+  /** Per-host robots dimension for hosts d0..d5 (d6 deliberately has
+    * NO row — fetch convention: absent robots = allowed). */
+  private def robotsDim(s: org.apache.spark.sql.SparkSession, dir: String) =
+    t(s, dir, "documents")
+      .select(pmod(col("doc_id"), lit(7)).as("hostnum")).distinct()
+      .filter(col("hostnum") =!= 6)
+      .select(
+        concat(lit("d"), col("hostnum").cast("string"),
+          lit(".example.org")).as("host"),
+        when(pmod(col("hostnum"), lit(2)) === 0, lit(robotsEvenBody))
+          .otherwise(lit(robotsOddBody)).as("robots_txt"))
+
   val queries: Map[String, QFn] = Map(
     // exact dedup groups (hash → survivor id + multiplicity)
     "llm_dedup_exact" -> ((s, dir) =>
@@ -489,17 +520,6 @@ object LlmQueries {
     // dim); the oracle computes the verdict as a CLOSED FORM of the
     // doc_id moduli — it never parses robots.txt
     "llm_robots_filter" -> ((s, dir) => {
-      val evenRobots =
-        "# synthetic robots: specific group must beat *\n" +
-        "User-agent: *\nDisallow: /\n\n" +
-        "User-Agent: MegaBot\nDisallow: /\nDisallow:\n\n" +
-        "User-Agent: GraftBot\n" +
-        "Disallow: /private/\nDisallow: /*.pdf$\n" +
-        "Allow: /p/\nAllow: /dl/\nDisallow: /dl/\nCrawl-delay: 2\n"
-      val oddRobots =
-        "User-agent: megabot\r\nDisallow: /\r\n\r\n" +
-        "user-agent: *   # fallback group\r\n" +
-        "disallow: /p\r\nallow: /p/\r\n"
       val h = pmod(col("doc_id"), lit(7))
       val p4 = pmod(col("doc_id"), lit(4))
       val path = when(p4 === 0,
@@ -511,17 +531,91 @@ object LlmQueries {
       val urls = t(s, dir, "documents").select(col("doc_id"),
         concat(lit("https://d"), h.cast("string"), lit(".example.org"),
           path).as("url"))
-      val robots = t(s, dir, "documents")
-        .select(pmod(col("doc_id"), lit(7)).as("hostnum")).distinct()
-        .filter(col("hostnum") =!= 6)
-        .select(
-          concat(lit("d"), col("hostnum").cast("string"),
-            lit(".example.org")).as("host"),
-          when(pmod(col("hostnum"), lit(2)) === 0, lit(evenRobots))
-            .otherwise(lit(oddRobots)).as("robots_txt"))
-      graft.sources.Robots.politenessFilter(urls, robots, "GraftBot")
+      graft.sources.Robots.politenessFilter(urls, robotsDim(s, dir),
+          "GraftBot")
         .select("doc_id", "url", "allowed")
         .orderBy("doc_id")
+    }),
+
+    // end-to-end crawl curation (r11) — the whole funnel as ONE query,
+    // every stage the REAL engine path: synthetic WARC blob → streaming
+    // parser round trip → HtmlToText extraction (title/h1/body/footer
+    // page with rawtext decoys) → URL canonicalization (strip fragment
+    // + utm params, lowercase host, strip www.) → robots politeness on
+    // the canonical URL (broadcast per-host dim, host d6 absent) →
+    // cross-crawl dedup (odd-id batch Bloom-anti-joined against the
+    // even-id previous crawl; page number doc_id%23 so genuine
+    // cross-parity URL collisions exist) → per-domain cap (k-bounded
+    // TopKByScore, top 3 by extracted length) → join back for the
+    // kept rows' payloads. The oracle reproduces every stage as a
+    // CLOSED FORM of the table row: it never parses WARC, HTML, or
+    // robots.txt — only the engine does
+    "llm_crawl_pipeline" -> ((s, dir) => {
+      val fetch = udf { (id: Long, text: String) =>
+        val esc = text.replace("&", "&amp;").replace("<", "&lt;")
+          .replace(">", "&gt;")
+        val html = "<!DOCTYPE html><html><head><title>Doc " + id +
+          "</title>\n<style>body { color: #fff; }</style>\n" +
+          "<script>if (1 < 2) { var s = \"</div>\"; }</script>\n" +
+          "</head><body>\n<!-- boilerplate <nav> comment -->\n" +
+          "<h1>Doc &amp; " + id + "</h1>\n<p>" + esc +
+          "</p>\n<div>footer&nbsp;&#169;2026</div>\n</body></html>"
+        val page = id % 23
+        val path = (id % 3) match {
+          case 0 => s"/private/x$page"
+          case 1 => s"/p/$page.pdf"
+          case _ => s"/p/$page"
+        }
+        val www = if (id % 5 == 0) "WWW." else ""
+        val q = if (id % 4 == 0) s"?utm_source=feed&utm_ref=$id" else ""
+        val frag = if (id % 5 == 0) "#frag" else ""
+        val rawUrl = s"https://${www}d${id % 7}.Example.org$path$q$frag"
+        val blob = graft.sources.Warc.syntheticWarc(
+          rawUrl, "2026-01-01T00:00:00Z", html)
+        val resp = graft.sources.Warc.parseBytes(blob).toSeq
+          .find(_.warcType == "response").get
+        val (_, payload) = graft.sources.Warc.httpPayload(resp.body).get
+        (resp.targetUri.get,
+          new String(payload, java.nio.charset.StandardCharsets.UTF_8))
+      }
+      val fetched = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("__f", fetch(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("__f._1").as("url"),
+          graft.functions.HtmlToText(col("__f._2")).as("extracted"))
+      val noFrag = regexp_replace(col("url"), "#.*", "")
+      val host = regexp_extract(noFrag, "^https://([^/]+)", 1)
+      val tail0 = regexp_extract(noFrag, "^https://[^/]+(.*)", 1)
+      val tail = regexp_replace(
+        regexp_replace(tail0, "utm_[^&]*&?", ""), "[?&]$", "")
+      val canon = fetched.withColumn("canon_url",
+        concat(lit("https://"),
+          regexp_replace(lower(host), "^www\\.", ""), tail))
+      val polite = graft.sources.Robots.politenessFilter(
+          canon, robotsDim(s, dir), "GraftBot", urlCol = "canon_url")
+        .filter(col("allowed"))
+      val seen = canon.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select("canon_url")
+      val novel = graft.core.Masks.bloomAntiJoin(
+        polite.filter(pmod(col("doc_id"), lit(2)) === 1), seen,
+        "canon_url", expectedItems = 1000000L)
+      val scored = novel.select(col("doc_id"), col("canon_url"),
+        regexp_extract(col("canon_url"), "^https://([^/]+)", 1)
+          .as("domain"),
+        length(col("extracted")).cast("long").as("n_chars"),
+        md5(col("extracted")).as("content_hash"))
+      val capped = scored
+        .groupBy("domain")
+        .agg(graft.functions.TopKByScore(
+          col("n_chars").cast("double"), col("doc_id"), 3).as("top"))
+        .select(col("domain"), posexplode(col("top")))
+        .select(col("domain"), (col("pos") + 1).as("rank"),
+          col("col.id").as("doc_id"))
+      capped.join(scored.drop("domain"), Seq("doc_id"))
+        .select("domain", "rank", "doc_id", "canon_url", "n_chars",
+          "content_hash")
+        .orderBy("domain", "rank")
     }),
 
     // HTML→text extraction (r11) — the WET conversion step: each doc's
@@ -1664,6 +1758,53 @@ object LlmQueries {
         |       WHEN doc_id % 7 IN (0, 2, 4) THEN doc_id % 4 IN (2, 3)
         |       ELSE doc_id % 4 <> 0 END AS allowed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // crawl-pipeline mirror: every stage as a CLOSED FORM of the table
+    // row — the extracted text is the html-extract closed form, the
+    // canonical URL drops straight out of the synthesis moduli (the
+    // fragment/utm/WWW junk cancels by construction), the robots
+    // verdict is the llm_robots_filter derivation restricted to the
+    // three path classes (class0 /private/* denied everywhere with
+    // robots, class1 *.pdf denied on even hosts only, class2 /p/*
+    // allowed everywhere), dedup is a NOT EXISTS against the even-id
+    // crawl's urls, and the cap is the row_number window mirror of the
+    // k-bounded aggregate's (n_chars DESC, doc_id ASC) total order
+    "llm_crawl_pipeline" ->
+      """WITH c AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(text,
+        |    '[ \t\x0B\f\r]+', ' ', 'g'), ' ?\n[\n ]*', chr(10), 'g'),
+        |    ' ' || chr(10)) AS body
+        |  FROM documents WHERE text IS NOT NULL),
+        |e AS (SELECT doc_id,
+        |  'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |  'Doc & ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |  (CASE WHEN body = '' THEN '' ELSE body || chr(10) END) ||
+        |  'footer' || chr(160) || chr(169) || '2026' AS extracted
+        |  FROM c),
+        |u AS (SELECT doc_id, extracted,
+        |  'https://d' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' ||
+        |  CASE WHEN doc_id % 3 = 0 THEN '/private/x' || CAST(doc_id % 23 AS VARCHAR)
+        |       WHEN doc_id % 3 = 1 THEN '/p/' || CAST(doc_id % 23 AS VARCHAR) || '.pdf'
+        |       ELSE '/p/' || CAST(doc_id % 23 AS VARCHAR) END AS canon_url
+        |  FROM e),
+        |allowed AS (SELECT * FROM u WHERE
+        |  CASE WHEN doc_id % 7 = 6 THEN TRUE
+        |       WHEN doc_id % 7 IN (0, 2, 4) THEN doc_id % 3 = 2
+        |       ELSE doc_id % 3 <> 0 END),
+        |seen AS (SELECT DISTINCT canon_url FROM u WHERE doc_id % 2 = 0),
+        |novel AS (SELECT a.* FROM allowed a WHERE a.doc_id % 2 = 1
+        |  AND NOT EXISTS (SELECT 1 FROM seen s
+        |                  WHERE s.canon_url = a.canon_url)),
+        |r AS (SELECT doc_id, canon_url,
+        |  'd' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' AS domain,
+        |  CAST(length(extracted) AS BIGINT) AS n_chars,
+        |  md5(extracted) AS content_hash,
+        |  row_number() OVER (PARTITION BY doc_id % 7
+        |    ORDER BY length(extracted) DESC, doc_id) AS rank
+        |  FROM novel)
+        |SELECT domain, CAST(rank AS INT) AS rank, doc_id, canon_url,
+        |  n_chars, content_hash
+        |FROM r WHERE rank <= 3 ORDER BY domain, rank""".stripMargin,
 
     // HTML-extract mirror: the expected visible text is a CLOSED FORM
     // of the table row — title line, h1 line, the body with per-line
