@@ -158,6 +158,52 @@ object LlmQueries {
       |SELECT doc_id, n_bigrams, round(exp((CAST(slp AS DOUBLE) / -1000000.0) / n_bigrams), 6) AS ppl
       |FROM ag ORDER BY doc_id""".stripMargin
 
+  /** DSIR oracle scaffold shared by llm_dsir_weights and
+    * llm_dsir_select: the CTE chain ends at
+    * `w(doc_id, n_grams, weight_micro)`; callers append the final
+    * SELECT. Mirrors [[graft.llm.Dsir]] bit-for-bit: unigrams +
+    * positionally-zipped bigrams, FNV-1a per distinct gram (recursive
+    * hex CTE), bucket = unsigned h % 4096 (≡ the engine's signed pmod
+    * since 2⁶⁴ ≡ 0 mod 2¹²), dense range(4096) spine, add-one-smoothed
+    * micro-nat log-ratios with the engine's exact IEEE op order, exact
+    * integer per-doc sums. */
+  private def dsirWeightsOracleSql(finalSelect: String): String =
+    """WITH RECURSIVE
+      |d AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS toks
+      |      FROM documents WHERE text IS NOT NULL),
+      |uni AS (SELECT doc_id, source, unnest(toks) AS gram FROM d),
+      |bi0 AS (SELECT doc_id, source,
+      |        unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2
+      |        FROM d WHERE len(toks) >= 2),
+      |g AS (SELECT doc_id, source, gram FROM uni
+      |      UNION ALL SELECT doc_id, source, w1 || ' ' || w2 FROM bi0),
+      |strs AS (SELECT DISTINCT gram AS s FROM g),
+      |hx AS (SELECT s, hex(encode(s)) AS hs, octet_length(encode(s)) AS nb FROM strs),
+      |fnv AS (
+      |  SELECT s, hs, nb, 0 AS i, CAST(14695981039346656037 AS HUGEINT) AS h FROM hx
+      |  UNION ALL
+      |  SELECT s, hs, nb, i + 1,
+      |    (xor(h, CAST((strpos('0123456789ABCDEF', substring(hs, 2*i+1, 1))-1)*16 + strpos('0123456789ABCDEF', substring(hs, 2*i+2, 1))-1 AS HUGEINT)) * 1099511628211) % 18446744073709551616
+      |  FROM fnv WHERE i < nb),
+      |bkt AS (SELECT s, CAST(h % 4096 AS BIGINT) AS bucket FROM fnv WHERE i = nb),
+      |gb AS (SELECT g.doc_id, g.source, b.bucket FROM g JOIN bkt b ON b.s = g.gram),
+      |ctb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM gb WHERE source = 'src0' GROUP BY bucket),
+      |crb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM gb WHERE source <> 'src0' GROUP BY bucket),
+      |tot AS (SELECT (SELECT CAST(sum(ct) AS BIGINT) FROM ctb) AS nt,
+      |               (SELECT CAST(sum(cr) AS BIGINT) FROM crb) AS nr),
+      |lr AS (SELECT sp.bucket,
+      |    CAST(round(ln(((coalesce(ctb.ct, 0) + 1.0) * (tot.nr + 4096)) /
+      |                  ((coalesce(crb.cr, 0) + 1.0) * (tot.nt + 4096))) * 1000000) AS BIGINT) AS lr
+      |  FROM range(4096) AS sp(bucket)
+      |  LEFT JOIN ctb ON ctb.bucket = sp.bucket
+      |  LEFT JOIN crb ON crb.bucket = sp.bucket
+      |  CROSS JOIN tot),
+      |w AS (SELECT gb.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |      CAST(sum(lr.lr) AS BIGINT) AS weight_micro
+      |      FROM gb JOIN lr ON lr.bucket = gb.bucket
+      |      WHERE gb.source <> 'src0' GROUP BY gb.doc_id)
+      |""".stripMargin + finalSelect
+
   /** Synthetic robots.txt bodies shared by `llm_robots_filter` and
     * `llm_crawl_pipeline`. Even hosts: a three-group file (the deny-all
     * `*` group the specific GraftBot group must BEAT, a MegaBot group
@@ -616,6 +662,33 @@ object LlmQueries {
         .select("domain", "rank", "doc_id", "canon_url", "n_chars",
           "content_hash")
         .orderBy("domain", "rank")
+    }),
+
+    // DSIR importance weights (r11) — Xie et al. 2023's targeted data
+    // selection: hashed unigram+bigram bucket distributions (FNV-1a →
+    // pmod 4096; power of two so the oracle's unsigned residue equals
+    // the engine's signed pmod), add-one smoothing, per-bucket
+    // log-ratios quantized to integer micro-nats, per-doc weight = the
+    // exact integer sum. Target = src0 docs, pool = the rest
+    "llm_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      Dsir.weigh(docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), "text", "doc_id", 4096)
+        .select("doc_id", "n_grams", "weight_micro")
+        .orderBy("doc_id")
+    }),
+
+    // DSIR selection (r11) — the argmax-k of the importance weights
+    // via the k-bounded map-side TopKByScore aggregate (no global
+    // sort), ties broken by doc_id: "the 25 pool docs most like the
+    // target corpus"
+    "llm_dsir_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      Dsir.selectTopK(
+        Dsir.weigh(docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), "text", "doc_id", 4096),
+        "doc_id", 25)
+        .orderBy("rank")
     }),
 
     // HTML→text extraction (r11) — the WET conversion step: each doc's
@@ -1758,6 +1831,21 @@ object LlmQueries {
         |       WHEN doc_id % 7 IN (0, 2, 4) THEN doc_id % 4 IN (2, 3)
         |       ELSE doc_id % 4 <> 0 END AS allowed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // DSIR mirror: same unigram+bigram stream (positional unnest zip),
+    // the standard recursive FNV-1a hex CTE per DISTINCT gram, bucket =
+    // unsigned h % 4096 (== the engine's signed pmod because 2^64 ≡ 0
+    // mod 2^12), add-one-smoothed micro-nat log-ratios over a dense
+    // range(4096) spine, exact integer per-doc sums
+    "llm_dsir_weights" -> dsirWeightsOracleSql(
+      "SELECT doc_id, n_grams, weight_micro FROM w ORDER BY doc_id"),
+    // selection mirror: the row_number window form of the k-bounded
+    // aggregate's (weight DESC, doc_id ASC) total order
+    "llm_dsir_select" -> dsirWeightsOracleSql(
+      """SELECT CAST(rn AS INT) AS rank, doc_id, weight_micro FROM (
+        |  SELECT doc_id, weight_micro,
+        |    row_number() OVER (ORDER BY weight_micro DESC, doc_id) AS rn
+        |  FROM w) WHERE rn <= 25 ORDER BY rank""".stripMargin),
 
     // crawl-pipeline mirror: every stage as a CLOSED FORM of the table
     // row — the extracted text is the html-extract closed form, the

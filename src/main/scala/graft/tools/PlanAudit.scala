@@ -27,7 +27,8 @@ object PlanAudit {
       "rolling_7d_minmax", "interval_join_agg",
       "tpch_q1_pricing", "llm_heavy_hitters", "llm_vocab_sketch",
       "funnel_signup_purchase", "w6_quantile_sketch",
-      "llm_lm_perplexity", "llm_shard_shuffle", "llm_robots_filter")
+      "llm_lm_perplexity", "llm_shard_shuffle", "llm_robots_filter",
+      "llm_dsir_weights")
 
     // allowed nested-loop joins: tiny driver-generated pair sets, plus
     // the classifier's ONE-ROW dense-model broadcast (a deliberate
@@ -40,7 +41,12 @@ object PlanAudit {
       // the recall GATE's ground truth is brute-force by design — the
       // one place all-pairs is the point (bounded: sampled query set
       // broadcast against the corpus; production paths are IVF/LSH)
-      "llm_ann_recall")
+      "llm_ann_recall",
+      // DSIR's crossJoin(broadcast(totals)) is a ONE-ROW scalar
+      // broadcast against the 4096-row bucket spine (the LM vocabSize
+      // shape); the corpus-sized gram stream goes through a
+      // BroadcastHashJoin, never the BNLJ
+      "llm_dsir_weights", "llm_dsir_select")
 
     // full sweep, building each query exactly ONCE (several query
     // builders are eager — persist/count/collect at plan-build time):
