@@ -213,11 +213,16 @@ object LlmQueries {
     * tie-break. */
   private val robotsEvenBody: String =
     "# synthetic robots: specific group must beat *\n" +
+      "Sitemap: https://cdn.example.org/sitemap.xml\n" +
       "User-agent: *\nDisallow: /\n\n" +
       "User-Agent: MegaBot\nDisallow: /\nDisallow:\n\n" +
       "User-Agent: GraftBot\n" +
       "Disallow: /private/\nDisallow: /*.pdf$\n" +
-      "Allow: /p/\nAllow: /dl/\nDisallow: /dl/\nCrawl-delay: 2\n"
+      "Allow: /p/\nAllow: /dl/\nDisallow: /dl/\nCrawl-delay: 2\n" +
+      // a duplicate + a lowercase-key second sitemap: directives must
+      // come back distinct, in first-occurrence file order
+      "Sitemap: https://cdn.example.org/sitemap.xml\n" +
+      "sitemap: https://cdn.example.org/sitemap2.xml\n"
   private val robotsOddBody: String =
     "User-agent: megabot\r\nDisallow: /\r\n\r\n" +
       "user-agent: *   # fallback group\r\n" +
@@ -582,6 +587,20 @@ object LlmQueries {
         .select("doc_id", "url", "allowed")
         .orderBy("doc_id")
     }),
+
+    // per-host fetch-scheduler directives (r11) — the OTHER half of
+    // robots.txt politeness: Crawl-delay (min across the agent's
+    // binding groups; the odd hosts' fallback group sets none → null)
+    // and the file-global Sitemap list (distinct, file order). Map-only
+    // over the host DIMENSION; the oracle computes both as closed
+    // forms of the host parity
+    "llm_robots_directives" -> ((s, dir) =>
+      graft.sources.Robots.hostDirectives(robotsDim(s, dir), "GraftBot")
+        .select(col("host"), col("crawl_delay"),
+          size(col("sitemaps")).as("n_sitemaps"),
+          when(size(col("sitemaps")) > 0, element_at(col("sitemaps"), 1))
+            .as("first_sitemap"))
+        .orderBy("host")),
 
     // end-to-end crawl curation (r11) — the whole funnel as ONE query,
     // every stage the REAL engine path: synthetic WARC blob → streaming
@@ -1846,6 +1865,20 @@ object LlmQueries {
         |  SELECT doc_id, weight_micro,
         |    row_number() OVER (ORDER BY weight_micro DESC, doc_id) AS rn
         |  FROM w) WHERE rn <= 25 ORDER BY rank""".stripMargin),
+
+    // robots-directives mirror: crawl-delay and sitemap counts as
+    // closed forms of the host parity (even bodies: GraftBot group's
+    // Crawl-delay 2 + two distinct file-global sitemaps; odd bodies:
+    // the * fallback group sets neither)
+    "llm_robots_directives" ->
+      """WITH h AS (SELECT DISTINCT doc_id % 7 AS hostnum FROM documents
+        |           WHERE doc_id % 7 <> 6)
+        |SELECT 'd' || CAST(hostnum AS VARCHAR) || '.example.org' AS host,
+        |  CASE WHEN hostnum % 2 = 0 THEN CAST(2.0 AS DOUBLE) END AS crawl_delay,
+        |  CAST(CASE WHEN hostnum % 2 = 0 THEN 2 ELSE 0 END AS INT) AS n_sitemaps,
+        |  CASE WHEN hostnum % 2 = 0
+        |       THEN 'https://cdn.example.org/sitemap.xml' END AS first_sitemap
+        |FROM h ORDER BY host""".stripMargin,
 
     // crawl-pipeline mirror: every stage as a CLOSED FORM of the table
     // row — the extracted text is the html-extract closed form, the

@@ -36,14 +36,33 @@ object Robots {
   /** One access rule of the selected group, in file order. */
   final case class Rule(allow: Boolean, pattern: String)
 
+  /** Everything a polite fetch scheduler needs from one robots.txt for
+    * one agent: the binding access rules, the binding groups'
+    * `Crawl-delay` (minimum across the agent's groups — the
+    * conservative read of the de-facto directive; None when no binding
+    * group sets one or the value doesn't parse), and the file-global
+    * `Sitemap:` URLs in file order (sitemaps bind no group per the
+    * sitemaps.org protocol). */
+  final case class Directives(
+      rules: Vector[Rule],
+      crawlDelay: Option[Double],
+      sitemaps: Vector[String])
+
   /** Parse a robots.txt body and select the rules binding `agent`
     * (RFC 9309 group selection; see object doc). Returns rules in
     * file order; empty when no group binds the agent. */
-  def rulesFor(content: String, agent: String): Vector[Rule] = {
+  def rulesFor(content: String, agent: String): Vector[Rule] =
+    directivesFor(content, agent).rules
+
+  /** Full directive parse for `agent`: rules + crawl-delay + sitemaps
+    * (see [[Directives]]). Group selection as in [[rulesFor]]. */
+  def directivesFor(content: String, agent: String): Directives = {
     final case class Group(
         agents: scala.collection.mutable.Set[String],
-        rules: scala.collection.mutable.ArrayBuffer[Rule])
+        rules: scala.collection.mutable.ArrayBuffer[Rule],
+        var crawlDelay: Option[Double])
     val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
+    val sitemaps = scala.collection.mutable.ArrayBuffer.empty[String]
     var inUaRun = false
     content.split("\n", -1).foreach { raw =>
       val noComment = {
@@ -61,7 +80,7 @@ object Robots {
             case "user-agent" =>
               if (!inUaRun || groups.isEmpty) {
                 groups += Group(scala.collection.mutable.Set.empty,
-                  scala.collection.mutable.ArrayBuffer.empty)
+                  scala.collection.mutable.ArrayBuffer.empty, None)
                 inUaRun = true
               }
               if (value.nonEmpty)
@@ -73,8 +92,15 @@ object Robots {
               // rules outside a group are ignored); empty value = no-op
               if (groups.nonEmpty && value.nonEmpty)
                 groups.last.rules += Rule(key == "allow", value)
+            case "crawl-delay" =>
+              inUaRun = false
+              if (groups.nonEmpty && groups.last.crawlDelay.isEmpty)
+                groups.last.crawlDelay = value.toDoubleOption
+            case "sitemap" =>
+              inUaRun = false
+              if (value.nonEmpty) sitemaps += value
             case _ =>
-              inUaRun = false // crawl-delay / sitemap / unknown
+              inUaRun = false // unknown directive: ends a UA run
           }
         }
       }
@@ -82,7 +108,11 @@ object Robots {
     val me = agent.toLowerCase(java.util.Locale.ROOT)
     val mine = groups.filter(_.agents.contains(me))
     val chosen = if (mine.nonEmpty) mine else groups.filter(_.agents("*"))
-    chosen.iterator.flatMap(_.rules).toVector
+    val delays = chosen.iterator.flatMap(_.crawlDelay).toVector
+    Directives(
+      chosen.iterator.flatMap(_.rules).toVector,
+      if (delays.isEmpty) None else Some(delays.min),
+      sitemaps.distinct.toVector)
   }
 
   /** Octet-wise prefix match of `pattern` against `path`, with `*` =
@@ -157,5 +187,26 @@ object Robots {
           .otherwise(graft.functions.RobotsAllowed(
             col("__robots_txt"), col("__url_path"), agent)))
       .drop("__url_host", "__url_path", "__robots_host", "__robots_txt")
+  }
+
+  /** Per-host fetch-scheduler directives: `(host, crawl_delay,
+    * sitemaps)` for `agent` — crawl_delay null when the binding groups
+    * set none ([[Directives]]). Map-only over the host DIMENSION (one
+    * row per host, never per URL) — this is the input to a polite
+    * fetch scheduler's per-host rate limits and to sitemap-seeded
+    * discovery. */
+  def hostDirectives(
+      robots: DataFrame,
+      agent: String,
+      hostCol: String = "host",
+      robotsCol: String = "robots_txt"): DataFrame = {
+    val dir = udf { (content: String) =>
+      val d = directivesFor(content, agent)
+      (d.crawlDelay, d.sitemaps)
+    }
+    robots.select(lower(col(hostCol)).as("host"),
+        dir(col(robotsCol)).as("__d"))
+      .select(col("host"), col("__d._1").as("crawl_delay"),
+        col("__d._2").as("sitemaps"))
   }
 }

@@ -143,6 +143,45 @@ class RobotsSpec extends SparkSpec {
     assert(nulls.select("v").collect().forall(_.isNullAt(0)))
   }
 
+  test("directivesFor: crawl-delay binds per group (min across the " +
+      "agent's groups), sitemaps are file-global and distinct") {
+    val body =
+      "Sitemap: https://s.org/a.xml\n" +
+        "User-agent: *\nCrawl-delay: 1\nDisallow: /\n\n" +
+        "User-agent: bot\nCrawl-delay: 10\nAllow: /\n\n" +
+        "User-agent: bot\nCrawl-delay: 3\n" +
+        "sitemap: https://s.org/b.xml\n" +
+        "Sitemap: https://s.org/a.xml\n" // duplicate: distinct'd
+    val d = Robots.directivesFor(body, "bot")
+    assert(d.crawlDelay.contains(3.0)) // min over bot groups {10, 3}, not *'s 1
+    assert(d.sitemaps == Vector("https://s.org/a.xml", "https://s.org/b.xml"))
+    // fallback group's delay applies to unbound agents
+    assert(Robots.directivesFor(body, "other").crawlDelay.contains(1.0))
+    // sitemaps visible regardless of binding group
+    assert(Robots.directivesFor(body, "other").sitemaps.size == 2)
+    // unparseable / absent delay → None; rulesFor still sees the rules
+    assert(Robots.directivesFor(
+      "User-agent: x\nCrawl-delay: soon\nDisallow: /q\n", "x")
+      .crawlDelay.isEmpty)
+    assert(Robots.rulesFor(
+      "User-agent: x\nCrawl-delay: soon\nDisallow: /q\n", "x") ==
+      Vector(Rule(false, "/q")))
+  }
+
+  test("hostDirectives: per-host scheduler frame, null delay when unset") {
+    import spark.implicits._
+    val robots = Seq(
+      ("A.org", "User-agent: *\nCrawl-delay: 2.5\n" +
+        "Sitemap: https://a.org/s.xml\nDisallow: /x\n"),
+      ("b.org", "User-agent: *\nDisallow: /\n")
+    ).toDF("host", "robots_txt")
+    val got = Robots.hostDirectives(robots, "GraftBot")
+      .as[(String, Option[Double], Seq[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("a.org") == (Some(2.5), Seq("https://a.org/s.xml")))
+    assert(got("b.org") == (None, Seq.empty))
+  }
+
   test("RobotsAllowed: wildcard agent token rejected at construction") {
     intercept[IllegalArgumentException] {
       graft.functions.RobotsAllowed(lit("x"), lit("/p"), "*")
