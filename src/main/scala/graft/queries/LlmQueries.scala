@@ -228,9 +228,50 @@ object LlmQueries {
       "user-agent: *   # fallback group\r\n" +
       "disallow: /p\r\nallow: /p/\r\n"
 
+  /** Robots-filter mirror, shared by llm_robots_filter and its
+    * streaming twin (stream_robots_filter — the same map-only verdict
+    * over a file stream): the verdict is a CLOSED FORM of the doc_id
+    * moduli — the oracle never parses robots.txt; only the engine
+    * does. Derivation (agent=GraftBot): even hosts bind the GraftBot
+    * group {Disallow /private/, Disallow *.pdf$-wildcard, Allow /p/,
+    * Allow /dl/, Disallow /dl/} — the /private/ paths lose to nothing
+    * (deny), *.pdf is denied by the len-7 wildcard beating the len-3
+    * Allow, the /p/ pages are allowed, the /dl/ pages hit an
+    * equal-length Allow/Disallow tie and Allow wins; odd hosts have no
+    * GraftBot group and fall back to the star group {disallow /p,
+    * allow /p/} — the /private/ paths match only /p (deny), the /p/
+    * pages hit the longer Allow, the /dl/ pages match nothing (default
+    * allow); host d6 has no robots row = allowed by fetch convention. */
+  private[queries] val robotsFilterOracleSql: String =
+    """SELECT doc_id,
+      |  'https://d' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' ||
+      |  CASE WHEN doc_id % 4 = 0 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+      |       WHEN doc_id % 4 = 1 THEN '/p/' || CAST(doc_id AS VARCHAR) || '.pdf'
+      |       WHEN doc_id % 4 = 2 THEN '/p/' || CAST(doc_id AS VARCHAR)
+      |       ELSE '/dl/' || CAST(doc_id AS VARCHAR) END AS url,
+      |  CASE WHEN doc_id % 7 = 6 THEN TRUE
+      |       WHEN doc_id % 7 IN (0, 2, 4) THEN doc_id % 4 IN (2, 3)
+      |       ELSE doc_id % 4 <> 0 END AS allowed
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Synthetic URL column for the robots queries: host from doc_id%7,
+    * path class from doc_id%4 (shared by the batch filter and the
+    * streaming twin so both gate against [[robotsFilterOracleSql]]). */
+  private[queries] def robotsUrlCol: org.apache.spark.sql.Column = {
+    val h = pmod(col("doc_id"), lit(7))
+    val p4 = pmod(col("doc_id"), lit(4))
+    val path = when(p4 === 0,
+        concat(lit("/private/x"), col("doc_id").cast("string")))
+      .when(p4 === 1,
+        concat(lit("/p/"), col("doc_id").cast("string"), lit(".pdf")))
+      .when(p4 === 2, concat(lit("/p/"), col("doc_id").cast("string")))
+      .otherwise(concat(lit("/dl/"), col("doc_id").cast("string")))
+    concat(lit("https://d"), h.cast("string"), lit(".example.org"), path)
+  }
+
   /** Per-host robots dimension for hosts d0..d5 (d6 deliberately has
     * NO row — fetch convention: absent robots = allowed). */
-  private def robotsDim(s: org.apache.spark.sql.SparkSession, dir: String) =
+  private[queries] def robotsDim(s: org.apache.spark.sql.SparkSession, dir: String) =
     t(s, dir, "documents")
       .select(pmod(col("doc_id"), lit(7)).as("hostnum")).distinct()
       .filter(col("hostnum") =!= 6)
@@ -571,17 +612,8 @@ object LlmQueries {
     // dim); the oracle computes the verdict as a CLOSED FORM of the
     // doc_id moduli — it never parses robots.txt
     "llm_robots_filter" -> ((s, dir) => {
-      val h = pmod(col("doc_id"), lit(7))
-      val p4 = pmod(col("doc_id"), lit(4))
-      val path = when(p4 === 0,
-          concat(lit("/private/x"), col("doc_id").cast("string")))
-        .when(p4 === 1,
-          concat(lit("/p/"), col("doc_id").cast("string"), lit(".pdf")))
-        .when(p4 === 2, concat(lit("/p/"), col("doc_id").cast("string")))
-        .otherwise(concat(lit("/dl/"), col("doc_id").cast("string")))
-      val urls = t(s, dir, "documents").select(col("doc_id"),
-        concat(lit("https://d"), h.cast("string"), lit(".example.org"),
-          path).as("url"))
+      val urls = t(s, dir, "documents")
+        .select(col("doc_id"), robotsUrlCol.as("url"))
       graft.sources.Robots.politenessFilter(urls, robotsDim(s, dir),
           "GraftBot")
         .select("doc_id", "url", "allowed")
@@ -1828,28 +1860,9 @@ object LlmQueries {
         |  AND NOT EXISTS (SELECT 1 FROM seen WHERE seen.url = u.url)
         |ORDER BY doc_id""".stripMargin,
 
-    // robots-filter mirror: the verdict is a CLOSED FORM of the doc_id
-    // moduli — the oracle never parses robots.txt; only the engine
-    // does. Derivation (agent=GraftBot): even hosts bind the GraftBot
-    // group {Disallow /private/, Disallow /*.pdf$, Allow /p/,
-    // Allow /dl/, Disallow /dl/} — /private/* loses to nothing (deny),
-    // *.pdf is denied by the len-7 wildcard beating the len-3 Allow,
-    // /p/* is allowed, /dl/* is an equal-length Allow/Disallow tie and
-    // Allow wins; odd hosts have no GraftBot group and fall back to *
-    // = {disallow /p, allow /p/} — /private/* matches only /p (deny),
-    // /p/* hits the longer Allow, /dl/* matches nothing (default
-    // allow); host d6 has no robots row = allowed by fetch convention
-    "llm_robots_filter" ->
-      """SELECT doc_id,
-        |  'https://d' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' ||
-        |  CASE WHEN doc_id % 4 = 0 THEN '/private/x' || CAST(doc_id AS VARCHAR)
-        |       WHEN doc_id % 4 = 1 THEN '/p/' || CAST(doc_id AS VARCHAR) || '.pdf'
-        |       WHEN doc_id % 4 = 2 THEN '/p/' || CAST(doc_id AS VARCHAR)
-        |       ELSE '/dl/' || CAST(doc_id AS VARCHAR) END AS url,
-        |  CASE WHEN doc_id % 7 = 6 THEN TRUE
-        |       WHEN doc_id % 7 IN (0, 2, 4) THEN doc_id % 4 IN (2, 3)
-        |       ELSE doc_id % 4 <> 0 END AS allowed
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    // robots-filter mirror (shared with the streaming twin; see
+    // robotsFilterOracleSql)
+    "llm_robots_filter" -> robotsFilterOracleSql,
 
     // DSIR mirror: same unigram+bigram stream (positional unnest zip),
     // the standard recursive FNV-1a hex CTE per DISTINCT gram, bucket =

@@ -314,6 +314,26 @@ object StreamingQueries {
         .orderBy("lang")
     }),
 
+    // streaming robots politeness (r11): the crawl-frontier shape — an
+    // unbounded URL stream verdict-stamped map-only against the STATIC
+    // per-host robots dimension (stream-static broadcast left join +
+    // the codegen'd RobotsAllowed kernel; no stream shuffle, state-free
+    // append mode). Bounded replay = one batch = the batch filter, so
+    // the llm_robots_filter oracle gates it
+    "stream_robots_filter" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val urls = s.readStream.schema(schema)
+        .parquet(s"$dir/documents.parque[t]")
+        .select(col("doc_id"), LlmQueries.robotsUrlCol.as("url"))
+      val filtered = graft.sources.Robots.politenessFilter(
+        urls, LlmQueries.robotsDim(s, dir), "GraftBot")
+      runToMemory(s, "stream_robots", name =>
+        filtered.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()))
+        .select("doc_id", "url", "allowed")
+        .orderBy("doc_id")
+    }),
+
     // streaming LM scoring (r10): the perplexity filter as a stream —
     // model trained STATICALLY first (the reference-model deployment
     // shape), the doc stream explodes to bigrams and stream-static
@@ -392,6 +412,9 @@ object StreamingQueries {
     // single-batch bounded replay ≡ the batch LM scorer — the shared
     // perplexity mirror (one semantics, three execution shapes)
     "stream_lm_score" -> LlmQueries.lmPerplexityOracleSql,
+    // stream-static broadcast verdict ≡ the batch politeness filter —
+    // the shared closed-form mirror
+    "stream_robots_filter" -> LlmQueries.robotsFilterOracleSql,
     // streaming reservoir == the batch sequential-Poisson selection:
     // the llm_weighted_sample FNV/priority CTEs, ids only
     "stream_weighted_sample" ->

@@ -95,6 +95,14 @@ object ScaleStress {
         force(graft.llm.Classify.scoreHashedLinear(
           d, "text", "doc_id", w, 1024, -50L))
       }
+      // DSIR: two nBuckets-bounded distribution aggs + broadcast-join
+      // scoring; replication multiplies the gram stream linearly but
+      // the exchange stays 4096-bounded — expect ~linear in tokens
+      time(s"dsir weights x$mult") {
+        val target = d.filter(col("source") === "src0")
+        val pool = d.filter(col("source") =!= "src0")
+        force(graft.llm.Dsir.weigh(pool, target, "text", "doc_id", 4096))
+      }
       // heavy hitters: the sketch pass dominates (tokenize-in-aggregate,
       // no explode); replication multiplies token volume but NOT distinct
       // terms, so the candidate set and recount width stay constant —
