@@ -634,6 +634,42 @@ object LlmQueries {
             .as("first_sitemap"))
         .orderBy("host")),
 
+    // CDX index selection (r11) — the step BEFORE WARC fetch at 100 TB:
+    // synthesize the crawl's CDXJ index lines as a closed form of
+    // doc_id (SURT key via the REAL transform, 14-digit ts, JSON field
+    // block), parse them back with the real parser (regexp split +
+    // native from_json — no UDF), and emit the range-fetch plan
+    // (status 200 ∧ text/html, ordered per archive file by offset so a
+    // fetcher reads forward). The oracle re-derives every field —
+    // including the SURT — from the moduli; it never parses JSON
+    "llm_cdx_select" -> ((s, dir) => {
+      val id = col("doc_id")
+      val url = concat(lit("https://"),
+        when(pmod(id, lit(5)) === 0, lit("WWW.")).otherwise(lit("")),
+        lit("d"), pmod(id, lit(7)).cast("string"),
+        lit(".Example.org/p/"), id.cast("string"),
+        when(pmod(id, lit(3)) === 0,
+          concat(lit("?id="), id.cast("string"))).otherwise(lit("")))
+      val status = when(pmod(id, lit(11)) === 0, lit("404"))
+        .when(pmod(id, lit(13)) === 0, lit("301")).otherwise(lit("200"))
+      val mime = when(pmod(id, lit(3)).isin(0, 2), lit("text/html"))
+        .otherwise(lit("application/pdf"))
+      val json = concat(lit("{\"url\": \""), url,
+        lit("\", \"mime\": \""), mime,
+        lit("\", \"status\": \""), status,
+        lit("\", \"digest\": \"sha1:"), id.cast("string"),
+        lit("\", \"length\": \""), (lit(100) + pmod(id, lit(900))).cast("string"),
+        lit("\", \"offset\": \""), (id * 1234).cast("string"),
+        lit("\", \"filename\": \"crawl-000"), pmod(id, lit(4)).cast("string"),
+        lit(".warc.gz\"}"))
+      val lines = t(s, dir, "documents").select(
+        concat(graft.sources.Cdx.surtKey(url), lit(" "),
+          (lit(20260101000000L) + id).cast("string"), lit(" "), json)
+          .as("line"))
+      graft.sources.Cdx.fetchPlan(
+        graft.sources.Cdx.parseCdxLines(lines, "line").drop("line"))
+    }),
+
     // end-to-end crawl curation (r11) — the whole funnel as ONE query,
     // every stage the REAL engine path: synthetic WARC blob → streaming
     // parser round trip → HtmlToText extraction (title/h1/body/footer
@@ -1892,6 +1928,29 @@ object LlmQueries {
         |  CASE WHEN hostnum % 2 = 0
         |       THEN 'https://cdn.example.org/sitemap.xml' END AS first_sitemap
         |FROM h ORDER BY host""".stripMargin,
+
+    // CDX-select mirror: every field — including the SURT (www dropped,
+    // host lowercased + label-reversed, query kept) — as a closed form
+    // of the doc_id moduli; the status/mime slice mirrors fetchPlan's
+    // defaults. The oracle never parses JSON; only the engine does
+    "llm_cdx_select" ->
+      """WITH c AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 IN (0, 2) THEN 'text/html'
+        |       ELSE 'application/pdf' END AS mime,
+        |  CASE WHEN doc_id % 11 = 0 THEN 404
+        |       WHEN doc_id % 13 = 0 THEN 301 ELSE 200 END AS status
+        |  FROM documents)
+        |SELECT 'crawl-000' || CAST(doc_id % 4 AS VARCHAR) || '.warc.gz' AS filename,
+        |  CAST(doc_id * 1234 AS BIGINT) AS "offset",
+        |  CAST(100 + doc_id % 900 AS BIGINT) AS length,
+        |  'org,example,d' || CAST(doc_id % 7 AS VARCHAR) || ')/p/'
+        |    || CAST(doc_id AS VARCHAR)
+        |    || CASE WHEN doc_id % 3 = 0
+        |            THEN '?id=' || CAST(doc_id AS VARCHAR) ELSE '' END AS surt,
+        |  CAST(20260101000000 + doc_id AS BIGINT) AS ts,
+        |  'sha1:' || CAST(doc_id AS VARCHAR) AS digest
+        |FROM c WHERE status = 200 AND mime = 'text/html'
+        |ORDER BY filename, "offset"""".stripMargin,
 
     // crawl-pipeline mirror: every stage as a CLOSED FORM of the table
     // row — the extracted text is the html-extract closed form, the
