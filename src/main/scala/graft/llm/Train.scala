@@ -189,6 +189,37 @@ object Train {
         .cast(DecimalType(38, 0))
   }
 
+  /** Exact AUC (Mann-Whitney with tie-averaged ranks) of a score
+    * column against a binary label — the classifier-eval closer of the
+    * train→score loop. All arithmetic is integer until ONE final
+    * division: group by DISTINCT score value (ties collapse), a window
+    * cumsum of negatives below each score, then
+    * 2·U = Σ_s p_s·(2·negBelow(s) + n_s) and AUC = 2U / (2·P·N) —
+    * so the result is bit-deterministic and oracle-comparable (the
+    * division is one IEEE op over exact integers, rounded to 6).
+    *
+    * Scale note: the window orders the DISTINCT-score table, not the
+    * row stream — an eval metric runs over an eval set (or a grouped
+    * score distribution), which is aggregate-sized by construction;
+    * the per-row work is one map-side-combined groupBy. Returns one
+    * row: (n_pos, n_neg, auc). */
+  def aucExact(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val g = df.select(label.cast("long").as("__y"), score.as("__s"))
+      .groupBy("__s").agg(
+        sum(col("__y")).as("__p"),
+        sum(lit(1L) - col("__y")).as("__n"))
+    val below = org.apache.spark.sql.expressions.Window.orderBy("__s")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    g.withColumn("__cumn", coalesce(sum("__n").over(below), lit(0L)))
+      .agg(
+        sum("__p").as("n_pos"),
+        sum("__n").as("n_neg"),
+        sum(col("__p") * (col("__cumn") * 2 + col("__n"))).as("__u2"))
+      .select(col("n_pos"), col("n_neg"),
+        round(col("__u2").cast("double") /
+          (col("n_pos") * col("n_neg") * 2).cast("double"), 6).as("auc"))
+  }
+
   /** Exact determinant by Laplace expansion over the first row —
     * factorial, fine for the d ≤ 8 this module admits. */
   private def det(m: Array[Array[BigInt]]): BigInt = {

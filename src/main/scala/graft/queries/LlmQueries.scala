@@ -204,6 +204,44 @@ object LlmQueries {
       |      WHERE gb.source <> 'src0' GROUP BY gb.doc_id)
       |""".stripMargin + finalSelect
 
+  /** Ridge-classifier oracle CTE chain, shared by llm_ridge_score and
+    * llm_ridge_auc: features f(doc_id, y, x1, x2), the %5==0 labeled
+    * slice, exact HUGEINT moments with the ridge diagonal, and the
+    * Cramer determinant/numerators d(den, n0, n1, n2) — the SQL twin
+    * of [[graft.llm.Train.ridgeFitExact]] (cofactor algebra verified
+    * numerically in r10/r11 — the r10 n2 bug lived here).
+    * `trainMod` picks the labeled slice (doc_id % trainMod == 0):
+    * llm_ridge_score uses 5; llm_ridge_auc uses 7, because the table's
+    * source column cycles with doc_id % 20 — a %5 split would leave
+    * the held-out slice with ZERO positives (every src0 id is ≡0
+    * mod 20), making AUC undefined. */
+  private def ridgeOracleCtes(trainMod: Int): String = {
+    val stops = graft.llm.TextAnalysis.stopwordUnion
+      .map(w => s"'$w'").mkString(", ")
+    s"""f AS (SELECT doc_id,
+      |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y,
+      |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS HUGEINT) AS x1,
+      |    CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+      |        w -> list_contains([$stops], w))) AS HUGEINT) AS x2
+      |  FROM documents),
+      |lab AS (SELECT * FROM f WHERE doc_id % $trainMod = 0),
+      |m AS (SELECT
+      |    CAST(count(*) AS HUGEINT) AS s00,
+      |    CAST(sum(x1) AS HUGEINT) AS s01, CAST(sum(x2) AS HUGEINT) AS s02,
+      |    CAST(sum(x1*x1) AS HUGEINT) + 1000 AS s11,
+      |    CAST(sum(x1*x2) AS HUGEINT) AS s12,
+      |    CAST(sum(x2*x2) AS HUGEINT) + 1000 AS s22,
+      |    CAST(sum(y) AS HUGEINT) AS b0, CAST(sum(x1*y) AS HUGEINT) AS b1,
+      |    CAST(sum(x2*y) AS HUGEINT) AS b2
+      |  FROM lab),
+      |d AS (SELECT
+      |    s00*(s11*s22 - s12*s12) - s01*(s01*s22 - s12*s02) + s02*(s01*s12 - s11*s02) AS den,
+      |    b0*(s11*s22 - s12*s12) - s01*(b1*s22 - s12*b2) + s02*(b1*s12 - s11*b2) AS n0,
+      |    s00*(b1*s22 - s12*b2) - b0*(s01*s22 - s12*s02) + s02*(s01*b2 - b1*s02) AS n1,
+      |    s00*(s11*b2 - s12*b1) - s01*(s01*b2 - s02*b1) + b0*(s01*s12 - s11*s02) AS n2
+      |  FROM m)""".stripMargin
+  }
+
   /** Synthetic robots.txt bodies shared by `llm_robots_filter` and
     * `llm_crawl_pipeline`. Even hosts: a three-group file (the deny-all
     * `*` group the specific GraftBot group must BEAT, a MegaBot group
@@ -1030,6 +1068,30 @@ object LlmQueries {
             .as("score_den"),
           Train.ridgeKeep(fit, Seq(x1, x2), 1L, 2L).as("kept"))
         .orderBy("doc_id")
+    }),
+
+    // classifier AUC (r11) — the eval closer of the train→score loop:
+    // the same exact-rational ridge fit, but on a %7 train split
+    // (source cycles with doc_id % 20, so a %5 split would strand
+    // every positive in train), scored on the HELD-OUT slice,
+    // Mann-Whitney AUC with tie-averaged ranks computed integer-exact
+    // (distinct-score grouping + one window cumsum; a single final
+    // IEEE division)
+    "llm_ridge_auc" -> ((s, dir) => {
+      val stopList = array(TextAnalysis.stopwordUnion.map(lit): _*)
+      val x1 = size(TextAnalysis.tokens(col("text")))
+      val x2 = size(filter(TextAnalysis.tokens(lower(col("text"))),
+        w => array_contains(stopList, w)))
+      val docs = t(s, dir, "documents")
+      val fit = Train.ridgeFitExact(
+        docs.filter(pmod(col("doc_id"), lit(7)) === 0),
+        Seq("x1_tokens" -> x1, "x2_stopwords" -> x2),
+        (col("source") === "src0").cast("long"),
+        lambda = 1000L)
+      Train.aucExact(
+        docs.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+        Train.scoreRidgeExactNum(fit, Seq(x1, x2)),
+        (col("source") === "src0").cast("long"))
     }),
 
     // corpus-familiarity quality score: per-doc average corpus
@@ -2248,38 +2310,33 @@ object LlmQueries {
     // doc_id % 5 == 0 labeled slice, the same Cramer numerators, then
     // per-doc exact integer score_num = n0 + n1·x1 + n2·x2 and the
     // integer keep rule 2·score_num ≥ den
-    "llm_ridge_score" -> {
-      val stops = graft.llm.TextAnalysis.stopwordUnion
-        .map(w => s"'$w'").mkString(", ")
-      s"""WITH f AS (SELECT doc_id,
-        |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y,
-        |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS HUGEINT) AS x1,
-        |    CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
-        |        w -> list_contains([$stops], w))) AS HUGEINT) AS x2
-        |  FROM documents),
-        |lab AS (SELECT * FROM f WHERE doc_id % 5 = 0),
-        |m AS (SELECT
-        |    CAST(count(*) AS HUGEINT) AS s00,
-        |    CAST(sum(x1) AS HUGEINT) AS s01, CAST(sum(x2) AS HUGEINT) AS s02,
-        |    CAST(sum(x1*x1) AS HUGEINT) + 1000 AS s11,
-        |    CAST(sum(x1*x2) AS HUGEINT) AS s12,
-        |    CAST(sum(x2*x2) AS HUGEINT) + 1000 AS s22,
-        |    CAST(sum(y) AS HUGEINT) AS b0, CAST(sum(x1*y) AS HUGEINT) AS b1,
-        |    CAST(sum(x2*y) AS HUGEINT) AS b2
-        |  FROM lab),
-        |d AS (SELECT
-        |    s00*(s11*s22 - s12*s12) - s01*(s01*s22 - s12*s02) + s02*(s01*s12 - s11*s02) AS den,
-        |    b0*(s11*s22 - s12*s12) - s01*(b1*s22 - s12*b2) + s02*(b1*s12 - s11*b2) AS n0,
-        |    s00*(b1*s22 - s12*b2) - b0*(s01*s22 - s12*s02) + s02*(s01*b2 - b1*s02) AS n1,
-        |    s00*(s11*b2 - s12*b1) - s01*(s01*b2 - s02*b1) + b0*(s01*s12 - s11*s02) AS n2
-        |  FROM m)
+    "llm_ridge_score" ->
+      s"""WITH ${ridgeOracleCtes(5)}
         |SELECT doc_id,
         |  CAST(n0 + n1*x1 + n2*x2 AS DECIMAL(38,0)) AS score_num,
         |  CAST(den AS DECIMAL(38,0)) AS score_den,
         |  (2*(n0 + n1*x1 + n2*x2) >= den) AS kept
         |FROM f CROSS JOIN d
-        |ORDER BY doc_id""".stripMargin
-    },
+        |ORDER BY doc_id""".stripMargin,
+    // AUC mirror: same trained weights (shared CTEs), scores on the
+    // HELD-OUT slice grouped by distinct value, negatives-below via a
+    // window cumsum, 2U = Σ p·(2·negBelow + n) — integer-exact until
+    // the one final division
+    "llm_ridge_auc" ->
+      s"""WITH ${ridgeOracleCtes(7)},
+        |ev AS (SELECT y, n0 + n1*x1 + n2*x2 AS s
+        |       FROM f CROSS JOIN d WHERE doc_id % 7 <> 0),
+        |g AS (SELECT s, CAST(sum(y) AS BIGINT) AS p,
+        |             CAST(sum(1 - y) AS BIGINT) AS n FROM ev GROUP BY s),
+        |c AS (SELECT p, n, COALESCE(CAST(sum(n) OVER (ORDER BY s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |        AS BIGINT), 0) AS cumn FROM g),
+        |a AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+        |             CAST(sum(n) AS BIGINT) AS n_neg,
+        |             CAST(sum(p*(2*cumn + n)) AS BIGINT) AS u2 FROM c)
+        |SELECT n_pos, n_neg,
+        |  round(CAST(u2 AS DOUBLE) / CAST(2*n_pos*n_neg AS DOUBLE), 6) AS auc
+        |FROM a""".stripMargin,
     "llm_familiarity" ->
       """WITH tok0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l FROM documents),
         |tokx AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i FROM tok0),

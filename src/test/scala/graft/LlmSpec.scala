@@ -2078,6 +2078,32 @@ class LlmSpec extends SparkSpec {
     assert(out.exists(_.getBoolean(4)) && out.exists(!_.getBoolean(4)))
   }
 
+  test("aucExact: hand-computed values incl. tie averaging, " +
+      "partition invariance, degenerate extremes") {
+    // scores: pos {3, 2, 2}, neg {2, 1, 0} — ties at 2 across classes.
+    // Pair count 3·3 = 9; concordant pairs: 3>{2,1,0}=3, each 2>{1,0}=2
+    // → 7; tied pairs: each 2 vs neg-2 → 2 halves = 1. AUC = 8/9.
+    val rows = Seq((1L, 3L, 1L), (2L, 2L, 1L), (3L, 2L, 1L),
+      (4L, 2L, 0L), (5L, 1L, 0L), (6L, 0L, 0L))
+    val df = rows.toDF("id", "s", "y")
+    def auc(d: org.apache.spark.sql.DataFrame): (Long, Long, Double) = {
+      val r = Train.aucExact(d, col("s"), col("y")).head()
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    }
+    assert(auc(df) == ((3L, 3L, math.rint(8.0 / 9.0 * 1e6) / 1e6)))
+    assert(auc(df.repartition(5)) == auc(df)) // partition-invariant
+    // perfect separation and perfect inversion
+    val perfect = Seq((1L, 9L, 1L), (2L, 8L, 1L), (3L, 1L, 0L))
+      .toDF("id", "s", "y")
+    assert(auc(perfect)._3 == 1.0)
+    val inverted = Seq((1L, 1L, 1L), (2L, 9L, 0L)).toDF("id", "s", "y")
+    assert(auc(inverted)._3 == 0.0)
+    // all-tied scores = chance
+    val flat = Seq((1L, 5L, 1L), (2L, 5L, 0L), (3L, 5L, 1L), (4L, 5L, 0L))
+      .toDF("id", "s", "y")
+    assert(auc(flat)._3 == 0.5)
+  }
+
   test("scoreRidge: map-only inference reproduces w·x") {
     val df = Seq((2L, 3L, 10L), (5L, 1L, 14L), (8L, 0L, 19L),
       (1L, 7L, 4L)).toDF("x1", "x2", "y")
