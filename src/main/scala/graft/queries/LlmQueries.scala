@@ -167,7 +167,7 @@ object LlmQueries {
     * since 2⁶⁴ ≡ 0 mod 2¹²), dense range(4096) spine, add-one-smoothed
     * micro-nat log-ratios with the engine's exact IEEE op order, exact
     * integer per-doc sums. */
-  private def dsirWeightsOracleSql(finalSelect: String): String =
+  private[queries] def dsirWeightsOracleSql(finalSelect: String): String =
     """WITH RECURSIVE
       |d AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS toks
       |      FROM documents WHERE text IS NOT NULL),
@@ -706,6 +706,25 @@ object LlmQueries {
           .as("line"))
       graft.sources.Cdx.fetchPlan(
         graft.sources.Cdx.parseCdxLines(lines, "line").drop("line"))
+    }),
+
+    // polite fetch schedule (r11) — the operator a crawler's fetcher
+    // actually consumes: robots-allowed URLs get per-host serial slots
+    // (URL order) and integer-ms offsets honoring each host's
+    // crawl-delay (2 s on even hosts, the 1 s default on odd hosts —
+    // robots present but delay unset — and on the robots-less d6). One
+    // shuffle by host; directives broadcast
+    "llm_fetch_schedule" -> ((s, dir) => {
+      val urls = t(s, dir, "documents")
+        .select(col("doc_id"), robotsUrlCol.as("url"))
+      val allowed = graft.sources.Robots.politenessFilter(
+          urls, robotsDim(s, dir), "GraftBot")
+        .filter(col("allowed")).drop("allowed")
+      graft.sources.Robots.fetchSchedule(allowed,
+          graft.sources.Robots.hostDirectives(robotsDim(s, dir),
+            "GraftBot"))
+        .select("host", "slot", "doc_id", "url", "fetch_offset_ms")
+        .orderBy("host", "slot")
     }),
 
     // end-to-end crawl curation (r11) — the whole funnel as ONE query,
@@ -1976,6 +1995,32 @@ object LlmQueries {
         |  SELECT doc_id, weight_micro,
         |    row_number() OVER (ORDER BY weight_micro DESC, doc_id) AS rn
         |  FROM w) WHERE rn <= 25 ORDER BY rank""".stripMargin),
+
+    // fetch-schedule mirror: the allowed set is the robots closed form,
+    // slots are a row_number window per host over URL string order,
+    // delay_ms is the host-parity closed form (even 2000; odd unset →
+    // default 1000; robots-less d6 → default 1000), offsets exact
+    // integer products
+    "llm_fetch_schedule" ->
+      """WITH u AS (SELECT doc_id, doc_id % 7 AS h,
+        |  'https://d' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' ||
+        |  CASE WHEN doc_id % 4 = 0 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+        |       WHEN doc_id % 4 = 1 THEN '/p/' || CAST(doc_id AS VARCHAR) || '.pdf'
+        |       WHEN doc_id % 4 = 2 THEN '/p/' || CAST(doc_id AS VARCHAR)
+        |       ELSE '/dl/' || CAST(doc_id AS VARCHAR) END AS url
+        |  FROM documents),
+        |a AS (SELECT * FROM u WHERE
+        |  CASE WHEN h = 6 THEN TRUE
+        |       WHEN h IN (0, 2, 4) THEN doc_id % 4 IN (2, 3)
+        |       ELSE doc_id % 4 <> 0 END),
+        |r AS (SELECT doc_id, url,
+        |  'd' || CAST(h AS VARCHAR) || '.example.org' AS host,
+        |  row_number() OVER (PARTITION BY h ORDER BY url) AS slot,
+        |  CASE WHEN h IN (0, 2, 4) THEN 2000 ELSE 1000 END AS delay_ms
+        |  FROM a)
+        |SELECT host, CAST(slot AS INT) AS slot, doc_id, url,
+        |  CAST((slot - 1) * delay_ms AS BIGINT) AS fetch_offset_ms
+        |FROM r ORDER BY host, slot""".stripMargin,
 
     // robots-directives mirror: crawl-delay and sitemap counts as
     // closed forms of the host parity (even bodies: GraftBot group's

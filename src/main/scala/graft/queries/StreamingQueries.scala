@@ -334,6 +334,34 @@ object StreamingQueries {
         .orderBy("doc_id")
     }),
 
+    // streaming DSIR scoring (r11): the importance-weight filter as a
+    // stream — the log-ratio table is trained STATICALLY (two bounded
+    // distribution aggs; the deployment shape: retrain daily, score
+    // the firehose), the doc stream explodes to grams and
+    // stream-static BROADCAST joins against the 4096-row table (no
+    // stream shuffle by bucket — Zipf-hot buckets cost nothing),
+    // per-doc update-mode integer sum. Bounded replay = one batch =
+    // the batch weigher, so the llm_dsir_weights oracle gates it
+    "stream_dsir_score" -> ((s, dir) => {
+      val docsStatic = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("text").isNotNull)
+      val lr = graft.llm.Dsir.logRatios(
+        docsStatic.filter(col("source") === "src0"),
+        docsStatic.filter(col("source") =!= "src0"),
+        "text", "doc_id", 4096)
+      val docs = s.readStream.schema(docsStatic.schema)
+        .parquet(s"$dir/documents.parque[t]")
+        .filter(col("text").isNotNull)
+        .filter(col("source") =!= "src0")
+      val weights = graft.llm.Dsir.importanceWeights(
+        docs, lr, "text", "doc_id", 4096)
+      runToMemory(s, "stream_dsir", name =>
+        weights.writeStream.format("memory").queryName(name)
+          .outputMode("update").trigger(Trigger.AvailableNow()))
+        .select("doc_id", "n_grams", "weight_micro")
+        .orderBy("doc_id")
+    }),
+
     // streaming LM scoring (r10): the perplexity filter as a stream —
     // model trained STATICALLY first (the reference-model deployment
     // shape), the doc stream explodes to bigrams and stream-static
@@ -415,6 +443,10 @@ object StreamingQueries {
     // stream-static broadcast verdict ≡ the batch politeness filter —
     // the shared closed-form mirror
     "stream_robots_filter" -> LlmQueries.robotsFilterOracleSql,
+    // single-batch bounded replay ≡ the batch DSIR weigher — the
+    // shared gram/FNV/log-ratio mirror
+    "stream_dsir_score" -> LlmQueries.dsirWeightsOracleSql(
+      "SELECT doc_id, n_grams, weight_micro FROM w ORDER BY doc_id"),
     // streaming reservoir == the batch sequential-Poisson selection:
     // the llm_weighted_sample FNV/priority CTEs, ids only
     "stream_weighted_sample" ->

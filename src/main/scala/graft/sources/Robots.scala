@@ -209,4 +209,41 @@ object Robots {
       .select(col("host"), col("__d._1").as("crawl_delay"),
         col("__d._2").as("sitemaps"))
   }
+
+  /** Polite fetch schedule: assign every URL a per-host serial slot
+    * and a fetch-time offset honoring the host's crawl delay —
+    * `(input columns, host, slot, fetch_offset_ms)` where slot is the
+    * URL's 1-based position in its host's deterministic fetch order
+    * (URL string order) and offset = (slot−1) · delay_ms, with
+    * `defaultDelayMs` for hosts whose robots sets no delay (or that
+    * have no directives row). Delay is resolved to integer
+    * milliseconds ONCE per host, so offsets are exact integer
+    * products.
+    *
+    * Scale shape: one shuffle by host (the window partition key —
+    * per-host state never crosses hosts), directives broadcast. A
+    * Zipf-hot host concentrates its URLs in one partition by
+    * NECESSITY — its schedule is a serial chain by definition; cap
+    * per-host URL counts upstream ([[graft.functions.TopKByScore]] —
+    * the llm_domain_cap pattern) if a single host's list outgrows a
+    * partition. */
+  def fetchSchedule(
+      urls: DataFrame,
+      directives: DataFrame,
+      urlCol: String = "url",
+      defaultDelayMs: Long = 1000L): DataFrame = {
+    val host = lower(regexp_extract(col(urlCol),
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val dim = broadcast(directives.select(col("host"),
+      round(col("crawl_delay") * 1000).cast("long").as("__delay_ms")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy(urlCol)
+    urls.withColumn("host", host)
+      .join(dim, Seq("host"), "left")
+      .withColumn("slot", row_number().over(w))
+      .withColumn("fetch_offset_ms",
+        (col("slot") - 1).cast("long") *
+          coalesce(col("__delay_ms"), lit(defaultDelayMs)))
+      .drop("__delay_ms")
+  }
 }

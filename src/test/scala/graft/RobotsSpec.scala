@@ -76,6 +76,39 @@ class RobotsSpec extends SparkSpec {
     assert(Robots.matches("", "/x"))
   }
 
+  test("matches: property cross-check vs a regex translation over " +
+      "randomized patterns and paths") {
+    // ground truth independent of the backtracking walker: * → .*,
+    // final $ → end anchor, everything else quoted, prefix semantics
+    // = ^...(rest anything)
+    def regexTruth(pattern: String, path: String): Boolean = {
+      val anchored = pattern.nonEmpty && pattern.last == '$'
+      val body = (if (anchored) pattern.dropRight(1) else pattern)
+        .split("\\*", -1).map(java.util.regex.Pattern.quote)
+        .mkString(".*")
+      val full = if (anchored) s"^$body$$" else s"^$body.*"
+      java.util.regex.Pattern.compile(full, java.util.regex.Pattern.DOTALL)
+        .matcher(path).matches()
+    }
+    val rnd = new scala.util.Random(4111)
+    val alphabet = "ab/.$*"
+    def randStr(maxLen: Int): String =
+      (0 until rnd.nextInt(maxLen + 1))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    var checked = 0
+    for (_ <- 0 until 4000) {
+      val pattern = randStr(8)
+      // a mid-string $ is a literal in the walker; the regex truth
+      // quotes it identically, so include those cases too
+      val path = randStr(10).replace("*", "x") // paths have no meta *
+      val got = Robots.matches(pattern, path)
+      assert(got == regexTruth(pattern, path),
+        s"pattern='$pattern' path='$path': walker=$got")
+      checked += 1
+    }
+    assert(checked == 4000)
+  }
+
   test("isAllowed: longest match wins; equal-length tie goes to Allow; " +
       "no match = allowed") {
     val rules = Vector(
@@ -180,6 +213,31 @@ class RobotsSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(got("a.org") == (Some(2.5), Seq("https://a.org/s.xml")))
     assert(got("b.org") == (None, Seq.empty))
+  }
+
+  test("fetchSchedule: per-host serial slots, crawl-delay offsets, " +
+      "default for unset/missing hosts") {
+    import spark.implicits._
+    val robots = Seq(
+      ("slow.org", "User-agent: *\nCrawl-delay: 2.5\nDisallow: /x\n"),
+      ("fast.org", "User-agent: *\nDisallow: /x\n") // no delay → default
+    ).toDF("host", "robots_txt")
+    val dirs = Robots.hostDirectives(robots, "GraftBot")
+    val urls = Seq(
+      "https://slow.org/b", "https://slow.org/a", "https://slow.org/c",
+      "https://fast.org/1", "https://fast.org/2",
+      "https://norobots.org/z" // no directives row → default delay
+    ).toDF("url")
+    val got = Robots.fetchSchedule(urls, dirs, defaultDelayMs = 100L)
+      .select("host", "slot", "url", "fetch_offset_ms")
+      .as[(String, Int, String, Long)].collect().toSet
+    assert(got == Set(
+      ("slow.org", 1, "https://slow.org/a", 0L),
+      ("slow.org", 2, "https://slow.org/b", 2500L),
+      ("slow.org", 3, "https://slow.org/c", 5000L),
+      ("fast.org", 1, "https://fast.org/1", 0L),
+      ("fast.org", 2, "https://fast.org/2", 100L),
+      ("norobots.org", 1, "https://norobots.org/z", 0L)))
   }
 
   test("RobotsAllowed: wildcard agent token rejected at construction") {
