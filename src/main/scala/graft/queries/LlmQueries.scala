@@ -708,6 +708,25 @@ object LlmQueries {
         graft.sources.Cdx.parseCdxLines(lines, "line").drop("line"))
     }),
 
+    // link-graph PageRank (r11) — crawl prioritization over a
+    // synthetic 3-out-link graph (dst moduli of doc_id), 5
+    // integer-quantized iterations (rank div outdeg contributions,
+    // (85·Σ) div 100 damping — exact integer algebra every round, so
+    // the oracle unrolls the iterations bit-for-bit). One shuffle per
+    // iteration, map-side-combined contribution sums
+    "llm_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      def dsts(mul: Long, add: Long) = docs.select(
+        col("doc_id").as("src"),
+        pmod(col("doc_id") * mul + add, lit(n)).as("dst"))
+      val edges = dsts(7, 1).unionByName(dsts(11, 3))
+        .unionByName(dsts(13, 5))
+      graft.core.Graph.pageRank(edges,
+          docs.select(col("doc_id").as("v")), iters = 5)
+        .orderBy("v")
+    }),
+
     // polite fetch schedule (r11) — the operator a crawler's fetcher
     // actually consumes: robots-allowed URLs get per-host serial slots
     // (URL order) and integer-ms offsets honoring each host's
@@ -1995,6 +2014,33 @@ object LlmQueries {
         |  SELECT doc_id, weight_micro,
         |    row_number() OVER (ORDER BY weight_micro DESC, doc_id) AS rn
         |  FROM w) WHERE rn <= 25 ORDER BY rank""".stripMargin),
+
+    // PageRank mirror: the same 3-out-link modulus graph, the 5
+    // integer-quantized iterations UNROLLED round by round (the
+    // fixed-depth-Lloyd oracle pattern) — floor divisions on positive
+    // ranks mirror the engine's integral div exactly
+    "llm_pagerank" -> {
+      val iterCtes = (1 to 5).map { i =>
+        s"""pr$i AS (SELECT d.doc_id AS v,
+           |  k.base + (85 * COALESCE(s.c, 0)) // 100 AS r
+           |  FROM d CROSS JOIN k LEFT JOIN (
+           |    SELECT e.dst AS v, CAST(sum(pr${i - 1}.r // dg.deg) AS BIGINT) AS c
+           |    FROM e JOIN dg ON dg.src = e.src
+           |    JOIN pr${i - 1} ON pr${i - 1}.v = e.src
+           |    GROUP BY e.dst) s ON s.v = d.doc_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS (SELECT doc_id FROM documents),
+        |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |k AS (SELECT n, 1000000000 // n AS r0,
+        |             (15 * (1000000000 // n)) // 100 AS base FROM cnt),
+        |e AS (SELECT doc_id AS src, (doc_id*7+1) % n AS dst FROM d CROSS JOIN cnt
+        |  UNION ALL SELECT doc_id, (doc_id*11+3) % n FROM d CROSS JOIN cnt
+        |  UNION ALL SELECT doc_id, (doc_id*13+5) % n FROM d CROSS JOIN cnt),
+        |dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+        |pr0 AS (SELECT doc_id AS v, r0 AS r FROM d CROSS JOIN k),
+        |$iterCtes
+        |SELECT v, CAST(r AS BIGINT) AS rank FROM pr5 ORDER BY v""".stripMargin
+    },
 
     // fetch-schedule mirror: the allowed set is the robots closed form,
     // slots are a row_number window per host over URL string order,

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Graph
+
+/** Integer-quantized PageRank (r11): ground truth via an independent
+  * in-memory reference implementation (same quantization contract),
+  * ranking sanity on an authority-shaped graph, dangling/off-spine
+  * edge handling, and partition invariance. */
+class GraphSpec extends SparkSpec {
+
+  /** Driver-side reference: same integer contract as Graph.pageRank. */
+  private def reference(
+      edges: Seq[(Long, Long)], nodes: Seq[Long], iters: Int,
+      scale: Long = 1000000000L): Map[Long, Long] = {
+    val n = nodes.size
+    val r0 = scale / n
+    val base = 15L * r0 / 100L
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var r = nodes.map(_ -> r0).toMap
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      edges.foreach { case (s, d) =>
+        if (r.contains(s)) contrib(d) += r(s) / deg(s)
+      }
+      r = nodes.map(v => v -> (base + 85L * contrib(v) / 100L)).toMap
+    }
+    r
+  }
+
+  test("pageRank: matches the independent reference on a hand graph, " +
+      "authority node wins") {
+    import spark.implicits._
+    // star-ish: everyone links to 0; 0 links to 1; 3 also links to 2
+    val es = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (0L, 1L), (3L, 2L))
+    val ns = Seq(0L, 1L, 2L, 3L, 4L)
+    val got = Graph.pageRank(es.toDF("src", "dst"), ns.toDF("v"), 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got == reference(es, ns, 5))
+    // the authority collects the most rank; a never-linked node floors
+    assert(got(0L) == got.values.max)
+    assert(got(4L) == got.values.min)
+    assert(got(1L) > got(2L)) // fed by the authority vs by half of 3
+  }
+
+  test("pageRank: off-spine edge targets are dropped, multi-edges " +
+      "count multiply") {
+    import spark.implicits._
+    val es = Seq((0L, 1L), (0L, 1L), (0L, 99L), (1L, 0L)) // 99 not a node
+    val ns = Seq(0L, 1L)
+    val got = Graph.pageRank(es.toDF("src", "dst"), ns.toDF("v"), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(0L, 1L)) // 99 never materializes
+    assert(got == reference(es, ns, 3)) // reference keeps 99's sink loss
+    // the off-spine third of 0's rank leaks out of the system: the
+    // total must sit strictly below what the 2-node closed loop keeps
+    val closed = reference(Seq((0L, 1L), (0L, 1L), (0L, 0L), (1L, 0L)),
+      ns, 3)
+    assert(got.values.sum < closed.values.sum)
+  }
+
+  test("pageRank: partition invariance and iteration monotonicity of " +
+      "the quantization") {
+    import spark.implicits._
+    val es = (0L until 60L).flatMap(i =>
+      Seq((i, (i * 7 + 1) % 60), (i, (i * 11 + 3) % 60)))
+    val ns = (0L until 60L).toSeq
+    val a = Graph.pageRank(es.toDF("src", "dst"), ns.toDF("v"), 4)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val b = Graph.pageRank(
+        es.toDF("src", "dst").repartition(13), ns.toDF("v").repartition(7), 4)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+    assert(a == ns.map(v => v -> reference(es, ns, 4)(v)))
+    // truncation only ever loses mass: total ≤ scale
+    assert(a.map(_._2).sum <= 1000000000L)
+  }
+
+  test("pageRank: guards") {
+    import spark.implicits._
+    val df = Seq((0L, 1L)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(df, Seq(0L, 1L).toDF("v"), 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(df, spark.emptyDataset[Long].toDF("v"), 3)
+    }
+  }
+}
