@@ -95,7 +95,7 @@ object HtmlToText {
 
   /** Lowercase tag name starting at `i` (just past `<` or `</`), or
     * null if the first char can't start a tag name. */
-  private def tagNameAt(s: String, i: Int): String = {
+  private[functions] def tagNameAt(s: String, i: Int): String = {
     if (i >= s.length) return null
     val c = s.charAt(i)
     if (!((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))) return null
@@ -110,7 +110,7 @@ object HtmlToText {
 
   /** Index just past the `>` closing a tag whose name ends at `from`,
     * honoring quoted attribute values; -1 if EOF inside the tag. */
-  private def tagEnd(s: String, from: Int): Int = {
+  private[functions] def tagEnd(s: String, from: Int): Int = {
     var i = from
     var quote: Char = 0
     while (i < s.length) {
@@ -123,7 +123,7 @@ object HtmlToText {
     -1
   }
 
-  private def indexOfIgnoreCase(s: String, target: String, from: Int): Int = {
+  private[functions] def indexOfIgnoreCase(s: String, target: String, from: Int): Int = {
     var i = from
     val n = s.length - target.length
     while (i <= n) {
@@ -178,7 +178,7 @@ object HtmlToText {
     out.toString
   }
 
-  private def decodeEntities(s: String): String = {
+  private[functions] def decodeEntities(s: String): String = {
     val out = new java.lang.StringBuilder(s.length)
     var i = 0
     val n = s.length

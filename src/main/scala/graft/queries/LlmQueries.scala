@@ -708,6 +708,34 @@ object LlmQueries {
         graft.sources.Cdx.parseCdxLines(lines, "line").drop("line"))
     }),
 
+    // HTML link extraction (r11) — the link-graph feeder between WET
+    // conversion and PageRank: hrefs of each page's <a> tags in
+    // document order, by the REAL state-machine parser. The synthetic
+    // page plants decoys (an <a href> inside script rawtext, another
+    // inside a comment, a quoted '>' in an attribute, an href-less
+    // <a>) and three real links covering double-quoted,
+    // single-quoted-with-&amp;-entity, and unquoted-uppercase forms;
+    // the oracle knows the three answers as closed forms and never
+    // parses HTML
+    "llm_html_links" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val h = pmod(col("doc_id"), lit(7)).cast("string")
+      val html = concat(
+        lit("<!DOCTYPE html><html><head>" +
+          "<script>var s = \"<a href='/decoy/1'>x</a>\";</script>" +
+          "</head><body>\n<!-- <a href=\"/decoy/2\">c</a> -->\n" +
+          "<p>see <a href=\"/p/"), id,
+        lit("\">first</a> and <a class='m' title=\"a > b\" href='https://d"),
+        h, lit(".example.org/dl/"), id,
+        lit("?a=1&amp;b=2'>second</a>, <a name=\"x\">no href</a> " +
+          "<A HREF=/rel/"), id, lit(">third</A></p></body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), graft.functions.HtmlLinks(html).as("links"))
+        .select(col("doc_id"), size(col("links")).as("n_links"),
+          array_join(col("links"), "|").as("links_joined"))
+        .orderBy("doc_id")
+    }),
+
     // link-graph PageRank (r11) — crawl prioritization over a
     // synthetic 3-out-link graph (dst moduli of doc_id), 5
     // integer-quantized iterations (rank div outdeg contributions,
@@ -2014,6 +2042,16 @@ object LlmQueries {
         |  SELECT doc_id, weight_micro,
         |    row_number() OVER (ORDER BY weight_micro DESC, doc_id) AS rn
         |  FROM w) WHERE rn <= 25 ORDER BY rank""".stripMargin),
+
+    // html-links mirror: the three planted hrefs (entity already
+    // decoded: &amp; → &) as closed forms; decoys must never appear
+    "llm_html_links" ->
+      """SELECT doc_id, CAST(3 AS INT) AS n_links,
+        |  '/p/' || CAST(doc_id AS VARCHAR) ||
+        |  '|https://d' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/dl/'
+        |    || CAST(doc_id AS VARCHAR) || '?a=1&b=2' ||
+        |  '|/rel/' || CAST(doc_id AS VARCHAR) AS links_joined
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // PageRank mirror: the same 3-out-link modulus graph, the 5
     // integer-quantized iterations UNROLLED round by round (the

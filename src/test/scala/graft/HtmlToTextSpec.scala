@@ -93,4 +93,31 @@ class HtmlToTextSpec extends SparkSpec {
       .eval(null).toString
     assert(interp == "a & b\nc")
   }
+
+  test("HtmlLinks: attribute grammar, decoys, entity decode in hrefs") {
+    import graft.functions.HtmlLinks
+    def l(h: String): Seq[String] = HtmlLinks.links(h)
+    // the three quoting forms, attribute order, boolean attrs before
+    assert(l("""<a href="/a">x</a> <a href='/b'>y</a> <A HREF=/c>z</A>""")
+      == Seq("/a", "/b", "/c"))
+    assert(l("""<a download data-x="1" href = "/late">x</a>""")
+      == Seq("/late"))
+    // entity decode INSIDE the value; quoted '>' in a sibling attr
+    assert(l("""<a title="a > b" href="/q?x=1&amp;y=2">t</a>""")
+      == Seq("/q?x=1&y=2"))
+    // decoys never leak: script rawtext, comments, closing tags,
+    // href on a non-anchor tag, anchor without href
+    assert(l("<script>var a = \"<a href='/s'>x</a>\";</script>" +
+      "<!-- <a href=/c>c</a> --><link href=/l><a name=n>plain</a>")
+      == Seq.empty)
+    // document order across nesting; unterminated tag at EOF is safe
+    assert(l("""<div><a href="/1">one</a><p><a href="/2">two""")
+      == Seq("/1", "/2"))
+    assert(l("""<a href="/ok">x</a><a href="/torn""") == Seq("/ok"))
+    // expression: codegen path + null propagation
+    val df = Seq(Some("""<a href="/a">x</a>"""), None).toDF("h")
+    val got = df.select(HtmlLinks(col("h")).as("l")).collect()
+    assert(got(0).getSeq[String](0) == Seq("/a"))
+    assert(got(1).isNullAt(0))
+  }
 }
