@@ -167,7 +167,8 @@ object Bench {
       "llm_quantize_int8", "llm_line_dedup", "llm_classifier_score",
       "llm_curation_funnel", "llm_chunk_overlap", "llm_token_budget",
       "llm_semantic_dedup", "llm_bm25_score", "llm_dup_spans",
-      "llm_crawl_pipeline", "llm_dsir_weights", "llm_robots_filter")
+      "llm_crawl_pipeline", "llm_dsir_weights", "llm_robots_filter",
+      "llm_pagerank", "llm_cdx_select")
     val qs = jmap(byQuery.collect {
       case (name, _, med, _) if headline(name) => name -> med
     })

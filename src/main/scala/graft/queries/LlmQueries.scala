@@ -242,6 +242,34 @@ object LlmQueries {
       |  FROM m)""".stripMargin
   }
 
+  /** PageRank mirror shared by llm_pagerank and llm_link_pagerank
+    * (both build the same 3-out-link modulus graph — one directly, one
+    * through the real HtmlLinks parse): the 5 integer-quantized
+    * iterations unrolled round by round; `//` floor division on
+    * positive ranks ≡ the engine's integral `div`. */
+  private lazy val pagerankOracleSql: String = {
+    val iterCtes = (1 to 5).map { i =>
+      s"""pr$i AS (SELECT d.doc_id AS v,
+         |  k.base + (85 * COALESCE(s.c, 0)) // 100 AS r
+         |  FROM d CROSS JOIN k LEFT JOIN (
+         |    SELECT e.dst AS v, CAST(sum(pr${i - 1}.r // dg.deg) AS BIGINT) AS c
+         |    FROM e JOIN dg ON dg.src = e.src
+         |    JOIN pr${i - 1} ON pr${i - 1}.v = e.src
+         |    GROUP BY e.dst) s ON s.v = d.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT doc_id FROM documents),
+      |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+      |k AS (SELECT n, 1000000000 // n AS r0,
+      |             (15 * (1000000000 // n)) // 100 AS base FROM cnt),
+      |e AS (SELECT doc_id AS src, (doc_id*7+1) % n AS dst FROM d CROSS JOIN cnt
+      |  UNION ALL SELECT doc_id, (doc_id*11+3) % n FROM d CROSS JOIN cnt
+      |  UNION ALL SELECT doc_id, (doc_id*13+5) % n FROM d CROSS JOIN cnt),
+      |dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+      |pr0 AS (SELECT doc_id AS v, r0 AS r FROM d CROSS JOIN k),
+      |$iterCtes
+      |SELECT v, CAST(r AS BIGINT) AS rank FROM pr5 ORDER BY v""".stripMargin
+  }
+
   /** Synthetic robots.txt bodies shared by `llm_robots_filter` and
     * `llm_crawl_pipeline`. Even hosts: a three-group file (the deny-all
     * `*` group the specific GraftBot group must BEAT, a MegaBot group
@@ -734,6 +762,33 @@ object LlmQueries {
         .select(col("doc_id"), size(col("links")).as("n_links"),
           array_join(col("links"), "|").as("links_joined"))
         .orderBy("doc_id")
+    }),
+
+    // full-chain link PageRank (r11) — the composed pipeline with the
+    // REAL extraction in the loop: synthetic pages carry three <a>
+    // links to pages (id·7+1)%n, (id·11+3)%n, (id·13+5)%n → HtmlLinks
+    // parses them → edge list by path regexp → 5 integer-quantized
+    // PageRank rounds. The graph equals llm_pagerank's by
+    // construction, so the same unrolled oracle gates the composition
+    "llm_link_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      def a(mul: Long, add: Long) = concat(lit("<a href=\"/p/"),
+        pmod(col("doc_id") * mul + add, lit(n)).cast("string"),
+        lit("\">l</a>"))
+      val html = concat(lit("<html><body><p>"),
+        a(7, 1), a(11, 3), a(13, 5),
+        lit("</p><script>var d = \"<a href='/p/0'>decoy</a>\";</script>" +
+          "</body></html>"))
+      val edges = docs
+        .select(col("doc_id").as("src"),
+          explode(graft.functions.HtmlLinks(html)).as("href"))
+        .select(col("src"),
+          regexp_extract(col("href"), "^/p/(\\d+)$", 1).cast("long")
+            .as("dst"))
+      graft.core.Graph.pageRank(edges,
+          docs.select(col("doc_id").as("v")), iters = 5)
+        .orderBy("v")
     }),
 
     // link-graph PageRank (r11) — crawl prioritization over a
@@ -2057,28 +2112,10 @@ object LlmQueries {
     // integer-quantized iterations UNROLLED round by round (the
     // fixed-depth-Lloyd oracle pattern) — floor divisions on positive
     // ranks mirror the engine's integral div exactly
-    "llm_pagerank" -> {
-      val iterCtes = (1 to 5).map { i =>
-        s"""pr$i AS (SELECT d.doc_id AS v,
-           |  k.base + (85 * COALESCE(s.c, 0)) // 100 AS r
-           |  FROM d CROSS JOIN k LEFT JOIN (
-           |    SELECT e.dst AS v, CAST(sum(pr${i - 1}.r // dg.deg) AS BIGINT) AS c
-           |    FROM e JOIN dg ON dg.src = e.src
-           |    JOIN pr${i - 1} ON pr${i - 1}.v = e.src
-           |    GROUP BY e.dst) s ON s.v = d.doc_id)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH d AS (SELECT doc_id FROM documents),
-        |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
-        |k AS (SELECT n, 1000000000 // n AS r0,
-        |             (15 * (1000000000 // n)) // 100 AS base FROM cnt),
-        |e AS (SELECT doc_id AS src, (doc_id*7+1) % n AS dst FROM d CROSS JOIN cnt
-        |  UNION ALL SELECT doc_id, (doc_id*11+3) % n FROM d CROSS JOIN cnt
-        |  UNION ALL SELECT doc_id, (doc_id*13+5) % n FROM d CROSS JOIN cnt),
-        |dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
-        |pr0 AS (SELECT doc_id AS v, r0 AS r FROM d CROSS JOIN k),
-        |$iterCtes
-        |SELECT v, CAST(r AS BIGINT) AS rank FROM pr5 ORDER BY v""".stripMargin
-    },
+    "llm_pagerank" -> pagerankOracleSql,
+    // the composed chain builds the IDENTICAL graph through the real
+    // HtmlLinks parse, so the same unrolled mirror gates it
+    "llm_link_pagerank" -> pagerankOracleSql,
 
     // fetch-schedule mirror: the allowed set is the robots closed form,
     // slots are a row_number window per host over URL string order,

@@ -103,6 +103,19 @@ object ScaleStress {
         val pool = d.filter(col("source") =!= "src0")
         force(graft.llm.Dsir.weigh(pool, target, "text", "doc_id", 4096))
       }
+      // PageRank: 5 iterations = 5 shuffles over 3·N edges; the curve
+      // should be linear in edges (contribution sums are
+      // map-side-combined, keyed by dst)
+      time(s"pagerank x$mult") {
+        val nodes = d.select(col("doc_id").as("v"))
+        val nn = nodes.count()
+        def dsts(mul: Long, add: Long) = d.select(
+          col("doc_id").as("src"),
+          pmod(col("doc_id") * mul + add, lit(nn)).as("dst"))
+        force(graft.core.Graph.pageRank(
+          dsts(7, 1).unionByName(dsts(11, 3)).unionByName(dsts(13, 5)),
+          nodes, iters = 5))
+      }
       // heavy hitters: the sketch pass dominates (tokenize-in-aggregate,
       // no explode); replication multiplies token volume but NOT distinct
       // terms, so the candidate set and recount width stay constant —
