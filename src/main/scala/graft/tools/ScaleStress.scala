@@ -103,6 +103,18 @@ object ScaleStress {
         val pool = d.filter(col("source") =!= "src0")
         force(graft.llm.Dsir.weigh(pool, target, "text", "doc_id", 4096))
       }
+      // fetch schedule: one shuffle by host; replication multiplies
+      // every host's serial chain length ×mult (17 hosts regardless)
+      // — the worst case for the per-host window. Expect linear.
+      time(s"fetch schedule x$mult") {
+        val urls = d.select(col("doc_id"),
+          concat(lit("https://d"), pmod(col("doc_id"), lit(17)).cast("string"),
+            lit(".example.org/p/"), col("doc_id").cast("string")).as("url"))
+        val dirs = (0 until 17).map(i => (s"d$i.example.org",
+          if (i % 2 == 0) Some(2.0) else None)).toSeq
+        val dirsDf = spark.createDataFrame(dirs).toDF("host", "crawl_delay")
+        force(graft.sources.Robots.fetchSchedule(urls, dirsDf))
+      }
       // PageRank: 5 iterations = 5 shuffles over 3·N edges; the curve
       // should be linear in edges (contribution sums are
       // map-side-combined, keyed by dst)
