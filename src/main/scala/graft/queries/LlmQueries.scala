@@ -736,6 +736,35 @@ object LlmQueries {
         graft.sources.Cdx.parseCdxLines(lines, "line").drop("line"))
     }),
 
+    // WET write round trip (r11) — the EGEST half: the curated corpus
+    // is written as real `.warc.gz` WET shards (per-record gzip
+    // members, the Common Crawl layout) by the distributed writer,
+    // then read back by the distributed reader; the oracle checks
+    // url / byte count / content hash straight from the table. Writes
+    // every pass by construction (the llm_lm_persisted pattern)
+    "llm_wet_roundtrip" -> ((s, dir) => {
+      val outDir = "target/wet_roundtrip"
+      val dirFile = new java.io.File(outDir)
+      if (dirFile.exists())
+        dirFile.listFiles().foreach(_.delete())
+      val docs = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(
+          concat(lit("https://d"), pmod(col("doc_id"), lit(7)).cast("string"),
+            lit(".example.org/p/"), col("doc_id").cast("string")).as("url"),
+          lit("2026-01-01T00:00:00Z").as("warc_date"),
+          col("text"))
+        .repartition(8)
+      graft.sources.Warc.writeWetFiles(docs, outDir)
+      val files = new java.io.File(outDir).listFiles()
+        .map(_.getPath).sorted.toSeq
+      graft.sources.Warc.readWarcFiles(s, files)
+        .filter(col("warc_type") === "conversion")
+        .select(col("url"), col("n_bytes"),
+          md5(col("text")).as("content_hash"))
+        .orderBy("url")
+    }),
+
     // HTML link extraction (r11) — the link-graph feeder between WET
     // conversion and PageRank: hrefs of each page's <a> tags in
     // document order, by the REAL state-machine parser. The synthetic
@@ -2097,6 +2126,16 @@ object LlmQueries {
         |  SELECT doc_id, weight_micro,
         |    row_number() OVER (ORDER BY weight_micro DESC, doc_id) AS rn
         |  FROM w) WHERE rn <= 25 ORDER BY rank""".stripMargin),
+
+    // WET-roundtrip mirror: url / UTF-8 byte count / md5 straight from
+    // the table — write and read are both the engine's; the oracle
+    // never touches the shards
+    "llm_wet_roundtrip" ->
+      """SELECT 'https://d' || CAST(doc_id % 7 AS VARCHAR)
+        |    || '.example.org/p/' || CAST(doc_id AS VARCHAR) AS url,
+        |  CAST(octet_length(ENCODE(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_hash
+        |FROM documents WHERE text IS NOT NULL ORDER BY url""".stripMargin,
 
     // html-links mirror: the three planted hrefs (entity already
     // decoded: &amp; → &) as closed forms; decoys must never appear

@@ -200,18 +200,73 @@ object Warc {
       "Content-Type: text/plain; charset=utf-8\r\n" +
       s"Content-Length: ${payload.length}\r\n\r\n")
       .getBytes(StandardCharsets.ISO_8859_1) ++ payload
-    def record(tpe: String, extra: String, body: Array[Byte]): Array[Byte] =
-      (s"WARC/1.0\r\n" +
-        s"WARC-Type: $tpe\r\n" +
-        s"WARC-Date: $date\r\n" +
-        extra +
-        s"Content-Length: ${body.length}\r\n\r\n")
-        .getBytes(StandardCharsets.ISO_8859_1) ++ body ++
-        "\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1)
-    record("warcinfo", "", "software: graft-synth\r\n".getBytes(
-        StandardCharsets.ISO_8859_1)) ++
-      record("response",
+    frameRecord("warcinfo", date, "",
+        "software: graft-synth\r\n".getBytes(StandardCharsets.ISO_8859_1)) ++
+      frameRecord("response", date,
         s"WARC-Target-URI: $url\r\n" +
           "Content-Type: application/http;msgtype=response\r\n", http)
+  }
+
+  /** One framed WARC/1.0 record: headers, body, the record-separating
+    * blank block. Shared by the fixture synthesizer and the WET
+    * writer so write and read cannot drift. */
+  private def frameRecord(
+      tpe: String, date: String, extra: String,
+      body: Array[Byte]): Array[Byte] =
+    (s"WARC/1.0\r\n" +
+      s"WARC-Type: $tpe\r\n" +
+      s"WARC-Date: $date\r\n" +
+      extra +
+      s"Content-Length: ${body.length}\r\n\r\n")
+      .getBytes(StandardCharsets.ISO_8859_1) ++ body ++
+      "\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1)
+
+  /** Distributed WET write — the EGEST half of the crawl surface (emit
+    * a curated corpus in the interchange format the ingest side
+    * reads): one `part-NNNNN.warc.gz` per non-empty partition under
+    * `dir`, a `warcinfo` member followed by one `conversion` record
+    * per row, EACH RECORD ITS OWN GZIP MEMBER (the Common Crawl
+    * layout: members concatenate into one valid stream, and a byte
+    * range can decompress a single record without touching the rest —
+    * exactly what [[graft.sources.Cdx.fetchPlan]] range fetches rely
+    * on). Null text rows are skipped. Writers run on executors; the
+    * directory must be executor-visible (local-FS path in local mode,
+    * a shared mount/DFS path on a cluster). */
+  def writeWetFiles(
+      df: DataFrame,
+      dir: String,
+      urlCol: String = "url",
+      dateCol: String = "warc_date",
+      textCol: String = "text"): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    df.select(
+        df.col(urlCol).cast(StringType),
+        df.col(dateCol).cast(StringType),
+        df.col(textCol).cast(StringType))
+      .foreachPartition { (it: Iterator[Row]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val path = f"$dir/part-$pid%05d.warc.gz"
+          val out = new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(path), 1 << 16)
+          try {
+            def member(bytes: Array[Byte]): Unit = {
+              val gz = new java.util.zip.GZIPOutputStream(out)
+              gz.write(bytes)
+              gz.finish() // close the member, keep the stream
+            }
+            member(frameRecord("warcinfo", "2026-01-01T00:00:00Z", "",
+              "software: graft-wet-writer\r\n".getBytes(
+                StandardCharsets.ISO_8859_1)))
+            it.foreach { r =>
+              if (!r.isNullAt(2))
+                member(frameRecord("conversion", r.getString(1),
+                  s"WARC-Target-URI: ${r.getString(0)}\r\n" +
+                    "Content-Type: text/plain\r\n",
+                  r.getString(2).getBytes(StandardCharsets.UTF_8)))
+            }
+          } finally out.close()
+        }
+      }
   }
 }
