@@ -686,6 +686,34 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // robots-from-WARC (r11) — the dim itself through the real
+    // container path: Common Crawl publishes robots.txt fetches as
+    // their own WARC set, so the politeness dim is PARSED OUT of
+    // response records (synthetic per-host robots WARC blob → the real
+    // streaming parser → host from the target URI → politenessFilter),
+    // and the verdicts must equal the directly-built dim's — the
+    // shared closed-form oracle gates the whole composition
+    "llm_robots_from_warc" -> ((s, dir) => {
+      val parseRobots = udf { (host: String, body: String) =>
+        val blob = graft.sources.Warc.syntheticWarc(
+          s"https://$host/robots.txt", "2026-01-01T00:00:00Z", body)
+        val resp = graft.sources.Warc.parseBytes(blob).toSeq
+          .find(_.warcType == "response").get
+        val (_, payload) = graft.sources.Warc.httpPayload(resp.body).get
+        val uri = resp.targetUri.get
+        val h = uri.stripPrefix("https://").takeWhile(_ != '/')
+        (h, new String(payload, java.nio.charset.StandardCharsets.UTF_8))
+      }
+      val robots = robotsDim(s, dir)
+        .withColumn("__r", parseRobots(col("host"), col("robots_txt")))
+        .select(col("__r._1").as("host"), col("__r._2").as("robots_txt"))
+      val urls = t(s, dir, "documents")
+        .select(col("doc_id"), robotsUrlCol.as("url"))
+      graft.sources.Robots.politenessFilter(urls, robots, "GraftBot")
+        .select("doc_id", "url", "allowed")
+        .orderBy("doc_id")
+    }),
+
     // per-host fetch-scheduler directives (r11) — the OTHER half of
     // robots.txt politeness: Crawl-delay (min across the agent's
     // binding groups; the odd hosts' fallback group sets none → null)
@@ -2111,6 +2139,8 @@ object LlmQueries {
     // robots-filter mirror (shared with the streaming twin; see
     // robotsFilterOracleSql)
     "llm_robots_filter" -> robotsFilterOracleSql,
+    // the WARC-sourced dim must yield identical verdicts — same mirror
+    "llm_robots_from_warc" -> robotsFilterOracleSql,
 
     // DSIR mirror: same unigram+bigram stream (positional unnest zip),
     // the standard recursive FNV-1a hex CTE per DISTINCT gram, bucket =
