@@ -47,7 +47,7 @@ object Graph {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("__deg"))
     val e = edges.join(deg, Seq("src"))
     var r = nodes.select(col("v"), lit(r0).as("rank"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = e.join(r, e("src") === r("v"))
         .select(col("dst").as("v"),
           expr("rank div __deg").as("__c"))
@@ -58,6 +58,13 @@ object Graph {
           (lit(base) +
             expr("(85 * coalesce(__s, CAST(0 AS BIGINT))) div 100"))
             .as("rank"))
+      // Truncate iterative lineage (the Lloyd/BPE pattern): without
+      // this the final plan embeds `iters` copies of the edge-join
+      // subtree and Catalyst analysis cost grows superlinearly — a
+      // driver-side bottleneck long before the executors feel it.
+      // Every 5 rounds amortizes the materialization at low iters
+      // while keeping plan depth bounded at the 50-iteration limit.
+      if (i % 5 == 0 && i < iters) r = r.localCheckpoint()
     }
     r
   }

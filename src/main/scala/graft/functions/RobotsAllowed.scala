@@ -61,19 +61,37 @@ case class RobotsAllowed(left: Expression, right: Expression, agent: String)
 object RobotsAllowed {
 
   /** Parsed-rules memo: bounded, cleared wholesale on overflow (crude
-    * but deterministic — a miss only re-parses). Keyed by the full
-    * robots text + agent; distinct robots bodies per executor are
-    * dimension-scale (hosts), not fact-scale (URLs). */
+    * but deterministic — a miss only re-parses). Keyed by a SHA-256
+    * digest of (robots bytes, agent), NOT the body itself: robots
+    * bodies are untrusted and unbounded, and 4096 retained multi-MB
+    * strings would pin GBs of executor heap; 4096 digests pin ~128 KB.
+    * The body string is materialized only on a miss (once per distinct
+    * robots.txt per executor) and parsing is capped at
+    * [[graft.sources.Robots.MaxBodyBytes]] per RFC 9309 §2.5. */
   private val MaxEntries = 4096
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), Vector[Robots.Rule]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[Robots.Rule]]()
+
+  private val sha = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("SHA-256")
+  }
+
+  private def digestKey(robots: UTF8String, agent: String): String = {
+    val md = sha.get()
+    md.reset()
+    md.update(robots.getBytes)
+    md.update(0.toByte) // unambiguous separator (agent is ASCII-ish)
+    md.update(agent.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.util.Base64.getEncoder.encodeToString(md.digest())
+  }
 
   def allowed(robots: UTF8String, path: UTF8String, agent: String): Boolean = {
-    val key = (robots.toString, agent)
+    val key = digestKey(robots, agent)
     var rules = cache.get(key)
     if (rules == null) {
       if (cache.size() >= MaxEntries) cache.clear()
-      rules = Robots.rulesFor(key._1, agent)
+      rules = Robots.rulesFor(robots.toString, agent)
       cache.put(key, rules)
     }
     Robots.isAllowed(rules, path.toString)

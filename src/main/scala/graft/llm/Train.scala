@@ -31,8 +31,11 @@ import org.apache.spark.sql.types._
   * and moment sums accumulate in DECIMAL(38,0), so an out-of-range
   * corpus fails loudly instead of wrapping silently (Spark's default
   * non-ANSI long sum wraps). Cramer determinants are BigInt (no bound);
-  * the DataFrame form emits DECIMAL(38,0) and fails loudly past 38
-  * digits rather than rounding.
+  * the DataFrame form emits the rationals as exact DECIMAL STRINGS —
+  * the one type every consumer (parquet, arrow, an ANSI oracle's
+  * CAST(... AS VARCHAR)) round-trips without coercion — and fails
+  * loudly past 127 bits (the 128-bit-integer oracle-mirror bound)
+  * rather than wrapping.
   */
 object Train {
 
@@ -114,27 +117,33 @@ object Train {
   }
 
   /** [[ridgeFitExact]] as a DataFrame: one row per coefficient,
-    * (feature, w_num DECIMAL(38,0), w_den DECIMAL(38,0)) — the exact
-    * unreduced rationals, so the result is oracle-comparable with zero
-    * float divergence risk. */
+    * (feature, w_num STRING, w_den STRING) — the exact unreduced
+    * rationals as decimal strings. STRING (not DECIMAL) because it is
+    * the one hash-stable exact type: parquet decimal reads back as a
+    * scaled-integer logical type while a live SQL oracle's decimal
+    * result coerces to float in most arrow bridges, so equal VALUES
+    * hash differently; the decimal-digit string round-trips
+    * identically everywhere and keeps the no-float-division
+    * contract. */
   def ridgeFitDf(
       df: DataFrame,
       features: Seq[(String, Column)],
       label: Column,
       lambda: Long = 0L): DataFrame = {
     val fit = ridgeFitExact(df, features, label, lambda)
-    def dec(v: BigInt): java.math.BigDecimal = {
-      require(v.abs.toString.length <= 38,
-        s"Cramer determinant $v exceeds DECIMAL(38,0) — pre-scale " +
+    def str(v: BigInt): String = {
+      require(v.bitLength <= 127,
+        s"Cramer determinant $v exceeds 128-bit signed range — the " +
+          "ANSI oracle mirror computes in 128-bit integers; pre-scale " +
           "the features")
-      new java.math.BigDecimal(v.bigInteger)
+      v.toString
     }
     val schema = StructType(Seq(
       StructField("feature", StringType, nullable = false),
-      StructField("w_num", DecimalType(38, 0), nullable = false),
-      StructField("w_den", DecimalType(38, 0), nullable = false)))
+      StructField("w_num", StringType, nullable = false),
+      StructField("w_den", StringType, nullable = false)))
     val rows = fit.features.zip(fit.num).map { case (n, v) =>
-      Row(n, dec(v), dec(fit.den))
+      Row(n, str(v), str(fit.den))
     }
     val spark = df.sparkSession
     spark.createDataFrame(

@@ -793,6 +793,57 @@ object LlmQueries {
         .orderBy("url")
     }),
 
+    // WAT-style metadata roundtrip (r12) — the third member of the
+    // Common Crawl WARC/WAT/WET trio: per-page metadata records
+    // (title + link summary, the REAL HtmlLinks kernel output) built
+    // declaratively with to_json, written as per-record-gzip
+    // `metadata` records, read back by the distributed WAT reader and
+    // re-parsed with from_json. The planted page is llm_html_links'
+    // (decoys and all) plus a <title>, so the oracle knows every field
+    // as a closed form and never parses HTML or JSON
+    "llm_wat_roundtrip" -> ((s, dir) => {
+      val outDir = "target/wat_roundtrip"
+      val dirFile = new java.io.File(outDir)
+      if (dirFile.exists())
+        dirFile.listFiles().foreach(_.delete())
+      val id = col("doc_id").cast("string")
+      val h = pmod(col("doc_id"), lit(7)).cast("string")
+      val html = concat(
+        lit("<!DOCTYPE html><html><head><title>Doc "), id,
+        lit("</title><script>var s = \"<a href='/decoy/1'>x</a>\";" +
+          "</script></head><body>\n<!-- <a href=\"/decoy/2\">c</a> -->\n" +
+          "<p>see <a href=\"/p/"), id,
+        lit("\">first</a> and <a class='m' title=\"a > b\" href='https://d"),
+        h, lit(".example.org/dl/"), id,
+        lit("?a=1&amp;b=2'>second</a>, <a name=\"x\">no href</a> " +
+          "<A HREF=/rel/"), id, lit(">third</A></p></body></html>"))
+      val links = graft.functions.HtmlLinks(html)
+      val wat = t(s, dir, "documents")
+        .select(
+          concat(lit("https://d"), h, lit(".example.org/p/"), id)
+            .as("url"),
+          lit("2026-01-01T00:00:00Z").as("warc_date"),
+          to_json(struct(
+            regexp_extract(html, "<title>([^<]*)</title>", 1)
+              .as("title"),
+            links.as("links"),
+            size(links).as("n_links"))).as("wat_json"))
+        .repartition(8)
+      graft.sources.Warc.writeWatFiles(wat, outDir)
+      val files = new java.io.File(outDir).listFiles()
+        .map(_.getPath).sorted.toSeq
+      graft.sources.Warc.readWatFiles(s, files)
+        .select(col("url"),
+          from_json(col("json"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "title STRING, links ARRAY<STRING>, n_links INT"))
+            .as("m"))
+        .select(col("url"), col("m.title").as("title"),
+          col("m.n_links").as("n_links"),
+          array_join(col("m.links"), "|").as("links_joined"))
+        .orderBy("url")
+    }),
+
     // HTML link extraction (r11) — the link-graph feeder between WET
     // conversion and PageRank: hrefs of each page's <a> tags in
     // document order, by the REAL state-machine parser. The synthetic
@@ -1227,7 +1278,10 @@ object LlmQueries {
     // The score is reported as the EXACT integer numerator over the
     // shared Cramer denominator (score = score_num/score_den), and
     // the keep decision score ≥ 1/2 is the integer comparison
-    // 2·score_num ≥ den — no float division anywhere in the gate
+    // 2·score_num ≥ den — no float division anywhere in the gate.
+    // Both rationals are emitted as decimal STRINGS: the one
+    // hash-stable exact type (parquet decimal vs a live oracle's
+    // decimal coerce to different runtime types with equal values)
     "llm_ridge_score" -> ((s, dir) => {
       val stopList = array(TextAnalysis.stopwordUnion.map(lit): _*)
       val x1 = size(TextAnalysis.tokens(col("text")))
@@ -1240,10 +1294,9 @@ object LlmQueries {
         (col("source") === "src0").cast("long"),
         lambda = 1000L)
       docs.select(col("doc_id"),
-          Train.scoreRidgeExactNum(fit, Seq(x1, x2)).as("score_num"),
-          lit(new java.math.BigDecimal(fit.den.bigInteger))
-            .cast(org.apache.spark.sql.types.DecimalType(38, 0))
-            .as("score_den"),
+          Train.scoreRidgeExactNum(fit, Seq(x1, x2)).cast("string")
+            .as("score_num"),
+          lit(fit.den.toString).as("score_den"),
           Train.ridgeKeep(fit, Seq(x1, x2), 1L, 2L).as("kept"))
         .orderBy("doc_id")
     }),
@@ -2167,6 +2220,21 @@ object LlmQueries {
         |  md5(text) AS content_hash
         |FROM documents WHERE text IS NOT NULL ORDER BY url""".stripMargin,
 
+    // WAT-roundtrip mirror: url / title / link summary as closed
+    // forms (the llm_html_links answers plus the planted title) —
+    // write, read, JSON encode/decode are all the engine's; the
+    // oracle touches neither the shards nor HTML nor JSON
+    "llm_wat_roundtrip" ->
+      """SELECT 'https://d' || CAST(doc_id % 7 AS VARCHAR)
+        |    || '.example.org/p/' || CAST(doc_id AS VARCHAR) AS url,
+        |  'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+        |  CAST(3 AS INT) AS n_links,
+        |  '/p/' || CAST(doc_id AS VARCHAR) ||
+        |  '|https://d' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/dl/'
+        |    || CAST(doc_id AS VARCHAR) || '?a=1&b=2' ||
+        |  '|/rel/' || CAST(doc_id AS VARCHAR) AS links_joined
+        |FROM documents ORDER BY url""".stripMargin,
+
     // html-links mirror: the three planted hrefs (entity already
     // decoded: &amp; → &) as closed forms; decoys must never appear
     "llm_html_links" ->
@@ -2533,12 +2601,12 @@ object LlmQueries {
         |    s00*(s11*b2 - s12*b1) - s01*(s01*b2 - s02*b1) + b0*(s01*s12 - s11*s02) AS n2
         |  FROM m)
         |SELECT feature, w_num, w_den FROM (
-        |  SELECT 'intercept' AS feature, CAST(n0 AS DECIMAL(38,0)) AS w_num,
-        |         CAST(den AS DECIMAL(38,0)) AS w_den FROM d
+        |  SELECT 'intercept' AS feature, CAST(n0 AS VARCHAR) AS w_num,
+        |         CAST(den AS VARCHAR) AS w_den FROM d
         |  UNION ALL
-        |  SELECT 'x1_tokens', CAST(n1 AS DECIMAL(38,0)), CAST(den AS DECIMAL(38,0)) FROM d
+        |  SELECT 'x1_tokens', CAST(n1 AS VARCHAR), CAST(den AS VARCHAR) FROM d
         |  UNION ALL
-        |  SELECT 'x2_stopwords', CAST(n2 AS DECIMAL(38,0)), CAST(den AS DECIMAL(38,0)) FROM d)
+        |  SELECT 'x2_stopwords', CAST(n2 AS VARCHAR), CAST(den AS VARCHAR) FROM d)
         |ORDER BY feature""".stripMargin
     },
     // train-on-sample → score-corpus mirror: moments restricted to the
@@ -2548,8 +2616,8 @@ object LlmQueries {
     "llm_ridge_score" ->
       s"""WITH ${ridgeOracleCtes(5)}
         |SELECT doc_id,
-        |  CAST(n0 + n1*x1 + n2*x2 AS DECIMAL(38,0)) AS score_num,
-        |  CAST(den AS DECIMAL(38,0)) AS score_den,
+        |  CAST(n0 + n1*x1 + n2*x2 AS VARCHAR) AS score_num,
+        |  CAST(den AS VARCHAR) AS score_den,
         |  (2*(n0 + n1*x1 + n2*x2) >= den) AS kept
         |FROM f CROSS JOIN d
         |ORDER BY doc_id""".stripMargin,

@@ -54,9 +54,23 @@ object Robots {
   def rulesFor(content: String, agent: String): Vector[Rule] =
     directivesFor(content, agent).rules
 
+  /** RFC 9309 §2.5: a parser MUST process at least 500 kibibytes and
+    * MAY ignore the rest — robots.txt is UNTRUSTED web content, so the
+    * cap also bounds per-executor parse cost and the compiled-rules
+    * memo footprint against adversarially huge files. */
+  val MaxBodyBytes: Int = 500 * 1024
+
   /** Full directive parse for `agent`: rules + crawl-delay + sitemaps
-    * (see [[Directives]]). Group selection as in [[rulesFor]]. */
-  def directivesFor(content: String, agent: String): Directives = {
+    * (see [[Directives]]). Group selection as in [[rulesFor]].
+    * Bodies beyond [[MaxBodyBytes]] are truncated at the last complete
+    * line inside the cap (a torn trailing directive must not bind). */
+  def directivesFor(content0: String, agent: String): Directives = {
+    val content =
+      if (content0.length <= MaxBodyBytes) content0
+      else {
+        val cut = content0.lastIndexOf('\n', MaxBodyBytes)
+        content0.substring(0, if (cut >= 0) cut else MaxBodyBytes)
+      }
     final case class Group(
         agents: scala.collection.mutable.Set[String],
         rules: scala.collection.mutable.ArrayBuffer[Rule],
@@ -117,24 +131,38 @@ object Robots {
 
   /** Octet-wise prefix match of `pattern` against `path`, with `*` =
     * any run of octets and a FINAL `$` = end-of-path anchor (a `$`
-    * anywhere else is a literal, per the RFC grammar). Patterns are
-    * short (path fragments), so plain backtracking is fine. */
+    * anywhere else is a literal, per the RFC grammar).
+    *
+    * Patterns are UNTRUSTED (they come from arbitrary hosts'
+    * robots.txt), so this is the greedy last-star two-pointer wildcard
+    * algorithm — worst case O(|pattern|·|path|), no exponential
+    * blow-up: naive backtracking on a hostile many-star Disallow
+    * pattern (star-a repeated, then b) against a long path would
+    * stall an executor core. Prefix semantics fall out by matching
+    * `pattern + "*"` over the FULL path; `$` drops the appended star
+    * and anchors. */
   def matches(pattern: String, path: String): Boolean = {
-    val anchored = pattern.nonEmpty && pattern.charAt(pattern.length - 1) == '$'
-    val pat = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
-    def m(pi: Int, si: Int): Boolean = {
-      if (pi == pat.length) !anchored || si == path.length
-      else if (pat.charAt(pi) == '*') {
-        var k = si
-        while (k <= path.length) {
-          if (m(pi + 1, k)) return true
-          k += 1
-        }
-        false
-      } else si < path.length && path.charAt(si) == pat.charAt(pi) &&
-        m(pi + 1, si + 1)
+    val anchored =
+      pattern.nonEmpty && pattern.charAt(pattern.length - 1) == '$'
+    val pat =
+      if (anchored) pattern.substring(0, pattern.length - 1)
+      else pattern + "*"
+    var i = 0 // path cursor
+    var j = 0 // pattern cursor
+    var star = -1 // index of the last '*' seen in pat
+    var mark = 0 // path position the last '*' currently absorbs up to
+    while (i < path.length) {
+      if (j < pat.length && pat.charAt(j) == '*') {
+        star = j; mark = i; j += 1
+      } else if (j < pat.length && pat.charAt(j) == path.charAt(i)) {
+        i += 1; j += 1
+      } else if (star >= 0) {
+        // backtrack: let the last star absorb one more octet
+        j = star + 1; mark += 1; i = mark
+      } else return false
     }
-    m(0, 0)
+    while (j < pat.length && pat.charAt(j) == '*') j += 1
+    j == pat.length
   }
 
   /** Most-specific-match verdict over a rule set (see object doc).

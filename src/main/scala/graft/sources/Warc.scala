@@ -60,6 +60,69 @@ object Warc {
     }
   }
 
+  /** First HTTP header value by case-insensitive name over the
+    * status+header lines of [[httpPayload]] (status line skipped). */
+  def httpHeader(lines: Seq[String], name: String): Option[String] =
+    lines.iterator.drop(1).flatMap { l =>
+      val i = l.indexOf(':')
+      if (i > 0 && l.substring(0, i).trim.equalsIgnoreCase(name))
+        Some(l.substring(i + 1).trim)
+      else None
+    }.nextOption()
+
+  /** Decode HTTP/1.1 chunked transfer framing (RFC 9112 §7.1):
+    * hex-size lines (chunk extensions after `;` ignored), data, CRLF,
+    * terminated by a zero chunk (trailers ignored). Malformed framing
+    * throws — the caller decides whether to fall back to raw bytes. */
+  def dechunk(payload: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(payload.length)
+    var i = 0
+    def line(): String = {
+      val start = i
+      while (i + 1 < payload.length &&
+          !(payload(i) == '\r' && payload(i + 1) == '\n')) i += 1
+      if (i + 1 >= payload.length)
+        throw new EOFException("chunked body: unterminated line")
+      val s = new String(payload, start, i - start,
+        StandardCharsets.ISO_8859_1)
+      i += 2
+      s
+    }
+    var sizeLine = line()
+    var size = java.lang.Long.parseLong(
+      sizeLine.split(";", 2)(0).trim, 16)
+    while (size > 0) {
+      require(i + size <= payload.length,
+        s"chunked body: chunk of $size bytes overruns the payload")
+      out.write(payload, i, size.toInt)
+      i += size.toInt
+      val sep = line()
+      require(sep.isEmpty, s"chunked body: missing chunk-data CRLF")
+      sizeLine = line()
+      size = java.lang.Long.parseLong(sizeLine.split(";", 2)(0).trim, 16)
+    }
+    out.toByteArray
+  }
+
+  /** Gunzip a whole in-memory body (Content-Encoding: gzip). */
+  def gunzip(payload: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(payload), 1 << 16)
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** Charset from a Content-Type value (`charset=` parameter),
+    * UTF-8 when absent/unsupported — real crawl responses declare
+    * ISO-8859-1/windows-1252/… constantly; decoding them all as UTF-8
+    * puts mojibake in the corpus. */
+  def charsetOf(contentType: Option[String]): java.nio.charset.Charset =
+    contentType
+      .flatMap(ct => "(?i)charset=\"?([^;\\s\"']+)".r
+        .findFirstMatchIn(ct).map(_.group(1)))
+      .flatMap(n => scala.util.Try(
+        java.nio.charset.Charset.forName(n)).toOption)
+      .getOrElse(StandardCharsets.UTF_8)
+
   /** Lazily parse a WARC stream into records. The iterator reads one
     * record ahead; bodies are materialized per record (a record is
     * MBs at most — pages, not files), the stream never is. Malformed
@@ -153,14 +216,27 @@ object Warc {
 
   /** Distributed WARC/WET read: one file per task ([[RawConvert]]'s
     * parallelize-by-file shape), gzip auto-detected by suffix,
-    * records streamed. Non-response/conversion records (warcinfo,
-    * request, metadata) are skipped — they carry no corpus text. */
+    * records streamed; the file handle is closed by a task-completion
+    * listener (executor JVMs are long-lived — a leaked fd per task
+    * accumulates). Non-response/conversion records (warcinfo, request,
+    * metadata) are skipped — they carry no corpus text.
+    *
+    * Response payloads honor the HTTP transfer layer real crawl data
+    * carries: `Transfer-Encoding: chunked` framing is removed,
+    * `Content-Encoding: gzip` bodies are inflated, and text decodes
+    * with the `Content-Type` charset (UTF-8 fallback). A payload whose
+    * declared transfer coding fails to decode keeps its raw bytes
+    * (deterministic; one hostile page must not kill a 1 GB file
+    * task — the WARC FRAMING stays loud, the payload layer degrades). */
   def readWarcFiles(spark: SparkSession, files: Seq[String]): DataFrame = {
     require(files.nonEmpty, "no WARC files to read")
     val rows = spark.sparkContext
       .parallelize(files.toIndexedSeq, files.size)
       .flatMap { path =>
         val raw = new java.io.FileInputStream(path)
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null)
+          tc.addTaskCompletionListener[Unit](_ => raw.close())
         val in: InputStream =
           if (path.endsWith(".gz"))
             new java.util.zip.GZIPInputStream(raw, 1 << 16)
@@ -171,9 +247,26 @@ object Warc {
           r.warcType match {
             case "response" =>
               val (n, text) = httpPayload(r.body) match {
-                case Some((_, payload)) =>
-                  (payload.length.toLong,
-                    new String(payload, StandardCharsets.UTF_8))
+                case Some((head, payload0)) =>
+                  val chunked = httpHeader(head, "Transfer-Encoding")
+                    .exists(_.split(",").map(_.trim.toLowerCase(
+                      java.util.Locale.ROOT)).lastOption.contains("chunked"))
+                  val p1 =
+                    if (chunked)
+                      try dechunk(payload0)
+                      catch { case _: RuntimeException | _: EOFException =>
+                        payload0 }
+                    else payload0
+                  val gzipped = httpHeader(head, "Content-Encoding")
+                    .map(_.trim.toLowerCase(java.util.Locale.ROOT))
+                    .exists(v => v == "gzip" || v == "x-gzip")
+                  val p2 =
+                    if (gzipped)
+                      try gunzip(p1)
+                      catch { case _: java.io.IOException => p1 }
+                    else p1
+                  (p2.length.toLong,
+                    new String(p2, charsetOf(httpHeader(head, "Content-Type"))))
                 case None => (r.body.length.toLong, null)
               }
               Some(Row(path, idx, "response", r.targetUri.orNull,
@@ -187,6 +280,45 @@ object Warc {
         }
       }
     spark.createDataFrame(rows, schema)
+  }
+
+  /** Rows from WAT-style files: one row per `metadata` record, the
+    * JSON body as text — parse downstream with `from_json` (schema in
+    * DataFrame land, not here: WAT envelopes vary by producer). */
+  val watSchema: StructType = StructType(Seq(
+    StructField("wat_file", StringType, nullable = false),
+    StructField("record_idx", LongType, nullable = false),
+    StructField("url", StringType, nullable = true),
+    StructField("warc_date", StringType, nullable = true),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("json", StringType, nullable = false)))
+
+  /** Distributed WAT read: `metadata` records only (the WAT payload),
+    * same file-per-task shape and fd hygiene as [[readWarcFiles]]. */
+  def readWatFiles(spark: SparkSession, files: Seq[String]): DataFrame = {
+    require(files.nonEmpty, "no WAT files to read")
+    val rows = spark.sparkContext
+      .parallelize(files.toIndexedSeq, files.size)
+      .flatMap { path =>
+        val raw = new java.io.FileInputStream(path)
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null)
+          tc.addTaskCompletionListener[Unit](_ => raw.close())
+        val in: InputStream =
+          if (path.endsWith(".gz"))
+            new java.util.zip.GZIPInputStream(raw, 1 << 16)
+          else raw
+        var idx = -1L
+        records(in).flatMap { r =>
+          idx += 1
+          if (r.warcType == "metadata")
+            Some(Row(path, idx, r.targetUri.orNull, r.date.orNull,
+              r.body.length.toLong,
+              new String(r.body, StandardCharsets.UTF_8)))
+          else None
+        }
+      }
+    spark.createDataFrame(rows, watSchema)
   }
 
   /** Deterministic synthetic WARC blob for a (url, date, text) page:
@@ -231,24 +363,69 @@ object Warc {
     * exactly what [[graft.sources.Cdx.fetchPlan]] range fetches rely
     * on). Null text rows are skipped. Writers run on executors; the
     * directory must be executor-visible (local-FS path in local mode,
-    * a shared mount/DFS path on a cluster). */
+    * a shared mount/DFS path on a cluster).
+    *
+    * Commit protocol: the output directory must be EMPTY (pre-existing
+    * parts from an earlier run would silently mix into this one —
+    * fail loudly instead), and each task writes to an
+    * attempt-unique temp name then atomically renames on success — a
+    * retried or speculatively-executed task attempt never interleaves
+    * gzip members with a concurrent attempt of the same partition;
+    * whichever complete attempt renames last wins whole. */
   def writeWetFiles(
       df: DataFrame,
       dir: String,
       urlCol: String = "url",
       dateCol: String = "warc_date",
-      textCol: String = "text"): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      textCol: String = "text"): Unit =
+    writeRecordFiles(df, dir, urlCol, dateCol, textCol,
+      recordType = "conversion", contentType = "text/plain")
+
+  /** Distributed WAT-style write — per-page METADATA records (the
+    * third member of the Common Crawl WARC/WAT/WET trio): one
+    * `metadata` record per row whose body is the row's JSON metadata
+    * blob (headers, title, link summary — build it declaratively with
+    * `to_json(struct(...))`), per-record-gzipped in the same
+    * `part-NNNNN.warc.gz` layout and commit protocol as
+    * [[writeWetFiles]]. */
+  def writeWatFiles(
+      df: DataFrame,
+      dir: String,
+      urlCol: String = "url",
+      dateCol: String = "warc_date",
+      jsonCol: String = "wat_json"): Unit =
+    writeRecordFiles(df, dir, urlCol, dateCol, jsonCol,
+      recordType = "metadata", contentType = "application/json")
+
+  private def writeRecordFiles(
+      df: DataFrame,
+      dir: String,
+      urlCol: String,
+      dateCol: String,
+      bodyCol: String,
+      recordType: String,
+      contentType: String): Unit = {
+    val dirPath = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(dirPath)
+    val existing = java.nio.file.Files.list(dirPath)
+    try require(!existing.findFirst().isPresent,
+      s"WARC output dir $dir is not empty — refusing to mix runs")
+    finally existing.close()
     df.select(
         df.col(urlCol).cast(StringType),
         df.col(dateCol).cast(StringType),
-        df.col(textCol).cast(StringType))
+        df.col(bodyCol).cast(StringType))
       .foreachPartition { (it: Iterator[Row]) =>
         if (it.hasNext) {
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          val path = f"$dir/part-$pid%05d.warc.gz"
+          val tc = org.apache.spark.TaskContext.get()
+          val pid = tc.partitionId()
+          val finalPath = java.nio.file.Paths.get(
+            f"$dir/part-$pid%05d.warc.gz")
+          val tmpPath = java.nio.file.Paths.get(
+            f"$dir/.part-$pid%05d.attempt-${tc.taskAttemptId()}.tmp")
           val out = new java.io.BufferedOutputStream(
-            new java.io.FileOutputStream(path), 1 << 16)
+            new java.io.FileOutputStream(tmpPath.toFile), 1 << 16)
+          var committed = false
           try {
             def member(bytes: Array[Byte]): Unit = {
               val gz = new java.util.zip.GZIPOutputStream(out)
@@ -260,12 +437,22 @@ object Warc {
                 StandardCharsets.ISO_8859_1)))
             it.foreach { r =>
               if (!r.isNullAt(2))
-                member(frameRecord("conversion", r.getString(1),
+                member(frameRecord(recordType, r.getString(1),
                   s"WARC-Target-URI: ${r.getString(0)}\r\n" +
-                    "Content-Type: text/plain\r\n",
+                    s"Content-Type: $contentType\r\n",
                   r.getString(2).getBytes(StandardCharsets.UTF_8)))
             }
-          } finally out.close()
+            out.close()
+            java.nio.file.Files.move(tmpPath, finalPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            committed = true
+          } finally {
+            if (!committed) {
+              out.close()
+              java.nio.file.Files.deleteIfExists(tmpPath)
+            }
+          }
         }
       }
   }

@@ -78,6 +78,28 @@ class GraphSpec extends SparkSpec {
     assert(a.map(_._2).sum <= 1000000000L)
   }
 
+  test("pageRank: iters=50 (the permitted ceiling) completes with " +
+      "bounded plan depth — lineage is truncated between rounds") {
+    import spark.implicits._
+    val es = (0L until 40L).flatMap(i => Seq((i, (i * 3 + 1) % 40)))
+    val ns = (0L until 40L).toSeq
+    val out = Graph.pageRank(es.toDF("src", "dst"), ns.toDF("v"), 50)
+    // checkpointing must not change the values: the in-memory
+    // reference runs the same 50 rounds
+    val got = out.as[(Long, Long)].collect().toMap
+    assert(got == reference(es, ns, 50))
+    // and the final logical plan must NOT embed ~50 copies of the
+    // edge-join subtree — with per-5-round truncation at most the
+    // last 5 rounds of joins survive in the plan tree (3 joins per
+    // round: deg⋈edges, rank⋈edges, spine left-join = 15), vs 150
+    // for the untruncated plan
+    val joins = out.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.size
+    assert(joins <= 15, s"plan still embeds $joins joins — lineage " +
+      "truncation regressed")
+  }
+
   test("pageRank: guards") {
     import spark.implicits._
     val df = Seq((0L, 1L)).toDF("src", "dst")

@@ -2025,8 +2025,8 @@ class LlmSpec extends SparkSpec {
       Seq("x1" -> col("x1"), "x2" -> col("x2"), "x3" -> col("x3")),
       col("y"), lambda = 7L)
       .collect().map(r => (r.getString(0),
-        BigInt(r.getDecimal(1).toBigInteger),
-        BigInt(r.getDecimal(2).toBigInteger))).toSeq
+        BigInt(r.getString(1)),
+        BigInt(r.getString(2)))).toSeq
     assert(asDf.map(_._1).sorted ==
       Seq("intercept", "x1", "x2", "x3").sorted)
     asDf.foreach { case (name, num, den) =>

@@ -109,6 +109,34 @@ class RobotsSpec extends SparkSpec {
     assert(checked == 4000)
   }
 
+  test("matches: adversarial many-star pattern is polynomial, not " +
+      "exponential (hostile robots.txt DoS)") {
+    // naive backtracking takes ~2^n here; the greedy walker is O(p·s)
+    val pattern = "/" + ("*a" * 20) + "*b"
+    val path = "/" + "a" * 2000
+    val t0 = System.nanoTime()
+    assert(!Robots.matches(pattern, path))
+    assert(Robots.matches(pattern, path.dropRight(1) + "ab"))
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(ms < 2000, s"hostile pattern took ${ms}ms — matcher is " +
+      "backtracking exponentially")
+  }
+
+  test("directivesFor: bodies beyond the RFC 9309 500 KiB cap are " +
+      "truncated at a line boundary; a torn trailing directive never " +
+      "binds") {
+    val head = "User-agent: graft\nDisallow: /blocked\n"
+    val filler = ("# " + "x" * 96 + "\n") * (Robots.MaxBodyBytes / 99 + 10)
+    val tail = "Allow: /blocked\n" // beyond the cap: must be ignored
+    val body = head + filler + tail
+    assert(body.length > Robots.MaxBodyBytes)
+    val d = Robots.directivesFor(body, "graft")
+    assert(d.rules == Vector(Robots.Rule(allow = false, "/blocked")))
+    // under the cap the same directives all bind
+    val small = Robots.directivesFor(head + tail, "graft")
+    assert(small.rules.size == 2)
+  }
+
   test("isAllowed: longest match wins; equal-length tie goes to Allow; " +
       "no match = allowed") {
     val rules = Vector(

@@ -151,4 +151,110 @@ class WarcSpec extends SparkSpec {
     assert(back == Map("https://ex.org/1" -> "first wärld",
       "https://ex.org/2" -> "second")) // null-text row skipped
   }
+
+  test("writeWatFiles/readWatFiles: metadata-record roundtrip, " +
+      "non-metadata records invisible to the WAT reader") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("watwrite").toString
+    val rows = Seq(
+      ("https://ex.org/1", "2026-02-02T00:00:00Z",
+        """{"title":"One","n_links":2}"""),
+      ("https://ex.org/2", "2026-02-02T00:00:01Z",
+        """{"title":"Tw\"o","n_links":0}"""))
+      .toDF("url", "warc_date", "wat_json")
+    Warc.writeWatFiles(rows, dir)
+    val files = new java.io.File(dir).listFiles().map(_.getPath).toSeq
+    val back = Warc.readWatFiles(spark, files)
+      .select("url", "json").as[(String, String)].collect().toMap
+    assert(back == Map(
+      "https://ex.org/1" -> """{"title":"One","n_links":2}""",
+      "https://ex.org/2" -> """{"title":"Tw\"o","n_links":0}"""))
+    // the warcinfo member is invisible to the WAT reader, and the WET
+    // reader is blind to metadata records — the two surfaces are
+    // disjoint over the same container format
+    assert(Warc.readWarcFiles(spark, files).count() == 0)
+  }
+
+  test("writeWetFiles: refuses a non-empty output dir (no run mixing)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("wetdirty").toString
+    Files.write(java.nio.file.Paths.get(dir, "part-00000.warc.gz"),
+      Array[Byte](1, 2, 3))
+    val docs = Seq(("https://ex.org/1", "2026-01-01T00:00:00Z", "x"))
+      .toDF("url", "warc_date", "text")
+    val e = intercept[IllegalArgumentException] {
+      Warc.writeWetFiles(docs, dir)
+    }
+    assert(e.getMessage.contains("not empty"))
+  }
+
+  test("dechunk: RFC 9112 framing incl. extensions and trailers; " +
+      "malformed chunk sizes throw") {
+    val body = ("4\r\nWiki\r\n7;ext=1\r\npedia i\r\nB\r\nn chunks.\r\n\r\n" +
+      "0\r\nX-Trailer: v\r\n\r\n").getBytes(ISO_8859_1)
+    assert(new String(Warc.dechunk(body), UTF_8) ==
+      "Wikipedia in chunks.\r\n")
+    intercept[NumberFormatException] {
+      Warc.dechunk("zz\r\nabcd\r\n0\r\n\r\n".getBytes(ISO_8859_1))
+    }
+    intercept[IllegalArgumentException] { // chunk overruns payload
+      Warc.dechunk("ff\r\nshort\r\n0\r\n\r\n".getBytes(ISO_8859_1))
+    }
+  }
+
+  test("readWarcFiles: chunked + gzip transfer layers removed, " +
+      "Content-Type charset honored, broken coding degrades to raw") {
+    val latin = "café crème"
+    val latinBytes = latin.getBytes(ISO_8859_1)
+    def http(headers: String, payload: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\n$headers\r\n").getBytes(ISO_8859_1) ++ payload
+    def rec(url: String, body: Array[Byte]): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: $url\r\n" +
+        "WARC-Date: 2026-02-03T04:05:06Z\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes(ISO_8859_1) ++
+        body ++ "\r\n\r\n".getBytes(ISO_8859_1)
+    // 1) chunked utf-8; 2) gzip; 3) chunked THEN gzip (TE applies
+    // before CE on read-back); 4) ISO-8859-1 charset; 5) claims
+    // chunked but is not → raw bytes kept, task survives
+    val chunked = ("6\r\nchunke\r\n7\r\nd text!\r\n0\r\n\r\n")
+      .getBytes(ISO_8859_1)
+    val gz = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write("gzipped text".getBytes(UTF_8)); g.close()
+      bos.toByteArray
+    }
+    val gzChunked = {
+      val hex = Integer.toHexString(gz.length)
+      (s"$hex\r\n").getBytes(ISO_8859_1) ++ gz ++
+        "\r\n0\r\n\r\n".getBytes(ISO_8859_1)
+    }
+    val blob =
+      rec("https://ex.org/chunked", http(
+        "Transfer-Encoding: chunked\r\nContent-Type: text/plain\r\n",
+        chunked)) ++
+      rec("https://ex.org/gzip", http(
+        "Content-Encoding: gzip\r\nContent-Type: text/plain\r\n", gz)) ++
+      rec("https://ex.org/both", http(
+        "Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n" +
+          "Content-Type: text/plain\r\n", gzChunked)) ++
+      rec("https://ex.org/latin", http(
+        "Content-Type: text/plain; charset=ISO-8859-1\r\n", latinBytes)) ++
+      rec("https://ex.org/liar", http(
+        "Transfer-Encoding: chunked\r\nContent-Type: text/plain\r\n",
+        "not actually chunked".getBytes(UTF_8)))
+    val dir = Files.createTempDirectory("warctl")
+    val f = dir.resolve("t.warc")
+    Files.write(f, blob)
+    val rows = Warc.readWarcFiles(spark, Seq(f.toString))
+      .collect().map(r => r.getString(3) ->
+        (r.getLong(5), r.getString(6))).toMap
+    assert(rows("https://ex.org/chunked") == (13L, "chunked text!"))
+    assert(rows("https://ex.org/gzip") == (12L, "gzipped text"))
+    assert(rows("https://ex.org/both") == (12L, "gzipped text"))
+    assert(rows("https://ex.org/latin") ==
+      (latinBytes.length.toLong, latin))
+    assert(rows("https://ex.org/liar")._2 == "not actually chunked")
+  }
 }
