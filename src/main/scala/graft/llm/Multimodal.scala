@@ -51,7 +51,16 @@ object Multimodal {
 
   /** Deterministic stand-in for a real image/audio decoder (===> the
     * `???` decode step): features are a byte-histogram projection.
-    * Replace with a codec-backed Decoder in production. */
+    *
+    * THE PURE-JVM CODEC BOUNDARY IS PERMANENT HERE (see README):
+    * every tractable from-spec decode has a real implementation in
+    * this file (ImageIO stills, PCM/IMA-ADPCM/G.711 WAV, Y4M,
+    * Motion-JPEG AVI); H.264 and AAC are multi-10-kLoC codecs with no
+    * tractable from-spec JVM decode, so THEY — and only they — ride
+    * this stand-in. It is a test-shape fixture, not a TODO: the
+    * Spark-side plumbing (schema, batching, partitioning) around it
+    * is real and identical for any codec; production binds a
+    * codec-backed [[Decoder]] (JNI/ffmpeg) behind the same trait. */
   final class FakeDecoder(val dim: Int = 16) extends Decoder {
     def decodeBatch(batch: Seq[Array[Byte]]): Seq[Array[Float]] =
       batch.map { bytes =>

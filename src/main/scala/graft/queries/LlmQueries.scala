@@ -728,6 +728,44 @@ object LlmQueries {
             .as("first_sitemap"))
         .orderBy("host")),
 
+    // Sitemap ingestion (r12) — the DISCOVERY half robots.txt's
+    // Sitemap: directives point at: per-host sitemap XML bodies
+    // (entries = the shared robots URL closed form with whitespace
+    // and lastmod, built deterministically by sorted per-host
+    // collect_list) parsed by the all-declarative regexp kernel, and
+    // the resulting frontier pushed straight through the robots
+    // politeness filter — parse → verdict, the full discovery funnel
+    // with the real kernels composed. The oracle knows every field
+    // (entry position, loc, lastmod, verdict) as a closed form of the
+    // doc_id moduli; it never parses XML or robots.txt
+    "llm_sitemap_ingest" -> ((s, dir) => {
+      val day = lpad(
+        (pmod(col("doc_id"), lit(28)) + 1).cast("string"), 2, "0")
+      val entry = concat(lit("<url><loc> "), robotsUrlCol,
+        lit(" </loc><lastmod>2026-01-"), day, lit("</lastmod></url>"))
+      val sitemaps = t(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(7)).as("hostnum"),
+          struct(col("doc_id"), entry.as("e")).as("se"))
+        .groupBy("hostnum")
+        .agg(array_join(
+          transform(array_sort(collect_list(col("se"))), x => x("e")),
+          "").as("body"))
+        .select(
+          concat(lit("d"), col("hostnum").cast("string"),
+            lit(".example.org")).as("host"),
+          concat(
+            lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?><urlset " +
+              "xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+            col("body"), lit("</urlset>")).as("sitemap_xml"))
+      val frontier = graft.sources.Sitemap.parseSitemaps(sitemaps)
+      graft.sources.Robots.politenessFilter(
+          frontier.filter(!col("is_index")), robotsDim(s, dir),
+          "GraftBot", urlCol = "loc")
+        .select(col("host"), col("entry_pos"), col("loc").as("url"),
+          col("lastmod"), col("allowed"))
+        .orderBy("url")
+    }),
+
     // CDX index selection (r11) — the step BEFORE WARC fetch at 100 TB:
     // synthesize the crawl's CDXJ index lines as a closed form of
     // doc_id (SURT key via the REAL transform, 14-digit ts, JSON field
@@ -933,6 +971,36 @@ object LlmQueries {
       graft.sources.Robots.fetchSchedule(allowed,
           graft.sources.Robots.hostDirectives(robotsDim(s, dir),
             "GraftBot"))
+        .select("host", "slot", "doc_id", "url", "fetch_offset_ms")
+        .orderBy("host", "slot")
+    }),
+
+    // fetch schedule with server backoff (r12) — the OTHER politeness
+    // signal a real scheduler honors: hosts that recently answered
+    // 429/503 with Retry-After carry a per-host floor, max-merged with
+    // the robots crawl-delay (a host asking to be left alone overrides
+    // whatever its robots permits). Backoff dim: hosts h%3==0 (d0, d3,
+    // AND the robots-less d6) at 4000+h·500 ms — so every merge case
+    // is exercised: backoff>delay (d0: 4000>2000), backoff>default
+    // (d3: 5500>1000), backoff on a host with no robots at all
+    // (d6: 7000), and no-backoff hosts unchanged
+    "llm_fetch_backoff" -> ((s, dir) => {
+      val urls = t(s, dir, "documents")
+        .select(col("doc_id"), robotsUrlCol.as("url"))
+      val allowed = graft.sources.Robots.politenessFilter(
+          urls, robotsDim(s, dir), "GraftBot")
+        .filter(col("allowed")).drop("allowed")
+      val backoff = t(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(7)).as("hostnum")).distinct()
+        .filter(pmod(col("hostnum"), lit(3)) === 0)
+        .select(
+          concat(lit("d"), col("hostnum").cast("string"),
+            lit(".example.org")).as("host"),
+          (lit(4000L) + col("hostnum") * 500L).as("retry_after_ms"))
+      graft.sources.Robots.fetchSchedule(allowed,
+          graft.sources.Robots.hostDirectives(robotsDim(s, dir),
+            "GraftBot"),
+          backoff = Some(backoff))
         .select("host", "slot", "doc_id", "url", "fetch_offset_ms")
         .orderBy("host", "slot")
     }),
@@ -2280,6 +2348,33 @@ object LlmQueries {
         |  CAST((slot - 1) * delay_ms AS BIGINT) AS fetch_offset_ms
         |FROM r ORDER BY host, slot""".stripMargin,
 
+    // fetch-backoff mirror: the schedule mirror with the per-host
+    // delay replaced by max(robots-delay-or-default, retry_after) as
+    // closed forms — backoff hosts are h%3=0 at 4000+h·500 ms
+    "llm_fetch_backoff" ->
+      """WITH u AS (SELECT doc_id, doc_id % 7 AS h,
+        |  'https://d' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' ||
+        |  CASE WHEN doc_id % 4 = 0 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+        |       WHEN doc_id % 4 = 1 THEN '/p/' || CAST(doc_id AS VARCHAR) || '.pdf'
+        |       WHEN doc_id % 4 = 2 THEN '/p/' || CAST(doc_id AS VARCHAR)
+        |       ELSE '/dl/' || CAST(doc_id AS VARCHAR) END AS url
+        |  FROM documents),
+        |a AS (SELECT * FROM u WHERE
+        |  CASE WHEN h = 6 THEN TRUE
+        |       WHEN h IN (0, 2, 4) THEN doc_id % 4 IN (2, 3)
+        |       ELSE doc_id % 4 <> 0 END),
+        |r AS (SELECT doc_id, url,
+        |  'd' || CAST(h AS VARCHAR) || '.example.org' AS host,
+        |  row_number() OVER (PARTITION BY h ORDER BY url) AS slot,
+        |  greatest(
+        |    CASE WHEN h IN (0, 2, 4) THEN 2000 ELSE 1000 END,
+        |    CASE WHEN h % 3 = 0 THEN 4000 + h * 500 ELSE 0 END)
+        |    AS delay_ms
+        |  FROM a)
+        |SELECT host, CAST(slot AS INT) AS slot, doc_id, url,
+        |  CAST((slot - 1) * delay_ms AS BIGINT) AS fetch_offset_ms
+        |FROM r ORDER BY host, slot""".stripMargin,
+
     // robots-directives mirror: crawl-delay and sitemap counts as
     // closed forms of the host parity (even bodies: GraftBot group's
     // Crawl-delay 2 + two distinct file-global sitemaps; odd bodies:
@@ -2293,6 +2388,28 @@ object LlmQueries {
         |  CASE WHEN hostnum % 2 = 0
         |       THEN 'https://cdn.example.org/sitemap.xml' END AS first_sitemap
         |FROM h ORDER BY host""".stripMargin,
+
+    // sitemap-ingest mirror: entry position = per-host doc_id rank
+    // (the engine's sorted collect_list), loc/lastmod/verdict as the
+    // robots closed forms — the oracle never parses XML or robots.txt
+    "llm_sitemap_ingest" ->
+      """WITH u AS (SELECT doc_id, doc_id % 7 AS h,
+        |  'https://d' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' ||
+        |  CASE WHEN doc_id % 4 = 0 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+        |       WHEN doc_id % 4 = 1 THEN '/p/' || CAST(doc_id AS VARCHAR) || '.pdf'
+        |       WHEN doc_id % 4 = 2 THEN '/p/' || CAST(doc_id AS VARCHAR)
+        |       ELSE '/dl/' || CAST(doc_id AS VARCHAR) END AS url,
+        |  '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |    AS lastmod,
+        |  CASE WHEN doc_id % 7 = 6 THEN TRUE
+        |       WHEN doc_id % 7 IN (0, 2, 4) THEN doc_id % 4 IN (2, 3)
+        |       ELSE doc_id % 4 <> 0 END AS allowed
+        |  FROM documents)
+        |SELECT 'd' || CAST(h AS VARCHAR) || '.example.org' AS host,
+        |  CAST(row_number() OVER (PARTITION BY h ORDER BY doc_id) - 1
+        |    AS INT) AS entry_pos,
+        |  url, lastmod, allowed
+        |FROM u ORDER BY url""".stripMargin,
 
     // CDX-select mirror: every field — including the SURT (www dropped,
     // host lowercased + label-reversed, query kept) — as a closed form

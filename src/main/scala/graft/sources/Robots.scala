@@ -248,10 +248,18 @@ object Robots {
     * milliseconds ONCE per host, so offsets are exact integer
     * products.
     *
+    * `backoff` (optional) is the server-signal half of politeness: a
+    * per-host `(host, retry_after_ms)` dimension fed by recent 429 /
+    * 503 `Retry-After` responses. The effective per-host delay is
+    * `max(crawl-delay-or-default, retry_after_ms)` — a host that asked
+    * to be left alone overrides whatever its robots.txt permits, never
+    * the other way around. One more broadcast join; hosts absent from
+    * the dim back off nothing.
+    *
     * Scale shape: one shuffle by host (the window partition key —
-    * per-host state never crosses hosts), directives broadcast. A
-    * Zipf-hot host concentrates its URLs in one partition by
-    * NECESSITY — its schedule is a serial chain by definition; cap
+    * per-host state never crosses hosts), directives + backoff
+    * broadcast. A Zipf-hot host concentrates its URLs in one partition
+    * by NECESSITY — its schedule is a serial chain by definition; cap
     * per-host URL counts upstream ([[graft.functions.TopKByScore]] —
     * the llm_domain_cap pattern) if a single host's list outgrows a
     * partition. */
@@ -259,19 +267,29 @@ object Robots {
       urls: DataFrame,
       directives: DataFrame,
       urlCol: String = "url",
-      defaultDelayMs: Long = 1000L): DataFrame = {
+      defaultDelayMs: Long = 1000L,
+      backoff: Option[DataFrame] = None): DataFrame = {
     val host = lower(regexp_extract(col(urlCol),
       "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
     val dim = broadcast(directives.select(col("host"),
       round(col("crawl_delay") * 1000).cast("long").as("__delay_ms")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("host").orderBy(urlCol)
-    urls.withColumn("host", host)
+    val joined = urls.withColumn("host", host)
       .join(dim, Seq("host"), "left")
+    val withBackoff = backoff match {
+      case Some(b) => joined.join(
+        broadcast(b.select(lower(b.col("host")).as("host"),
+          b.col("retry_after_ms").cast("long").as("__retry_ms"))),
+        Seq("host"), "left")
+      case None => joined.withColumn("__retry_ms", lit(null).cast("long"))
+    }
+    withBackoff
       .withColumn("slot", row_number().over(w))
       .withColumn("fetch_offset_ms",
         (col("slot") - 1).cast("long") *
-          coalesce(col("__delay_ms"), lit(defaultDelayMs)))
-      .drop("__delay_ms")
+          greatest(coalesce(col("__delay_ms"), lit(defaultDelayMs)),
+            coalesce(col("__retry_ms"), lit(0L))))
+      .drop("__delay_ms", "__retry_ms")
   }
 }

@@ -268,6 +268,37 @@ class RobotsSpec extends SparkSpec {
       ("norobots.org", 1, "https://norobots.org/z", 0L)))
   }
 
+  test("fetchSchedule: Retry-After backoff max-merges with crawl-delay " +
+      "per host; absent hosts back off nothing") {
+    import spark.implicits._
+    val robots = Seq(
+      ("slow.org", "User-agent: *\nCrawl-delay: 2\nDisallow: /x\n"),
+      ("fast.org", "User-agent: *\nDisallow: /x\n"))
+      .toDF("host", "robots_txt")
+    val dirs = Robots.hostDirectives(robots, "GraftBot")
+    val urls = Seq(
+      "https://slow.org/a", "https://slow.org/b", // backoff < delay
+      "https://fast.org/1", "https://fast.org/2", // backoff > default
+      "https://norobots.org/y", "https://norobots.org/z") // backoff only
+      .toDF("url")
+    val backoff = Seq(
+      ("slow.org", 500L), // loses to the 2000 ms crawl-delay
+      ("fast.org", 900L), // beats the 100 ms default
+      ("NOROBOTS.org", 7000L)) // host matching is case-insensitive
+      .toDF("host", "retry_after_ms")
+    val got = Robots.fetchSchedule(urls, dirs, defaultDelayMs = 100L,
+        backoff = Some(backoff))
+      .select("host", "slot", "url", "fetch_offset_ms")
+      .as[(String, Int, String, Long)].collect().toSet
+    assert(got == Set(
+      ("slow.org", 1, "https://slow.org/a", 0L),
+      ("slow.org", 2, "https://slow.org/b", 2000L),
+      ("fast.org", 1, "https://fast.org/1", 0L),
+      ("fast.org", 2, "https://fast.org/2", 900L),
+      ("norobots.org", 1, "https://norobots.org/y", 0L),
+      ("norobots.org", 2, "https://norobots.org/z", 7000L)))
+  }
+
   test("RobotsAllowed: wildcard agent token rejected at construction") {
     intercept[IllegalArgumentException] {
       graft.functions.RobotsAllowed(lit("x"), lit("/p"), "*")

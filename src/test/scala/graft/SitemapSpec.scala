@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Sitemap
+
+/** Declarative sitemap XML parsing (r12): leaf urlset entries with
+  * whitespace/CDATA/missing-lastmod edges, sitemapindex recursion
+  * flags, and the drop rules (no entries, empty loc). */
+class SitemapSpec extends SparkSpec {
+
+  test("parseSitemaps: urlset entries in document order, CDATA and " +
+      "whitespace stripped, lastmod null when absent") {
+    import spark.implicits._
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <url><loc> https://ex.org/a </loc>
+        |       <lastmod>2026-01-05</lastmod></url>
+        |  <url><loc><![CDATA[https://ex.org/b?x=1&amp;y=2]]></loc></url>
+        |  <url><priority>0.5</priority></url>
+        |  <url><loc>https://ex.org/c</loc>
+        |       <lastmod> 2026-02-06T00:00:00Z </lastmod></url>
+        |</urlset>""".stripMargin
+    val out = Sitemap.parseSitemaps(
+        Seq(("h1", xml)).toDF("host", "sitemap_xml"))
+      .orderBy("entry_pos")
+      .select("host", "entry_pos", "loc", "lastmod", "is_index")
+      .as[(String, Int, String, Option[String], Boolean)]
+      .collect().toSeq
+    // the loc-less third entry is dropped; positions stay document-order
+    assert(out == Seq(
+      ("h1", 0, "https://ex.org/a", Some("2026-01-05"), false),
+      ("h1", 1, "https://ex.org/b?x=1&amp;y=2", None, false),
+      ("h1", 3, "https://ex.org/c", Some("2026-02-06T00:00:00Z"), false)))
+  }
+
+  test("parseSitemaps: sitemapindex children flagged for recursion; " +
+      "entry-less bodies vanish") {
+    import spark.implicits._
+    val index =
+      """<sitemapindex>
+        |  <sitemap><loc>https://ex.org/sitemap-1.xml</loc>
+        |           <lastmod>2026-03-01</lastmod></sitemap>
+        |  <sitemap><loc>https://ex.org/sitemap-2.xml</loc></sitemap>
+        |</sitemapindex>""".stripMargin
+    val out = Sitemap.parseSitemaps(Seq(
+        ("idx", index),
+        ("empty", "<urlset></urlset>"),
+        ("leaf", "<urlset><url><loc>https://ex.org/p</loc></url></urlset>"))
+        .toDF("host", "sitemap_xml"))
+      .select("host", "loc", "is_index")
+      .as[(String, String, Boolean)].collect().toSet
+    assert(out == Set(
+      ("idx", "https://ex.org/sitemap-1.xml", true),
+      ("idx", "https://ex.org/sitemap-2.xml", true),
+      ("leaf", "https://ex.org/p", false)))
+  }
+
+  test("parseSitemaps feeds the politeness filter: discovery funnel " +
+      "composition stays declarative (no UDF in the parse plan)") {
+    import spark.implicits._
+    val xml = "<urlset><url><loc>https://d0.example.org/p/1</loc></url>" +
+      "<url><loc>https://d0.example.org/private/x</loc></url></urlset>"
+    val frontier = Sitemap.parseSitemaps(
+      Seq(("d0.example.org", xml)).toDF("host", "sitemap_xml"))
+    val robots = Seq(("d0.example.org",
+      "User-agent: *\nDisallow: /private/\nAllow: /p/\n"))
+      .toDF("host", "robots_txt")
+    val verdicts = graft.sources.Robots.politenessFilter(
+        frontier, robots, "GraftBot", urlCol = "loc")
+      .select("loc", "allowed").as[(String, Boolean)].collect().toMap
+    assert(verdicts == Map(
+      "https://d0.example.org/p/1" -> true,
+      "https://d0.example.org/private/x" -> false))
+    // the sitemap parse itself must not plan a Scala UDF
+    val plan = frontier.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("scalaudf"),
+      "sitemap parse fell out of codegen into a UDF")
+  }
+}

@@ -152,6 +152,73 @@ class WarcSpec extends SparkSpec {
       "https://ex.org/2" -> "second")) // null-text row skipped
   }
 
+  test("property: adversarial framing — random header order/case, " +
+      "binary bodies with boundary decoys, arbitrary gzip member " +
+      "splits — parse recovers every record exactly or fails loudly") {
+    val rnd = new scala.util.Random(1206)
+    def randHeaderCase(s: String): String =
+      s.map(c => if (rnd.nextBoolean()) c.toUpper else c.toLower)
+    for (trial <- 0 until 60) {
+      // random records: type, uri, binary-ish body that may CONTAIN
+      // record-boundary decoys ("\r\n\r\nWARC/1.0\r\n") — only
+      // Content-Length framing protects against them
+      val recs = Seq.tabulate(1 + rnd.nextInt(6)) { i =>
+        val tpe = Seq("response", "conversion", "metadata",
+          "request")(rnd.nextInt(4))
+        // ≥ 8 bytes so the truncation check below always tears the
+        // body (an empty body + tiny truncation can legally re-frame)
+        val body = new Array[Byte](8 + rnd.nextInt(400))
+        rnd.nextBytes(body)
+        if (body.length > 24 && rnd.nextBoolean()) // plant a decoy
+          System.arraycopy("\r\n\r\nWARC/1.0\r\n".getBytes(ISO_8859_1),
+            0, body, rnd.nextInt(body.length - 18), 14)
+        (tpe, s"https://ex.org/$trial/$i", body)
+      }
+      // frame INDEPENDENTLY of the engine: random header order and
+      // random header-name case, optional extra headers, CRLF framing
+      val framed = recs.map { case (tpe, uri, body) =>
+        val hdrs = rnd.shuffle(Seq(
+          s"${randHeaderCase("WARC-Type")}: $tpe",
+          s"${randHeaderCase("WARC-Target-URI")}: $uri",
+          s"${randHeaderCase("Content-Length")}: ${body.length}") ++
+          (if (rnd.nextBoolean())
+            Seq(s"${randHeaderCase("WARC-Record-ID")}: <urn:x:$uri>")
+          else Nil))
+        ("WARC/1.0\r\n" + hdrs.mkString("\r\n") + "\r\n\r\n")
+          .getBytes(ISO_8859_1) ++ body ++
+          "\r\n\r\n".getBytes(ISO_8859_1)
+      }
+      // split the record sequence into random gzip members (1..all
+      // records per member — members may span multiple records and
+      // records never split across members, the WARC layout contract)
+      val blob = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < framed.length) {
+        val take = 1 + rnd.nextInt(framed.length - i)
+        val gz = new java.util.zip.GZIPOutputStream(blob)
+        framed.slice(i, i + take).foreach(gz.write)
+        gz.finish()
+        i += take
+      }
+      val parsed = Warc.records(new java.util.zip.GZIPInputStream(
+        new ByteArrayInputStream(blob.toByteArray))).toList
+      assert(parsed.length == recs.length, s"trial $trial: record count")
+      parsed.zip(recs).foreach { case (got, (tpe, uri, body)) =>
+        assert(got.warcType == tpe && got.targetUri.contains(uri),
+          s"trial $trial: headers")
+        assert(java.util.Arrays.equals(got.body, body),
+          s"trial $trial: body bytes")
+      }
+      // corruption check: truncating the LAST record's body must
+      // throw (EOF mid-body or a torn boundary), never silent-drop
+      val cut = framed.map(_.toSeq).reduce(_ ++ _).dropRight(
+        5 + rnd.nextInt(recs.last._3.length + 4)).toArray
+      intercept[Exception] {
+        Warc.parseBytes(cut).foreach(_ => ())
+      }
+    }
+  }
+
   test("writeWatFiles/readWatFiles: metadata-record roundtrip, " +
       "non-metadata records invisible to the WAT reader") {
     import spark.implicits._
