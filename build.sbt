@@ -32,4 +32,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Bench-stability thread pinning (three consecutive load-flagged
+  // bench rounds with a GC/CPU-contention signature: ±3%-consistent
+  // series, high within-series jitter): JVM defaults on a 32-CPU box
+  // spawn ~23 parallel GC threads + compiler threads that fight the
+  // 32 executor threads mid-measurement. Cap the background pools —
+  // executor threads keep every core.
+  s"-XX:ParallelGCThreads=${sys.env.getOrElse("SPARK_GRAFT_GC_THREADS", "8")}",
+  "-XX:ConcGCThreads=2",
+  "-XX:CICompilerCount=4",
 )

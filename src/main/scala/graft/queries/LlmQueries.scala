@@ -347,6 +347,33 @@ object LlmQueries {
         when(pmod(col("hostnum"), lit(2)) === 0, lit(robotsEvenBody))
           .otherwise(lit(robotsOddBody)).as("robots_txt"))
 
+  /** Per-host sitemap XML dimension shared by llm_sitemap_ingest and
+    * llm_revisit_select: one `<url>` entry per doc (loc = the shared
+    * robots URL closed form with surrounding whitespace, lastmod =
+    * 2026-01-(doc_id%28+1)), entries in doc_id order via sorted
+    * collect_list so the bodies are deterministic. */
+  private def sitemapDim(
+      s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val day = lpad(
+      (pmod(col("doc_id"), lit(28)) + 1).cast("string"), 2, "0")
+    val entry = concat(lit("<url><loc> "), robotsUrlCol,
+      lit(" </loc><lastmod>2026-01-"), day, lit("</lastmod></url>"))
+    t(s, dir, "documents")
+      .select(pmod(col("doc_id"), lit(7)).as("hostnum"),
+        struct(col("doc_id"), entry.as("e")).as("se"))
+      .groupBy("hostnum")
+      .agg(array_join(
+        transform(array_sort(collect_list(col("se"))), x => x("e")),
+        "").as("body"))
+      .select(
+        concat(lit("d"), col("hostnum").cast("string"),
+          lit(".example.org")).as("host"),
+        concat(
+          lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?><urlset " +
+            "xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+          col("body"), lit("</urlset>")).as("sitemap_xml"))
+  }
+
   val queries: Map[String, QFn] = Map(
     // exact dedup groups (hash → survivor id + multiplicity)
     "llm_dedup_exact" -> ((s, dir) =>
@@ -739,30 +766,33 @@ object LlmQueries {
     // (entry position, loc, lastmod, verdict) as a closed form of the
     // doc_id moduli; it never parses XML or robots.txt
     "llm_sitemap_ingest" -> ((s, dir) => {
-      val day = lpad(
-        (pmod(col("doc_id"), lit(28)) + 1).cast("string"), 2, "0")
-      val entry = concat(lit("<url><loc> "), robotsUrlCol,
-        lit(" </loc><lastmod>2026-01-"), day, lit("</lastmod></url>"))
-      val sitemaps = t(s, dir, "documents")
-        .select(pmod(col("doc_id"), lit(7)).as("hostnum"),
-          struct(col("doc_id"), entry.as("e")).as("se"))
-        .groupBy("hostnum")
-        .agg(array_join(
-          transform(array_sort(collect_list(col("se"))), x => x("e")),
-          "").as("body"))
-        .select(
-          concat(lit("d"), col("hostnum").cast("string"),
-            lit(".example.org")).as("host"),
-          concat(
-            lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?><urlset " +
-              "xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
-            col("body"), lit("</urlset>")).as("sitemap_xml"))
-      val frontier = graft.sources.Sitemap.parseSitemaps(sitemaps)
+      val frontier =
+        graft.sources.Sitemap.parseSitemaps(sitemapDim(s, dir))
       graft.sources.Robots.politenessFilter(
           frontier.filter(!col("is_index")), robotsDim(s, dir),
           "GraftBot", urlCol = "loc")
         .select(col("host"), col("entry_pos"), col("loc").as("url"),
           col("lastmod"), col("allowed"))
+        .orderBy("url")
+    }),
+
+    // cross-crawl revisit selection (r12) — what a recurring crawl
+    // DOES with sitemap lastmod: the parsed frontier joins the
+    // previous crawl's (url, fetched_at) table; keep new URLs (odd
+    // ids — absent from the even-id previous crawl) and modified ones
+    // (lastmod day > the Jan-15 fetch date), drop the unchanged bulk.
+    // ISO strings compare lexicographically, so the oracle's verdict
+    // is pure doc_id-modulus arithmetic
+    "llm_revisit_select" -> ((s, dir) => {
+      val frontier =
+        graft.sources.Sitemap.parseSitemaps(sitemapDim(s, dir))
+      val previous = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(robotsUrlCol.as("loc"),
+          lit("2026-01-15").as("fetched_at"))
+      graft.sources.Sitemap.revisitSelect(frontier, previous)
+        .select(col("host"), col("loc").as("url"), col("lastmod"),
+          col("reason"))
         .orderBy("url")
     }),
 
@@ -2410,6 +2440,26 @@ object LlmQueries {
         |    AS INT) AS entry_pos,
         |  url, lastmod, allowed
         |FROM u ORDER BY url""".stripMargin,
+
+    // revisit-select mirror: keep = new (odd id) ∨ modified (lastmod
+    // day > 15); reason as the same CASE — pure modulus arithmetic,
+    // no XML, no join on the oracle side
+    "llm_revisit_select" ->
+      """WITH u AS (SELECT doc_id, doc_id % 7 AS h,
+        |  'https://d' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' ||
+        |  CASE WHEN doc_id % 4 = 0 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+        |       WHEN doc_id % 4 = 1 THEN '/p/' || CAST(doc_id AS VARCHAR) || '.pdf'
+        |       WHEN doc_id % 4 = 2 THEN '/p/' || CAST(doc_id AS VARCHAR)
+        |       ELSE '/dl/' || CAST(doc_id AS VARCHAR) END AS url,
+        |  '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |    AS lastmod
+        |  FROM documents)
+        |SELECT 'd' || CAST(h AS VARCHAR) || '.example.org' AS host,
+        |  url, lastmod,
+        |  CASE WHEN doc_id % 2 = 1 THEN 'new'
+        |       WHEN doc_id % 28 + 1 > 15 THEN 'modified' END AS reason
+        |FROM u WHERE doc_id % 2 = 1 OR doc_id % 28 + 1 > 15
+        |ORDER BY url""".stripMargin,
 
     // CDX-select mirror: every field — including the SURT (www dropped,
     // host lowercased + label-reversed, query kept) — as a closed form

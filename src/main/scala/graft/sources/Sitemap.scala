@@ -59,4 +59,42 @@ object Sitemap {
       .drop("__entry", xmlCol)
       .filter(col("loc") =!= "")
   }
+
+  /** Cross-crawl revisit selection — what a recurring crawl actually
+    * does with sitemap `lastmod`: keep a frontier URL when it is NEW
+    * (absent from the previous crawl) or MODIFIED (`lastmod` strictly
+    * after the previous fetch time). Returns the frontier rows that
+    * need (re)fetching plus a `reason` column (`new` / `modified`);
+    * unchanged URLs — the bulk of a mature crawl — drop out, which is
+    * the whole economic point of sitemaps at 100 TB.
+    *
+    * Timestamps compare as STRINGS, so both columns must be ISO-8601
+    * (sitemaps.org mandates W3C datetime; zone-designator mixtures are
+    * the caller's problem). A frontier row with no `lastmod` is kept
+    * only when new — without a signal, re-fetch policy belongs to the
+    * scheduler, not here.
+    *
+    * Scale shape: one url-keyed shuffle join — BOTH sides are
+    * fact-sized (the frontier explodes from sitemaps, the previous
+    * crawl IS the corpus), so this is a plain hash join Spark
+    * partitions and AQE skew-splits; no driver state, no broadcast
+    * assumption. */
+  def revisitSelect(
+      frontier: DataFrame,
+      previous: DataFrame,
+      urlCol: String = "loc",
+      lastmodCol: String = "lastmod",
+      fetchedAtCol: String = "fetched_at"): DataFrame = {
+    val prev = previous.select(
+      previous.col(urlCol).as("__prev_url"),
+      previous.col(fetchedAtCol).as("__fetched_at"))
+    frontier
+      .join(prev, frontier.col(urlCol) === col("__prev_url"), "left")
+      .withColumn("reason",
+        when(col("__fetched_at").isNull, lit("new"))
+          .when(col(lastmodCol).isNotNull &&
+            col(lastmodCol) > col("__fetched_at"), lit("modified")))
+      .filter(col("reason").isNotNull)
+      .drop("__prev_url", "__fetched_at")
+  }
 }

@@ -181,6 +181,48 @@ object ScaleStress {
         time(s"chunk overlap x$mult")(
           force(graft.llm.Chunk.chunkTokens(d, "text", "doc_id", 32, 8)))
         spark.catalog.clearCache()
+        // sitemap parse: dimension rows explode into a fact-sized
+        // frontier; replication multiplies each host's BODY length
+        // ×mult (the 50k-URL protocol-cap worst case — one giant
+        // regexp_extract_all per host row). Expect linear in total
+        // entry count; the exchange is the 17-host groupBy only
+        time(s"sitemap parse x$mult") {
+          val bodies = d.select(pmod(col("doc_id"), lit(17)).as("h"),
+            struct(col("doc_id"),
+              concat(lit("<url><loc>https://d"),
+                pmod(col("doc_id"), lit(17)).cast("string"),
+                lit(".example.org/p/"), col("doc_id").cast("string"),
+                lit("</loc><lastmod>2026-01-01</lastmod></url>")).as("e"))
+              .as("se"))
+            .groupBy("h")
+            .agg(array_join(
+              transform(array_sort(collect_list(col("se"))), x => x("e")),
+              "").as("body"))
+            .select(col("h"),
+              concat(lit("<urlset>"), col("body"), lit("</urlset>"))
+                .as("sitemap_xml"))
+          force(graft.sources.Sitemap.parseSitemaps(bodies))
+        }
+        // WAT roundtrip: file-per-partition write (per-record gzip
+        // members) + file-per-task read — IO-bound, expect linear in
+        // bytes with the fixed per-file cost amortizing as files fill
+        time(s"wat roundtrip x$mult") {
+          val outDir = s"target/scale_stress/wat_x$mult"
+          val f = new java.io.File(outDir)
+          if (f.exists()) f.listFiles().foreach(_.delete())
+          val wat = d.select(
+            concat(lit("https://ex.org/"), col("doc_id").cast("string"))
+              .as("url"),
+            lit("2026-01-01T00:00:00Z").as("warc_date"),
+            to_json(struct(col("doc_id"),
+              length(col("text")).as("n"))).as("wat_json"))
+            .repartition(32)
+          graft.sources.Warc.writeWatFiles(wat, outDir)
+          val files = new java.io.File(outDir).listFiles()
+            .map(_.getPath).toSeq
+          force(graft.sources.Warc.readWatFiles(spark, files))
+        }
+        spark.catalog.clearCache()
       }
       // round-6 operators promoted to the second decade (VERDICT r06
       // §7): dup spans / span removal / token budget run at 64× too.

@@ -57,6 +57,29 @@ class SitemapSpec extends SparkSpec {
       ("leaf", "https://ex.org/p", false)))
   }
 
+  test("revisitSelect: new/modified kept with reasons, unchanged and " +
+      "lastmod-less known URLs dropped") {
+    import spark.implicits._
+    val frontier = Seq(
+      ("https://ex.org/new", Some("2026-01-02")), // absent from prev
+      ("https://ex.org/newer", None), // absent, no lastmod → still new
+      ("https://ex.org/changed", Some("2026-02-01")), // after fetch
+      ("https://ex.org/same", Some("2026-01-10")), // before fetch
+      ("https://ex.org/nosignal", None)) // known, no lastmod → drop
+      .toDF("loc", "lastmod")
+    val previous = Seq(
+      ("https://ex.org/changed", "2026-01-15"),
+      ("https://ex.org/same", "2026-01-15"),
+      ("https://ex.org/nosignal", "2026-01-15"))
+      .toDF("loc", "fetched_at")
+    val got = graft.sources.Sitemap.revisitSelect(frontier, previous)
+      .select("loc", "reason").as[(String, String)].collect().toSet
+    assert(got == Set(
+      ("https://ex.org/new", "new"),
+      ("https://ex.org/newer", "new"),
+      ("https://ex.org/changed", "modified")))
+  }
+
   test("parseSitemaps feeds the politeness filter: discovery funnel " +
       "composition stays declarative (no UDF in the parse plan)") {
     import spark.implicits._
