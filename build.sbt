@@ -32,13 +32,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-  // Bench-stability thread pinning (three consecutive load-flagged
-  // bench rounds with a GC/CPU-contention signature: ±3%-consistent
-  // series, high within-series jitter): JVM defaults on a 32-CPU box
-  // spawn ~23 parallel GC threads + compiler threads that fight the
-  // 32 executor threads mid-measurement. Cap the background pools —
-  // executor threads keep every core.
-  s"-XX:ParallelGCThreads=${sys.env.getOrElse("SPARK_GRAFT_GC_THREADS", "8")}",
-  "-XX:ConcGCThreads=2",
-  "-XX:CICompilerCount=4",
 )
+// NOTE (r12): capping GC/JIT background threads
+// (ParallelGCThreads=8, ConcGCThreads=2, CICompilerCount=4) was tried
+// as a bench-stability lever and MEASURED COUNTERPRODUCTIVE: with only
+// 4 compiler threads the JIT needs most of a 7-run series to reach
+// steady state (monotone per-query drift, e.g. 0.46→0.17 s), and the
+// drift — not ambient load — tripped the noise gate. The fix lives in
+// Bench's measurement protocol (extended warm-up discard), not here.

@@ -101,8 +101,9 @@ object HtmlLinks {
 
   /** First case-insensitive `href` value in the attribute region
     * [from, until): quoted or unquoted per the HTML attribute
-    * grammar. */
-  private def href(s: String, from: Int, until: Int): Option[String] = {
+    * grammar. Shared with [[HtmlAnchors]]. */
+  private[functions] def href(
+      s: String, from: Int, until: Int): Option[String] = {
     var i = from
     def ws(c: Char) = c == ' ' || c == '\t' || c == '\n' || c == '\r' ||
       c == '\f'

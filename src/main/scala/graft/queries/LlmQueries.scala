@@ -940,6 +940,35 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // anchor-text extraction (r12) — the signal HtmlLinks drops and
+    // WAT link records / ranking pipelines consume: (href, text) per
+    // <a>, by the REAL state-machine kernel. Planted page exercises
+    // inner-tag strip (<b>), newline + run collapse, entity decode in
+    // BOTH href and text, a script decoy, a comment decoy, an
+    // href-less <a> whose text must vanish, and an unquoted-uppercase
+    // anchor closed by EOF; the oracle knows all three (href, text)
+    // pairs as closed forms and never parses HTML
+    "llm_anchor_text" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val h = pmod(col("doc_id"), lit(7)).cast("string")
+      val html = concat(
+        lit("<html><head><script>var s = \"<a href='/decoy'>x</a>\";" +
+          "</script></head><body><p>see <a href=\"/p/"), id,
+        lit("\">first <b>bold</b>\n link</a> then <a href='https://d"), h,
+        lit(".example.org/dl/"), id,
+        lit("?a=1&amp;b=2'>D&amp;D   guide</a><a name=\"x\">no href</a>" +
+          "<!-- <a href=\"/c\">c</a> --> tail <A HREF=/rel/"), id,
+        lit(">last one"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.HtmlAnchors(html).as("anchors"))
+        .select(col("doc_id"), size(col("anchors")).as("n_links"),
+          array_join(transform(col("anchors"),
+            a => concat(a("href"), lit("->"), a("text"))), "|")
+            .as("anchors_joined"))
+        .orderBy("doc_id")
+    }),
+
     // full-chain link PageRank (r11) — the composed pipeline with the
     // REAL extraction in the loop: synthetic pages carry three <a>
     // links to pages (id·7+1)%n, (id·11+3)%n, (id·13+5)%n → HtmlLinks
@@ -2332,6 +2361,17 @@ object LlmQueries {
         |    || CAST(doc_id AS VARCHAR) || '?a=1&b=2' ||
         |  '|/rel/' || CAST(doc_id AS VARCHAR) AS links_joined
         |FROM documents ORDER BY url""".stripMargin,
+
+    // anchor-text mirror: the three planted (href, text) pairs as
+    // closed forms — decoys and href-less text must never appear
+    "llm_anchor_text" ->
+      """SELECT doc_id, CAST(3 AS INT) AS n_links,
+        |  '/p/' || CAST(doc_id AS VARCHAR) || '->first bold link' ||
+        |  '|https://d' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/dl/'
+        |    || CAST(doc_id AS VARCHAR) || '?a=1&b=2->D&D guide' ||
+        |  '|/rel/' || CAST(doc_id AS VARCHAR) || '->last one'
+        |    AS anchors_joined
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // html-links mirror: the three planted hrefs (entity already
     // decoded: &amp; → &) as closed forms; decoys must never appear

@@ -28,7 +28,8 @@ object PlanAudit {
       "tpch_q1_pricing", "llm_heavy_hitters", "llm_vocab_sketch",
       "funnel_signup_purchase", "w6_quantile_sketch",
       "llm_lm_perplexity", "llm_shard_shuffle", "llm_robots_filter",
-      "llm_dsir_weights")
+      "llm_dsir_weights", "llm_sitemap_ingest", "llm_fetch_backoff",
+      "llm_revisit_select")
 
     // allowed nested-loop joins: tiny driver-generated pair sets, plus
     // the classifier's ONE-ROW dense-model broadcast (a deliberate
@@ -112,6 +113,29 @@ object PlanAudit {
       .findAllIn(bo.queryExecution.executedPlan.toString).length
     if (nBo < 5) {
       println(s"!! llm_lm_backoff: expected 5 broadcast model joins, found $nBo")
+      bad += 1
+    }
+    // sitemap funnel: the robots dim must broadcast (map-only verdict
+    // on the frontier facts) and the declarative parse must not have
+    // fallen out of codegen into a Scala UDF
+    val sm = graft.SparkEntry.queries("llm_sitemap_ingest")(spark, dir)
+    val smPlan = sm.queryExecution.executedPlan.toString
+    if (!smPlan.contains("BroadcastHashJoin")) {
+      println("!! llm_sitemap_ingest: robots dim join is not broadcast")
+      bad += 1
+    }
+    if (smPlan.toLowerCase.contains("scalaudf")) {
+      println("!! llm_sitemap_ingest: sitemap parse planned a ScalaUDF")
+      bad += 1
+    }
+    // backoff schedule: BOTH per-host dims (directives + retry-after)
+    // must be broadcast joins — the URL facts shuffle once, by host,
+    // for the window only
+    val fb = graft.SparkEntry.queries("llm_fetch_backoff")(spark, dir)
+    val nFb = "BroadcastHashJoin".r
+      .findAllIn(fb.queryExecution.executedPlan.toString).length
+    if (nFb < 3) { // robots verdict dim + directives + backoff
+      println(s"!! llm_fetch_backoff: expected 3 broadcast dim joins, found $nFb")
       bad += 1
     }
     println(s"\naudit ${if (bad == 0) "CLEAN" else s"$bad issue(s)"}")

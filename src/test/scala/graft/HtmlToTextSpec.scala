@@ -120,4 +120,38 @@ class HtmlToTextSpec extends SparkSpec {
     assert(got(0).getSeq[String](0) == Seq("/a"))
     assert(got(1).isNullAt(0))
   }
+
+  test("HtmlAnchors: anchor text with inner-tag strip, ws collapse, " +
+      "entity decode, implicit close, rawtext/comment/href-less decoys") {
+    import graft.functions.HtmlAnchors
+    def a(h: String): Seq[(String, String)] = HtmlAnchors.anchors(h)
+    // inner tags removed, newline + runs collapse, ends trimmed
+    assert(a("<a href=\"/p\"> first <b>bold</b>\n  link </a>")
+      == Seq("/p" -> "first bold link"))
+    // entity decode in BOTH href and text; NBSP survives
+    assert(a("<a href='/q?x=1&amp;y=2'>D&amp;D&nbsp;guide</a>")
+      == Seq("/q?x=1&y=2" -> "D&D guide"))
+    // structural tags inside an anchor become a space
+    assert(a("<a href=/s>one<br>two<p>three</a>")
+      == Seq("/s" -> "one two three"))
+    // a new <a> implicitly closes a dangling one; EOF closes the last
+    assert(a("<a href=\"/1\">one <a href=\"/2\">two till eof")
+      == Seq("/1" -> "one", "/2" -> "two till eof"))
+    // decoys: script rawtext + comment anchors vanish, href-less <a>
+    // text is NOT attributed to anyone
+    assert(a("<script>var s = \"<a href='/d'>x</a>\";</script>" +
+      "<a name=x>plain</a><!-- <a href=/c>c</a> -->" +
+      "<a href=\"/real\">ok</a>") == Seq("/real" -> "ok"))
+    // text before any anchor and between anchors never leaks in
+    assert(a("lead <a href=/a>mid</a> tail") == Seq("/a" -> "mid"))
+    // literal '<' inside anchor text ("<3" is text, the shared rule)
+    assert(a("<a href=/h>i <3 scala</a>") == Seq("/h" -> "i <3 scala"))
+    // expression: codegen + null propagation + struct shape
+    val df = Seq(Some("<a href=\"/a\">x <b>y</b></a>"), None).toDF("h")
+    val got = df.select(HtmlAnchors(col("h")).as("a")).collect()
+    val row = got(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(row.map(r => (r.getString(0), r.getString(1)))
+      == Seq(("/a", "x y")))
+    assert(got(1).isNullAt(0))
+  }
 }
