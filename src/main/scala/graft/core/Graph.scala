@@ -33,12 +33,22 @@ object Graph {
     * column `v` spanning every vertex (links to ids outside the spine
     * are dropped by the final join — a crawl frontier always has edges
     * pointing off-corpus). Returns (v, rank) in scale-units after
-    * `iters` iterations from the uniform start `scale div n`. */
+    * `iters` iterations from the uniform start `scale div n`.
+    *
+    * `init` (optional) WARM-STARTS from a previous crawl's `(v, rank)`
+    * table — the recurring-crawl shape: the graph grew a little since
+    * last month, so re-rank from last month's vector and converge in a
+    * fraction of the rounds a cold start needs. Nodes absent from
+    * `init` (newly discovered pages) start at the uniform `scale div
+    * n`; init rows for nodes no longer in the spine are dropped by the
+    * join. One extra dimension-style left join before the loop — the
+    * per-iteration shape is unchanged. */
   def pageRank(
       edges: DataFrame,
       nodes: DataFrame,
       iters: Int,
-      scale: Long = 1000000000L): DataFrame = {
+      scale: Long = 1000000000L,
+      init: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1,50]: $iters")
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty node spine")
@@ -46,7 +56,13 @@ object Graph {
     val base = 15L * r0 / 100L
     val deg = edges.groupBy("src").agg(count(lit(1)).as("__deg"))
     val e = edges.join(deg, Seq("src"))
-    var r = nodes.select(col("v"), lit(r0).as("rank"))
+    var r = init match {
+      case Some(prev) => nodes.select(col("v"))
+        .join(prev.select(prev.col("v"),
+          prev.col("rank").cast("long").as("__init")), Seq("v"), "left")
+        .select(col("v"), coalesce(col("__init"), lit(r0)).as("rank"))
+      case None => nodes.select(col("v"), lit(r0).as("rank"))
+    }
     for (i <- 1 to iters) {
       val contrib = e.join(r, e("src") === r("v"))
         .select(col("dst").as("v"),

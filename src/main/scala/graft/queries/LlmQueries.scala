@@ -244,11 +244,14 @@ object LlmQueries {
 
   /** PageRank mirror shared by llm_pagerank and llm_link_pagerank
     * (both build the same 3-out-link modulus graph — one directly, one
-    * through the real HtmlLinks parse): the 5 integer-quantized
+    * through the real HtmlLinks parse): the integer-quantized
     * iterations unrolled round by round; `//` floor division on
-    * positive ranks ≡ the engine's integral `div`. */
-  private lazy val pagerankOracleSql: String = {
-    val iterCtes = (1 to 5).map { i =>
+    * positive ranks ≡ the engine's integral `div`. `init` is the pr0
+    * rank expression (default: the uniform cold start), letting the
+    * warm-start mirror swap in a closed-form previous-rank vector. */
+  private def pagerankOracle(
+      iters: Int, init: String = "r0"): String = {
+    val iterCtes = (1 to iters).map { i =>
       s"""pr$i AS (SELECT d.doc_id AS v,
          |  k.base + (85 * COALESCE(s.c, 0)) // 100 AS r
          |  FROM d CROSS JOIN k LEFT JOIN (
@@ -265,10 +268,11 @@ object LlmQueries {
       |  UNION ALL SELECT doc_id, (doc_id*11+3) % n FROM d CROSS JOIN cnt
       |  UNION ALL SELECT doc_id, (doc_id*13+5) % n FROM d CROSS JOIN cnt),
       |dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
-      |pr0 AS (SELECT doc_id AS v, r0 AS r FROM d CROSS JOIN k),
+      |pr0 AS (SELECT doc_id AS v, $init AS r FROM d CROSS JOIN k),
       |$iterCtes
-      |SELECT v, CAST(r AS BIGINT) AS rank FROM pr5 ORDER BY v""".stripMargin
+      |SELECT v, CAST(r AS BIGINT) AS rank FROM pr$iters ORDER BY v""".stripMargin
   }
+  private lazy val pagerankOracleSql: String = pagerankOracle(5)
 
   /** Synthetic robots.txt bodies shared by `llm_robots_filter` and
     * `llm_crawl_pipeline`. Even hosts: a three-group file (the deny-all
@@ -1012,6 +1016,29 @@ object LlmQueries {
         .unionByName(dsts(13, 5))
       graft.core.Graph.pageRank(edges,
           docs.select(col("doc_id").as("v")), iters = 5)
+        .orderBy("v")
+    }),
+
+    // warm-start PageRank (r12) — the incremental recurring-crawl
+    // shape: re-rank THIS crawl's graph starting from last crawl's
+    // rank vector instead of uniform (converges in a fraction of the
+    // rounds); nodes with no previous rank (newly discovered — here
+    // the doc_id % 3 != 0 two-thirds) start uniform. Same modulus
+    // graph, 3 rounds, init = (v%10+1)·10⁶ on the v%3==0 third
+    "llm_pagerank_warm" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      def dsts(mul: Long, add: Long) = docs.select(
+        col("doc_id").as("src"),
+        pmod(col("doc_id") * mul + add, lit(n)).as("dst"))
+      val edges = dsts(7, 1).unionByName(dsts(11, 3))
+        .unionByName(dsts(13, 5))
+      val prev = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id").as("v"),
+          ((pmod(col("doc_id"), lit(10)) + 1) * 1000000L).as("rank"))
+      graft.core.Graph.pageRank(edges,
+          docs.select(col("doc_id").as("v")), iters = 3,
+          init = Some(prev))
         .orderBy("v")
     }),
 
@@ -2391,6 +2418,11 @@ object LlmQueries {
     // the composed chain builds the IDENTICAL graph through the real
     // HtmlLinks parse, so the same unrolled mirror gates it
     "llm_link_pagerank" -> pagerankOracleSql,
+    // warm-start mirror: pr0 = last crawl's closed-form vector on the
+    // v%3==0 third, uniform elsewhere; 3 unrolled rounds
+    "llm_pagerank_warm" -> pagerankOracle(3,
+      "CASE WHEN doc_id % 3 = 0 THEN (doc_id % 10 + 1) * 1000000 " +
+        "ELSE r0 END"),
 
     // fetch-schedule mirror: the allowed set is the robots closed form,
     // slots are a row_number window per host over URL string order,

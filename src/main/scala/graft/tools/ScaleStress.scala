@@ -18,8 +18,9 @@ import graft.llm.{Dedup, Similarity, TextAnalysis}
 object ScaleStress {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    // optional label filter (substring): run only matching timings —
-    // dev aid so one new operator's decade doesn't re-run the suite
+    // optional label filter (comma-separated substrings): run only
+    // matching timings — dev aid so one new operator's decade doesn't
+    // re-run the suite
     val only: Option[String] = args.lift(1)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -28,7 +29,7 @@ object ScaleStress {
     spark.sparkContext.setLogLevel("ERROR")
 
     def time(label: String)(f: => Long): Unit =
-      if (only.forall(label.contains)) {
+      if (only.forall(_.split(",").exists(label.contains))) {
         val t0 = System.nanoTime()
         val n = f
         println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")

@@ -13,12 +13,13 @@ class GraphSpec extends SparkSpec {
   /** Driver-side reference: same integer contract as Graph.pageRank. */
   private def reference(
       edges: Seq[(Long, Long)], nodes: Seq[Long], iters: Int,
-      scale: Long = 1000000000L): Map[Long, Long] = {
+      scale: Long = 1000000000L,
+      init: Map[Long, Long] = Map.empty): Map[Long, Long] = {
     val n = nodes.size
     val r0 = scale / n
     val base = 15L * r0 / 100L
     val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
-    var r = nodes.map(_ -> r0).toMap
+    var r = nodes.map(v => v -> init.getOrElse(v, r0)).toMap
     for (_ <- 1 to iters) {
       val contrib = scala.collection.mutable.Map.empty[Long, Long]
         .withDefaultValue(0L)
@@ -76,6 +77,29 @@ class GraphSpec extends SparkSpec {
     assert(a == ns.map(v => v -> reference(es, ns, 4)(v)))
     // truncation only ever loses mass: total ≤ scale
     assert(a.map(_._2).sum <= 1000000000L)
+  }
+
+  test("pageRank: warm start from a previous rank vector — partial " +
+      "init, stale init rows dropped, cold start unchanged") {
+    import spark.implicits._
+    val es = (0L until 30L).flatMap(i => Seq((i, (i * 7 + 1) % 30)))
+    val ns = (0L until 30L).toSeq
+    // previous ranks for a third of the spine + one node (99) that no
+    // longer exists — the join must drop it
+    val initMap = ns.filter(_ % 3 == 0).map(v => v -> (v % 10 + 1) * 100L)
+    val init = (initMap :+ (99L -> 777L)).toDF("v", "rank")
+    val warm = Graph.pageRank(es.toDF("src", "dst"), ns.toDF("v"), 2,
+        init = Some(init))
+      .as[(Long, Long)].collect().toMap
+    assert(warm.keySet == ns.toSet) // 99 never materializes
+    assert(warm == reference(es, ns, 2, init = initMap.toMap))
+    // empty init ≡ cold start (absent nodes default to uniform)
+    val emptyInit = spark.emptyDataset[(Long, Long)].toDF("v", "rank")
+    val a = Graph.pageRank(es.toDF("src", "dst"), ns.toDF("v"), 2,
+      init = Some(emptyInit)).as[(Long, Long)].collect().toMap
+    val b = Graph.pageRank(es.toDF("src", "dst"), ns.toDF("v"), 2)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
   }
 
   test("pageRank: iters=50 (the permitted ceiling) completes with " +
