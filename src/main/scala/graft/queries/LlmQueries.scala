@@ -857,9 +857,41 @@ object LlmQueries {
         .repartition(8)
       graft.sources.Warc.writeWetFiles(docs, outDir)
       val files = new java.io.File(outDir).listFiles()
-        .map(_.getPath).sorted.toSeq
+        .map(_.getPath).filter(_.endsWith(".warc.gz")).sorted.toSeq
       graft.sources.Warc.readWarcFiles(s, files)
         .filter(col("warc_type") === "conversion")
+        .select(col("url"), col("n_bytes"),
+          md5(col("text")).as("content_hash"))
+        .orderBy("url")
+    }),
+
+    // CDX range fetch (r12) — the access pattern the per-record-gzip
+    // layout exists FOR, closed end to end: write WET shards (each
+    // record its own member) + the sidecar member index, SELECT the
+    // even-id half from the index, and range-fetch exactly those
+    // records (one bounded read + one member decode each — the shards
+    // are never scanned). At 100 TB this is the whole economics of a
+    // crawl re-read: the index is ~1/1000th the archive, and the
+    // selected fraction is the only IO. Oracle = the wet_roundtrip
+    // closed forms restricted to even ids
+    "llm_cdx_fetch" -> ((s, dir) => {
+      val outDir = "target/cdx_fetch"
+      val dirFile = new java.io.File(outDir)
+      if (dirFile.exists())
+        dirFile.listFiles().foreach(_.delete())
+      val docs = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(
+          concat(lit("https://d"), pmod(col("doc_id"), lit(7)).cast("string"),
+            lit(".example.org/p/"), col("doc_id").cast("string")).as("url"),
+          lit("2026-01-01T00:00:00Z").as("warc_date"),
+          col("text"))
+        .repartition(8)
+      graft.sources.Warc.writeWetFiles(docs, outDir)
+      val plan = graft.sources.Warc.readMemberIndex(s, outDir)
+        .filter(pmod(regexp_extract(col("url"), "/p/(\\d+)$", 1)
+          .cast("long"), lit(2)) === 0)
+      graft.sources.Warc.fetchRecordRanges(s, plan, outDir)
         .select(col("url"), col("n_bytes"),
           md5(col("text")).as("content_hash"))
         .orderBy("url")
@@ -903,7 +935,7 @@ object LlmQueries {
         .repartition(8)
       graft.sources.Warc.writeWatFiles(wat, outDir)
       val files = new java.io.File(outDir).listFiles()
-        .map(_.getPath).sorted.toSeq
+        .map(_.getPath).filter(_.endsWith(".warc.gz")).sorted.toSeq
       graft.sources.Warc.readWatFiles(s, files)
         .select(col("url"),
           from_json(col("json"),
@@ -2373,6 +2405,18 @@ object LlmQueries {
         |  CAST(octet_length(ENCODE(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_hash
         |FROM documents WHERE text IS NOT NULL ORDER BY url""".stripMargin,
+
+    // CDX-range-fetch mirror: the wet_roundtrip closed forms
+    // restricted to the selected (even-id) half — write, index,
+    // select, range-read are all the engine's; the oracle touches
+    // neither shards nor index
+    "llm_cdx_fetch" ->
+      """SELECT 'https://d' || CAST(doc_id % 7 AS VARCHAR)
+        |    || '.example.org/p/' || CAST(doc_id AS VARCHAR) AS url,
+        |  CAST(octet_length(ENCODE(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_hash
+        |FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0
+        |ORDER BY url""".stripMargin,
 
     // WAT-roundtrip mirror: url / title / link summary as closed
     // forms (the llm_html_links answers plus the planted title) —

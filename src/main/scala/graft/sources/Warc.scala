@@ -397,6 +397,17 @@ object Warc {
     writeRecordFiles(df, dir, urlCol, dateCol, jsonCol,
       recordType = "metadata", contentType = "application/json")
 
+  /** Byte counter between the gzip members and the file: each member's
+    * (offset, length) lands in the sidecar index. */
+  private final class CountingOutputStream(out: java.io.OutputStream)
+      extends java.io.FilterOutputStream(out) {
+    var count: Long = 0L
+    override def write(b: Int): Unit = { out.write(b); count += 1 }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      out.write(b, off, len); count += len
+    }
+  }
+
   private def writeRecordFiles(
       df: DataFrame,
       dir: String,
@@ -419,31 +430,49 @@ object Warc {
         if (it.hasNext) {
           val tc = org.apache.spark.TaskContext.get()
           val pid = tc.partitionId()
-          val finalPath = java.nio.file.Paths.get(
-            f"$dir/part-$pid%05d.warc.gz")
+          val baseName = f"part-$pid%05d.warc.gz"
+          val finalPath = java.nio.file.Paths.get(s"$dir/$baseName")
           val tmpPath = java.nio.file.Paths.get(
             f"$dir/.part-$pid%05d.attempt-${tc.taskAttemptId()}.tmp")
-          val out = new java.io.BufferedOutputStream(
-            new java.io.FileOutputStream(tmpPath.toFile), 1 << 16)
+          val idxFinal = java.nio.file.Paths.get(
+            f"$dir/part-$pid%05d.cdx")
+          val idxTmp = java.nio.file.Paths.get(
+            f"$dir/.part-$pid%05d.attempt-${tc.taskAttemptId()}.cdx.tmp")
+          val out = new CountingOutputStream(
+            new java.io.BufferedOutputStream(
+              new java.io.FileOutputStream(tmpPath.toFile), 1 << 16))
+          val idx = new java.lang.StringBuilder
           var committed = false
           try {
-            def member(bytes: Array[Byte]): Unit = {
+            def member(bytes: Array[Byte]): Long = {
               val gz = new java.util.zip.GZIPOutputStream(out)
               gz.write(bytes)
               gz.finish() // close the member, keep the stream
+              out.count
             }
             member(frameRecord("warcinfo", "2026-01-01T00:00:00Z", "",
               "software: graft-wet-writer\r\n".getBytes(
                 StandardCharsets.ISO_8859_1)))
             it.foreach { r =>
-              if (!r.isNullAt(2))
-                member(frameRecord(recordType, r.getString(1),
+              if (!r.isNullAt(2)) {
+                val off = out.count
+                val end = member(frameRecord(recordType, r.getString(1),
                   s"WARC-Target-URI: ${r.getString(0)}\r\n" +
                     s"Content-Type: $contentType\r\n",
                   r.getString(2).getBytes(StandardCharsets.UTF_8)))
+                // the CDX essentials: where the member lives + its URL
+                idx.append(baseName).append(' ').append(off).append(' ')
+                  .append(end - off).append(' ')
+                  .append(r.getString(0)).append('\n')
+              }
             }
             out.close()
+            java.nio.file.Files.write(idxTmp,
+              idx.toString.getBytes(StandardCharsets.UTF_8))
             java.nio.file.Files.move(tmpPath, finalPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            java.nio.file.Files.move(idxTmp, idxFinal,
               java.nio.file.StandardCopyOption.ATOMIC_MOVE,
               java.nio.file.StandardCopyOption.REPLACE_EXISTING)
             committed = true
@@ -451,9 +480,79 @@ object Warc {
             if (!committed) {
               out.close()
               java.nio.file.Files.deleteIfExists(tmpPath)
+              java.nio.file.Files.deleteIfExists(idxTmp)
             }
           }
         }
       }
+  }
+
+  /** Parse the sidecar member indexes of a [[writeWetFiles]] /
+    * [[writeWatFiles]] output dir: `(filename, offset, length, url)` —
+    * the CDX essentials, enough to range-fetch any single record
+    * without touching the rest of its shard. Declarative text parse. */
+  def readMemberIndex(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, element_at, split}
+    spark.read.textFile(s"$dir/*.cdx").toDF("line")
+      .select(split(col("line"), " ", 4).as("p"))
+      .select(
+        element_at(col("p"), 1).as("filename"),
+        element_at(col("p"), 2).cast("long").as("offset"),
+        element_at(col("p"), 3).cast("long").as("length"),
+        element_at(col("p"), 4).as("url"))
+  }
+
+  /** Rows from [[fetchRecordRanges]]. */
+  val rangeFetchSchema: StructType = StructType(Seq(
+    StructField("filename", StringType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("url", StringType, nullable = true),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+
+  /** Range-fetch WARC records per a CDX-style plan — the 100 TB access
+    * pattern the per-record-gzip layout exists for: `plan` rows
+    * `(filename, offset, length)` select INDIVIDUAL records; each is
+    * one bounded read + one gzip-member decode, never a shard scan.
+    *
+    * Scale shape: the plan shuffles ONCE by filename and sorts by
+    * offset within partitions, so every archive file is opened once
+    * and read strictly forward ([[Cdx.fetchPlan]] emits exactly this
+    * order) — the selected fraction of a 100 TB crawl is the only IO
+    * that happens. File handles close via task-completion listener. */
+  def fetchRecordRanges(
+      spark: SparkSession,
+      plan: DataFrame,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val rows = plan.select("filename", "offset", "length")
+      .repartition(col("filename"))
+      .sortWithinPartitions("filename", "offset")
+      .rdd.mapPartitions { it =>
+        var raf: java.io.RandomAccessFile = null
+        var cur: String = null
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ =>
+          if (raf != null) raf.close())
+        it.map { r =>
+          val fn = r.getString(0)
+          val off = r.getLong(1)
+          val len = r.getLong(2)
+          if (fn != cur) {
+            if (raf != null) raf.close()
+            raf = new java.io.RandomAccessFile(s"$dir/$fn", "r")
+            cur = fn
+          }
+          raf.seek(off)
+          require(len <= Int.MaxValue, s"$fn@$off: member of $len bytes")
+          val buf = new Array[Byte](len.toInt)
+          raf.readFully(buf)
+          val rec = records(new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(buf))).next()
+          Row(fn, off, rec.targetUri.orNull, rec.body.length.toLong,
+            new String(rec.body, StandardCharsets.UTF_8))
+        }
+      }
+    spark.createDataFrame(rows, rangeFetchSchema)
   }
 }

@@ -220,7 +220,7 @@ object ScaleStress {
             .repartition(32)
           graft.sources.Warc.writeWatFiles(wat, outDir)
           val files = new java.io.File(outDir).listFiles()
-            .map(_.getPath).toSeq
+            .map(_.getPath).filter(_.endsWith(".warc.gz")).toSeq
           force(graft.sources.Warc.readWatFiles(spark, files))
         }
         spark.catalog.clearCache()

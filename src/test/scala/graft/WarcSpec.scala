@@ -124,7 +124,8 @@ class WarcSpec extends SparkSpec {
       .toDF("url", "warc_date", "text")
       .repartition(6) // more partitions than rows → empty ones exist
     Warc.writeWetFiles(docs, dir)
-    val files = new java.io.File(dir).listFiles().map(_.getPath).sorted
+    val files = new java.io.File(dir).listFiles().map(_.getPath)
+      .filter(_.endsWith(".warc.gz")).sorted
     assert(files.nonEmpty && files.length <= 3) // empties wrote nothing
     assert(files.forall(_.endsWith(".warc.gz")))
     // the layout contract: EVERY record is its own gzip member — a
@@ -150,6 +151,41 @@ class WarcSpec extends SparkSpec {
       .select("url", "text").as[(String, String)].collect().toMap
     assert(back == Map("https://ex.org/1" -> "first wärld",
       "https://ex.org/2" -> "second")) // null-text row skipped
+  }
+
+  test("sidecar member index + range fetch: each selected record is " +
+      "one bounded read; index matches member boundaries exactly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cdxfetch").toString
+    val docs = (1 to 9).map(i =>
+      (s"https://ex.org/$i", "2026-02-02T00:00:00Z", s"body number $i"))
+      .toDF("url", "warc_date", "text").repartition(3)
+    Warc.writeWetFiles(docs, dir)
+    val idx = Warc.readMemberIndex(spark, dir)
+    val rows = idx.collect()
+    assert(rows.length == 9)
+    // every index entry decodes to exactly its record via a raw
+    // bounded read — no reliance on fetchRecordRanges yet
+    rows.foreach { r =>
+      val raf = new java.io.RandomAccessFile(
+        s"$dir/${r.getString(0)}", "r")
+      try {
+        raf.seek(r.getLong(1))
+        val buf = new Array[Byte](r.getLong(2).toInt)
+        raf.readFully(buf)
+        val parsed = Warc.records(new java.util.zip.GZIPInputStream(
+          new ByteArrayInputStream(buf))).toList
+        assert(parsed.length == 1)
+        assert(parsed.head.targetUri.contains(r.getString(3)))
+      } finally raf.close()
+    }
+    // the distributed fetch: select a subset, get exactly those back
+    val plan = idx.filter($"url".endsWith("/3") || $"url".endsWith("/7"))
+    val got = Warc.fetchRecordRanges(spark, plan, dir)
+      .select("url", "text").as[(String, String)].collect().toMap
+    assert(got == Map(
+      "https://ex.org/3" -> "body number 3",
+      "https://ex.org/7" -> "body number 7"))
   }
 
   test("property: adversarial framing — random header order/case, " +
@@ -230,7 +266,8 @@ class WarcSpec extends SparkSpec {
         """{"title":"Tw\"o","n_links":0}"""))
       .toDF("url", "warc_date", "wat_json")
     Warc.writeWatFiles(rows, dir)
-    val files = new java.io.File(dir).listFiles().map(_.getPath).toSeq
+    val files = new java.io.File(dir).listFiles().map(_.getPath)
+      .filter(_.endsWith(".warc.gz")).toSeq
     val back = Warc.readWatFiles(spark, files)
       .select("url", "json").as[(String, String)].collect().toMap
     assert(back == Map(
