@@ -314,6 +314,36 @@ object StreamingQueries {
         .orderBy("lang")
     }),
 
+    // streaming sitemap frontier (r12): the DISCOVERY feed as a stream
+    // — sitemap delta files (single-entry bodies, the sitemap-ping /
+    // incremental-feed shape) arrive continuously, the declarative
+    // parse explodes them map-only into frontier URLs, and the verdict
+    // stamps against the STATIC per-host robots dim (stream-static
+    // broadcast). State-free append mode, zero stream shuffle. Bounded
+    // replay = one batch, so a closed-form mirror gates it
+    "stream_sitemap_frontier" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val day = lpad(
+        (pmod(col("doc_id"), lit(28)) + 1).cast("string"), 2, "0")
+      val body = concat(lit("<urlset><url><loc> "),
+        LlmQueries.robotsUrlCol,
+        lit(" </loc><lastmod>2026-01-"), day,
+        lit("</lastmod></url></urlset>"))
+      val sitemaps = s.readStream.schema(schema)
+        .parquet(s"$dir/documents.parque[t]")
+        .select(col("doc_id"), body.as("sitemap_xml"))
+      val frontier = graft.sources.Sitemap.parseSitemaps(sitemaps)
+      val verdicts = graft.sources.Robots.politenessFilter(
+        frontier, LlmQueries.robotsDim(s, dir), "GraftBot",
+        urlCol = "loc")
+      runToMemory(s, "stream_sitemap", name =>
+        verdicts.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()))
+        .select(col("doc_id"), col("loc").as("url"), col("lastmod"),
+          col("allowed"))
+        .orderBy("doc_id")
+    }),
+
     // streaming robots politeness (r11): the crawl-frontier shape — an
     // unbounded URL stream verdict-stamped map-only against the STATIC
     // per-host robots dimension (stream-static broadcast left join +
@@ -443,6 +473,22 @@ object StreamingQueries {
     // stream-static broadcast verdict ≡ the batch politeness filter —
     // the shared closed-form mirror
     "stream_robots_filter" -> LlmQueries.robotsFilterOracleSql,
+    // sitemap-delta frontier: parse + verdict closed forms per doc
+    // (the llm_sitemap_ingest derivation, keyed by doc_id — single
+    // entry per delta body, so no entry positions)
+    "stream_sitemap_frontier" ->
+      """SELECT doc_id,
+        |  'https://d' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' ||
+        |  CASE WHEN doc_id % 4 = 0 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+        |       WHEN doc_id % 4 = 1 THEN '/p/' || CAST(doc_id AS VARCHAR) || '.pdf'
+        |       WHEN doc_id % 4 = 2 THEN '/p/' || CAST(doc_id AS VARCHAR)
+        |       ELSE '/dl/' || CAST(doc_id AS VARCHAR) END AS url,
+        |  '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |    AS lastmod,
+        |  CASE WHEN doc_id % 7 = 6 THEN TRUE
+        |       WHEN doc_id % 7 IN (0, 2, 4) THEN doc_id % 4 IN (2, 3)
+        |       ELSE doc_id % 4 <> 0 END AS allowed
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // single-batch bounded replay ≡ the batch DSIR weigher — the
     // shared gram/FNV/log-ratio mirror
     "stream_dsir_score" -> LlmQueries.dsirWeightsOracleSql(
