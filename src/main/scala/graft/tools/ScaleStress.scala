@@ -204,6 +204,38 @@ object ScaleStress {
                 .as("sitemap_xml"))
           force(graft.sources.Sitemap.parseSitemaps(bodies))
         }
+        // CDX range fetch vs full scan: the selective-read economics
+        // the per-record-gzip layout exists for — fetch 1% of records
+        // by (offset, length) vs scanning every shard. The fetch time
+        // should track the SELECTED volume (flat across decades at a
+        // fixed selection count), while the full scan tracks the
+        // ARCHIVE volume (linear in mult)
+        time(s"cdx shard write x$mult") {
+          val outDir = s"target/scale_stress/cdxf_x$mult"
+          val f = new java.io.File(outDir)
+          if (f.exists()) f.listFiles().foreach(_.delete())
+          graft.sources.Warc.writeWetFiles(
+            d.filter(col("text").isNotNull).select(
+              concat(lit("https://ex.org/"), col("doc_id").cast("string"))
+                .as("url"),
+              lit("2026-01-01T00:00:00Z").as("warc_date"),
+              col("text")).repartition(32),
+            outDir)
+          mult // rows proxy: the write is side-effecting
+        }
+        time(s"cdx fetch 1pct x$mult") {
+          val outDir = s"target/scale_stress/cdxf_x$mult"
+          val plan = graft.sources.Warc.readMemberIndex(spark, outDir)
+            .filter(pmod(regexp_extract(col("url"), "/(\\d+)$", 1)
+              .cast("long"), lit(100)) === 0)
+          force(graft.sources.Warc.fetchRecordRanges(spark, plan, outDir))
+        }
+        time(s"warc full scan x$mult") {
+          val outDir = s"target/scale_stress/cdxf_x$mult"
+          val files = new java.io.File(outDir).listFiles()
+            .map(_.getPath).filter(_.endsWith(".warc.gz")).toSeq
+          force(graft.sources.Warc.readWarcFiles(spark, files))
+        }
         // WAT roundtrip: file-per-partition write (per-record gzip
         // members) + file-per-task read — IO-bound, expect linear in
         // bytes with the fixed per-file cost amortizing as files fill
