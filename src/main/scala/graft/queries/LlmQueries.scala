@@ -1005,6 +1005,38 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // anchor-text target profile (r12) — what search/quality pipelines
+    // DO with anchor text: aggregate, per target page, the terms OTHER
+    // pages use to describe it (in-link anchor-term profile). Pages
+    // link /p/((id·7+1)%n) with a source-dependent term, the REAL
+    // HtmlAnchors kernel extracts (href, text), the profile is one
+    // groupBy target — map-side-combined collect_set of a bounded term
+    // vocabulary (5 terms), never raw text. The oracle re-derives the
+    // in-link relation arithmetically and aggregates the same closed
+    // forms — it never parses HTML
+    "llm_anchor_profile" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val html = concat(
+        lit("<html><body><p>see <a href=\"/p/"),
+        pmod(col("doc_id") * 7 + 1, lit(n)).cast("string"),
+        lit("\">term"), pmod(col("doc_id"), lit(5)).cast("string"),
+        lit(" quality</a></p>" +
+          "<script>var d = \"<a href='/p/0'>decoy</a>\";</script>" +
+          "</body></html>"))
+      docs
+        .select(explode(graft.functions.HtmlAnchors(html)).as("a"))
+        .select(
+          regexp_extract(col("a.href"), "^/p/(\\d+)$", 1).cast("long")
+            .as("target"),
+          split(col("a.text"), " ").getItem(0).as("term"))
+        .groupBy("target")
+        .agg(count(lit(1)).as("n_inlinks"),
+          array_join(sort_array(collect_set(col("term"))), "|")
+            .as("terms_joined"))
+        .orderBy("target")
+    }),
+
     // full-chain link PageRank (r11) — the composed pipeline with the
     // REAL extraction in the loop: synthetic pages carry three <a>
     // links to pages (id·7+1)%n, (id·11+3)%n, (id·13+5)%n → HtmlLinks
@@ -2432,6 +2464,18 @@ object LlmQueries {
         |    || CAST(doc_id AS VARCHAR) || '?a=1&b=2' ||
         |  '|/rel/' || CAST(doc_id AS VARCHAR) AS links_joined
         |FROM documents ORDER BY url""".stripMargin,
+
+    // anchor-profile mirror: the in-link relation re-derived
+    // arithmetically (source s links target (s·7+1)%n with term
+    // term(s%5)); same grouping, distinct-sorted term join
+    "llm_anchor_profile" ->
+      """WITH cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |links AS (SELECT (doc_id*7+1) % n AS target,
+        |                 'term' || CAST(doc_id % 5 AS VARCHAR) AS term
+        |          FROM documents CROSS JOIN cnt)
+        |SELECT target, CAST(count(*) AS BIGINT) AS n_inlinks,
+        |  string_agg(DISTINCT term, '|' ORDER BY term) AS terms_joined
+        |FROM links GROUP BY target ORDER BY target""".stripMargin,
 
     // anchor-text mirror: the three planted (href, text) pairs as
     // closed forms — decoys and href-less text must never appear
