@@ -69,6 +69,28 @@ class KernelPropertySpec extends SparkSpec {
     assert(norm(2L).length == 2)
   }
 
+  test("property: HtmlAnchors href stream ≡ HtmlLinks over random " +
+      "tag soup — the two walkers may never disagree on WHICH anchors " +
+      "exist") {
+    import graft.functions.{HtmlAnchors, HtmlLinks}
+    val rnd = new scala.util.Random(1212)
+    val frags = Array(
+      "<a href=\"/q/", "'>x</a>", "\">y</a>", "<a href='/s/",
+      "<a name=n>", "</a>", "<A HREF=/u/", ">z</A>", "plain text ",
+      "<script>var a = \"<a href='/d'>\";</script>", "<!-- <a href=/c> -->",
+      "<b>bold</b>", "<div title=\"a > b\">", "</div>", "&amp; ",
+      "<![CDATA[<a href=/cd>]]>", "< 3 ", "<a href=", "\"/late\">w</a>")
+    for (trial <- 0 until 400) {
+      val html = (0 until rnd.nextInt(20))
+        .map(_ => frags(rnd.nextInt(frags.length))).mkString
+      val links = HtmlLinks.links(html)
+      val anchors = HtmlAnchors.anchors(html).map(_._1)
+      assert(anchors == links,
+        s"trial $trial: walkers disagree on '$html'\n" +
+          s"links=$links\nanchors=$anchors")
+    }
+  }
+
   test("property: term_counts ≡ reference counting over random docs") {
     val rnd = new scala.util.Random(20260813L)
     val terms = Seq("alpha", "beta", "δδ", "nope", "alpha", "tok2")
