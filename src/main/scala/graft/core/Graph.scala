@@ -84,4 +84,69 @@ object Graph {
     }
     r
   }
+
+  /** Fixed-iteration integer HITS (Kleinberg 1999) — hubs point at
+    * authorities: `auth(v) = Σ hub(u)` over in-links, `hub(v) =
+    * Σ auth(w)` over out-links, each vector renormalized to `scale`
+    * total every half-step. PageRank's quantization contract carries
+    * over: scores live in integer scale-units, the normalization is
+    * `(raw · scale) div total` on an exact DECIMAL(38,0) product (a
+    * BIGINT product would overflow at raw ≈ indeg·scale), so every
+    * round is exact integer algebra — bit-identical under any
+    * partitioning, reproducible by a SQL mirror unrolled round by
+    * round. Truncation only loses mass: Σauth ≤ scale, Σhub ≤ scale.
+    *
+    * Scale shape: each half-step is ONE edge-keyed shuffle with
+    * map-side-combined sums (the Zipf-hot homepage dst partial-
+    * aggregates, never a skew join) plus ONE single-row total that
+    * broadcasts back — 2 shuffles + 2 scalar aggregates per round.
+    * Off-spine endpoints drop at the spine join exactly as in
+    * [[pageRank]]; an isolated spine (no surviving edge) degrades to
+    * all-zero vectors via the `greatest(total, 1)` guard rather than
+    * a divide-by-null. */
+  def hits(
+      edges: DataFrame,
+      nodes: DataFrame,
+      iters: Int,
+      scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50]: $iters")
+    val n = nodes.count()
+    require(n > 0, "hits needs a non-empty node spine")
+    val spine = nodes.select(col("v"))
+    val e = edges.select(col("src"), col("dst"))
+
+    /** raw(v) = Σ score(other endpoint) over `e` keyed by `keyCol`,
+      * spine-completed with 0, then renormalized to `scale` total. */
+    def halfStep(score: DataFrame, scoreCol: String,
+        joinCol: String, keyCol: String, outCol: String): DataFrame = {
+      val raw = spine
+        .join(e.join(score.withColumnRenamed("v", "__sv"),
+              col(joinCol) === col("__sv"))
+            .groupBy(col(keyCol).as("v"))
+            .agg(sum(scoreCol).as("__r")),
+          Seq("v"), "left")
+        .select(col("v"), coalesce(col("__r"), lit(0L)).as("__raw"))
+      val tot = raw.agg(sum("__raw").as("__t"))
+      raw.crossJoin(broadcast(tot))
+        .select(col("v"),
+          expr(s"(CAST(__raw AS DECIMAL(38,0)) * $scale) div " +
+            "greatest(__t, CAST(1 AS BIGINT))").as(outCol))
+    }
+
+    var hub = spine.select(col("v"), lit(scale / n).as("hub"))
+    var auth: DataFrame = null
+    for (i <- 1 to iters) {
+      auth = halfStep(hub, "hub", joinCol = "src", keyCol = "dst", "auth")
+      hub = halfStep(auth, "auth", joinCol = "dst", keyCol = "src", "hub")
+      // Lineage truncation between rounds (the pageRank/Lloyd/BPE
+      // pattern): without it the plan embeds `iters` copies of the
+      // edge-join subtree and Catalyst planning cost grows
+      // superlinearly at the 50-iteration ceiling.
+      if (i % 5 == 0 && i < iters) {
+        auth = auth.localCheckpoint()
+        hub = hub.localCheckpoint()
+      }
+    }
+    auth.join(hub, Seq("v")).select(col("v"), col("auth"), col("hub"))
+  }
 }

@@ -79,6 +79,33 @@ object HtmlToText {
 
   private val CellTags: Set[String] = Set("td", "th")
 
+  private[functions] def isBlockTag(name: String): Boolean =
+    BlockTags.contains(name)
+  private[functions] def isCellTag(name: String): Boolean =
+    CellTags.contains(name)
+
+  /** Single-BLOCK whitespace normalization (the [[HtmlMainText]]
+    * segmenter): raw newlines inside one block are source formatting,
+    * so the collapse class is `[ \t\x0B\f\r\n]` and the result is one
+    * trimmed line. U+00A0 stays content, as in [[normalizeLines]]. */
+  private[functions] def normalizeBlock(s: String): String = {
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\u000B' || c == '\f' ||
+          c == '\r' || c == '\n') {
+        if (out.length > 0 && out.charAt(out.length - 1) != ' ')
+          out.append(' ')
+      } else out.append(c)
+      i += 1
+    }
+    var hi = out.length
+    while (hi > 0 && out.charAt(hi - 1) == ' ') hi -= 1
+    out.substring(0, hi)
+  }
+
   private val NamedEntities: Map[String, String] = Map(
     "amp" -> "&", "lt" -> "<", "gt" -> ">",
     "quot" -> "\"", "apos" -> "'", "nbsp" -> "\u00A0")

@@ -253,7 +253,21 @@ object LanguageModel {
       df: DataFrame,
       textCol: String,
       idCol: String,
-      broadcastModel: Boolean = true): DataFrame = {
+      broadcastModel: Boolean = true): DataFrame =
+    microNatSums(df, textCol, idCol, broadcastModel)
+      .select(col(idCol), col("n_bigrams"),
+        round(exp((col("__slp").cast("double") / lit(-1e6)) /
+          col("n_bigrams").cast("double")), 6).as("ppl"))
+
+  /** Per-doc integer micro-nat log-prob sums under the corpus-trained
+    * add-one bigram model: (idCol, n_bigrams, __slp). The exact-
+    * integer core [[bigramPerplexity]] and [[perplexityBuckets]]
+    * share. */
+  private def microNatSums(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      broadcastModel: Boolean): DataFrame = {
     val bg = docBigrams(df, textCol, idCol)
     val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     // contexts from the COUNTS table, not the raw stream: sums are
@@ -276,8 +290,52 @@ object LanguageModel {
           .cast("long").as("__lp"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_bigrams"), sum("__lp").as("__slp"))
+  }
+
+  /** CCNet-style perplexity BUCKETING (Wenzek et al. 2020): split the
+    * corpus into `head` / `middle` / `tail` thirds by LM perplexity —
+    * the standard pre-training recipe keeps head+middle and drops or
+    * down-weights the tail. Everything stays exact integer algebra:
+    * the ranking key is `score_micro = (−Σ micro-nat log-probs) div
+    * n_bigrams` (avg micro-nats per bigram — monotone in perplexity,
+    * no float), and the tertile cutoffs come from a window cumsum
+    * over the DISTINCT-SCORE table (the [[Train.aucExact]] pattern:
+    * aggregate-sized, never row-sized) — `c1 = min score with
+    * 3·cum ≥ n`, `c2 = min score with 3·cum ≥ 2n`, ties share the
+    * lower bucket, so membership is value-determined and
+    * partition-invariant. Returns (idCol, n_bigrams, score_micro,
+    * bucket); docs with < 2 tokens are excluded as in
+    * [[bigramPerplexity]].
+    *
+    * Scale shape: model joins broadcast; one groupBy-doc exchange for
+    * the sums; the cutoff table is |distinct scores| rows (bounded by
+    * doc count but typically tiny) with two single-row scalars
+    * broadcast back — no global sort of the corpus anywhere. */
+  def perplexityBuckets(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      broadcastModel: Boolean = true): DataFrame = {
+    val scores = microNatSums(df, textCol, idCol, broadcastModel)
       .select(col(idCol), col("n_bigrams"),
-        round(exp((col("__slp").cast("double") / lit(-1e6)) /
-          col("n_bigrams").cast("double")), 6).as("ppl"))
+        expr("(-__slp) div n_bigrams").as("score_micro"))
+    val dist = scores.groupBy("score_micro").agg(count(lit(1)).as("__c"))
+    val cum = dist.select(col("score_micro"),
+      sum("__c").over(org.apache.spark.sql.expressions.Window
+        .orderBy("score_micro")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)).as("__cum"))
+    val tot = scores.agg(count(lit(1)).as("__n"))
+    val cuts = cum.crossJoin(broadcast(tot)).agg(
+      min(when(col("__cum") * 3 >= col("__n"), col("score_micro")))
+        .as("__c1"),
+      min(when(col("__cum") * 3 >= col("__n") * 2, col("score_micro")))
+        .as("__c2"))
+    scores.crossJoin(broadcast(cuts))
+      .select(col(idCol), col("n_bigrams"), col("score_micro"),
+        when(col("score_micro") <= col("__c1"), lit("head"))
+          .when(col("score_micro") <= col("__c2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
   }
 }

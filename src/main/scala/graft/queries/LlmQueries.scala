@@ -274,6 +274,43 @@ object LlmQueries {
   }
   private lazy val pagerankOracleSql: String = pagerankOracle(5)
 
+  /** HITS mirror (llm_hits): the same 3-out-link modulus graph, the
+    * integer-quantized auth/hub half-steps unrolled round by round.
+    * Each half-step's renormalization is `(raw · scale) // total` in
+    * HUGEINT — exactly the engine's DECIMAL(38,0) product + integral
+    * div; `greatest(total, 1)` mirrors the edge-free degenerate. */
+  private def hitsOracle(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      val prevHub = if (i == 1) "h0" else s"h${i - 1}"
+      s"""ra$i AS (SELECT d.doc_id AS v, COALESCE(x.c, 0) AS raw
+         |  FROM d LEFT JOIN (
+         |    SELECT e.dst AS v, CAST(sum($prevHub.s) AS HUGEINT) AS c
+         |    FROM e JOIN $prevHub ON $prevHub.v = e.src GROUP BY e.dst) x
+         |  ON x.v = d.doc_id),
+         |a$i AS (SELECT v, CAST(CAST(raw AS HUGEINT) * 1000000000 //
+         |  greatest((SELECT CAST(sum(raw) AS HUGEINT) FROM ra$i), 1)
+         |  AS BIGINT) AS s FROM ra$i),
+         |rh$i AS (SELECT d.doc_id AS v, COALESCE(x.c, 0) AS raw
+         |  FROM d LEFT JOIN (
+         |    SELECT e.src AS v, CAST(sum(a$i.s) AS HUGEINT) AS c
+         |    FROM e JOIN a$i ON a$i.v = e.dst GROUP BY e.src) x
+         |  ON x.v = d.doc_id),
+         |h$i AS (SELECT v, CAST(CAST(raw AS HUGEINT) * 1000000000 //
+         |  greatest((SELECT CAST(sum(raw) AS HUGEINT) FROM rh$i), 1)
+         |  AS BIGINT) AS s FROM rh$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT doc_id FROM documents),
+      |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+      |e AS (SELECT doc_id AS src, (doc_id*7+1) % n AS dst FROM d CROSS JOIN cnt
+      |  UNION ALL SELECT doc_id, (doc_id*11+3) % n FROM d CROSS JOIN cnt
+      |  UNION ALL SELECT doc_id, (doc_id*13+5) % n FROM d CROSS JOIN cnt),
+      |h0 AS (SELECT doc_id AS v, 1000000000 // n AS s FROM d CROSS JOIN cnt),
+      |$iterCtes
+      |SELECT a$iters.v, a$iters.s AS auth, h$iters.s AS hub
+      |FROM a$iters JOIN h$iters ON h$iters.v = a$iters.v
+      |ORDER BY a$iters.v""".stripMargin
+  }
+
   /** Synthetic robots.txt bodies shared by `llm_robots_filter` and
     * `llm_crawl_pipeline`. Even hosts: a three-group file (the deny-all
     * `*` group the specific GraftBot group must BEAT, a MegaBot group
@@ -780,6 +817,100 @@ object LlmQueries {
         .orderBy("url")
     }),
 
+    // recursive sitemap discovery (r12) — the two-level shape the
+    // protocol's 50k-entry cap forces on any big host: each host's
+    // <sitemapindex> lists two shard sitemaps (even/odd doc split),
+    // the real parser flags them is_index, the frontier driver joins
+    // the shard bodies back in and parses the leaves. Every field of
+    // the final frontier (shard url, per-shard entry position, leaf
+    // loc/lastmod) is a closed form of the doc_id moduli
+    "llm_sitemap_recursive" -> ((s, dir) => {
+      val hostCol = concat(lit("d"), col("hostnum").cast("string"),
+        lit(".example.org"))
+      def shardUrl(h: org.apache.spark.sql.Column,
+          k: org.apache.spark.sql.Column) = concat(
+        lit("https://"), h, lit("/sitemap-"), k.cast("string"),
+        lit(".xml"))
+      // the per-host INDEX bodies: two <sitemap> children each
+      val index = t(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(7)).as("hostnum")).distinct()
+        .select(hostCol.as("host"),
+          concat(lit("<?xml version=\"1.0\"?><sitemapindex><sitemap>" +
+              "<loc> "),
+            shardUrl(hostCol, lit(0)),
+            lit(" </loc></sitemap><sitemap><loc>"),
+            shardUrl(hostCol, lit(1)),
+            lit("</loc><lastmod>2026-02-01</lastmod></sitemap>" +
+              "</sitemapindex>")).as("sitemap_xml"))
+      val children = graft.sources.Sitemap.parseSitemaps(index)
+        .filter(col("is_index"))
+        .select(col("host"), col("loc").as("shard_url"))
+      // the shard LEAF bodies: host = doc_id%7, shard = doc_id%2
+      val day = lpad(
+        (pmod(col("doc_id"), lit(28)) + 1).cast("string"), 2, "0")
+      val entry = concat(lit("<url><loc>"), robotsUrlCol,
+        lit("</loc><lastmod>2026-01-"), day, lit("</lastmod></url>"))
+      val shards = t(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(7)).as("hostnum"),
+          pmod(col("doc_id"), lit(2)).as("shard"),
+          struct(col("doc_id"), entry.as("e")).as("se"))
+        .groupBy("hostnum", "shard")
+        .agg(array_join(
+          transform(array_sort(collect_list(col("se"))), x => x("e")),
+          "").as("body"))
+        .select(shardUrl(hostCol, col("shard")).as("shard_url"),
+          concat(lit("<urlset>"), col("body"), lit("</urlset>"))
+            .as("sitemap_xml"))
+      // recurse: children join their bodies, the same parser reads
+      // the leaves (a real frontier driver loops this per level)
+      graft.sources.Sitemap.parseSitemaps(
+          children.join(shards, Seq("shard_url")))
+        .filter(!col("is_index"))
+        .select(col("host"), col("shard_url"), col("entry_pos"),
+          col("loc").as("url"), col("lastmod"))
+        .orderBy("url")
+    }),
+
+    // WARC revisit dedup round trip (r12) — the container-level
+    // digest dedup Common Crawl actually ships (WARC 1.1 §6.7.2):
+    // the doc_id%3==0 third recurs with content identical to last
+    // crawl, so revisitSplit stamps it, writeCrawlFiles stores it as
+    // empty-body `revisit` records (payload written ONCE per distinct
+    // content across crawls — the archive layer's storage economy),
+    // the reader surfaces digest+refers-to, and resolveRevisits
+    // re-materializes the text from the previous crawl's store. Every
+    // gated field — record type, byte count, resolved content hash,
+    // refers-to pointers — is a closed form of the doc_id moduli
+    "llm_warc_revisit" -> ((s, dir) => {
+      val outDir = "target/warc_revisit"
+      val dirFile = new java.io.File(outDir)
+      if (dirFile.exists()) dirFile.listFiles().foreach(_.delete())
+      val url = concat(lit("https://d"),
+        pmod(col("doc_id"), lit(7)).cast("string"),
+        lit(".example.org/p/"), col("doc_id").cast("string"))
+      val content = concat(lit("content "), col("doc_id").cast("string"))
+      val docs = t(s, dir, "documents")
+        .select(url.as("url"), lit("2026-02-01T00:00:00Z").as("warc_date"),
+          content.as("text"), md5(content).as("payload_digest"))
+      val prev = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(md5(content).as("digest"), url.as("orig_url"),
+          lit("2025-12-01T00:00:00Z").as("orig_date"))
+      val split = graft.sources.Warc.revisitSplit(docs, prev)
+      graft.sources.Warc.writeCrawlFiles(split.repartition(8), outDir)
+      val files = new java.io.File(outDir).listFiles()
+        .map(_.getPath).filter(_.endsWith(".warc.gz")).sorted.toSeq
+      val store = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(md5(content).as("digest"), content.as("text"))
+      graft.sources.Warc.resolveRevisits(
+          graft.sources.Warc.readWarcFiles(s, files), store)
+        .select(col("url"), col("warc_type"), col("n_bytes"),
+          md5(col("resolved_text")).as("content_hash"),
+          col("refers_to_url"), col("refers_to_date"))
+        .orderBy("url")
+    }),
+
     // cross-crawl revisit selection (r12) — what a recurring crawl
     // DOES with sitemap lastmod: the parsed frontier joins the
     // previous crawl's (url, fetched_at) table; keep new URLs (odd
@@ -1106,6 +1237,25 @@ object LlmQueries {
         .orderBy("v")
     }),
 
+    // HITS hubs/authorities (r12) — the OTHER classic link-graph
+    // score next to PageRank (Kleinberg 1999): auth = in-link hub
+    // sum, hub = out-link auth sum, each half-step renormalized to
+    // scale total in exact integer algebra (DECIMAL(38,0) product +
+    // integral div). Same 3-out-link modulus graph, 3 rounds; the
+    // oracle unrolls the half-steps bit-for-bit
+    "llm_hits" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      def dsts(mul: Long, add: Long) = docs.select(
+        col("doc_id").as("src"),
+        pmod(col("doc_id") * mul + add, lit(n)).as("dst"))
+      val edges = dsts(7, 1).unionByName(dsts(11, 3))
+        .unionByName(dsts(13, 5))
+      graft.core.Graph.hits(edges,
+          docs.select(col("doc_id").as("v")), iters = 3)
+        .orderBy("v")
+    }),
+
     // polite fetch schedule (r11) — the operator a crawler's fetcher
     // actually consumes: robots-allowed URLs get per-host serial slots
     // (URL order) and integer-ms offsets honoring each host's
@@ -1293,6 +1443,32 @@ object LlmQueries {
         .select(col("doc_id"),
           length(col("extracted")).as("n_chars"),
           md5(col("extracted")).as("content_hash"))
+        .orderBy("doc_id")
+    }),
+
+    // boilerplate removal (r12) — the jusText/trafilatura curation
+    // step (RefinedWeb/FineWeb's main-content extraction): each doc
+    // renders as a page with nav chrome, a link-farm div, and a short
+    // footer around two real prose paragraphs; the codegen'd
+    // block-density kernel (functions/HtmlMainText — length ≥ 25,
+    // link density ≤ 300‰, integer-exact) must keep EXACTLY the two
+    // paragraphs joined by \n. The oracle emits the same expected
+    // string as a closed form of doc_id — it never parses HTML
+    "llm_html_main" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+          "<a href=\"/c\">Contact</a></nav>"),
+        lit("<p>Article body "), id,
+        lit(" carries the real prose &amp; clears every bar.</p>"),
+        lit("<div><a href=\"/r1\">one</a> <a href=\"/r2\">two</a> " +
+          "<a href=\"/r3\">three</a> more</div>"),
+        lit("<p>Second paragraph for doc "), id,
+        lit(" long enough to keep by itself.</p>"),
+        lit("<footer>(c) 2026</footer>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.HtmlMainText(html).as("main_text"))
         .orderBy("doc_id")
     }),
 
@@ -1556,6 +1732,16 @@ object LlmQueries {
     // partitioning); broadcast-model join, no corpus shuffle by bigram
     "llm_lm_perplexity" -> ((s, dir) =>
       LanguageModel.bigramPerplexity(t(s, dir, "documents"),
+          "text", "doc_id")
+        .orderBy("doc_id")),
+
+    // CCNet perplexity bucketing (r12) — Wenzek et al. 2020's
+    // head/middle/tail corpus split, the step between LM scoring and
+    // mixing: exact integer micro-nat scores, tertile cutoffs from a
+    // distinct-score window cumsum (the aucExact pattern), ties share
+    // the lower bucket — value-determined, partition-invariant
+    "llm_ccnet_buckets" -> ((s, dir) =>
+      LanguageModel.perplexityBuckets(t(s, dir, "documents"),
           "text", "doc_id")
         .orderBy("doc_id")),
 
@@ -2511,6 +2697,9 @@ object LlmQueries {
     "llm_pagerank_warm" -> pagerankOracle(3,
       "CASE WHEN doc_id % 3 = 0 THEN (doc_id % 10 + 1) * 1000000 " +
         "ELSE r0 END"),
+    // HITS mirror: 3 unrolled auth/hub half-step rounds on the same
+    // modulus graph
+    "llm_hits" -> hitsOracle(3),
 
     // fetch-schedule mirror: the allowed set is the robots closed form,
     // slots are a row_number window per host over URL string order,
@@ -2600,6 +2789,50 @@ object LlmQueries {
         |    AS INT) AS entry_pos,
         |  url, lastmod, allowed
         |FROM u ORDER BY url""".stripMargin,
+
+    // recursive-sitemap mirror: shard membership (doc_id%2), per-shard
+    // entry rank, loc/lastmod closed forms — the oracle never parses
+    // XML, never joins index to shard; only the engine recurses
+    "llm_sitemap_recursive" ->
+      """WITH u AS (SELECT doc_id, doc_id % 7 AS h, doc_id % 2 AS k,
+        |  'https://d' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' ||
+        |  CASE WHEN doc_id % 4 = 0 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+        |       WHEN doc_id % 4 = 1 THEN '/p/' || CAST(doc_id AS VARCHAR) || '.pdf'
+        |       WHEN doc_id % 4 = 2 THEN '/p/' || CAST(doc_id AS VARCHAR)
+        |       ELSE '/dl/' || CAST(doc_id AS VARCHAR) END AS url,
+        |  '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |    AS lastmod
+        |  FROM documents)
+        |SELECT 'd' || CAST(h AS VARCHAR) || '.example.org' AS host,
+        |  'https://d' || CAST(h AS VARCHAR) || '.example.org/sitemap-'
+        |    || CAST(k AS VARCHAR) || '.xml' AS shard_url,
+        |  CAST(row_number() OVER (PARTITION BY h, k ORDER BY doc_id) - 1
+        |    AS INT) AS entry_pos,
+        |  url, lastmod
+        |FROM u ORDER BY url""".stripMargin,
+
+    // WARC-revisit mirror: record type = the %3 recurrence split,
+    // n_bytes = stored payload bytes (0 for revisits — the storage
+    // economy being gated), content hash = md5 of the closed-form
+    // text on BOTH branches (resolution must recover the revisit
+    // payload from the store), refers-to = the previous capture. The
+    // oracle never frames, reads, or joins WARC anything
+    "llm_warc_revisit" ->
+      """SELECT
+        |  'https://d' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/p/'
+        |    || CAST(doc_id AS VARCHAR) AS url,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'revisit'
+        |       ELSE 'response' END AS warc_type,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+        |       ELSE 8 + length(CAST(doc_id AS VARCHAR)) END AS BIGINT)
+        |    AS n_bytes,
+        |  md5('content ' || CAST(doc_id AS VARCHAR)) AS content_hash,
+        |  CASE WHEN doc_id % 3 = 0 THEN
+        |    'https://d' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/p/'
+        |      || CAST(doc_id AS VARCHAR) END AS refers_to_url,
+        |  CASE WHEN doc_id % 3 = 0 THEN '2025-12-01T00:00:00Z' END
+        |    AS refers_to_date
+        |FROM documents ORDER BY url""".stripMargin,
 
     // revisit-select mirror: keep = new (odd id) ∨ modified (lastmod
     // day > 15); reason as the same CASE — pure modulus arithmetic,
@@ -2723,6 +2956,17 @@ object LlmQueries {
         |  CAST(octet_length(ENCODE(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_hash
         |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
+
+    // boilerplate-removal mirror: the expected main text as a closed
+    // form of doc_id — the two kept paragraphs (entity decoded)
+    // joined by \n; nav, link farm, and footer must never appear
+    "llm_html_main" ->
+      """SELECT doc_id,
+        |  'Article body ' || CAST(doc_id AS VARCHAR) ||
+        |  ' carries the real prose & clears every bar.' || chr(10) ||
+        |  'Second paragraph for doc ' || CAST(doc_id AS VARCHAR) ||
+        |  ' long enough to keep by itself.' AS main_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // domain-cap mirror: the row_number window form of the engine's
     // k-bounded TopKByScore aggregate — (n_chars DESC, doc_id ASC) is
@@ -2985,6 +3229,31 @@ object LlmQueries {
     // shapes — one semantics, three execution paths
     "llm_lm_perplexity" -> lmPerplexityOracleSql,
     "llm_lm_persisted" -> lmPerplexityOracleSql,
+    // ccnet-bucket mirror: the shared LM micro-nat chain, integer
+    // per-bigram score, tertile cutoffs via the same distinct-score
+    // cumsum rule (3·cum ≥ n / 3·cum ≥ 2n), ties to the lower bucket
+    "llm_ccnet_buckets" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |tk AS (SELECT doc_id, unnest(toks) AS w FROM d),
+        |v AS (SELECT count(DISTINCT w) AS v FROM tk WHERE w <> ''),
+        |bg AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2 FROM d WHERE len(toks) >= 2),
+        |bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+        |cc AS (SELECT w1, sum(cb) AS cu FROM bc GROUP BY 1),
+        |sc AS (SELECT g.doc_id, CAST(round(ln((bc.cb + 1.0) / CAST(cc.cu + v.v AS DOUBLE)) * 1000000) AS BIGINT) AS lp FROM bg g JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2 JOIN cc ON cc.w1 = g.w1 CROSS JOIN v),
+        |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, CAST(sum(lp) AS BIGINT) AS slp FROM sc GROUP BY doc_id),
+        |s2 AS (SELECT doc_id, n_bigrams, CAST((-slp) // n_bigrams AS BIGINT) AS score_micro FROM ag),
+        |dist AS (SELECT score_micro, count(*) AS c FROM s2 GROUP BY score_micro),
+        |cum AS (SELECT score_micro, sum(c) OVER (ORDER BY score_micro) AS cum FROM dist),
+        |tot AS (SELECT count(*) AS n FROM s2),
+        |cuts AS (SELECT
+        |  min(CASE WHEN 3*cum >= n THEN score_micro END) AS c1,
+        |  min(CASE WHEN 3*cum >= 2*n THEN score_micro END) AS c2
+        |  FROM cum CROSS JOIN tot)
+        |SELECT doc_id, n_bigrams, score_micro,
+        |  CASE WHEN score_micro <= c1 THEN 'head'
+        |       WHEN score_micro <= c2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM s2 CROSS JOIN cuts ORDER BY doc_id""".stripMargin,
     // Kneser-Ney mirror: counts + per-context (total, distinct
     // successors) + per-word distinct predecessors + the scalar type
     // count, the interpolation formula in the same float-op order

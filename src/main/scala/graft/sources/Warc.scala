@@ -212,7 +212,12 @@ object Warc {
     StructField("url", StringType, nullable = true),
     StructField("warc_date", StringType, nullable = true),
     StructField("n_bytes", LongType, nullable = false),
-    StructField("text", StringType, nullable = true)))
+    StructField("text", StringType, nullable = true),
+    // digest-dedup surface (revisit records + any record that carries
+    // a payload digest); null on plain response/conversion reads
+    StructField("payload_digest", StringType, nullable = true),
+    StructField("refers_to_url", StringType, nullable = true),
+    StructField("refers_to_date", StringType, nullable = true)))
 
   /** Distributed WARC/WET read: one file per task ([[RawConvert]]'s
     * parallelize-by-file shape), gzip auto-detected by suffix,
@@ -270,11 +275,24 @@ object Warc {
                 case None => (r.body.length.toLong, null)
               }
               Some(Row(path, idx, "response", r.targetUri.orNull,
-                r.date.orNull, n, text))
+                r.date.orNull, n, text,
+                r.header("WARC-Payload-Digest").orNull, null, null))
             case "conversion" =>
               Some(Row(path, idx, "conversion", r.targetUri.orNull,
                 r.date.orNull, r.body.length.toLong,
-                new String(r.body, StandardCharsets.UTF_8)))
+                new String(r.body, StandardCharsets.UTF_8),
+                r.header("WARC-Payload-Digest").orNull, null, null))
+            case "revisit" =>
+              // digest dedup across crawls (the Common Crawl /
+              // Heritrix convention): the payload was NOT stored —
+              // the digest + refers-to headers point at the original
+              // capture; resolve content via [[resolveRevisits]]
+              Some(Row(path, idx, "revisit", r.targetUri.orNull,
+                r.date.orNull, 0L, null,
+                r.header("WARC-Payload-Digest").orNull,
+                r.header("WARC-Refers-To-Target-URI")
+                  .map(u => u.stripPrefix("<").stripSuffix(">")).orNull,
+                r.header("WARC-Refers-To-Date").orNull))
             case _ => None
           }
         }
@@ -415,17 +433,36 @@ object Warc {
       dateCol: String,
       bodyCol: String,
       recordType: String,
-      contentType: String): Unit = {
+      contentType: String): Unit =
+    writeMemberFiles(
+      df.select(
+        df.col(urlCol).cast(StringType),
+        df.col(dateCol).cast(StringType),
+        df.col(bodyCol).cast(StringType)),
+      dir) { r =>
+      if (r.isNullAt(2)) None
+      else Some((r.getString(0),
+        frameRecord(recordType, r.getString(1),
+          s"WARC-Target-URI: ${r.getString(0)}\r\n" +
+            s"Content-Type: $contentType\r\n",
+          r.getString(2).getBytes(StandardCharsets.UTF_8))))
+    }
+
+  /** Shared shard writer: one `part-NNNNN.warc.gz` per non-empty
+    * partition plus the `part-NNNNN.cdx` member index, under the
+    * attempt-unique-temp + atomic-rename commit protocol ([[
+    * writeWetFiles]]'s scaladoc). `mk` frames one row into (index
+    * url, record bytes); None skips the row. */
+  private def writeMemberFiles(
+      projected: DataFrame,
+      dir: String)(mk: Row => Option[(String, Array[Byte])]): Unit = {
     val dirPath = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(dirPath)
     val existing = java.nio.file.Files.list(dirPath)
     try require(!existing.findFirst().isPresent,
       s"WARC output dir $dir is not empty — refusing to mix runs")
     finally existing.close()
-    df.select(
-        df.col(urlCol).cast(StringType),
-        df.col(dateCol).cast(StringType),
-        df.col(bodyCol).cast(StringType))
+    projected
       .foreachPartition { (it: Iterator[Row]) =>
         if (it.hasNext) {
           val tc = org.apache.spark.TaskContext.get()
@@ -454,16 +491,13 @@ object Warc {
               "software: graft-wet-writer\r\n".getBytes(
                 StandardCharsets.ISO_8859_1)))
             it.foreach { r =>
-              if (!r.isNullAt(2)) {
+              mk(r).foreach { case (url, bytes) =>
                 val off = out.count
-                val end = member(frameRecord(recordType, r.getString(1),
-                  s"WARC-Target-URI: ${r.getString(0)}\r\n" +
-                    s"Content-Type: $contentType\r\n",
-                  r.getString(2).getBytes(StandardCharsets.UTF_8)))
+                val end = member(bytes)
                 // the CDX essentials: where the member lives + its URL
                 idx.append(baseName).append(' ').append(off).append(' ')
                   .append(end - off).append(' ')
-                  .append(r.getString(0)).append('\n')
+                  .append(url).append('\n')
               }
             }
             out.close()
@@ -554,5 +588,118 @@ object Warc {
         }
       }
     spark.createDataFrame(rows, rangeFetchSchema)
+  }
+
+  // ------------------------------------------------ revisit records
+  // Cross-crawl DIGEST dedup at the container level — the Common
+  // Crawl / Heritrix convention (WARC 1.1 §6.7.2): a recrawled page
+  // whose payload digest matches a previous capture is stored as a
+  // `revisit` record (profile `identical-payload-digest`) carrying
+  // only the digest + a WARC-Refers-To pointer — the payload bytes
+  // are written ONCE per distinct content across crawls. At 100 TB
+  // and a mature crawl's ~60% unchanged-page rate this is the
+  // dominant storage economy of the archive layer.
+
+  /** Revisit profile URI written/expected by this module (WARC 1.1). */
+  val RevisitProfile: String =
+    "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"
+
+  /** Stamp each current-crawl row with the previous capture it
+    * duplicates, if any: a left join of `current` (which must carry
+    * `digestCol`, e.g. `md5(text)` — compute it declaratively) against
+    * the previous crawl's digest store `(digest, orig_url,
+    * orig_date)`. Adds `revisit_of_url` / `revisit_of_date` (null =
+    * new content → store the payload). The store must be
+    * digest-unique (it IS a dedup index — enforce upstream with the
+    * exact-dedup survivors); a duplicate digest here would fan rows
+    * out. One digest-keyed hash join, both sides fact-sized — no
+    * broadcast assumption, AQE handles skew. */
+  def revisitSplit(
+      current: DataFrame,
+      prevDigests: DataFrame,
+      digestCol: String = "payload_digest"): DataFrame = {
+    val prev = prevDigests.select(
+      prevDigests.col("digest").as("__d"),
+      prevDigests.col("orig_url").as("revisit_of_url"),
+      prevDigests.col("orig_date").as("revisit_of_date"))
+    current.join(prev, current.col(digestCol) === prev.col("__d"), "left")
+      .drop("__d")
+  }
+
+  /** Distributed crawl write with revisit dedup: rows with a null
+    * `revisit_of_url` become full `response` records (a minimal
+    * HTTP/1.1 200 message around the UTF-8 payload, digest header
+    * included); rows pointing at a previous capture become empty-body
+    * `revisit` records (profile/refers-to/digest headers only). Same
+    * shard layout, member index, and commit protocol as
+    * [[writeWetFiles]]. Null-text NEW rows are skipped (nothing to
+    * store); null-text is the NORM for revisit rows. */
+  def writeCrawlFiles(
+      df: DataFrame,
+      dir: String,
+      urlCol: String = "url",
+      dateCol: String = "warc_date",
+      textCol: String = "text",
+      digestCol: String = "payload_digest"): Unit =
+    writeMemberFiles(
+      df.select(
+        df.col(urlCol).cast(StringType),
+        df.col(dateCol).cast(StringType),
+        df.col(textCol).cast(StringType),
+        df.col(digestCol).cast(StringType),
+        df.col("revisit_of_url").cast(StringType),
+        df.col("revisit_of_date").cast(StringType)),
+      dir) { r =>
+      val url = r.getString(0)
+      val date = r.getString(1)
+      val digest = if (r.isNullAt(3)) "" else
+        s"WARC-Payload-Digest: ${r.getString(3)}\r\n"
+      if (!r.isNullAt(4)) {
+        Some((url, frameRecord("revisit", date,
+          s"WARC-Target-URI: $url\r\n" +
+            digest +
+            s"WARC-Profile: $RevisitProfile\r\n" +
+            s"WARC-Refers-To-Target-URI: ${r.getString(4)}\r\n" +
+            s"WARC-Refers-To-Date: ${r.getString(5)}\r\n",
+          Array.emptyByteArray)))
+      } else if (r.isNullAt(2)) None
+      else {
+        val payload = r.getString(2).getBytes(StandardCharsets.UTF_8)
+        val http = (s"HTTP/1.1 200 OK\r\n" +
+          "Content-Type: text/plain; charset=utf-8\r\n" +
+          s"Content-Length: ${payload.length}\r\n\r\n")
+          .getBytes(StandardCharsets.ISO_8859_1) ++ payload
+        Some((url, frameRecord("response", date,
+          s"WARC-Target-URI: $url\r\n" +
+            digest +
+            "Content-Type: application/http;msgtype=response\r\n",
+          http)))
+      }
+    }
+
+  /** Materialize full content for a mixed response/revisit read
+    * ([[readWarcFiles]] output): response/conversion rows keep their
+    * own text; revisit rows look their payload up in the content
+    * store `(digest, text)` — the previous crawl's corpus keyed by
+    * digest. Adds `resolved` (false = the store is missing the
+    * referenced digest: archive corruption the caller should count,
+    * not a crash — one torn pointer must not kill the scan). One
+    * digest-keyed hash join touching only the revisit rows. */
+  def resolveRevisits(records: DataFrame, store: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    val st = store.select(
+      store.col("digest").as("__d"),
+      store.col("text").as("__stored"))
+    records.join(st,
+        records.col("warc_type") === "revisit" &&
+          records.col("payload_digest") === st.col("__d"),
+        "left")
+      .withColumn("resolved_text",
+        when(col("warc_type") === "revisit", col("__stored"))
+          .otherwise(col("text")))
+      .withColumn("resolved",
+        when(col("warc_type") === "revisit", col("__stored").isNotNull)
+          .otherwise(lit(true)))
+      .drop("__d", "__stored")
   }
 }

@@ -134,4 +134,94 @@ class GraphSpec extends SparkSpec {
       Graph.pageRank(df, spark.emptyDataset[Long].toDF("v"), 3)
     }
   }
+
+  /** Driver-side HITS reference: same quantization contract as
+    * Graph.hits (both-endpoints-on-spine edges contribute; each
+    * half-step renormalizes to `scale` total via exact BigInt
+    * floor division; zero-total degrades to zeros). */
+  private def hitsRef(
+      edges: Seq[(Long, Long)], nodes: Seq[Long], iters: Int,
+      scale: Long = 1000000000L): Map[Long, (Long, Long)] = {
+    val onSpine = nodes.toSet
+    val es = edges.filter(e => onSpine(e._1) && onSpine(e._2))
+    def norm(raw: Map[Long, Long]): Map[Long, Long] = {
+      val tot = math.max(raw.values.sum, 1L)
+      nodes.map(v =>
+        v -> (BigInt(raw.getOrElse(v, 0L)) * scale / tot).toLong).toMap
+    }
+    var hub = nodes.map(v => v -> scale / nodes.size).toMap
+    var auth = Map.empty[Long, Long]
+    for (_ <- 1 to iters) {
+      val ra = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      es.foreach { case (s, d) => ra(d) += hub(s) }
+      auth = norm(ra.toMap)
+      val rh = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      es.foreach { case (s, d) => rh(s) += auth(d) }
+      hub = norm(rh.toMap)
+    }
+    nodes.map(v => v -> (auth(v), hub(v))).toMap
+  }
+
+  test("hits: matches the independent reference on a hand graph — " +
+      "pure hubs score hub-high/auth-zero and vice versa") {
+    import spark.implicits._
+    // 3 and 4 are pure hubs pointing at authorities 0 and 1; 0 also
+    // links to 2, so 0 is the one node with both roles
+    val es = Seq((3L, 0L), (3L, 1L), (4L, 0L), (4L, 1L), (0L, 2L))
+    val ns = Seq(0L, 1L, 2L, 3L, 4L)
+    val got = Graph.hits(es.toDF("src", "dst"), ns.toDF("v"), 3)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == hitsRef(es, ns, 3))
+    // authorities: 0 and 1 tie at the top (same in-link hub set); the
+    // never-linked pure hubs have zero authority
+    assert(got(0L)._1 == got.values.map(_._1).max)
+    assert(got(0L)._1 == got(1L)._1)
+    assert(got(3L)._1 == 0L && got(4L)._1 == 0L)
+    // hubs: 3 and 4 tie at the top; the link-less sinks 1 and 2 have
+    // zero hub score
+    assert(got(3L)._2 == got.values.map(_._2).max)
+    assert(got(3L)._2 == got(4L)._2)
+    assert(got(1L)._2 == 0L && got(2L)._2 == 0L)
+    // normalization invariant: truncation only loses mass
+    assert(got.values.map(_._1).sum <= 1000000000L)
+    assert(got.values.map(_._2).sum <= 1000000000L)
+  }
+
+  test("hits: off-spine endpoints drop, multi-edges count multiply, " +
+      "partition invariance") {
+    import spark.implicits._
+    val es = (0L until 60L).flatMap(i =>
+      Seq((i, (i * 7 + 1) % 60), (i, (i * 11 + 3) % 60),
+        (i, (i * 7 + 1) % 60))) :+ (5L, 999L) :+ (999L, 7L)
+    val ns = (0L until 60L).toSeq
+    val a = Graph.hits(es.toDF("src", "dst"), ns.toDF("v"), 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val b = Graph.hits(
+        es.toDF("src", "dst").repartition(13),
+        ns.toDF("v").repartition(7), 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+    val ref = hitsRef(es, ns, 4)
+    assert(a == ns.map(v => (v, ref(v)._1, ref(v)._2)))
+  }
+
+  test("hits: edge-free spine degrades to all-zero vectors, guards " +
+      "match pageRank's") {
+    import spark.implicits._
+    // the only edge leaves the spine → zero totals both half-steps
+    val es = Seq((0L, 99L))
+    val ns = Seq(0L, 1L)
+    val got = Graph.hits(es.toDF("src", "dst"), ns.toDF("v"), 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((0L, 0L, 0L), (1L, 0L, 0L)))
+    intercept[IllegalArgumentException] {
+      Graph.hits(es.toDF("src", "dst"), ns.toDF("v"), 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.hits(es.toDF("src", "dst"), spark.emptyDataset[Long].toDF("v"), 3)
+    }
+  }
 }

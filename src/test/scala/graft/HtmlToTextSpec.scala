@@ -154,4 +154,61 @@ class HtmlToTextSpec extends SparkSpec {
       == Seq(("/a", "x y")))
     assert(got(1).isNullAt(0))
   }
+
+  test("HtmlMainText: boilerplate blocks drop by length and link " +
+      "density; content survives with entities decoded") {
+    import graft.functions.HtmlMainText
+    def m(h: String, minChars: Int = 25, permille: Int = 300): String =
+      HtmlMainText.extract(h, minChars, permille)
+    val page =
+      "<nav><a href=\"/\">Home</a> <a href=\"/about\">About us</a>" +
+        " <a href=\"/contact\">Contact</a></nav>" +
+        "<p>This paragraph carries the actual article prose &amp; " +
+        "survives the density filter easily.</p>" +
+        "<div><a href=\"/t1\">one</a> <a href=\"/t2\">two</a> " +
+        "<a href=\"/t3\">three</a> <a href=\"/t4\">four</a> related " +
+        "links</div>" +
+        "<p>A second content paragraph long enough to keep on its " +
+        "own merits.</p>" +
+        "<footer>&#169; 2026</footer>"
+    assert(m(page) ==
+      "This paragraph carries the actual article prose & survives " +
+        "the density filter easily.\n" +
+        "A second content paragraph long enough to keep on its own " +
+        "merits.")
+    // the density boundary is ≤ (per-mille, integer-exact): anchor
+    // 10 chars of 40 = 250‰ keeps at 250, drops at 249
+    val edge = "<p>" + "x" * 30 + "<a href=/l>" + "y" * 10 + "</a></p>"
+    assert(m(edge, 10, 250) == "x" * 30 + "y" * 10)
+    assert(m(edge, 10, 249) == "")
+    // minChars is ≥: a 20-char block keeps at 20, drops at 21
+    val short = "<p>" + "z" * 20 + "</p>"
+    assert(m(short, 20, 0) == "z" * 20)
+    assert(m(short, 21, 0) == "")
+    // nested anchors track depth; a stray </a> floors at zero and
+    // later text counts as plain again
+    val nested = "<p></a>" + "w" * 30 + "<a><a>link</a>text</a>tail</p>"
+    // anchor "linktext" = 8 of 42 chars = 190‰: drops at 150, keeps
+    // at 200 (text inside the OUTER anchor still counts as anchor)
+    assert(m(nested, 10, 150) == "")
+    assert(m(nested, 10, 200) == "w" * 30 + "linktexttail")
+    assert(m("<p></a>" + "w" * 30 + "<a><a>li</a>nk</a>tail</p>",
+      10, 120) == "w" * 30 + "linktail") // 4/38 = 105‰ ≤ 120
+    // script/comment decoy anchors never count; td/th space is
+    // structural (counts to text, not anchors)
+    assert(m("<p><script>\"<a href=/d>spam</a>\"</script>" +
+      "plain prose body over the bar</p>", 20, 0)
+      == "plain prose body over the bar")
+    // whole-page: nav/footer chrome out, blocks join in order
+    val df2 = Seq(Some(page), None).toDF("h")
+    val got2 = df2.select(HtmlMainText(col("h")).as("t")).collect()
+    assert(got2(0).getString(0).startsWith("This paragraph"))
+    assert(got2(1).isNullAt(0))
+    // codegen ≡ interpreted
+    val one = df2.filter(col("h").isNotNull)
+    val cg = one.select(HtmlMainText(col("h"))).head.getString(0)
+    val interp = one.select(HtmlMainText(col("h")))
+      .filter(lit(true)).head.getString(0)
+    assert(cg == interp && cg == m(page))
+  }
 }

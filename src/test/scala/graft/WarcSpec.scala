@@ -361,4 +361,57 @@ class WarcSpec extends SparkSpec {
       (latinBytes.length.toLong, latin))
     assert(rows("https://ex.org/liar")._2 == "not actually chunked")
   }
+
+  test("revisit records: split → write → read → resolve round trip; " +
+      "revisit bodies are empty, content resolves from the store") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, md5}
+    val dir = Files.createTempDirectory("revisit").toString
+    // current crawl: /1 and /3 recur with last month's exact content
+    val cur = Seq(
+        ("https://ex.org/1", "2026-02-01T00:00:00Z", "stable one"),
+        ("https://ex.org/2", "2026-02-01T00:00:00Z", "fresh two"),
+        ("https://ex.org/3", "2026-02-01T00:00:00Z", "stable three"))
+      .toDF("url", "warc_date", "text")
+      .withColumn("payload_digest", md5(col("text")))
+    val prev = Seq(("stable one", "https://ex.org/1"),
+        ("stable three", "https://ex.org/old-3"))
+      .toDF("text", "orig_url")
+      .select(md5(col("text")).as("digest"), col("orig_url"),
+        org.apache.spark.sql.functions.lit("2026-01-01T00:00:00Z")
+          .as("orig_date"))
+    val split = Warc.revisitSplit(cur, prev)
+    assert(split.filter(col("revisit_of_url").isNotNull).count() == 2)
+    Warc.writeCrawlFiles(split, dir)
+    val files = new java.io.File(dir).listFiles().map(_.getPath)
+      .filter(_.endsWith(".warc.gz")).sorted.toSeq
+    val back = Warc.readWarcFiles(spark, files)
+    // revisit rows: zero stored bytes, digest + refers-to surfaced
+    val rev = back.filter(col("warc_type") === "revisit")
+      .select("url", "n_bytes", "refers_to_url", "refers_to_date")
+      .as[(String, Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(rev == Seq(
+      ("https://ex.org/1", 0L, "https://ex.org/1",
+        "2026-01-01T00:00:00Z"),
+      ("https://ex.org/3", 0L, "https://ex.org/old-3",
+        "2026-01-01T00:00:00Z")))
+    // the response row stored its payload and its digest header
+    val resp = back.filter(col("warc_type") === "response")
+      .select("url", "text", "payload_digest")
+      .as[(String, String, String)].collect().toSeq
+    assert(resp.map(r => (r._1, r._2)) ==
+      Seq(("https://ex.org/2", "fresh two")))
+    assert(resp.head._3 != null)
+    // resolution recovers every payload; a revisit whose digest is
+    // missing from the store flags resolved=false instead of crashing
+    val store = Seq("stable one").toDF("text")
+      .select(md5(col("text")).as("digest"), col("text"))
+    val res = Warc.resolveRevisits(back, store)
+      .select("url", "resolved", "resolved_text")
+      .as[(String, Boolean, String)].collect().sortBy(_._1).toSeq
+    assert(res == Seq(
+      ("https://ex.org/1", true, "stable one"),
+      ("https://ex.org/2", true, "fresh two"),
+      ("https://ex.org/3", false, null)))
+  }
 }
