@@ -527,14 +527,26 @@ final class Hdf5File(path: String) extends AutoCloseable {
     * Covers the subset real acquisition metadata uses: fixed-point,
     * IEEE float, fixed strings, and h5py's variable-length strings
     * (global-heap backed). Anything else fails loudly. */
-  def attributes(objectPath: String): Map[String, Any] = {
+  def attributes(objectPath: String): Map[String, Any] =
+    attrMessageBodies(objectPath)
+      .map(parseAttribute(_, objectPath)).toMap
+
+  /** Raw VALUE bytes of the named attribute (fixed-string/opaque
+    * payloads that must NOT round-trip through String — PyTables
+    * pickles Python-object attributes into exactly such scalars). */
+  def attributeBytes(objectPath: String, name: String): Option[Array[Byte]] =
+    attrMessageBodies(objectPath).iterator
+      .map(parseAttributeRaw(_, objectPath))
+      .collectFirst { case (n, bytes) if n == name => bytes }
+
+  /** All attribute message bodies of an object: plain 0x0C messages
+    * plus DENSE storage (h5py: > 8 attributes with libver='latest')
+    * — attribute messages in a fractal heap behind an Attribute Info
+    * message, name-indexed by a v2 B-tree (record type 8: 8-byte heap
+    * ID + message flags + creation order + name hash), read through
+    * the same machinery as dense links (r09). */
+  private def attrMessageBodies(objectPath: String): Seq[Array[Byte]] = {
     val msgs = headerMessages(resolve(objectPath))
-    // DENSE attribute storage (h5py: > 8 attributes with
-    // libver='latest') moves attribute messages into a fractal heap
-    // behind an Attribute Info message, name-indexed by a v2 B-tree
-    // (record type 8: 8-byte heap ID + message flags + creation order +
-    // name hash) — read through the same machinery as dense links
-    // (r09; previously rejected loudly).
     val dense = msgs.collectFirst { case (0x15, body) => body }.toSeq
       .flatMap { body =>
         val fl = body(1) & 0xFF
@@ -553,17 +565,17 @@ final class Hdf5File(path: String) extends AutoCloseable {
             // ID length governs how many of them are meaningful
             val heapId = java.util.Arrays.copyOfRange(rec, 0,
               math.min(fh.idLen, 8))
-            parseAttribute(fractalHeapObject(fh, heapId), objectPath)
+            fractalHeapObject(fh, heapId)
           }
         }
       }
-    (msgs.collect {
-      case (0x0C, body) => parseAttribute(body, objectPath)
-    } ++ dense).toMap
+    msgs.collect { case (0x0C, body) => body } ++ dense
   }
 
-  /** One attribute message (v1/v2/v3) → (name, decoded value). */
-  private def parseAttribute(body: Array[Byte], ctx: String): (String, Any) = {
+  /** Attribute message header walk (v1/v2/v3): (name, datatype,
+    * dims, offset of the value bytes in `body`). */
+  private def attrHeader(body: Array[Byte], ctx: String)
+      : (String, Dtype, Seq[Long], Int) = {
     val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
     val ver = body(0) & 0xFF
     require(ver >= 1 && ver <= 3,
@@ -590,6 +602,12 @@ final class Hdf5File(path: String) extends AutoCloseable {
     val dims = parseDataspace(
       java.util.Arrays.copyOfRange(body, p, p + dsSize), s"$ctx@$name")
     p += pad(dsSize)
+    (name, dtype, dims, p)
+  }
+
+  /** One attribute message (v1/v2/v3) → (name, decoded value). */
+  private def parseAttribute(body: Array[Byte], ctx: String): (String, Any) = {
+    val (name, dtype, dims, p) = attrHeader(body, ctx)
     val n = dims.product.toInt // empty dims → scalar → product = 1
     // numeric attribute VALUES follow the datatype's byte order; the
     // vlen descriptor (class 9) is metadata and stays LE (bigEndian is
@@ -597,6 +615,16 @@ final class Hdf5File(path: String) extends AutoCloseable {
     val data = ByteBuffer.wrap(body, p, body.length - p).slice()
       .order(dataOrder(dtype))
     name -> decodeAttrValue(dtype, dims, n, data, s"$ctx@$name")
+  }
+
+  /** One attribute message → (name, raw value bytes — exactly the
+    * datatype-sized payload, no string decode). */
+  private def parseAttributeRaw(
+      body: Array[Byte], ctx: String): (String, Array[Byte]) = {
+    val (name, dtype, dims, p) = attrHeader(body, ctx)
+    val n = dims.product.toInt
+    val len = math.min(n * dtype.size, body.length - p)
+    (name, java.util.Arrays.copyOfRange(body, p, p + len))
   }
 
   private def decodeAttrValue(
@@ -731,10 +759,109 @@ final class Hdf5File(path: String) extends AutoCloseable {
         // 0 = sequence (PyTables VLArray). For class 9 the `signed`
         // slot carries the IS-STRING flag (ints never reach it).
         Dtype(9, size, signed = (b0 & 0x0F) == 1)
+      case 6 => // compound (PyTables Table records); members via
+        // [[compoundMembers]] — the Dtype carries the record size so
+        // the generic chunk/byte machinery works unchanged
+        Dtype(6, size, signed = false)
       case c =>
         throw new UnsupportedOperationException(
           s"$ctx: datatype class $c not in the supported subset " +
-            "(fixed-point, IEEE float, fixed string, vlen)")
+            "(fixed-point, IEEE float, fixed string, vlen, compound)")
+    }
+  }
+
+  /** Members of the compound (class 6) datatype of dataset `p` — the
+    * PyTables Table record layout. All three member encodings parse:
+    * v1 (name padded to 8, 4-byte offset, INLINE dimensionality +
+    * four dim sizes — the pre-1.4 array form), v2 (name padded to 8,
+    * 4-byte offset, array members via the class-10 array datatype),
+    * v3 (name unpadded, offset in the minimal byte count for the
+    * record size). Array-typed members flatten to (base dtype, dims);
+    * nested compounds fail loudly — PyTables never writes them for
+    * pandas tables. */
+  def compoundMembers(p: String): Seq[CompoundMember] = {
+    val body = headerMessages(resolve(p))
+      .collectFirst { case (0x03, b) => b }
+      .getOrElse(throw new IllegalStateException(
+        s"$path/$p: no datatype message"))
+    val ctx = s"$path/$p"
+    require((body(0) & 0x0F) == 6, s"$ctx: not a compound datatype")
+    val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+    val ver = (body(0) >> 4) & 0x0F
+    require(ver >= 1 && ver <= 3, s"$ctx: compound datatype v$ver")
+    val nMembers = (body(1) & 0xFF) | ((body(2) & 0xFF) << 8)
+    val recSize = bb.getInt(4)
+    // v3 member offsets use the minimal byte count for the record size
+    val offBytes =
+      if (recSize < 256) 1
+      else if (recSize < 65536) 2
+      else if (recSize < (1 << 24)) 3
+      else 4
+    var off = 8
+    (0 until nMembers).map { _ =>
+      val nameStart = off
+      while (body(off) != 0) off += 1
+      val name = new String(body, nameStart, off - nameStart, "UTF-8")
+      off += 1
+      if (ver <= 2) // padded to 8 INCLUDING the NUL
+        off = nameStart + (off - nameStart + 7) / 8 * 8
+      val mOffset: Int =
+        if (ver <= 2) { val v = bb.getInt(off); off += 4; v }
+        else {
+          var v = 0L
+          (0 until offBytes).foreach(i =>
+            v |= (body(off + i) & 0xFFL) << (8 * i))
+          off += offBytes
+          v.toInt
+        }
+      var dims: Seq[Int] = Nil
+      if (ver == 1) {
+        val rank = body(off) & 0xFF
+        off += 1 + 3 + 4 + 4 // rank, reserved, permutation, reserved
+        val ds = (0 until 4).map(i => bb.getInt(off + 4 * i))
+        off += 16
+        dims = ds.take(rank).map(identity)
+      }
+      val (dt, aDims, consumed) = parseDatatypeAt(body, off, s"$ctx@$name")
+      off += consumed
+      require(dims.isEmpty || aDims.isEmpty,
+        s"$ctx@$name: both inline and array-datatype dims")
+      CompoundMember(name, mOffset, if (dims.nonEmpty) dims else aDims, dt)
+    }
+  }
+
+  /** Parse the datatype encoded at `off` inside a compound member:
+    * (scalar dtype, array dims — empty for scalar, encoded length).
+    * Supports the member subset PyTables emits: fixed-point, IEEE
+    * float, fixed string, and class-10 arrays (v2: rank + 3 reserved
+    * + dims + permutations; v3: rank + dims) over those. */
+  private def parseDatatypeAt(
+      body: Array[Byte], off: Int, ctx: String): (Dtype, Seq[Int], Int) = {
+    val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+    val cls = body(off) & 0x0F
+    val ver = (body(off) >> 4) & 0x0F
+    val size = bb.getInt(off + 4)
+    cls match {
+      case 0 => // fixed-point: properties = bit offset + precision
+        (parseDatatype(java.util.Arrays.copyOfRange(
+          body, off, off + 12), ctx), Nil, 12)
+      case 1 => // IEEE float: 12 property bytes
+        (parseDatatype(java.util.Arrays.copyOfRange(
+          body, off, off + 20), ctx), Nil, 20)
+      case 3 => // fixed string: no properties
+        (parseDatatype(java.util.Arrays.copyOfRange(
+          body, off, off + 8), ctx), Nil, 8)
+      case 10 => // array: dims, then the base type
+        val rank = body(off + 8) & 0xFF
+        val dimsAt = off + 9 + (if (ver == 2) 3 else 0)
+        val dims = (0 until rank).map(i => bb.getInt(dimsAt + 4 * i))
+        // v2 carries 4-byte permutation slots per dim after the sizes
+        val baseAt = dimsAt + 4 * rank + (if (ver == 2) 4 * rank else 0)
+        val (base, inner, len) = parseDatatypeAt(body, baseAt, ctx)
+        require(inner.isEmpty, s"$ctx: nested array datatypes")
+        (base, dims, baseAt - off + len)
+      case c => throw new UnsupportedOperationException(
+        s"$ctx: compound member datatype class $c unsupported")
     }
   }
 
@@ -1101,6 +1228,12 @@ object Hdf5File {
 
   /** Element type of the supported subset. `string` is FIXED-length
     * (`size` bytes, NUL-trimmed); integers are LE, signedness tracked. */
+  /** One member of a compound (class 6) datatype: byte offset inside
+    * the record, flattened element dims (from a class-10 array member
+    * or v1 inline dims; scalar = Nil), and the SCALAR element dtype. */
+  final case class CompoundMember(
+      name: String, offset: Int, dims: Seq[Int], dtype: Dtype)
+
   final case class Dtype(clazz: Int, size: Int, signed: Boolean,
       bigEndian: Boolean = false)
 

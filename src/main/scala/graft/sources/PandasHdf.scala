@@ -72,18 +72,19 @@ object PandasHdfReader {
 
   val defaultKey = "detprocess_df"
 
-  /** Loud dispatch on the stored pandas layout: only the fixed-format
-    * frame is readable here; `format='table'` names the mismatch. */
-  private def checkFrame(attrs: Map[String, Any], ctx: String): Unit =
+  /** Loud dispatch on the stored pandas layout: fixed-format frames
+    * read via the block path, `format='table'` frames via
+    * [[readTableColumns]] (r12); anything else names the mismatch. */
+  private def checkFrame(attrs: Map[String, Any], ctx: String): Boolean =
     attrs.get("pandas_type") match {
-      case Some("frame") => // the fixed-format frame we support
-      case Some("frame_table") | Some("series_table") =>
+      case Some("frame") => false       // fixed-format block layout
+      case Some("frame_table") => true  // PyTables Table layout
+      case Some("series_table") =>
         throw new UnsupportedOperationException(
-          s"$ctx: pandas format='table' (PyTables Table) layout " +
-            "is not supported — re-save with format='fixed' or " +
-            "convert via the parquet path")
+          s"$ctx: pandas series_table layout is not supported — " +
+            "only frames read here")
       case other => throw new UnsupportedOperationException(
-        s"$ctx: not a pandas fixed-format frame (pandas_type=$other)")
+        s"$ctx: not a pandas frame (pandas_type=$other)")
     }
 
   /** All columns of the frame at `/{key}`: (names in axis0 order,
@@ -93,7 +94,8 @@ object PandasHdfReader {
   private def readColumns(f: Hdf5File, key: String, path: String)
       : (Seq[String], Seq[Array[Any]], Int) = {
     val attrs = f.attributes(key)
-    checkFrame(attrs, s"$path/$key")
+    if (checkFrame(attrs, s"$path/$key"))
+      return readTableColumns(f, key, path)
     val ndim = attrs.get("ndim").collect { case l: Long => l }.getOrElse(2L)
     require(ndim == 2, s"$path/$key: ndim=$ndim (only 2-D frames)")
     val nblocks = attrs.get("nblocks").collect { case l: Long => l }
@@ -164,6 +166,128 @@ object PandasHdfReader {
     (axis0, axis0.map(colValues), nRows)
   }
 
+  /** `format='table'` (PyTables Table) layout (r12, closing the r11
+    * loud-failure edge): one chunked 1-D COMPOUND dataset `/{key}/
+    * table` whose record members are the `index` column (skipped —
+    * the reference resets the index on load, exactly as in the fixed
+    * path), per-dtype packed blocks `values_block_N` (array-typed
+    * members of shape (k,); their pandas column names live in the
+    * PICKLED dataset attribute `values_block_N_kind`), and
+    * `data_columns` members named directly by column name. Column
+    * order comes from the group's pickled `non_index_axes` attribute
+    * when present. Pickled attributes decode through the inert
+    * [[PandasPickle]] VM — no code execution. */
+  private def readTableColumns(f: Hdf5File, key: String, path: String)
+      : (Seq[String], Seq[Array[Any]], Int) = {
+    val tPath = s"$key/table"
+    val ds = f.dataset(tPath)
+    require(ds.dtype.clazz == 6,
+      s"$path/$tPath: expected a compound record dataset, got class " +
+        s"${ds.dtype.clazz}")
+    require(ds.dims.size == 1,
+      s"$path/$tPath: rank-${ds.dims.size} table dataset")
+    val nRows = ds.dims.head.toInt
+    val recSize = ds.dtype.size
+    val raw = f.readBytes(tPath)
+    val members = f.compoundMembers(tPath)
+
+    def memberNames(m: Hdf5File.CompoundMember, k: Int): Seq[String] =
+      if (m.name.startsWith("values_block_")) {
+        val kindAttr = s"${m.name}_kind"
+        val bytes = f.attributeBytes(tPath, kindAttr).getOrElse(
+          throw new IllegalStateException(
+            s"$path/$tPath: missing pickled '$kindAttr' attribute " +
+              "naming the block's pandas columns"))
+        val names = PandasPickle.load(bytes) match {
+          case l: scala.collection.mutable.ArrayBuffer[_] =>
+            l.map(_.asInstanceOf[String]).toSeq
+          case v: Vector[_] => v.map(_.asInstanceOf[String])
+          case other => throw new IllegalStateException(
+            s"$path/$tPath: '$kindAttr' pickled to " +
+              s"${other.getClass.getName}, expected a name list")
+        }
+        require(names.length == k,
+          s"$path/$tPath: '$kindAttr' names ${names.length} columns, " +
+            s"member holds $k")
+        names
+      } else {
+        require(k == 1, s"$path/$tPath: data column '${m.name}' with " +
+          s"$k elements per record")
+        Seq(m.name)
+      }
+
+    val colValues =
+      scala.collection.mutable.LinkedHashMap.empty[String, Array[Any]]
+    members.foreach { m =>
+      if (m.name != "index") {
+        val k = if (m.dims.isEmpty) 1 else m.dims.product
+        val order =
+          if (m.dtype.bigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN
+        val bb = java.nio.ByteBuffer.wrap(raw).order(order)
+        val names = memberNames(m, k)
+        val es = m.dtype.size
+        names.zipWithIndex.foreach { case (name, j) =>
+          val col: Array[Any] = m.dtype.clazz match {
+            case 0 => Array.tabulate[Any](nRows) { r =>
+              val at = r * recSize + m.offset + es * j
+              es match {
+                case 8 => bb.getLong(at)
+                case 4 => if (m.dtype.signed) bb.getInt(at).toLong
+                          else bb.getInt(at) & 0xFFFFFFFFL
+                case 2 => if (m.dtype.signed) bb.getShort(at).toLong
+                          else (bb.getShort(at) & 0xFFFF).toLong
+                case 1 => if (m.dtype.signed) raw(at).toLong
+                          else (raw(at) & 0xFF).toLong
+                case s => throw new UnsupportedOperationException(
+                  s"$path/$tPath/${m.name}: $s-byte integers")
+              }
+            }
+            case 1 => Array.tabulate[Any](nRows) { r =>
+              val at = r * recSize + m.offset + es * j
+              if (es == 8) bb.getDouble(at) else bb.getFloat(at).toDouble
+            }
+            case 3 => Array.tabulate[Any](nRows) { r =>
+              val at = r * recSize + m.offset + es * j
+              var end = es
+              while (end > 0 &&
+                  (raw(at + end - 1) == 0 || raw(at + end - 1) == ' '))
+                end -= 1
+              if (end == 0) null
+              else new String(raw, at, end, "UTF-8")
+            }
+            case c => throw new UnsupportedOperationException(
+              s"$path/$tPath/${m.name}: member datatype class $c " +
+                "unsupported (int, float, fixed string)")
+          }
+          colValues(name) = col
+        }
+      }
+    }
+
+    // pandas column order from the group's pickled non_index_axes =
+    // [(0, [names...])]; discovery order when the attribute is absent
+    val order: Seq[String] = f.attributeBytes(key, "non_index_axes")
+      .flatMap { bytes =>
+        PandasPickle.load(bytes) match {
+          case l: scala.collection.mutable.ArrayBuffer[_] =>
+            l.headOption.collect {
+              case Vector(_, names: scala.collection.mutable.ArrayBuffer[_])
+                => names.map(_.asInstanceOf[String]).toSeq
+              case Vector(_, names: Vector[_]) =>
+                names.map(_.asInstanceOf[String])
+            }
+          case _ => None
+        }
+      }
+      .getOrElse(colValues.keys.toSeq)
+    val missing = order.filterNot(colValues.contains)
+    require(missing.isEmpty,
+      s"$path/$key: non_index_axes names ${missing.mkString(", ")} " +
+        "not present in any table member")
+    (order, order.map(colValues), nRows)
+  }
+
   /** Infer the batch schema from one sample file (same contract as
     * [[VaexHdf5Reader.inferSchema]]): float columns → DoubleType
     * except the semantically-integral curated keys, int → LongType,
@@ -173,7 +297,27 @@ object PandasHdfReader {
     val f = new Hdf5File(sampleFile)
     try {
       val attrs = f.attributes(key)
-      checkFrame(attrs, s"$sampleFile/$key")
+      if (checkFrame(attrs, s"$sampleFile/$key")) {
+        // table layout: derive (name, type) from the record members +
+        // pickled kinds; reuse the full read for the NAME → column
+        // mapping (sample files are small by the reader contract)
+        val (names, cols, _) = readTableColumns(f, key, sampleFile)
+        val types = names.zip(cols).map { case (n, col) =>
+          val t: DataType = col.find(_ != null) match {
+            case Some(_: Long) => LongType
+            case Some(_: Double) =>
+              if (VaexHdf5Reader.integralKeyCols(n)) LongType
+              else DoubleType
+            case Some(_: String) => StringType
+            case Some(v) => throw new IllegalStateException(
+              s"$sampleFile/$key/$n: unexpected value class " +
+                v.getClass.getName)
+            case None => StringType // all-null column
+          }
+          StructField(n, t, nullable = t == StringType)
+        }
+        return StructType(types)
+      }
       val nblocks = attrs.get("nblocks").collect { case l: Long => l }
         .getOrElse(0L).toInt
       val axis0 = f.readStrings(s"$key/axis0").toSeq

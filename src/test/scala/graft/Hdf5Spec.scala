@@ -485,22 +485,142 @@ class Hdf5Spec extends SparkSpec {
     assert(curated.filter(col("trigger_type") === 4L).count() == 2)
   }
 
-  test("pandas format='table' files fail loudly, not misread (r11)") {
+  // ---------------------- pandas format='table' (PyTables Table, r12)
+
+  // genuine CPython pickle bytes (protocol 2), the payloads PyTables'
+  // AttributeSet writes for Python-object attrs:
+  //   kind0 = pickle.dumps(['amp_ch1','baseline_ch1'])
+  //   kind1 = pickle.dumps(['event_number','series_number','dump_number'])
+  //   kindT = pickle.dumps(['group_name'])
+  //   nia   = pickle.dumps([(0, [all six column names])])
+  private val tblKind0 = java.util.Base64.getDecoder.decode(
+    "gAJdcQAoWAcAAABhbXBfY2gxcQFYDAAAAGJhc2VsaW5lX2NoMXECZS4=")
+  private val tblKind1 = java.util.Base64.getDecoder.decode(
+    "gAJdcQAoWAwAAABldmVudF9udW1iZXJxAVgNAAAAc2VyaWVzX251bWJlcnEC" +
+      "WAsAAABkdW1wX251bWJlcnEDZS4=")
+  private val tblKindT = java.util.Base64.getDecoder.decode(
+    "gAJdcQBYCgAAAGdyb3VwX25hbWVxAWEu")
+  private val tblNia = java.util.Base64.getDecoder.decode(
+    "gAJdcQBLAF1xAShYBwAAAGFtcF9jaDFxAlgMAAAAYmFzZWxpbmVfY2gxcQNY" +
+      "DAAAAGV2ZW50X251bWJlcnEEWA0AAABzZXJpZXNfbnVtYmVycQVYCwAAAGR1" +
+      "bXBfbnVtYmVycQZYCgAAAGdyb3VwX25hbWVxB2WGcQhhLg==")
+
+  /** Table-format fixture: records (index i64 | values_block_0 f64×2
+    * [amp_ch1, baseline_ch1] | values_block_1 i64×3 [event_number,
+    * series_number, dump_number] | group_name S8 data column), three
+    * compound-member encodings. v1 = inline member dims; v2 =
+    * class-10 array members (what libhdf5 writes for PyTables by
+    * default), chunked+shuffle+zlib like a real PyTables table; v3 =
+    * unpadded names + minimal offsets (libver='latest'), chunked
+    * plain. */
+  private def writePandasTableFixture(path: String, ver: Int): Unit = {
+    import Hdf5TestWriter._
+    val recSize = 8 + 16 + 24 + 8
+    val n = 3
+    val amp = Array(1.5, 2.5, 3.5)
+    val base0 = Array(-1.0, 0.125, 0.25)
+    val evt = Array(100L, 101L, 102L)
+    val ser = Array(20230901L, 20230901L, 20230901L)
+    val dmp = Array(0L, 0L, 1L)
+    val grp = Array("run17a", "r", "runĆ") // multi-byte UTF-8 in S8
+    val rec = java.nio.ByteBuffer.allocate(recSize * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach { r =>
+      rec.putLong(r.toLong)
+      rec.putDouble(amp(r)); rec.putDouble(base0(r))
+      rec.putLong(evt(r)); rec.putLong(ser(r)); rec.putLong(dmp(r))
+      val tb = grp(r).getBytes("UTF-8")
+      val slot = new Array[Byte](8)
+      System.arraycopy(tb, 0, slot, 0, tb.length)
+      rec.put(slot)
+    }
+    val dtBody = ver match {
+      case 1 => dtCompoundBody(1, recSize, Seq(
+        ("index", 0, Nil, memberInt64),
+        ("values_block_0", 8, Seq(2), memberFloat64),
+        ("values_block_1", 24, Seq(3), memberInt64),
+        ("group_name", 48, Nil, memberString(8))))
+      case v => dtCompoundBody(v, recSize, Seq(
+        ("index", 0, Nil, memberInt64),
+        ("values_block_0", 8, Nil, dtArrayBody(v, Seq(2), memberFloat64)),
+        ("values_block_1", 24, Nil, dtArrayBody(v, Seq(3), memberInt64)),
+        ("group_name", 48, Nil, memberString(8))))
+    }
+    val tableCol = RawRecordsCol("table", dtBody, recSize,
+      rec.array(), n,
+      chunk = if (ver == 1) 0 else 2,
+      deflate = ver == 2, shuffle = ver == 2)
+    writeTree(path, GroupNode(Map("detprocess_df" -> GroupNode(Map(
+      "table" -> DatasetNode(tableCol, Seq(
+        "values_block_0_kind" -> ABytes(tblKind0),
+        "values_block_1_kind" -> ABytes(tblKind1),
+        "group_name_kind" -> ABytes(tblKindT),
+        "NROWS" -> ALong(n)))),
+      Seq(
+        "pandas_type" -> AStr("frame_table"),
+        "pandas_version" -> AStr("0.15.2"),
+        "table_type" -> AStr("appendable_frame"),
+        "non_index_axes" -> ABytes(tblNia))))))
+  }
+
+  test("pandas format='table' frame reads: compound v1/v2/v3 member " +
+      "encodings, array members, pickled kinds, chunk+shuffle+zlib") {
+    import graft.sources.PandasHdfReader
+    for (ver <- Seq(1, 2, 3)) {
+      val f = tmp(s"pandas_table_v$ver.h5")
+      writePandasTableFixture(f, ver)
+      // compound member parse straight through Hdf5File
+      val h5 = new graft.sources.Hdf5File(f)
+      try {
+        val ms = h5.compoundMembers("detprocess_df/table")
+        assert(ms.map(_.name) ==
+          Seq("index", "values_block_0", "values_block_1", "group_name"))
+        assert(ms.map(_.offset) == Seq(0, 8, 24, 48))
+        assert(ms(1).dims == Seq(2) && ms(1).dtype.clazz == 1)
+        assert(ms(2).dims == Seq(3) && ms(2).dtype.clazz == 0)
+        assert(ms(3).dims.isEmpty && ms(3).dtype.size == 8)
+      } finally h5.close()
+      // schema: non_index_axes order, dtype map
+      val schema = PandasHdfReader.inferSchema(f)
+      assert(schema.fieldNames.toSeq == Seq("amp_ch1", "baseline_ch1",
+        "event_number", "series_number", "dump_number", "group_name"),
+        s"v$ver schema order")
+      import org.apache.spark.sql.types._
+      assert(schema("amp_ch1").dataType == DoubleType)
+      assert(schema("event_number").dataType == LongType)
+      assert(schema("group_name").dataType == StringType)
+      // values: index skipped, blocks unpacked, UTF-8 string trimmed
+      val rows = RawConvert.decode(spark, Seq(f), PandasHdfReader(f))
+        .orderBy("event_number").collect()
+      assert(rows.length == 3, s"v$ver rows")
+      assert(rows.map(_.getDouble(0)).toSeq == Seq(1.5, 2.5, 3.5))
+      assert(rows.map(_.getDouble(1)).toSeq == Seq(-1.0, 0.125, 0.25))
+      assert(rows.map(_.getLong(2)).toSeq == Seq(100L, 101L, 102L))
+      assert(rows.map(_.getLong(3)).toSeq ==
+        Seq(20230901L, 20230901L, 20230901L))
+      assert(rows.map(_.getLong(4)).toSeq == Seq(0L, 0L, 1L))
+      assert(rows.map(_.getString(5)).toSeq == Seq("run17a", "r", "runĆ"))
+    }
+  }
+
+  test("pandas series_table and malformed frame_table fail loudly") {
     import Hdf5TestWriter._
     import graft.sources.PandasHdfReader
-    val f = tmp("pandas_table.h5")
+    val f = tmp("pandas_series_table.h5")
     writeTree(f, GroupNode(Map("detprocess_df" -> GroupNode(
-      Map.empty, Seq("pandas_type" -> AStr("frame_table"))))))
+      Map.empty, Seq("pandas_type" -> AStr("series_table"))))))
     val e = intercept[UnsupportedOperationException] {
       PandasHdfReader.inferSchema(f)
     }
-    assert(e.getMessage.contains("format='table'"))
-    val e2 = intercept[UnsupportedOperationException] {
-      new graft.sources.PandasHdfReader(
-        new org.apache.spark.sql.types.StructType(), "detprocess_df")
-        .readFile(f).toList
+    assert(e.getMessage.contains("series_table"))
+    // frame_table WITHOUT the table dataset: loud, names the object
+    val f2 = tmp("pandas_table_empty.h5")
+    writeTree(f2, GroupNode(Map("detprocess_df" -> GroupNode(
+      Map.empty, Seq("pandas_type" -> AStr("frame_table"))))))
+    val e2 = intercept[Exception] {
+      PandasHdfReader.inferSchema(f2)
     }
-    assert(e2.getMessage.contains("format='table'"))
+    assert(e2.getMessage.contains("table"))
   }
 
   test("PandasPickle: CPython object-array pickle decodes exactly") {

@@ -50,6 +50,14 @@ object Hdf5TestWriter {
     * integer block shape (stored transposed: nrows × nitems). */
   final case class Long2Col(name: String, values: Array[Array[Long]])
     extends Col
+  /** rank-1 dataset of RAW fixed-size records with an EXPLICIT
+    * datatype message body — the PyTables Table (compound) shape;
+    * the caller frames the compound message (see [[dtCompoundBody]])
+    * and packs the record bytes. */
+  final case class RawRecordsCol(name: String, dtBody: Array[Byte],
+      recSize: Int, bytes: Array[Byte], n: Int,
+      chunk: Int = 0, deflate: Boolean = false, shuffle: Boolean = false)
+    extends Col
 
   /** Attribute values (v1 attribute messages on any node). */
   sealed trait Attr
@@ -59,6 +67,9 @@ object Hdf5TestWriter {
   final case class ALongs(v: Array[Long]) extends Attr
   final case class ADoubles(v: Array[Double]) extends Attr
   final case class AStrs(v: Array[String]) extends Attr
+  /** RAW bytes as a scalar fixed-length string attr — the PyTables
+    * pickled-object attribute shape (interior NULs preserved). */
+  final case class ABytes(v: Array[Byte]) extends Attr
 
   private val UNDEF = -1L
 
@@ -256,6 +267,75 @@ object Hdf5TestWriter {
     bb.array()
   }
 
+  // ------------------------------------------ compound (PyTables Table)
+
+  /** Public scalar datatype bodies for compound members. */
+  def memberInt64: Array[Byte] = dtIntBody(8)
+  def memberFloat64: Array[Byte] = dtF64Body()
+  def memberString(width: Int): Array[Byte] = dtStrBody(width)
+
+  /** class-10 ARRAY datatype body over `base`, version 2 (rank +
+    * 3 reserved + dims + per-dim permutation slots) or 3 (rank +
+    * dims). */
+  def dtArrayBody(ver: Int, dims: Seq[Int], base: Array[Byte])
+      : Array[Byte] = {
+    require(ver == 2 || ver == 3, s"array datatype v$ver")
+    val elems = dims.product
+    val baseSize = ByteBuffer.wrap(base).order(ByteOrder.LITTLE_ENDIAN)
+      .getInt(4)
+    val head = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    head.put(((ver << 4) | 10).toByte)
+    head.put(0.toByte); head.put(0.toByte); head.put(0.toByte)
+    head.putInt(elems * baseSize)
+    val out = new GrowBuf
+    out.bytes(head.array())
+    out.u8(dims.length)
+    if (ver == 2) out.zeros(3)
+    dims.foreach(d => out.u32(d))
+    if (ver == 2) dims.foreach(_ => out.u32(0)) // permutation slots
+    out.bytes(base)
+    out.toArray
+  }
+
+  /** Compound (class 6) datatype message body. Members:
+    * (name, byte offset, inline dims — v1 only, scalar base body).
+    * v1 encodes dims inline (rank + reserved + permutation + four
+    * 4-byte sizes); v2 members must pre-wrap arrays via
+    * [[dtArrayBody]]; v3 additionally drops name padding and
+    * shrinks the offset field to the minimal byte count. */
+  def dtCompoundBody(ver: Int, recSize: Int,
+      members: Seq[(String, Int, Seq[Int], Array[Byte])]): Array[Byte] = {
+    require(ver >= 1 && ver <= 3, s"compound v$ver")
+    val out = new GrowBuf
+    out.u8((ver << 4) | 6)
+    out.u8(members.length & 0xFF); out.u8((members.length >> 8) & 0xFF)
+    out.u8(0)
+    out.u32(recSize)
+    val offBytes =
+      if (recSize < 256) 1
+      else if (recSize < 65536) 2
+      else if (recSize < (1 << 24)) 3
+      else 4
+    members.foreach { case (name, off, dims, base) =>
+      val nb = name.getBytes("UTF-8") :+ 0.toByte
+      out.bytes(nb)
+      if (ver <= 2) out.zeros(pad8(nb.length) - nb.length)
+      if (ver <= 2) out.u32(off)
+      else (0 until offBytes).foreach(i => out.u8((off >> (8 * i)) & 0xFF))
+      if (ver == 1) {
+        out.u8(dims.length) // dimensionality
+        out.zeros(3)
+        out.u32(0) // dimension permutation
+        out.u32(0) // reserved
+        (0 until 4).foreach(i =>
+          out.u32(if (i < dims.length) dims(i) else 0))
+      } else require(dims.isEmpty,
+        "v2/v3 members express dims via dtArrayBody")
+      out.bytes(base)
+    }
+    out.toArray
+  }
+
   /** Global heap collection ("GCOL") holding every string payload;
     * object index i+1 = values(i). Returns the collection address. */
   private def writeGcol(buf: GrowBuf, vs: Array[String]): Long =
@@ -321,6 +401,8 @@ object Hdf5TestWriter {
       case AStrs(v) =>
         val w = v.map(_.getBytes("UTF-8").length).max + 1
         (dtStrBody(w), dsBody(Seq(v.length.toLong)), fixedStrBytes(v, w))
+      case ABytes(v) =>
+        (dtStrBody(v.length), dsBody(Nil), v)
     }
     val nameB = name.getBytes("UTF-8") :+ 0.toByte
     val out = new GrowBuf
@@ -402,6 +484,9 @@ object Hdf5TestWriter {
           v.foreach(_.foreach(bb.putLong))
           (Seq(rows.toLong, colsN.toLong), 8, false, bb.array(),
             Nil, false, false)
+        case RawRecordsCol(_, _, recSize, bytes, n, ch, df, sh) =>
+          (Seq(n.toLong), recSize, false, bytes,
+            if (ch > 0) Seq(ch, recSize) else Nil, df, sh)
       }
 
     // data (chunked or contiguous) goes first; the object header points back
@@ -522,6 +607,7 @@ object Hdf5TestWriter {
       case _: VlenStrCol => dtVlenStrBody
       case _: VlenBytesCol => dtVlenBytesBody
       case fc: FixedStrCol => dtStrBody(fc.width)
+      case rc: RawRecordsCol => rc.dtBody
       case _ if isFloat => dtF64Body(be)
       case _ => dtIntBody(elemSize, be)
     }))
