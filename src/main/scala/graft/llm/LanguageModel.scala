@@ -315,27 +315,50 @@ object LanguageModel {
       df: DataFrame,
       textCol: String,
       idCol: String,
-      broadcastModel: Boolean = true): DataFrame = {
-    val scores = microNatSums(df, textCol, idCol, broadcastModel)
-      .select(col(idCol), col("n_bigrams"),
-        expr("(-__slp) div n_bigrams").as("score_micro"))
-    val dist = scores.groupBy("score_micro").agg(count(lit(1)).as("__c"))
-    val cum = dist.select(col("score_micro"),
-      sum("__c").over(org.apache.spark.sql.expressions.Window
-        .orderBy("score_micro")
-        .rowsBetween(org.apache.spark.sql.expressions.Window
-          .unboundedPreceding, org.apache.spark.sql.expressions.Window
-          .currentRow)).as("__cum"))
-    val tot = scores.agg(count(lit(1)).as("__n"))
-    val cuts = cum.crossJoin(broadcast(tot)).agg(
+      broadcastModel: Boolean = true,
+      groupCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gs = groupCol.toSeq
+    val sums = microNatSums(df, textCol, idCol, broadcastModel)
+    // the group (CCNet: language) is per-doc metadata the sums lost at
+    // the groupBy — one id-keyed join of two doc-count-sized tables
+    val withG = groupCol match {
+      case Some(g) => sums.join(
+        df.select(col(idCol), col(g)), Seq(idCol))
+      case None => sums
+    }
+    val scores = withG.select(
+      (col(idCol) +: gs.map(col)) :+ col("n_bigrams") :+
+        expr("(-__slp) div n_bigrams").as("score_micro"): _*)
+    // DISTINCT-(group, score) table: aggregate-sized (the aucExact
+    // pattern); distinct integer micro-nat scores are value-bounded,
+    // so a single hot language's window partition stays bounded too
+    val dist = scores
+      .groupBy(gs.map(col) :+ col("score_micro"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(gs.map(col): _*).orderBy("score_micro")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = dist.select(
+      gs.map(col) :+ col("score_micro") :+
+        sum("__c").over(w).as("__cum"): _*)
+    val tot = scores.groupBy(gs.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val withTot =
+      if (gs.isEmpty) cum.crossJoin(broadcast(tot))
+      else cum.join(broadcast(tot), gs)
+    val cuts = withTot.groupBy(gs.map(col): _*).agg(
       min(when(col("__cum") * 3 >= col("__n"), col("score_micro")))
         .as("__c1"),
       min(when(col("__cum") * 3 >= col("__n") * 2, col("score_micro")))
         .as("__c2"))
-    scores.crossJoin(broadcast(cuts))
-      .select(col(idCol), col("n_bigrams"), col("score_micro"),
+    val labeled =
+      if (gs.isEmpty) scores.crossJoin(broadcast(cuts))
+      else scores.join(broadcast(cuts), gs)
+    labeled.select(
+      (col(idCol) +: gs.map(col)) :+ col("n_bigrams") :+
+        col("score_micro") :+
         when(col("score_micro") <= col("__c1"), lit("head"))
           .when(col("score_micro") <= col("__c2"), lit("middle"))
-          .otherwise(lit("tail")).as("bucket"))
+          .otherwise(lit("tail")).as("bucket"): _*)
   }
 }

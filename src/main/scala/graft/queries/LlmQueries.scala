@@ -388,6 +388,34 @@ object LlmQueries {
         when(pmod(col("hostnum"), lit(2)) === 0, lit(robotsEvenBody))
           .otherwise(lit(robotsOddBody)).as("robots_txt"))
 
+  /** Synthetic chrome-wrapped page shared by llm_html_main and its
+    * streaming twin: nav + link-farm + footer boilerplate around two
+    * real prose paragraphs keyed by doc_id. */
+  private[queries] def htmlMainPage: org.apache.spark.sql.Column = {
+    val id = col("doc_id").cast("string")
+    concat(
+      lit("<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+        "<a href=\"/c\">Contact</a></nav>"),
+      lit("<p>Article body "), id,
+      lit(" carries the real prose &amp; clears every bar.</p>"),
+      lit("<div><a href=\"/r1\">one</a> <a href=\"/r2\">two</a> " +
+        "<a href=\"/r3\">three</a> more</div>"),
+      lit("<p>Second paragraph for doc "), id,
+      lit(" long enough to keep by itself.</p>"),
+      lit("<footer>(c) 2026</footer>"))
+  }
+
+  /** Boilerplate-removal mirror shared by llm_html_main and
+    * stream_html_main: the two surviving paragraphs as closed forms
+    * of doc_id — the oracle never parses HTML. */
+  private[queries] val htmlMainOracleSql: String =
+    """SELECT doc_id,
+      |  'Article body ' || CAST(doc_id AS VARCHAR) ||
+      |  ' carries the real prose & clears every bar.' || chr(10) ||
+      |  'Second paragraph for doc ' || CAST(doc_id AS VARCHAR) ||
+      |  ' long enough to keep by itself.' AS main_text
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Per-host sitemap XML dimension shared by llm_sitemap_ingest and
     * llm_revisit_select: one `<url>` entry per doc (loc = the shared
     * robots URL closed form with surrounding whitespace, lastmod =
@@ -1454,23 +1482,11 @@ object LlmQueries {
     // link density ≤ 300‰, integer-exact) must keep EXACTLY the two
     // paragraphs joined by \n. The oracle emits the same expected
     // string as a closed form of doc_id — it never parses HTML
-    "llm_html_main" -> ((s, dir) => {
-      val id = col("doc_id").cast("string")
-      val html = concat(
-        lit("<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
-          "<a href=\"/c\">Contact</a></nav>"),
-        lit("<p>Article body "), id,
-        lit(" carries the real prose &amp; clears every bar.</p>"),
-        lit("<div><a href=\"/r1\">one</a> <a href=\"/r2\">two</a> " +
-          "<a href=\"/r3\">three</a> more</div>"),
-        lit("<p>Second paragraph for doc "), id,
-        lit(" long enough to keep by itself.</p>"),
-        lit("<footer>(c) 2026</footer>"))
+    "llm_html_main" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
-          graft.functions.HtmlMainText(html).as("main_text"))
-        .orderBy("doc_id")
-    }),
+          graft.functions.HtmlMainText(htmlMainPage).as("main_text"))
+        .orderBy("doc_id")),
 
     // WARC ingestion (r11) — the Common Crawl container: each doc is
     // wrapped into a synthetic two-record WARC blob (warcinfo +
@@ -1743,6 +1759,16 @@ object LlmQueries {
     "llm_ccnet_buckets" -> ((s, dir) =>
       LanguageModel.perplexityBuckets(t(s, dir, "documents"),
           "text", "doc_id")
+        .orderBy("doc_id")),
+
+    // per-LANGUAGE CCNet buckets (r12) — CCNet's actual grain: the
+    // head/middle/tail tertiles are computed within each language, so
+    // a low-resource language isn't judged against English's
+    // perplexity distribution. Same integer algebra; the cutoff
+    // window partitions by lang; cutoffs broadcast back by lang
+    "llm_ccnet_by_lang" -> ((s, dir) =>
+      LanguageModel.perplexityBuckets(t(s, dir, "documents"),
+          "text", "doc_id", groupCol = Some("lang"))
         .orderBy("doc_id")),
 
     // the trained LM's Zipf head: top-20 bigrams by count with their
@@ -2960,13 +2986,33 @@ object LlmQueries {
     // boilerplate-removal mirror: the expected main text as a closed
     // form of doc_id — the two kept paragraphs (entity decoded)
     // joined by \n; nav, link farm, and footer must never appear
-    "llm_html_main" ->
-      """SELECT doc_id,
-        |  'Article body ' || CAST(doc_id AS VARCHAR) ||
-        |  ' carries the real prose & clears every bar.' || chr(10) ||
-        |  'Second paragraph for doc ' || CAST(doc_id AS VARCHAR) ||
-        |  ' long enough to keep by itself.' AS main_text
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_html_main" -> htmlMainOracleSql,
+
+    // per-language ccnet mirror: same chain, windows partitioned by
+    // lang, per-lang totals and cutoffs
+    "llm_ccnet_by_lang" ->
+      """WITH d AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |tk AS (SELECT doc_id, unnest(toks) AS w FROM d),
+        |v AS (SELECT count(DISTINCT w) AS v FROM tk WHERE w <> ''),
+        |bg AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2 FROM d WHERE len(toks) >= 2),
+        |bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+        |cc AS (SELECT w1, sum(cb) AS cu FROM bc GROUP BY 1),
+        |sc AS (SELECT g.doc_id, CAST(round(ln((bc.cb + 1.0) / CAST(cc.cu + v.v AS DOUBLE)) * 1000000) AS BIGINT) AS lp FROM bg g JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2 JOIN cc ON cc.w1 = g.w1 CROSS JOIN v),
+        |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, CAST(sum(lp) AS BIGINT) AS slp FROM sc GROUP BY doc_id),
+        |s2 AS (SELECT ag.doc_id, d2.lang, n_bigrams, CAST((-slp) // n_bigrams AS BIGINT) AS score_micro
+        |       FROM ag JOIN (SELECT doc_id, lang FROM documents) d2 ON d2.doc_id = ag.doc_id),
+        |dist AS (SELECT lang, score_micro, count(*) AS c FROM s2 GROUP BY lang, score_micro),
+        |cum AS (SELECT lang, score_micro, sum(c) OVER (PARTITION BY lang ORDER BY score_micro) AS cum FROM dist),
+        |tot AS (SELECT lang, count(*) AS n FROM s2 GROUP BY lang),
+        |cuts AS (SELECT cum.lang,
+        |  min(CASE WHEN 3*cum >= n THEN score_micro END) AS c1,
+        |  min(CASE WHEN 3*cum >= 2*n THEN score_micro END) AS c2
+        |  FROM cum JOIN tot ON tot.lang = cum.lang GROUP BY cum.lang)
+        |SELECT s2.doc_id, s2.lang, n_bigrams, score_micro,
+        |  CASE WHEN score_micro <= c1 THEN 'head'
+        |       WHEN score_micro <= c2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM s2 JOIN cuts ON cuts.lang = s2.lang ORDER BY s2.doc_id""".stripMargin,
 
     // domain-cap mirror: the row_number window form of the engine's
     // k-bounded TopKByScore aggregate — (n_chars DESC, doc_id ASC) is

@@ -364,6 +364,25 @@ object StreamingQueries {
         .orderBy("doc_id")
     }),
 
+    // streaming boilerplate removal (r12): the WET-extraction shape —
+    // an unbounded page stream through the codegen'd html_main_text
+    // kernel, map-only, state-free append mode, zero stream shuffle;
+    // bounded replay = one batch = the batch extractor, so the
+    // llm_html_main mirror gates it
+    "stream_html_main" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val pages = s.readStream.schema(schema)
+        .parquet(s"$dir/documents.parque[t]")
+        .select(col("doc_id"),
+          graft.functions.HtmlMainText(LlmQueries.htmlMainPage)
+            .as("main_text"))
+      runToMemory(s, "stream_html_main", name =>
+        pages.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()))
+        .select("doc_id", "main_text")
+        .orderBy("doc_id")
+    }),
+
     // streaming DSIR scoring (r11): the importance-weight filter as a
     // stream — the log-ratio table is trained STATICALLY (two bounded
     // distribution aggs; the deployment shape: retrain daily, score
@@ -473,6 +492,8 @@ object StreamingQueries {
     // stream-static broadcast verdict ≡ the batch politeness filter —
     // the shared closed-form mirror
     "stream_robots_filter" -> LlmQueries.robotsFilterOracleSql,
+    // bounded replay ≡ the batch boilerplate extractor
+    "stream_html_main" -> LlmQueries.htmlMainOracleSql,
     // sitemap-delta frontier: parse + verdict closed forms per doc
     // (the llm_sitemap_ingest derivation, keyed by doc_id — single
     // entry per delta body, so no entry positions)
