@@ -116,7 +116,16 @@ object Graph {
     val e = edges.select(col("src"), col("dst"))
 
     /** raw(v) = Σ score(other endpoint) over `e` keyed by `keyCol`,
-      * spine-completed with 0, then renormalized to `scale` total. */
+      * spine-completed with 0, then renormalized to `scale` total.
+      * The raw table is MATERIALIZED (localCheckpoint) before the
+      * total: the normalized vector references raw twice (directly
+      * and through the total), so an unmaterialized plan would DOUBLE
+      * per half-step — exponential lineage growth that turns 3
+      * rounds into 2⁶ copies of the edge-join subtree. The
+      * materialization is node-count-sized and also truncates
+      * iterative lineage, so no separate per-k-rounds checkpoint is
+      * needed (unlike [[pageRank]], whose rank vector is referenced
+      * once per round). */
     def halfStep(score: DataFrame, scoreCol: String,
         joinCol: String, keyCol: String, outCol: String): DataFrame = {
       val raw = spine
@@ -126,6 +135,7 @@ object Graph {
             .agg(sum(scoreCol).as("__r")),
           Seq("v"), "left")
         .select(col("v"), coalesce(col("__r"), lit(0L)).as("__raw"))
+        .localCheckpoint()
       val tot = raw.agg(sum("__raw").as("__t"))
       raw.crossJoin(broadcast(tot))
         .select(col("v"),
@@ -135,17 +145,9 @@ object Graph {
 
     var hub = spine.select(col("v"), lit(scale / n).as("hub"))
     var auth: DataFrame = null
-    for (i <- 1 to iters) {
+    for (_ <- 1 to iters) {
       auth = halfStep(hub, "hub", joinCol = "src", keyCol = "dst", "auth")
       hub = halfStep(auth, "auth", joinCol = "dst", keyCol = "src", "hub")
-      // Lineage truncation between rounds (the pageRank/Lloyd/BPE
-      // pattern): without it the plan embeds `iters` copies of the
-      // edge-join subtree and Catalyst planning cost grows
-      // superlinearly at the 50-iteration ceiling.
-      if (i % 5 == 0 && i < iters) {
-        auth = auth.localCheckpoint()
-        hub = hub.localCheckpoint()
-      }
     }
     auth.join(hub, Seq("v")).select(col("v"), col("auth"), col("hub"))
   }

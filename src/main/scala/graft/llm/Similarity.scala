@@ -407,6 +407,125 @@ object Similarity {
     ivfAssign(df, embCol, cents)
       .write.mode("overwrite").partitionBy("ivf_list").parquet(path)
 
+  // ------------------------------------------- product quantization
+
+  /** PQ codebooks (Jégou et al. 2011): the embedding splits into `m`
+    * equal subspaces, each with its own `k`-code quantizer — the
+    * memory-side ANN compression next to [[quantizedTopK]]'s int8
+    * scan: a D-dim float vector becomes `m` small code ids (m·⌈log₂k⌉
+    * bits), and query distances come from m table lookups instead of
+    * D multiplies. Training follows [[ivfCentroidsLloyd]]'s
+    * deterministic contract exactly — init from the `k` smallest ids'
+    * subvectors, a FIXED number of distributed Lloyd rounds, centroid
+    * components rounded to `roundTo` decimals per round, argmin ties
+    * toward the lower code — so a SQL mirror can unroll it.
+    *
+    * Scale shape: each round is m map-only [[graft.functions.
+    * NearestCentroid]] kernels over array slices (no UDF, no shuffle)
+    * plus ONE aggregate exchange bounded by m·k·subDim rows; only the
+    * codebook matrix reaches the driver. Returns `[m][k][subDim]`. */
+  def pqCodebooks(
+      df: DataFrame,
+      embCol: String,
+      idCol: String,
+      m: Int,
+      k: Int,
+      iters: Int = 2,
+      roundTo: Int = 6): Array[Array[Array[Double]]] = {
+    val dim = df.select(size(col(embCol))).head().getInt(0)
+    require(m > 0 && dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val init = df.orderBy(col(idCol)).limit(k).select(embCol).collect()
+      .map(_.getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue).toArray)
+    require(init.length == k, s"corpus has fewer than $k vectors")
+    var books = Array.tabulate(m)(mi =>
+      init.map(v => v.slice(mi * subDim, (mi + 1) * subDim)))
+    for (_ <- 0 until iters) {
+      var a = df.select(col(embCol))
+      for (mi <- 0 until m)
+        a = a.withColumn(s"__c$mi", graft.functions.NearestCentroid(
+          slice(col(embCol), mi * subDim + 1, subDim), books(mi)))
+      val upd = a
+        .select(array((0 until m).map(mi => col(s"__c$mi")): _*)
+            .as("__codes"),
+          posexplode(col(embCol)).as(Seq("__pos", "__x")))
+        .select(expr(s"__pos div $subDim").cast("int").as("__sub"),
+          pmod(col("__pos"), lit(subDim)).as("__d"),
+          col("__x"), col("__codes"))
+        .select(col("__sub"),
+          element_at(col("__codes"), col("__sub") + 1).as("__code"),
+          col("__d"), col("__x"))
+        .groupBy("__sub", "__code", "__d")
+        .agg(round(avg(col("__x").cast("double")), roundTo).as("__v"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      upd.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2).toInt) = r.getDouble(3)
+      }
+      books = next
+    }
+    books
+  }
+
+  /** Stamp each vector with its PQ code array (`pq_codes`,
+    * array<int> of length m) — m map-only codegen'd kernels, the
+    * ingest-time encode that makes the corpus scannable at m lookups
+    * per candidate. */
+  def pqEncode(
+      df: DataFrame,
+      embCol: String,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val m = books.length
+    val subDim = books.head.head.length
+    df.withColumn("pq_codes",
+      array((0 until m).map(mi => graft.functions.NearestCentroid(
+        slice(col(embCol), mi * subDim + 1, subDim), books(mi))): _*))
+  }
+
+  /** PQ ANN top-k with asymmetric distance (ADC): the query builds m
+    * driver-side distance tables (k entries each — squared L2 from
+    * the query's subvector to every code centroid), the corpus scan
+    * is m literal-array lookups + a 6-decimal-rounded sum (est
+    * distance, ties toward the lower id), the best `pool` candidates
+    * get the exact cosine rerank ([[quantizedTopK]]'s pattern). The
+    * scan never touches the float embeddings — at 100 TB the codes
+    * column is ~D·4/m× smaller than the vectors. */
+  def pqTopK(
+      encoded: DataFrame,
+      embCol: String,
+      idCol: String,
+      query: Array[Double],
+      books: Array[Array[Array[Double]]],
+      k: Int,
+      pool: Int = 40): DataFrame = {
+    val m = books.length
+    val subDim = books.head.head.length
+    require(query.length == m * subDim,
+      s"query dim ${query.length} != m·subDim ${m * subDim}")
+    val tables: Array[Array[Double]] = Array.tabulate(m) { mi =>
+      books(mi).map { c =>
+        var d = 0.0; var j = 0
+        while (j < subDim) {
+          val t = query(mi * subDim + j) - c(j); d += t * t; j += 1
+        }
+        d
+      }
+    }
+    val est = round((0 until m).map(mi =>
+      element_at(typedlit(tables(mi).toSeq),
+        element_at(col("pq_codes"), mi + 1) + 1)).reduce(_ + _), 6)
+    val cand = encoded
+      .select(col(idCol), col(embCol), est.as("__est"))
+      .orderBy(col("__est"), col(idCol))
+      .limit(pool)
+    cand
+      .select(col(idCol),
+        round(cosine(col(embCol),
+          typedlit(query.map(_.toFloat).toSeq)), 6).as("cosine"))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+  }
+
   /** IVF ANN top-k: probe the `nprobe` nearest lists to the query, exact
     * cosine rerank inside — scans nprobe/k of the corpus. At 100 TB the
     * assignment is computed once at ingest and the list id is a Parquet

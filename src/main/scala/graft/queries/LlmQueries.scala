@@ -91,6 +91,68 @@ object LlmQueries {
       |top AS (SELECT vec_id, dot / (ne * nq.nrm) AS c FROM sc, nq ORDER BY c DESC, vec_id LIMIT 5)
       |SELECT vec_id, round(c, 6) AS cosine FROM top ORDER BY cosine DESC, vec_id""".stripMargin
 
+  /** PQ-ANN mirror (llm_ann_pq): the per-SUBSPACE Lloyd rounds
+    * unrolled exactly like [[annIvfOracleSql]] but with every CTE
+    * keyed by `sub = dim-index // 16` — init from the 8 smallest
+    * vec_ids' subvectors, 2 rounds of (assign → 6-rounded mean,
+    * empty code keeps its centroid), encode against the final books,
+    * query ADC tables per (sub, code), est = 6-rounded table-sum
+    * with id tiebreak into a 40 pool, exact cosine rerank. */
+  private val annPqOracleSql: String = {
+    def round(i: Int, prev: String): String =
+      s"""a$i AS (SELECT e.vec_id, c.sub, c.l,
+         |    sum((e.x - c.v)*(e.x - c.v)) AS dist
+         |  FROM e JOIN $prev c ON c.sub = e.sub AND c.dd = e.dd
+         |  GROUP BY e.vec_id, c.sub, c.l),
+         |s$i AS (SELECT vec_id, sub, l FROM (
+         |    SELECT vec_id, sub, l, row_number() OVER (
+         |      PARTITION BY vec_id, sub ORDER BY dist, l) AS rn FROM a$i)
+         |  WHERE rn = 1),
+         |m$i AS (SELECT s$i.sub, s$i.l, e.dd, round(avg(e.x), 6) AS v
+         |  FROM s$i JOIN e ON e.vec_id = s$i.vec_id AND e.sub = s$i.sub
+         |  GROUP BY s$i.sub, s$i.l, e.dd),
+         |c$i AS (SELECT c.sub, c.l, c.dd, coalesce(m$i.v, c.v) AS v
+         |  FROM $prev c LEFT JOIN m$i
+         |  ON m$i.sub = c.sub AND m$i.l = c.l AND m$i.dd = c.dd)""".stripMargin
+    s"""WITH sel AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8),
+      |seli AS (SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) - 1 AS l FROM sel),
+      |e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |  (generate_subscripts(embedding, 1) - 1) // 16 AS sub,
+      |  (generate_subscripts(embedding, 1) - 1) % 16 AS dd,
+      |  generate_subscripts(embedding, 1) - 1 AS i FROM embeddings),
+      |c0 AS (SELECT l,
+      |  (generate_subscripts(embedding, 1) - 1) // 16 AS sub,
+      |  (generate_subscripts(embedding, 1) - 1) % 16 AS dd,
+      |  CAST(unnest(embedding) AS DOUBLE) AS v FROM seli),
+      |${round(1, "c0")},
+      |${round(2, "c1")},
+      |a3 AS (SELECT e.vec_id, c2.sub, c2.l,
+      |    sum((e.x - c2.v)*(e.x - c2.v)) AS dist
+      |  FROM e JOIN c2 ON c2.sub = e.sub AND c2.dd = e.dd
+      |  GROUP BY e.vec_id, c2.sub, c2.l),
+      |s3 AS (SELECT vec_id, sub, l FROM (
+      |    SELECT vec_id, sub, l, row_number() OVER (
+      |      PARTITION BY vec_id, sub ORDER BY dist, l) AS rn FROM a3)
+      |  WHERE rn = 1),
+      |qe AS (SELECT sub, dd, i, x FROM e WHERE vec_id = 0),
+      |qd AS (SELECT c2.sub, c2.l, sum((qe.x - c2.v)*(qe.x - c2.v)) AS dist
+      |  FROM qe JOIN c2 ON c2.sub = qe.sub AND c2.dd = qe.dd
+      |  GROUP BY c2.sub, c2.l),
+      |est AS (SELECT s3.vec_id, round(sum(qd.dist), 6) AS est
+      |  FROM s3 JOIN qd ON qd.sub = s3.sub AND qd.l = s3.l
+      |  GROUP BY s3.vec_id),
+      |pool AS (SELECT vec_id FROM est ORDER BY est, vec_id LIMIT 40),
+      |sc AS (SELECT e.vec_id, sum(e.x * qe.x) AS dot,
+      |    sqrt(sum(e.x * e.x)) AS ne
+      |  FROM e JOIN pool USING (vec_id) JOIN qe ON qe.i = e.i
+      |  GROUP BY e.vec_id),
+      |nq AS (SELECT sqrt(sum(x * x)) AS nrm FROM qe),
+      |top AS (SELECT vec_id, dot / (ne * nq.nrm) AS c FROM sc, nq
+      |  ORDER BY c DESC, vec_id LIMIT 5)
+      |SELECT vec_id, round(c, 6) AS cosine FROM top
+      |ORDER BY cosine DESC, vec_id""".stripMargin
+  }
+
   /** Materialize a DRIVER-SMALL result (bounded by construction — a
     * `limit`, an aggregate row, or a hard-filtered pair slice), release
     * the pipeline's internal caches, and hand back the rows as a local
@@ -2098,6 +2160,26 @@ object LlmQueries {
         .withColumn("cosine", round(col("cosine"), 6))
     }),
 
+    // product-quantization ANN (r12) — Jégou et al. 2011, the
+    // memory-side compression next to the int8 scan: 4 subspaces × 8
+    // codes trained with the deterministic 2-round Lloyd contract,
+    // corpus encoded to 4 code ids, query answered by asymmetric
+    // distance (4 driver-table lookups per candidate, 6-decimal
+    // rounded, id tiebreak) into a 40-candidate pool, exact cosine
+    // rerank inside. The oracle unrolls the per-subspace Lloyd
+    // rounds, the encode, the ADC tables, and the rerank
+    "llm_ann_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val books = Similarity.pqCodebooks(emb, "embedding", "vec_id",
+        m = 4, k = 8, iters = 2)
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+        .map(_.toDouble).toArray
+      val enc = Similarity.pqEncode(emb, "embedding", books)
+      Similarity.pqTopK(enc, "embedding", "vec_id", q, books,
+        k = 5, pool = 40)
+    }),
+
     // corpus-vs-corpus ANN bucket join (r09 oracle coverage for the
     // capped BIPARTITE pair expansion): the 8 smallest ids as the
     // query table against the rest as corpus, 6-plane signatures
@@ -4101,6 +4183,9 @@ object LlmQueries {
         |SELECT query_id, CAST(rn - 1 AS INT) AS rank, round(c, 6) AS cosine, corpus_id
         |FROM tk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
     "llm_ann_ivf" -> annIvfOracleSql,
+    // PQ-ANN mirror: per-subspace unrolled Lloyd + encode + ADC +
+    // exact rerank
+    "llm_ann_pq" -> annPqOracleSql,
     // recall-gate mirror: n_queries is the verifiable fact; the
     // recall/exactness assertions execute ENGINE-side (brute-force
     // ground truth vs each ANN path) and ride as booleans — the

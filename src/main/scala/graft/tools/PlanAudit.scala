@@ -29,7 +29,9 @@ object PlanAudit {
       "funnel_signup_purchase", "w6_quantile_sketch",
       "llm_lm_perplexity", "llm_shard_shuffle", "llm_robots_filter",
       "llm_dsir_weights", "llm_sitemap_ingest", "llm_fetch_backoff",
-      "llm_revisit_select")
+      "llm_revisit_select",
+      "llm_hits", "llm_html_main", "llm_warc_revisit",
+      "llm_sitemap_recursive", "llm_ccnet_by_lang")
 
     // allowed nested-loop joins: tiny driver-generated pair sets, plus
     // the classifier's ONE-ROW dense-model broadcast (a deliberate
@@ -47,7 +49,13 @@ object PlanAudit {
       // broadcast against the 4096-row bucket spine (the LM vocabSize
       // shape); the corpus-sized gram stream goes through a
       // BroadcastHashJoin, never the BNLJ
-      "llm_dsir_weights", "llm_dsir_select")
+      "llm_dsir_weights", "llm_dsir_select",
+      // HITS renormalizes each half-step against a ONE-ROW total
+      // (crossJoin(broadcast(1 row)) — the DSIR/LM scalar shape);
+      // CCNet bucketing broadcasts the one-row global cutoff pair,
+      // and BOTH variants inherit the LM's one-row vocab-size
+      // crossJoin (the llm_lm_perplexity shape)
+      "llm_hits", "llm_ccnet_buckets", "llm_ccnet_by_lang")
 
     // full sweep, building each query exactly ONCE (several query
     // builders are eager — persist/count/collect at plan-build time):

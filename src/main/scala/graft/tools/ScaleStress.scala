@@ -129,6 +129,30 @@ object ScaleStress {
           dsts(7, 1).unionByName(dsts(11, 3)).unionByName(dsts(13, 5)),
           nodes, iters = 5))
       }
+      // HITS: 3 rounds × (2 edge shuffles + 2 single-row totals) —
+      // like PageRank the curve should be linear in edges; the
+      // per-round scalar totals are fixed cost
+      time(s"hits x$mult") {
+        val nodes = d.select(col("doc_id").as("v"))
+        val nn = nodes.count()
+        def dsts(mul: Long, add: Long) = d.select(
+          col("doc_id").as("src"),
+          pmod(col("doc_id") * mul + add, lit(nn)).as("dst"))
+        force(graft.core.Graph.hits(
+          dsts(7, 1).unionByName(dsts(11, 3)).unionByName(dsts(13, 5)),
+          nodes, iters = 3))
+      }
+      // boilerplate removal: map-only scalar kernel — the curve must
+      // be linear in page bytes with no exchange at all
+      time(s"html main x$mult") {
+        val page = concat(
+          lit("<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav><p>"),
+          col("text"),
+          lit("</p><div><a href=/r1>one</a> <a href=/r2>two</a> " +
+            "<a href=/r3>three</a> x</div><footer>(c) 2026</footer>"))
+        force(d.filter(col("text").isNotNull).select(col("doc_id"),
+          graft.functions.HtmlMainText(page).as("t")))
+      }
       // heavy hitters: the sketch pass dominates (tokenize-in-aggregate,
       // no explode); replication multiplies token volume but NOT distinct
       // terms, so the candidate set and recount width stay constant —
