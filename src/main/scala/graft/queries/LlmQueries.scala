@@ -1086,6 +1086,34 @@ object LlmQueries {
         .orderBy("url")
     }),
 
+    // WebDataset tar-shard round trip (r12) — the interchange format
+    // training loaders actually eat: the corpus writes as ustar
+    // shards whose members pair into samples ({key}.txt + {key}.json,
+    // each from real engine columns incl. native to_json), the
+    // distributed reader streams them back; the oracle re-derives
+    // key/ext/byte-count/hash — including the JSON bytes — as closed
+    // forms of the table row. Framing, checksums, padding, commit
+    // protocol are all the engine's
+    "llm_tar_roundtrip" -> ((s, dir) => {
+      val outDir = "target/tar_roundtrip"
+      val dirFile = new java.io.File(outDir)
+      if (dirFile.exists()) dirFile.listFiles().foreach(_.delete())
+      val docs = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(
+          concat(lit("doc-"), col("doc_id").cast("string")).as("key"),
+          col("text"),
+          to_json(struct(col("doc_id"), col("lang"))).as("json"))
+        .repartition(8)
+      graft.sources.Tar.writeTarShards(docs, outDir)
+      val files = new java.io.File(outDir).listFiles()
+        .map(_.getPath).filter(_.endsWith(".tar")).sorted.toSeq
+      graft.sources.Tar.readTarShards(s, files)
+        .select(col("key"), col("ext"), col("n_bytes"),
+          md5(col("content")).as("content_hash"))
+        .orderBy("key", "ext")
+    }),
+
     // CDX range fetch (r12) — the access pattern the per-record-gzip
     // layout exists FOR, closed end to end: write WET shards (each
     // record its own member) + the sidecar member index, SELECT the
@@ -1533,6 +1561,22 @@ object LlmQueries {
         .select(col("doc_id"),
           length(col("extracted")).as("n_chars"),
           md5(col("extracted")).as("content_hash"))
+        .orderBy("doc_id")
+    }),
+
+    // z-order layout key (r12) — the write-side half of predicate
+    // pushdown (Delta/Iceberg OPTIMIZE ZORDER): bit-interleave of two
+    // 8-bit coordinates derived from doc_id, all declarative bit
+    // algebra (shiftright/&1/shiftleft — codegen'd, no UDF); the
+    // oracle re-derives every bit with //, %, and powers of two. The
+    // WRITE path (range exchange → disjoint per-file z ranges) is
+    // pinned by LayoutSpec; this gates the curve itself
+    "llm_zorder" -> ((s, dir) => {
+      val x = pmod(col("doc_id"), lit(256L))
+      val y = pmod(expr("doc_id div 256"), lit(256L))
+      t(s, dir, "documents")
+        .select(col("doc_id"), x.as("x"), y.as("y"),
+          graft.core.Layout.zValue(Seq(x, y), 8).as("z_value"))
         .orderBy("doc_id")
     }),
 
@@ -2919,6 +2963,22 @@ object LlmQueries {
         |  url, lastmod
         |FROM u ORDER BY url""".stripMargin,
 
+    // tar-roundtrip mirror: the two members per doc as closed forms —
+    // the json bytes re-derived as the exact to_json text
+    "llm_tar_roundtrip" ->
+      """WITH d AS (SELECT doc_id, text, lang FROM documents
+        |  WHERE text IS NOT NULL),
+        |j AS (SELECT doc_id, '{"doc_id":' || CAST(doc_id AS VARCHAR) ||
+        |  ',"lang":"' || lang || '"}' AS js FROM d)
+        |SELECT * FROM (
+        |  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS key, 'txt' AS ext,
+        |    CAST(octet_length(ENCODE(text)) AS BIGINT) AS n_bytes,
+        |    md5(text) AS content_hash FROM d
+        |  UNION ALL
+        |  SELECT 'doc-' || CAST(doc_id AS VARCHAR), 'json',
+        |    CAST(octet_length(ENCODE(js)) AS BIGINT), md5(js) FROM j)
+        |ORDER BY key, ext""".stripMargin,
+
     // WARC-revisit mirror: record type = the %3 recurrence split,
     // n_bytes = stored payload bytes (0 for revisits — the storage
     // economy being gated), content hash = md5 of the closed-form
@@ -3064,6 +3124,23 @@ object LlmQueries {
         |  CAST(octet_length(ENCODE(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_hash
         |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
+
+    // z-order mirror: every interleaved bit re-derived with integer
+    // division/modulo — bit b of column c lands at position 2b+c
+    "llm_zorder" -> {
+      val terms = (for {
+        b <- 0 until 8
+        c <- 0 until 2
+      } yield {
+        val src = if (c == 0) "x" else "y"
+        s"(($src // ${1L << b}) % 2) * ${1L << (2 * b + c)}"
+      }).mkString(" + ")
+      s"""WITH u AS (SELECT doc_id,
+        |  doc_id % 256 AS x, (doc_id // 256) % 256 AS y FROM documents)
+        |SELECT doc_id, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+        |  CAST($terms AS BIGINT) AS z_value
+        |FROM u ORDER BY doc_id""".stripMargin
+    },
 
     // boilerplate-removal mirror: the expected main text as a closed
     // form of doc_id — the two kept paragraphs (entity decoded)
