@@ -526,6 +526,78 @@ object Similarity {
       .limit(k)
   }
 
+  /** Residual vectors for IVF-PQ: `residual = emb − coarse[ivf_list]`
+    * as a map-only `zip_with` against the inlined centroid matrix —
+    * PQ codebooks quantize RESIDUALS far better than raw vectors
+    * (they are centered near zero), which is the whole point of the
+    * composed index. */
+  def ivfResiduals(
+      assigned: DataFrame,
+      embCol: String,
+      cents: Array[Array[Double]]): DataFrame = {
+    val centsLit = typedlit(cents.map(_.toSeq).toSeq)
+    assigned.withColumn("residual",
+      zip_with(col(embCol), element_at(centsLit, col("ivf_list") + 1),
+        (a, b) => a.cast("double") - b))
+  }
+
+  /** IVF-PQ ANN top-k (the full FAISS `IVFx,PQy` shape): probe the
+    * `nprobe` coarse lists nearest the query; within each probed
+    * list, rank candidates by asymmetric distance against PQ tables
+    * built from THAT list's query residual; exact cosine rerank on
+    * the pooled best. `encoded` must carry `ivf_list` ([[ivfAssign]])
+    * and `pq_codes` ([[pqEncode]] over [[ivfResiduals]]).
+    *
+    * Scale shape: with the list id as a partition column
+    * ([[writeIvfIndex]]) the probe is a partition-pruned scan of
+    * nprobe/k of the corpus, and that scan reads ONLY the m-byte
+    * codes — the two ANN compressions compose multiplicatively. */
+  def ivfPqTopK(
+      encoded: DataFrame,
+      embCol: String,
+      idCol: String,
+      query: Array[Double],
+      coarse: Array[Array[Double]],
+      books: Array[Array[Array[Double]]],
+      k: Int,
+      nprobe: Int = 2,
+      pool: Int = 40): DataFrame = {
+    val m = books.length
+    val subDim = books.head.head.length
+    val lists = coarse.zipWithIndex.map { case (c, i) =>
+      var d = 0.0; var j = 0
+      while (j < query.length) {
+        val t = query(j) - c(j); d += t * t; j += 1
+      }
+      (i, d)
+    }.sortBy { case (i, d) => (d, i) }.take(nprobe).map(_._1)
+    val branches = lists.map { l =>
+      val qres = Array.tabulate(query.length)(d => query(d) - coarse(l)(d))
+      val tables = Array.tabulate(m) { mi =>
+        books(mi).map { c =>
+          var d = 0.0; var j = 0
+          while (j < subDim) {
+            val t = qres(mi * subDim + j) - c(j); d += t * t; j += 1
+          }
+          d
+        }
+      }
+      val est = round((0 until m).map(mi =>
+        element_at(typedlit(tables(mi).toSeq),
+          element_at(col("pq_codes"), mi + 1) + 1)).reduce(_ + _), 6)
+      encoded.filter(col("ivf_list") === l)
+        .select(col(idCol), col(embCol), est.as("__est"))
+    }
+    branches.reduce(_.unionByName(_))
+      .orderBy(col("__est"), col(idCol))
+      .limit(pool)
+      .select(col(idCol),
+        round(cosine(col(embCol),
+          typedlit(query.map(_.toFloat).toSeq)), 6).as("cosine"))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+  }
+
   /** IVF ANN top-k: probe the `nprobe` nearest lists to the query, exact
     * cosine rerank inside — scans nprobe/k of the corpus. At 100 TB the
     * assignment is computed once at ingest and the list id is a Parquet

@@ -153,6 +153,91 @@ object LlmQueries {
       |ORDER BY cosine DESC, vec_id""".stripMargin
   }
 
+  /** IVF-PQ mirror (llm_ann_ivfpq): the [[annIvfOracleSql]] coarse
+    * chain (full-dim 2-round Lloyd → assignment s3 → 2-list probe)
+    * composed with the [[annPqOracleSql]] per-subspace chain run over
+    * RESIDUALS (re = e − assigned coarse centroid, p-prefixed CTEs),
+    * query ADC tables per probed list from that list's query
+    * residual, pooled est + exact rerank. */
+  private val annIvfPqOracleSql: String = {
+    def pqRound(i: Int, prev: String): String =
+      s"""pa$i AS (SELECT re.vec_id, c.sub, c.l,
+         |    sum((re.x - c.v)*(re.x - c.v)) AS dist
+         |  FROM re JOIN $prev c ON c.sub = re.sub AND c.dd = re.dd
+         |  GROUP BY re.vec_id, c.sub, c.l),
+         |ps$i AS (SELECT vec_id, sub, l FROM (
+         |    SELECT vec_id, sub, l, row_number() OVER (
+         |      PARTITION BY vec_id, sub ORDER BY dist, l) AS rn FROM pa$i)
+         |  WHERE rn = 1),
+         |pm$i AS (SELECT ps$i.sub, ps$i.l, re.dd, round(avg(re.x), 6) AS v
+         |  FROM ps$i JOIN re ON re.vec_id = ps$i.vec_id AND re.sub = ps$i.sub
+         |  GROUP BY ps$i.sub, ps$i.l, re.dd),
+         |pc$i AS (SELECT c.sub, c.l, c.dd, coalesce(pm$i.v, c.v) AS v
+         |  FROM $prev c LEFT JOIN pm$i
+         |  ON pm$i.sub = c.sub AND pm$i.l = c.l AND pm$i.dd = c.dd)""".stripMargin
+    s"""WITH sel AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8),
+      |seli AS (SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) - 1 AS l FROM sel),
+      |e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |  generate_subscripts(embedding, 1) - 1 AS d,
+      |  (generate_subscripts(embedding, 1) - 1) // 16 AS sub,
+      |  (generate_subscripts(embedding, 1) - 1) % 16 AS dd FROM embeddings),
+      |c0 AS (SELECT l, CAST(unnest(embedding) AS DOUBLE) AS v, generate_subscripts(embedding, 1) - 1 AS d FROM seli),
+      |a1 AS (SELECT e.vec_id, c0.l, sum((e.x - c0.v)*(e.x - c0.v)) AS dist FROM e JOIN c0 ON c0.d = e.d GROUP BY e.vec_id, c0.l),
+      |s1 AS (SELECT vec_id, l FROM (SELECT vec_id, l, row_number() OVER (PARTITION BY vec_id ORDER BY dist, l) AS rn FROM a1) WHERE rn = 1),
+      |m1 AS (SELECT s1.l, e.d, round(avg(e.x), 6) AS v FROM s1 JOIN e ON e.vec_id = s1.vec_id GROUP BY s1.l, e.d),
+      |c1 AS (SELECT c0.l, c0.d, coalesce(m1.v, c0.v) AS v FROM c0 LEFT JOIN m1 ON m1.l = c0.l AND m1.d = c0.d),
+      |a2 AS (SELECT e.vec_id, c1.l, sum((e.x - c1.v)*(e.x - c1.v)) AS dist FROM e JOIN c1 ON c1.d = e.d GROUP BY e.vec_id, c1.l),
+      |s2 AS (SELECT vec_id, l FROM (SELECT vec_id, l, row_number() OVER (PARTITION BY vec_id ORDER BY dist, l) AS rn FROM a2) WHERE rn = 1),
+      |m2 AS (SELECT s2.l, e.d, round(avg(e.x), 6) AS v FROM s2 JOIN e ON e.vec_id = s2.vec_id GROUP BY s2.l, e.d),
+      |c2 AS (SELECT c1.l, c1.d, coalesce(m2.v, c1.v) AS v FROM c1 LEFT JOIN m2 ON m2.l = c1.l AND m2.d = c1.d),
+      |a3 AS (SELECT e.vec_id, c2.l, sum((e.x - c2.v)*(e.x - c2.v)) AS dist FROM e JOIN c2 ON c2.d = e.d GROUP BY e.vec_id, c2.l),
+      |s3 AS (SELECT vec_id, l FROM (SELECT vec_id, l, row_number() OVER (PARTITION BY vec_id ORDER BY dist, l) AS rn FROM a3) WHERE rn = 1),
+      |re AS (SELECT e.vec_id, e.sub, e.dd, e.x - c2.v AS x
+      |  FROM e JOIN s3 ON s3.vec_id = e.vec_id
+      |  JOIN c2 ON c2.l = s3.l AND c2.d = e.d),
+      |pseli AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS l
+      |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+      |pc0 AS (SELECT pseli.l, re.sub, re.dd, re.x AS v
+      |  FROM re JOIN pseli ON pseli.vec_id = re.vec_id),
+      |${pqRound(1, "pc0")},
+      |${pqRound(2, "pc1")},
+      |pa3 AS (SELECT re.vec_id, c.sub, c.l,
+      |    sum((re.x - c.v)*(re.x - c.v)) AS dist
+      |  FROM re JOIN pc2 c ON c.sub = re.sub AND c.dd = re.dd
+      |  GROUP BY re.vec_id, c.sub, c.l),
+      |ps3 AS (SELECT vec_id, sub, l FROM (
+      |    SELECT vec_id, sub, l, row_number() OVER (
+      |      PARTITION BY vec_id, sub ORDER BY dist, l) AS rn FROM pa3)
+      |  WHERE rn = 1),
+      |qe AS (SELECT d, sub, dd, x FROM e WHERE vec_id = 0),
+      |qd AS (SELECT c2.l, sum((qe.x - c2.v)*(qe.x - c2.v)) AS dist
+      |  FROM qe JOIN c2 ON c2.d = qe.d GROUP BY c2.l),
+      |probe AS (SELECT l FROM (SELECT l, row_number() OVER (ORDER BY dist, l) AS rn FROM qd) WHERE rn <= 2),
+      |qre AS (SELECT probe.l AS pl, qe.sub, qe.dd, qe.x - c2.v AS x
+      |  FROM qe JOIN probe ON true
+      |  JOIN c2 ON c2.l = probe.l AND c2.d = qe.d),
+      |qtab AS (SELECT qre.pl, pc2.sub, pc2.l,
+      |    sum((qre.x - pc2.v)*(qre.x - pc2.v)) AS dist
+      |  FROM qre JOIN pc2 ON pc2.sub = qre.sub AND pc2.dd = qre.dd
+      |  GROUP BY qre.pl, pc2.sub, pc2.l),
+      |est AS (SELECT ps3.vec_id, round(sum(qtab.dist), 6) AS est
+      |  FROM ps3 JOIN s3 ON s3.vec_id = ps3.vec_id
+      |  JOIN probe ON probe.l = s3.l
+      |  JOIN qtab ON qtab.pl = s3.l AND qtab.sub = ps3.sub
+      |    AND qtab.l = ps3.l
+      |  GROUP BY ps3.vec_id),
+      |pool AS (SELECT vec_id FROM est ORDER BY est, vec_id LIMIT 40),
+      |sc AS (SELECT e.vec_id, sum(e.x * qe.x) AS dot,
+      |    sqrt(sum(e.x * e.x)) AS ne
+      |  FROM e JOIN pool USING (vec_id) JOIN qe ON qe.d = e.d
+      |  GROUP BY e.vec_id),
+      |nq AS (SELECT sqrt(sum(x * x)) AS nrm FROM qe),
+      |top AS (SELECT vec_id, dot / (ne * nq.nrm) AS c FROM sc, nq
+      |  ORDER BY c DESC, vec_id LIMIT 5)
+      |SELECT vec_id, round(c, 6) AS cosine FROM top
+      |ORDER BY cosine DESC, vec_id""".stripMargin
+  }
+
   /** Materialize a DRIVER-SMALL result (bounded by construction — a
     * `limit`, an aggregate row, or a hard-filtered pair slice), release
     * the pipeline's internal caches, and hand back the rows as a local
@@ -2224,6 +2309,30 @@ object LlmQueries {
         k = 5, pool = 40)
     }),
 
+    // IVF-PQ ANN (r12) — the full FAISS IVFx,PQy composition: coarse
+    // 8-list quantizer (the llm_ann_ivf Lloyd), PQ codebooks trained
+    // on RESIDUALS (centered near zero — the reason the composition
+    // beats either part), probe the 2 nearest lists with per-list ADC
+    // tables from that list's query residual, exact rerank. At 100 TB
+    // the probe is a partition-pruned scan that reads only the m-byte
+    // codes — both compressions compose multiplicatively
+    "llm_ann_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val coarse = Similarity.ivfCentroidsLloyd(emb, "embedding",
+        "vec_id", k = 8, iters = 2)
+      val withRes = Similarity.ivfResiduals(
+        Similarity.ivfAssign(emb, "embedding", coarse),
+        "embedding", coarse)
+      val books = Similarity.pqCodebooks(withRes, "residual", "vec_id",
+        m = 4, k = 8, iters = 2)
+      val enc = Similarity.pqEncode(withRes, "residual", books)
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+        .map(_.toDouble).toArray
+      Similarity.ivfPqTopK(enc, "embedding", "vec_id", q, coarse,
+        books, k = 5, nprobe = 2, pool = 40)
+    }),
+
     // corpus-vs-corpus ANN bucket join (r09 oracle coverage for the
     // capped BIPARTITE pair expansion): the 8 smallest ids as the
     // query table against the rest as corpus, 6-plane signatures
@@ -4263,6 +4372,8 @@ object LlmQueries {
     // PQ-ANN mirror: per-subspace unrolled Lloyd + encode + ADC +
     // exact rerank
     "llm_ann_pq" -> annPqOracleSql,
+    // IVF-PQ mirror: coarse chain ∘ residual-PQ chain ∘ per-list ADC
+    "llm_ann_ivfpq" -> annIvfPqOracleSql,
     // recall-gate mirror: n_queries is the verifiable fact; the
     // recall/exactness assertions execute ENGINE-side (brute-force
     // ground truth vs each ANN path) and ride as booleans — the
