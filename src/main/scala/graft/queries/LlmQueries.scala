@@ -2384,6 +2384,44 @@ object LlmQueries {
         "embedding", "vec_id", k, nPlanes = 4), "lsh_ids")
       def hits(c: String) = sum(coalesce(
         size(array_intersect(col("true_ids"), col(c))), lit(0)))
+      // PQ paths (r12) on a fixed 5-query subsample (the point APIs
+      // are per-query): recall floors with ~2× margin under the
+      // measured values on the hostile near-uniform synthetic
+      // embeddings (pq 0.28–0.48, ivfpq 0.28–0.36 across SFs), plus
+      // the SHARP pin — pool = corpus makes the ADC ranking
+      // irrelevant, so PQ top-k MUST equal brute force exactly (the
+      // ivf_full_exact pattern: plumbing, not luck)
+      val coarse = cents
+      val withRes = Similarity.ivfResiduals(assigned, "embedding", coarse)
+      val books = Similarity.pqCodebooks(withRes, "residual", "vec_id",
+        m = 4, k = 8, iters = 2)
+      val encR = Similarity.pqEncode(withRes, "residual", books)
+      val books0 = Similarity.pqCodebooks(emb, "embedding", "vec_id",
+        m = 4, k = 8, iters = 2)
+      val enc0 = Similarity.pqEncode(emb, "embedding", books0)
+      val n = emb.count()
+      val qids = Seq(0L, 20L, 40L, 60L, 80L)
+      var pqHits = 0L; var ivfpqHits = 0L; var pqFullExact = true
+      qids.foreach { qid =>
+        val q = emb.filter(col("vec_id") === qid)
+          .select("embedding").head().getSeq[Float](0)
+        val rest = col("vec_id") =!= qid
+        val truthQ = Similarity.bruteForceTopK(emb.filter(rest),
+            "embedding", "vec_id", q.toArray, k)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        def got(df: org.apache.spark.sql.DataFrame) =
+          df.select("vec_id").collect().map(_.getLong(0)).toSet
+        val qd = q.map(_.toDouble).toArray
+        pqHits += (truthQ & got(Similarity.pqTopK(enc0.filter(rest),
+          "embedding", "vec_id", qd, books0, k, pool = 40))).size
+        ivfpqHits += (truthQ & got(Similarity.ivfPqTopK(
+          encR.filter(rest), "embedding", "vec_id", qd, coarse, books,
+          k, nprobe = 2, pool = 40))).size
+        if (got(Similarity.pqTopK(enc0.filter(rest), "embedding",
+            "vec_id", qd, books0, k, pool = n.toInt)) != truthQ)
+          pqFullExact = false
+      }
+      val denom = qids.size * k
       truth.join(ivf2, Seq("query_id"), "left")
         .join(ivf4, Seq("query_id"), "left")
         .join(ivf8, Seq("query_id"), "left")
@@ -2398,7 +2436,10 @@ object LlmQueries {
           (col("__h2") >= col("n_queries") * k * 0.40)
             .as("ivf2_recall_ok"),
           (col("__hl") >= col("n_queries") * k * 0.15)
-            .as("lsh_recall_ok"))
+            .as("lsh_recall_ok"),
+          lit(pqHits >= denom * 0.15).as("pq_recall_ok"),
+          lit(ivfpqHits >= denom * 0.15).as("ivfpq_recall_ok"),
+          lit(pqFullExact).as("pq_full_exact"))
     }),
 
     // batch IVF ANN join (r09): top-5 corpus matches for EVERY query
@@ -4381,7 +4422,9 @@ object LlmQueries {
     "llm_ann_recall" ->
       ("SELECT CAST(count(*) AS BIGINT) AS n_queries, " +
         "true AS ivf_full_exact, true AS ivf4_recall_ok, " +
-        "true AS ivf2_recall_ok, true AS lsh_recall_ok " +
+        "true AS ivf2_recall_ok, true AS lsh_recall_ok, " +
+        "true AS pq_recall_ok, true AS ivfpq_recall_ok, " +
+        "true AS pq_full_exact " +
         "FROM embeddings WHERE vec_id % 20 = 0"),
     // persisted-index twin: identical answers by construction (same
     // quantizer, same probe; only the storage layout differs)
