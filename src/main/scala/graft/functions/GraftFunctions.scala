@@ -102,6 +102,45 @@ object GraftFunctions {
     BpeEncode(exprs.head, graft.llm.Bpe.defaultMerges)
   }
 
+  private def htmlToTextBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "html_to_text(html)")
+    HtmlToText(exprs.head)
+  }
+
+  private def htmlLinksBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "html_links(html)")
+    HtmlLinks(exprs.head)
+  }
+
+  private def htmlAnchorsBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "html_anchors(html)")
+    HtmlAnchors(exprs.head)
+  }
+
+  private def htmlMainBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1 || exprs.length == 3,
+      "html_main_text(html[, min_chars, max_link_permille])")
+    if (exprs.length == 1) HtmlMainText(exprs.head)
+    else HtmlMainText(exprs.head, intLit(exprs(1), "min_chars"),
+      intLit(exprs(2), "max_link_permille"))
+  }
+
+  private def robotsAllowedBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3, "robots_allowed(robots_txt, url, agent)")
+    val agent = exprs(2) match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+        s.toString
+      case other => throw new IllegalArgumentException(
+        s"agent must be a string literal, got $other")
+    }
+    RobotsAllowed(exprs(0), exprs(1), agent)
+  }
+
+  private def normalizeTextBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "normalize_text(text) [NFC + fold + ws]")
+    NormalizeText(exprs.head)
+  }
+
   private def topkByBuilder(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 3, "topk_by(score, id, k)")
     import org.apache.spark.sql.catalyst.expressions.Cast
@@ -138,6 +177,18 @@ object GraftFunctions {
       : Expression = topkByBuilder(exprs)
   private[functions] def bpeBuilderPublic(exprs: Seq[Expression])
       : Expression = bpeBuilder(exprs)
+  private[functions] def htmlToTextBuilderPublic(exprs: Seq[Expression])
+      : Expression = htmlToTextBuilder(exprs)
+  private[functions] def htmlLinksBuilderPublic(exprs: Seq[Expression])
+      : Expression = htmlLinksBuilder(exprs)
+  private[functions] def htmlAnchorsBuilderPublic(exprs: Seq[Expression])
+      : Expression = htmlAnchorsBuilder(exprs)
+  private[functions] def htmlMainBuilderPublic(exprs: Seq[Expression])
+      : Expression = htmlMainBuilder(exprs)
+  private[functions] def robotsAllowedBuilderPublic(exprs: Seq[Expression])
+      : Expression = robotsAllowedBuilder(exprs)
+  private[functions] def normalizeTextBuilderPublic(exprs: Seq[Expression])
+      : Expression = normalizeTextBuilder(exprs)
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -155,6 +206,12 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("ngram_hashes", ngramHashesBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("topk_by", topkByBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("bpe_encode", bpeBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("html_to_text", htmlToTextBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("html_links", htmlLinksBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("html_anchors", htmlAnchorsBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("html_main_text", htmlMainBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("robots_allowed", robotsAllowedBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("normalize_text", normalizeTextBuilder, "scala_udf")
   }
 }
 
@@ -217,5 +274,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bpe_encode"),
       new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
       GraftFunctions.bpeBuilderPublic _))
+    ext.injectFunction((
+      FunctionIdentifier("html_to_text"),
+      new ExpressionInfo(classOf[HtmlToText].getName, "html_to_text"),
+      GraftFunctions.htmlToTextBuilderPublic _))
+    ext.injectFunction((
+      FunctionIdentifier("html_links"),
+      new ExpressionInfo(classOf[HtmlLinks].getName, "html_links"),
+      GraftFunctions.htmlLinksBuilderPublic _))
+    ext.injectFunction((
+      FunctionIdentifier("html_anchors"),
+      new ExpressionInfo(classOf[HtmlAnchors].getName, "html_anchors"),
+      GraftFunctions.htmlAnchorsBuilderPublic _))
+    ext.injectFunction((
+      FunctionIdentifier("html_main_text"),
+      new ExpressionInfo(classOf[HtmlMainText].getName, "html_main_text"),
+      GraftFunctions.htmlMainBuilderPublic _))
+    ext.injectFunction((
+      FunctionIdentifier("robots_allowed"),
+      new ExpressionInfo(classOf[RobotsAllowed].getName, "robots_allowed"),
+      GraftFunctions.robotsAllowedBuilderPublic _))
+    ext.injectFunction((
+      FunctionIdentifier("normalize_text"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
+      GraftFunctions.normalizeTextBuilderPublic _))
   }
 }

@@ -149,4 +149,38 @@ class TextSigSpec extends SparkSpec {
       SimHashText(col("text")).as("sh"))
     assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
   }
+
+  test("SQL surface: the crawl/text kernels are callable from pure " +
+      "SQL and agree with the Column API (r12)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val pages = Seq((1L,
+        "<nav><a href=\"/x\">Nav</a></nav>" +
+          "<p>Real prose body &amp; long enough to keep around.</p>" +
+          "<a href=\"/l1\">one</a>"))
+      .toDF("id", "html")
+    pages.createOrReplaceTempView("sqlsurface_pages")
+    val sql = spark.sql(
+      """SELECT id, html_to_text(html) AS t, html_links(html) AS l,
+        |  html_anchors(html) AS a,
+        |  html_main_text(html) AS m,
+        |  html_main_text(html, 2, 1000) AS m2,
+        |  normalize_text(t_raw) AS nt,
+        |  robots_allowed('User-agent: *
+        |Disallow: /private/', '/private/x', 'GraftBot') AS ra
+        |FROM (SELECT id, html, '  Mixed  CASE  ' AS t_raw
+        |      FROM sqlsurface_pages)""".stripMargin).head()
+    assert(sql.getString(1).contains("Real prose body & long"))
+    assert(sql.getSeq[String](2) == Seq("/x", "/l1"))
+    assert(sql.getSeq[Row](3).map(_.getString(0)) == Seq("/x", "/l1"))
+    assert(sql.getString(4) ==
+      "Real prose body & long enough to keep around.")
+    assert(sql.getString(5).startsWith("Nav")) // permissive thresholds
+    assert(sql.getString(6) == "mixed case")
+    assert(!sql.getBoolean(7)) // /private/ disallowed for every agent
+    // literal-argument misuse is loud, not silently wrong
+    intercept[Exception] {
+      spark.sql("SELECT html_main_text('x', 'a', 'b')").collect()
+    }
+  }
 }
