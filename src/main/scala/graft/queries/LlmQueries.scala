@@ -2363,7 +2363,12 @@ object LlmQueries {
     // 0.26/0.23) — NOT absolute quality claims; clustered production
     // embeddings sit far above them
     "llm_ann_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      // the gate is a many-action harness (brute-force truth + four
+      // batch paths + 16 point probes) over ONE small table — persist
+      // it for the duration and release via collectAndRelease (the
+      // packing queries' zero-net-cache pattern); without this every
+      // action re-reads and re-decodes the parquet
+      val emb = t(s, dir, "embeddings").persist()
       val k = 10
       val queries = emb.filter(pmod(col("vec_id"), lit(20)) === 0)
       def ids(df: org.apache.spark.sql.DataFrame, as: String) =
@@ -2422,24 +2427,26 @@ object LlmQueries {
           pqFullExact = false
       }
       val denom = qids.size * k
-      truth.join(ivf2, Seq("query_id"), "left")
-        .join(ivf4, Seq("query_id"), "left")
-        .join(ivf8, Seq("query_id"), "left")
-        .join(lsh, Seq("query_id"), "left")
-        .agg(count(lit(1)).as("n_queries"),
-          hits("ivf2_ids").as("__h2"), hits("ivf4_ids").as("__h4"),
-          hits("ivf8_ids").as("__h8"), hits("lsh_ids").as("__hl"))
-        .select(col("n_queries"),
-          (col("__h8") === col("n_queries") * k).as("ivf_full_exact"),
-          (col("__h4") >= col("n_queries") * k * 0.65)
-            .as("ivf4_recall_ok"),
-          (col("__h2") >= col("n_queries") * k * 0.40)
-            .as("ivf2_recall_ok"),
-          (col("__hl") >= col("n_queries") * k * 0.15)
-            .as("lsh_recall_ok"),
-          lit(pqHits >= denom * 0.15).as("pq_recall_ok"),
-          lit(ivfpqHits >= denom * 0.15).as("ivfpq_recall_ok"),
-          lit(pqFullExact).as("pq_full_exact"))
+      collectAndRelease(s,
+        truth.join(ivf2, Seq("query_id"), "left")
+          .join(ivf4, Seq("query_id"), "left")
+          .join(ivf8, Seq("query_id"), "left")
+          .join(lsh, Seq("query_id"), "left")
+          .agg(count(lit(1)).as("n_queries"),
+            hits("ivf2_ids").as("__h2"), hits("ivf4_ids").as("__h4"),
+            hits("ivf8_ids").as("__h8"), hits("lsh_ids").as("__hl"))
+          .select(col("n_queries"),
+            (col("__h8") === col("n_queries") * k).as("ivf_full_exact"),
+            (col("__h4") >= col("n_queries") * k * 0.65)
+              .as("ivf4_recall_ok"),
+            (col("__h2") >= col("n_queries") * k * 0.40)
+              .as("ivf2_recall_ok"),
+            (col("__hl") >= col("n_queries") * k * 0.15)
+              .as("lsh_recall_ok"),
+            lit(pqHits >= denom * 0.15).as("pq_recall_ok"),
+            lit(ivfpqHits >= denom * 0.15).as("ivfpq_recall_ok"),
+            lit(pqFullExact).as("pq_full_exact"))
+      )(() => { emb.unpersist(); () })
     }),
 
     // batch IVF ANN join (r09): top-5 corpus matches for EVERY query

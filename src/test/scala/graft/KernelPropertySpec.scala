@@ -91,6 +91,56 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: HtmlMainText ≡ block-model reference over random " +
+      "pages — the density verdict is decided by an independent " +
+      "mini-model, never the kernel's own counters") {
+    import graft.functions.{HtmlMainText, HtmlToText}
+    val rnd = new scala.util.Random(4242)
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon")
+    for (trial <- 0 until 300) {
+      // build a page from blocks with KNOWN plain/anchor word splits;
+      // the reference computes each block's text and anchor lengths
+      // from the MODEL, not by re-running any kernel walker
+      val nBlocks = 1 + rnd.nextInt(6)
+      val blocks = (0 until nBlocks).map { _ =>
+        val plain = (0 until rnd.nextInt(6)).map(_ =>
+          words(rnd.nextInt(words.length)))
+        val anchored = (0 until rnd.nextInt(4)).map(_ =>
+          words(rnd.nextInt(words.length)))
+        (plain, anchored)
+      }
+      val html = blocks.map { case (plain, anchored) =>
+        "<p>" + plain.mkString(" ") +
+          (if (anchored.nonEmpty)
+            " <a href=\"/l\">" + anchored.mkString(" ") + "</a>"
+          else "") + "</p>"
+      }.mkString
+      val minChars = rnd.nextInt(20)
+      val permille = rnd.nextInt(1100)
+      val expected = blocks.flatMap { case (plain, anchored) =>
+        val all = plain ++ anchored
+        val text = (plain.mkString(" ") +
+          (if (anchored.nonEmpty && plain.nonEmpty) " " else "") +
+          anchored.mkString(" ")).trim
+        val aLen = anchored.mkString(" ").length
+        if (text.length >= minChars && text.nonEmpty &&
+            aLen.toLong * 1000 <= permille.toLong * text.length &&
+            all.nonEmpty)
+          Some(text)
+        else None
+      }.mkString("\n")
+      val got = HtmlMainText.extract(html, minChars, permille)
+      assert(got == expected,
+        s"trial $trial (min=$minChars p=$permille): '$html'\n" +
+          s"got='$got'\nexp='$expected'")
+      // and the kept text is always a sub-multiset of the full
+      // visible text's lines (main-content never invents content)
+      val full = HtmlToText.extract(html).split('\n').toSet
+      got.split('\n').filter(_.nonEmpty).foreach(l =>
+        assert(full.contains(l), s"trial $trial: invented line '$l'"))
+    }
+  }
+
   test("property: term_counts ≡ reference counting over random docs") {
     val rnd = new scala.util.Random(20260813L)
     val terms = Seq("alpha", "beta", "δδ", "nope", "alpha", "tok2")
