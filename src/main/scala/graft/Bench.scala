@@ -193,7 +193,10 @@ object Bench {
       "llm_curation_funnel", "llm_chunk_overlap", "llm_token_budget",
       "llm_semantic_dedup", "llm_bm25_score", "llm_dup_spans",
       "llm_crawl_pipeline", "llm_dsir_weights", "llm_robots_filter",
-      "llm_pagerank", "llm_cdx_select")
+      "llm_pagerank", "llm_cdx_select",
+      // r12 additions worth headline visibility
+      "llm_hits", "llm_html_main", "llm_ccnet_buckets",
+      "llm_ann_pq", "llm_ann_ivfpq", "llm_tar_roundtrip", "llm_zorder")
     val qs = jmap(byQuery.collect {
       case (name, _, med, _) if headline(name) => name -> med
     })
