@@ -279,6 +279,42 @@ object ScaleStress {
             .map(_.getPath).filter(_.endsWith(".warc.gz")).toSeq
           force(graft.sources.Warc.readWatFiles(spark, files))
         }
+        // tar shards (r12): write one ustar shard per partition, read
+        // back file-per-task — linear in member bytes, IO-bound like
+        // the WET/WAT paths (no compression work at all)
+        time(s"tar roundtrip x$mult") {
+          val outDir = s"target/scale_stress/tar_x$mult"
+          val f = new java.io.File(outDir)
+          if (f.exists()) f.listFiles().foreach(_.delete())
+          val docs = d.select(
+            concat(lit("doc-"), col("doc_id").cast("string")).as("key"),
+            col("text"),
+            to_json(struct(col("doc_id"))).as("json"))
+            .repartition(32)
+          graft.sources.Tar.writeTarShards(docs, outDir)
+          val files = new java.io.File(outDir).listFiles()
+            .map(_.getPath).filter(_.endsWith(".tar")).toSeq
+          force(graft.sources.Tar.readTarShards(spark, files)
+            .select(col("key"), col("ext"), col("n_bytes")))
+        }
+        // z-order write (r12): ONE range exchange + in-file sort; the
+        // curve should be ~n log n in rows (the range sort), with the
+        // declarative bit-interleave itself map-only
+        time(s"zorder write x$mult") {
+          val outDir = s"target/scale_stress/zorder_x$mult"
+          def rmrf(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rmrf)
+            f.delete(); ()
+          }
+          rmrf(new java.io.File(outDir))
+          graft.core.Layout.zorderWrite(
+            d.select(col("doc_id"),
+              pmod(col("doc_id") * 37, lit(65536)).as("x"),
+              pmod(col("doc_id") * 91, lit(65536)).as("y")),
+            Seq("x", "y"), outDir, nFiles = 32)
+          force(spark.read.parquet(outDir)
+            .select(col("doc_id"), col("z_value")))
+        }
         spark.catalog.clearCache()
       }
       // round-6 operators promoted to the second decade (VERDICT r06
