@@ -1199,6 +1199,33 @@ object LlmQueries {
         .orderBy("key", "ext")
     }),
 
+    // multimodal tar shards (r12) — the reason WebDataset exists:
+    // BINARY members ({key}.img raw bytes — here 16 deterministic
+    // non-UTF8 bytes per doc) packed next to {key}.json metadata; the
+    // reader must return the img bytes bit-exact (no string round
+    // trip anywhere). Gated via hex(content): img = the md5 hex
+    // closed form, json = the exact to_json bytes
+    "llm_tar_multimodal" -> ((s, dir) => {
+      val outDir = "target/tar_multimodal"
+      val dirFile = new java.io.File(outDir)
+      if (dirFile.exists()) dirFile.listFiles().foreach(_.delete())
+      val docs = t(s, dir, "documents")
+        .select(
+          concat(lit("s-"), col("doc_id").cast("string")).as("key"),
+          unhex(md5(concat(lit("payload-"),
+            col("doc_id").cast("string")))).as("img"),
+          to_json(struct(col("doc_id"))).as("json"))
+        .repartition(8)
+      graft.sources.Tar.writeTarMembers(docs, outDir, "key",
+        Seq("img" -> "img", "json" -> "json"))
+      val files = new java.io.File(outDir).listFiles()
+        .map(_.getPath).filter(_.endsWith(".tar")).sorted.toSeq
+      graft.sources.Tar.readTarShards(s, files)
+        .select(col("key"), col("ext"), col("n_bytes"),
+          upper(hex(col("content"))).as("content_hex"))
+        .orderBy("key", "ext")
+    }),
+
     // CDX range fetch (r12) — the access pattern the per-record-gzip
     // layout exists FOR, closed end to end: write WET shards (each
     // record its own member) + the sidecar member index, SELECT the
@@ -3134,6 +3161,23 @@ object LlmQueries {
         |  UNION ALL
         |  SELECT 'doc-' || CAST(doc_id AS VARCHAR), 'json',
         |    CAST(octet_length(ENCODE(js)) AS BIGINT), md5(js) FROM j)
+        |ORDER BY key, ext""".stripMargin,
+
+    // multimodal-tar mirror: img bytes = unhex(md5(...)) so their hex
+    // is the md5 closed form itself; json = the exact to_json bytes
+    "llm_tar_multimodal" ->
+      """WITH d AS (SELECT doc_id,
+        |  '{"doc_id":' || CAST(doc_id AS VARCHAR) || '}' AS js
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT 's-' || CAST(doc_id AS VARCHAR) AS key, 'img' AS ext,
+        |    CAST(16 AS BIGINT) AS n_bytes,
+        |    upper(md5('payload-' || CAST(doc_id AS VARCHAR)))
+        |      AS content_hex FROM d
+        |  UNION ALL
+        |  SELECT 's-' || CAST(doc_id AS VARCHAR), 'json',
+        |    CAST(octet_length(ENCODE(js)) AS BIGINT),
+        |    upper(hex(ENCODE(js))) FROM d)
         |ORDER BY key, ext""".stripMargin,
 
     // WARC-revisit mirror: record type = the %3 recurrence split,
