@@ -1692,6 +1692,36 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // z-order pruning economics (r12) — the layout CONTRACT gated end
+    // to end: write the real clustered files at query time, run a
+    // selective 2-D range query (z < 2¹² ⟺ x < 64 ∧ y < 64 — the
+    // interleave makes the 2-D box ONE z prefix range), and assert
+    // via input_file_name() that it touched a strict subset of the
+    // files (disjoint per-file z ranges = file-level skipping; at
+    // 100 TB this is selected-bytes vs table-bytes). n_selected is
+    // the oracle's closed form; the pruning assertion rides as a
+    // boolean (the a5/recall bound-oracle pattern)
+    "llm_zorder_prune" -> ((s, dir) => {
+      val outDir = "target/zorder_prune"
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmrf)
+        f.delete(); ()
+      }
+      rmrf(new java.io.File(outDir))
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        pmod(col("doc_id"), lit(256L)).as("x"),
+        pmod(expr("doc_id div 256"), lit(256L)).as("y"))
+      graft.core.Layout.zorderWrite(docs, Seq("x", "y"), outDir,
+        nFiles = 8)
+      val all = s.read.parquet(outDir)
+      val nFiles = all.select(input_file_name()).distinct().count()
+      val hit = all.filter(col("z_value") < 4096)
+      val touched = hit.select(input_file_name()).distinct().count()
+      hit.agg(count(lit(1)).as("n_selected"))
+        .select(col("n_selected"),
+          lit(touched < nFiles && touched >= 1).as("files_pruned"))
+    }),
+
     // boilerplate removal (r12) — the jusText/trafilatura curation
     // step (RefinedWeb/FineWeb's main-content extraction): each doc
     // renders as a page with nav chrome, a link-farm div, and a short
@@ -3342,6 +3372,14 @@ object LlmQueries {
         |  CAST($terms AS BIGINT) AS z_value
         |FROM u ORDER BY doc_id""".stripMargin
     },
+
+    // z-order-prune mirror: the 2-D box membership as pure modulus
+    // arithmetic; the file-pruning assertion executes engine-side
+    "llm_zorder_prune" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_selected,
+        |  true AS files_pruned
+        |FROM documents
+        |WHERE doc_id % 256 < 64 AND (doc_id // 256) % 256 < 64""".stripMargin,
 
     // boilerplate-removal mirror: the expected main text as a closed
     // form of doc_id — the two kept paragraphs (entity decoded)
