@@ -24,8 +24,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *      inline tags nothing — exactly the visible-text layout;
   *   2. within a block, characters inside `<a …>…</a>` count as
   *      ANCHOR text (nesting-depth tracked; a stray `</a>` floors at
-  *      0). Entity decode + whitespace normalization run per block,
-  *      on the full text and the anchor text alike;
+  *      0; a self-closing `<a/>` opens nothing; depth resets at each
+  *      block boundary so one unterminated anchor cannot poison the
+  *      rest of the document). Entity decode + whitespace
+  *      normalization run per block, on the full text and the anchor
+  *      text alike;
   *   3. a block is CONTENT iff its normalized length ≥ `minChars`
   *      AND `anchorLen · 1000 ≤ maxLinkPermille · textLen` — link
   *      density in integer per-mille, exact algebra, no float (the
@@ -85,6 +88,13 @@ object HtmlMainText {
         HtmlToText.decodeEntities(anchor.toString)).length
       block.setLength(0)
       anchor.setLength(0)
+      // anchor scope ends with the block (ADVICE r12): wild HTML is full
+      // of unterminated `<a>`s that browsers auto-close; letting one leak
+      // across blocks would count every later block as anchor text and
+      // silently drop most of the page as link-dense. Block-spanning
+      // anchors (card links) lose their cross-block anchor weight — the
+      // acceptable direction, since each block is classified alone.
+      anchorDepth = 0
       if (text.length >= minChars && text.nonEmpty &&
           aLen.toLong * 1000L <= maxPermille.toLong * text.length) {
         if (out.length > 0) out.append('\n')
@@ -136,8 +146,15 @@ object HtmlMainText {
               }
             }
             if (name == "a") {
+              // `<a/>` (XHTML-style or browser-normalized) opens nothing:
+              // treating it as an open would poison anchorDepth for the
+              // rest of the block (ADVICE r12). tagEnd honors quotes, so
+              // html(end-2) == '/' is a genuine self-close marker, never
+              // a path character inside an attribute value.
+              val selfClosing =
+                !closing && end >= 2 && html.charAt(end - 2) == '/'
               if (closing) { if (anchorDepth > 0) anchorDepth -= 1 }
-              else anchorDepth += 1
+              else if (!selfClosing) anchorDepth += 1
             }
             if (HtmlToText.isBlockTag(name)) flush()
             else if (HtmlToText.isCellTag(name)) emitSep(' ')

@@ -290,7 +290,12 @@ object Similarity {
     *     round, so cross-engine float-sum ordering differences in the
     *     mean cannot leak into the next round's assignments;
     *   - argmin ties break toward the lower list id in both engines.
-    * Lists that lose all members keep their previous centroid. */
+    * Lists that lose all members keep their previous centroid.
+    * Tolerance caveat (ADVICE r12): the per-round rounding makes the
+    * chain reproducible up to 10^-`roundTo` BOUNDARIES, not bit-exact
+    * — the rounding input is a distributed double mean, so a value
+    * within ~1 ulp of a boundary can round differently across
+    * partitionings and cascade into the next round's assignments. */
   def ivfCentroidsLloyd(
       df: DataFrame,
       embCol: String,
@@ -418,7 +423,16 @@ object Similarity {
     * deterministic contract exactly — init from the `k` smallest ids'
     * subvectors, a FIXED number of distributed Lloyd rounds, centroid
     * components rounded to `roundTo` decimals per round, argmin ties
-    * toward the lower code — so a SQL mirror can unroll it.
+    * toward the lower code — so a SQL mirror can unroll it. The same
+    * tolerance caveat as [[ivfCentroidsLloyd]] applies: the rounding
+    * input is `avg` over a distributed double sum, which is NOT
+    * bit-identical across partitionings — a subspace mean landing
+    * within ~1 ulp of a 10^-`roundTo` boundary can flip a centroid
+    * component between runs (ADVICE r12). The contract is therefore
+    * reproducible-up-to-rounding-boundaries, not bit-exact; the
+    * oracle mirror carries the identical `round(avg(x), 6)` form so
+    * both sides sit on the same side of any boundary the fixtures
+    * reach.
     *
     * Scale shape: each round is m map-only [[graft.functions.
     * NearestCentroid]] kernels over array slices (no UDF, no shuffle)

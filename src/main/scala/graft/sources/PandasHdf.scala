@@ -249,10 +249,13 @@ object PandasHdfReader {
             }
             case 3 => Array.tabulate[Any](nRows) { r =>
               val at = r * recSize + m.offset + es * j
+              // pandas/PyTables pad fixed strings with NULs ONLY: trim
+              // NUL padding, never spaces — a value with genuine
+              // trailing spaces must read back unaltered, and an
+              // all-space string is a value, not null (ADVICE r12,
+              // matching pd.read_hdf)
               var end = es
-              while (end > 0 &&
-                  (raw(at + end - 1) == 0 || raw(at + end - 1) == ' '))
-                end -= 1
+              while (end > 0 && raw(at + end - 1) == 0) end -= 1
               if (end == 0) null
               else new String(raw, at, end, "UTF-8")
             }

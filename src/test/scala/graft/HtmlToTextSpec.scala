@@ -194,6 +194,16 @@ class HtmlToTextSpec extends SparkSpec {
     assert(m(nested, 10, 200) == "w" * 30 + "linktexttail")
     assert(m("<p></a>" + "w" * 30 + "<a><a>li</a>nk</a>tail</p>",
       10, 120) == "w" * 30 + "linktail") // 4/38 = 105‰ ≤ 120
+    // self-closing <a/> opens nothing (ADVICE r12): the text after it
+    // is plain, not anchor
+    assert(m("<p><a/>" + "v" * 30 + "</p>", 10, 0) == "v" * 30)
+    assert(m("<p><a href=\"/x\"/>" + "v" * 30 + "</p>", 10, 0)
+      == "v" * 30)
+    // an UNTERMINATED <a> is confined to its block: the next block's
+    // prose must survive a zero-link-density gate (before the r13
+    // floor-reset, one malformed anchor poisoned the whole document)
+    assert(m("<p><a href=/x>dangling" + "q" * 20 + "</p>" +
+      "<p>" + "r" * 30 + "</p>", 10, 0) == "r" * 30)
     // script/comment decoy anchors never count; td/th space is
     // structural (counts to text, not anchors)
     assert(m("<p><script>\"<a href=/d>spam</a>\"</script>" +
