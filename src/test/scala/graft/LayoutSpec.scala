@@ -82,4 +82,50 @@ class LayoutSpec extends SparkSpec {
       Layout.zorderWrite(df, Seq("x", "y"), dir, nFiles = 8)
     }
   }
+
+  test("zorderAppend decays disjointness; zorderOptimize restores it " +
+      "rewriting only overlapping files, results unchanged") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("zopt").toString +
+      "/t"
+    def mk(ids: Range) = ids.map(_.toLong).toDF("id")
+      .select(col("id"), pmod(col("id") * 37, lit(256)).as("x"),
+        pmod(col("id") * 91, lit(256)).as("y"))
+    // day 1: clustered write; day 2: an append overlapping in z
+    Layout.zorderWrite(mk(0 until 2048), Seq("x", "y"), dir,
+      nFiles = 6, nBits = 8)
+    Layout.zorderAppend(mk(2048 until 4096), Seq("x", "y"), dir,
+      nFiles = 6, nBits = 8)
+    val before = Layout.fileZRanges(spark, dir)
+    assert(Layout.zRangesOverlap(before),
+      "append should have decayed the layout (test fixture)")
+    // a disjoint SENTINEL file above every possible z (9th bit set —
+    // zValue of 8-bit inputs caps at 65535) must survive byte-untouched
+    val sentinel = dir + "/part-sentinel.parquet"
+    Seq((99999L, 0L, 0L, 1L << 17)).toDF("id", "x", "y", "z_value")
+      .coalesce(1).write.mode("overwrite").parquet(dir + "/.sent")
+    val sentSrc = new java.io.File(dir + "/.sent").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(sentSrc.toPath,
+      java.nio.file.Paths.get(sentinel))
+    val sentBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(sentinel))
+    val rewritten = Layout.zorderOptimize(spark, dir)
+    assert(rewritten >= 2 && rewritten <= before.length,
+      s"rewrote $rewritten of ${before.length} overlapping files")
+    val after = Layout.fileZRanges(spark, dir)
+    assert(!Layout.zRangesOverlap(after), "disjointness restored")
+    // the sentinel was outside every overlap group: bit-identical
+    assert(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(sentinel)).toSeq == sentBytes.toSeq)
+    // no row lost or duplicated, z values still the same curve
+    val back = spark.read.parquet(dir).filter(col("id") < 99999L)
+    assert(back.count() == 4096)
+    assert(back.select(sum(col("id"))).head.getLong(0)
+      == (0L until 4096L).sum)
+    assert(back.filter(Layout.zValue(
+      Seq(col("x"), col("y")), 8) =!= col("z_value")).count() == 0)
+    // idempotent: a second optimize rewrites nothing
+    assert(Layout.zorderOptimize(spark, dir) == 0)
+  }
 }
