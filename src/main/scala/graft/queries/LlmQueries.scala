@@ -1017,9 +1017,6 @@ object LlmQueries {
             shardUrl(hostCol, lit(1)),
             lit("</loc><lastmod>2026-02-01</lastmod></sitemap>" +
               "</sitemapindex>")).as("sitemap_xml"))
-      val children = graft.sources.Sitemap.parseSitemaps(index)
-        .filter(col("is_index"))
-        .select(col("host"), col("loc").as("shard_url"))
       // the shard LEAF bodies: host = doc_id%7, shard = doc_id%2
       val day = lpad(
         (pmod(col("doc_id"), lit(28)) + 1).cast("string"), 2, "0")
@@ -1036,11 +1033,15 @@ object LlmQueries {
         .select(shardUrl(hostCol, col("shard")).as("shard_url"),
           concat(lit("<urlset>"), col("body"), lit("</urlset>"))
             .as("sitemap_xml"))
-      // recurse: children join their bodies, the same parser reads
-      // the leaves (a real frontier driver loops this per level)
-      graft.sources.Sitemap.parseSitemaps(
-          children.join(shards, Seq("shard_url")))
-        .filter(!col("is_index"))
+      // recurse THROUGH THE ENGINE LOOP (r13): discoverFrontier drives
+      // index→leaf levels itself — fetch resolves child locs against
+      // the stored shard bodies; the hand-composed two-level chain
+      // this replaces is now SitemapSpec's reference
+      graft.sources.Sitemap.discoverFrontier(
+          index,
+          ch => ch.select(col("host"), col("loc").as("shard_url"))
+            .join(shards, Seq("shard_url")),
+          maxDepth = 2)
         .select(col("host"), col("shard_url"), col("entry_pos"),
           col("loc").as("url"), col("lastmod"))
         .orderBy("url")

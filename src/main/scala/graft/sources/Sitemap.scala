@@ -60,6 +60,62 @@ object Sitemap {
       .filter(col("loc") =!= "")
   }
 
+  /** Multi-level sitemap discovery as an ENGINE loop (r13, VERDICT r12
+    * task 4): real hosts above the protocol's 50k-entry cap ship
+    * `<sitemapindex>` trees — index→index→urlset is routine at
+    * CommonCrawl scale — and hand-composing one `parseSitemaps` call
+    * per level pushes the recursion onto every caller. This drives it:
+    * parse the seed bodies, accumulate `<urlset>` leaves into the
+    * frontier (stamped `sitemap_depth` = the level they surfaced at),
+    * hand `<sitemapindex>` children to `fetch` to resolve their
+    * bodies, and loop — the Lloyd/BPE/PageRank driver-loop pattern,
+    * with a `localCheckpoint` per level so the per-level regex-parse
+    * plans don't stack into exponential lineage.
+    *
+    * `fetch` receives the parsed index entries (all carry-through
+    * columns plus `entry_pos`/`loc`/`lastmod`; `loc` is the child
+    * sitemap's URL) and returns their bodies with `xmlCol` present —
+    * join a stored crawl, or wrap a real fetcher. Levels may carry
+    * different columns; the frontier unions by name with nulls where
+    * a level lacks a column. One bounded driver action per level (a
+    * count — aggregate-sized, the loop's only driver state).
+    *
+    * `maxDepth` bounds the recursion: unresolved index entries at the
+    * last allowed level FAIL LOUDLY (an index cycle or a deeper tree
+    * than expected — silently dropping them is corpus loss, the
+    * [[Tar]]/[[Warc]] loud-failure contract). */
+  def discoverFrontier(
+      bodies: DataFrame,
+      fetch: DataFrame => DataFrame,
+      maxDepth: Int = 3,
+      xmlCol: String = "sitemap_xml"): DataFrame = {
+    require(maxDepth >= 1, "maxDepth must be positive")
+    var level = bodies
+    var frontier: DataFrame = null
+    var depth = 0
+    var open = true
+    while (open) {
+      val parsed = parseSitemaps(level, xmlCol).localCheckpoint()
+      val leaves = parsed.filter(!col("is_index")).drop("is_index")
+        .withColumn("sitemap_depth", lit(depth))
+      frontier =
+        if (frontier == null) leaves
+        else frontier.unionByName(leaves, allowMissingColumns = true)
+      val children = parsed.filter(col("is_index"))
+      val nChildren = children.count()
+      if (nChildren == 0) open = false
+      else {
+        depth += 1
+        require(depth < maxDepth,
+          s"sitemap recursion still has $nChildren unresolved index " +
+            s"entries at maxDepth=$maxDepth — an index cycle or a " +
+            "deeper tree than allowed; refusing to drop them")
+        level = fetch(children)
+      }
+    }
+    frontier
+  }
+
   /** Cross-crawl revisit selection — what a recurring crawl actually
     * does with sitemap `lastmod`: keep a frontier URL when it is NEW
     * (absent from the previous crawl) or MODIFIED (`lastmod` strictly

@@ -101,4 +101,53 @@ class SitemapSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("scalaudf"),
       "sitemap parse fell out of codegen into a UDF")
   }
+
+  test("discoverFrontier: drives a 3-level index→index→urlset tree in " +
+      "one call; depth stamped; an index cycle fails loudly (r13)") {
+    import spark.implicits._
+    def idx(children: Seq[String]): String =
+      "<sitemapindex>" + children.map(c =>
+        s"<sitemap><loc>$c</loc></sitemap>").mkString + "</sitemapindex>"
+    def urlset(urls: Seq[String]): String =
+      "<urlset>" + urls.map(u =>
+        s"<url><loc>$u</loc></url>").mkString + "</urlset>"
+    // the stored "crawl": every sitemap body by its URL — the root
+    // index (depth 0) lists a sub-index; the sub-index (depth 1)
+    // lists leaf urlsets (depth 2); a second SEED body is already a
+    // urlset, so leaves surface at mixed depths
+    val store = Seq(
+      "https://ex.org/s-a.xml" -> idx(Seq(
+        "https://ex.org/s-a1.xml", "https://ex.org/s-a2.xml")),
+      "https://ex.org/s-a1.xml" -> urlset(Seq(
+        "https://ex.org/p/1", "https://ex.org/p/2")),
+      "https://ex.org/s-a2.xml" -> urlset(Seq("https://ex.org/p/3")))
+      .toDF("sitemap_url", "sitemap_xml")
+    val seed = Seq(
+      ("h1", idx(Seq("https://ex.org/s-a.xml"))),
+      ("h1", urlset(Seq("https://ex.org/p/root"))))
+      .toDF("host", "sitemap_xml")
+    def fetchFromStore(ch: org.apache.spark.sql.DataFrame) =
+      ch.select(col("host"), col("loc").as("sitemap_url"))
+        .join(store, Seq("sitemap_url"))
+    val got = Sitemap.discoverFrontier(seed, fetchFromStore, maxDepth = 3)
+      .select("loc", "sitemap_depth").as[(String, Int)].collect().toSet
+    assert(got == Set(
+      ("https://ex.org/p/root", 0),
+      ("https://ex.org/p/1", 2), ("https://ex.org/p/2", 2),
+      ("https://ex.org/p/3", 2)))
+    // a self-referential index must hit the maxDepth guard LOUDLY —
+    // silently dropping unresolved index entries is corpus loss
+    val cycle = Seq(
+      "https://ex.org/loop.xml" -> idx(Seq("https://ex.org/loop.xml")))
+      .toDF("sitemap_url", "sitemap_xml")
+    val e = intercept[IllegalArgumentException] {
+      Sitemap.discoverFrontier(
+        Seq(("h1", idx(Seq("https://ex.org/loop.xml"))))
+          .toDF("host", "sitemap_xml"),
+        ch => ch.select(col("host"), col("loc").as("sitemap_url"))
+          .join(cycle, Seq("sitemap_url")),
+        maxDepth = 3)
+    }
+    assert(e.getMessage.contains("unresolved index entries"))
+  }
 }
