@@ -100,8 +100,14 @@ object LanguageModel {
       contexts: DataFrame,
       vocabSize: Long,
       broadcastModel: Boolean = true): DataFrame = {
-    val cbJ = if (broadcastModel) broadcast(bigrams) else bigrams
-    val cuJ = if (broadcastModel) broadcast(contexts) else contexts
+    // broadcastModel=false must GUARANTEE the shuffle shape (r13):
+    // without the hint Catalyst auto-broadcasts any model under
+    // spark.sql.autoBroadcastJoinThreshold, silently reinstating the
+    // executor-memory profile the caller opted out of
+    val cbJ = if (broadcastModel) broadcast(bigrams)
+      else bigrams.hint("shuffle_hash")
+    val cuJ = if (broadcastModel) broadcast(contexts)
+      else contexts.hint("shuffle_hash")
     docBigrams(df, textCol, idCol)
       .join(cbJ, Seq("w1", "w2"))
       .join(cuJ, Seq("w1"))
@@ -161,7 +167,8 @@ object LanguageModel {
       textCol: String,
       idCol: String,
       broadcastModel: Boolean = true): DataFrame = {
-    def b(m: DataFrame) = if (broadcastModel) broadcast(m) else m
+    def b(m: DataFrame) = if (broadcastModel) broadcast(m)
+      else m.hint("shuffle_hash") // pinned shape, see scoreAgainstModel
     val tc = docTrigrams(train, textCol, idCol)
       .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("__tc"))
     val bc = docBigrams(train, textCol, idCol)
@@ -222,7 +229,8 @@ object LanguageModel {
       discount: Double = 0.75,
       broadcastModel: Boolean = true): DataFrame = {
     require(discount > 0 && discount < 1, "discount must be in (0, 1)")
-    def b(m: DataFrame) = if (broadcastModel) broadcast(m) else m
+    def b(m: DataFrame) = if (broadcastModel) broadcast(m)
+      else m.hint("shuffle_hash") // pinned shape, see scoreAgainstModel
     val bg = docBigrams(df, textCol, idCol)
     val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("__cb"))
     val ctx = cb.groupBy("w1")
@@ -279,8 +287,11 @@ object LanguageModel {
         explode(TextAnalysis.tokens(col(textCol))).as("__w"))
       .filter(length(col("__w")) > 0)
       .agg(countDistinct(col("__w")).as("__v"))
-    val cbJ = if (broadcastModel) broadcast(cb) else cb
-    val cuJ = if (broadcastModel) broadcast(cu) else cu
+    // the hint pins the non-broadcast shape (see scoreAgainstModel)
+    val cbJ = if (broadcastModel) broadcast(cb)
+      else cb.hint("shuffle_hash")
+    val cuJ = if (broadcastModel) broadcast(cu)
+      else cu.hint("shuffle_hash")
     bg.join(cbJ, Seq("w1", "w2"))
       .join(cuJ, Seq("w1"))
       .crossJoin(broadcast(voc))

@@ -2040,6 +2040,19 @@ object LlmQueries {
           "text", "doc_id")
         .orderBy("doc_id")),
 
+    // the SAME scoring under broadcastModel=false (r13, VERDICT r12
+    // task 5) — the actual 100 TB shape once the bigram vocab
+    // outgrows broadcast: both model joins pinned shuffle-hash (AQE
+    // skew-split territory; the hint keeps Catalyst from silently
+    // auto-broadcasting a small model). The SHARED oracle proves the
+    // two physical shapes agree bit-for-bit — integer micro-nats make
+    // the per-doc sum partition-invariant, which is the whole point
+    // of the micro-nat contract. PlanAudit pins the join shape
+    "llm_lm_shuffle" -> ((s, dir) =>
+      LanguageModel.bigramPerplexity(t(s, dir, "documents"),
+          "text", "doc_id", broadcastModel = false)
+        .orderBy("doc_id")),
+
     // CCNet perplexity bucketing (r12) — Wenzek et al. 2020's
     // head/middle/tail corpus split, the step between LM scoring and
     // mixing: exact integer micro-nat scores, tertile cutoffs from a
@@ -3723,6 +3736,9 @@ object LlmQueries {
     // Shared by the self-trained, persisted-model, and streaming
     // shapes — one semantics, three execution paths
     "llm_lm_perplexity" -> lmPerplexityOracleSql,
+    // shuffle-variant mirror: the IDENTICAL oracle — one semantics,
+    // two physical strategies (the llm_domain_cap adjudication rule)
+    "llm_lm_shuffle" -> lmPerplexityOracleSql,
     "llm_lm_persisted" -> lmPerplexityOracleSql,
     // ccnet-bucket mirror: the shared LM micro-nat chain, integer
     // per-bigram score, tertile cutoffs via the same distinct-score

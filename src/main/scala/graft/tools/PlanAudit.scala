@@ -55,7 +55,9 @@ object PlanAudit {
       // CCNet bucketing broadcasts the one-row global cutoff pair,
       // and BOTH variants inherit the LM's one-row vocab-size
       // crossJoin (the llm_lm_perplexity shape)
-      "llm_hits", "llm_ccnet_buckets", "llm_ccnet_by_lang")
+      "llm_hits", "llm_ccnet_buckets", "llm_ccnet_by_lang",
+      // the shuffle-model variant keeps the one-row vocab crossJoin
+      "llm_lm_shuffle")
 
     // full sweep, building each query exactly ONCE (several query
     // builders are eager — persist/count/collect at plan-build time):
@@ -112,6 +114,19 @@ object PlanAudit {
     val nBhj = "BroadcastHashJoin".r.findAllIn(lmPlan).length
     if (nBhj < 2) {
       println(s"!! llm_lm_perplexity: expected 2 broadcast model joins, found $nBhj")
+      bad += 1
+    }
+    // the broadcastModel=false variant must be the OPPOSITE shape
+    // (r13): both model joins shuffle-hash, ZERO broadcast hash joins
+    // — the hint has to hold against auto-broadcast of a small model;
+    // the one-row vocab scalar still rides a BNLJ, which is fine
+    val lmS = graft.SparkEntry.queries("llm_lm_shuffle")(spark, dir)
+    val lmSPlan = lmS.queryExecution.executedPlan.toString
+    val nShj = "ShuffledHashJoin".r.findAllIn(lmSPlan).length
+    val nBhjS = "BroadcastHashJoin".r.findAllIn(lmSPlan).length
+    if (nShj < 2 || nBhjS > 0) {
+      println("!! llm_lm_shuffle: expected 2 shuffle-hash model joins " +
+        s"and no broadcast, found shj=$nShj bhj=$nBhjS")
       bad += 1
     }
     // backoff: five model tables (tc, bc×2, uc×2), all broadcast —
