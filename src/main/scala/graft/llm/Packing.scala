@@ -127,6 +127,92 @@ object Packing {
         expr("transform(pt, x -> x.t)").as("token_ids")), release)
   }
 
+  /** No-split BIN packing, decreasing order (r13, VERDICT r12 task 6)
+    * — the other packing regime real trainers run (Krell et al. 2021,
+    * "Efficient Sequence Packing"): every document lands WHOLE inside
+    * one fixed-`ctxLen` bin (no doc spans a boundary, no cross-doc
+    * attention contamination), so shorter bins pad and the packing
+    * order decides the waste. Processing lengths in DECREASING order
+    * (the first-fit-decreasing family) keeps it small; the pinned
+    * rule is NEXT-FIT-DECREASING, the family member whose assignment
+    * is a CLOSED FORM of the length histogram: equal-length docs are
+    * interchangeable (copy index = per-length rank by id), a length
+    * class first tops up the open bin (`k0 = min(c, (ctxLen−fill) div
+    * L)` copies), the rest fill whole bins of `ctxLen div L` copies,
+    * and a bin closes only when the next item cannot fit.
+    *
+    * Output: (idCol, n_tokens, bin_id, bin_offset) — bins are
+    * 0-based, `bin_offset` the doc's first-token position inside its
+    * bin; per-bin occupancy never exceeds `ctxLen`.
+    *
+    * Scale shape: one length-histogram aggregate (≤ `ctxLen` rows —
+    * lengths above `ctxLen` are REJECTED loudly, chunk oversize docs
+    * with [[Chunk.chunkTokens]] first), a driver fold over it
+    * emitting ≤ 2 segment rows per distinct length (head top-up +
+    * arithmetic full-bin run), one per-length `row_number` for copy
+    * indices (the only window — partitions are length classes; a
+    * degenerate single-length corpus makes one hot partition, noted),
+    * and one broadcast join of the corpus counts against the segment
+    * table. No corpus-sized shuffle, no driver state beyond the
+    * histogram. */
+  def packBinsDecreasing(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      ctxLen: Int,
+      tokenCounter: org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column = TextAnalysis.tokenCount)
+      : DataFrame = {
+    require(ctxLen > 0, "ctxLen must be positive")
+    val counts = df.select(col(idCol),
+      tokenCounter(col(textCol)).cast("long").as("n_tokens"))
+    val hist = counts.groupBy("n_tokens")
+      .agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(-_._1)
+    val oversize = hist.filter(_._1 > ctxLen)
+    require(oversize.isEmpty,
+      s"packBinsDecreasing: ${oversize.map(_._2).sum} docs exceed " +
+        s"ctxLen=$ctxLen (longest ${oversize.map(_._1).max} tokens) — " +
+        "no-split packing cannot place them; chunk oversize docs first")
+    require(hist.forall(_._1 >= 1),
+      "packBinsDecreasing: zero-token docs cannot be packed")
+    // driver fold over the histogram: (length, copyLo, copyHi, firstBin,
+    // copiesPerBin, startOffset) segments; state = (open bin, its fill)
+    val segs = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long)]
+    var bin = 0L
+    var fill = 0L
+    hist.foreach { case (n, c) =>
+      val k0 = math.min(c, (ctxLen - fill) / n)
+      if (k0 > 0) segs += ((n, 0L, k0 - 1, bin, k0, fill))
+      val rem = c - k0
+      if (rem == 0) fill += k0 * n
+      else {
+        val kfull = ctxLen / n
+        segs += ((n, k0, c - 1, bin + 1, kfull, 0L))
+        val nb = (rem + kfull - 1) / kfull
+        bin += nb
+        fill = (rem - (nb - 1) * kfull) * n
+      }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val segDf = segs.toSeq
+      .toDF("__n", "__lo", "__hi", "__bin0", "__per", "__off0")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("n_tokens").orderBy(idCol)
+    counts
+      .withColumn("__j", row_number().over(w).cast("long") - 1)
+      .join(broadcast(segDf), col("n_tokens") === col("__n") &&
+        col("__j").between(col("__lo"), col("__hi")))
+      .select(col(idCol), col("n_tokens"),
+        expr("__bin0 + ((__j - __lo) div __per)").as("bin_id"),
+        (col("__off0") +
+          pmod(col("__j") - col("__lo"), col("__per")) * col("n_tokens"))
+          .as("bin_offset"))
+  }
+
   /** Sequence-level summary: docs whose first token lands in each
     * packed sequence (`seq_id`, `n_docs_starting`, `n_tokens_starting`)
     * — the packing QA view (every sequence is exactly `ctxLen` tokens

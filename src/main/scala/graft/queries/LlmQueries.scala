@@ -733,6 +733,31 @@ object LlmQueries {
       collectAndRelease(s, packed.orderBy("doc_id"))(release)
     }),
 
+    // no-split bin packing, next-fit-decreasing (r13) — the OTHER
+    // packing regime (docs whole inside fixed 256-token bins, padding
+    // = waste): the histogram-driven closed form in llm/Packing, with
+    // the padding-waste comparison columns the gate checks — n_bins ·
+    // 256 − total vs the splitting packer's ideal ceil(total/256)
+    // bins. The oracle replays the SAME greedy rule as a recursive
+    // CTE over the length histogram (the BPE merge-loop pattern) and
+    // re-derives every per-doc (bin_id, bin_offset) from the class
+    // state — one pinned sequential rule, two engines
+    "llm_pack_ffd" -> ((s, dir) => {
+      val asg = Packing.packBinsDecreasing(
+        t(s, dir, "documents"), "text", "doc_id", ctxLen = 256)
+      val summary = asg.agg(
+          (max("bin_id") + 1).as("n_bins"),
+          sum("n_tokens").as("__tot"))
+        .select(col("n_bins"),
+          (col("n_bins") * 256 - col("__tot")).as("waste_tokens"),
+          expr("(__tot + 255) div 256").as("ideal_bins"))
+      asg.crossJoin(broadcast(summary))
+        .select(col("doc_id"), col("n_tokens"), col("bin_id"),
+          col("bin_offset"), col("n_bins"), col("waste_tokens"),
+          col("ideal_bins"))
+        .orderBy("doc_id")
+    }),
+
     // winnowing k-gram sketch (window w=4 over FNV-1a token hashes),
     // exploded to (doc_id, fingerprint) rows — the plagiarism-style
     // near-dup sketch, oracle-mirrored token hash + window-min in SQL
@@ -4142,6 +4167,51 @@ object LlmQueries {
         | CAST(token_offset // 64 AS BIGINT) AS seq_id,
         | CAST((token_offset + n_tokens - 1) // 64 - token_offset // 64 + 1 AS BIGINT) AS n_seqs_spanned
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // next-fit-decreasing mirror: the SAME pinned greedy rule replayed
+    // as a recursive CTE over the length histogram — state (open bin,
+    // fill) after each decreasing length class; per-doc assignment
+    // re-derived from the class-entry state: copy j < k0 tops up the
+    // open bin at fill + j·n, the rest fill whole bins of 256//n
+    "llm_pack_ffd" ->
+      """WITH RECURSIVE
+        |c AS (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n FROM documents),
+        |cp AS (SELECT doc_id, n, row_number() OVER (PARTITION BY n ORDER BY doc_id) - 1 AS j FROM c),
+        |h AS (SELECT n, count(*) AS cnt FROM c GROUP BY n),
+        |o AS (SELECT n, cnt, row_number() OVER (ORDER BY n DESC) AS i FROM h),
+        |rec AS (
+        |  SELECT CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS fill
+        |  UNION ALL
+        |  SELECT i, bin + CASE WHEN rem > 0 THEN nb ELSE 0 END,
+        |    CASE WHEN rem > 0 THEN (rem - (nb - 1) * kfull) * n
+        |         ELSE fill + k0 * n END
+        |  FROM (
+        |    SELECT i, n, cnt, bin, fill, k0, kfull, cnt - k0 AS rem,
+        |      CASE WHEN cnt - k0 > 0
+        |           THEN (cnt - k0 + kfull - 1) // kfull ELSE 0 END AS nb
+        |    FROM (
+        |      SELECT o.i, o.n, o.cnt, r.bin, r.fill,
+        |        least(o.cnt, (256 - r.fill) // o.n) AS k0,
+        |        256 // o.n AS kfull
+        |      FROM rec r JOIN o ON o.i = r.i + 1) s1) s2),
+        |a AS (SELECT cp.doc_id, cp.n, cp.j, r.bin AS bin_in,
+        |    r.fill AS fill_in,
+        |    least(o.cnt, (256 - r.fill) // cp.n) AS k0, 256 // cp.n AS kfull
+        |  FROM cp JOIN o ON o.n = cp.n JOIN rec r ON r.i = o.i - 1),
+        |asg AS (SELECT doc_id, n AS n_tokens,
+        |    CASE WHEN j < k0 THEN bin_in
+        |         ELSE bin_in + 1 + (j - k0) // kfull END AS bin_id,
+        |    CASE WHEN j < k0 THEN fill_in + j * n
+        |         ELSE ((j - k0) % kfull) * n END AS bin_offset
+        |  FROM a),
+        |sm AS (SELECT max(bin_id) + 1 AS n_bins, sum(n_tokens) AS tot
+        |  FROM asg)
+        |SELECT doc_id, n_tokens, CAST(bin_id AS BIGINT) AS bin_id,
+        |  CAST(bin_offset AS BIGINT) AS bin_offset,
+        |  CAST(n_bins AS BIGINT) AS n_bins,
+        |  CAST(n_bins * 256 - tot AS BIGINT) AS waste_tokens,
+        |  CAST((tot + 255) // 256 AS BIGINT) AS ideal_bins
+        |FROM asg CROSS JOIN sm ORDER BY doc_id""".stripMargin,
 
     // winnowing mirror: FNV-1a per DISTINCT token (recursive hex CTE,
     // HUGEINT mod-2^64 → signed BIGINT like Spark's long), then min over

@@ -1003,6 +1003,51 @@ class LlmSpec extends SparkSpec {
     assert(fill.agg(sum("n_docs_starting")).head.getLong(0) == 200L)
   }
 
+  test("packBinsDecreasing: matches a sequential next-fit-decreasing " +
+      "reference; capacity and offsets hold; oversize rejected (r13)") {
+    val ctx = 16
+    // seeded random lengths incl. repeats, exact-fit, and tiny docs
+    val rnd = new scala.util.Random(131)
+    val lens = Seq.fill(120)(1 + rnd.nextInt(ctx)) ++ Seq(ctx, ctx, 1, 1)
+    val docs = lens.zipWithIndex.map { case (n, i) =>
+      (i.toLong, Seq.fill(n)("w").mkString(" "))
+    }.toDF("doc_id", "text").repartition(7)
+    val got = Packing.packBinsDecreasing(docs, "text", "doc_id", ctx)
+      .select("doc_id", "n_tokens", "bin_id", "bin_offset")
+      .as[(Long, Long, Long, Long)].collect()
+    // sequential reference: (len desc, id) order, top up the open bin,
+    // close it only when the next item cannot fit
+    val order = lens.zipWithIndex
+      .sortBy { case (n, i) => (-n, i) }
+    var bin = 0L; var fill = 0L
+    val expect = order.map { case (n, i) =>
+      if (fill + n > ctx) { bin += 1; fill = 0 }
+      val off = fill
+      fill += n
+      i.toLong -> ((n.toLong, bin, off))
+    }.toMap
+    assert(got.length == lens.length)
+    got.foreach { case (id, n, b, off) =>
+      assert(expect(id) == ((n, b, off)), s"doc $id") }
+    // capacity: per-bin occupancy never exceeds ctx; offsets disjoint
+    got.groupBy(_._3).foreach { case (b, rows) =>
+      assert(rows.map(_._2).sum <= ctx, s"bin $b overflows")
+      val spans = rows.map(r => (r._4, r._4 + r._2)).sortBy(_._1)
+      spans.sliding(2).foreach {
+        case Array((_, e1), (s2, _)) =>
+          assert(e1 <= s2, s"bin $b overlap")
+        case _ =>
+      }
+    }
+    // oversize docs fail loudly
+    val e = intercept[IllegalArgumentException] {
+      Packing.packBinsDecreasing(
+        Seq((0L, Seq.fill(ctx + 1)("w").mkString(" ")))
+          .toDF("doc_id", "text"), "text", "doc_id", ctx)
+    }
+    assert(e.getMessage.contains("chunk oversize docs first"))
+  }
+
   test("topk_by aggregate ≡ row_number window form, across partitions") {
     val rnd = new scala.util.Random(99)
     val rows = (0 until 3000).map { i =>
