@@ -2098,6 +2098,33 @@ object LlmQueries {
           "text", "doc_id", groupCol = Some("lang"))
         .orderBy("doc_id")),
 
+    // CCNet at PARAGRAPH grain (r13) — the paper's actual unit: the
+    // corpus is single-line prose, so the query synthesizes paragraph
+    // structure the llm_line_dedup way (a 3-variant promo header, the
+    // prose split at ' the ', a shared footer, joined with \n), then
+    // ccnetParagraphs scores every paragraph under the corpus-trained
+    // LM, drops the tail tertile, and reassembles survivors in order.
+    // The oracle replays the synthesis AND the whole chain (split →
+    // bigram model → micro-nat scores → global tertile cutoffs → drop
+    // → string_agg reassembly) — clean_hash makes the reassembly
+    // byte-exact; the all-kept identity property is pinned in LlmSpec
+    "llm_ccnet_paragraphs" -> ((s, dir) => {
+      val promo = element_at(array(
+        lit("visit our amazing site today"),
+        lit("subscribe to the newsletter now"),
+        lit("click here for deals")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+      val multi = concat(promo, lit("\n"),
+        array_join(split(col("text"), " the "), "\n"), lit("\n"),
+        lit("copyright footer 2026 all rights reserved"))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), multi.as("text"))
+      LanguageModel.ccnetParagraphs(docs, "text", "doc_id")
+        .select(col("doc_id"), col("n_paras"), col("n_kept"),
+          md5(col("text_clean")).as("clean_hash"))
+        .orderBy("doc_id")
+    }),
+
     // the trained LM's Zipf head: top-20 bigrams by count with their
     // add-one conditional probability — the train-surface audit view
     "llm_lm_bigrams" -> ((s, dir) => {
@@ -3838,6 +3865,55 @@ object LlmQueries {
         |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams, CAST(sum(lp) AS BIGINT) AS slp FROM sc GROUP BY doc_id)
         |SELECT doc_id, n_trigrams, round(exp((CAST(slp AS DOUBLE) / -1000000.0) / n_trigrams), 6) AS ppl
         |FROM ag ORDER BY doc_id""".stripMargin,
+    // paragraph-ccnet mirror: the same synthesis (promo \n prose split
+    // at ' the ' \n footer), the same LM chain per PARAGRAPH, global
+    // tertiles, tail dropped, survivors string_agg'd back in order —
+    // md5 pins the reassembly byte-exactly ('' when all fell to tail)
+    "llm_ccnet_paragraphs" ->
+      """WITH d AS (SELECT doc_id,
+        |    (CASE doc_id % 3 WHEN 0 THEN 'visit our amazing site today'
+        |          WHEN 1 THEN 'subscribe to the newsletter now'
+        |          ELSE 'click here for deals' END)
+        |    || chr(10) ||
+        |    array_to_string(string_split(text, ' the '), chr(10))
+        |    || chr(10) || 'copyright footer 2026 all rights reserved'
+        |    AS mt FROM documents),
+        |ps AS (SELECT doc_id, string_split(mt, chr(10)) AS arr FROM d),
+        |p AS (SELECT doc_id, generate_subscripts(arr, 1) - 1 AS pos,
+        |    unnest(arr) AS pt FROM ps),
+        |tp AS (SELECT doc_id, pos, pt,
+        |    regexp_split_to_array(trim(pt), '\s+') AS toks FROM p),
+        |tk AS (SELECT unnest(toks) AS w FROM tp),
+        |v AS (SELECT count(DISTINCT w) AS v FROM tk WHERE w <> ''),
+        |bg AS (SELECT doc_id, pos, unnest(toks[1:len(toks)-1]) AS w1,
+        |    unnest(toks[2:len(toks)]) AS w2 FROM tp WHERE len(toks) >= 2),
+        |bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+        |cc AS (SELECT w1, sum(cb) AS cu FROM bc GROUP BY 1),
+        |sc AS (SELECT g.doc_id, g.pos,
+        |    CAST(round(ln((bc.cb + 1.0) / CAST(cc.cu + v.v AS DOUBLE)) * 1000000) AS BIGINT) AS lp
+        |  FROM bg g JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
+        |  JOIN cc ON cc.w1 = g.w1 CROSS JOIN v),
+        |ag AS (SELECT doc_id, pos, CAST(count(*) AS BIGINT) AS nb,
+        |    CAST(sum(lp) AS BIGINT) AS slp FROM sc GROUP BY 1, 2),
+        |s2 AS (SELECT doc_id, pos,
+        |    CAST((-slp) // nb AS BIGINT) AS score FROM ag),
+        |dist AS (SELECT score, count(*) AS c FROM s2 GROUP BY 1),
+        |cum AS (SELECT score, sum(c) OVER (ORDER BY score) AS cum FROM dist),
+        |tot AS (SELECT count(*) AS n FROM s2),
+        |cuts AS (SELECT min(CASE WHEN 3*cum >= n THEN score END) AS c1,
+        |    min(CASE WHEN 3*cum >= 2*n THEN score END) AS c2
+        |  FROM cum CROSS JOIN tot),
+        |k AS (SELECT s2.doc_id, s2.pos, tp.pt,
+        |    (score <= c2) AS keep
+        |  FROM s2 JOIN tp ON tp.doc_id = s2.doc_id AND tp.pos = s2.pos
+        |  CROSS JOIN cuts)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  md5(coalesce(
+        |    string_agg(CASE WHEN keep THEN pt END, chr(10) ORDER BY pos),
+        |    '')) AS clean_hash
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // LM head mirror: same model CTEs, top-20 by (count desc, w1, w2)
     // — a unique total order, so the LIMIT is deterministic
     "llm_lm_bigrams" ->

@@ -1003,6 +1003,46 @@ class LlmSpec extends SparkSpec {
     assert(fill.agg(sum("n_docs_starting")).head.getLong(0) == 200L)
   }
 
+  test("ccnetParagraphs: paragraph-grain bucketing drops tail paras " +
+      "and reassembly is byte-identical for all-kept docs (r13)") {
+    // 12 docs share a very common paragraph (low perplexity → head),
+    // 6 share a middling one, and 2 carry a gibberish paragraph whose
+    // bigrams are near-unique (high perplexity → tail)
+    val common = "the quick brown fox jumps over the lazy dog"
+    val mid = "a different sentence appears in several documents here"
+    val docs = (0L until 12L).map { i =>
+      val tail = if (i < 2) s"\nzx$i qq$i vv$i ww$i kk$i" else ""
+      val midP = if (i < 6) s"\n$mid" else ""
+      (i, s"$common$midP$tail")
+    }.toDF("doc_id", "text")
+    val got = LanguageModel
+      .ccnetParagraphs(docs, "text", "doc_id")
+      .select("doc_id", "n_paras", "n_kept", "text_clean")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // the gibberish paragraphs are the rarest third → tail, dropped
+    (0L until 2L).foreach { i =>
+      val (_, np, nk, clean) = got(i)
+      assert(np == 3 && nk < np, s"doc $i should lose its tail para")
+      assert(clean == s"$common\n$mid", s"doc $i reassembly")
+    }
+    // all-kept docs reassemble BYTE-IDENTICALLY to the original
+    (2L until 6L).foreach { i =>
+      val (_, np, nk, clean) = got(i)
+      assert(np == nk && clean == s"$common\n$mid", s"doc $i identity")
+    }
+    (6L until 12L).foreach { i =>
+      val (_, np, nk, clean) = got(i)
+      assert(np == 1 && nk == 1 && clean == common, s"doc $i identity")
+    }
+    // keeping every bucket is the full identity: text_clean == text
+    val all = LanguageModel.ccnetParagraphs(docs, "text", "doc_id",
+        keepBuckets = Seq("head", "middle", "tail"))
+      .join(docs, Seq("doc_id"))
+      .filter(col("text_clean") =!= col("text"))
+    assert(all.count() == 0, "all-bucket keep must be byte-identity")
+  }
+
   test("packBinsDecreasing: matches a sequential next-fit-decreasing " +
       "reference; capacity and offsets hold; oversize rejected (r13)") {
     val ctx = 16
