@@ -315,6 +315,54 @@ object ScaleStress {
           force(spark.read.parquet(outDir)
             .select(col("doc_id"), col("z_value")))
         }
+        // z-order OPTIMIZE (r13): worst case — an append overlapping
+        // EVERYTHING, so optimize rewrites the whole table (steady
+        // state rewrites only the overlap; LayoutSpec's sentinel pins
+        // the skip). Expect the write curve again: one range exchange
+        // per overlap group over the group's rows.
+        time(s"zorder optimize x$mult") {
+          val outDir = s"target/scale_stress/zopt_x$mult"
+          def rmrf(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rmrf)
+            f.delete(); ()
+          }
+          rmrf(new java.io.File(outDir))
+          val pts = d.select(col("doc_id"),
+            pmod(col("doc_id") * 37, lit(65536)).as("x"),
+            pmod(col("doc_id") * 91, lit(65536)).as("y"))
+          graft.core.Layout.zorderWrite(
+            pts.filter(pmod(col("doc_id"), lit(2)) === 0),
+            Seq("x", "y"), outDir, nFiles = 16)
+          graft.core.Layout.zorderAppend(
+            pts.filter(pmod(col("doc_id"), lit(2)) === 1),
+            Seq("x", "y"), outDir, nFiles = 16)
+          graft.core.Layout.zorderOptimize(spark, outDir).toLong
+        }
+        // no-split NFD bin packing (r13): one histogram aggregate +
+        // per-length row_number + broadcast segment join — expect
+        // linear in docs (the histogram stays length-bounded)
+        time(s"pack ffd x$mult")(
+          force(graft.llm.Packing.packBinsDecreasing(
+            d, "text", "doc_id", 2048)))
+        // paragraph-grain CCNet (r13): the LM chain over ~#paras rows
+        // (explode is map-only, model joins broadcast, reassembly one
+        // groupBy-doc) — expect the llm_lm_perplexity curve scaled by
+        // paragraphs-per-doc
+        time(s"ccnet paragraphs x$mult") {
+          val structured = d.select(col("doc_id"), concat(
+            lit("promo header "), pmod(col("doc_id"), lit(3)).cast("string"),
+            lit("\n"), regexp_replace(col("text"), " the ", "\n"))
+            .as("text2"))
+          force(graft.llm.LanguageModel.ccnetParagraphs(
+            structured, "text2", "doc_id"))
+        }
+        // shuffle-model LM scoring (r13): the broadcast path's twin
+        // with both model joins shuffle-hash — the Zipf head becomes
+        // a skew-join surface (AQE territory); measured against the
+        // broadcast row above it in SCALE.md
+        time(s"lm shuffle x$mult")(
+          force(graft.llm.LanguageModel.bigramPerplexity(
+            d, "text", "doc_id", broadcastModel = false)))
         spark.catalog.clearCache()
       }
       // round-6 operators promoted to the second decade (VERDICT r06
