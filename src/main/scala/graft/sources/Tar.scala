@@ -130,6 +130,15 @@ object Tar {
         val block = readFully(padded.toInt)
         val tpe = h(156).toChar
         val data = java.util.Arrays.copyOfRange(block, 0, size.toInt)
+        // GNU long-name/long-link ('L'/'K') and PAX extended headers
+        // ('x'/'g') REDEFINE the following member's metadata: skipping
+        // them like a directory would silently attach a truncated name
+        // to the next member — corpus mislabeling, the exact silent
+        // failure this reader exists to refuse (r13)
+        require(tpe != 'L' && tpe != 'K' && tpe != 'x' && tpe != 'g',
+          s"tar@${offset - padded - BlockSize}: extension header " +
+            s"typeflag '$tpe' (GNU long name / PAX) is outside the " +
+            "writer's contract — long paths are not supported")
         if (tpe == '0' || tpe == 0.toChar) nextM = (name, data)
         else advance() // directories/links: skip, keep streaming
       }
