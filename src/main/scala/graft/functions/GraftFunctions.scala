@@ -102,6 +102,11 @@ object GraftFunctions {
     BpeEncode(exprs.head, graft.llm.Bpe.defaultMerges)
   }
 
+  private def bpeDecodeBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "bpe_decode(ids) [default merge table]")
+    BpeDecode(exprs.head, graft.llm.Bpe.defaultMerges)
+  }
+
   private def htmlToTextBuilder(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 1, "html_to_text(html)")
     HtmlToText(exprs.head)
@@ -177,6 +182,8 @@ object GraftFunctions {
       : Expression = topkByBuilder(exprs)
   private[functions] def bpeBuilderPublic(exprs: Seq[Expression])
       : Expression = bpeBuilder(exprs)
+  private[functions] def bpeDecodeBuilderPublic(exprs: Seq[Expression])
+      : Expression = bpeDecodeBuilder(exprs)
   private[functions] def htmlToTextBuilderPublic(exprs: Seq[Expression])
       : Expression = htmlToTextBuilder(exprs)
   private[functions] def htmlLinksBuilderPublic(exprs: Seq[Expression])
@@ -206,6 +213,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("ngram_hashes", ngramHashesBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("topk_by", topkByBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("bpe_encode", bpeBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("bpe_decode", bpeDecodeBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("html_to_text", htmlToTextBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("html_links", htmlLinksBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("html_anchors", htmlAnchorsBuilder, "scala_udf")
@@ -274,6 +282,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bpe_encode"),
       new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
       GraftFunctions.bpeBuilderPublic _))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_decode"),
+      new ExpressionInfo(classOf[BpeDecode].getName, "bpe_decode"),
+      GraftFunctions.bpeDecodeBuilderPublic _))
     ext.injectFunction((
       FunctionIdentifier("html_to_text"),
       new ExpressionInfo(classOf[HtmlToText].getName, "html_to_text"),

@@ -43,6 +43,15 @@ object Bpe {
   def count(text: Column, merges: BpeMerges = defaultMerges): Column =
     size(encode(text, merges)).cast("long")
 
+  /** Inverse of [[encode]]'s id scheme ([[graft.functions.BpeDecode]]):
+    * `decode(encode(text))` equals `text` with its whitespace squeezed
+    * out — encode pre-tokenizes on whitespace and concatenates the
+    * words' ids, so word boundaries are the single lossy step. The
+    * `llm_bpe_roundtrip` gate pins that equation corpus-wide; invalid
+    * ids (wrong vocabulary) fail loudly. Null ids → null. */
+  def decode(ids: Column, merges: BpeMerges = defaultMerges): Column =
+    graft.functions.BpeDecode(ids, merges)
+
   /** Learn `nMerges` BPE merges FROM the corpus (Sennrich training):
     * each round, the adjacent symbol pair with the highest
     * frequency-weighted count over the word table merges — ties break

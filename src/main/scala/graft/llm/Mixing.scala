@@ -163,9 +163,34 @@ object Mixing {
     * follow with `.repartition(col("shard")).sortWithinPartitions
     * ("pos")` to emit one ordered file per shard. */
   def shardShuffle(df: DataFrame, idCol: String, nShards: Int)
+      : DataFrame =
+    hashOrder(df, idCol, nShards, graft.functions.Fnv64(
+      col(idCol).cast("string")))
+
+  /** Epoch-distinct deterministic reshuffle: the [[shardShuffle]]
+    * order keyed by FNV-1a of `"<id>:<epoch>"` — each epoch is an
+    * independent-looking but fully reproducible permutation of the
+    * same corpus (multi-epoch training wants a DIFFERENT order per
+    * pass; re-reading the same shard files in the same order every
+    * epoch measurably hurts convergence, and an RNG-seeded shuffle is
+    * not replayable across engines/partitionings). The `':'` salt
+    * separator keeps the epoch from gluing onto numeric ids
+    * ambiguously (`id=1,e=12` vs `id=11,e=2`).
+    *
+    * Scale shape: identical to [[shardShuffle]] — ONE shuffle, the
+    * per-shard window sort bounded by the caller's shard sizing; each
+    * epoch's layout is produced independently (epochs never join). */
+  def epochShuffle(df: DataFrame, idCol: String, nShards: Int, epoch: Int)
       : DataFrame = {
+    require(epoch >= 0, s"epoch must be non-negative (got $epoch)")
+    hashOrder(df, idCol, nShards, graft.functions.Fnv64(
+      concat(col(idCol).cast("string"), lit(s":$epoch"))))
+  }
+
+  private def hashOrder(
+      df: DataFrame, idCol: String, nShards: Int,
+      h: org.apache.spark.sql.Column): DataFrame = {
     require(nShards >= 1, "nShards must be at least 1")
-    val h = graft.functions.Fnv64(col(idCol).cast("string"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col("__hv"), col(idCol))
     df.withColumn("__hv", h)

@@ -1889,6 +1889,23 @@ object LlmQueries {
           col("token_id"))
         .orderBy("doc_id", "pos")),
 
+    // BPE round trip (r13): decode(encode(text)) must equal text with
+    // its whitespace squeezed out — the id scheme's bijectivity and
+    // totality (code points below 10^6, MergedIdBase+rank above, no
+    // UNK) pinned corpus-wide. The oracle does NOT replay the merge
+    // loop: the CLAIM is the squeezed-identity equation itself, so the
+    // mirror computes the squeeze directly and any encode/decode defect
+    // breaks the hash
+    "llm_bpe_roundtrip" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Bpe.decode(Bpe.encode(coalesce(col("text"), lit(""))))
+            .as("__dec"))
+        .select(col("doc_id"),
+          length(col("__dec")).cast("long").as("n_chars_squeezed"),
+          md5(col("__dec")).as("roundtrip_hash"))
+        .orderBy("doc_id")),
+
     // sequence packing on REAL BPE token counts (VERDICT r08 missing 1:
     // the heuristic-count packing ships approximations) — same
     // distributed-prefix-sum operator, tokenCounter swapped
@@ -2186,6 +2203,22 @@ object LlmQueries {
       Mixing.shardShuffle(
           t(s, dir, "documents").select("doc_id"), "doc_id", 8)
         .orderBy("doc_id")),
+
+    // epoch-distinct reshuffle (r13): the shard-shuffle order keyed by
+    // FNV-1a of "<id>:<epoch>" — epochs 1 and 2 computed independently
+    // and joined per doc, so the gate pins BOTH permutations (and
+    // implicitly that they differ; identical epochs would be a salt
+    // plumbing bug the hash columns expose immediately)
+    "llm_epoch_shuffle" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id")
+      val e1 = Mixing.epochShuffle(d, "doc_id", 8, 1)
+        .withColumnRenamed("shard", "shard_e1")
+        .withColumnRenamed("pos", "pos_e1")
+      val e2 = Mixing.epochShuffle(d, "doc_id", 8, 2)
+        .withColumnRenamed("shard", "shard_e2")
+        .withColumnRenamed("pos", "pos_e2")
+      e1.join(e2, Seq("doc_id")).orderBy("doc_id")
+    }),
 
     // stratified exact-n: ≤ 10 docs per source, picked by id-hash
     // order — deterministic per-group caps; audit = kept ids per source
@@ -3570,6 +3603,18 @@ object LlmQueries {
         |  CAST(token_id AS INT) AS token_id
         |FROM bt ORDER BY doc_id, pos""".stripMargin,
 
+    // BPE round-trip mirror: the squeezed-identity equation computed
+    // directly (\s+ removed) — the engine side must reproduce it
+    // through encode∘decode
+    "llm_bpe_roundtrip" ->
+      """SELECT doc_id,
+        |  CAST(length(sq) AS BIGINT) AS n_chars_squeezed,
+        |  md5(sq) AS roundtrip_hash
+        |FROM (SELECT doc_id,
+        |        regexp_replace(coalesce(text, ''), '\s+', '', 'g') AS sq
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
     // BPE packing mirror: per-doc REAL token counts from the shared
     // BPE CTE, then the same closed-form prefix-sum assignment as
     // llm_pack_sequences (ctxLen 128)
@@ -3944,6 +3989,30 @@ object LlmQueries {
         |  CAST(row_number() OVER (PARTITION BY ((sg.hv % 8) + 8) % 8 ORDER BY sg.hv, i.doc_id) - 1 AS BIGINT) AS pos
         |FROM ids i JOIN sgn sg ON sg.s = i.s
         |ORDER BY i.doc_id""".stripMargin,
+    // epoch-shuffle mirror: the same FNV CTE over the ':'-salted id
+    // strings for epochs 1 and 2, each epoch ranked independently,
+    // joined per doc
+    "llm_epoch_shuffle" ->
+      """WITH RECURSIVE
+        |ids AS (SELECT doc_id, e, CAST(doc_id AS VARCHAR) || ':' || CAST(e AS VARCHAR) AS s
+        |        FROM documents, (SELECT unnest([1, 2]) AS e)),
+        |hx AS (SELECT DISTINCT s FROM ids),
+        |hh AS (SELECT s, hex(encode(s)) AS hs, octet_length(encode(s)) AS nb FROM hx),
+        |fnv AS (
+        |  SELECT s, hs, nb, 0 AS i, CAST(14695981039346656037 AS HUGEINT) AS h FROM hh
+        |  UNION ALL
+        |  SELECT s, hs, nb, i + 1,
+        |    (xor(h, CAST((strpos('0123456789ABCDEF', substring(hs, 2*i+1, 1))-1)*16 + strpos('0123456789ABCDEF', substring(hs, 2*i+2, 1))-1 AS HUGEINT)) * 1099511628211) % 18446744073709551616
+        |  FROM fnv WHERE i < nb),
+        |sgn AS (SELECT s, CAST(h - CASE WHEN h >= 9223372036854775808 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS hv FROM fnv WHERE i = nb),
+        |r AS (SELECT i.doc_id, i.e, ((sg.hv % 8) + 8) % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY i.e, ((sg.hv % 8) + 8) % 8 ORDER BY sg.hv, i.doc_id) - 1 AS BIGINT) AS pos
+        |  FROM ids i JOIN sgn sg ON sg.s = i.s)
+        |SELECT a.doc_id, a.shard AS shard_e1, a.pos AS pos_e1,
+        |  b.shard AS shard_e2, b.pos AS pos_e2
+        |FROM r a JOIN r b ON a.doc_id = b.doc_id AND b.e = 2
+        |WHERE a.e = 1
+        |ORDER BY a.doc_id""".stripMargin,
     // stratified mirror: the same FNV hash as rank key (full signed
     // value, ties on id), row_number ≤ 10 per source
     // sequential Poisson mirror: same FNV CTE, u = hv mod 2^52,

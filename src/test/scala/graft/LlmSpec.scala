@@ -614,6 +614,46 @@ class LlmSpec extends SparkSpec {
     assert(c.getLong(0) == 6L && c.getLong(1) == 3L)
   }
 
+  test("BPE decode: squeezed-identity round trip; invalid ids loud") {
+    import spark.implicits._
+    // decode(encode(x)) == x with whitespace squeezed (word boundaries
+    // are the single lossy step) — incl. multi-level merges, multi-byte
+    // code points, punctuation, leading/trailing/internal whitespace
+    val texts = Seq("the theory of things", "  thin\tand\nthe 中文测试 ",
+      "a", "punct, ends. here!", "", "   ")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        Bpe.decode(Bpe.encode(col("text"))).as("dec"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(got.toSeq == texts.map(_.replaceAll("\\s+", "")))
+    // raw id stream: merged rank 1 ("th"+"e" → "the"), code point 'o',
+    // multi-byte code point '中'
+    val ids = Seq((0L, Seq(1, 2, 3))).toDF("doc_id", "ids")
+    val dec = ids.select(Bpe.decode(
+      org.apache.spark.sql.functions.typedlit(Seq(1000001, 111, 20013))))
+      .head().getString(0)
+    assert(dec == "theo中")
+    // null in → null out
+    val nul = Seq((0L, null.asInstanceOf[Seq[Int]])).toDF("doc_id", "ids")
+    assert(nul.select(Bpe.decode(col("ids"))).head().isNullAt(0))
+    // invalid ids fail loudly with index context: rank past the merge
+    // table, and a non-code-point below the merged base
+    for (bad <- Seq(1000000 + Bpe.defaultMerges.pairs.length, 0x110000, -1)) {
+      val e = intercept[Exception] {
+        ids.select(Bpe.decode(
+          org.apache.spark.sql.functions.typedlit(Seq(bad)))).head()
+      }
+      assert(e.getMessage.contains("bpe_decode") ||
+        Option(e.getCause).exists(_.getMessage.contains("bpe_decode")))
+    }
+    // SQL surface round trip
+    graft.functions.GraftFunctions.register(spark)
+    val sq = spark.sql(
+      "SELECT bpe_decode(bpe_encode('  thin and\tthe ')) AS t").head()
+    assert(sq.getString(0) == "thinandthe")
+  }
+
   test("BPE learnMerges: distributed trainer == reference; overlap + ties") {
     // independent reference: classic Sennrich training over the
     // word-count dict (count every adjacent position, merge the
@@ -1307,6 +1347,44 @@ class LlmSpec extends SparkSpec {
         .select("pos").collect().map(_.getLong(0)).toSeq
       assert(rows == rows.sorted && rows == (0L until rows.length).toSeq)
     }
+  }
+
+  test("epochShuffle: per-epoch permutations differ, each reproducible") {
+    val d = spark.range(0, 300).toDF("doc_id")
+    def run(epoch: Int) = Mixing.epochShuffle(d, "doc_id", 4, epoch)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val e1 = run(1)
+    val e2 = run(2)
+    // each epoch is a complete permutation: every id exactly once,
+    // dense 0..n-1 pos inside every shard
+    for (e <- Seq(e1, e2)) {
+      assert(e.map(_._1) == (0L until 300L).toSeq)
+      e.groupBy(_._2).foreach { case (_, rows) =>
+        assert(rows.map(_._3).sorted == (0L until rows.length).toSeq)
+      }
+    }
+    // epochs are DIFFERENT orders of the same corpus (the salt reaches
+    // the hash) yet each is a pure function of (id set, epoch)
+    assert(e1 != e2)
+    assert(run(1) == e1)
+    assert(Mixing.epochShuffle(d.repartition(7), "doc_id", 4, 2)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq == e2)
+    // the ':' separator keeps (id, epoch) unambiguous: id=1,e=12 and
+    // id=11,e=2 must land on different hash inputs
+    val amb1 = Mixing.epochShuffle(
+      Seq(1L).toDF("doc_id"), "doc_id", 4, 12).select("shard").head()
+    val amb2 = Mixing.epochShuffle(
+      Seq(11L).toDF("doc_id"), "doc_id", 4, 2).select("shard").head()
+    val h1 = Seq("1:12").toDF("s")
+      .select(pmod(graft.functions.Fnv64(col("s")), lit(4L))).head()
+    val h2 = Seq("11:2").toDF("s")
+      .select(pmod(graft.functions.Fnv64(col("s")), lit(4L))).head()
+    assert(amb1.getLong(0) == h1.getLong(0))
+    assert(amb2.getLong(0) == h2.getLong(0))
   }
 
   test("gopher metrics: stopword / symbol / top-token ratios") {
