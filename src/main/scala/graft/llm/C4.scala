@@ -1,0 +1,183 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The C4 cleaning pipeline (Raffel et al. 2020, "Exploring the Limits
+  * of Transfer Learning…", JMLR — §2.2's Colossal Clean Crawled Corpus
+  * rules), as declarative Spark stages:
+  *
+  *  1. LINE filters ([[cleanLines]]): keep a line iff it ends in a
+  *     terminal punctuation mark, has at least `minLineWords`
+  *     whitespace words, and does not mention javascript; rebuild the
+  *     page from the kept lines in order.
+  *  2. PAGE filters ([[pageVerdict]]): drop pages with fewer than
+  *     `minSentences` sentences, pages containing "lorem ipsum" or a
+  *     curly brace, and pages with any caller-supplied bad word.
+  *  3. THREE-SENTENCE-SPAN dedup ([[dedupSpans]]): of every
+  *     three-sentence span occurring more than once across the kept
+  *     corpus, keep only the first occurrence (min (doc, position))
+  *     and remove the sentences of every other occurrence.
+  *
+  * Pinned details the paper leaves open (both engines replay these
+  * exactly):
+  *  - terminal punctuation = `.` `!` `?` `"` on the TRIMMED line;
+  *  - sentences = non-overlapping matches of `[^.!?]*[.!?]` over the
+  *    line-cleaned text (newlines are ordinary characters), so a
+  *    trailing fragment with no terminator — e.g. the closing quote of
+  *    a `…!"` line — is not a sentence and does not survive
+  *    reassembly;
+  *  - span keys are the TRIMMED sentence triple; removal excises the
+  *    RAW sentences; reassembly concatenates surviving sentences
+  *    verbatim (empty joiner), so an untouched page reassembles
+  *    byte-identically to its sentence sequence;
+  *  - page predicates run on the line-CLEANED text (boilerplate lines
+  *    already dropped must not kill the page), and dedup runs over
+  *    page-KEPT documents only (the paper dedups the kept dataset).
+  *
+  * Scale shape (100 TB): stages 1 and 2 are map-only (explode/filter/
+  * re-aggregate by doc id — AQE-coalesced narrow shuffle on the doc
+  * key). Stage 3 generates span keys map-only from each page's own
+  * sentence array (no per-doc window), shuffles once on the span key
+  * for the duplicate ranking, and joins the fact-sized removal list
+  * back on (doc, sentence) — never an all-pairs step, never
+  * driver-sized state. */
+object C4 {
+
+  private val SentenceRe = "[^.!?]*[.!?]"
+  private val Sep = ""
+
+  /** Line-grain C4 filters. Returns one row per input document:
+    * (idCol, n_lines, n_lines_kept, text_lines) where `text_lines` is
+    * the kept lines re-joined with `\n` in original order (empty when
+    * nothing survives). Null text ≡ empty page. */
+  def cleanLines(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      minLineWords: Int = 3): DataFrame = {
+    require(minLineWords >= 1, "minLineWords must be at least 1")
+    val lines = df.select(col(idCol),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n", -1))
+          .as(Seq("pos", "line")))
+      .withColumn("lt", trim(col("line")))
+    val kept = lines.filter(
+      col("lt").rlike("[.!?\"]$") &&
+        size(split(col("lt"), "\\s+")) >= minLineWords &&
+        !lower(col("lt")).rlike("\\bjavascript\\b"))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), "\n").as("text_lines"))
+    df.select(col(idCol),
+        size(split(coalesce(col(textCol), lit("")), "\n", -1))
+          .cast("long").as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        coalesce(col("text_lines"), lit("")).as("text_lines"))
+  }
+
+  /** Page-grain C4 filters over the line-cleaned text. Adds
+    * (n_sentences, page_kept) to the input. `badWords` must be plain
+    * lowercase word tokens (they are spliced into a word-boundary
+    * regex); empty list disables that rule. */
+  def pageVerdict(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      badWords: Seq[String] = Nil,
+      minSentences: Int = 5): DataFrame = {
+    badWords.foreach(w => require(w.matches("[a-z0-9']+"),
+      s"bad word must be a plain lowercase token (got '$w')"))
+    val nSent = size(regexp_extract_all(col(textCol),
+      lit(SentenceRe), lit(0))).cast("long")
+    val badHit =
+      if (badWords.isEmpty) lit(false)
+      else lower(col(textCol))
+        .rlike("\\b(" + badWords.mkString("|") + ")\\b")
+    df.withColumn("n_sentences", nSent)
+      .withColumn("page_kept",
+        col("n_sentences") >= minSentences &&
+          !contains(lower(col(textCol)), lit("lorem ipsum")) &&
+          !contains(col(textCol), lit("{")) &&
+          !badHit)
+  }
+
+  /** Corpus-wide three-sentence-span dedup (the C4 rule: "discarded
+    * all but one of any three-sentence span occurring more than once").
+    * Keeper = the occurrence with the least (idCol, start); every
+    * other occurrence's three sentences are removed and the page is
+    * reassembled from the survivors in order. Returns one row per
+    * input document: (idCol, n_sent_removed, text_clean). */
+  def dedupSpans(
+      df: DataFrame,
+      textCol: String,
+      idCol: String): DataFrame = {
+    val withSents = df.select(col(idCol),
+      regexp_extract_all(coalesce(col(textCol), lit("")),
+        lit(SentenceRe), lit(0)).as("__ss"))
+    // span keys map-only from each page's own sentence array
+    val spanArr = when(size(col("__ss")) >= 3,
+      transform(sequence(lit(0), size(col("__ss")) - 3),
+        i => xxhash64(concat_ws(Sep,
+          trim(element_at(col("__ss"), i + 1)),
+          trim(element_at(col("__ss"), i + 2)),
+          trim(element_at(col("__ss"), i + 3))))))
+      .otherwise(array().cast("array<bigint>"))
+    val occ = withSents.select(col(idCol),
+      posexplode(spanArr).as(Seq("start", "k")))
+    // one shuffle on the span key: rank occurrences, mark non-keepers
+    val wk = Window.partitionBy("k")
+    val wko = wk.orderBy(col(idCol), col("start"))
+    val removed = occ
+      .withColumn("rn", row_number().over(wko))
+      .withColumn("cnt", count(lit(1)).over(wk))
+      .filter(col("cnt") > 1 && col("rn") > 1)
+      .select(col(idCol),
+        explode(sequence(col("start"), col("start") + 2)).as("sid"))
+      .distinct()
+    val sents = withSents.select(col(idCol),
+      posexplode(col("__ss")).as(Seq("sid", "sent")))
+    val rebuilt = sents.join(removed, Seq(idCol, "sid"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("sid"), col("sent")))),
+          x => x.getField("sent")), "").as("text_clean"))
+    val nRemoved = removed.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_sent_removed"))
+    df.select(col(idCol))
+      .join(nRemoved, Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_sent_removed"), lit(0L)).as("n_sent_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
+  /** The composed pipeline: line filters → page filters → span dedup
+    * over the kept pages. One row per input document:
+    * (idCol, n_lines, n_lines_kept, n_sentences, page_kept,
+    * n_sent_removed, text_clean) — dropped pages report
+    * n_sent_removed 0 and empty text_clean. */
+  def clean(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      badWords: Seq[String] = Nil,
+      minSentences: Int = 5,
+      minLineWords: Int = 3): DataFrame = {
+    val lines = cleanLines(df, textCol, idCol, minLineWords)
+    val paged = pageVerdict(lines, "text_lines", idCol,
+      badWords, minSentences)
+    val deduped = dedupSpans(
+      paged.filter(col("page_kept")), "text_lines", idCol)
+    paged.join(deduped, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"), col("n_lines_kept"),
+        col("n_sentences"), col("page_kept"),
+        coalesce(col("n_sent_removed"), lit(0L)).as("n_sent_removed"),
+        when(col("page_kept"), coalesce(col("text_clean"), lit("")))
+          .otherwise(lit("")).as("text_clean"))
+  }
+}

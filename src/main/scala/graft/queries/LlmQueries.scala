@@ -2142,6 +2142,46 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // the C4 cleaning pipeline (r13, Raffel et al. 2020 §2.2): line
+    // filters (terminal punctuation, >= 3 words, no javascript) →
+    // page filters (>= 5 sentences, no lorem ipsum / curly brace /
+    // bad word) → corpus-wide three-sentence-span dedup keeping only
+    // the first occurrence. The corpus is single-line prose, so the
+    // query synthesizes the page structure the llm_line_dedup way:
+    // three lines every filter must drop, a planted three-sentence
+    // group shared across doc_id%5 (the dedup target), a doc_id%11
+    // page-fate variant (lorem / curly / bad word / too-few-sentences
+    // / prose sentences from the text split at ' the '), and a shared
+    // closing line. clean_hash pins the reassembly byte-exactly; the
+    // oracle replays synthesis, both filter grains, the span ranking,
+    // and the string_agg rebuild
+    "llm_c4_clean" -> ((s, dir) => {
+      val m11 = pmod(col("doc_id"), lit(11))
+      val docs = t(s, dir, "documents").withColumn("text2", concat(
+        lit("tiny.\n"),
+        lit("no terminal punctuation here\n"),
+        lit("please enable javascript to continue.\n"),
+        lit("sentence one for group "),
+        pmod(col("doc_id"), lit(5)).cast("string"),
+        lit(". sentence two stays here. sentence three stays here.\n"),
+        when(m11 === 0,
+            lit("this page mentions lorem ipsum somewhere in passing.\n"))
+          .when(m11 === 1,
+            lit("config block { nested } appears right here.\n"))
+          .when(m11 === 2,
+            lit("the forbidden zorblax word appears here.\n"))
+          .when(m11 === 3, lit(""))
+          .otherwise(concat(
+            expr("replace(coalesce(text, ''), ' the ', '. ')"),
+            lit(".\n"))),
+        lit("the closing line ends with a word mark.")))
+      C4.clean(docs, "text2", "doc_id", badWords = Seq("zorblax"))
+        .select(col("doc_id"), col("n_lines"), col("n_lines_kept"),
+          col("n_sentences"), col("page_kept"), col("n_sent_removed"),
+          md5(col("text_clean")).as("clean_hash"))
+        .orderBy("doc_id")
+    }),
+
     // the trained LM's Zipf head: top-20 bigrams by count with their
     // add-one conditional probability — the train-surface audit view
     "llm_lm_bigrams" -> ((s, dir) => {
@@ -3958,6 +3998,77 @@ object LlmQueries {
         |    string_agg(CASE WHEN keep THEN pt END, chr(10) ORDER BY pos),
         |    '')) AS clean_hash
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // C4 mirror: synthesis replayed, then both filter grains and the
+    // span dedup — lines split/filtered/rebuilt, sentences =
+    // [^.!?]*[.!?] matches over the cleaned text, spans = lead-window
+    // triples of TRIMMED sentences keyed by string (engine: xxhash64),
+    // keeper = row_number 1 over (doc, start), removals exploded to
+    // sentence ids, survivors string_agg'd with an empty joiner
+    "llm_c4_clean" ->
+      """WITH d2 AS (SELECT doc_id,
+        |  'tiny.' || chr(10) ||
+        |  'no terminal punctuation here' || chr(10) ||
+        |  'please enable javascript to continue.' || chr(10) ||
+        |  'sentence one for group ' || CAST(doc_id % 5 AS VARCHAR) ||
+        |  '. sentence two stays here. sentence three stays here.' || chr(10) ||
+        |  CASE doc_id % 11
+        |    WHEN 0 THEN 'this page mentions lorem ipsum somewhere in passing.' || chr(10)
+        |    WHEN 1 THEN 'config block { nested } appears right here.' || chr(10)
+        |    WHEN 2 THEN 'the forbidden zorblax word appears here.' || chr(10)
+        |    WHEN 3 THEN ''
+        |    ELSE replace(coalesce(text, ''), ' the ', '. ') || '.' || chr(10)
+        |  END ||
+        |  'the closing line ends with a word mark.' AS text FROM documents),
+        |l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d2),
+        |lines AS (SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos FROM l0),
+        |lk AS (SELECT doc_id, pos, line FROM lines
+        |       WHERE regexp_matches(trim(line), '[.!?"]$')
+        |         AND len(regexp_split_to_array(trim(line), '\s+')) >= 3
+        |         AND NOT regexp_matches(lower(trim(line)), '\bjavascript\b')),
+        |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines_kept,
+        |               string_agg(line, chr(10) ORDER BY pos) AS tl
+        |        FROM lk GROUP BY doc_id),
+        |pages AS (SELECT d.doc_id,
+        |    CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+        |    coalesce(r.n_lines_kept, 0) AS n_lines_kept,
+        |    coalesce(r.tl, '') AS tl
+        |  FROM d2 d LEFT JOIN reb r ON r.doc_id = d.doc_id),
+        |pv AS (SELECT doc_id, n_lines, n_lines_kept, tl,
+        |    CAST(len(regexp_extract_all(tl, '[^.!?]*[.!?]')) AS BIGINT) AS n_sentences,
+        |    (len(regexp_extract_all(tl, '[^.!?]*[.!?]')) >= 5
+        |     AND NOT contains(lower(tl), 'lorem ipsum')
+        |     AND NOT contains(tl, '{')
+        |     AND NOT regexp_matches(lower(tl), '\b(zorblax)\b')) AS page_kept
+        |  FROM pages),
+        |sent AS (SELECT doc_id, unnest(regexp_extract_all(tl, '[^.!?]*[.!?]')) AS sent,
+        |                generate_subscripts(regexp_extract_all(tl, '[^.!?]*[.!?]'), 1) - 1 AS sid
+        |         FROM pv WHERE page_kept),
+        |spans AS (SELECT doc_id, sid AS start,
+        |    trim(sent) || chr(1) || trim(lead(sent, 1) OVER w) || chr(1) || trim(lead(sent, 2) OVER w) AS k,
+        |    lead(sent, 2) OVER w AS s2
+        |  FROM sent WINDOW w AS (PARTITION BY doc_id ORDER BY sid)),
+        |occ AS (SELECT doc_id, start, k FROM spans WHERE s2 IS NOT NULL),
+        |mark AS (SELECT doc_id, start,
+        |    row_number() OVER (PARTITION BY k ORDER BY doc_id, start) AS rn,
+        |    count(*) OVER (PARTITION BY k) AS cnt
+        |  FROM occ),
+        |rem AS (SELECT DISTINCT doc_id, start + g.x AS sid
+        |        FROM mark, (SELECT unnest([0, 1, 2]) AS x) g
+        |        WHERE cnt > 1 AND rn > 1),
+        |keptS AS (SELECT s.doc_id, s.sid, s.sent FROM sent s
+        |          LEFT JOIN rem r ON r.doc_id = s.doc_id AND r.sid = s.sid
+        |          WHERE r.doc_id IS NULL),
+        |rebS AS (SELECT doc_id, string_agg(sent, '' ORDER BY sid) AS text_clean
+        |         FROM keptS GROUP BY doc_id),
+        |nrem AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sent_removed
+        |         FROM rem GROUP BY doc_id)
+        |SELECT p.doc_id, p.n_lines, p.n_lines_kept, p.n_sentences, p.page_kept,
+        |  coalesce(n.n_sent_removed, 0) AS n_sent_removed,
+        |  md5(CASE WHEN p.page_kept THEN coalesce(r.text_clean, '') ELSE '' END) AS clean_hash
+        |FROM pv p LEFT JOIN nrem n ON n.doc_id = p.doc_id
+        |LEFT JOIN rebS r ON r.doc_id = p.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
 
     // LM head mirror: same model CTEs, top-20 by (count desc, w1, w2)
     // — a unique total order, so the LIMIT is deterministic

@@ -1387,6 +1387,120 @@ class LlmSpec extends SparkSpec {
     assert(amb2.getLong(0) == h2.getLong(0))
   }
 
+  test("C4 line filters: terminal punct, word floor, javascript; order") {
+    import spark.implicits._
+    val page = Seq(
+      "First kept line stays intact.",      // kept
+      "short.",                             // < 3 words
+      "no terminal punctuation at all",     // no terminator
+      "Please enable JavaScript to view.",  // javascript (case-folded)
+      "he said \"quoted line stays\"",      // ends in quote → kept
+      "Last kept line questions things?"    // kept
+    ).mkString("\n")
+    val got = C4.cleanLines(
+        Seq((1L, page), (2L, null.asInstanceOf[String])).toDF("doc_id", "t"),
+        "t", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Long]("n_lines") == 6L)
+    assert(got(0).getAs[Long]("n_lines_kept") == 3L)
+    assert(got(0).getAs[String]("text_lines") ==
+      Seq("First kept line stays intact.", "he said \"quoted line stays\"",
+        "Last kept line questions things?").mkString("\n"))
+    // null page ≡ empty: its single empty line fails every filter
+    assert(got(1).getAs[Long]("n_lines") == 1L &&
+      got(1).getAs[Long]("n_lines_kept") == 0L &&
+      got(1).getAs[String]("text_lines") == "")
+  }
+
+  test("C4 page filters: sentence floor inclusive, lorem/brace/badword") {
+    import spark.implicits._
+    val five = "One two three. Four five six. Seven eight nine. " +
+      "Ten eleven twelve. Thirteen fourteen fifteen."
+    val cases = Seq(
+      (0L, five, true),                           // exactly 5 → kept
+      (1L, five.stripSuffix(" Thirteen fourteen fifteen."), false), // 4
+      (2L, five + " Plus some Lorem Ipsum filler.", false),
+      (3L, five + " A brace { here.", false),
+      (4L, five + " The zorblax word.", false),
+      (5L, five + " Zorblaxian is a different word.", true)) // \b pins
+    val got = C4.pageVerdict(
+        cases.map(c => (c._1, c._2)).toDF("doc_id", "t"),
+        "t", "doc_id", badWords = Seq("zorblax"))
+      .orderBy("doc_id").collect()
+    cases.foreach { case (id, _, exp) =>
+      assert(got(id.toInt).getAs[Boolean]("page_kept") == exp,
+        s"doc $id expected page_kept=$exp")
+    }
+    assert(got(0).getAs[Long]("n_sentences") == 5L)
+    // bad words must be plain lowercase tokens (they enter a regex)
+    intercept[IllegalArgumentException] {
+      C4.pageVerdict(cases.map(c => (c._1, c._2)).toDF("doc_id", "t"),
+        "t", "doc_id", badWords = Seq("a|b"))
+    }
+  }
+
+  test("C4 span dedup: first occurrence wins, overlap union, identity") {
+    import spark.implicits._
+    val shared = "Alpha beta gamma. Delta epsilon zeta. Eta theta iota."
+    val d = Seq(
+      (1L, s"Unique lead in here. $shared Unique tail for one."),
+      (2L, s"$shared Unique tail for two."),
+      (3L, "Totally unrelated page. With its own sentences. " +
+        "Nothing shared at all. Second unique span here. Final one."),
+      (4L, "Tiny. Page.")) // < 3 sentences → no spans, identity
+    val got = C4.dedupSpans(d.toDF("doc_id", "t"), "t", "doc_id")
+      .orderBy("doc_id").collect()
+    // doc 1 owns the keeper occurrence (min doc_id): untouched, and its
+    // reassembly is byte-identical to its sentence concatenation
+    assert(got(0).getAs[Long]("n_sent_removed") == 0L)
+    assert(got(0).getAs[String]("text_clean") ==
+      s"Unique lead in here. $shared Unique tail for one.")
+    // doc 2 loses exactly the three shared sentences; survivors keep
+    // their raw (space-prefixed) bytes
+    assert(got(1).getAs[Long]("n_sent_removed") == 3L)
+    assert(got(1).getAs[String]("text_clean") == " Unique tail for two.")
+    // untouched pages: full identity
+    assert(got(2).getAs[Long]("n_sent_removed") == 0L)
+    assert(got(2).getAs[String]("text_clean") == d(2)._2)
+    assert(got(3).getAs[Long]("n_sent_removed") == 0L)
+    assert(got(3).getAs[String]("text_clean") == "Tiny. Page.")
+    // overlapping duplicated spans remove the UNION of their sentences:
+    // doc 6 repeats doc 5's four consecutive sentences → spans (0,1,2)
+    // and (1,2,3) both dup → sids 0..3 all removed
+    val four = "S one alpha. S two beta. S three gamma. S four delta."
+    val o = C4.dedupSpans(Seq((5L, four + " Tail five."),
+        (6L, four + " Other ending six.")).toDF("doc_id", "t"),
+      "t", "doc_id").orderBy("doc_id").collect()
+    assert(o(0).getAs[Long]("n_sent_removed") == 0L)
+    assert(o(1).getAs[Long]("n_sent_removed") == 4L)
+    assert(o(1).getAs[String]("text_clean") == " Other ending six.")
+  }
+
+  test("C4 clean: composition; repartition-invariant") {
+    import spark.implicits._
+    val body = "One two three. Four five six. Seven eight nine. " +
+      "Ten eleven twelve. Thirteen fourteen fifteen."
+    val d = Seq(
+      (1L, s"skip me\n$body"),
+      (2L, s"$body\nAnd the lorem ipsum trap."),
+      (3L, body)).toDF("doc_id", "t")
+    val got = C4.clean(d, "t", "doc_id").orderBy("doc_id").collect()
+    assert(got(0).getAs[Boolean]("page_kept") &&
+      got(0).getAs[Long]("n_lines_kept") == 1L)
+    assert(!got(1).getAs[Boolean]("page_kept") &&
+      got(1).getAs[String]("text_clean") == "")
+    assert(got(2).getAs[Boolean]("page_kept"))
+    // docs 1 and 3 share all five sentences (the line filter strips
+    // doc 1's "skip me"): doc 1 keeps, doc 3 empties
+    assert(got(0).getAs[Long]("n_sent_removed") == 0L &&
+      got(0).getAs[String]("text_clean") == body)
+    assert(got(2).getAs[Long]("n_sent_removed") == 5L &&
+      got(2).getAs[String]("text_clean") == "")
+    val again = C4.clean(d.repartition(7), "t", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(got.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("gopher metrics: stopword / symbol / top-token ratios") {
     // doc 0: "the quick brown fox jumps over the lazy dog" — 9 tokens,
     // stopword occurrences = "the"×2, no symbols, mode token "the"×2
