@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
 
 /** BM25 relevance scoring of a corpus against a query term set — the
   * classic retrieval ranking (Robertson/Spärck Jones), used in
@@ -64,5 +65,99 @@ object Rank {
         (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * dl / lit(avgdl)))
     }.reduce(_ + _)
     base.select(col(idCol), score.as("bm25"))
+  }
+
+  /** Postings-table inverted index over whitespace terms:
+    * `(term, doc_id, dl, tf)` — one row per distinct (term, document)
+    * pair with its term frequency and the document's token length.
+    * This is the index [[bm25]] deliberately skips (score-everything
+    * wants the corpus scan); it pays off the moment MANY queries hit
+    * the same corpus — [[retrieveTopK]] scans the corpus once per
+    * INDEX BUILD, not once per query.
+    *
+    * Scale shape: one token explode (map-only) + ONE (term, doc)
+    * aggregate with map-side combine. The result is term-partitioned
+    * by the aggregate's own exchange — exactly the layout the
+    * query-side term join wants. */
+  def invertedIndex(
+      df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"),
+        TextAnalysis.tokenCount(col(textCol)).as("dl"))
+      .select(col("doc_id"), col("dl"),
+        explode(col("__toks")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Batch BM25 retrieval: top-k documents per query, any number of
+    * queries at once, through the [[invertedIndex]] postings
+    * formulation. `queries` is `(queryIdCol: long, termsCol:
+    * array<string>)`; duplicate terms within one query are the
+    * caller's bug (they would double-count).
+    *
+    * Only documents containing at least one query term are candidates
+    * (a no-hit query returns no rows). Scores are the same Okapi
+    * formula as [[bm25]]; per-document contributions fold in QUERY
+    * TERM ORDER (array_sort on the term position before the fold), so
+    * the double sum is reproducible across partitionings and engines.
+    * Ranking order is (score DESC, doc_id ASC) — a total order.
+    *
+    * Scale shape (100 TB corpus, thousands of queries): two corpus
+    * passes regardless of query count — the 2-number stats aggregate
+    * and the index build, whose query-relevant slice is CHECKPOINTED
+    * fact-sized so document frequencies and scoring both reuse it
+    * (a real deployment persists [[invertedIndex]] once and skips the
+    * build entirely). Query terms BROADCAST against the postings, so
+    * matching is map-side; the per-(query, doc) fold is one
+    * fact-sized shuffle; the final top-k is the k-bounded
+    * map-side-combined [[graft.functions.TopKByScore]] — nothing is
+    * ever globally sorted. */
+  def retrieveTopK(
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      termsCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k > 0, "k must be positive")
+    val post = invertedIndex(corpus, textCol, idCol)
+    // corpus stats: two numbers to the driver, never the data
+    val st = corpus.agg(count(lit(1)).as("__n"),
+      sum(coalesce(TextAnalysis.tokenCount(col(textCol)), lit(0L)))
+        .as("__sumdl")).head()
+    val n = st.getLong(0)
+    require(n > 0, "empty corpus")
+    val avgdl = st.getLong(1).toDouble / n
+    val qt = queries.select(col(queryIdCol).as("query_id"),
+      posexplode(col(termsCol)).as(Seq("qpos", "term")))
+    val hits = post.join(broadcast(qt.select("term").distinct()),
+      Seq("term")).localCheckpoint()
+    val dfreq = hits.groupBy("term")
+      .agg(count(lit(1)).as("dfreq"))
+    val tf = col("tf").cast("double")
+    val dl = col("dl").cast("double")
+    val idf = log((lit(n.toDouble) - col("dfreq").cast("double") + 0.5) /
+      (col("dfreq").cast("double") + 0.5) + 1.0)
+    val contrib: Column = idf * tf * lit(k1 + 1.0) /
+      (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * dl / lit(avgdl)))
+    hits.join(broadcast(qt), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .select(col("query_id"), col("doc_id"),
+        struct(col("qpos"), contrib.as("c")).as("__pc"))
+      .groupBy("query_id", "doc_id")
+      .agg(collect_list(col("__pc")).as("__pcs"))
+      .select(col("query_id"), col("doc_id"),
+        aggregate(array_sort(col("__pcs")), lit(0.0),
+          (acc, x) => acc + x.getField("c")).as("score"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScore(col("score"), col("doc_id"), k)
+        .as("__top"))
+      .select(col("query_id"), posexplode(col("__top")))
+      .select(col("query_id"), col("pos").as("rank"),
+        col("col.id").as("doc_id"), col("col.score").as("score"))
   }
 }

@@ -2363,6 +2363,24 @@ object LlmQueries {
         .withColumn("bm25", round(col("bm25"), 6))
         .orderBy("doc_id")),
 
+    // batch BM25 retrieval through the inverted-index formulation
+    // (r13): three queries at once — two real, one with no corpus hits
+    // (must return zero rows) — top-5 docs each under (score DESC,
+    // doc_id ASC). Contributions fold in query-term order so the
+    // double sums are bit-reproducible; the oracle replays the Okapi
+    // formula per query with the same left-to-right association and
+    // ranks with the row_number window
+    "llm_retrieval_topk" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((0L, Seq("key", "dup")),
+        (1L, Seq("batch", "window", "merge")),
+        (2L, Seq("zzznothing"))).toDF("query_id", "terms")
+      Rank.retrieveTopK(t(s, dir, "documents"), "text", "doc_id",
+          qs, "query_id", "terms", k = 5)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
     // JL random projection 64→16 dims (exploded to (vec_id, j, y) rows
     // for the value compare); outDim=16 makes the 1/√outDim scale an
     // exact 0.25 so both engines multiply the same double
@@ -4629,6 +4647,44 @@ object LlmQueries {
         |  + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * tf1 * (1.2 + 1.0) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
         |  + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * tf2 * (1.2 + 1.0) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6) AS bm25
         |FROM tf, st ORDER BY doc_id""".stripMargin,
+
+    // batch-retrieval mirror: per-query explicit Okapi sums in term
+    // order (left-assoc, zero contributions are exact no-ops), docs
+    // with no query-term hit excluded, row_number top-5 under
+    // (score DESC, doc_id)
+    "llm_retrieval_topk" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ntok FROM documents),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(ntok) AS DOUBLE) / count(*) AS avgdl,
+        |    CAST(sum(CASE WHEN list_contains(toks, 'key') THEN 1 ELSE 0 END) AS BIGINT) AS dfa,
+        |    CAST(sum(CASE WHEN list_contains(toks, 'dup') THEN 1 ELSE 0 END) AS BIGINT) AS dfb,
+        |    CAST(sum(CASE WHEN list_contains(toks, 'batch') THEN 1 ELSE 0 END) AS BIGINT) AS dfc,
+        |    CAST(sum(CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END) AS BIGINT) AS dfd,
+        |    CAST(sum(CASE WHEN list_contains(toks, 'merge') THEN 1 ELSE 0 END) AS BIGINT) AS dfe
+        |  FROM d),
+        |tf AS (SELECT doc_id, CAST(ntok AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(toks, x -> x = 'key')) AS DOUBLE) AS tfa,
+        |    CAST(len(list_filter(toks, x -> x = 'dup')) AS DOUBLE) AS tfb,
+        |    CAST(len(list_filter(toks, x -> x = 'batch')) AS DOUBLE) AS tfc,
+        |    CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) AS tfd,
+        |    CAST(len(list_filter(toks, x -> x = 'merge')) AS DOUBLE) AS tfe
+        |  FROM d),
+        |s0 AS (SELECT CAST(0 AS BIGINT) AS query_id, doc_id,
+        |    ln((n - dfa + 0.5) / (dfa + 0.5) + 1.0) * tfa * (1.2 + 1.0) / (tfa + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |  + ln((n - dfb + 0.5) / (dfb + 0.5) + 1.0) * tfb * (1.2 + 1.0) / (tfb + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS score,
+        |    tfa + tfb AS th FROM tf, st),
+        |s1 AS (SELECT CAST(1 AS BIGINT) AS query_id, doc_id,
+        |    ln((n - dfc + 0.5) / (dfc + 0.5) + 1.0) * tfc * (1.2 + 1.0) / (tfc + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |  + ln((n - dfd + 0.5) / (dfd + 0.5) + 1.0) * tfd * (1.2 + 1.0) / (tfd + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |  + ln((n - dfe + 0.5) / (dfe + 0.5) + 1.0) * tfe * (1.2 + 1.0) / (tfe + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS score,
+        |    tfc + tfd + tfe AS th FROM tf, st),
+        |u AS (SELECT query_id, doc_id, score FROM s0 WHERE th > 0
+        |      UNION ALL SELECT query_id, doc_id, score FROM s1 WHERE th > 0),
+        |r AS (SELECT query_id, doc_id, score,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn FROM u)
+        |SELECT query_id, CAST(rn - 1 AS INTEGER) AS "rank", doc_id, round(score, 6) AS score
+        |FROM r WHERE rn <= 5 ORDER BY query_id, "rank"""".stripMargin,
 
     // JL mirror: the inlined deterministic plane matrix (the
     // llm_emb_neardup pattern at 16×64), per-(vector, row) dots

@@ -363,6 +363,29 @@ object ScaleStress {
         time(s"lm shuffle x$mult")(
           force(graft.llm.LanguageModel.bigramPerplexity(
             d, "text", "doc_id", broadcastModel = false)))
+        // C4 clean (r13): line/page grains are map-only; span dedup is
+        // one span-key shuffle + a fact-sized removal join. Replication
+        // is the WORST case: every prose span becomes a corpus-wide
+        // duplicate, so non-keeper replicas remove nearly all their
+        // sentences — expect linear with a replica-heavy constant
+        time(s"c4 clean x$mult") {
+          val structured = d.select(col("doc_id"), concat(
+            lit("header line without terminal marker\n"),
+            expr("replace(coalesce(text, ''), ' the ', '. ')"),
+            lit(".\n"),
+            lit("the closing line ends with a word mark.")).as("text2"))
+          force(graft.llm.C4.clean(structured, "text2", "doc_id"))
+        }
+        // inverted-index batch retrieval (r13): index build = token
+        // explode + (term,doc) aggregate; 8 queries ride the same
+        // fact-sized fold shuffle — expect linear in corpus tokens and
+        // ~flat in query count
+        time(s"retrieval topk x$mult") {
+          val qs = spark.range(0, 8).select(col("id").as("query_id"),
+            array(lit("key"), lit("batch"), lit("window")).as("terms"))
+          force(graft.llm.Rank.retrieveTopK(d, "text", "doc_id",
+            qs, "query_id", "terms", k = 10))
+        }
         spark.catalog.clearCache()
       }
       // round-6 operators promoted to the second decade (VERDICT r06

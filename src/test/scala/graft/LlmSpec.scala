@@ -1387,6 +1387,46 @@ class LlmSpec extends SparkSpec {
     assert(amb2.getLong(0) == h2.getLong(0))
   }
 
+  test("retrieveTopK: inverted-index BM25 == corpus-scan bm25; batch") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "alpha beta beta gamma"),
+      (11L, "alpha alpha delta"),
+      (12L, "beta gamma gamma gamma delta"),
+      (13L, "epsilon zeta"),
+      (14L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    // the index formulation must reproduce the corpus-scan scorer
+    // bit-for-bit (same formula, same fold order) on the hit set
+    val terms = Seq("alpha", "gamma", "zeta")
+    val q = Seq((7L, terms)).toDF("query_id", "terms")
+    val got = Rank.retrieveTopK(corpus, "text", "doc_id",
+        q, "query_id", "terms", k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(2), r.getDouble(3)))
+    val ref = Rank.bm25(corpus, "text", "doc_id", terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .filter(_._2 != 0.0)
+      .sortBy { case (id, s) => (-s, id) }
+    assert(got.toSeq == ref.toSeq)
+    // doc 14 (null text) and doc 11..? — every returned doc contains a
+    // query term; docs with none (and null text) are absent
+    assert(got.map(_._1).toSet == Set(10L, 11L, 12L, 13L))
+    // batch: per-query independence, k bound, no-hit query empty
+    val qs = Seq((0L, Seq("alpha")), (1L, Seq("delta", "beta")),
+      (2L, Seq("nothinghere"))).toDF("query_id", "terms")
+    val batch = Rank.retrieveTopK(corpus, "text", "doc_id",
+        qs, "query_id", "terms", k = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(batch.count(_._1 == 0L) == 1 && batch.count(_._1 == 1L) == 1)
+    assert(!batch.exists(_._1 == 2L))
+    assert(batch.forall(_._2 == 0))
+    // single-query result is stable under input repartitioning
+    val again = Rank.retrieveTopK(corpus.repartition(5), "text", "doc_id",
+        q, "query_id", "terms", k = 10)
+      .orderBy("rank").collect().map(r => (r.getLong(2), r.getDouble(3)))
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("C4 line filters: terminal punct, word floor, javascript; order") {
     import spark.implicits._
     val page = Seq(
