@@ -107,6 +107,11 @@ object GraftFunctions {
     BpeDecode(exprs.head, graft.llm.Bpe.defaultMerges)
   }
 
+  private def gopherRepBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "gopher_repetition(text)")
+    GopherRepetition(exprs.head)
+  }
+
   private def htmlToTextBuilder(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 1, "html_to_text(html)")
     HtmlToText(exprs.head)
@@ -184,6 +189,8 @@ object GraftFunctions {
       : Expression = bpeBuilder(exprs)
   private[functions] def bpeDecodeBuilderPublic(exprs: Seq[Expression])
       : Expression = bpeDecodeBuilder(exprs)
+  private[functions] def gopherRepBuilderPublic(exprs: Seq[Expression])
+      : Expression = gopherRepBuilder(exprs)
   private[functions] def htmlToTextBuilderPublic(exprs: Seq[Expression])
       : Expression = htmlToTextBuilder(exprs)
   private[functions] def htmlLinksBuilderPublic(exprs: Seq[Expression])
@@ -214,6 +221,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("topk_by", topkByBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("bpe_encode", bpeBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("bpe_decode", bpeDecodeBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("gopher_repetition", gopherRepBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("html_to_text", htmlToTextBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("html_links", htmlLinksBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("html_anchors", htmlAnchorsBuilder, "scala_udf")
@@ -286,6 +294,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bpe_decode"),
       new ExpressionInfo(classOf[BpeDecode].getName, "bpe_decode"),
       GraftFunctions.bpeDecodeBuilderPublic _))
+    ext.injectFunction((
+      FunctionIdentifier("gopher_repetition"),
+      new ExpressionInfo(classOf[GopherRepetition].getName,
+        "gopher_repetition"),
+      GraftFunctions.gopherRepBuilderPublic _))
     ext.injectFunction((
       FunctionIdentifier("html_to_text"),
       new ExpressionInfo(classOf[HtmlToText].getName, "html_to_text"),

@@ -668,6 +668,42 @@ object LlmQueries {
           col("top_token_ratio"))
         .orderBy("doc_id")),
 
+    // the FULL Gopher repetition rule set (r13, Rae et al. 2021 A1.1):
+    // duplicate line/paragraph fractions (unit + char mass), top
+    // 2/3/4-gram char fraction, duplicated 5..10-gram char COVERAGE
+    // (position union, never a per-occurrence sum), plus the Table A1
+    // verdict. The corpus is single-line, so the query synthesizes
+    // line/paragraph/repetition structure CONDITIONALLY so the verdict
+    // discriminates: a duplicate line only for doc_id%4, a duplicate
+    // paragraph pair only for doc_id%5 (others get id-unique paras), a
+    // period-8 phrase repeat for doc_id%7 (hits n=5..8 coverage), a
+    // period-10 repeat for doc_id%13 (hits n=9..10) — clean docs pass,
+    // each trap class fails through its own rule. All 13 metrics are
+    // exact integer divisions — no rounding anywhere
+    "llm_gopher_repetition" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("text3", concat(
+        coalesce(col("text"), lit("")), lit("\n"),
+        lit("boiler line alpha one\n"),
+        lit("boiler line beta two"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          lit("\nboiler line alpha one")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          lit("\n\nshared paragraph block\n\nshared paragraph block"))
+          .otherwise(concat(
+            lit("\n\npara block "), col("doc_id").cast("string"),
+            lit("\n\nsecond para "), col("doc_id").cast("string"))),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit(
+          "\nfive gram repeat alpha beta gamma delta epsilon " +
+            "five gram repeat alpha beta gamma delta epsilon"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(13)) === 0, lit(
+          "\nlong repeat u1 u2 u3 u4 u5 u6 u7 u8 " +
+            "long repeat u1 u2 u3 u4 u5 u6 u7 u8"))
+          .otherwise(lit(""))))
+      Repetition.gopherRepetitionVerdict(docs, "text3", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // benchmark decontamination: per-corpus-doc count of distinct
     // 3-gram shingles shared with the src0 "benchmark" slice —
     // broadcast long-hash join, corpus scanned once (train-test
@@ -4379,6 +4415,87 @@ object LlmQueries {
         |FROM tok0 t JOIN mx ON mx.doc_id = t.doc_id
         |ORDER BY t.doc_id""".stripMargin
     },
+    // Gopher repetition mirror: synthesis replayed, then each metric
+    // family — line/para dup fractions over non-blank units, top-gram
+    // argmax per (doc, n) with the (count DESC, gram) tie order, and
+    // the position-UNION coverage of duplicated 5..10-grams joined to
+    // token lengths. Every fraction is an exact integer division
+    "llm_gopher_repetition" ->
+      """WITH syn AS (SELECT doc_id,
+        |  coalesce(text, '') || chr(10) ||
+        |  'boiler line alpha one' || chr(10) ||
+        |  'boiler line beta two' ||
+        |  CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'boiler line alpha one' ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0 THEN chr(10) || chr(10) || 'shared paragraph block' || chr(10) || chr(10) || 'shared paragraph block'
+        |       ELSE chr(10) || chr(10) || 'para block ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) || 'second para ' || CAST(doc_id AS VARCHAR) END ||
+        |  CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'five gram repeat alpha beta gamma delta epsilon five gram repeat alpha beta gamma delta epsilon' ELSE '' END ||
+        |  CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'long repeat u1 u2 u3 u4 u5 u6 u7 u8 long repeat u1 u2 u3 u4 u5 u6 u7 u8' ELSE '' END
+        |  AS t FROM documents),
+        |lf AS (SELECT doc_id, u, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(string_split(t, chr(10))) AS u FROM syn)
+        |       WHERE length(trim(u)) > 0 GROUP BY doc_id, u),
+        |lm AS (SELECT doc_id, CAST(sum(c - 1) AS DOUBLE) / sum(c) AS lfr,
+        |         CASE WHEN sum(c * length(u)) > 0 THEN CAST(sum((c - 1) * length(u)) AS DOUBLE) / sum(c * length(u)) ELSE 0.0 END AS lcf
+        |       FROM lf GROUP BY doc_id),
+        |pf AS (SELECT doc_id, u, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(string_split(t, chr(10) || chr(10))) AS u FROM syn)
+        |       WHERE length(trim(u)) > 0 GROUP BY doc_id, u),
+        |pm AS (SELECT doc_id, CAST(sum(c - 1) AS DOUBLE) / sum(c) AS pfr,
+        |         CASE WHEN sum(c * length(u)) > 0 THEN CAST(sum((c - 1) * length(u)) AS DOUBLE) / sum(c * length(u)) ELSE 0.0 END AS pcf
+        |       FROM pf GROUP BY doc_id),
+        |tk AS (SELECT doc_id, regexp_split_to_array(trim(t), '\s+') AS toks, length(t) AS tl FROM syn),
+        |tg AS (SELECT q.doc_id, q.n, q.tl, array_to_string(q.toks[q.p : q.p + q.n - 1], ' ') AS g
+        |       FROM (SELECT doc_id, toks, tl, n, unnest(generate_series(1, len(toks) - n + 1)) AS p
+        |             FROM tk, (SELECT unnest([2, 3, 4]) AS n) WHERE len(toks) >= n) q),
+        |tgc AS (SELECT doc_id, n, tl, g, count(*) AS c FROM tg GROUP BY doc_id, n, tl, g),
+        |tgr AS (SELECT doc_id, n,
+        |         CASE WHEN tl > 0 THEN CAST(c * length(g) AS DOUBLE) / tl ELSE 0.0 END AS f,
+        |         row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, g) AS rn FROM tgc),
+        |tgm AS (SELECT doc_id,
+        |         max(CASE WHEN n = 2 THEN f END) AS t2,
+        |         max(CASE WHEN n = 3 THEN f END) AS t3,
+        |         max(CASE WHEN n = 4 THEN f END) AS t4
+        |       FROM tgr WHERE rn = 1 GROUP BY doc_id),
+        |tok2 AS (SELECT doc_id, p, length(w) AS wl
+        |       FROM (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS p FROM tk)
+        |       WHERE w <> ''),
+        |tot AS (SELECT doc_id, sum(wl) AS tc FROM tok2 GROUP BY doc_id),
+        |cg AS (SELECT q.doc_id, q.n, q.p, array_to_string(q.toks[q.p : q.p + q.n - 1], ' ') AS g
+        |       FROM (SELECT doc_id, toks, n, unnest(generate_series(1, len(toks) - n + 1)) AS p
+        |             FROM tk, (SELECT unnest([5, 6, 7, 8, 9, 10]) AS n) WHERE len(toks) >= n) q),
+        |cgc AS (SELECT doc_id, n, p, count(*) OVER (PARTITION BY doc_id, n, g) AS c FROM cg),
+        |cov AS (SELECT DISTINCT doc_id, n, cp
+        |       FROM (SELECT doc_id, n, unnest(generate_series(p, p + n - 1)) AS cp FROM cgc WHERE c >= 2)),
+        |covm AS (SELECT c2.doc_id, c2.n, CAST(sum(t2.wl) AS DOUBLE) / any_value(tt.tc) AS f
+        |       FROM cov c2 JOIN tok2 t2 ON t2.doc_id = c2.doc_id AND t2.p = c2.cp
+        |       JOIN tot tt ON tt.doc_id = c2.doc_id GROUP BY c2.doc_id, c2.n),
+        |cvm AS (SELECT doc_id,
+        |         max(CASE WHEN n = 5 THEN f END) AS d5, max(CASE WHEN n = 6 THEN f END) AS d6,
+        |         max(CASE WHEN n = 7 THEN f END) AS d7, max(CASE WHEN n = 8 THEN f END) AS d8,
+        |         max(CASE WHEN n = 9 THEN f END) AS d9, max(CASE WHEN n = 10 THEN f END) AS d10
+        |       FROM covm GROUP BY doc_id)
+        |SELECT s.doc_id,
+        |  coalesce(lm.lfr, 0.0) AS dup_line_frac, coalesce(pm.pfr, 0.0) AS dup_para_frac,
+        |  coalesce(lm.lcf, 0.0) AS dup_line_char_frac, coalesce(pm.pcf, 0.0) AS dup_para_char_frac,
+        |  coalesce(tgm.t2, 0.0) AS top_2gram_char_frac, coalesce(tgm.t3, 0.0) AS top_3gram_char_frac,
+        |  coalesce(tgm.t4, 0.0) AS top_4gram_char_frac,
+        |  coalesce(cvm.d5, 0.0) AS dup_5gram_char_frac, coalesce(cvm.d6, 0.0) AS dup_6gram_char_frac,
+        |  coalesce(cvm.d7, 0.0) AS dup_7gram_char_frac, coalesce(cvm.d8, 0.0) AS dup_8gram_char_frac,
+        |  coalesce(cvm.d9, 0.0) AS dup_9gram_char_frac, coalesce(cvm.d10, 0.0) AS dup_10gram_char_frac,
+        |  (coalesce(lm.lfr, 0.0) <= 0.30 AND coalesce(pm.pfr, 0.0) <= 0.30
+        |   AND coalesce(lm.lcf, 0.0) <= 0.20 AND coalesce(pm.pcf, 0.0) <= 0.20
+        |   AND coalesce(tgm.t2, 0.0) <= 0.20 AND coalesce(tgm.t3, 0.0) <= 0.18
+        |   AND coalesce(tgm.t4, 0.0) <= 0.16
+        |   AND coalesce(cvm.d5, 0.0) <= 0.15 AND coalesce(cvm.d6, 0.0) <= 0.14
+        |   AND coalesce(cvm.d7, 0.0) <= 0.13 AND coalesce(cvm.d8, 0.0) <= 0.12
+        |   AND coalesce(cvm.d9, 0.0) <= 0.11 AND coalesce(cvm.d10, 0.0) <= 0.10) AS passes
+        |FROM syn s
+        |LEFT JOIN lm ON lm.doc_id = s.doc_id
+        |LEFT JOIN pm ON pm.doc_id = s.doc_id
+        |LEFT JOIN tgm ON tgm.doc_id = s.doc_id
+        |LEFT JOIN cvm ON cvm.doc_id = s.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
+
     // decontamination mirror: distinct shingles per doc (the same
     // 3-gram + shorter-doc-collapse definition), benchmark = src0's
     // distinct shingle set, inner join + per-doc count

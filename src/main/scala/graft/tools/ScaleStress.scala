@@ -386,6 +386,17 @@ object ScaleStress {
           force(graft.llm.Rank.retrieveTopK(d, "text", "doc_id",
             qs, "query_id", "terms", k = 10))
         }
+        // Gopher repetition rule set (r13): 9 tagged gram explodes +
+        // doc-keyed windows/aggregates — all per-document work, so
+        // expect linear in corpus tokens with explode-volume constants
+        time(s"gopher repetition x$mult") {
+          val structured = d.select(col("doc_id"), concat(
+            regexp_replace(col("text"), " the ", "\n"),
+            lit("\nboiler line alpha one\nboiler line alpha one"))
+            .as("text3"))
+          force(graft.llm.Repetition.gopherRepetitionVerdict(
+            structured, "text3", "doc_id"))
+        }
         spark.catalog.clearCache()
       }
       // round-6 operators promoted to the second decade (VERDICT r06

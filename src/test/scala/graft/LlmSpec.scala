@@ -1387,6 +1387,66 @@ class LlmSpec extends SparkSpec {
     assert(amb2.getLong(0) == h2.getLong(0))
   }
 
+  test("Gopher repetition: unit fractions, top-gram, coverage union") {
+    import spark.implicits._
+    // doc 1: "alpha one." twice among 3 lines → dup_line 1/3, chars
+    // 10 of 29; one paragraph → para metrics 0; top 2-gram
+    // "alpha one." ×2, len 10 over tl=31
+    val d1 = "alpha one.\nalpha one.\nbeta two."
+    // doc 2: 10 tokens of len 2, period-5 repetition → the dup 5-gram
+    // COVERS every token (union, not a per-occurrence sum — fraction
+    // exactly 1.0, never more); 6-grams all distinct → 0
+    val d2 = "x1 x2 x3 x4 x5 x1 x2 x3 x4 x5"
+    val m = Repetition.repetitionMetrics(
+        Seq((1L, d1), (2L, d2), (3L, null.asInstanceOf[String]))
+          .toDF("doc_id", "t"), "t", "doc_id")
+      .orderBy("doc_id").collect()
+    def g(r: org.apache.spark.sql.Row, c: String) = r.getAs[Double](c)
+    assert(math.abs(g(m(0), "dup_line_frac") - 1.0 / 3) < 1e-12)
+    assert(math.abs(g(m(0), "dup_line_char_frac") - 10.0 / 29) < 1e-12)
+    assert(g(m(0), "dup_para_frac") == 0.0)
+    assert(math.abs(g(m(0), "top_2gram_char_frac") - 20.0 / 31) < 1e-12)
+    assert(g(m(0), "dup_5gram_char_frac") == 0.0)
+    assert(g(m(1), "dup_5gram_char_frac") == 1.0)
+    assert(g(m(1), "dup_6gram_char_frac") == 0.0)
+    assert(g(m(1), "dup_line_frac") == 0.0)
+    // null text → every metric 0
+    assert(Repetition.GopherThresholds.forall { case (c, _) =>
+      g(m(2), c) == 0.0 })
+    // paragraphs: 2 identical blocks of 3 → dup_para_frac 1/2
+    val p = Repetition.repetitionMetrics(
+        Seq((1L, "para block one\n\npara block one")).toDF("doc_id", "t"),
+        "t", "doc_id").head()
+    assert(math.abs(p.getAs[Double]("dup_para_frac") - 0.5) < 1e-12)
+    assert(math.abs(p.getAs[Double]("dup_para_char_frac") - 0.5) < 1e-12)
+    // verdict: d2 trips the 5-gram rule, clean long prose passes
+    val v = Repetition.gopherRepetitionVerdict(
+        Seq((1L, d2),
+          (2L, "every single word appearing inside this rather long " +
+            "document remains completely distinct from all neighbours " +
+            "so no repetition rule can possibly trip anywhere today."))
+          .toDF("doc_id", "t"), "t", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(!v(0).getAs[Boolean]("passes"))
+    assert(v(1).getAs[Boolean]("passes"))
+    // repartition-invariant
+    val big = Seq.tabulate(40)(i => (i.toLong, if (i % 3 == 0) d1 else d2))
+    val a = Repetition.repetitionMetrics(
+      big.toDF("doc_id", "t"), "t", "doc_id")
+      .orderBy("doc_id").collect().map(_.toString)
+    val b = Repetition.repetitionMetrics(
+      big.toDF("doc_id", "t").repartition(7), "t", "doc_id")
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(a.toSeq == b.toSeq)
+    // SQL surface: the kernel struct is addressable field-by-field
+    graft.functions.GraftFunctions.register(spark)
+    Seq((1L, d2)).toDF("doc_id", "t").createOrReplaceTempView("gr_t")
+    val sq = spark.sql(
+      "SELECT gopher_repetition(t).dup_5gram_char_frac AS f FROM gr_t")
+      .head()
+    assert(sq.getDouble(0) == 1.0)
+  }
+
   test("retrieveTopK: inverted-index BM25 == corpus-scan bm25; batch") {
     import spark.implicits._
     val corpus = Seq(
