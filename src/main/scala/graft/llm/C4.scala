@@ -51,33 +51,30 @@ object C4 {
   /** Line-grain C4 filters. Returns one row per input document:
     * (idCol, n_lines, n_lines_kept, text_lines) where `text_lines` is
     * the kept lines re-joined with `\n` in original order (empty when
-    * nothing survives). Null text ≡ empty page. */
+    * nothing survives). Null text ≡ empty page.
+    *
+    * Implemented as PURE array functions over each row's own line
+    * array (`filter` over `split` — order is positional, no sort
+    * needed), so the stage is map-only: zero shuffle in batch, and the
+    * identical plan runs UNCHANGED on an unbounded stream (state-free
+    * append mode — the `stream_c4_lines` gate). */
   def cleanLines(
       df: DataFrame,
       textCol: String,
       idCol: String,
       minLineWords: Int = 3): DataFrame = {
     require(minLineWords >= 1, "minLineWords must be at least 1")
-    val lines = df.select(col(idCol),
-        posexplode(split(coalesce(col(textCol), lit("")), "\n", -1))
-          .as(Seq("pos", "line")))
-      .withColumn("lt", trim(col("line")))
-    val kept = lines.filter(
-      col("lt").rlike("[.!?\"]$") &&
-        size(split(col("lt"), "\\s+")) >= minLineWords &&
-        !lower(col("lt")).rlike("\\bjavascript\\b"))
-    val rebuilt = kept.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_lines_kept"),
-        array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
-            x => x.getField("line")), "\n").as("text_lines"))
+    val ls = split(coalesce(col(textCol), lit("")), "\n", -1)
+    val keptArr = filter(ls, l => {
+      val lt = trim(l)
+      lt.rlike("[.!?\"]$") &&
+        size(split(lt, "\\s+")) >= minLineWords &&
+        !lower(lt).rlike("\\bjavascript\\b")
+    })
     df.select(col(idCol),
-        size(split(coalesce(col(textCol), lit("")), "\n", -1))
-          .cast("long").as("n_lines"))
-      .join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol), col("n_lines"),
-        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
-        coalesce(col("text_lines"), lit("")).as("text_lines"))
+      size(ls).cast("long").as("n_lines"),
+      size(keptArr).cast("long").as("n_lines_kept"),
+      array_join(keptArr, "\n").as("text_lines"))
   }
 
   /** Page-grain C4 filters over the line-cleaned text. Adds

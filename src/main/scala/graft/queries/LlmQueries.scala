@@ -552,6 +552,82 @@ object LlmQueries {
       lit("<footer>(c) 2026</footer>"))
   }
 
+  /** Synthetic C4 page shared by llm_c4_clean and stream_c4_lines:
+    * three lines every line filter must drop, a three-sentence group
+    * shared across doc_id%5 (the span-dedup target), a doc_id%11
+    * page-fate variant, prose sentences from the text split at
+    * ' the ', and a shared closing line. */
+  private[graft] def c4Page: org.apache.spark.sql.Column = {
+    val m11 = pmod(col("doc_id"), lit(11))
+    concat(
+      lit("tiny.\n"),
+      lit("no terminal punctuation here\n"),
+      lit("please enable javascript to continue.\n"),
+      lit("sentence one for group "),
+      pmod(col("doc_id"), lit(5)).cast("string"),
+      lit(". sentence two stays here. sentence three stays here.\n"),
+      when(m11 === 0,
+          lit("this page mentions lorem ipsum somewhere in passing.\n"))
+        .when(m11 === 1,
+          lit("config block { nested } appears right here.\n"))
+        .when(m11 === 2,
+          lit("the forbidden zorblax word appears here.\n"))
+        .when(m11 === 3, lit(""))
+        .otherwise(concat(
+          expr("replace(coalesce(text, ''), ' the ', '. ')"),
+          lit(".\n"))),
+      lit("the closing line ends with a word mark."))
+  }
+
+  /** Shared C4 mirror CTEs (synthesis → line filters → rebuild → page
+    * verdict, ending at `pv(doc_id, n_lines, n_lines_kept, tl,
+    * n_sentences, page_kept)`): llm_c4_clean continues into the span
+    * dedup; stream_c4_lines selects pv directly. */
+  private[queries] val c4StagesSql: String =
+    """d2 AS (SELECT doc_id,
+      |  'tiny.' || chr(10) ||
+      |  'no terminal punctuation here' || chr(10) ||
+      |  'please enable javascript to continue.' || chr(10) ||
+      |  'sentence one for group ' || CAST(doc_id % 5 AS VARCHAR) ||
+      |  '. sentence two stays here. sentence three stays here.' || chr(10) ||
+      |  CASE doc_id % 11
+      |    WHEN 0 THEN 'this page mentions lorem ipsum somewhere in passing.' || chr(10)
+      |    WHEN 1 THEN 'config block { nested } appears right here.' || chr(10)
+      |    WHEN 2 THEN 'the forbidden zorblax word appears here.' || chr(10)
+      |    WHEN 3 THEN ''
+      |    ELSE replace(coalesce(text, ''), ' the ', '. ') || '.' || chr(10)
+      |  END ||
+      |  'the closing line ends with a word mark.' AS text FROM documents),
+      |l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d2),
+      |lines AS (SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos FROM l0),
+      |lk AS (SELECT doc_id, pos, line FROM lines
+      |       WHERE regexp_matches(trim(line), '[.!?"]$')
+      |         AND len(regexp_split_to_array(trim(line), '\s+')) >= 3
+      |         AND NOT regexp_matches(lower(trim(line)), '\bjavascript\b')),
+      |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines_kept,
+      |               string_agg(line, chr(10) ORDER BY pos) AS tl
+      |        FROM lk GROUP BY doc_id),
+      |pages AS (SELECT d.doc_id,
+      |    CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+      |    coalesce(r.n_lines_kept, 0) AS n_lines_kept,
+      |    coalesce(r.tl, '') AS tl
+      |  FROM d2 d LEFT JOIN reb r ON r.doc_id = d.doc_id),
+      |pv AS (SELECT doc_id, n_lines, n_lines_kept, tl,
+      |    CAST(len(regexp_extract_all(tl, '[^.!?]*[.!?]')) AS BIGINT) AS n_sentences,
+      |    (len(regexp_extract_all(tl, '[^.!?]*[.!?]')) >= 5
+      |     AND NOT contains(lower(tl), 'lorem ipsum')
+      |     AND NOT contains(tl, '{')
+      |     AND NOT regexp_matches(lower(tl), '\b(zorblax)\b')) AS page_kept
+      |  FROM pages)""".stripMargin
+
+  /** Line+page mirror shared with the streaming twin: the pv stage
+    * projected directly (bounded replay ≡ the batch stages). */
+  private[queries] val c4LinesOracleSql: String =
+    s"WITH $c4StagesSql\n" +
+      """SELECT doc_id, n_lines, n_lines_kept, n_sentences, page_kept,
+        |  md5(tl) AS lines_hash
+        |FROM pv ORDER BY doc_id""".stripMargin
+
   /** Boilerplate-removal mirror shared by llm_html_main and
     * stream_html_main: the two surviving paragraphs as closed forms
     * of doc_id — the oracle never parses HTML. */
@@ -2192,25 +2268,7 @@ object LlmQueries {
     // oracle replays synthesis, both filter grains, the span ranking,
     // and the string_agg rebuild
     "llm_c4_clean" -> ((s, dir) => {
-      val m11 = pmod(col("doc_id"), lit(11))
-      val docs = t(s, dir, "documents").withColumn("text2", concat(
-        lit("tiny.\n"),
-        lit("no terminal punctuation here\n"),
-        lit("please enable javascript to continue.\n"),
-        lit("sentence one for group "),
-        pmod(col("doc_id"), lit(5)).cast("string"),
-        lit(". sentence two stays here. sentence three stays here.\n"),
-        when(m11 === 0,
-            lit("this page mentions lorem ipsum somewhere in passing.\n"))
-          .when(m11 === 1,
-            lit("config block { nested } appears right here.\n"))
-          .when(m11 === 2,
-            lit("the forbidden zorblax word appears here.\n"))
-          .when(m11 === 3, lit(""))
-          .otherwise(concat(
-            expr("replace(coalesce(text, ''), ' the ', '. ')"),
-            lit(".\n"))),
-        lit("the closing line ends with a word mark.")))
+      val docs = t(s, dir, "documents").withColumn("text2", c4Page)
       C4.clean(docs, "text2", "doc_id", badWords = Seq("zorblax"))
         .select(col("doc_id"), col("n_lines"), col("n_lines_kept"),
           col("n_sentences"), col("page_kept"), col("n_sent_removed"),
@@ -2279,6 +2337,19 @@ object LlmQueries {
       Mixing.shardShuffle(
           t(s, dir, "documents").select("doc_id"), "doc_id", 8)
         .orderBy("doc_id")),
+
+    // corpus-version token drift (r13): src0 as "yesterday's snapshot"
+    // vs the rest as "today's" — top-25 tokens by the exact integer
+    // cross-multiplication statistic |ca·totB − cb·totA| (zero iff the
+    // relative frequency is unchanged), (drift DESC, token) total
+    // order so the cut is deterministic
+    "llm_token_drift" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Drift.tokenDrift(
+        d.filter(col("source") =!= "src0"),
+        d.filter(col("source") === "src0"),
+        "text", 25)
+    }),
 
     // epoch-distinct reshuffle (r13): the shard-shuffle order keyed by
     // FNV-1a of "<id>:<epoch>" — epochs 1 and 2 computed independently
@@ -4060,42 +4131,8 @@ object LlmQueries {
     // keeper = row_number 1 over (doc, start), removals exploded to
     // sentence ids, survivors string_agg'd with an empty joiner
     "llm_c4_clean" ->
-      """WITH d2 AS (SELECT doc_id,
-        |  'tiny.' || chr(10) ||
-        |  'no terminal punctuation here' || chr(10) ||
-        |  'please enable javascript to continue.' || chr(10) ||
-        |  'sentence one for group ' || CAST(doc_id % 5 AS VARCHAR) ||
-        |  '. sentence two stays here. sentence three stays here.' || chr(10) ||
-        |  CASE doc_id % 11
-        |    WHEN 0 THEN 'this page mentions lorem ipsum somewhere in passing.' || chr(10)
-        |    WHEN 1 THEN 'config block { nested } appears right here.' || chr(10)
-        |    WHEN 2 THEN 'the forbidden zorblax word appears here.' || chr(10)
-        |    WHEN 3 THEN ''
-        |    ELSE replace(coalesce(text, ''), ' the ', '. ') || '.' || chr(10)
-        |  END ||
-        |  'the closing line ends with a word mark.' AS text FROM documents),
-        |l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d2),
-        |lines AS (SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos FROM l0),
-        |lk AS (SELECT doc_id, pos, line FROM lines
-        |       WHERE regexp_matches(trim(line), '[.!?"]$')
-        |         AND len(regexp_split_to_array(trim(line), '\s+')) >= 3
-        |         AND NOT regexp_matches(lower(trim(line)), '\bjavascript\b')),
-        |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines_kept,
-        |               string_agg(line, chr(10) ORDER BY pos) AS tl
-        |        FROM lk GROUP BY doc_id),
-        |pages AS (SELECT d.doc_id,
-        |    CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
-        |    coalesce(r.n_lines_kept, 0) AS n_lines_kept,
-        |    coalesce(r.tl, '') AS tl
-        |  FROM d2 d LEFT JOIN reb r ON r.doc_id = d.doc_id),
-        |pv AS (SELECT doc_id, n_lines, n_lines_kept, tl,
-        |    CAST(len(regexp_extract_all(tl, '[^.!?]*[.!?]')) AS BIGINT) AS n_sentences,
-        |    (len(regexp_extract_all(tl, '[^.!?]*[.!?]')) >= 5
-        |     AND NOT contains(lower(tl), 'lorem ipsum')
-        |     AND NOT contains(tl, '{')
-        |     AND NOT regexp_matches(lower(tl), '\b(zorblax)\b')) AS page_kept
-        |  FROM pages),
-        |sent AS (SELECT doc_id, unnest(regexp_extract_all(tl, '[^.!?]*[.!?]')) AS sent,
+      (s"WITH $c4StagesSql,\n" +
+      """sent AS (SELECT doc_id, unnest(regexp_extract_all(tl, '[^.!?]*[.!?]')) AS sent,
         |                generate_subscripts(regexp_extract_all(tl, '[^.!?]*[.!?]'), 1) - 1 AS sid
         |         FROM pv WHERE page_kept),
         |spans AS (SELECT doc_id, sid AS start,
@@ -4122,7 +4159,7 @@ object LlmQueries {
         |  md5(CASE WHEN p.page_kept THEN coalesce(r.text_clean, '') ELSE '' END) AS clean_hash
         |FROM pv p LEFT JOIN nrem n ON n.doc_id = p.doc_id
         |LEFT JOIN rebS r ON r.doc_id = p.doc_id
-        |ORDER BY p.doc_id""".stripMargin,
+        |ORDER BY p.doc_id""".stripMargin),
 
     // LM head mirror: same model CTEs, top-20 by (count desc, w1, w2)
     // — a unique total order, so the LIMIT is deterministic
@@ -4154,6 +4191,24 @@ object LlmQueries {
         |  CAST(row_number() OVER (PARTITION BY ((sg.hv % 8) + 8) % 8 ORDER BY sg.hv, i.doc_id) - 1 AS BIGINT) AS pos
         |FROM ids i JOIN sgn sg ON sg.s = i.s
         |ORDER BY i.doc_id""".stripMargin,
+    // token-drift mirror: per-side vocab counts, totals, full-outer
+    // join, the exact integer statistic, top-25 under the total order
+    "llm_token_drift" ->
+      """WITH a AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |           FROM documents WHERE source <> 'src0' AND text IS NOT NULL),
+        |a2 AS (SELECT token, CAST(count(*) AS BIGINT) AS count_a FROM a WHERE token <> '' GROUP BY token),
+        |b AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |      FROM documents WHERE source = 'src0' AND text IS NOT NULL),
+        |b2 AS (SELECT token, CAST(count(*) AS BIGINT) AS count_b FROM b WHERE token <> '' GROUP BY token),
+        |ta AS (SELECT CAST(coalesce(sum(count_a), 0) AS BIGINT) AS t FROM a2),
+        |tb AS (SELECT CAST(coalesce(sum(count_b), 0) AS BIGINT) AS t FROM b2),
+        |j AS (SELECT coalesce(a2.token, b2.token) AS token,
+        |        coalesce(a2.count_a, 0) AS count_a, coalesce(b2.count_b, 0) AS count_b
+        |      FROM a2 FULL OUTER JOIN b2 ON b2.token = a2.token)
+        |SELECT j.token, j.count_a, j.count_b,
+        |  CAST(abs(j.count_a * tb.t - j.count_b * ta.t) AS BIGINT) AS drift
+        |FROM j, ta, tb ORDER BY drift DESC, j.token LIMIT 25""".stripMargin,
+
     // epoch-shuffle mirror: the same FNV CTE over the ':'-salted id
     // strings for epochs 1 and 2, each epoch ranked independently,
     // joined per doc

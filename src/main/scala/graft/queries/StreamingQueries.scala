@@ -383,6 +383,29 @@ object StreamingQueries {
         .orderBy("doc_id")
     }),
 
+    // streaming C4 line+page stages (r13): the cleaning front of the
+    // C4 pipeline is pure array functions over each row (filter over
+    // split) — zero stream shuffle, state-free append mode; the
+    // corpus-wide span dedup stays batch by design. Bounded replay =
+    // one batch = the batch stages, so the pv half of the llm_c4_clean
+    // mirror gates it
+    "stream_c4_lines" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val pages = s.readStream.schema(schema)
+        .parquet(s"$dir/documents.parque[t]")
+        .select(col("doc_id"), LlmQueries.c4Page.as("text2"))
+      val staged = graft.llm.C4.pageVerdict(
+        graft.llm.C4.cleanLines(pages, "text2", "doc_id"),
+        "text_lines", "doc_id", badWords = Seq("zorblax"))
+      runToMemory(s, "stream_c4_lines", name =>
+        staged.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()))
+        .select(col("doc_id"), col("n_lines"), col("n_lines_kept"),
+          col("n_sentences"), col("page_kept"),
+          md5(col("text_lines")).as("lines_hash"))
+        .orderBy("doc_id")
+    }),
+
     // streaming DSIR scoring (r11): the importance-weight filter as a
     // stream — the log-ratio table is trained STATICALLY (two bounded
     // distribution aggs; the deployment shape: retrain daily, score
@@ -494,6 +517,8 @@ object StreamingQueries {
     "stream_robots_filter" -> LlmQueries.robotsFilterOracleSql,
     // bounded replay ≡ the batch boilerplate extractor
     "stream_html_main" -> LlmQueries.htmlMainOracleSql,
+    // bounded replay ≡ the batch C4 line+page stages (pv mirror)
+    "stream_c4_lines" -> LlmQueries.c4LinesOracleSql,
     // sitemap-delta frontier: parse + verdict closed forms per doc
     // (the llm_sitemap_ingest derivation, keyed by doc_id — single
     // entry per delta body, so no entry positions)

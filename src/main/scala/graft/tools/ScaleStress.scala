@@ -386,9 +386,17 @@ object ScaleStress {
           force(graft.llm.Rank.retrieveTopK(d, "text", "doc_id",
             qs, "query_id", "terms", k = 10))
         }
-        // Gopher repetition rule set (r13): 9 tagged gram explodes +
-        // doc-keyed windows/aggregates — all per-document work, so
-        // expect linear in corpus tokens with explode-volume constants
+        // corpus-version token drift (r13): two vocab aggregates + a
+        // vocab-sized outer join + top-k over vocab only — replication
+        // multiplies token counts, not vocab, so expect ~flat
+        time(s"token drift x$mult")(
+          force(graft.llm.Drift.tokenDrift(
+            d.filter(pmod(col("doc_id"), lit(2)) === 0),
+            d.filter(pmod(col("doc_id"), lit(2)) === 1),
+            "text", 25)))
+        // Gopher repetition rule set (r13): map-only single-pass
+        // kernel (the explode formulation it replaced benched
+        // 10.8/18.0/77.8 s over this decade)
         time(s"gopher repetition x$mult") {
           val structured = d.select(col("doc_id"), concat(
             regexp_replace(col("text"), " the ", "\n"),

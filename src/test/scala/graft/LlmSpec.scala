@@ -1387,6 +1387,27 @@ class LlmSpec extends SparkSpec {
     assert(amb2.getLong(0) == h2.getLong(0))
   }
 
+  test("tokenDrift: exact cross-multiplication statistic, total order") {
+    import spark.implicits._
+    // A: x×2, y×1 (total 3); B: x×1, z×1 (total 2)
+    // drift: x |2·2−1·3|=1, y |1·2−0·3|=2, z |0·2−1·3|=3
+    val a = Seq((1L, "x x y"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val b = Seq((1L, " x  z ")).toDF("doc_id", "text")
+    val got = Drift.tokenDrift(a, b, "text", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq(("z", 0L, 1L, 3L), ("y", 1L, 0L, 2L),
+      ("x", 2L, 1L, 1L)))
+    // k bound cuts on the (drift DESC, token ASC) total order
+    val top1 = Drift.tokenDrift(a, b, "text", 1).collect()
+    assert(top1.length == 1 && top1(0).getString(0) == "z")
+    // identical corpora → every drift is exactly 0
+    val same = Drift.tokenDrift(a, a, "text", 10)
+      .collect().map(_.getLong(3))
+    assert(same.nonEmpty && same.forall(_ == 0L))
+  }
+
   test("Gopher repetition: unit fractions, top-gram, coverage union") {
     import spark.implicits._
     // doc 1: "alpha one." twice among 3 lines → dup_line 1/3, chars

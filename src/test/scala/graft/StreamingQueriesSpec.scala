@@ -40,6 +40,23 @@ class StreamingQueriesSpec extends SparkSpec {
     assert(streamed.forall(_._1 % 3600000000L == 0))
   }
 
+  test("stream_c4_lines matches the batch C4 line+page stages") {
+    val streamed = StreamingQueries.queries("stream_c4_lines")(spark, sf)
+      .collect().map(_.toString)
+    val batch = graft.llm.C4.pageVerdict(
+        graft.llm.C4.cleanLines(
+          spark.read.parquet(s"$sf/documents.parquet")
+            .withColumn("text2", graft.queries.LlmQueries.c4Page),
+          "text2", "doc_id"),
+        "text_lines", "doc_id", badWords = Seq("zorblax"))
+      .select(col("doc_id"), col("n_lines"), col("n_lines_kept"),
+        col("n_sentences"), col("page_kept"),
+        md5(col("text_lines")).as("lines_hash"))
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(streamed.length == batch.length && batch.nonEmpty)
+    assert(streamed.sameElements(batch))
+  }
+
   test("stream_rechunk matches the batch RechunkExec operator") {
     val streamed = StreamingQueries.queries("stream_rechunk")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
