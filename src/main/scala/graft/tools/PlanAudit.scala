@@ -31,7 +31,9 @@ object PlanAudit {
       "llm_dsir_weights", "llm_sitemap_ingest", "llm_fetch_backoff",
       "llm_revisit_select",
       "llm_hits", "llm_html_main", "llm_warc_revisit",
-      "llm_sitemap_recursive", "llm_ccnet_by_lang")
+      "llm_sitemap_recursive", "llm_ccnet_by_lang",
+      "llm_retrieval_topk", "llm_c4_clean", "llm_gopher_repetition",
+      "llm_token_drift")
 
     // allowed nested-loop joins: tiny driver-generated pair sets, plus
     // the classifier's ONE-ROW dense-model broadcast (a deliberate
@@ -57,7 +59,15 @@ object PlanAudit {
       // crossJoin (the llm_lm_perplexity shape)
       "llm_hits", "llm_ccnet_buckets", "llm_ccnet_by_lang",
       // the shuffle-model variant keeps the one-row vocab crossJoin
-      "llm_lm_shuffle")
+      "llm_lm_shuffle",
+      // paragraph-grain CCNet inherits the full LM chain (one-row
+      // vocab-size + one-row cutoff-pair scalar broadcasts)
+      "llm_ccnet_paragraphs",
+      // the NFD packing gate's padding-waste columns crossJoin a
+      // ONE-ROW summary aggregate (n_bins/waste totals) — the DSIR/LM
+      // scalar shape; the corpus-sized assignment join itself is the
+      // broadcast HISTOGRAM-segment join, never a pair blow-up
+      "llm_pack_ffd")
 
     // full sweep, building each query exactly ONCE (several query
     // builders are eager — persist/count/collect at plan-build time):
@@ -159,6 +169,27 @@ object PlanAudit {
       .findAllIn(fb.queryExecution.executedPlan.toString).length
     if (nFb < 3) { // robots verdict dim + directives + backoff
       println(s"!! llm_fetch_backoff: expected 3 broadcast dim joins, found $nFb")
+      bad += 1
+    }
+    // batch retrieval (r13): the query-term spine and the doc-frequency
+    // table must BROADCAST against the postings — the corpus never
+    // shuffles by term for the probe side
+    val rt = graft.SparkEntry.queries("llm_retrieval_topk")(spark, dir)
+    val nRt = "BroadcastHashJoin".r
+      .findAllIn(rt.queryExecution.executedPlan.toString).length
+    if (nRt < 2) {
+      println(s"!! llm_retrieval_topk: expected >= 2 broadcast joins " +
+        s"(query terms, doc frequencies), found $nRt")
+      bad += 1
+    }
+    // Gopher repetition (r13): all 13 metrics ride the single-pass
+    // kernel — the plan must carry NO Generate (explode) and NO Window
+    // (the discarded 9-explode formulation would reintroduce both)
+    val gr = graft.SparkEntry.queries("llm_gopher_repetition")(spark, dir)
+    val grPlan = gr.queryExecution.executedPlan.toString
+    if (grPlan.contains("Generate") || grPlan.contains("Window")) {
+      println("!! llm_gopher_repetition: kernel path regressed to " +
+        "explode/window")
       bad += 1
     }
     println(s"\naudit ${if (bad == 0) "CLEAN" else s"$bad issue(s)"}")
