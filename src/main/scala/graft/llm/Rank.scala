@@ -123,15 +123,31 @@ object Rank {
       k: Int,
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    require(k > 0, "k must be positive")
-    val post = invertedIndex(corpus, textCol, idCol)
     // corpus stats: two numbers to the driver, never the data
     val st = corpus.agg(count(lit(1)).as("__n"),
       sum(coalesce(TextAnalysis.tokenCount(col(textCol)), lit(0L)))
         .as("__sumdl")).head()
-    val n = st.getLong(0)
+    scoreAgainstPostings(invertedIndex(corpus, textCol, idCol),
+      st.getLong(0), st.getLong(1), queries, queryIdCol, termsCol,
+      k, k1, b)
+  }
+
+  /** Shared scoring tail of [[retrieveTopK]] /
+    * [[retrieveTopKIndexed]]: postings × broadcast query terms →
+    * fixed-order contribution fold → k-bounded top-k. */
+  private def scoreAgainstPostings(
+      post: DataFrame,
+      n: Long,
+      sumdl: Long,
+      queries: DataFrame,
+      queryIdCol: String,
+      termsCol: String,
+      k: Int,
+      k1: Double,
+      b: Double): DataFrame = {
+    require(k > 0, "k must be positive")
     require(n > 0, "empty corpus")
-    val avgdl = st.getLong(1).toDouble / n
+    val avgdl = sumdl.toDouble / n
     val qt = queries.select(col(queryIdCol).as("query_id"),
       posexplode(col(termsCol)).as(Seq("qpos", "term")))
     val hits = post.join(broadcast(qt.select("term").distinct()),
@@ -159,5 +175,69 @@ object Rank {
       .select(col("query_id"), posexplode(col("__top")))
       .select(col("query_id"), col("pos").as("rank"),
         col("col.id").as("doc_id"), col("col.score").as("score"))
+  }
+
+  /** Number of term-hash buckets a persisted index is partitioned
+    * into. 64 keeps directory counts trivial while a q-term probe
+    * still reads ≤ |terms|/64 of the postings bytes. */
+  val IndexBuckets = 64
+
+  private[graft] def termBucket(term: Column): Column =
+    pmod(xxhash64(term), lit(IndexBuckets.toLong))
+
+  /** Persist [[invertedIndex]] as a SERVABLE index: postings parquet
+    * PARTITIONED by the term-hash bucket (so a query's probe prunes at
+    * the directory level — the llm_ann_ivf_persisted economics applied
+    * to text retrieval), plus a 1-row `_stats` side table carrying the
+    * corpus constants the scorer needs. Refuses a non-empty target
+    * (the WET/tar commit discipline: never silently merge into an
+    * existing index). */
+  def writeIndex(
+      corpus: DataFrame, textCol: String, idCol: String, path: String)
+      : Unit = {
+    val spark = corpus.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(path)) ||
+      fs.listStatus(new org.apache.hadoop.fs.Path(path)).isEmpty,
+      s"index target $path exists and is not empty")
+    val st = corpus.agg(count(lit(1)).as("n"),
+      sum(coalesce(TextAnalysis.tokenCount(col(textCol)), lit(0L)))
+        .as("sumdl"))
+    st.write.parquet(s"$path/_stats")
+    invertedIndex(corpus, textCol, idCol)
+      .withColumn("bucket", termBucket(col("term")))
+      .repartition(IndexBuckets, col("bucket"))
+      .write.partitionBy("bucket").parquet(s"$path/postings")
+  }
+
+  /** [[retrieveTopK]] against a PERSISTED index: identical results,
+    * but the corpus is never touched — the probe reads only the
+    * term-hash bucket partitions its query vocabulary lands in
+    * (partition-pruned scan; at most |distinct terms| of the
+    * [[IndexBuckets]] directories), and the stats side table is one
+    * row. The amortization story: build once, serve any number of
+    * query batches at selected-bytes cost. */
+  def retrieveTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      termsCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val st = spark.read.parquet(s"$indexPath/_stats").head()
+    // probe buckets: hash the query vocabulary through the SAME
+    // engine-side xxhash64 the writer used (a tiny local frame, not a
+    // reimplementation that could drift)
+    val bucketIds = queries
+      .select(explode(col(termsCol)).as("term"))
+      .select(termBucket(col("term"))).distinct()
+      .collect().map(_.getLong(0))
+    val post = spark.read.parquet(s"$indexPath/postings")
+      .filter(col("bucket").isin(bucketIds.toIndexedSeq: _*))
+    scoreAgainstPostings(post, st.getLong(0), st.getLong(1),
+      queries, queryIdCol, termsCol, k, k1, b)
   }
 }

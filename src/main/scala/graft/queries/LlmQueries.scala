@@ -628,6 +628,42 @@ object LlmQueries {
         |  md5(tl) AS lines_hash
         |FROM pv ORDER BY doc_id""".stripMargin
 
+  /** Batch-retrieval mirror shared by llm_retrieval_topk and the
+    * persisted-index twin (bit-identical by contract). */
+  private[queries] val retrievalOracleSql: String =
+    """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ntok FROM documents),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(ntok) AS DOUBLE) / count(*) AS avgdl,
+        |    CAST(sum(CASE WHEN list_contains(toks, 'key') THEN 1 ELSE 0 END) AS BIGINT) AS dfa,
+        |    CAST(sum(CASE WHEN list_contains(toks, 'dup') THEN 1 ELSE 0 END) AS BIGINT) AS dfb,
+        |    CAST(sum(CASE WHEN list_contains(toks, 'batch') THEN 1 ELSE 0 END) AS BIGINT) AS dfc,
+        |    CAST(sum(CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END) AS BIGINT) AS dfd,
+        |    CAST(sum(CASE WHEN list_contains(toks, 'merge') THEN 1 ELSE 0 END) AS BIGINT) AS dfe
+        |  FROM d),
+        |tf AS (SELECT doc_id, CAST(ntok AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(toks, x -> x = 'key')) AS DOUBLE) AS tfa,
+        |    CAST(len(list_filter(toks, x -> x = 'dup')) AS DOUBLE) AS tfb,
+        |    CAST(len(list_filter(toks, x -> x = 'batch')) AS DOUBLE) AS tfc,
+        |    CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) AS tfd,
+        |    CAST(len(list_filter(toks, x -> x = 'merge')) AS DOUBLE) AS tfe
+        |  FROM d),
+        |s0 AS (SELECT CAST(0 AS BIGINT) AS query_id, doc_id,
+        |    ln((n - dfa + 0.5) / (dfa + 0.5) + 1.0) * tfa * (1.2 + 1.0) / (tfa + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |  + ln((n - dfb + 0.5) / (dfb + 0.5) + 1.0) * tfb * (1.2 + 1.0) / (tfb + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS score,
+        |    tfa + tfb AS th FROM tf, st),
+        |s1 AS (SELECT CAST(1 AS BIGINT) AS query_id, doc_id,
+        |    ln((n - dfc + 0.5) / (dfc + 0.5) + 1.0) * tfc * (1.2 + 1.0) / (tfc + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |  + ln((n - dfd + 0.5) / (dfd + 0.5) + 1.0) * tfd * (1.2 + 1.0) / (tfd + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |  + ln((n - dfe + 0.5) / (dfe + 0.5) + 1.0) * tfe * (1.2 + 1.0) / (tfe + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS score,
+        |    tfc + tfd + tfe AS th FROM tf, st),
+        |u AS (SELECT query_id, doc_id, score FROM s0 WHERE th > 0
+        |      UNION ALL SELECT query_id, doc_id, score FROM s1 WHERE th > 0),
+        |r AS (SELECT query_id, doc_id, score,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn FROM u)
+        |SELECT query_id, CAST(rn - 1 AS INTEGER) AS "rank", doc_id, round(score, 6) AS score
+        |FROM r WHERE rn <= 5 ORDER BY query_id, "rank"""".stripMargin
+
   /** Boilerplate-removal mirror shared by llm_html_main and
     * stream_html_main: the two surviving paragraphs as closed forms
     * of doc_id — the oracle never parses HTML. */
@@ -2484,6 +2520,27 @@ object LlmQueries {
         (2L, Seq("zzznothing"))).toDF("query_id", "terms")
       Rank.retrieveTopK(t(s, dir, "documents"), "text", "doc_id",
           qs, "query_id", "terms", k = 5)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
+    // retrieval through a PERSISTED index (r13): build-once/serve-many
+    // — postings parquet partitioned by term-hash bucket, so the probe
+    // reads only the directories its query vocabulary lands in (the
+    // llm_ann_ivf_persisted partition-pruning economics applied to
+    // text); the stats side table carries the corpus constants. Must
+    // be bit-identical to the direct path, so the SAME oracle gates it
+    "llm_retrieval_persisted" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((0L, Seq("key", "dup")),
+        (1L, Seq("batch", "window", "merge")),
+        (2L, Seq("zzznothing"))).toDF("query_id", "terms")
+      val path = s"target/retrieval_index/${new java.io.File(dir).getName}"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      Rank.writeIndex(t(s, dir, "documents"), "text", "doc_id", path)
+      Rank.retrieveTopKIndexed(s, path, qs, "query_id", "terms", k = 5)
         .withColumn("score", round(col("score"), 6))
         .orderBy("query_id", "rank")
     }),
@@ -4823,40 +4880,11 @@ object LlmQueries {
     // batch-retrieval mirror: per-query explicit Okapi sums in term
     // order (left-assoc, zero contributions are exact no-ops), docs
     // with no query-term hit excluded, row_number top-5 under
-    // (score DESC, doc_id)
-    "llm_retrieval_topk" ->
-      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
-        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ntok FROM documents),
-        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(ntok) AS DOUBLE) / count(*) AS avgdl,
-        |    CAST(sum(CASE WHEN list_contains(toks, 'key') THEN 1 ELSE 0 END) AS BIGINT) AS dfa,
-        |    CAST(sum(CASE WHEN list_contains(toks, 'dup') THEN 1 ELSE 0 END) AS BIGINT) AS dfb,
-        |    CAST(sum(CASE WHEN list_contains(toks, 'batch') THEN 1 ELSE 0 END) AS BIGINT) AS dfc,
-        |    CAST(sum(CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END) AS BIGINT) AS dfd,
-        |    CAST(sum(CASE WHEN list_contains(toks, 'merge') THEN 1 ELSE 0 END) AS BIGINT) AS dfe
-        |  FROM d),
-        |tf AS (SELECT doc_id, CAST(ntok AS DOUBLE) AS dl,
-        |    CAST(len(list_filter(toks, x -> x = 'key')) AS DOUBLE) AS tfa,
-        |    CAST(len(list_filter(toks, x -> x = 'dup')) AS DOUBLE) AS tfb,
-        |    CAST(len(list_filter(toks, x -> x = 'batch')) AS DOUBLE) AS tfc,
-        |    CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) AS tfd,
-        |    CAST(len(list_filter(toks, x -> x = 'merge')) AS DOUBLE) AS tfe
-        |  FROM d),
-        |s0 AS (SELECT CAST(0 AS BIGINT) AS query_id, doc_id,
-        |    ln((n - dfa + 0.5) / (dfa + 0.5) + 1.0) * tfa * (1.2 + 1.0) / (tfa + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
-        |  + ln((n - dfb + 0.5) / (dfb + 0.5) + 1.0) * tfb * (1.2 + 1.0) / (tfb + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS score,
-        |    tfa + tfb AS th FROM tf, st),
-        |s1 AS (SELECT CAST(1 AS BIGINT) AS query_id, doc_id,
-        |    ln((n - dfc + 0.5) / (dfc + 0.5) + 1.0) * tfc * (1.2 + 1.0) / (tfc + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
-        |  + ln((n - dfd + 0.5) / (dfd + 0.5) + 1.0) * tfd * (1.2 + 1.0) / (tfd + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
-        |  + ln((n - dfe + 0.5) / (dfe + 0.5) + 1.0) * tfe * (1.2 + 1.0) / (tfe + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS score,
-        |    tfc + tfd + tfe AS th FROM tf, st),
-        |u AS (SELECT query_id, doc_id, score FROM s0 WHERE th > 0
-        |      UNION ALL SELECT query_id, doc_id, score FROM s1 WHERE th > 0),
-        |r AS (SELECT query_id, doc_id, score,
-        |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn FROM u)
-        |SELECT query_id, CAST(rn - 1 AS INTEGER) AS "rank", doc_id, round(score, 6) AS score
-        |FROM r WHERE rn <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    // (score DESC, doc_id). The persisted-index path must be
+    // bit-identical, so BOTH retrieval gates share this mirror
+    "llm_retrieval_topk" -> retrievalOracleSql,
+    "llm_retrieval_persisted" -> retrievalOracleSql,
+
 
     // JL mirror: the inlined deterministic plane matrix (the
     // llm_emb_neardup pattern at 16×64), per-(vector, row) dots

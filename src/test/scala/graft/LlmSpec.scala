@@ -1506,6 +1506,32 @@ class LlmSpec extends SparkSpec {
         q, "query_id", "terms", k = 10)
       .orderBy("rank").collect().map(r => (r.getLong(2), r.getDouble(3)))
     assert(again.toSeq == got.toSeq)
+    // persisted index: bit-identical serving, pruned probe, loud
+    // refusal to clobber an existing index
+    val path = "target/test_retrieval_index"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    Rank.writeIndex(corpus, "text", "doc_id", path)
+    val served = Rank.retrieveTopKIndexed(spark, path, q,
+        "query_id", "terms", k = 10)
+      .orderBy("rank").collect().map(r => (r.getLong(2), r.getDouble(3)))
+    assert(served.toSeq == got.toSeq)
+    // the probe's postings scan must be partition-pruned to the query
+    // vocabulary's buckets (assert on the read shape the serving path
+    // constructs — the serving plan itself starts from the eager
+    // checkpoint, so the scan is not visible there)
+    val bIds = q.select(explode(col("terms")).as("term"))
+      .select(Rank.termBucket(col("term"))).distinct()
+      .collect().map(_.getLong(0))
+    assert(bIds.length < Rank.IndexBuckets) // the probe IS selective
+    val pr = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(bIds.toIndexedSeq: _*))
+    val plan = pr.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]].*"), plan.take(800))
+    intercept[IllegalArgumentException] {
+      Rank.writeIndex(corpus, "text", "doc_id", path)
+    }
   }
 
   test("C4 line filters: terminal punct, word floor, javascript; order") {
