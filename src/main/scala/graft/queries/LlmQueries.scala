@@ -2524,6 +2524,24 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // JSONL egest/ingest lifecycle (r13): reproducible gzip-sharded
+    // NDJSON write (hash-routed + in-shard sorted — byte-identical
+    // reruns) and schema-pinned FAILFAST read back; the gate pins the
+    // round trip LOSSLESS column-for-column against the parquet truth
+    "llm_jsonl_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = s"target/jsonl_egest/${new java.io.File(dir).getName}"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      graft.sources.Jsonl.write(docs, "doc_id", 8, path)
+      graft.sources.Jsonl.read(s, path, docs.schema)
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("n_chars"), md5(coalesce(col("text"), lit("")))
+            .as("text_hash"))
+        .orderBy("doc_id")
+    }),
+
     // retrieval through a PERSISTED index (r13): build-once/serve-many
     // — postings parquet partitioned by term-hash bucket, so the probe
     // reads only the directories its query vocabulary lands in (the
@@ -4884,6 +4902,13 @@ object LlmQueries {
     // bit-identical, so BOTH retrieval gates share this mirror
     "llm_retrieval_topk" -> retrievalOracleSql,
     "llm_retrieval_persisted" -> retrievalOracleSql,
+
+    // JSONL round-trip mirror: the parquet truth directly — any
+    // write/read defect (encoding, type, torn line) breaks a column
+    "llm_jsonl_roundtrip" ->
+      """SELECT doc_id, source, lang, n_chars,
+        |  md5(coalesce(text, '')) AS text_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
 
     // JL mirror: the inlined deterministic plane matrix (the

@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Newline-delimited JSON egest/ingest — the interchange format LLM
+  * training stacks actually exchange (jsonl / jsonl.gz per shard).
+  * Spark's json source does the parsing/formatting; what this wrapper
+  * pins down is the OPERATIONAL contract a pipeline needs and the raw
+  * sink leaves open:
+  *
+  *  - REPRODUCIBLE egest: rows are hash-routed to a fixed shard count
+  *    by a caller-named key and sorted by that key inside each shard,
+  *    so the same input produces byte-identical shard files on every
+  *    run (the [[graft.llm.Mixing.writeShards]] discipline — diffable
+  *    artifacts, stable checksums for provenance manifests);
+  *  - SCHEMA-PINNED ingest: the reader takes an explicit schema and
+  *    runs FAILFAST — no inference scan over 100 TB, no silent
+  *    null-out of corrupt lines (the default PERMISSIVE mode turns a
+  *    torn shard into quiet data loss; here it fails loudly);
+  *  - non-empty targets are refused (the WET/tar/index commit
+  *    discipline: never silently merge into an existing egest).
+  *
+  * Scale shape: write is one hash exchange + in-partition sort (the
+  * shard layout IS the training-loader layout); read is one gzip
+  * stream per shard file per task (gzip is unsplittable — shard count
+  * chosen at write time is the read parallelism, exactly like the
+  * WebDataset tar shards). */
+object Jsonl {
+
+  /** Write `df` as `shards` gzip JSONL files, hash-routed and sorted
+    * by `keyCol` — byte-reproducible for identical input. */
+  def write(df: DataFrame, keyCol: String, shards: Int, path: String)
+      : Unit = {
+    require(shards >= 1, "shards must be at least 1")
+    val spark = df.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(p) || fs.listStatus(p).isEmpty,
+      s"jsonl target $path exists and is not empty")
+    df.repartition(shards, col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.option("compression", "gzip").json(path)
+  }
+
+  /** Read a JSONL directory under an EXPLICIT schema, FAILFAST on any
+    * malformed line (a torn gzip member or truncated line is corpus
+    * loss — it must stop the job, not null out). */
+  def read(spark: SparkSession, path: String, schema: StructType)
+      : DataFrame =
+    spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+}

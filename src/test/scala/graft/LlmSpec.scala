@@ -1387,6 +1387,54 @@ class LlmSpec extends SparkSpec {
     assert(amb2.getLong(0) == h2.getLong(0))
   }
 
+  test("Jsonl: lossless round trip, byte-reproducible shards, loud reads") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "plain text", "en"),
+      (2L, "newline\ninside and \"quotes\"", "en"),
+      (3L, "中文 unicode ○", "zh"),
+      (4L, null.asInstanceOf[String], "es")).toDF("doc_id", "text", "lang")
+    def shardHashes(path: String): Seq[(String, String)] = {
+      val dir = new java.io.File(path)
+      dir.listFiles().filter(_.getName.endsWith(".gz")).sortBy(_.getName)
+        .map { f =>
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          (f.getName.replaceAll("part-(\\d+).*", "$1"),
+            java.util.Base64.getEncoder.encodeToString(
+              java.security.MessageDigest.getInstance("MD5").digest(bytes)))
+        }.toSeq
+    }
+    val p1 = "target/test_jsonl_a"
+    val p2 = "target/test_jsonl_b"
+    for (p <- Seq(p1, p2)) {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(hp)) fs.delete(hp, true)
+    }
+    sources.Jsonl.write(df, "doc_id", 3, p1)
+    sources.Jsonl.write(df.repartition(7).sortWithinPartitions(desc("lang")),
+      "doc_id", 3, p2)
+    // byte-reproducible: same rows, any input layout → identical shards
+    assert(shardHashes(p1).map(_._2) == shardHashes(p2).map(_._2))
+    // lossless round trip under the pinned schema (null, \n, unicode)
+    val back = sources.Jsonl.read(spark, p1, df.schema)
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(back.toSeq == df.orderBy("doc_id").collect().map(_.toString).toSeq)
+    // FAILFAST: a torn line must stop the job, not null out
+    val bad = "target/test_jsonl_bad"
+    new java.io.File(bad).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$bad/part-00000.json"),
+      "{\"doc_id\": 1, \"text\": \"ok\", \"lang\": \"en\"}\n{torn".getBytes)
+    intercept[Exception] {
+      sources.Jsonl.read(spark, bad, df.schema).collect()
+    }
+    // non-empty target refused loudly
+    intercept[IllegalArgumentException] {
+      sources.Jsonl.write(df, "doc_id", 3, p1)
+    }
+  }
+
   test("tokenDrift: exact cross-multiplication statistic, total order") {
     import spark.implicits._
     // A: x×2, y×1 (total 3); B: x×1, z×1 (total 2)
