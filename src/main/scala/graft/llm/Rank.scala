@@ -202,13 +202,56 @@ object Rank {
       fs.listStatus(new org.apache.hadoop.fs.Path(path)).isEmpty,
       s"index target $path exists and is not empty")
     val st = corpus.agg(count(lit(1)).as("n"),
-      sum(coalesce(TextAnalysis.tokenCount(col(textCol)), lit(0L)))
-        .as("sumdl"))
+      coalesce(sum(coalesce(TextAnalysis.tokenCount(col(textCol)),
+        lit(0L))), lit(0L)).as("sumdl"))
     st.write.parquet(s"$path/_stats")
     invertedIndex(corpus, textCol, idCol)
       .withColumn("bucket", termBucket(col("term")))
       .repartition(IndexBuckets, col("bucket"))
       .write.partitionBy("bucket").parquet(s"$path/postings")
+  }
+
+  /** Append a NEW batch of documents to a persisted index — the daily
+    * incremental path (build once, then index only the new crawl):
+    * the batch's postings land in the same term-hash bucket layout
+    * (parquet append — existing files untouched), and the stats side
+    * table is replaced atomically (write-new, delete-old, rename) with
+    * the summed corpus constants, so a serve after append is
+    * BIT-IDENTICAL to an index built from the union in one shot.
+    *
+    * Contract (documented, not checked — checking would cost a
+    * corpus-sized join): batches must be DISJOINT in `idCol`;
+    * re-appending an already-indexed document double-counts its
+    * postings. Single-writer: an append racing a serve can expose the
+    * new postings before the new stats (same discipline as every
+    * persisted artifact in this engine). */
+  def appendToIndex(
+      corpus: DataFrame, textCol: String, idCol: String, path: String)
+      : Unit = {
+    val spark = corpus.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statsP = new org.apache.hadoop.fs.Path(s"$path/_stats")
+    require(fs.exists(statsP),
+      s"$path is not an index (no _stats) — use writeIndex first")
+    val old = spark.read.parquet(s"$path/_stats").head()
+    val add = corpus.agg(count(lit(1)).as("n"),
+      coalesce(sum(coalesce(TextAnalysis.tokenCount(col(textCol)),
+        lit(0L))), lit(0L)).as("sumdl")).head()
+    invertedIndex(corpus, textCol, idCol)
+      .withColumn("bucket", termBucket(col("term")))
+      .repartition(IndexBuckets, col("bucket"))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_stats_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    spark.range(1).select(
+        lit(old.getLong(0) + add.getLong(0)).as("n"),
+        lit(old.getLong(1) + add.getLong(1)).as("sumdl"))
+      .write.parquet(tmp.toString)
+    fs.delete(statsP, true)
+    require(fs.rename(tmp, statsP),
+      s"failed to swap $tmp into place as $statsP")
   }
 
   /** [[retrieveTopK]] against a PERSISTED index: identical results,

@@ -2542,6 +2542,30 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // incremental index APPEND (r13): build on the even half, append
+    // the odd half (new postings into the same bucket layout, stats
+    // swapped atomically to the summed constants) — serving after the
+    // append must be BIT-IDENTICAL to a one-shot full-corpus index,
+    // so the shared retrieval mirror gates the whole lifecycle
+    "llm_retrieval_append" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((0L, Seq("key", "dup")),
+        (1L, Seq("batch", "window", "merge")),
+        (2L, Seq("zzznothing"))).toDF("query_id", "terms")
+      val docs = t(s, dir, "documents")
+      val path = s"target/retrieval_append/${new java.io.File(dir).getName}"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      Rank.writeIndex(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        "text", "doc_id", path)
+      Rank.appendToIndex(docs.filter(pmod(col("doc_id"), lit(2)) =!= 0),
+        "text", "doc_id", path)
+      Rank.retrieveTopKIndexed(s, path, qs, "query_id", "terms", k = 5)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
     // retrieval through a PERSISTED index (r13): build-once/serve-many
     // — postings parquet partitioned by term-hash bucket, so the probe
     // reads only the directories its query vocabulary lands in (the
@@ -4902,6 +4926,7 @@ object LlmQueries {
     // bit-identical, so BOTH retrieval gates share this mirror
     "llm_retrieval_topk" -> retrievalOracleSql,
     "llm_retrieval_persisted" -> retrievalOracleSql,
+    "llm_retrieval_append" -> retrievalOracleSql,
 
     // JSONL round-trip mirror: the parquet truth directly — any
     // write/read defect (encoding, type, torn line) breaks a column

@@ -1580,6 +1580,22 @@ class LlmSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Rank.writeIndex(corpus, "text", "doc_id", path)
     }
+    // incremental append: build half, append the rest → serving is
+    // bit-identical to the one-shot index (stats summed, postings in
+    // the same bucket layout); appending to a non-index fails loudly
+    val ap = "target/test_retrieval_append"
+    val app = new org.apache.hadoop.fs.Path(ap)
+    if (fs.exists(app)) fs.delete(app, true)
+    Rank.writeIndex(corpus.filter(col("doc_id") <= 11), "text", "doc_id", ap)
+    Rank.appendToIndex(corpus.filter(col("doc_id") > 11), "text", "doc_id", ap)
+    val appended = Rank.retrieveTopKIndexed(spark, ap, q,
+        "query_id", "terms", k = 10)
+      .orderBy("rank").collect().map(r => (r.getLong(2), r.getDouble(3)))
+    assert(appended.toSeq == got.toSeq)
+    intercept[IllegalArgumentException] {
+      Rank.appendToIndex(corpus, "text", "doc_id",
+        "target/test_not_an_index")
+    }
   }
 
   test("C4 line filters: terminal punct, word floor, javascript; order") {
