@@ -192,7 +192,10 @@ object Bench {
         "llm_crawl_pipeline", "llm_dsir_weights", "llm_robots_filter",
         "llm_pagerank", "llm_cdx_select",
         "llm_hits", "llm_html_main", "llm_ccnet_buckets",
-        "llm_ann_pq", "llm_ann_ivfpq", "llm_tar_roundtrip", "llm_zorder")
+        "llm_ann_pq", "llm_ann_ivfpq", "llm_tar_roundtrip", "llm_zorder",
+        "llm_c4_clean", "llm_gopher_repetition", "llm_retrieval_topk",
+        "llm_token_drift", "llm_ccnet_paragraphs", "llm_pack_ffd",
+        "llm_lm_shuffle", "llm_epoch_shuffle")
       val qs = byQuery.collect {
         case (name, _, med, _, _) if headline(name) =>
           "\"" + name + "\":" + jnum(med)
