@@ -501,4 +501,84 @@ class KernelPropertySpec extends SparkSpec {
       assert(merged.size <= cap)
     }
   }
+
+  test("property: gopher_repetition ≡ independent reference on random docs") {
+    // the kernel is a hand-rolled single pass (r13); this reference
+    // reimplements the PINNED semantics independently: space-only
+    // trim, \s+ tokens post-trim, grams joined with one space, ties to
+    // the smallest gram, coverage as a position UNION
+    def ref(s: String): Seq[Double] = {
+      def trimSp(x: String) = x.dropWhile(_ == ' ')
+        .reverse.dropWhile(_ == ' ').reverse
+      def unit(us: Array[String]): (Double, Double) = {
+        val kept = us.filter(u => trimSp(u).nonEmpty)
+        if (kept.isEmpty) return (0.0, 0.0)
+        val g = kept.groupBy(identity).map { case (u, o) => (u, o.length) }
+        val du = g.values.map(c => c - 1).sum
+        val ch = kept.map(_.length.toLong).sum
+        val dch = g.collect { case (u, c) if c > 1 =>
+          (c - 1).toLong * u.length }.sum
+        (du.toDouble / kept.length,
+          if (ch > 0) dch.toDouble / ch else 0.0)
+      }
+      val (lf, lcf) = unit(s.split("\n", -1))
+      val (pf, pcf) = unit(s.split("\n\n", -1))
+      val toks = trimSp(s).split("\\s+", -1)
+      val tl = s.length
+      def grams(n: Int): Seq[String] =
+        if (toks.length < n) Nil
+        else (0 to toks.length - n).map(i =>
+          toks.slice(i, i + n).mkString(" "))
+      def top(n: Int): Double = {
+        val gs = grams(n)
+        if (gs.isEmpty || tl == 0) 0.0
+        else {
+          val cnt = gs.groupBy(identity).map { case (g, o) => (g, o.length) }
+          val (bg, bc) = cnt.toSeq.minBy { case (g, c) => (-c, g) }
+          bc.toLong * bg.length / tl.toDouble
+        }
+      }
+      def cov(n: Int): Double = {
+        val tot = toks.map(_.length.toLong).sum
+        val gs = grams(n)
+        if (gs.isEmpty || tot == 0) 0.0
+        else {
+          val cnt = gs.groupBy(identity).map { case (g, o) => (g, o.length) }
+          val covered = gs.zipWithIndex.collect {
+            case (g, i) if cnt(g) >= 2 => i until i + n
+          }.flatten.toSet
+          covered.toSeq.map(i => toks(i).length.toLong).sum.toDouble / tot
+        }
+      }
+      Seq(lf, pf, lcf, pcf) ++ (2 to 4).map(top) ++ (5 to 10).map(cov)
+    }
+    val rnd = new scala.util.Random(20260816L)
+    val vocab = Array("aa", "b", "ccc", "dddd", "e!", "ff.", "gg")
+    val docs = (0 until 120).map { i =>
+      val nLines = rnd.nextInt(7)
+      val lines = (0 until nLines).map { _ =>
+        val reuse = rnd.nextInt(4) == 0
+        if (reuse) "aa b ccc aa b ccc"
+        else (0 until rnd.nextInt(9)).map(_ =>
+          vocab(rnd.nextInt(vocab.length))).mkString(" ") +
+          (if (rnd.nextBoolean()) "" else "  ")
+      }
+      val sep = if (rnd.nextBoolean()) "\n" else "\n\n"
+      (i.toLong, lines.mkString(sep))
+    }
+    import spark.implicits._
+    val got = graft.llm.Repetition.repetitionMetrics(
+        docs.toDF("doc_id", "t"), "t", "doc_id")
+      .orderBy("doc_id").collect()
+    val names = graft.functions.GopherRepetition.FieldNames
+    docs.foreach { case (id, text) =>
+      val want = ref(text)
+      val row = got(id.toInt)
+      names.zipWithIndex.foreach { case (nm, j) =>
+        assert(row.getAs[Double](nm) == want(j),
+          s"doc $id metric $nm: got ${row.getAs[Double](nm)}, " +
+            s"want ${want(j)}\ntext=<$text>")
+      }
+    }
+  }
 }
