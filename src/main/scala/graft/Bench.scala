@@ -108,6 +108,7 @@ object Bench {
       "llm_zorder_optimize", // append→optimize lifecycle gate (side-effect)
       "llm_retrieval_persisted", // index write+read lifecycle (side-effect)
       "llm_retrieval_append", // build+append+serve lifecycle (side-effect)
+      "llm_retrieval_optimize", // append+compact lifecycle (side-effect)
       "llm_jsonl_roundtrip") // egest+ingest lifecycle (side-effect)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => verifyOnly(q._1))

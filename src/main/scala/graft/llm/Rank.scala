@@ -254,6 +254,47 @@ object Rank {
       s"failed to swap $tmp into place as $statsP")
   }
 
+  /** Compact a persisted index after appends — the small-files
+    * maintenance half of the lifecycle (every [[appendToIndex]] adds
+    * one file per bucket; a year of daily appends is 365 files per
+    * directory): each term-hash bucket whose parquet file count
+    * reached `minFiles` is re-read and rewritten as ONE file, swapped
+    * in atomically under the bucket's own directory name; buckets
+    * below the threshold stay byte-untouched (the
+    * `zorderOptimize`/`compactMinhashIndex` bounded-rewrite
+    * discipline). Postings CONTENT is untouched, so serving results
+    * are identical before and after. Returns the number of buckets
+    * rewritten — a second immediate call returns 0. */
+  def optimizeIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      minFiles: Int = 4): Int = {
+    require(minFiles >= 2, "minFiles must be at least 2")
+    val postDir = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val fs = postDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(postDir),
+      s"$path is not an index (no postings) — use writeIndex first")
+    var rewritten = 0
+    fs.listStatus(postDir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .foreach { b =>
+        val nFiles = fs.listStatus(b.getPath)
+          .count(_.getPath.getName.endsWith(".parquet"))
+        if (nFiles >= minFiles) {
+          val tmp = new org.apache.hadoop.fs.Path(
+            s"$path/postings/.opt_${b.getPath.getName}")
+          if (fs.exists(tmp)) fs.delete(tmp, true)
+          spark.read.parquet(b.getPath.toString)
+            .coalesce(1).write.parquet(tmp.toString)
+          fs.delete(b.getPath, true)
+          require(fs.rename(tmp, b.getPath),
+            s"failed to swap $tmp into place as ${b.getPath}")
+          rewritten += 1
+        }
+      }
+    rewritten
+  }
+
   /** [[retrieveTopK]] against a PERSISTED index: identical results,
     * but the corpus is never touched — the probe reads only the
     * term-hash bucket partitions its query vocabulary lands in

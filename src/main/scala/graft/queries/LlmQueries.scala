@@ -2566,6 +2566,35 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // index COMPACTION (r13): build + append leaves 2 files per
+    // bucket; optimize(minFiles=2) rewrites every such bucket to one
+    // file (atomic per-bucket swap) — content untouched, so serving
+    // afterwards must STILL equal the one-shot index, and the shared
+    // retrieval mirror gates the whole
+    // write→append→optimize→serve lifecycle
+    "llm_retrieval_optimize" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((0L, Seq("key", "dup")),
+        (1L, Seq("batch", "window", "merge")),
+        (2L, Seq("zzznothing"))).toDF("query_id", "terms")
+      val docs = t(s, dir, "documents")
+      val path = s"target/retrieval_opt/${new java.io.File(dir).getName}"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      Rank.writeIndex(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        "text", "doc_id", path)
+      Rank.appendToIndex(docs.filter(pmod(col("doc_id"), lit(2)) =!= 0),
+        "text", "doc_id", path)
+      val n1 = Rank.optimizeIndex(s, path, minFiles = 2)
+      require(n1 > 0, s"optimize rewrote 0 buckets after an append")
+      require(Rank.optimizeIndex(s, path, minFiles = 2) == 0,
+        "second optimize must rewrite nothing")
+      Rank.retrieveTopKIndexed(s, path, qs, "query_id", "terms", k = 5)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
     // retrieval through a PERSISTED index (r13): build-once/serve-many
     // — postings parquet partitioned by term-hash bucket, so the probe
     // reads only the directories its query vocabulary lands in (the
@@ -4927,6 +4956,7 @@ object LlmQueries {
     "llm_retrieval_topk" -> retrievalOracleSql,
     "llm_retrieval_persisted" -> retrievalOracleSql,
     "llm_retrieval_append" -> retrievalOracleSql,
+    "llm_retrieval_optimize" -> retrievalOracleSql,
 
     // JSONL round-trip mirror: the parquet truth directly — any
     // write/read defect (encoding, type, torn line) breaks a column

@@ -1596,6 +1596,32 @@ class LlmSpec extends SparkSpec {
       Rank.appendToIndex(corpus, "text", "doc_id",
         "target/test_not_an_index")
     }
+    // compaction: append left 2 files in touched buckets → optimize
+    // rewrites them to 1, leaves 1-file buckets byte-untouched, a
+    // second call rewrites 0, and serving is unchanged
+    def bucketFiles(p: String): Map[String, Seq[(String, Long)]] = {
+      val d = new java.io.File(s"$p/postings")
+      d.listFiles().filter(_.getName.startsWith("bucket=")).map { b =>
+        b.getName -> b.listFiles()
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .map(f => (f.getName, f.length())).toSeq
+      }.toMap
+    }
+    val before = bucketFiles(ap)
+    assert(before.values.exists(_.size >= 2))
+    val untouched = before.filter(_._2.size == 1)
+    val n1 = Rank.optimizeIndex(spark, ap, minFiles = 2)
+    assert(n1 == before.values.count(_.size >= 2))
+    val after = bucketFiles(ap)
+    assert(after.values.forall(_.size == 1))
+    untouched.foreach { case (b, fsig) =>
+      assert(after(b) == fsig, s"1-file bucket $b was rewritten")
+    }
+    assert(Rank.optimizeIndex(spark, ap, minFiles = 2) == 0)
+    val servedOpt = Rank.retrieveTopKIndexed(spark, ap, q,
+        "query_id", "terms", k = 10)
+      .orderBy("rank").collect().map(r => (r.getLong(2), r.getDouble(3)))
+    assert(servedOpt.toSeq == got.toSeq)
   }
 
   test("C4 line filters: terminal punct, word floor, javascript; order") {
