@@ -33,8 +33,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    space; fewer than n tokens → no n-grams;
   *  - top n-gram fraction = top count × gram code-point length /
   *    document code-point length, ties toward the lexicographically
-  *    smallest gram (UTF-16 string order — all printable-ASCII fixtures
-  *    and BMP text order identically to the SQL mirror's byte order);
+  *    smallest gram in CODE-POINT order (≡ the SQL mirror's UTF-8 byte
+  *    collation for ALL inputs — ADVICE r13: raw UTF-16 `compareTo`
+  *    would order supplementary-plane grams after U+E000–U+FFFF ones
+  *    and diverge from the mirror on non-BMP corpora);
   *  - duplicated n-gram coverage = the position UNION of every
   *    occurrence of a gram seen twice or more, counting covered
   *    NON-EMPTY token code points over total token code points.
@@ -83,6 +85,26 @@ object GopherRepetition {
       GopherRepetition(GraftSqlBridge.expression(text)))
 
   private def cpLen(s: String): Int = s.codePointCount(0, s.length)
+
+  /** Code-point lexicographic compare ≡ UTF-8 byte order (the SQL
+    * mirror's collation). Differs from `String.compareTo` exactly when
+    * the first differing position pits a surrogate pair (a
+    * supplementary code point ≥ U+10000) against a char in
+    * U+E000–U+FFFF — UTF-16 code units order those backwards. */
+  private def cpCompare(a: String, b: String): Int = {
+    val la = a.length
+    val lb = b.length
+    var i = 0
+    while (i < la && i < lb) {
+      if (a.charAt(i) != b.charAt(i)) {
+        // compare the full code points at the first differing unit
+        // (charAt equality above keeps i on aligned boundaries)
+        return Integer.compare(a.codePointAt(i), b.codePointAt(i))
+      }
+      i += 1
+    }
+    Integer.compare(la, lb)
+  }
 
   /** Spark `trim`: leading/trailing 0x20 only (NOT Java's trim, which
     * also strips control chars — that would diverge on `\n`). */
@@ -173,7 +195,7 @@ object GopherRepetition {
           val e = it.next()
           val c = e.getValue.intValue
           if (c > bestC ||
-              (c == bestC && e.getKey.compareTo(bestG) < 0)) {
+              (c == bestC && cpCompare(e.getKey, bestG) < 0)) {
             bestC = c
             bestG = e.getKey
           }

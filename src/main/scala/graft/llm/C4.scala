@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The C4 cleaning pipeline (Raffel et al. 2020, "Exploring the Limits
@@ -28,10 +27,11 @@ import org.apache.spark.sql.functions._
   *    trailing fragment with no terminator — e.g. the closing quote of
   *    a `…!"` line — is not a sentence and does not survive
   *    reassembly;
-  *  - span keys are the TRIMMED sentence triple; removal excises the
-  *    RAW sentences; reassembly concatenates surviving sentences
-  *    verbatim (empty joiner), so an untouched page reassembles
-  *    byte-identically to its sentence sequence;
+  *  - span keys are the TRIMMED sentence triple joined with U+0001
+  *    (the exact string, never a hash); removal excises the RAW
+  *    sentences; reassembly concatenates surviving sentences verbatim
+  *    (empty joiner), so an untouched page reassembles byte-identically
+  *    to its sentence sequence;
   *  - page predicates run on the line-CLEANED text (boilerplate lines
   *    already dropped must not kill the page), and dedup runs over
   *    page-KEPT documents only (the paper dedups the kept dataset).
@@ -39,14 +39,14 @@ import org.apache.spark.sql.functions._
   * Scale shape (100 TB): stages 1 and 2 are map-only (explode/filter/
   * re-aggregate by doc id — AQE-coalesced narrow shuffle on the doc
   * key). Stage 3 generates span keys map-only from each page's own
-  * sentence array (no per-doc window), shuffles once on the span key
-  * for the duplicate ranking, and joins the fact-sized removal list
-  * back on (doc, sentence) — never an all-pairs step, never
-  * driver-sized state. */
+  * sentence array (no per-doc window), finds duplicated keys with one
+  * map-side-combined aggregate (hot boilerplate spans partial-combine
+  * before the exchange), and joins the fact-sized removal list back
+  * on (doc, sentence) — never an all-pairs step, never a
+  * single-partition window, never driver-sized state. */
 object C4 {
 
   private val SentenceRe = "[^.!?]*[.!?]"
-  private val Sep = ""
 
   /** Line-grain C4 filters. Returns one row per input document:
     * (idCol, n_lines, n_lines_kept, text_lines) where `text_lines` is
@@ -108,7 +108,19 @@ object C4 {
     * Keeper = the occurrence with the least (idCol, start); every
     * other occurrence's three sentences are removed and the page is
     * reassembled from the survivors in order. Returns one row per
-    * input document: (idCol, n_sent_removed, text_clean). */
+    * input document: (idCol, n_sent_removed, text_clean).
+    *
+    * Span key = the `\u0001`-joined TRIMMED sentence triple itself,
+    * not a 64-bit hash (ADVICE r13: at ~10^11–10^12 spans birthday
+    * collisions are expected, and a collision silently removes
+    * legitimate distinct sentences — the exact string cannot collide).
+    * Keeper selection is ONE map-side-combinable aggregate per key —
+    * `groupBy(key).agg(count, min(struct(id, start)))` — joined back
+    * to the occurrences (VERDICT r13 task 3: the former
+    * `row_number`+`count` windows put every occurrence of one span on
+    * one task, so a viral boilerplate span serialized; the aggregate
+    * partial-combines hot keys map-side and the join-back rides AQE
+    * skew-splitting). */
   def dedupSpans(
       df: DataFrame,
       textCol: String,
@@ -119,20 +131,23 @@ object C4 {
     // span keys map-only from each page's own sentence array
     val spanArr = when(size(col("__ss")) >= 3,
       transform(sequence(lit(0), size(col("__ss")) - 3),
-        i => xxhash64(concat_ws(Sep,
+        i => concat_ws("\u0001",
           trim(element_at(col("__ss"), i + 1)),
           trim(element_at(col("__ss"), i + 2)),
-          trim(element_at(col("__ss"), i + 3))))))
-      .otherwise(array().cast("array<bigint>"))
+          trim(element_at(col("__ss"), i + 3)))))
+      .otherwise(array().cast("array<string>"))
     val occ = withSents.select(col(idCol),
       posexplode(spanArr).as(Seq("start", "k")))
-    // one shuffle on the span key: rank occurrences, mark non-keepers
-    val wk = Window.partitionBy("k")
-    val wko = wk.orderBy(col(idCol), col("start"))
-    val removed = occ
-      .withColumn("rn", row_number().over(wko))
-      .withColumn("cnt", count(lit(1)).over(wk))
-      .filter(col("cnt") > 1 && col("rn") > 1)
+    // duplicated keys + their keeper, as ONE partial aggregate
+    val dupKeys = occ.groupBy("k")
+      .agg(count(lit(1)).as("__cnt"),
+        min(struct(col(idCol).as("id"), col("start").as("st")))
+          .as("__keep"))
+      .filter(col("__cnt") > 1)
+      .select(col("k"), col("__keep"))
+    val removed = occ.join(dupKeys, Seq("k"))
+      .filter(!(col(idCol) === col("__keep.id") &&
+        col("start") === col("__keep.st")))
       .select(col(idCol),
         explode(sequence(col("start"), col("start") + 2)).as("sid"))
       .distinct()

@@ -14,7 +14,16 @@ import org.apache.spark.sql.functions._
   * scores would need order-dependent float sums; the integer form is
   * bit-reproducible across engines and partitionings, and the caller
   * can derive any divergence from the returned exact counts.
-  * (Products stay far under 2^63: counts ≤ corpus tokens ≤ ~2^40.)
+  *
+  * The cross-multiplication runs in DECIMAL(38,0) (ADVICE r13: a
+  * token's count can approach its side's total, so the product bound
+  * is total_a·total_b ≈ 2^80 for 2^40-token corpora — far past Long;
+  * with ANSI off a bigint multiply would WRAP silently and mis-rank
+  * with no error). Decimal arithmetic is exact and order-independent,
+  * and 38 digits covers corpora to ~10^19 tokens per side. `drift` is
+  * emitted as its decimal STRING (the gate's exact-rationals-as-
+  * VARCHAR discipline — parquet decimal columns hash asymmetrically
+  * in the driver's compare).
   *
   * Scale shape (100 TB): one token explode + one map-side-combined
   * vocabulary aggregate per side (vocab ≪ corpus), a vocab-sized
@@ -47,9 +56,12 @@ object Drift {
       .select(col("token"),
         coalesce(col("count_a"), lit(0L)).as("count_a"),
         coalesce(col("count_b"), lit(0L)).as("count_b"))
-      .withColumn("drift",
-        abs(col("count_a") * lit(totB) - col("count_b") * lit(totA)))
-      .orderBy(desc("drift"), asc("token"))
+      .withColumn("__drift",
+        abs(col("count_a").cast("decimal(38,0)") * lit(totB) -
+          col("count_b").cast("decimal(38,0)") * lit(totA)))
+      .orderBy(desc("__drift"), asc("token"))
       .limit(k)
+      .select(col("token"), col("count_a"), col("count_b"),
+        col("__drift").cast("string").as("drift"))
   }
 }

@@ -149,12 +149,23 @@ object Packing {
     * lengths above `ctxLen` are REJECTED loudly, chunk oversize docs
     * with [[Chunk.chunkTokens]] first), a driver fold over it
     * emitting ≤ 2 segment rows per distinct length (head top-up +
-    * arithmetic full-bin run), one per-length `row_number` for copy
-    * indices (the only window — partitions are length classes; a
-    * degenerate single-length corpus makes one hot partition, noted),
-    * and one broadcast join of the corpus counts against the segment
-    * table. No corpus-sized shuffle, no driver state beyond the
-    * histogram. */
+    * arithmetic full-bin run), and one broadcast join of the corpus
+    * counts against the segment table. Copy indices (the per-length
+    * rank by id) come from the shared
+    * [[graft.stats.GlobalOrder.exclusivePrefix]] decomposition under
+    * the (n_tokens, id) total order minus each class's exclusive start
+    * count — a closed form of the histogram already on the driver —
+    * NOT a `Window.partitionBy(length)` (VERDICT r13: a window
+    * partition is one task, and packed corpora are length-DEGENERATE —
+    * after chunking, the modal exactly-`ctxLen` class can hold most of
+    * the corpus, so the per-length window serializes at scale while
+    * the range-partitioned prefix spreads every class across
+    * partitions). No corpus-sized shuffle, no single-partition window,
+    * no driver state beyond the histogram.
+    *
+    * RUNNER CONTRACT: persists the prefix decomposition's
+    * range-partitioned count table (the [[packSequences]] discipline);
+    * released by the session's per-query cache hygiene. */
   def packBinsDecreasing(
       df: DataFrame,
       textCol: String,
@@ -198,14 +209,27 @@ object Packing {
     }
     val spark = df.sparkSession
     import spark.implicits._
+    // exclusive class start under the (n_tokens ASC, id ASC) total
+    // order — a closed form of the driver-held histogram, carried on
+    // the broadcast segment table so the copy index is global rank
+    // minus class start (no per-length window)
+    val startByLen = {
+      var acc = 0L
+      hist.sortBy(_._1).map { case (n, c) =>
+        val s = acc; acc += c; n -> s
+      }.toMap
+    }
     val segDf = segs.toSeq
-      .toDF("__n", "__lo", "__hi", "__bin0", "__per", "__off0")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("n_tokens").orderBy(idCol)
-    counts
-      .withColumn("__j", row_number().over(w).cast("long") - 1)
+      .map { case (n, lo, hi, b0, per, off0) =>
+        (n, lo, hi, b0, per, off0, startByLen(n))
+      }
+      .toDF("__n", "__lo", "__hi", "__bin0", "__per", "__off0", "__start")
+    val (ranked, _) = graft.stats.GlobalOrder.exclusivePrefix(
+      counts, Seq(col("n_tokens"), col(idCol)), lit(1L), "__grank")
+    ranked
       .join(broadcast(segDf), col("n_tokens") === col("__n") &&
-        col("__j").between(col("__lo"), col("__hi")))
+        (col("__grank") - col("__start")).between(col("__lo"), col("__hi")))
+      .withColumn("__j", col("__grank") - col("__start"))
       .select(col(idCol), col("n_tokens"),
         expr("__bin0 + ((__j - __lo) div __per)").as("bin_id"),
         (col("__off0") +

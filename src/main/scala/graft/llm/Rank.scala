@@ -259,12 +259,27 @@ object Rank {
     * one file per bucket; a year of daily appends is 365 files per
     * directory): each term-hash bucket whose parquet file count
     * reached `minFiles` is re-read and rewritten as ONE file, swapped
-    * in atomically under the bucket's own directory name; buckets
-    * below the threshold stay byte-untouched (the
+    * in under the bucket's own directory name; buckets below the
+    * threshold stay byte-untouched (the
     * `zorderOptimize`/`compactMinhashIndex` bounded-rewrite
     * discipline). Postings CONTENT is untouched, so serving results
     * are identical before and after. Returns the number of buckets
-    * rewritten — a second immediate call returns 0. */
+    * rewritten — a second immediate call returns 0.
+    *
+    * Crash safety (ADVICE r13 — the old delete-then-rename left a
+    * reader-invisible index if the process died between the two): the
+    * swap is RENAME-ASIDE — write the compacted copy to
+    * `.opt_bucket=N`, rename the live bucket to `.old_bucket=N`,
+    * rename the compacted copy in, then delete the old — so at every
+    * instant at least one complete copy of the bucket sits under a
+    * recoverable name, and every crash point is UNAMBIGUOUS: this
+    * method heals leftovers before compacting (`.opt_` with the live
+    * bucket present = torn write, delete; `.old_` with the bucket
+    * missing = crash between renames, roll the old copy back; `.old_`
+    * with the bucket present = crash before the final delete, drop
+    * it). [[retrieveTopKIndexed]] fails loudly if it finds a bucket
+    * stranded mid-swap instead of silently serving without its
+    * postings. */
   def optimizeIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
@@ -274,6 +289,7 @@ object Rank {
     val fs = postDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(postDir),
       s"$path is not an index (no postings) — use writeIndex first")
+    healSwapLeftovers(fs, postDir)
     var rewritten = 0
     fs.listStatus(postDir)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
@@ -281,18 +297,46 @@ object Rank {
         val nFiles = fs.listStatus(b.getPath)
           .count(_.getPath.getName.endsWith(".parquet"))
         if (nFiles >= minFiles) {
+          val name = b.getPath.getName
           val tmp = new org.apache.hadoop.fs.Path(
-            s"$path/postings/.opt_${b.getPath.getName}")
-          if (fs.exists(tmp)) fs.delete(tmp, true)
+            s"$path/postings/.opt_$name")
+          val old = new org.apache.hadoop.fs.Path(
+            s"$path/postings/.old_$name")
           spark.read.parquet(b.getPath.toString)
             .coalesce(1).write.parquet(tmp.toString)
-          fs.delete(b.getPath, true)
+          require(fs.rename(b.getPath, old),
+            s"failed to rename ${b.getPath} aside as $old")
           require(fs.rename(tmp, b.getPath),
             s"failed to swap $tmp into place as ${b.getPath}")
+          fs.delete(old, true)
           rewritten += 1
         }
       }
     rewritten
+  }
+
+  /** Heal the unambiguous crash leftovers of [[optimizeIndex]]'s
+    * rename-aside swap (scaladoc there enumerates the three cases). */
+  private def healSwapLeftovers(
+      fs: org.apache.hadoop.fs.FileSystem,
+      postDir: org.apache.hadoop.fs.Path): Unit = {
+    val entries = fs.listStatus(postDir)
+    // .old_ first: rolling an aside bucket back in must happen before
+    // the .opt_ pass judges its (now live again) bucket
+    entries.filter(_.getPath.getName.startsWith(".old_")).foreach { s =>
+      val live =
+        new org.apache.hadoop.fs.Path(postDir, s.getPath.getName.substring(5))
+      if (fs.exists(live)) fs.delete(s.getPath, true) // final delete died
+      else require(fs.rename(s.getPath, live), // died between the renames
+        s"failed to roll ${s.getPath} back in as $live")
+    }
+    entries.filter(_.getPath.getName.startsWith(".opt_")).foreach { s =>
+      val live =
+        new org.apache.hadoop.fs.Path(postDir, s.getPath.getName.substring(5))
+      // live always exists here (the bucket moves aside only after the
+      // tmp write completes, and the .old_ pass above rolled it back)
+      if (fs.exists(live)) fs.delete(s.getPath, true) // torn tmp write
+    }
   }
 
   /** [[retrieveTopK]] against a PERSISTED index: identical results,
@@ -311,6 +355,24 @@ object Rank {
       k: Int,
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
+    // a bucket stranded mid-compaction-swap (its only copy under a
+    // dot-prefixed name the parquet reader skips) would silently serve
+    // wrong scores — fail loudly instead (ADVICE r13); run
+    // optimizeIndex to heal
+    val postDir = new org.apache.hadoop.fs.Path(s"$indexPath/postings")
+    val pfs = postDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (pfs.exists(postDir)) {
+      val stranded = pfs.listStatus(postDir).map(_.getPath.getName)
+        .filter(n => n.startsWith(".old_") || n.startsWith(".opt_"))
+        .map(_.replaceFirst("^\\.(old|opt)_", ""))
+        .filterNot(n =>
+          pfs.exists(new org.apache.hadoop.fs.Path(postDir, n)))
+      require(stranded.isEmpty,
+        s"index $indexPath has bucket(s) stranded mid-swap " +
+          s"(${stranded.mkString(", ")} exist only under a tmp name) — " +
+          "serving would silently drop their postings; run " +
+          "optimizeIndex to heal the interrupted compaction first")
+    }
     val st = spark.read.parquet(s"$indexPath/_stats").head()
     // probe buckets: hash the query vocabulary through the SAME
     // engine-side xxhash64 the writer used (a tiny local frame, not a

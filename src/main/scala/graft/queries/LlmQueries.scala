@@ -2474,10 +2474,13 @@ object LlmQueries {
         .orderBy("doc_id")),
 
     // embedding cosine near-dup: hyperplane-LSH buckets + exact cosine
-    // verify (oracle-checked)
+    // verify (oracle-checked). minCosine 0.4 sits INSIDE the
+    // synthesized embeddings' cosine range (VERDICT r13 task 6: the
+    // former 0.9 matched zero pairs at sf0.01, so the gate hashed an
+    // empty frame — the llm_leakage_split threshold discipline)
     "llm_emb_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDups(t(s, dir, "embeddings"), "embedding",
-          "vec_id", planes = 8, minCosine = 0.9)
+          "vec_id", planes = 8, minCosine = 0.4)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("ida", "idb")),
 
@@ -4320,7 +4323,10 @@ object LlmQueries {
         |FROM ids i JOIN sgn sg ON sg.s = i.s
         |ORDER BY i.doc_id""".stripMargin,
     // token-drift mirror: per-side vocab counts, totals, full-outer
-    // join, the exact integer statistic, top-25 under the total order
+    // join, the exact integer statistic in HUGEINT (the engine runs
+    // DECIMAL(38,0) — both exact, both emit the decimal string; a
+    // BIGINT cross-multiplication would overflow at real corpus
+    // scale, ADVICE r13), top-25 under the total order
     "llm_token_drift" ->
       """WITH a AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
         |           FROM documents WHERE source <> 'src0' AND text IS NOT NULL),
@@ -4334,8 +4340,10 @@ object LlmQueries {
         |        coalesce(a2.count_a, 0) AS count_a, coalesce(b2.count_b, 0) AS count_b
         |      FROM a2 FULL OUTER JOIN b2 ON b2.token = a2.token)
         |SELECT j.token, j.count_a, j.count_b,
-        |  CAST(abs(j.count_a * tb.t - j.count_b * ta.t) AS BIGINT) AS drift
-        |FROM j, ta, tb ORDER BY drift DESC, j.token LIMIT 25""".stripMargin,
+        |  CAST(abs(CAST(j.count_a AS HUGEINT) * tb.t - CAST(j.count_b AS HUGEINT) * ta.t) AS VARCHAR) AS drift
+        |FROM j, ta, tb
+        |ORDER BY abs(CAST(j.count_a AS HUGEINT) * tb.t - CAST(j.count_b AS HUGEINT) * ta.t) DESC, j.token
+        |LIMIT 25""".stripMargin,
 
     // epoch-shuffle mirror: the same FNV CTE over the ':'-salted id
     // strings for epochs 1 and 2, each epoch ranked independently,
@@ -4872,7 +4880,7 @@ object LlmQueries {
         |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nv FROM e GROUP BY vec_id),
         |dp AS (SELECT c.ida, c.idb, sum(ea.x * eb.x) AS dot FROM cand c JOIN e ea ON ea.vec_id = c.ida JOIN e eb ON eb.vec_id = c.idb AND eb.d = ea.d GROUP BY c.ida, c.idb),
         |cs AS (SELECT d.ida, d.idb, d.dot / (na.nv * nb.nv) AS c FROM dp d JOIN nrm na ON na.vec_id = d.ida JOIN nrm nb ON nb.vec_id = d.idb)
-        |SELECT ida, idb, round(c, 6) AS cosine FROM cs WHERE c >= 0.9 ORDER BY ida, idb""".stripMargin
+        |SELECT ida, idb, round(c, 6) AS cosine FROM cs WHERE c >= 0.4 ORDER BY ida, idb""".stripMargin
     },
     // leakage-split mirror (r10 — this row was rows-only in r09): the
     // llm_emb_neardup pair CTEs (8 planes, cosine ≥ 0.4 — inside the

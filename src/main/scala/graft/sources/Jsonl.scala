@@ -29,8 +29,15 @@ import org.apache.spark.sql.types.StructType
   * WebDataset tar shards). */
 object Jsonl {
 
-  /** Write `df` as `shards` gzip JSONL files, hash-routed and sorted
-    * by `keyCol` — byte-reproducible for identical input. */
+  /** Write `df` as `shards` gzip JSONL files, hash-routed by `keyCol`
+    * and sorted inside each shard by `keyCol` then every other
+    * ORDERABLE column — byte-reproducible for identical input even
+    * when the key is not unique (ADVICE r13: sorting by the key alone
+    * leaves tied rows in nondeterministic relative order, silently
+    * breaking the checksum contract). Rows identical in all orderable
+    * columns but differing in an unorderable one (map-typed) remain
+    * the one documented tie the sort cannot break — make the key
+    * unique if the frame carries maps. */
   def write(df: DataFrame, keyCol: String, shards: Int, path: String)
       : Unit = {
     require(shards >= 1, "shards must be at least 1")
@@ -39,9 +46,20 @@ object Jsonl {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!fs.exists(p) || fs.listStatus(p).isEmpty,
       s"jsonl target $path exists and is not empty")
+    val tiebreak = df.schema.fields
+      .filter(f => f.name != keyCol && isOrderable(f.dataType))
+      .map(f => col(f.name))
     df.repartition(shards, col(keyCol))
-      .sortWithinPartitions(keyCol)
+      .sortWithinPartitions(col(keyCol) +: tiebreak.toIndexedSeq: _*)
       .write.option("compression", "gzip").json(path)
+  }
+
+  private def isOrderable(dt: org.apache.spark.sql.types.DataType)
+      : Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => false
+    case s: StructType => s.fields.forall(f => isOrderable(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => isOrderable(a.elementType)
+    case _ => true
   }
 
   /** Read a JSONL directory under an EXPLICIT schema, FAILFAST on any

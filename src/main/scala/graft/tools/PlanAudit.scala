@@ -182,6 +182,23 @@ object PlanAudit {
         s"(query terms, doc frequencies), found $nRt")
       bad += 1
     }
+    // NFD packing (r14, VERDICT r13 task 1): the copy index must ride
+    // the GlobalOrder decomposition — every window in the plan
+    // partitions on __pid (the range-partition id), NEVER on the
+    // length class (a per-length window is one task per class, and
+    // packed corpora are length-degenerate)
+    val pf = graft.SparkEntry.queries("llm_pack_ffd")(spark, dir)
+    val pfPlan = pf.queryExecution.executedPlan.toString
+    val nWinSpecs = "windowspecdefinition\\(".r.findAllIn(pfPlan).length
+    val nPidSpecs = "windowspecdefinition\\(__pid".r.findAllIn(pfPlan).length
+    if (pfPlan.contains("windowspecdefinition(n_tokens")) {
+      println("!! llm_pack_ffd: per-length window regressed (one task " +
+        "per length class)"); bad += 1
+    }
+    if (nWinSpecs == 0 || nWinSpecs != nPidSpecs) {
+      println(s"!! llm_pack_ffd: expected every window partitioned by " +
+        s"__pid, found $nPidSpecs/$nWinSpecs"); bad += 1
+    }
     // Gopher repetition (r13): all 13 metrics ride the single-pass
     // kernel — the plan must carry NO Generate (explode) and NO Window
     // (the discarded 9-explode formulation would reintroduce both)

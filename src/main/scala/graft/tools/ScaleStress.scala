@@ -338,12 +338,27 @@ object ScaleStress {
             Seq("x", "y"), outDir, nFiles = 16)
           graft.core.Layout.zorderOptimize(spark, outDir).toLong
         }
-        // no-split NFD bin packing (r13): one histogram aggregate +
-        // per-length row_number + broadcast segment join — expect
-        // linear in docs (the histogram stays length-bounded)
+        // no-split NFD bin packing (r13; copy index de-skewed r14):
+        // one histogram aggregate + GlobalOrder copy index + broadcast
+        // segment join — expect linear in docs (the histogram stays
+        // length-bounded)
         time(s"pack ffd x$mult")(
           force(graft.llm.Packing.packBinsDecreasing(
             d, "text", "doc_id", 2048)))
+        // length-DEGENERATE packing (r14, VERDICT r13 task 1): 90% of
+        // docs share ONE length — the modal exactly-ctxLen class a
+        // chunked corpus produces. The old per-length row_number
+        // funneled that class through a single task; the GlobalOrder
+        // copy index range-partitions on (n_tokens, id), so the curve
+        // must stay ~linear here too
+        time(s"pack ffd degenerate x$mult") {
+          val fixed = d.select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(10)) < 9,
+              lit((1 to 128).map(i => s"w$i").mkString(" ")))
+              .otherwise(substring(col("text"), 1, 64)).as("text2"))
+          force(graft.llm.Packing.packBinsDecreasing(
+            fixed, "text2", "doc_id", 2048))
+        }
         // paragraph-grain CCNet (r13): the LM chain over ~#paras rows
         // (explode is map-only, model joins broadcast, reassembly one
         // groupBy-doc) — expect the llm_lm_perplexity curve scaled by

@@ -506,25 +506,40 @@ class KernelPropertySpec extends SparkSpec {
     // the kernel is a hand-rolled single pass (r13); this reference
     // reimplements the PINNED semantics independently: space-only
     // trim, \s+ tokens post-trim, grams joined with one space, ties to
-    // the smallest gram, coverage as a position UNION
+    // the smallest gram in UTF-8 BYTE order (the oracle's collation —
+    // via getBytes("UTF-8") here, a different mechanism than the
+    // kernel's code-point compare), CODE-POINT lengths everywhere
+    // (ADVICE r13: UTF-16 .length would diverge on non-BMP vocab, now
+    // in the fixtures), coverage as a position UNION
     def ref(s: String): Seq[Double] = {
       def trimSp(x: String) = x.dropWhile(_ == ' ')
         .reverse.dropWhile(_ == ' ').reverse
+      def cp(x: String): Long = x.codePointCount(0, x.length).toLong
+      def utf8Lt(a: String, b: String): Boolean = {
+        val ab = a.getBytes("UTF-8")
+        val bb = b.getBytes("UTF-8")
+        var i = 0
+        while (i < ab.length && i < bb.length) {
+          if (ab(i) != bb(i)) return (ab(i) & 0xff) < (bb(i) & 0xff)
+          i += 1
+        }
+        ab.length < bb.length
+      }
       def unit(us: Array[String]): (Double, Double) = {
         val kept = us.filter(u => trimSp(u).nonEmpty)
         if (kept.isEmpty) return (0.0, 0.0)
         val g = kept.groupBy(identity).map { case (u, o) => (u, o.length) }
         val du = g.values.map(c => c - 1).sum
-        val ch = kept.map(_.length.toLong).sum
+        val ch = kept.map(cp).sum
         val dch = g.collect { case (u, c) if c > 1 =>
-          (c - 1).toLong * u.length }.sum
+          (c - 1).toLong * cp(u) }.sum
         (du.toDouble / kept.length,
           if (ch > 0) dch.toDouble / ch else 0.0)
       }
       val (lf, lcf) = unit(s.split("\n", -1))
       val (pf, pcf) = unit(s.split("\n\n", -1))
       val toks = trimSp(s).split("\\s+", -1)
-      val tl = s.length
+      val tl = cp(s)
       def grams(n: Int): Seq[String] =
         if (toks.length < n) Nil
         else (0 to toks.length - n).map(i =>
@@ -534,12 +549,14 @@ class KernelPropertySpec extends SparkSpec {
         if (gs.isEmpty || tl == 0) 0.0
         else {
           val cnt = gs.groupBy(identity).map { case (g, o) => (g, o.length) }
-          val (bg, bc) = cnt.toSeq.minBy { case (g, c) => (-c, g) }
-          bc.toLong * bg.length / tl.toDouble
+          val (bg, bc) = cnt.toSeq.sortWith { case ((g1, c1), (g2, c2)) =>
+            c1 > c2 || (c1 == c2 && utf8Lt(g1, g2))
+          }.head
+          bc.toLong * cp(bg) / tl.toDouble
         }
       }
       def cov(n: Int): Double = {
-        val tot = toks.map(_.length.toLong).sum
+        val tot = toks.map(cp).sum
         val gs = grams(n)
         if (gs.isEmpty || tot == 0) 0.0
         else {
@@ -547,13 +564,20 @@ class KernelPropertySpec extends SparkSpec {
           val covered = gs.zipWithIndex.collect {
             case (g, i) if cnt(g) >= 2 => i until i + n
           }.flatten.toSet
-          covered.toSeq.map(i => toks(i).length.toLong).sum.toDouble / tot
+          covered.toSeq.map(i => cp(toks(i))).sum.toDouble / tot
         }
       }
       Seq(lf, pf, lcf, pcf) ++ (2 to 4).map(top) ++ (5 to 10).map(cov)
     }
     val rnd = new scala.util.Random(20260816L)
-    val vocab = Array("aa", "b", "ccc", "dddd", "e!", "ff.", "gg")
+    // U+1F600 (non-BMP: surrogate pair, 4-byte UTF-8) vs U+F8FF
+    // (private use: one char, 3-byte UTF-8): UTF-16 code-unit order
+    // puts the surrogate pair FIRST, byte/code-point order puts it
+    // LAST — the exact inversion the tie-break fix must get right
+    val emoji = new String(Character.toChars(0x1F600))
+    val pua = "\uF8FF"
+    val vocab = Array("aa", "b", "ccc", "dddd", "e!", "ff.", "gg",
+      emoji, pua, emoji + pua)
     val docs = (0 until 120).map { i =>
       val nLines = rnd.nextInt(7)
       val lines = (0 until nLines).map { _ =>
@@ -565,6 +589,12 @@ class KernelPropertySpec extends SparkSpec {
       }
       val sep = if (rnd.nextBoolean()) "\n" else "\n\n"
       (i.toLong, lines.mkString(sep))
+    } :+ {
+      // the decisive inversion case, pinned deterministically: the two
+      // count-1 bigrams tie; UTF-16 order picks "😀 <pua>" (cp length
+      // 3 → 3/6), code-point order picks "<pua> 😀😀" (cp length 4 →
+      // 4/6) — a VALUE difference, not just a different winner
+      (120L, s"$emoji $pua $emoji$emoji")
     }
     import spark.implicits._
     val got = graft.llm.Repetition.repetitionMetrics(

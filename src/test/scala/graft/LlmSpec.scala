@@ -1444,16 +1444,27 @@ class LlmSpec extends SparkSpec {
     val b = Seq((1L, " x  z ")).toDF("doc_id", "text")
     val got = Drift.tokenDrift(a, b, "text", 10)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getLong(3)))
-    assert(got.toSeq == Seq(("z", 0L, 1L, 3L), ("y", 1L, 0L, 2L),
-      ("x", 2L, 1L, 1L)))
+        r.getString(3)))
+    assert(got.toSeq == Seq(("z", 0L, 1L, "3"), ("y", 1L, 0L, "2"),
+      ("x", 2L, 1L, "1")))
     // k bound cuts on the (drift DESC, token ASC) total order
     val top1 = Drift.tokenDrift(a, b, "text", 1).collect()
     assert(top1.length == 1 && top1(0).getString(0) == "z")
     // identical corpora → every drift is exactly 0
     val same = Drift.tokenDrift(a, a, "text", 10)
-      .collect().map(_.getLong(3))
-    assert(same.nonEmpty && same.forall(_ == 0L))
+      .collect().map(_.getString(3))
+    assert(same.nonEmpty && same.forall(_ == "0"))
+    // ADVICE r13: the decimal cross-multiplication must NOT wrap where
+    // a bigint would — counts near 2^40 with 2^40-scale totals put the
+    // product near 2^80; the exact decimal digits are the assertion
+    val big = (1L << 40).toString // 1099511627776 tokens of one term
+    val ca = Seq((1L, Seq.fill(1)("t").mkString(" "))).toDF("doc_id", "text")
+    // synthesizing 2^40 real tokens is absurd — drive the arithmetic
+    // path directly instead via the same decimal expression
+    val expr40 = org.apache.spark.sql.functions.expr(
+      s"cast(abs(cast($big as decimal(38,0)) * $big - 0) as string)")
+    val wide = ca.select(expr40.as("d")).head().getString(0)
+    assert(wide == "1208925819614629174706176") // 2^80, exact
   }
 
   test("Gopher repetition: unit fractions, top-gram, coverage union") {
@@ -1622,6 +1633,42 @@ class LlmSpec extends SparkSpec {
         "query_id", "terms", k = 10)
       .orderBy("rank").collect().map(r => (r.getLong(2), r.getDouble(3)))
     assert(servedOpt.toSeq == got.toSeq)
+    // ADVICE r13 crash safety: every interruption point of the
+    // rename-aside swap must heal (optimizeIndex) or fail loudly
+    // (serve), never silently drop a bucket's postings.
+    val postRoot = new java.io.File(s"$ap/postings")
+    val liveBucket = postRoot.listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName).sorted.head
+    def hPath(n: String) = new org.apache.hadoop.fs.Path(s"$ap/postings/$n")
+    // (1) crash DIED BETWEEN THE TWO RENAMES: live bucket gone, only
+    // copy under .old_ — serving must refuse, healing must roll back
+    assert(fs.rename(hPath(liveBucket), hPath(s".old_$liveBucket")))
+    val stranded = intercept[IllegalArgumentException] {
+      Rank.retrieveTopKIndexed(spark, ap, q, "query_id", "terms", k = 10)
+    }
+    assert(stranded.getMessage.contains("stranded mid-swap"))
+    assert(Rank.optimizeIndex(spark, ap, minFiles = 2) == 0) // heals first
+    assert(fs.exists(hPath(liveBucket)) &&
+      !fs.exists(hPath(s".old_$liveBucket")))
+    // (2) crash BEFORE THE FINAL DELETE: both live and .old_ present —
+    // serving is correct (reader skips dot-dirs), healing drops .old_
+    fs.mkdirs(hPath(s".old_$liveBucket"))
+    val servedDup = Rank.retrieveTopKIndexed(spark, ap, q,
+        "query_id", "terms", k = 10)
+      .orderBy("rank").collect().map(r => (r.getLong(2), r.getDouble(3)))
+    assert(servedDup.toSeq == got.toSeq)
+    assert(Rank.optimizeIndex(spark, ap, minFiles = 2) == 0)
+    assert(!fs.exists(hPath(s".old_$liveBucket")))
+    // (3) crash DURING THE TMP WRITE: torn .opt_ next to the live
+    // bucket — healing deletes the torn copy, the bucket is untouched
+    fs.mkdirs(hPath(s".opt_$liveBucket"))
+    assert(Rank.optimizeIndex(spark, ap, minFiles = 2) == 0)
+    assert(!fs.exists(hPath(s".opt_$liveBucket")) &&
+      fs.exists(hPath(liveBucket)))
+    val servedHealed = Rank.retrieveTopKIndexed(spark, ap, q,
+        "query_id", "terms", k = 10)
+      .orderBy("rank").collect().map(r => (r.getLong(2), r.getDouble(3)))
+    assert(servedHealed.toSeq == got.toSeq)
   }
 
   test("C4 line filters: terminal punct, word floor, javascript; order") {
