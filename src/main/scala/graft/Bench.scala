@@ -136,7 +136,8 @@ object Bench {
       "llm_retrieval_persisted", // index write+read lifecycle (side-effect)
       "llm_retrieval_append", // build+append+serve lifecycle (side-effect)
       "llm_retrieval_optimize", // append+compact lifecycle (side-effect)
-      "llm_jsonl_roundtrip") // egest+ingest lifecycle (side-effect)
+      "llm_jsonl_roundtrip", // egest+ingest lifecycle (side-effect)
+      "llm_dedup_recall") // recall gate: planted dups + LSH + verify (r14)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => verifyOnly(q._1))
 
@@ -218,7 +219,7 @@ object Bench {
         "llm_ann_pq", "llm_ann_ivfpq", "llm_tar_roundtrip", "llm_zorder",
         "llm_c4_clean", "llm_gopher_repetition", "llm_retrieval_topk",
         "llm_token_drift", "llm_ccnet_paragraphs", "llm_pack_ffd",
-        "llm_lm_shuffle", "llm_epoch_shuffle")
+        "llm_lm_shuffle", "llm_epoch_shuffle", "llm_unigram_encode")
       val qs = byQuery.collect {
         case (name, _, med, _, _) if headline(name) =>
           "\"" + name + "\":" + jnum(med)
