@@ -2273,6 +2273,18 @@ object LlmQueries {
         .orderBy("doc_id", "pos")
     }),
 
+    // sequence packing on REAL unigram counts — the llm_pack_bpe twin:
+    // the downstream budget/packing machinery consumes tokenizations
+    // from EITHER subword family through the same tokenCounter seam
+    "llm_pack_unigram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val v = Unigram.learn(docs, "text")
+      val (packed, release) = Packing.packSequencesReleasable(
+        docs, "text", "doc_id", ctxLen = 128,
+        tokenCounter = c => Unigram.count(c, v))
+      collectAndRelease(s, packed.orderBy("doc_id"))(release)
+    }),
+
     // unigram round trip: decode(encode(text)) ≡ whitespace-squeezed
     // text (the llm_bpe_roundtrip equation — the oracle computes the
     // squeeze directly; any encode/decode/id-scheme defect breaks the
@@ -4276,6 +4288,21 @@ object LlmQueries {
         |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
         |  CAST(token_id AS INT) AS token_id
         |FROM uout ORDER BY doc_id, pos""".stripMargin,
+
+    // unigram packing mirror: per-doc REAL token counts from the
+    // shared encode CTE, then the llm_pack_bpe closed-form prefix-sum
+    // assignment (ctxLen 128)
+    "llm_pack_unigram" ->
+      s"""WITH RECURSIVE $unigramCtes,
+        |upc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM uout GROUP BY doc_id),
+        |c AS (SELECT d.doc_id, coalesce(b.n_tokens, 0) AS n_tokens FROM documents d LEFT JOIN upc b ON b.doc_id = d.doc_id),
+        |p AS (SELECT doc_id, n_tokens,
+        |  sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS token_offset
+        |  FROM c)
+        |SELECT doc_id, n_tokens, CAST(token_offset AS BIGINT) AS token_offset,
+        | CAST(token_offset // 128 AS BIGINT) AS seq_id,
+        | CAST((token_offset + n_tokens - 1) // 128 - token_offset // 128 + 1 AS BIGINT) AS n_seqs_spanned
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // unigram round-trip mirror: the squeezed-identity equation
     // computed directly (the llm_bpe_roundtrip discipline — the CLAIM
