@@ -2285,6 +2285,20 @@ object LlmQueries {
       collectAndRelease(s, packed.orderBy("doc_id"))(release)
     }),
 
+    // tokenizer-fertility report (r14): tokens-per-1000-words by
+    // source for BOTH trained subword families — every statistic an
+    // exact integer, one corpus pass, map-side-combined per-source
+    // aggregate; the "which tokenizer on MY corpus" QA view
+    "llm_tokenizer_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val v = Unigram.learn(docs, "text")
+      TokenizerEval.fertility(docs, "text", "source", Seq(
+          "bpe" -> (c => Bpe.count(c)),
+          "unigram" -> ((c: org.apache.spark.sql.Column) =>
+            Unigram.count(c, v))))
+        .orderBy("source")
+    }),
+
     // unigram round trip: decode(encode(text)) ≡ whitespace-squeezed
     // text (the llm_bpe_roundtrip equation — the oracle computes the
     // squeeze directly; any encode/decode/id-scheme defect breaks the
@@ -4303,6 +4317,31 @@ object LlmQueries {
         | CAST(token_offset // 128 AS BIGINT) AS seq_id,
         | CAST((token_offset + n_tokens - 1) // 128 - token_offset // 128 + 1 AS BIGINT) AS n_seqs_spanned
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // fertility mirror: BOTH tokenizer chains replayed in one WITH
+    // RECURSIVE (the bpeCte and unigramCtes name spaces are disjoint),
+    // per-source word/token counts + the exact integer-division ratio
+    "llm_tokenizer_fertility" ->
+      s"""WITH RECURSIVE $bpeCte, $unigramCtes,
+        |wsrc AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_words
+        |  FROM uwd w JOIN documents d ON d.doc_id = w.doc_id GROUP BY 1),
+        |bsrc AS (SELECT d.source, CAST(count(*) AS BIGINT) AS bpe_tokens
+        |  FROM bt b JOIN documents d ON d.doc_id = b.doc_id GROUP BY 1),
+        |usrc AS (SELECT d.source, CAST(count(*) AS BIGINT) AS unigram_tokens
+        |  FROM uout u JOIN documents d ON d.doc_id = u.doc_id GROUP BY 1),
+        |dsrc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1)
+        |SELECT d.source, d.n_docs,
+        |  coalesce(w.n_words, 0) AS n_words,
+        |  coalesce(b.bpe_tokens, 0) AS bpe_tokens,
+        |  coalesce(u.unigram_tokens, 0) AS unigram_tokens,
+        |  CASE WHEN coalesce(w.n_words, 0) > 0
+        |       THEN (coalesce(b.bpe_tokens, 0) * 1000) // w.n_words END AS bpe_per_kword,
+        |  CASE WHEN coalesce(w.n_words, 0) > 0
+        |       THEN (coalesce(u.unigram_tokens, 0) * 1000) // w.n_words END AS unigram_per_kword
+        |FROM dsrc d LEFT JOIN wsrc w ON w.source = d.source
+        |LEFT JOIN bsrc b ON b.source = d.source
+        |LEFT JOIN usrc u ON u.source = d.source
+        |ORDER BY d.source""".stripMargin,
 
     // unigram round-trip mirror: the squeezed-identity equation
     // computed directly (the llm_bpe_roundtrip discipline — the CLAIM

@@ -182,6 +182,25 @@ object PlanAudit {
         s"(query terms, doc frequencies), found $nRt")
       bad += 1
     }
+    // unigram encode (r14): the serve-side kernel must stay a MAP-ONLY
+    // codegen'd expression — no exchange, no Generate/Window, no
+    // ScalaUDF in a bare scan→encode plan (the gate query's
+    // posexplode/orderBy are its own view, audited here without them)
+    {
+      val udocs = spark.read.parquet(s"$dir/documents.parquet")
+      val uv = graft.llm.Unigram.learn(udocs, "text")
+      val up = udocs.select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.llm.Unigram.encode(
+          org.apache.spark.sql.functions.col("text"), uv).as("ids"))
+      val upPlan = up.queryExecution.executedPlan.toString
+      if (upPlan.contains("Exchange") || upPlan.contains("Generate") ||
+          upPlan.contains("Window") ||
+          upPlan.toLowerCase.contains("scalaudf")) {
+        println("!! unigram encode: kernel plan is not map-only " +
+          "(exchange/generate/window/udf found)")
+        bad += 1
+      }
+    }
     // NFD packing (r14, VERDICT r13 task 1): the copy index must ride
     // the GlobalOrder decomposition — every window in the plan
     // partitions on __pid (the range-partition id), NEVER on the

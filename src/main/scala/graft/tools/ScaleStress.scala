@@ -409,6 +409,26 @@ object ScaleStress {
             d.filter(pmod(col("doc_id"), lit(2)) === 0),
             d.filter(pmod(col("doc_id"), lit(2)) === 1),
             "text", 25)))
+        // unigram-LM tokenizer (r14): training runs over the
+        // DISTINCT-word table — replication multiplies word
+        // frequencies, not distinct words, so the learn curve must be
+        // ~FLAT across the decade; encode is a map-only codegen'd
+        // kernel with a per-thread word memo — linear in docs with a
+        // Zipf-flat constant
+        var uniVocab: graft.functions.UnigramVocab = null
+        time(s"unigram learn x$mult") {
+          uniVocab = graft.llm.Unigram.learn(d, "text")
+          uniVocab.pieces.length.toLong
+        }
+        time(s"unigram encode x$mult")(
+          force(d.select(col("doc_id"),
+            size(graft.llm.Unigram.encode(col("text"), uniVocab))
+              .as("n_tokens"))))
+        time(s"tokenizer fertility x$mult")(
+          force(graft.llm.TokenizerEval.fertility(d, "text", "source",
+            Seq("bpe" -> (c => graft.llm.Bpe.count(c)),
+              "unigram" -> ((c: org.apache.spark.sql.Column) =>
+                graft.llm.Unigram.count(c, uniVocab))))))
         // Gopher repetition rule set (r13): map-only single-pass
         // kernel (the explode formulation it replaced benched
         // 10.8/18.0/77.8 s over this decade)

@@ -91,6 +91,35 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("tokenizer fertility: exact counts, integer ratio, null/empty " +
+      "and zero-word guards") {
+    import graft.llm.TokenizerEval
+    val docs = Seq(
+      (1L, "g1", "aa bb"), // 2 words
+      (2L, "g1", null.asInstanceOf[String]), // doc counted, no words
+      (3L, "g2", "   "), // trims to zero words
+      (4L, "g2", "x")).toDF("doc_id", "grp", "text")
+    // counter = code points per word (deterministic, easy to hand-sum)
+    val cpCount = (c: org.apache.spark.sql.Column) =>
+      length(regexp_replace(c, "\\s+", "")).cast("long")
+    val got = TokenizerEval.fertility(docs, "text", "grp",
+        Seq("cp" -> cpCount))
+      .orderBy("grp").collect()
+    // g1: 2 docs, 2 words, 4 cps, 4*1000 div 2 = 2000
+    assert(got(0).getString(0) == "g1" && got(0).getLong(1) == 2 &&
+      got(0).getLong(2) == 2 && got(0).getLong(3) == 4 &&
+      got(0).getLong(4) == 2000L)
+    // g2: 2 docs, 1 word ("x"), 1 cp, ratio 1000
+    assert(got(1).getLong(1) == 2 && got(1).getLong(2) == 1 &&
+      got(1).getLong(3) == 1 && got(1).getLong(4) == 1000L)
+    // zero-word group → null ratio, not a division error
+    val zw = TokenizerEval.fertility(
+        Seq((1L, "g", "  ")).toDF("doc_id", "grp", "text"),
+        "text", "grp", Seq("cp" -> cpCount))
+      .collect()(0)
+    assert(zw.getLong(2) == 0 && zw.isNullAt(4))
+  }
+
   test("encode/decode round trip equals the whitespace-squeezed text") {
     val docs = Seq(
       (1L, "banana bandana banana"),
