@@ -211,4 +211,84 @@ object Mixing {
       .repartition(nShards, col("shard"))
       .sortWithinPartitions("shard", "pos")
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** Token-budget mixture ALLOCATION under availability caps (r14) —
+    * the step before [[mixBySourcesWeighted]] in every pretraining
+    * corpus assembly: given how many tokens each source HAS and the
+    * desired mixture weights, how many tokens may each source
+    * contribute to a total budget `totalBudget`? Proportional shares
+    * alone overshoot scarce sources, so the pinned rule is integer
+    * WATER-FILLING:
+    *
+    *  - each round splits the remaining budget over the UNSETTLED
+    *    sources proportionally to their milli-weights,
+    *    `prop_i = floor(T_rem · w_i / W_unsettled)` (exact integers,
+    *    BigInt intermediates — no overflow at any corpus size);
+    *  - every unsettled source whose share exceeds its availability is
+    *    CAPPED at that availability and its unused share re-enters the
+    *    pool; when no source overflows, the rest settle at their
+    *    shares and the fixed point is reached (≤ |sources| rounds);
+    *  - flooring residue (< |unsettled| tokens per final round) stays
+    *    unallocated by design — the caller rounds corpora, not tokens;
+    *  - sources absent from `weightsMilli` carry weight 0 (allocated
+    *    0); an all-zero-weight pool settles at 0.
+    *
+    * Deterministic, reproducible, and SQL-mirrorable — no floats
+    * anywhere. The availability table is source-bounded, so the
+    * driver-side fixed point is over a handful of rows (the vocab /
+    * centroid collect discipline); the only distributed work is
+    * whatever aggregate PRODUCED the availability counts.
+    *
+    * Returns (sourceCol, tokens_available, weight_milli,
+    * tokens_allocated, capped) — `capped` marks sources pinned at
+    * their availability. */
+  def allocateBudget(
+      avail: DataFrame,
+      sourceCol: String,
+      availCol: String,
+      weightsMilli: Map[String, Long],
+      totalBudget: Long): DataFrame = {
+    require(totalBudget >= 0, "totalBudget must be non-negative")
+    require(weightsMilli.values.forall(_ >= 0L),
+      "weights must be non-negative")
+    val rows = avail
+      .select(col(sourceCol).cast("string"), col(availCol).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    require(rows.map(_._1).distinct.length == rows.length,
+      "availability table must have one row per source")
+    require(rows.forall(_._2 >= 0L), "availability must be non-negative")
+    val w = rows.map { case (s, _) => weightsMilli.getOrElse(s, 0L) }
+    val c = rows.map(_._2)
+    val alloc = Array.fill[Long](rows.length)(-1L) // -1 = unsettled
+    val capped = Array.fill(rows.length)(false)
+    var tRem = BigInt(totalBudget)
+    var done = false
+    while (!done) {
+      val unsettled = alloc.indices.filter(alloc(_) < 0L)
+      if (unsettled.isEmpty) done = true
+      else {
+        val bigW = unsettled.map(i => BigInt(w(i))).sum
+        val prop = unsettled.map(i =>
+          if (bigW == 0) BigInt(0) else tRem * w(i) / bigW)
+        val over = unsettled.zip(prop).filter { case (i, p) => p > c(i) }
+        if (over.nonEmpty) {
+          over.foreach { case (i, _) =>
+            alloc(i) = c(i); capped(i) = true; tRem -= c(i)
+          }
+        } else {
+          unsettled.zip(prop).foreach { case (i, p) =>
+            alloc(i) = p.toLong
+          }
+        }
+      }
+    }
+    val spark = avail.sparkSession
+    import spark.implicits._
+    rows.indices.map(i =>
+        (rows(i)._1, c(i), w(i), alloc(i), capped(i))).toSeq
+      .toDF(sourceCol, "tokens_available", "weight_milli",
+        "tokens_allocated", "capped")
+  }
 }

@@ -2578,6 +2578,27 @@ object LlmQueries {
         "text", 25)
     }),
 
+    // token-budget mixture allocation (r14): integer water-filling of
+    // an 80%-of-corpus token budget across sources under availability
+    // caps — weights 100+37·N for srcN (skewed so the heavy sources
+    // overflow their caps and the freed share re-distributes across
+    // rounds; at sf0.01 the top sources come out capped, the rest
+    // proportional). The oracle replays the fixed point as a
+    // recursive list-state CTE in HUGEINT
+    "llm_mix_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val avail = docs.groupBy("source")
+        .agg(sum(coalesce(TextAnalysis.tokenCount(col("text")), lit(0L)))
+          .as("avail"))
+      val total = avail.agg(sum("avail")).head().getLong(0)
+      val weights = avail.select("source").collect().map(_.getString(0))
+        .map(src => src -> (100L + 37L * src.stripPrefix("src").toLong))
+        .toMap
+      Mixing.allocateBudget(avail, "source", "avail", weights,
+          total * 4L / 5L)
+        .orderBy("source")
+    }),
+
     // epoch-distinct reshuffle (r13): the shard-shuffle order keyed by
     // FNV-1a of "<id>:<epoch>" — epochs 1 and 2 computed independently
     // and joined per doc, so the gate pins BOTH permutations (and
@@ -4700,6 +4721,71 @@ object LlmQueries {
         |FROM j, ta, tb
         |ORDER BY abs(CAST(j.count_a AS HUGEINT) * tb.t - CAST(j.count_b AS HUGEINT) * ta.t) DESC, j.token
         |LIMIT 25""".stripMargin,
+
+    // mixture-allocation mirror: the integer water-filling fixed point
+    // replayed as a recursive CTE carrying the per-source state as
+    // lists (the unigram-DP pattern) in HUGEINT — each round computes
+    // the unsettled pool's proportional floor shares, caps every
+    // overflowing source, and recurses until no allocation is NULL
+    "llm_mix_budget" ->
+      """WITH RECURSIVE
+        |av AS (SELECT source, CAST(sum(coalesce(len(regexp_split_to_array(trim(text), '\s+')), 0)) AS BIGINT) AS c
+        |  FROM documents GROUP BY source),
+        |wv AS (SELECT source, c, CAST(100 + 37 * CAST(substr(source, 4) AS BIGINT) AS BIGINT) AS w FROM av),
+        |tot AS (SELECT CAST(sum(c) AS HUGEINT) * 4 // 5 AS t FROM av),
+        |ini AS (SELECT list(source ORDER BY source) AS ss,
+        |               list(c ORDER BY source) AS cs,
+        |               list(w ORDER BY source) AS ws FROM wv),
+        |wf AS (
+        |  SELECT 0 AS it, ss, cs, ws,
+        |    list_transform(ss, x -> CAST(NULL AS HUGEINT)) AS al,
+        |    list_transform(ss, x -> false) AS cap,
+        |    (SELECT t FROM tot) AS t_rem
+        |  FROM ini
+        |  UNION ALL
+        |  SELECT it + 1, ss, cs, ws,
+        |    CASE WHEN anyover
+        |      THEN list_transform(range(1, len(ss) + 1), k ->
+        |             CASE WHEN al[k] IS NULL AND props[k] > cs[k]
+        |                  THEN CAST(cs[k] AS HUGEINT) ELSE al[k] END)
+        |      ELSE list_transform(range(1, len(ss) + 1), k ->
+        |             coalesce(al[k], props[k])) END AS al,
+        |    CASE WHEN anyover
+        |      THEN list_transform(range(1, len(ss) + 1), k ->
+        |             cap[k] OR (al[k] IS NULL AND props[k] > cs[k]))
+        |      ELSE cap END AS cap,
+        |    CASE WHEN anyover
+        |      THEN t_rem - list_sum(list_transform(range(1, len(ss) + 1), k ->
+        |             CASE WHEN al[k] IS NULL AND props[k] > cs[k]
+        |                  THEN CAST(cs[k] AS HUGEINT) ELSE CAST(0 AS HUGEINT) END))
+        |      ELSE t_rem END AS t_rem
+        |  FROM (
+        |    SELECT *,
+        |      len(list_filter(range(1, len(ss) + 1), k ->
+        |        al[k] IS NULL AND props[k] > cs[k])) > 0 AS anyover
+        |    FROM (
+        |      SELECT *,
+        |        list_transform(range(1, len(ss) + 1), k ->
+        |          CASE WHEN al[k] IS NOT NULL THEN NULL
+        |               WHEN bw = 0 THEN CAST(0 AS HUGEINT)
+        |               ELSE t_rem * ws[k] // bw END) AS props
+        |      FROM (
+        |        SELECT *,
+        |          list_sum(list_transform(range(1, len(ss) + 1), k ->
+        |            CASE WHEN al[k] IS NULL THEN ws[k] ELSE CAST(0 AS BIGINT) END)) AS bw
+        |        FROM wf
+        |        WHERE len(list_filter(al, x -> x IS NULL)) > 0) a) b) c),
+        |fin AS (SELECT ss, cs, ws, al, cap FROM wf
+        |        WHERE len(list_filter(al, x -> x IS NULL)) = 0
+        |        ORDER BY it DESC LIMIT 1)
+        |SELECT ss[k] AS source,
+        |  CAST(cs[k] AS BIGINT) AS tokens_available,
+        |  CAST(ws[k] AS BIGINT) AS weight_milli,
+        |  CAST(al[k] AS BIGINT) AS tokens_allocated,
+        |  cap[k] AS capped
+        |FROM (SELECT ss, cs, ws, al, cap,
+        |        unnest(range(1, len(ss) + 1)) AS k FROM fin) z
+        |ORDER BY source""".stripMargin,
 
     // epoch-shuffle mirror: the same FNV CTE over the ':'-salted id
     // strings for epochs 1 and 2, each epoch ranked independently,

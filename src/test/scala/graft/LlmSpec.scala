@@ -1318,6 +1318,44 @@ class LlmSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("allocateBudget: integer water-filling — caps, re-distribution, " +
+      "zero weights, over-budget, floor residue, guards") {
+    import spark.implicits._
+    val avail = Seq(("a", 100L), ("b", 1000L), ("c", 1000L))
+      .toDF("source", "avail")
+    // equal weights on 900: proportional 300 each; a caps at 100 and
+    // the freed 200 re-splits over b and c → 400 each
+    val got = Mixing.allocateBudget(avail, "source", "avail",
+        Map("a" -> 10L, "b" -> 10L, "c" -> 10L), 900L)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(("a", 100L, 10L, 100L, true),
+      ("b", 1000L, 10L, 400L, false), ("c", 1000L, 10L, 400L, false)))
+    // missing weights carry 0 → allocated 0, never capped
+    val g2 = Mixing.allocateBudget(avail, "source", "avail",
+        Map("b" -> 5L), 600L)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getBoolean(4)))
+    assert(g2.toSeq == Seq(("a", 0L, false), ("b", 600L, false),
+      ("c", 0L, false)))
+    // budget above total availability: everything caps, Σ = Σ avail
+    val g3 = Mixing.allocateBudget(avail, "source", "avail",
+        Map("a" -> 1L, "b" -> 1L, "c" -> 1L), 10000L)
+      .collect().map(r => (r.getLong(3), r.getBoolean(4)))
+    assert(g3.forall(_._2) && g3.map(_._1).sum == 2100L)
+    // flooring residue stays unallocated: 100 over 3 equal weights
+    val g4 = Mixing.allocateBudget(avail, "source", "avail",
+        Map("a" -> 7L, "b" -> 7L, "c" -> 7L), 100L)
+      .collect().map(_.getLong(3))
+    assert(g4.sum == 99L)
+    intercept[IllegalArgumentException] {
+      Mixing.allocateBudget(
+        avail.unionAll(Seq(("a", 5L)).toDF("source", "avail")),
+        "source", "avail", Map.empty, 1L)
+    }
+  }
+
   test("shardShuffle: fnv shard, dense in-shard pos, repartition-stable") {
     val d = spark.range(0, 200).toDF("doc_id")
     val got = Mixing.shardShuffle(d, "doc_id", 4)
