@@ -1356,6 +1356,61 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("allocateBudget property: water-filling invariants on random " +
+      "availability/weights/budgets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260816L)
+    (0 until 40).foreach { trial =>
+      val n = 1 + rnd.nextInt(8)
+      val rows = (0 until n).map(i => (s"s$i", rnd.nextInt(5000).toLong))
+      val weights = rows.map { case (s0, _) =>
+        s0 -> rnd.nextInt(100).toLong }.toMap
+      val budget = rnd.nextInt(12000).toLong
+      val got = Mixing.allocateBudget(rows.toDF("source", "avail"),
+          "source", "avail", weights, budget)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4)))
+      val byS = got.map(g => g._1 -> g).toMap
+      // (1) never over availability; capped ⟺ pinned at availability
+      got.foreach { case (s0, c, _, a, cap) =>
+        assert(a >= 0 && a <= c, s"trial $trial: $s0 alloc $a avail $c")
+        assert(!cap || a == c, s"trial $trial: $s0 capped but alloc<avail")
+      }
+      // (2) total allocation inside [budget − residue, budget], or the
+      // whole corpus when the budget exceeds it
+      val tot = got.map(_._4).sum
+      val sumC = got.map(_._2).sum
+      val nUncapped = got.count(!_._5)
+      if (budget >= sumC) assert(got.forall(g => g._4 == g._2),
+        s"trial $trial: over-budget must take everything")
+      else {
+        assert(tot <= budget, s"trial $trial: $tot > $budget")
+        assert(budget - tot < math.max(1, nUncapped) ||
+          got.filter(!_._5).forall(_._3 == 0L),
+          s"trial $trial: residue ${budget - tot} too large")
+      }
+      // (3) zero-weight sources get zero
+      got.filter(_._3 == 0L).foreach { g =>
+        assert(g._4 == 0L, s"trial $trial: zero-weight ${g._1} got ${g._4}")
+      }
+      // (4) uncapped fairness: allocations cross-proportional to
+      // weights up to the floor error of one final-round division
+      val unc = got.filter(g => !g._5 && g._3 > 0)
+      for (a <- unc; b <- unc)
+        assert(math.abs(a._4 * b._3 - b._4 * a._3) <=
+          math.max(a._3, b._3),
+          s"trial $trial: ${a._1}/${b._1} disproportional")
+      // (5) determinism under input order
+      val got2 = Mixing.allocateBudget(
+          rnd.shuffle(rows).toDF("source", "avail"),
+          "source", "avail", weights, budget)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4)))
+      assert(got2.map(g => g._1 -> g).toMap == byS,
+        s"trial $trial: input order changed the allocation")
+    }
+  }
+
   test("shardShuffle: fnv shard, dense in-shard pos, repartition-stable") {
     val d = spark.range(0, 200).toDF("doc_id")
     val got = Mixing.shardShuffle(d, "doc_id", 4)
