@@ -535,15 +535,19 @@ object Dedup {
     *    "collect the already-reduced result" rule that applies to
     *    histogram arrays and fit inputs.
     *  - Above the cap (plausible at the 100 TB corpus scale) it falls back
-    *    to distributed iterative min-label propagation: O(graph diameter)
-    *    join rounds, each a shuffle on ids — near-dup components are
-    *    shallow, so this converges in a handful of rounds.
+    *    to distributed alternating large-star/small-star contraction
+    *    ([[starContractComponents]]): O(log n) edge-shuffle rounds
+    *    REGARDLESS of graph diameter. (Until r14 this fallback was
+    *    min-label propagation, whose round count IS the diameter —
+    *    near-dup graphs at corpus scale contain long content-drift
+    *    chains A≈B≈C≈…, so propagation either paid diameter×edge-set
+    *    shuffles or aborted at its iteration cap.)
     *
     * Returns `(id, component)` where component = min id in the component.
     */
   def nearDupComponents(
       pairs: DataFrame,
-      maxIters: Int = 20,
+      maxIters: Int = 64,
       driverEdgeLimit: Long = 5000000L): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val spark = pairs.sparkSession
@@ -602,54 +606,142 @@ object Dedup {
         .select(col("id").cast(idType).as("id"),
           col("component").cast(idType).as("component"))
     } else {
-      // distributed fallback: iterative min-label propagation
-      val edges = pairs.select(col(ca).as("src"), col(cb).as("dst"))
-      val bidi = edges
-        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-        .persist()
-      var labels = bidi.select(col("src").as("id")).distinct()
-        .withColumn("component", col("id"))
-        .withColumn("chg", lit(false))
-        .persist()
-      var converged = false
-      var i = 0
-      while (!converged && i < maxIters) {
-        val prop = bidi
-          .join(labels.select(col("id").as("dst"), col("component")), Seq("dst"))
-          .groupBy(col("src").as("id"))
-          .agg(min("component").as("neighborMin"))
-        // the changed flag rides along in the same job — no second
-        // join-and-count action per iteration
-        val updated = labels.join(prop, Seq("id"), "left")
-          .select(col("id"),
-            least(col("component"),
-              coalesce(col("neighborMin"), col("component")))
-              .as("component"),
-            coalesce(col("neighborMin") < col("component"), lit(false))
-              .as("chg"))
-          .persist()
-        val changed = updated.filter(col("chg")).count()
-        labels.unpersist()
-        labels = updated
-        converged = changed == 0
-        i += 1
-      }
-      bidi.unpersist()
+      // distributed fallback: alternating star contraction — returns a
+      // CACHED frame (not a projection of one) so downstream
+      // release-after-materialize logic (nearDupSurvivors) sees the
+      // storage level and can release it
+      val (labels, _) = starContractComponents(pairs, maxIters)
       if (!alreadyCached) pairs.unpersist()
-      if (!converged)
-        // fail loudly: partially propagated labels would silently keep
-        // duplicate "survivors" — raise maxIters (diameter bound) instead
-        throw new IllegalStateException(
-          s"component propagation did not converge in $maxIters iterations")
-      // return the CACHED frame itself, not a projection of it: a
-      // projection's storageLevel reads NONE, so downstream
-      // release-after-materialize logic (nearDupSurvivors) would never
-      // fire and the labels frontier would stay cached forever
-      val out = labels.select("id", "component").persist()
-      out.count()
-      labels.unpersist()
-      out
+      labels
     }
+  }
+
+  /** Distributed connected components by alternating large-star /
+    * small-star contraction (Kiveris, Lattanzi, Mirrokni, Rastogi,
+    * Vassilvitskii, "Connected Components in MapReduce and Beyond",
+    * ACM SoCC 2014 — public algorithm, re-derived here on DataFrames).
+    *
+    * State: an edge set oriented large→small (`u > v` in every row),
+    * self-loops dropped. One round =
+    *
+    *  - large-star: every node u links each LARGER neighbor to
+    *    `m = min(Γ(u) ∪ {u})` — emit `(v, m)` for v ∈ Γ(u), v > u;
+    *  - small-star: on the (still-oriented) output, every node u links
+    *    itself and each smaller neighbor to `m = min(Γ(u) ∪ {u})` —
+    *    emit `(u, m)` and `(v, m)` for v ∈ Γ(u), v ≠ m.
+    *
+    * Both operations preserve the node set and the component partition,
+    * and each round at least halves the height of every non-star tree,
+    * so the fixed point — a star forest whose centers are exactly the
+    * component minima — is reached in O(log n) rounds regardless of
+    * graph diameter. Per round: two map-side-combinable `groupBy(min)`
+    * shuffles, two id-keyed joins, two `distinct`s — all on the
+    * (already threshold-filtered, corpus-small) pair set.
+    *
+    * Convergence is detected STRUCTURALLY, not by checksum — the state
+    * is a star forest iff
+    *  (i) no node occurs as both a source and a target (no chain of
+    *      length ≥ 2), and
+    * (ii) no source has two outgoing edges (a leaf still shared by two
+    *      sibling centers is reachable mid-contraction: in
+    *      {(5,1),(3,1),(6,2),(3,2)} targets∩sources = ∅ yet node 3
+    *      still bridges centers 1 and 2).
+    * Under (i) ∧ (ii) the state is a disjoint union of stars; since the
+    * operations preserve components, each original component is exactly
+    * one star, and its center — smaller than every leaf by the
+    * orientation invariant — is the component minimum.
+    *
+    * Returns `(labels, rounds)`: `labels` = `(id, component)` with one
+    * row per distinct id in `pairs` (self-paired ids label themselves),
+    * PERSISTED and materialized — the caller releases it; `rounds` is
+    * the contraction-round count, exposed so ScaleStress can assert the
+    * ~log(n) shape on deliberately chain-shaped pair graphs.
+    */
+  private[graft] def starContractComponents(
+      pairs: DataFrame,
+      maxRounds: Int = 64): (DataFrame, Int) = {
+    val ca = pairs.columns(0)
+    val cb = pairs.columns(1)
+    // the label frame's row set: every id in the input, including ids
+    // that only appear self-paired (those never enter the edge state)
+    val ids = pairs.select(col(ca).as("id"))
+      .union(pairs.select(col(cb).as("id"))).distinct().persist()
+    ids.count()
+
+    // star-forest test (scaladoc conditions (i) and (ii)) — one action,
+    // `isEmpty` stops at the first offending row
+    def isStarForest(ee: DataFrame): Boolean =
+      ee.groupBy("u").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") > 1).select("u")
+        .union(ee.select(col("v").as("u"))
+          .join(ee.select("u"), Seq("u"), "left_semi"))
+        .isEmpty
+
+    var ee = pairs
+      .select(greatest(col(ca), col(cb)).as("u"),
+        least(col(ca), col(cb)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist()
+    ee.count()
+    var rounds = 0
+    var converged = isStarForest(ee)
+    while (!converged && rounds < maxRounds) {
+      // large-star over the bidirectional adjacency
+      val nbrs = ee.union(ee.select(col("v").as("u"), col("u").as("v")))
+      val minsL = nbrs.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = nbrs.filter(col("v") > col("u"))
+        .join(minsL, Seq("u"))
+        // v > u ≥ m, so the emitted edge keeps the orientation invariant
+        // and can never be a self-loop
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star on the large-star output (already oriented u > v, so
+      // Γ(u) here is exactly the smaller neighborhood and m < u)
+      val minsS = large.groupBy("u").agg(min("v").as("m"))
+      val next = large.join(minsS, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(minsS.select(col("u"), col("m").as("v")))
+        .distinct()
+        .persist()
+      next.count() // materialize before releasing the previous state
+      converged = isStarForest(next)
+      ee.unpersist()
+      // Lineage truncation every 3 rounds: one round references `ee`
+      // five times (bidirectional union, two min-joins, the small-star
+      // union), so the ANALYZED plan grows ~5× per round — exponential.
+      // Caching bounds execution, not plan size: without truncation the
+      // plan string alone exceeds 2 GB by round ~14 (heap OOM inside
+      // explainString). 5³ subtree copies per segment is harmless. Same
+      // localCheckpoint pattern as Graph.pageRank (Graph.scala:83).
+      ee = if (!converged && (rounds + 1) % 3 == 0) {
+        val cp = next.localCheckpoint() // eager — reads the warm cache
+        next.unpersist()
+        cp
+      } else next
+      rounds += 1
+    }
+    if (!converged) {
+      ee.unpersist()
+      ids.unpersist()
+      // fail loudly: a partially contracted forest would silently keep
+      // duplicate "survivors". 64 rounds covers any graph a real corpus
+      // can produce (the round count is logarithmic in component size).
+      throw new IllegalStateException(
+        s"star contraction did not converge in $maxRounds rounds")
+    }
+    val labels = ids
+      .join(ee.select(col("u").as("id"), col("v").as("component")),
+        Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("component"))
+      .persist()
+    labels.count()
+    ee.unpersist()
+    ids.unpersist()
+    (labels, rounds)
   }
 
   /** Rows surviving near-dup removal: one representative (min id) per

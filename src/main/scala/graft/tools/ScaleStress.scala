@@ -543,6 +543,30 @@ object ScaleStress {
       }
       spark.catalog.clearCache()
     }
+
+    // r15: connected components over a CHAIN-shaped pair graph — the
+    // diameter worst case (content-drift chains A≈B≈C≈…) that defeated
+    // the old min-label propagation, whose round count IS the diameter.
+    // Alternating star contraction must hold the ROUND COUNT ~log(n):
+    // 16× more chain while rounds grow by at most a few — and wall time
+    // stays quasi-linear (rounds × edge volume)
+    println("\n--- chain components (diameter worst case) ---")
+    Seq(1, 4, 16).foreach { mult =>
+      val n = 16384L * mult
+      time(s"chain components x$mult") {
+        val edges = spark.range(0, n - 1)
+          .select(col("id").as("ida"), (col("id") + 1).as("idb"))
+        val (labels, rounds) = Dedup.starContractComponents(edges)
+        // one component rooted at 0 — a wrong label count here means the
+        // contraction stopped early
+        val comps = labels.select("component").distinct().count()
+        val cnt = labels.count()
+        labels.unpersist()
+        println(s"  chain x$mult: n=$n rounds=$rounds components=$comps")
+        cnt
+      }
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }

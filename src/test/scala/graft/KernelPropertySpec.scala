@@ -611,4 +611,58 @@ class KernelPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: star contraction ≡ union-find on random/adversarial " +
+      "graphs, in logarithmic rounds (r15)") {
+    import graft.llm.Dedup
+    // independent reference: driver union-find with min-root unions —
+    // the same structure as the fast path but reimplemented here so the
+    // pin does not depend on the code under test
+    def refComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) x = parent.getOrElse(x, x)
+        x
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> find(id)).toMap
+    }
+    def check(label: String, edges: Seq[(Long, Long)],
+        maxRounds: Int = 64): Int = {
+      val (labels, rounds) =
+        Dedup.starContractComponents(edges.toDF("ida", "idb"), maxRounds)
+      val got = labels.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      labels.unpersist()
+      assert(got == refComponents(edges), s"$label: $edges")
+      rounds
+    }
+    // shapes that defeat min-label propagation or the convergence check:
+    // a long chain (diameter = n), a shared-leaf mid-contraction state
+    // (targets∩sources = ∅ but one source has two centers — the exact
+    // state a src-dst-disjointness-only check would accept), a clique,
+    // self-loops mixed in, and seeded sparse random graphs
+    val chainRounds =
+      check("chain-63", (0L until 63L).map(i => (i, i + 1)))
+    assert(chainRounds <= 10,
+      s"64-node chain took $chainRounds rounds — not log-shaped")
+    check("shared-leaf", Seq((5L, 1L), (3L, 1L), (6L, 2L), (3L, 2L)))
+    check("clique-10", for {
+      a <- 0L until 10L; b <- (a + 1) until 10L
+    } yield (a, b))
+    check("self-loops+pair", Seq((7L, 7L), (3L, 4L), (9L, 9L)))
+    val rnd = new scala.util.Random(20260816L)
+    (0 until 4).foreach { g =>
+      val n = 5 + rnd.nextInt(36)
+      val edges = (0 until (n + rnd.nextInt(2 * n)))
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      if (edges.nonEmpty) check(s"random-$g", edges)
+    }
+  }
 }
