@@ -110,6 +110,26 @@ object Bench {
     med >= 0.30 && range / med > 0.30 && range > 0.15
   }
 
+  /** Headline validity under the fastest-3 estimator (r15, VERDICT r14
+    * §2): rejection power = measured passes − warm-up drop − 3 kept.
+    * When the time budget degrades planned passes below 5, that is ≤ 0
+    * — the kept set is "all of them", NO contaminated pass can be
+    * rejected, and a load-inflated total would become the round's
+    * number of record (exactly what happened to the r14 driver
+    * artifact: 3-of-3 kept, ~1.7× ambient inflation, published).
+    * Returns the reason the headline must carry `"valid":false` and a
+    * null value, or None when the estimator has teeth. Pure so
+    * BenchGateSpec can replay the degraded-budget path. */
+  private[graft] def headlineInvalidReason(runs: Int): Option[String] = {
+    val warmDrop = if (runs >= 7) 2 else if (runs >= 4) 1 else 0
+    val rejectable = runs - warmDrop - 3
+    if (rejectable <= 0)
+      Some(s"insufficient selection power: $runs passes = fastest-3-of-" +
+        s"${runs - warmDrop} kept, zero rejectable; compare the last " +
+        "gate-clean series (SCALE.md round notes) instead")
+    else None
+  }
+
   /** (name, raw runs, median, spread, noisy) for one measured series. */
   private type QueryStat = (String, Seq[Double], Double, Double, Boolean)
 
@@ -136,6 +156,7 @@ object Bench {
       "llm_retrieval_persisted", // index write+read lifecycle (side-effect)
       "llm_retrieval_append", // build+append+serve lifecycle (side-effect)
       "llm_retrieval_optimize", // append+compact lifecycle (side-effect)
+      "llm_ann_append",      // IVF append+compact lifecycle (side-effect)
       "llm_jsonl_roundtrip", // egest+ingest lifecycle (side-effect)
       "llm_dedup_recall") // recall gate: planted dups + LSH + verify (r14)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -224,8 +245,17 @@ object Bench {
         case (name, _, med, _, _) if headline(name) =>
           "\"" + name + "\":" + jnum(med)
       }.mkString("{", ",", "}")
-      s"""{"metric":"total_median","value":${jnum(total)},"unit":"sec",""" +
+      // r15: a series without selection power publishes NO total — an
+      // explicit invalid marker, never a silently contaminated number
+      // of record (VERDICT r14 §2)
+      val invalid = headlineInvalidReason(runs)
+      val valueJson = if (invalid.isDefined) "null" else jnum(total)
+      val invalidJson = invalid
+        .map(r => s""""valid":false,"invalid_reason":"$r",""")
+        .getOrElse(s""""valid":true,""")
+      s"""{"metric":"total_median","value":$valueJson,"unit":"sec",""" +
         s""""runs":$runs,"noisy":${series._2},"attempts":$attempt,""" +
+        invalidJson +
         s""""load_flagged":$loadFlagged,"queries":$qs,"sf":"$sfDir"}"""
     }
 
@@ -242,6 +272,7 @@ object Bench {
         java.nio.file.Paths.get("target/bench_detail.json"),
         (s"""{"metric":"total_median","value":${jnum(byQuery.map(_._3).sum)},"unit":"sec",""" +
           s""""runs":$runs,"attempts":$attempt,""" +
+          s""""valid":${headlineInvalidReason(runs).isEmpty},""" +
           s""""load_flagged":${series._2 > noisyMax},"noisy":$noisyList,""" +
           s""""queries":$detail,"sf":"$sfDir"}""").getBytes("UTF-8"))
     } catch { case _: Throwable => () }

@@ -96,4 +96,22 @@ class BenchGateSpec extends AnyFunSuite {
     // over the floor, a 2x spread at real magnitude does
     assert(Bench.isNoisy(Seq(0.40, 0.60, 0.90)))
   }
+
+  test("degraded budget below 5 passes → headline marked invalid " +
+      "(r15, VERDICT r14 §2)") {
+    // the r14 driver artifact's failure mode: the time budget degraded
+    // the pass count until keptRuns selected the fastest 3 OF 3 — zero
+    // rejection power — yet the contaminated total was still published
+    // as the round's number of record. The guard refuses exactly the
+    // zero-power pass counts and no others.
+    assert(Bench.headlineInvalidReason(3).isDefined)  // fastest 3 of 3
+    assert(Bench.headlineInvalidReason(4).isDefined)  // drop 1, 3 of 3
+    assert(Bench.headlineInvalidReason(5).isEmpty)    // drop 1, 3 of 4
+    assert(Bench.headlineInvalidReason(7).isEmpty)    // drop 2, 3 of 5
+    // the reason names the estimator state and points at the
+    // gate-clean comparison path, and stays JSON-safe (no quotes)
+    val r = Bench.headlineInvalidReason(4).get
+    assert(r.contains("selection power") && r.contains("gate-clean"))
+    assert(!r.contains("\""))
+  }
 }
