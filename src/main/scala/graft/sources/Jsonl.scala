@@ -34,10 +34,17 @@ object Jsonl {
     * ORDERABLE column — byte-reproducible for identical input even
     * when the key is not unique (ADVICE r13: sorting by the key alone
     * leaves tied rows in nondeterministic relative order, silently
-    * breaking the checksum contract). Rows identical in all orderable
-    * columns but differing in an unorderable one (map-typed) remain
-    * the one documented tie the sort cannot break — make the key
-    * unique if the frame carries maps. */
+    * breaking the checksum contract).
+    *
+    * Frames carrying UNORDERABLE (map-typed) columns get one extra
+    * synthetic tie-break: the `to_json` render of the whole row (r15,
+    * VERDICT r14 §7 — previously a documented residual tie). The
+    * render is exactly what the sink writes, so ordering by it makes
+    * the contract TOTAL: rows that still tie render identical bytes,
+    * and rows whose maps differ only in entry order — which WOULD
+    * produce different output lines — sort deterministically. The
+    * column is dropped before the write; orderable-only frames skip
+    * the render entirely. */
   def write(df: DataFrame, keyCol: String, shards: Int, path: String)
       : Unit = {
     require(shards >= 1, "shards must be at least 1")
@@ -49,9 +56,22 @@ object Jsonl {
     val tiebreak = df.schema.fields
       .filter(f => f.name != keyCol && isOrderable(f.dataType))
       .map(f => col(f.name))
-    df.repartition(shards, col(keyCol))
-      .sortWithinPartitions(col(keyCol) +: tiebreak.toIndexedSeq: _*)
-      .write.option("compression", "gzip").json(path)
+    val hasUnorderable = df.schema.fields.exists(f => !isOrderable(f.dataType))
+    val renderCol = "__graft_jsonl_render"
+    require(!df.columns.contains(renderCol),
+      s"column name $renderCol is reserved by Jsonl.write")
+    val routed = df.repartition(shards, col(keyCol))
+    val sorted =
+      if (hasUnorderable)
+        routed
+          .withColumn(renderCol, to_json(struct(df.columns.map(col)
+            .toIndexedSeq: _*)))
+          .sortWithinPartitions(
+            (col(keyCol) +: tiebreak.toIndexedSeq) :+ col(renderCol): _*)
+          .drop(renderCol)
+      else
+        routed.sortWithinPartitions(col(keyCol) +: tiebreak.toIndexedSeq: _*)
+    sorted.write.option("compression", "gzip").json(path)
   }
 
   private def isOrderable(dt: org.apache.spark.sql.types.DataType)
