@@ -261,9 +261,23 @@ object Mixing {
     require(rows.forall(_._2 >= 0L), "availability must be non-negative")
     val w = rows.map { case (s, _) => weightsMilli.getOrElse(s, 0L) }
     val c = rows.map(_._2)
-    val alloc = Array.fill[Long](rows.length)(-1L) // -1 = unsettled
-    val capped = Array.fill(rows.length)(false)
-    var tRem = BigInt(totalBudget)
+    val (alloc, capped) = waterFill(w, c, BigInt(totalBudget))
+    val spark = avail.sparkSession
+    import spark.implicits._
+    rows.indices.map(i =>
+        (rows(i)._1, c(i), w(i), alloc(i), capped(i))).toSeq
+      .toDF(sourceCol, "tokens_available", "weight_milli",
+        "tokens_allocated", "capped")
+  }
+
+  /** One integer water-filling fixed point (the pinned rule in
+    * [[allocateBudget]]'s scaladoc) over parallel weight/cap arrays;
+    * returns (alloc, capped). Driver-side, |sources|-bounded. */
+  private def waterFill(w: Array[Long], c: Array[Long], budget: BigInt)
+      : (Array[Long], Array[Boolean]) = {
+    val alloc = Array.fill[Long](w.length)(-1L) // -1 = unsettled
+    val capped = Array.fill(w.length)(false)
+    var tRem = budget
     var done = false
     while (!done) {
       val unsettled = alloc.indices.filter(alloc(_) < 0L)
@@ -284,11 +298,108 @@ object Mixing {
         }
       }
     }
+    (alloc, capped)
+  }
+
+  /** Epoch-repetition-aware budget allocation (r15) — the
+    * data-constrained regime of Muennighoff et al. 2023 ("Scaling
+    * Data-Constrained Language Models"): when the token budget exceeds
+    * what the mixture can supply in one pass, scarce-but-valuable
+    * sources are REPEATED for extra epochs instead of silently
+    * under-served, and repeated tokens are worth less than fresh ones.
+    *
+    * Extends [[allocateBudget]]'s integer water-filling with
+    * corpus-wide EPOCH LAYERS:
+    *
+    *  - epoch r carries per-source weight
+    *    `w_i^(r) = floor(w_i · decayMilli^(r−1) / 1000^(r−1))` — the
+    *    diminishing-value schedule. A source whose decayed weight
+    *    floors to 0 stops repeating (marginal value exhausted) even
+    *    below `maxEpochs`, the hard cap;
+    *  - epochs fill IN ORDER: while the remaining budget covers a full
+    *    epoch of every still-valuable source, each takes exactly its
+    *    availability again; the first epoch the budget cannot fill
+    *    whole is the PARTIAL round — one water-filling fixed point
+    *    over the active sources with their decayed weights and
+    *    per-epoch availability caps (so within the partial round the
+    *    flooring of the decay schedule, not the raw weights, sets the
+    *    split);
+    *  - `maxEpochs = 1` reduces exactly to [[allocateBudget]] (pinned
+    *    in the spec); budget beyond every allowed epoch stays
+    *    unallocated, and flooring residue follows the r14 rule.
+    *
+    * All arithmetic integer/BigInt — deterministic, order-insensitive,
+    * SQL-mirrorable; the fixed point runs on the driver over the
+    * source-bounded availability table.
+    *
+    * Returns (sourceCol, tokens_available, weight_milli,
+    * tokens_allocated, epochs, capped): `epochs` =
+    * ceil(allocated / available) — the passes a trainer schedules;
+    * `capped` = the source is pinned at availability in its FINAL
+    * round (full epochs pin; a partial-round settle below availability
+    * does not). */
+  def allocateBudgetEpochs(
+      avail: DataFrame,
+      sourceCol: String,
+      availCol: String,
+      weightsMilli: Map[String, Long],
+      totalBudget: Long,
+      maxEpochs: Int,
+      decayMilli: Long): DataFrame = {
+    require(totalBudget >= 0, "totalBudget must be non-negative")
+    require(weightsMilli.values.forall(_ >= 0L),
+      "weights must be non-negative")
+    require(maxEpochs >= 1, "maxEpochs must be at least 1")
+    require(decayMilli >= 0L && decayMilli <= 1000L,
+      "decayMilli must be in [0, 1000]")
+    val rows = avail
+      .select(col(sourceCol).cast("string"), col(availCol).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    require(rows.map(_._1).distinct.length == rows.length,
+      "availability table must have one row per source")
+    require(rows.forall(_._2 >= 0L), "availability must be non-negative")
+    val w = rows.map { case (s, _) => weightsMilli.getOrElse(s, 0L) }
+    val c = rows.map(_._2)
+    val alloc = Array.fill[Long](rows.length)(0L)
+    val capped = Array.fill(rows.length)(false)
+    var tRem = BigInt(totalBudget)
+    var r = 1
+    var partialDone = false
+    while (r <= maxEpochs && !partialDone && tRem > 0) {
+      // decayed milli-weights of this epoch, floored exactly
+      val wr = w.map(wi => (BigInt(wi) * BigInt(decayMilli).pow(r - 1) /
+        BigInt(1000).pow(r - 1)).toLong)
+      // active = still-valuable this epoch (same criterion as the SQL
+      // mirror; zero-availability actives keep allocateBudget's
+      // pinned-at-zero capped semantics)
+      val active = wr.indices.filter(wr(_) >= 1L)
+      val epochCap = active.map(i => BigInt(c(i))).sum
+      if (active.isEmpty) partialDone = true
+      else if (tRem >= epochCap) {
+        active.foreach { i => alloc(i) += c(i); capped(i) = true }
+        tRem -= epochCap
+        r += 1
+      } else {
+        val (pa, pc) = waterFill(
+          active.map(wr).toArray, active.map(c).toArray, tRem)
+        active.indices.foreach { k =>
+          alloc(active(k)) += pa(k)
+          // final-round verdict overrides any full-epoch pin
+          capped(active(k)) = pc(k)
+        }
+        partialDone = true
+      }
+    }
+    val epochs = rows.indices.map(i =>
+      if (c(i) == 0L || alloc(i) == 0L) 0L
+      else (alloc(i) + c(i) - 1L) / c(i))
     val spark = avail.sparkSession
     import spark.implicits._
     rows.indices.map(i =>
-        (rows(i)._1, c(i), w(i), alloc(i), capped(i))).toSeq
+        (rows(i)._1, c(i), w(i), alloc(i), epochs(i), capped(i))).toSeq
       .toDF(sourceCol, "tokens_available", "weight_milli",
-        "tokens_allocated", "capped")
+        "tokens_allocated", "epochs", "capped")
   }
 }

@@ -289,54 +289,11 @@ object Rank {
     val fs = postDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(postDir),
       s"$path is not an index (no postings) — use writeIndex first")
-    healSwapLeftovers(fs, postDir)
-    var rewritten = 0
-    fs.listStatus(postDir)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
-      .foreach { b =>
-        val nFiles = fs.listStatus(b.getPath)
-          .count(_.getPath.getName.endsWith(".parquet"))
-        if (nFiles >= minFiles) {
-          val name = b.getPath.getName
-          val tmp = new org.apache.hadoop.fs.Path(
-            s"$path/postings/.opt_$name")
-          val old = new org.apache.hadoop.fs.Path(
-            s"$path/postings/.old_$name")
-          spark.read.parquet(b.getPath.toString)
-            .coalesce(1).write.parquet(tmp.toString)
-          require(fs.rename(b.getPath, old),
-            s"failed to rename ${b.getPath} aside as $old")
-          require(fs.rename(tmp, b.getPath),
-            s"failed to swap $tmp into place as ${b.getPath}")
-          fs.delete(old, true)
-          rewritten += 1
-        }
-      }
-    rewritten
-  }
-
-  /** Heal the unambiguous crash leftovers of [[optimizeIndex]]'s
-    * rename-aside swap (scaladoc there enumerates the three cases). */
-  private def healSwapLeftovers(
-      fs: org.apache.hadoop.fs.FileSystem,
-      postDir: org.apache.hadoop.fs.Path): Unit = {
-    val entries = fs.listStatus(postDir)
-    // .old_ first: rolling an aside bucket back in must happen before
-    // the .opt_ pass judges its (now live again) bucket
-    entries.filter(_.getPath.getName.startsWith(".old_")).foreach { s =>
-      val live =
-        new org.apache.hadoop.fs.Path(postDir, s.getPath.getName.substring(5))
-      if (fs.exists(live)) fs.delete(s.getPath, true) // final delete died
-      else require(fs.rename(s.getPath, live), // died between the renames
-        s"failed to roll ${s.getPath} back in as $live")
-    }
-    entries.filter(_.getPath.getName.startsWith(".opt_")).foreach { s =>
-      val live =
-        new org.apache.hadoop.fs.Path(postDir, s.getPath.getName.substring(5))
-      // live always exists here (the bucket moves aside only after the
-      // tmp write completes, and the .old_ pass above rolled it back)
-      if (fs.exists(live)) fs.delete(s.getPath, true) // torn tmp write
-    }
+    // the shared rename-aside protocol (extracted to BucketSwap in r15,
+    // now also behind the IVF index lifecycle)
+    graft.sources.BucketSwap.healSwapLeftovers(fs, postDir)
+    graft.sources.BucketSwap.compactBuckets(
+      spark, postDir, "bucket=", minFiles)
   }
 
   /** [[retrieveTopK]] against a PERSISTED index: identical results,
@@ -361,18 +318,8 @@ object Rank {
     // optimizeIndex to heal
     val postDir = new org.apache.hadoop.fs.Path(s"$indexPath/postings")
     val pfs = postDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (pfs.exists(postDir)) {
-      val stranded = pfs.listStatus(postDir).map(_.getPath.getName)
-        .filter(n => n.startsWith(".old_") || n.startsWith(".opt_"))
-        .map(_.replaceFirst("^\\.(old|opt)_", ""))
-        .filterNot(n =>
-          pfs.exists(new org.apache.hadoop.fs.Path(postDir, n)))
-      require(stranded.isEmpty,
-        s"index $indexPath has bucket(s) stranded mid-swap " +
-          s"(${stranded.mkString(", ")} exist only under a tmp name) — " +
-          "serving would silently drop their postings; run " +
-          "optimizeIndex to heal the interrupted compaction first")
-    }
+    graft.sources.BucketSwap.requireNoStranded(pfs, postDir,
+      s"index $indexPath")
     val st = spark.read.parquet(s"$indexPath/_stats").head()
     // probe buckets: hash the query vocabulary through the SAME
     // engine-side xxhash64 the writer used (a tiny local frame, not a

@@ -408,9 +408,107 @@ object Similarity {
       df: DataFrame,
       embCol: String,
       cents: Array[Array[Double]],
-      path: String): Unit =
+      path: String): Unit = {
+    val spark = df.sparkSession
     ivfAssign(df, embCol, cents)
       .write.mode("overwrite").partitionBy("ivf_list").parquet(path)
+    // persist the frozen coarse quantizer INSIDE the index (underscore
+    // dir — invisible to parquet discovery over `path`), so append and
+    // serve assign against exactly the training centroids instead of
+    // trusting a caller-resupplied matrix to match (r15)
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("ivf_list", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_quantizer")
+  }
+
+  /** The coarse quantizer persisted inside an IVF index by
+    * [[writeIvfIndex]], read back as the `[k][dim]` matrix. */
+  def readIvfQuantizer(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Double]] = {
+    val qp = new org.apache.hadoop.fs.Path(s"$path/_quantizer")
+    val fs = qp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(qp),
+      s"$path is not an IVF index (no _quantizer) — use writeIvfIndex" +
+        " first")
+    val rows = spark.read.parquet(qp.toString)
+      .select("ivf_list", "centroid")
+      .orderBy("ivf_list").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    require(rows.map(_._1).toSeq == rows.indices.toSeq,
+      s"quantizer of $path has non-contiguous list ids — corrupt index")
+    rows.map(_._2)
+  }
+
+  /** Append a NEW batch of vectors to a persisted IVF index — the
+    * recurring-crawl embedding-store path (train the quantizer once,
+    * then index each day's embeddings as they arrive), mirroring the
+    * retrieval index's append discipline ([[graft.llm.Rank
+    * .appendToIndex]]): the batch is assigned against the FROZEN
+    * quantizer stored in the index itself and lands in the same
+    * `ivf_list` partition layout (parquet append — existing files
+    * untouched), so a serve after append is BIT-IDENTICAL to an index
+    * built from the union in one shot.
+    *
+    * Contract (documented, not checked — checking would cost an
+    * index-sized join): batches must be DISJOINT in the id column;
+    * re-appending an indexed vector duplicates it. Single-writer. The
+    * quantizer stays frozen across appends — the standard IVF
+    * lifecycle; when drift degrades recall, retrain offline and
+    * rebuild with [[writeIvfIndex]]. */
+  def appendToIvfIndex(df: DataFrame, embCol: String, path: String)
+      : Unit = {
+    val cents = readIvfQuantizer(df.sparkSession, path)
+    ivfAssign(df, embCol, cents)
+      .write.mode("append").partitionBy("ivf_list").parquet(path)
+  }
+
+  /** Compact a persisted IVF index after appends — every
+    * [[appendToIvfIndex]] adds one file per touched list; a year of
+    * daily appends is 365 files per list directory. Each `ivf_list`
+    * partition holding at least `minFiles` parquet files is rewritten
+    * as ONE file via the shared rename-aside protocol
+    * ([[graft.sources.BucketSwap]] — crash points unambiguous, healed
+    * on entry); smaller lists stay byte-untouched. Content unchanged,
+    * so probes return identical rows before and after. Returns lists
+    * rewritten — an immediate second call returns 0. */
+  def optimizeIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      minFiles: Int = 4): Int = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_quantizer")),
+      s"$path is not an IVF index (no _quantizer) — use writeIvfIndex" +
+        " first")
+    graft.sources.BucketSwap.healSwapLeftovers(fs, dir)
+    graft.sources.BucketSwap.compactBuckets(spark, dir, "ivf_list=",
+      minFiles)
+  }
+
+  /** [[ivfTopK]] against a PERSISTED index: the quantizer comes from
+    * the index itself and the probe is a partition-pruned scan of the
+    * `nprobe` nearest list directories. Fails loudly when a list is
+    * stranded mid-compaction-swap (its only copy under a dot-name the
+    * reader skips) — silently serving without a probed list would
+    * return wrong neighbors. */
+  def ivfTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      embCol: String,
+      idCol: String,
+      query: Array[Float],
+      k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.BucketSwap.requireNoStranded(fs, dir, s"IVF index $path")
+    val cents = readIvfQuantizer(spark, path)
+    ivfTopK(spark.read.parquet(path), embCol, idCol, query, k, cents,
+      nprobe)
+  }
 
   // ------------------------------------------- product quantization
 
