@@ -71,10 +71,21 @@ object Spans {
     val hot = grams.groupBy("__gh").agg(count(lit(1)).as("__c"))
       .filter(col("__c") > 1).select("__gh")
     val dup = grams.join(hot, Seq("__gh"))
-    // gaps-and-islands per document: with fixed window k, a sorted
-    // gram overlaps-or-touches its predecessor iff start − prev ≤ k
+    (mergeIslands(dup, idCol, k), () => { grams.unpersist(); () })
+  }
+
+  /** Gaps-and-islands merge of duplicated k-window start positions
+    * into MAXIMAL token spans — shared by the gram-hash path above,
+    * the decontamination path, and the suffix-ranking path
+    * ([[SuffixDedup]], r15). With fixed window k, a sorted start
+    * overlaps-or-touches its predecessor iff start − prev ≤ k. The
+    * window is per-document — parallel across docs, bounded by doc
+    * length, never a global sort. Input: (idCol, start); output:
+    * (idCol, span_start, span_end, n_grams). */
+  private[llm] def mergeIslands(
+      dup: DataFrame, idCol: String, k: Int): DataFrame = {
     val w = Window.partitionBy(idCol).orderBy("start")
-    val out = dup
+    dup
       .withColumn("__brk",
         when(coalesce(col("start") - lag("start", 1).over(w), lit(0L)) > k,
           1L).otherwise(0L))
@@ -85,7 +96,25 @@ object Spans {
         (max("start") + k).cast("long").as("span_end"),
         count(lit(1)).as("n_grams"))
       .drop("__span")
-    (out, () => { grams.unpersist(); () })
+  }
+
+  /** The span-cut rewrite shared by every removal path: tokens inside
+    * any [span_start, span_end) are cut via the
+    * [[graft.functions.CutSpans]] kernel; span-free docs keep their
+    * bytes. Input spans: (idCol, span_start, span_end, ...). */
+  private[llm] def cutSpansRewrite(
+      df: DataFrame, spans: DataFrame, textCol: String, idCol: String)
+      : DataFrame = {
+    val grouped = spans
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__spans"))
+    df.join(grouped, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col("__spans").isNull, col(textCol))
+          .otherwise(graft.functions.CutSpans(col(textCol),
+            col("__spans"))))
+      .drop("__spans")
   }
 
   /** Maximal token spans of `df` whose EVERY k-window occurs verbatim
@@ -126,18 +155,7 @@ object Spans {
           i => xxhash64(concat_ws(" ", slice(col("__toks"), i + 1, lit(k))))))
         .as(Seq("start", "__gh")))
     val dup = grams.join(broadcast(bset), Seq("__gh"))
-    val w = Window.partitionBy(idCol).orderBy("start")
-    dup
-      .withColumn("__brk",
-        when(coalesce(col("start") - lag("start", 1).over(w), lit(0L)) > k,
-          1L).otherwise(0L))
-      .withColumn("__span",
-        sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col(idCol), col("__span"))
-      .agg(min("start").cast("long").as("span_start"),
-        (max("start") + k).cast("long").as("span_end"),
-        count(lit(1)).as("n_grams"))
-      .drop("__span")
+    mergeIslands(dup, idCol, k)
   }
 
   /** The decontamination ACTION: rewrite `textCol` with every
@@ -150,18 +168,9 @@ object Spans {
       benchmark: DataFrame,
       textCol: String,
       idCol: String,
-      k: Int): DataFrame = {
-    val spans = contaminatedSpans(df, benchmark, textCol, idCol, k)
-      .groupBy(idCol)
-      .agg(collect_list(struct(col("span_start"), col("span_end")))
-        .as("__spans"))
-    df.join(spans, Seq(idCol), "left")
-      .withColumn(textCol,
-        when(col("__spans").isNull, col(textCol))
-          .otherwise(graft.functions.CutSpans(col(textCol),
-            col("__spans"))))
-      .drop("__spans")
-  }
+      k: Int): DataFrame =
+    cutSpansRewrite(df,
+      contaminatedSpans(df, benchmark, textCol, idCol, k), textCol, idCol)
 
   /** The dedup ACTION: rewrite `textCol` with every duplicated span
     * cut out (tokens in no span survive, in original order, rejoined
@@ -190,20 +199,10 @@ object Spans {
       k: Int): (DataFrame, () => Unit) = {
     val (spanTable, release) =
       duplicatedSpansReleasable(df, textCol, idCol, k)
-    val spans = spanTable
-      .groupBy(idCol)
-      .agg(collect_list(struct(col("span_start"), col("span_end")))
-        .as("__spans"))
     // the rewrite is the graft.functions.CutSpans kernel: one
     // byte-level pass with a sorted-interval sweep, replacing the
     // composed filter/exists form whose O(|spans|)-per-token cost
     // dominated the 64× stress curve (SCALE.md r07)
-    val out = df.join(spans, Seq(idCol), "left")
-      .withColumn(textCol,
-        when(col("__spans").isNull, col(textCol))
-          .otherwise(graft.functions.CutSpans(col(textCol),
-            col("__spans"))))
-      .drop("__spans")
-    (out, release)
+    (cutSpansRewrite(df, spanTable, textCol, idCol), release)
   }
 }
