@@ -1064,6 +1064,22 @@ object LlmQueries {
           .orderBy("doc_id"))(release)
     }),
 
+    // suffix-ranking ExactSubstr dedup (r15, Lee et al. 2021): same
+    // removal semantics as llm_dup_span_removal but the duplicated
+    // windows come from the prefix-doubling suffix ranking — exact
+    // string equality through fixed-width integer classes, no gram
+    // hashes anywhere. k=6 (vs the gram path's 8) so the two queries
+    // gate different span sets. The oracle mirrors semantics with
+    // exact gram strings.
+    "llm_suffix_dedup" -> ((s, dir) => {
+      val (removed, release) = SuffixDedup.dedupExactSubstringsReleasable(
+        t(s, dir, "documents"), "text", "doc_id", 6)
+      collectAndRelease(s,
+        removed.select(col("doc_id"), md5(col("text")).as("h"),
+          length(col("text")).cast("long").as("len"))
+          .orderBy("doc_id"))(release)
+    }),
+
     // incremental dedup against the persisted fingerprint index (r10):
     // the corpus (non-src0) is fingerprinted ONCE to disk (signatures
     // + shingle hashes); the "daily batch" (src0) is then checked
@@ -2599,6 +2615,26 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // epoch-repetition allocation (r15): budget 2.5× the corpus forces
+    // two full epochs + a partial third; weights 5+29k with decay 200‰
+    // make src0's round-3 weight floor to 0 (the diminishing-value
+    // drop-out) while scarce sources cap inside the partial round — so
+    // the gate pins full-epoch layering, the decayed-weight split, the
+    // drop-out rule and the partial-round capped flags at once
+    "llm_mix_epochs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val avail = docs.groupBy("source")
+        .agg(sum(coalesce(TextAnalysis.tokenCount(col("text")), lit(0L)))
+          .as("avail"))
+      val total = avail.agg(sum("avail")).head().getLong(0)
+      val weights = avail.select("source").collect().map(_.getString(0))
+        .map(src => src -> (5L + 29L * src.stripPrefix("src").toLong))
+        .toMap
+      Mixing.allocateBudgetEpochs(avail, "source", "avail", weights,
+          total * 5L / 2L, maxEpochs = 3, decayMilli = 200L)
+        .orderBy("source")
+    }),
+
     // epoch-distinct reshuffle (r13): the shard-shuffle order keyed by
     // FNV-1a of "<id>:<epoch>" — epochs 1 and 2 computed independently
     // and joined per doc, so the gate pins BOTH permutations (and
@@ -3284,6 +3320,34 @@ object LlmQueries {
       Similarity.writeIvfIndex(emb, "embedding", cents, path)
       val assigned = s.read.parquet(path)
       Similarity.ivfTopK(assigned, "embedding", "vec_id", q, 5, cents)
+        .withColumn("cosine", round(col("cosine"), 6))
+    }),
+
+    // IVF index append/compaction lifecycle (r15): quantizer trained
+    // once and frozen INSIDE the index; the corpus arrives as a base
+    // build plus two appended batches; compaction (rename-aside swap)
+    // runs before the serve. The probe result must be IDENTICAL to the
+    // one-shot llm_ann_ivf_persisted build — the SAME oracle gates it
+    "llm_ann_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val cents = Similarity.ivfCentroidsLloyd(emb, "embedding", "vec_id",
+        k = 8, iters = 2)
+      val path =
+        s"target/ivf_index_append/${new java.io.File(dir).getName}"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      Similarity.writeIvfIndex(
+        emb.filter(pmod(col("vec_id"), lit(5)) < 3), "embedding", cents,
+        path)
+      Similarity.appendToIvfIndex(
+        emb.filter(pmod(col("vec_id"), lit(5)) === 3), "embedding", path)
+      Similarity.appendToIvfIndex(
+        emb.filter(pmod(col("vec_id"), lit(5)) === 4), "embedding", path)
+      Similarity.optimizeIvfIndex(s, path, minFiles = 2)
+      Similarity.ivfTopKIndexed(s, path, "embedding", "vec_id", q, 5)
         .withColumn("cosine", round(col("cosine"), 6))
     }),
 
@@ -4787,6 +4851,92 @@ object LlmQueries {
         |        unnest(range(1, len(ss) + 1)) AS k FROM fin) z
         |ORDER BY source""".stripMargin,
 
+    // epoch-layered mirror (r15): decayed weights per epoch (exact
+    // integer floors), full epochs while the budget covers the active
+    // capacity, then ONE water-filling fixed point (the llm_mix_budget
+    // CTE, reseeded) over the partial round's actives
+    "llm_mix_epochs" ->
+      """WITH RECURSIVE
+        |av AS (SELECT source, CAST(sum(coalesce(len(regexp_split_to_array(trim(text), '\s+')), 0)) AS BIGINT) AS c
+        |  FROM documents GROUP BY source),
+        |wv AS (SELECT source, c, CAST(5 + 29 * CAST(substr(source, 4) AS BIGINT) AS BIGINT) AS w FROM av),
+        |tot AS (SELECT CAST(sum(c) AS HUGEINT) * 5 // 2 AS t FROM av),
+        |rw AS (SELECT source, c, w, r,
+        |         CAST(CASE r WHEN 1 THEN CAST(w AS HUGEINT)
+        |                WHEN 2 THEN CAST(w AS HUGEINT) * 200 // 1000
+        |                ELSE CAST(w AS HUGEINT) * 40000 // 1000000 END AS BIGINT) AS wr
+        |       FROM wv, (SELECT unnest([1, 2, 3]) AS r)),
+        |caps AS (SELECT r, CAST(sum(CASE WHEN wr >= 1 THEN c ELSE 0 END) AS HUGEINT) AS cr FROM rw GROUP BY r),
+        |cm AS (SELECT r, cr, sum(cr) OVER (ORDER BY r) AS cumc FROM caps),
+        |nfq AS (SELECT coalesce(max(r), 0) AS nf FROM cm WHERE cumc <= (SELECT t FROM tot)),
+        |tpq AS (SELECT (SELECT t FROM tot) -
+        |               coalesce((SELECT cumc FROM cm WHERE r = (SELECT nf FROM nfq)), 0) AS tp),
+        |fl AS (SELECT source, c, w,
+        |         CAST(sum(CASE WHEN r <= (SELECT nf FROM nfq) AND wr >= 1 THEN c ELSE 0 END) AS HUGEINT) AS fa,
+        |         bool_or(r <= (SELECT nf FROM nfq) AND wr >= 1) AS anyfull
+        |       FROM rw GROUP BY source, c, w),
+        |act AS (SELECT source, c, wr FROM rw
+        |        WHERE r = (SELECT nf FROM nfq) + 1 AND wr >= 1
+        |          AND (SELECT tp FROM tpq) > 0),
+        |ini AS (SELECT list(source ORDER BY source) AS ss,
+        |               list(c ORDER BY source) AS cs,
+        |               list(wr ORDER BY source) AS ws FROM act
+        |        HAVING count(*) > 0),
+        |wf AS (
+        |  SELECT 0 AS it, ss, cs, ws,
+        |    list_transform(ss, x -> CAST(NULL AS HUGEINT)) AS al,
+        |    list_transform(ss, x -> false) AS cap,
+        |    (SELECT tp FROM tpq) AS t_rem
+        |  FROM ini
+        |  UNION ALL
+        |  SELECT it + 1, ss, cs, ws,
+        |    CASE WHEN anyover
+        |      THEN list_transform(range(1, len(ss) + 1), k ->
+        |             CASE WHEN al[k] IS NULL AND props[k] > cs[k]
+        |                  THEN CAST(cs[k] AS HUGEINT) ELSE al[k] END)
+        |      ELSE list_transform(range(1, len(ss) + 1), k ->
+        |             coalesce(al[k], props[k])) END AS al,
+        |    CASE WHEN anyover
+        |      THEN list_transform(range(1, len(ss) + 1), k ->
+        |             cap[k] OR (al[k] IS NULL AND props[k] > cs[k]))
+        |      ELSE cap END AS cap,
+        |    CASE WHEN anyover
+        |      THEN t_rem - list_sum(list_transform(range(1, len(ss) + 1), k ->
+        |             CASE WHEN al[k] IS NULL AND props[k] > cs[k]
+        |                  THEN CAST(cs[k] AS HUGEINT) ELSE CAST(0 AS HUGEINT) END))
+        |      ELSE t_rem END AS t_rem
+        |  FROM (
+        |    SELECT *,
+        |      len(list_filter(range(1, len(ss) + 1), k ->
+        |        al[k] IS NULL AND props[k] > cs[k])) > 0 AS anyover
+        |    FROM (
+        |      SELECT *,
+        |        list_transform(range(1, len(ss) + 1), k ->
+        |          CASE WHEN al[k] IS NOT NULL THEN NULL
+        |               WHEN bw = 0 THEN CAST(0 AS HUGEINT)
+        |               ELSE t_rem * ws[k] // bw END) AS props
+        |      FROM (
+        |        SELECT *,
+        |          list_sum(list_transform(range(1, len(ss) + 1), k ->
+        |            CASE WHEN al[k] IS NULL THEN ws[k] ELSE CAST(0 AS BIGINT) END)) AS bw
+        |        FROM wf
+        |        WHERE len(list_filter(al, x -> x IS NULL)) > 0) a) b) c),
+        |fin AS (SELECT ss, al, cap FROM wf
+        |        WHERE len(list_filter(al, x -> x IS NULL)) = 0
+        |        ORDER BY it DESC LIMIT 1),
+        |part AS (SELECT ss[k] AS source, al[k] AS pal, cap[k] AS pcap
+        |         FROM (SELECT ss, al, cap,
+        |                 unnest(range(1, len(ss) + 1)) AS k FROM fin) z)
+        |SELECT f.source,
+        |  CAST(f.c AS BIGINT) AS tokens_available,
+        |  CAST(f.w AS BIGINT) AS weight_milli,
+        |  CAST(f.fa + coalesce(p.pal, 0) AS BIGINT) AS tokens_allocated,
+        |  CAST(CASE WHEN f.c = 0 OR f.fa + coalesce(p.pal, 0) = 0 THEN 0
+        |       ELSE (f.fa + coalesce(p.pal, 0) + f.c - 1) // f.c END AS BIGINT) AS epochs,
+        |  CASE WHEN p.source IS NOT NULL THEN p.pcap ELSE f.anyfull END AS capped
+        |FROM fl f LEFT JOIN part p USING (source)
+        |ORDER BY source""".stripMargin,
+
     // epoch-shuffle mirror: the same FNV CTE over the ':'-salted id
     // strings for epochs 1 and 2, each epoch ranked independently,
     // joined per doc
@@ -4929,6 +5079,33 @@ object LlmQueries {
         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS span
         |  FROM m),
         |spans AS (SELECT doc_id, min(s) AS a, max(s) + 8 AS b FROM sp GROUP BY doc_id, span),
+        |tok AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) - 1 AS p FROM t),
+        |keep AS (SELECT tk.doc_id, tk.w, tk.p FROM tok tk
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans s WHERE s.doc_id = tk.doc_id AND tk.p >= s.a AND tk.p < s.b)),
+        |reb AS (SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS txt FROM keep GROUP BY doc_id),
+        |fin AS (SELECT t.doc_id,
+        |    CASE WHEN t.doc_id IN (SELECT doc_id FROM spans) THEN coalesce(r.txt, '') ELSE t.text END AS txt
+        |  FROM t LEFT JOIN reb r ON r.doc_id = t.doc_id)
+        |SELECT doc_id, md5(txt) AS h, CAST(length(txt) AS BIGINT) AS len
+        |FROM fin ORDER BY doc_id""".stripMargin,
+
+    // suffix-dedup mirror (r15): the engine ranks suffixes by prefix
+    // doubling; the oracle pins the SEMANTICS — duplicated exact
+    // 6-token window strings, islands merge, token cut, rebuild —
+    // with gram strings (exact in SQL, so both sides are hash-free)
+    "llm_suffix_dedup" ->
+      """WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(range(0, len(toks) - 6 + 1)) AS s, toks FROM t WHERE len(toks) >= 6),
+        |gg AS (SELECT doc_id, s, array_to_string(toks[s + 1 : s + 6], ' ') AS gram FROM g),
+        |hot AS (SELECT gram FROM gg GROUP BY gram HAVING count(*) > 1),
+        |d AS (SELECT doc_id, s FROM gg JOIN hot USING (gram)),
+        |m AS (SELECT doc_id, s,
+        |    CASE WHEN coalesce(s - lag(s) OVER (PARTITION BY doc_id ORDER BY s), 0) > 6 THEN 1 ELSE 0 END AS brk
+        |  FROM d),
+        |sp AS (SELECT doc_id, s,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS span
+        |  FROM m),
+        |spans AS (SELECT doc_id, min(s) AS a, max(s) + 6 AS b FROM sp GROUP BY doc_id, span),
         |tok AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) - 1 AS p FROM t),
         |keep AS (SELECT tk.doc_id, tk.w, tk.p FROM tok tk
         |  WHERE NOT EXISTS (SELECT 1 FROM spans s WHERE s.doc_id = tk.doc_id AND tk.p >= s.a AND tk.p < s.b)),
@@ -5732,6 +5909,8 @@ object LlmQueries {
     // persisted-index twin: identical answers by construction (same
     // quantizer, same probe; only the storage layout differs)
     "llm_ann_ivf_persisted" -> annIvfOracleSql,
+    // append+compact must be indistinguishable from the one-shot build
+    "llm_ann_append" -> annIvfOracleSql,
     // int8-ANN mirror: quantization CTE (same expression tree as
     // llm_quantize_int8), integer dot against vec 0's codes, the same
     // est = di·scale·qscale/127² ranking with id tiebreak, LIMIT-40

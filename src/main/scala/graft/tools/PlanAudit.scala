@@ -228,6 +228,54 @@ object PlanAudit {
         "explode/window")
       bad += 1
     }
+    // C4 span dedup (r14 reshape, pinned r15): keeper selection is ONE
+    // map-side-combinable aggregate on the exact span key `k` — the
+    // plan must carry NO Window anywhere (the discarded
+    // row_number+count formulation put every occurrence of a viral
+    // boilerplate span on one task), and the span-key aggregate shows
+    // up once (a partial/final pair of plan nodes, 2–3 with AQE)
+    val c4 = graft.SparkEntry.queries("llm_c4_clean")(spark, dir)
+    val c4Plan = c4.queryExecution.executedPlan.toString
+    if (c4Plan.contains("Window")) {
+      println("!! llm_c4_clean: a Window regressed into the span-dedup " +
+        "stage")
+      bad += 1
+    }
+    // SortAggregate prints `key=[..]` (min(struct) forbids the hash
+    // impl); the gate query consumes the span table twice (text
+    // rebuild + removal audit), so ONE logical aggregate = 2 subtrees
+    // × a partial/final pair = 4 plan nodes
+    val nKAgg = "(?:key|keys)=\\[k#\\d+\\]".r.findAllIn(c4Plan).length
+    if (nKAgg < 2 || nKAgg > 4) {
+      println(s"!! llm_c4_clean: expected the one span-key aggregate " +
+        s"(2-4 partial/final plan nodes on key=[k#..]), found $nKAgg")
+      bad += 1
+    }
+    // tokenizer fertility (r14, pinned r15): both subword kernels ride
+    // ONE corpus scan into ONE group-sized aggregate — no Window, no
+    // Generate, no ScalaUDF, and no exchanges beyond the aggregate's
+    {
+      val fdocs = spark.read.parquet(s"$dir/documents.parquet")
+      val fvoc = graft.llm.Unigram.learn(fdocs, "text")
+      val fert = graft.llm.TokenizerEval.fertility(fdocs, "text", "source",
+        Seq("bpe" -> ((c: org.apache.spark.sql.Column) =>
+          graft.llm.Bpe.count(c)),
+          "unigram" -> ((c: org.apache.spark.sql.Column) =>
+            graft.llm.Unigram.count(c, fvoc))))
+      val fPlan = fert.queryExecution.executedPlan.toString
+      if (fPlan.contains("Window") || fPlan.contains("Generate") ||
+          fPlan.toLowerCase.contains("scalaudf")) {
+        println("!! tokenizer fertility: window/generate/udf regressed " +
+          "into the two-kernel pass")
+        bad += 1
+      }
+      val nFx = "Exchange".r.findAllIn(fPlan).length
+      if (nFx > 2) {
+        println(s"!! tokenizer fertility: expected <= 2 exchanges " +
+          s"(the group aggregate), found $nFx")
+        bad += 1
+      }
+    }
     println(s"\naudit ${if (bad == 0) "CLEAN" else s"$bad issue(s)"}")
     spark.stop()
   }

@@ -441,6 +441,18 @@ object ScaleStress {
             structured, "text3", "doc_id"))
         }
         spark.catalog.clearCache()
+        // suffix-ranking ExactSubstr (r15): the replicated corpus is
+        // the worst case — every window is duplicated, so every
+        // doubling round's class join carries the full token stream
+        // and the removal cuts ~everything. Same k as the gram-hash
+        // `span removal` row above it in SCALE.md: the two mechanisms'
+        // curves are directly comparable
+        time(s"suffix dedup x$mult") {
+          val (rm, rel) = graft.llm.SuffixDedup
+            .dedupExactSubstringsReleasable(d, "text", "doc_id", 8)
+          val n = force(rm); rel(); n
+        }
+        spark.catalog.clearCache()
       }
       // round-6 operators promoted to the second decade (VERDICT r06
       // §7): dup spans / span removal / token budget run at 64× too.

@@ -1411,6 +1411,97 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("allocateBudgetEpochs: epoch layering, decay drop-out, partial " +
+      "round, reduction to allocateBudget (r15)") {
+    import spark.implicits._
+    val avail = Seq(("a", 100L), ("b", 1000L), ("c", 1000L))
+      .toDF("source", "avail")
+    val w = Map("a" -> 800L, "b" -> 10L, "c" -> 10L)
+    // budget 4000 over capacity 2100: one full epoch (2100), then a
+    // partial second with decayed weights (80,1,1) — a caps at its
+    // second 100 and the rest splits 900/900. Hand-derived fixed point.
+    val got = Mixing.allocateBudgetEpochs(avail, "source", "avail", w,
+        4000L, maxEpochs = 3, decayMilli = 100L)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4),
+        r.getBoolean(5)))
+    assert(got.toSeq == Seq(("a", 200L, 2L, true),
+      ("b", 1900L, 2L, false), ("c", 1900L, 2L, false)))
+    // decay 0: repeats carry no value — exactly one epoch ever
+    val g0 = Mixing.allocateBudgetEpochs(avail, "source", "avail", w,
+        1000000L, maxEpochs = 5, decayMilli = 0L)
+      .collect().map(r => (r.getLong(3), r.getLong(4)))
+    assert(g0.map(_._1).sum == 2100L && g0.forall(_._2 <= 1L))
+    // no decay + budget beyond everything: every source takes exactly
+    // maxEpochs full passes
+    val gf = Mixing.allocateBudgetEpochs(avail, "source", "avail", w,
+        1000000L, maxEpochs = 4, decayMilli = 1000L)
+      .orderBy("source").collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(gf.forall(g => g._2 == 4 * g._1 && g._3 == 4L && g._4))
+    intercept[IllegalArgumentException] {
+      Mixing.allocateBudgetEpochs(avail, "source", "avail", w, 1L,
+        maxEpochs = 0, decayMilli = 500L)
+    }
+    intercept[IllegalArgumentException] {
+      Mixing.allocateBudgetEpochs(avail, "source", "avail", w, 1L,
+        maxEpochs = 1, decayMilli = 1001L)
+    }
+  }
+
+  test("allocateBudgetEpochs property: extends the water-filling " +
+      "invariants — conservation, epoch caps, maxEpochs monotonicity, " +
+      "exact r14 reduction") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    (0 until 30).foreach { trial =>
+      val n = 1 + rnd.nextInt(6)
+      val rows = (0 until n).map(i => (s"s$i", rnd.nextInt(3000).toLong))
+      val weights = rows.map { case (s0, _) =>
+        s0 -> rnd.nextInt(60).toLong }.toMap
+      val budget = rnd.nextInt(20000).toLong
+      val decay = rnd.nextInt(1001).toLong
+      val me = 1 + rnd.nextInt(4)
+      def run(m: Int): Map[String, (Long, Long, Long, Boolean)] =
+        Mixing.allocateBudgetEpochs(rows.toDF("source", "avail"),
+            "source", "avail", weights, budget, m, decay)
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+          .toMap
+      val got = run(me)
+      // (1) conservation: Σ allocated ≤ budget, always
+      assert(got.values.map(_._2).sum <= budget, s"trial $trial")
+      // (2) epoch cap: per-source allocation ≤ availability × maxEpochs,
+      //     and the epochs column is exactly ceil(alloc / avail)
+      got.foreach { case (s0, (c, a, e, _)) =>
+        assert(a <= c * me, s"trial $trial: $s0 over epoch cap")
+        val wantE = if (c == 0 || a == 0) 0L else (a + c - 1) / c
+        assert(e == wantE, s"trial $trial: $s0 epochs $e want $wantE")
+      }
+      // (3) zero-weight sources get nothing at any depth
+      got.foreach { case (s0, (_, a, _, _)) =>
+        if (weights(s0) == 0L) assert(a == 0L, s"trial $trial: $s0")
+      }
+      // (4) maxEpochs monotonicity: one more allowed epoch never
+      //     shrinks any source's allocation
+      val more = run(me + 1)
+      got.foreach { case (s0, (_, a, _, _)) =>
+        assert(more(s0)._2 >= a, s"trial $trial: $s0 shrank with depth")
+      }
+      // (5) maxEpochs = 1 is EXACTLY the r14 allocator (same alloc,
+      //     same capped flags)
+      val flat = run(1)
+      val r14 = Mixing.allocateBudget(rows.toDF("source", "avail"),
+          "source", "avail", weights, budget)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(3), r.getBoolean(4))).toMap
+      r14.foreach { case (s0, (a, cap)) =>
+        assert(flat(s0)._2 == a && flat(s0)._4 == cap,
+          s"trial $trial: $s0 maxEpochs=1 diverges from allocateBudget")
+      }
+    }
+  }
+
   test("shardShuffle: fnv shard, dense in-shard pos, repartition-stable") {
     val d = spark.range(0, 200).toDF("doc_id")
     val got = Mixing.shardShuffle(d, "doc_id", 4)
@@ -1526,6 +1617,47 @@ class LlmSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       sources.Jsonl.write(df, "doc_id", 3, p1)
     }
+  }
+
+  test("Jsonl: map-typed columns stay byte-reproducible under key ties " +
+      "(r15 — the rendered-row tie-break)") {
+    import spark.implicits._
+    // the r14 residual tie: rows IDENTICAL in every orderable column
+    // (same key, same text) that differ only in an unorderable map —
+    // the key-then-orderable sort cannot order them, so shard bytes
+    // were nondeterministic. Entry-order-only map differences are the
+    // sharpest case: the maps compare equal as sets but RENDER
+    // differently, so they must be ordered by the render itself.
+    val rows = Seq(
+      (1L, "tie", Map("b" -> "2", "a" -> "1")),
+      (1L, "tie", Map("a" -> "1", "b" -> "2")),
+      (1L, "tie", Map("z" -> "9")),
+      (2L, "solo", Map("k" -> "v")))
+    val df = rows.toDF("doc_id", "text", "meta")
+    def hashes(path: String): Seq[String] = {
+      val dir = new java.io.File(path)
+      dir.listFiles().filter(_.getName.endsWith(".gz")).sortBy(_.getName)
+        .map(f => java.util.Base64.getEncoder.encodeToString(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(f.toPath)))).toSeq
+    }
+    val pa = "target/test_jsonl_map_a"
+    val pb = "target/test_jsonl_map_b"
+    for (p <- Seq(pa, pb)) {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(hp)) fs.delete(hp, true)
+    }
+    sources.Jsonl.write(df, "doc_id", 2, pa)
+    // reversed row order, scattered input partitioning — same bytes
+    sources.Jsonl.write(rows.reverse.toDF("doc_id", "text", "meta")
+      .repartition(5), "doc_id", 2, pb)
+    assert(hashes(pa).nonEmpty && hashes(pa) == hashes(pb))
+    // all four rows survive the round trip
+    val back = sources.Jsonl.read(spark, pa, df.schema)
+    assert(back.count() == 4)
+    // the synthetic tie-break column must not leak into the output
+    assert(back.columns.toSeq == Seq("doc_id", "text", "meta"))
   }
 
   test("tokenDrift: exact cross-multiplication statistic, total order") {
@@ -1762,6 +1894,134 @@ class LlmSpec extends SparkSpec {
         "query_id", "terms", k = 10)
       .orderBy("rank").collect().map(r => (r.getLong(2), r.getDouble(3)))
     assert(servedHealed.toSeq == got.toSeq)
+  }
+
+  test("IVF index lifecycle: frozen quantizer, append ≡ one-shot, " +
+      "bounded compaction, stranded-list serve guard (r15)") {
+    import spark.implicits._
+    // 40 vectors in 4 dims, spread over 4 well-separated clusters
+    val emb = (0L until 40L).map { i =>
+      val base = Array(0f, 0f, 0f, 0f)
+      base((i % 4).toInt) = 10f
+      base(((i + 1) % 4).toInt) = (i % 7).toFloat
+      (i, base.toSeq)
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>")
+        .as("embedding"))
+    val cents = Similarity.ivfCentroidsLloyd(emb, "embedding", "vec_id",
+      k = 4, iters = 2)
+    val q = emb.filter(col("vec_id") === 1L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    def serve(p: String) =
+      Similarity.ivfTopKIndexed(spark, p, "embedding", "vec_id", q, 5,
+          nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val oneShot = "target/test_ivf_oneshot"
+    val lively = "target/test_ivf_lifecycle"
+    Similarity.writeIvfIndex(emb, "embedding", cents, oneShot)
+    // quantizer round-trips exactly
+    val back = Similarity.readIvfQuantizer(spark, oneShot)
+    assert(back.length == cents.length &&
+      back.zip(cents).forall { case (a, b) => a.toSeq == b.toSeq })
+    // base + two appends, assigned against the index's OWN quantizer
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") < 20), "embedding",
+      cents, lively)
+    Similarity.appendToIvfIndex(
+      emb.filter(col("vec_id") >= 20 && col("vec_id") < 30), "embedding",
+      lively)
+    Similarity.appendToIvfIndex(
+      emb.filter(col("vec_id") >= 30), "embedding", lively)
+    val want = serve(oneShot)
+    assert(serve(lively).toSeq == want.toSeq,
+      "append path diverged from the one-shot build")
+    // compaction: bounded rewrite, idempotent, serving unchanged
+    val root = new java.io.File(lively)
+    def listFilesOf(n: String) = new java.io.File(root, n).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map(f => (f.getName, f.length())).toSeq
+    val lists = root.listFiles().map(_.getName)
+      .filter(_.startsWith("ivf_list=")).sorted
+    val before = lists.map(n => n -> listFilesOf(n)).toMap
+    assert(before.values.exists(_.size >= 2), "appends left no multi-file list")
+    val single = before.filter(_._2.size == 1)
+    val n1 = Similarity.optimizeIvfIndex(spark, lively, minFiles = 2)
+    assert(n1 == before.values.count(_.size >= 2))
+    single.foreach { case (n, sig) =>
+      assert(listFilesOf(n) == sig, s"1-file list $n was rewritten") }
+    assert(Similarity.optimizeIvfIndex(spark, lively, minFiles = 2) == 0)
+    assert(serve(lively).toSeq == want.toSeq,
+      "compaction changed the serving result")
+    // stranded list: serve refuses loudly, optimize heals
+    val fs = new org.apache.hadoop.fs.Path(lively)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hp(n: String) = new org.apache.hadoop.fs.Path(s"$lively/$n")
+    val liveList = lists.head
+    assert(fs.rename(hp(liveList), hp(s".old_$liveList")))
+    val err = intercept[IllegalArgumentException] { serve(lively) }
+    assert(err.getMessage.contains("stranded mid-swap"))
+    assert(Similarity.optimizeIvfIndex(spark, lively, minFiles = 2) == 0)
+    assert(fs.exists(hp(liveList)) && !fs.exists(hp(s".old_$liveList")))
+    assert(serve(lively).toSeq == want.toSeq, "healing lost rows")
+    // a non-index path is refused, not silently built against
+    intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(emb, "embedding", "target/test_not_ivf")
+    }
+  }
+
+  test("SuffixDedup: prefix-doubling ranking — hand spans, removal, " +
+      "and ≡ gram-hash spans on random corpora (r15)") {
+    import spark.implicits._
+    // hand case, k=4: docs 1/2 share a 7-token run; doc 4 self-repeats
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y a b c d e f g z"),
+      (3L, "p q r s"),
+      (4L, "m m m m m m"),
+      (5L, null.asInstanceOf[String]),
+      (6L, "")).toDF("doc_id", "text")
+    val (spans, rel) = SuffixDedup.duplicatedSuffixSpansReleasable(
+      docs, "text", "doc_id", 4)
+    val got = spans.orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rel()
+    assert(got.toSeq == Seq((1L, 0L, 7L, 4L), (2L, 2L, 9L, 4L),
+      (4L, 0L, 6L, 3L)))
+    val (removed, rel2) = SuffixDedup.dedupExactSubstringsReleasable(
+      docs, "text", "doc_id", 4)
+    val txts = removed.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    rel2()
+    assert(txts.toSeq == Seq((1L, "h i j"), (2L, "x y z"),
+      (3L, "p q r s"), (4L, ""), (5L, null), (6L, "")))
+    // the mechanism pin: on corpora small enough that 64-bit gram
+    // hashes cannot collide, the suffix ranking must produce EXACTLY
+    // the gram-hash path's spans, for every k — including k=1 (no
+    // doubling rounds) and k=8 (a power of two, trailing class at
+    // offset 0)
+    val rnd = new scala.util.Random(20260816L)
+    val vocab = Array("u", "v", "w", "xx", "yy", "z0")
+    (0 until 3).foreach { trial =>
+      val corpus = (0 until 12).map { i =>
+        val n = rnd.nextInt(26)
+        (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(vocab.length)))
+          .mkString(" "))
+      }.toDF("doc_id", "text")
+      Seq(1, 3, 8).foreach { k =>
+        val (a1, r1) = SuffixDedup.duplicatedSuffixSpansReleasable(
+          corpus, "text", "doc_id", k)
+        val s1 = a1.orderBy("doc_id", "span_start").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSeq
+        r1()
+        val (a2, r2) = Spans.duplicatedSpansReleasable(
+          corpus, "text", "doc_id", k)
+        val s2 = a2.orderBy("doc_id", "span_start").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSeq
+        r2()
+        assert(s1 == s2, s"trial $trial k=$k: suffix != gram-hash")
+      }
+    }
   }
 
   test("C4 line filters: terminal punct, word floor, javascript; order") {
