@@ -42,6 +42,76 @@ object Layout {
     terms.reduce(_ + _)
   }
 
+  /** Hilbert-curve value of a 2-D point — the locality-tighter
+    * sibling of [[zValue]]: consecutive Hilbert indices are always
+    * grid-adjacent (unit steps, no Morton "jumps" across the plane),
+    * so file z-spans cover ~½ the spatial area per range, which is
+    * the documented reason Delta Lake's OPTIMIZE grew a Hilbert mode
+    * next to ZORDER. Inputs are masked to `nBits` bits like
+    * [[zValue]]; output is the curve position in `[0, 4^nBits)`.
+    *
+    * The classic per-bit transform (Hamilton's compact algorithm in
+    * its 2-D form: extract the top bit pair, accumulate the quadrant
+    * rank `s²·((3·rx) xor ry)`, then reflect+swap the frame when the
+    * y bit is 0 — reflection against the all-ones mask `n−1` is a
+    * pure bitwise complement, so stale high bits can never borrow
+    * into the bits later rounds read) runs as ONE `aggregate` fold
+    * over the `nBits` bit planes: the lambda accumulator keeps the
+    * expression tree linear in `nBits` (a Scala-side fold would
+    * duplicate the subtree ~5× per round — exponential blowup), and
+    * the whole thing stays inside whole-stage codegen like every
+    * other layout expression. */
+  def hilbertValue(xCol: Column, yCol: Column, nBits: Int): Column = {
+    require(nBits >= 1 && 2 * nBits <= 62,
+      s"2·nBits = ${2 * nBits} exceeds the long hilbert-value budget")
+    val n = 1L << nBits
+    val sVals = (nBits - 1 to 0 by -1).map(b => lit(1L << b))
+    val init = struct(
+      pmod(xCol.cast("long"), lit(n)).as("x"),
+      pmod(yCol.cast("long"), lit(n)).as("y"),
+      lit(0L).as("d"))
+    aggregate(
+      array(sVals: _*), init,
+      (st, sv) => {
+        val x = st.getField("x")
+        val y = st.getField("y")
+        // exact: x < 2^31 and sv a power of two, so the double
+        // division is exact and the cast is the integer shift
+        val rx = pmod((x / sv).cast("long"), lit(2L))
+        val ry = pmod((y / sv).cast("long"), lit(2L))
+        val dN = st.getField("d") +
+          sv * sv * (lit(3L) * rx).bitwiseXOR(ry)
+        val xr = when(rx === 1L, lit(n - 1L) - x).otherwise(x)
+        val yr = when(rx === 1L, lit(n - 1L) - y).otherwise(y)
+        struct(
+          when(ry === 0L, yr).otherwise(x).as("x"),
+          when(ry === 0L, xr).otherwise(y).as("y"),
+          dN.as("d"))
+      }).getField("d")
+  }
+
+  /** [[zorderWrite]] on the Hilbert curve: cluster by
+    * [[hilbertValue]] of `(xCol, yCol)` and write `nFiles` files with
+    * globally disjoint per-file curve ranges. The whole downstream
+    * lifecycle is curve-agnostic — [[fileZRanges]], [[zRangesOverlap]]
+    * and [[zorderOptimize]] operate on the persisted value column by
+    * name, so append-decay detection and bounded re-clustering work
+    * unchanged with `zColName = hColName`. */
+  def hilbertWrite(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      path: String,
+      nFiles: Int,
+      nBits: Int = 16,
+      hColName: String = "h_value"): Unit = {
+    require(nFiles >= 1, "nFiles must be positive")
+    df.withColumn(hColName, hilbertValue(col(xCol), col(yCol), nBits))
+      .repartitionByRange(nFiles, col(hColName))
+      .sortWithinPartitions(hColName)
+      .write.mode("error").parquet(path)
+  }
+
   /** Cluster `df` by the z-order of `zCols` and write `nFiles`
     * parquet files under `path`: one range exchange on the z value
     * (per-file z ranges come out globally disjoint), rows sorted by z

@@ -402,4 +402,81 @@ object Mixing {
       .toDF(sourceCol, "tokens_available", "weight_milli",
         "tokens_allocated", "epochs", "capped")
   }
+
+  /** Scale of the domain weights [[reweightDomains]] maintains:
+    * giga (10^9) — enough head-room that the per-round floor loses
+    * at most one part in 10^9 per source. */
+  val WeightScale = 1000000000L
+
+  /** DoReMi-shaped domain reweighting (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    * multiplicative-weights ascent on per-domain EXCESS losses — the
+    * Group-DRO inner loop that upweights the domains the proxy model
+    * finds hardest. DoReMi's continuous update `α ← α·exp(η·ℓ̂)` is
+    * replaced by its pinned integer linearization so every round is
+    * exact and SQL-mirrorable (the engine-wide no-float-iteration
+    * discipline):
+    *
+    *  - excess_i = loss_i − min_j loss_j (the best domain sets the
+    *    zero — a per-batch reference-model baseline in the paper, the
+    *    observed minimum here, both shift-invariant);
+    *  - init m_i = floor(WeightScale / n), uniform;
+    *  - each round: g_i = m_i · (1 000 000 + ηMilli · excess_i)
+    *    (the multiplier is micro-scaled: milli·milli = micro), then
+    *    renormalize m_i ← floor(g_i · WeightScale / Σ_j g_j) — all
+    *    BigInt, deterministic, order-insensitive;
+    *  - final smoothing (the paper's uniform mix-in):
+    *    smoothed_i = floor(m_i · (1000 − uMilli) / 1000)
+    *               + floor(WeightScale · uMilli / (1000 · n)).
+    *
+    * Returns (sourceCol, loss_milli, excess_milli, weight_giga,
+    * weight_smoothed_giga). `losses` is the SOURCE-BOUNDED per-domain
+    * loss table (one row per domain — the output of whatever corpus
+    * aggregate measured the loss); the fixed point runs on the driver
+    * like [[allocateBudget]], never touching corpus-sized data. */
+  def reweightDomains(
+      losses: DataFrame,
+      sourceCol: String,
+      lossCol: String,
+      rounds: Int,
+      etaMilli: Long,
+      smoothMilli: Long = 0L): DataFrame = {
+    require(rounds >= 0, "rounds must be non-negative")
+    require(etaMilli >= 0L, "etaMilli must be non-negative")
+    require(smoothMilli >= 0L && smoothMilli <= 1000L,
+      "smoothMilli must be in [0, 1000]")
+    val rows = losses
+      .select(col(sourceCol).cast("string"), col(lossCol).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    require(rows.nonEmpty, "losses table is empty")
+    require(rows.map(_._1).distinct.length == rows.length,
+      "losses table must have one row per domain")
+    val n = rows.length
+    val minLoss = rows.map(_._2).min
+    val excess = rows.map { case (_, l) => l - minLoss }
+    var m = Array.fill(n)(BigInt(WeightScale) / n)
+    var r = 0
+    while (r < rounds) {
+      val g = m.indices.map(i =>
+        m(i) * (BigInt(1000000) + BigInt(etaMilli) * excess(i)))
+      val tot = g.sum
+      // all-zero weights can only happen if every m hit 0 (impossible
+      // from the uniform init with non-negative multipliers ≥ 10^6,
+      // which preserve positivity) — guard anyway for clarity
+      require(tot > 0, "degenerate zero total weight")
+      m = g.map(_ * WeightScale / tot).toArray
+      r += 1
+    }
+    val smoothed = m.map(mi =>
+      (mi * (1000 - smoothMilli) / 1000 +
+        BigInt(WeightScale) * smoothMilli / (1000 * n)).toLong)
+    val spark = losses.sparkSession
+    import spark.implicits._
+    rows.indices.map(i => (rows(i)._1, rows(i)._2, excess(i),
+        m(i).toLong, smoothed(i))).toSeq
+      .toDF(sourceCol, "loss_milli", "excess_milli", "weight_giga",
+        "weight_smoothed_giga")
+  }
 }

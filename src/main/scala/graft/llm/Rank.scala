@@ -177,6 +177,95 @@ object Rank {
         col("col.id").as("doc_id"), col("col.score").as("score"))
   }
 
+  /** Integer scale of one reciprocal-rank-fusion contribution:
+    * a rank-r hit (0-based) in any input list contributes exactly
+    * `RrfScale div (k0 + r + 1)` — the Cormack/Clarke/Büttcher 2009
+    * RRF term `1/(k0 + rank)` carried as an exact integer so fused
+    * scores are bit-reproducible and SQL-mirrorable (no float sums
+    * whose association order a mirror would have to replay). 10^12
+    * keeps 12 significant digits against the conventional k0 = 60
+    * while the worst-case sum (every list, rank 0) stays far inside
+    * both long and double-exact range. */
+  val RrfScale = 1000000000000L
+
+  /** Reciprocal-rank fusion of any number of ranked lists — the
+    * standard hybrid-retrieval combiner (lexical BM25 ⊕ semantic ANN ⊕
+    * anything else that ranks): every input row contributes
+    * `RrfScale div (k0 + rank + 1)` to its (query, doc) pair, pairs
+    * sum across lists, and the top `k` per query survive under
+    * (rrf_score DESC, doc_id ASC). A document missing from a list
+    * simply gets no contribution from it — RRF needs ranks only,
+    * never the incomparable raw scores, which is why it is THE fusion
+    * rule when one list is a float BM25 and the other a cosine.
+    *
+    * Inputs must each carry `(query_id, rank, doc_id)` with 0-based
+    * ranks and per-list-unique (query, doc) pairs — exactly the shape
+    * [[retrieveTopK]] / [[retrieveTopKIndexed]] and the
+    * [[Similarity]] `*JoinTopK` family emit (rename `corpus_id` →
+    * `doc_id`, or use [[hybridTopK]]).
+    *
+    * Returns (query_id, rank, doc_id, rrf_score, n_lists) — the fused
+    * 0-based rank, the exact integer score, and how many input lists
+    * surfaced the document (the audit column: n_lists = input count
+    * marks consensus hits).
+    *
+    * Scale shape (100 TB corpus, thousands of queries): the input
+    * lists are already k-bounded per query, so everything here moves
+    * candidate-sized data — one union + one map-side-combinable
+    * (query, doc) aggregate, the k-bounded
+    * [[graft.functions.TopKByScore]] per query, and a candidate-sized
+    * join-back for the audit columns. Nothing rescans the corpus and
+    * nothing is globally sorted. */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(k > 0, "k must be positive")
+    require(k0 >= 0, "k0 must be non-negative")
+    val prepared = lists.map(_.select(
+      col("query_id").cast("long").as("query_id"),
+      col("rank").cast("long").as("rank"),
+      col("doc_id").cast("long").as("doc_id")))
+    // candidate pairs: bounded by queries × Σ per-list k — small; the
+    // checkpoint keeps the top-k and the audit join-back from running
+    // the upstream retrieval twice
+    val cands = prepared.reduce(_.unionByName(_))
+      .select(col("query_id"), col("doc_id"),
+        expr(s"$RrfScale div ($k0 + rank + 1)").as("__c"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("__c").as("rrf_score"), count(lit(1)).as("n_lists"))
+      .localCheckpoint()
+    // rrf_score < 2^53 by construction, so the double round trip
+    // through the k-bounded aggregate is exact; the emitted score
+    // still comes from the integer column via the join-back
+    cands
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScore(
+        col("rrf_score").cast("double"), col("doc_id"), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")))
+      .select(col("query_id"), col("pos").cast("long").as("rank"),
+        col("col.id").as("doc_id"))
+      .join(cands, Seq("query_id", "doc_id"))
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("rrf_score"), col("n_lists"))
+  }
+
+  /** Hybrid lexical + semantic retrieval: [[rrfFuse]] over a BM25
+    * list ([[retrieveTopK]] shape: `query_id, rank, doc_id, score`)
+    * and an embedding list (the [[Similarity]] `*JoinTopK` shape:
+    * `query_id, rank, cosine, corpus_id`) under one id space. At
+    * corpus scale the semantic side is
+    * [[Similarity.ivfJoinTopK]] (probe-pruned) and the lexical side
+    * [[retrieveTopKIndexed]] (bucket-pruned) — the fuse is list-sized
+    * either way. */
+  def hybridTopK(
+      lexical: DataFrame,
+      semantic: DataFrame,
+      k: Int,
+      k0: Int = 60): DataFrame =
+    rrfFuse(Seq(
+      lexical.select(col("query_id"), col("rank"), col("doc_id")),
+      semantic.select(col("query_id"), col("rank"),
+        col("corpus_id").as("doc_id"))), k, k0)
+
   /** Number of term-hash buckets a persisted index is partitioned
     * into. 64 keeps directory counts trivial while a q-term probe
     * still reads ≤ |terms|/64 of the postings bytes. */

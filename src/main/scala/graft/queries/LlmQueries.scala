@@ -181,6 +181,79 @@ object LlmQueries {
       |    token_id
       |  FROM ueid)""".stripMargin
 
+  /** Shared CTE chain mirroring [[graft.llm.WordPiece]] end to end —
+    * the llm_wordpiece_* gate family's oracle backbone: 4 merge
+    * rounds, each with fresh symbol counts, pair counts, the HUGEINT
+    * likelihood score `(c_pair·10^12) // (c_l·c_r)`, the pinned
+    * argmax, and the leftmost-non-overlapping fold; then the greedy
+    * longest-match encode of the corpus under the learned vocabulary.
+    * Ends at `wpb1..4` (the merges), `wpv(rank, piece)` and
+    * `wpout(doc_id, pos, token_id)`. */
+  private lazy val wordpieceCtes: String = {
+    val rounds = (1 to 4).map { i =>
+      val prev = s"wpst${i - 1}"
+      s"""wpsc$i AS (SELECT s, CAST(sum(cnt) AS BIGINT) AS c
+        |  FROM (SELECT unnest(syms) AS s, cnt FROM $prev) GROUP BY s),
+        |wppc$i AS (SELECT s.syms[i] AS l, s.syms[i+1] AS r, sum(s.cnt) AS c
+        |  FROM (SELECT syms, cnt, unnest(range(1, len(syms))) AS i FROM $prev) s(syms, cnt, i)
+        |  GROUP BY 1, 2),
+        |wpb$i AS (SELECT p.l AS l, p.r AS r, CAST(p.c AS BIGINT) AS c,
+        |    CAST((CAST(p.c AS HUGEINT) * 1000000000000) // (CAST(a.c AS HUGEINT) * b.c) AS BIGINT) AS sq
+        |  FROM wppc$i p JOIN wpsc$i a ON a.s = p.l JOIN wpsc$i b ON b.s = p.r
+        |  WHERE p.c >= 2
+        |  ORDER BY sq DESC, c DESC, l, r LIMIT 1),
+        |wpst$i AS (SELECT list_reduce(list_transform(p.syms, s -> [s]), (acc, x) ->
+        |    CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND x[1] = b.r
+        |         THEN acc[1:len(acc)-1] || [b.l || substring(b.r, 3)]
+        |         ELSE acc || x END) AS syms, p.cnt AS cnt
+        |  FROM $prev p, wpb$i b)""".stripMargin
+    }.mkString(",\n")
+    s"""wpw0 AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word,
+      |    generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1) AS wi
+      |  FROM documents WHERE text IS NOT NULL),
+      |wpwd AS (SELECT doc_id, wi, word FROM wpw0 WHERE word <> ''),
+      |wpwc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM wpwd GROUP BY word),
+      |wpst0 AS (SELECT list_transform(range(1, length(word) + 1),
+      |    i -> CASE WHEN i = 1 THEN substring(word, CAST(i AS INT), 1)
+      |         ELSE '##' || substring(word, CAST(i AS INT), 1) END) AS syms, cnt
+      |  FROM wpwc),
+      |$rounds,
+      |wpv AS (SELECT 0 AS rank, l || substring(r, 3) AS piece FROM wpb1
+      |  UNION ALL SELECT 1, l || substring(r, 3) FROM wpb2
+      |  UNION ALL SELECT 2, l || substring(r, 3) FROM wpb3
+      |  UNION ALL SELECT 3, l || substring(r, 3) FROM wpb4),
+      |wpme AS (SELECT max(length(CASE WHEN piece LIKE '##%'
+      |      THEN substring(piece, 3) ELSE piece END)) AS ml,
+      |    list(piece) AS vl FROM wpv),
+      |wpseg AS (
+      |  SELECT word, length(word) AS n, CAST(1 AS BIGINT) AS pos,
+      |    CAST([] AS VARCHAR[]) AS pcs FROM wpwc
+      |  UNION ALL
+      |  SELECT word, n, pos + bl,
+      |    pcs || [CASE WHEN pos = 1 THEN substring(word, CAST(pos AS INT), CAST(bl AS INT))
+      |            ELSE '##' || substring(word, CAST(pos AS INT), CAST(bl AS INT)) END]
+      |  FROM (SELECT word, n, pos, pcs,
+      |      coalesce(list_max(list_filter(range(2, least(ml, n - pos + 1) + 1),
+      |        L -> list_contains(vl,
+      |          CASE WHEN pos = 1 THEN substring(word, CAST(pos AS INT), CAST(L AS INT))
+      |               ELSE '##' || substring(word, CAST(pos AS INT), CAST(L AS INT)) END))), 1) AS bl
+      |    FROM wpseg, wpme WHERE pos <= n) t),
+      |wpfin AS (SELECT word, pcs FROM wpseg WHERE pos = n + 1),
+      |wpet AS (SELECT d.doc_id, d.wi, s.si, s.piece
+      |  FROM wpwd d JOIN (SELECT word, unnest(pcs) AS piece,
+      |      CAST(generate_subscripts(pcs, 1) AS BIGINT) AS si FROM wpfin) s
+      |    ON s.word = d.word),
+      |wpid AS (SELECT t.doc_id, t.wi, t.si,
+      |    CASE WHEN v.rank IS NOT NULL THEN 4000000 + CAST(v.rank AS INT)
+      |         WHEN t.piece LIKE '##%' THEN 2000000 + unicode(substring(t.piece, 3))
+      |         ELSE unicode(t.piece) END AS token_id
+      |  FROM wpet t LEFT JOIN wpv v ON v.piece = t.piece),
+      |wpout AS (SELECT doc_id,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY wi, si) - 1 AS pos,
+      |    token_id
+      |  FROM wpid)""".stripMargin
+  }
+
   /** IVF ANN mirror (shared by llm_ann_ivf and its persisted-index
     * twin): the fixed-depth Lloyd training unrolled round by round —
     * init = the 8 smallest ids' embeddings, each round = argmin
@@ -2003,6 +2076,23 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Hilbert layout key (r15) — the locality-tighter curve next to
+    // llm_zorder (consecutive indices are always grid-adjacent; Delta's
+    // OPTIMIZE grew a Hilbert mode for exactly this): 6-bit coordinates
+    // from (doc_id, n_chars), the per-bit quadrant-rank + reflect/swap
+    // transform as one codegen'd aggregate fold. The oracle replays the
+    // loop bit plane by bit plane in a recursive CTE; LayoutSpec pins
+    // the curve properties (bijection, unit-step adjacency) and the
+    // clustered-write lifecycle
+    "llm_hilbert_curve" -> ((s, dir) => {
+      val x = pmod(col("doc_id"), lit(64L))
+      val y = pmod(col("n_chars"), lit(64L))
+      t(s, dir, "documents")
+        .select(col("doc_id"), x.as("hx"), y.as("hy"),
+          graft.core.Layout.hilbertValue(x, y, 6).as("h_value"))
+        .orderBy("doc_id")
+    }),
+
     // z-order pruning economics (r12) — the layout CONTRACT gated end
     // to end: write the real clustered files at query time, run a
     // selective 2-D range query (z < 2¹² ⟺ x < 64 ∧ y < 64 — the
@@ -2301,17 +2391,22 @@ object LlmQueries {
       collectAndRelease(s, packed.orderBy("doc_id"))(release)
     }),
 
-    // tokenizer-fertility report (r14): tokens-per-1000-words by
-    // source for BOTH trained subword families — every statistic an
-    // exact integer, one corpus pass, map-side-combined per-source
-    // aggregate; the "which tokenizer on MY corpus" QA view
+    // tokenizer-fertility report (r14; wordpiece added r15):
+    // tokens-per-1000-words by source for ALL THREE trained subword
+    // families — every statistic an exact integer, one corpus pass,
+    // map-side-combined per-source aggregate; the "which tokenizer on
+    // MY corpus" QA view
     "llm_tokenizer_fertility" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val v = Unigram.learn(docs, "text")
+      val wv = WordPiece.vocabFromMerges(
+        WordPiece.learnMerges(docs, "text", nMerges = 4))
       TokenizerEval.fertility(docs, "text", "source", Seq(
           "bpe" -> (c => Bpe.count(c)),
           "unigram" -> ((c: org.apache.spark.sql.Column) =>
-            Unigram.count(c, v))))
+            Unigram.count(c, v)),
+          "wordpiece" -> ((c: org.apache.spark.sql.Column) =>
+            WordPiece.count(c, wv))))
         .orderBy("source")
     }),
 
@@ -2325,6 +2420,54 @@ object LlmQueries {
       docs.select(col("doc_id"),
           Unigram.decode(
             Unigram.encode(coalesce(col("text"), lit("")), v), v)
+            .as("__dec"))
+        .select(col("doc_id"),
+          length(col("__dec")).cast("long").as("n_chars_squeezed"),
+          md5(col("__dec")).as("roundtrip_hash"))
+        .orderBy("doc_id")
+    }),
+
+    // WordPiece merge training (r15) — the third canonical subword
+    // family: 4 merges under the likelihood-gain score
+    // (c_pair·10^12) div (c_l·c_r) with the current symbol counts,
+    // argmax (score DESC, count DESC, l, r). The oracle replays every
+    // round — symbol counts, pair counts, HUGEINT score, fold — so a
+    // drift in any round's winner breaks the hash
+    "llm_wordpiece_learn" -> ((s, dir) => {
+      import s.implicits._
+      WordPiece.learnMerges(t(s, dir, "documents"), "text", nMerges = 4)
+        .zipWithIndex
+        .map { case ((l, r, c, sq), i) => (i + 1L, l, r, c, sq) }
+        .toDF("rank", "left_sym", "right_sym", "pair_count", "score_q")
+    }),
+
+    // WordPiece encode of the corpus under the self-trained
+    // 4-merge vocabulary — greedy longest-match-first (NO dynamic
+    // program: the contrast to the unigram Viterbi), ids =
+    // cp / 2e6+cp / 4e6+rank for initial-single / continuation-single
+    // / merged pieces
+    "llm_wordpiece_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val v = WordPiece.vocabFromMerges(
+        WordPiece.learnMerges(docs, "text", nMerges = 4))
+      docs.select(col("doc_id"),
+          posexplode(WordPiece.encode(col("text"), v))
+            .as(Seq("pos", "token_id")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("token_id"))
+        .orderBy("doc_id", "pos")
+    }),
+
+    // WordPiece round trip: decode(encode(text)) ≡ whitespace-squeezed
+    // text — the family equation (the oracle computes the squeeze
+    // directly; any greedy-match/id-scheme/decode defect breaks it)
+    "llm_wordpiece_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val v = WordPiece.vocabFromMerges(
+        WordPiece.learnMerges(docs, "text", nMerges = 4))
+      docs.select(col("doc_id"),
+          WordPiece.decode(
+            WordPiece.encode(coalesce(col("text"), lit("")), v), v)
             .as("__dec"))
         .select(col("doc_id"),
           length(col("__dec")).cast("long").as("n_chars_squeezed"),
@@ -2635,6 +2778,25 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // DoReMi-shaped domain reweighting (r15): per-source integer loss
+    // (milli chars-per-token — a data-derived hardness proxy), then 3
+    // multiplicative-weights rounds at η=200 milli with the pinned
+    // integer linearization, 10% uniform smoothing. The oracle unrolls
+    // every round in HUGEINT arithmetic — any drift in the excess
+    // baseline, a floor, or the renormalization breaks the hash
+    "llm_doremi_weights" -> ((s, dir) => {
+      val losses = t(s, dir, "documents").groupBy("source").agg(
+          sum(coalesce(length(col("text")).cast("long"), lit(0L)))
+            .as("__chars"),
+          sum(coalesce(TextAnalysis.tokenCount(col("text")), lit(0L)))
+            .as("__toks"))
+        .select(col("source"),
+          expr("(__chars * 1000) div __toks").as("loss_milli"))
+      Mixing.reweightDomains(losses, "source", "loss_milli",
+          rounds = 3, etaMilli = 200L, smoothMilli = 100L)
+        .orderBy("source")
+    }),
+
     // epoch-distinct reshuffle (r13): the shard-shuffle order keyed by
     // FNV-1a of "<id>:<epoch>" — epochs 1 and 2 computed independently
     // and joined per doc, so the gate pins BOTH permutations (and
@@ -2865,6 +3027,25 @@ object LlmQueries {
       Rank.retrieveTopKIndexed(s, path, qs, "query_id", "terms", k = 5)
         .withColumn("score", round(col("score"), 6))
         .orderBy("query_id", "rank")
+    }),
+
+    // hybrid retrieval by reciprocal-rank fusion (r15): a BM25 top-10
+    // (inverted-index path) and an exact cosine top-10 (vec_id ≡
+    // doc_id — the embeddings fixture is doc-aligned) fuse under the
+    // integer RRF rule Σ 10^12 div (60 + rank + 1) — ranks only, so
+    // the float BM25 and the float cosine never mix units; fused
+    // order is (rrf_score DESC, doc_id ASC) and every score an exact
+    // long. n_lists = 2 marks the consensus hits
+    "llm_hybrid_rrf" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((0L, Seq("key", "dup")),
+        (1L, Seq("batch", "window", "merge"))).toDF("query_id", "terms")
+      val lex = Rank.retrieveTopK(t(s, dir, "documents"), "text",
+        "doc_id", qs, "query_id", "terms", k = 10)
+      val emb = t(s, dir, "embeddings")
+      val sem = Similarity.bruteForceJoinTopK(emb,
+        emb.filter(col("vec_id") <= 1), "embedding", "vec_id", k = 10)
+      Rank.hybridTopK(lex, sem, k = 10).orderBy("query_id", "rank")
     }),
 
     // JL random projection 64→16 dims (exploded to (vec_id, j, y) rows
@@ -4181,6 +4362,30 @@ object LlmQueries {
         |FROM u ORDER BY doc_id""".stripMargin
     },
 
+    // Hilbert mirror: the per-bit-plane transform replayed in a
+    // recursive CTE — quadrant rank d += s²·xor(3rx, ry), then the
+    // ry=0 reflect (63−·, exact bitwise complement at the all-ones
+    // mask) + swap; rows retire at s = 0 carrying the final d
+    "llm_hilbert_curve" ->
+      """WITH RECURSIVE pts AS (SELECT doc_id,
+        |    CAST(doc_id % 64 AS BIGINT) AS x0,
+        |    CAST(n_chars % 64 AS BIGINT) AS y0 FROM documents),
+        |h AS (
+        |  SELECT doc_id, x0 AS x, y0 AS y,
+        |    CAST(0 AS BIGINT) AS d, CAST(32 AS BIGINT) AS s FROM pts
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 63 - y ELSE y END) ELSE x END,
+        |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 63 - x ELSE x END) ELSE y END,
+        |    d + s * s * xor(3 * rx, ry),
+        |    s // 2
+        |  FROM (SELECT doc_id, x, y, d, s,
+        |          (x // s) % 2 AS rx, (y // s) % 2 AS ry
+        |        FROM h WHERE s > 0) t)
+        |SELECT p.doc_id, p.x0 AS hx, p.y0 AS hy, f.d AS h_value
+        |FROM (SELECT doc_id, d FROM h WHERE s = 0) f
+        |JOIN pts p USING (doc_id) ORDER BY p.doc_id""".stripMargin,
+
     // z-order-prune mirror: the 2-D box membership as pure modulus
     // arithmetic; the file-pruning assertion executes engine-side
     "llm_zorder_prune" ->
@@ -4403,35 +4608,74 @@ object LlmQueries {
         | CAST((token_offset + n_tokens - 1) // 128 - token_offset // 128 + 1 AS BIGINT) AS n_seqs_spanned
         |FROM p ORDER BY doc_id""".stripMargin,
 
-    // fertility mirror: BOTH tokenizer chains replayed in one WITH
-    // RECURSIVE (the bpeCte and unigramCtes name spaces are disjoint),
-    // per-source word/token counts + the exact integer-division ratio
+    // fertility mirror: ALL THREE tokenizer chains replayed in one
+    // WITH RECURSIVE (the bpeCte / unigramCtes / wordpieceCtes name
+    // spaces are disjoint), per-source word/token counts + the exact
+    // integer-division ratios
     "llm_tokenizer_fertility" ->
-      s"""WITH RECURSIVE $bpeCte, $unigramCtes,
+      s"""WITH RECURSIVE $bpeCte, $unigramCtes, $wordpieceCtes,
         |wsrc AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_words
         |  FROM uwd w JOIN documents d ON d.doc_id = w.doc_id GROUP BY 1),
         |bsrc AS (SELECT d.source, CAST(count(*) AS BIGINT) AS bpe_tokens
         |  FROM bt b JOIN documents d ON d.doc_id = b.doc_id GROUP BY 1),
         |usrc AS (SELECT d.source, CAST(count(*) AS BIGINT) AS unigram_tokens
         |  FROM uout u JOIN documents d ON d.doc_id = u.doc_id GROUP BY 1),
+        |wpsrc AS (SELECT d.source, CAST(count(*) AS BIGINT) AS wordpiece_tokens
+        |  FROM wpout p JOIN documents d ON d.doc_id = p.doc_id GROUP BY 1),
         |dsrc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1)
         |SELECT d.source, d.n_docs,
         |  coalesce(w.n_words, 0) AS n_words,
         |  coalesce(b.bpe_tokens, 0) AS bpe_tokens,
         |  coalesce(u.unigram_tokens, 0) AS unigram_tokens,
+        |  coalesce(wp.wordpiece_tokens, 0) AS wordpiece_tokens,
         |  CASE WHEN coalesce(w.n_words, 0) > 0
         |       THEN (coalesce(b.bpe_tokens, 0) * 1000) // w.n_words END AS bpe_per_kword,
         |  CASE WHEN coalesce(w.n_words, 0) > 0
-        |       THEN (coalesce(u.unigram_tokens, 0) * 1000) // w.n_words END AS unigram_per_kword
+        |       THEN (coalesce(u.unigram_tokens, 0) * 1000) // w.n_words END AS unigram_per_kword,
+        |  CASE WHEN coalesce(w.n_words, 0) > 0
+        |       THEN (coalesce(wp.wordpiece_tokens, 0) * 1000) // w.n_words END AS wordpiece_per_kword
         |FROM dsrc d LEFT JOIN wsrc w ON w.source = d.source
         |LEFT JOIN bsrc b ON b.source = d.source
         |LEFT JOIN usrc u ON u.source = d.source
+        |LEFT JOIN wpsrc wp ON wp.source = d.source
         |ORDER BY d.source""".stripMargin,
 
     // unigram round-trip mirror: the squeezed-identity equation
     // computed directly (the llm_bpe_roundtrip discipline — the CLAIM
     // is the equation, so the mirror never replays the tokenizer)
     "llm_unigram_roundtrip" ->
+      """SELECT doc_id,
+        |  CAST(length(sq) AS BIGINT) AS n_chars_squeezed,
+        |  md5(sq) AS roundtrip_hash
+        |FROM (SELECT doc_id,
+        |        regexp_replace(coalesce(text, ''), '\s+', '', 'g') AS sq
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    // WordPiece-training mirror: the 4 likelihood-scored merge rounds
+    // from first principles (shared wordpieceCtes backbone)
+    "llm_wordpiece_learn" -> {
+      val sel = (1 to 4).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS rank, l AS left_sym, " +
+          s"r AS right_sym, c AS pair_count, sq AS score_q FROM wpb$i")
+        .mkString(" UNION ALL ")
+      s"""WITH RECURSIVE $wordpieceCtes
+        |SELECT rank, left_sym, right_sym, pair_count, score_q
+        |FROM ($sel) ORDER BY rank""".stripMargin
+    },
+
+    // WordPiece-encode mirror: the greedy longest-match pass over the
+    // distinct words under the learned vocabulary, joined back onto
+    // per-doc word positions (the unigram-encode shape)
+    "llm_wordpiece_encode" ->
+      s"""WITH RECURSIVE $wordpieceCtes
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |  CAST(token_id AS INT) AS token_id
+        |FROM wpout ORDER BY doc_id, pos""".stripMargin,
+
+    // WordPiece round-trip mirror: the squeezed-identity equation
+    // (the family discipline — the mirror never replays the tokenizer)
+    "llm_wordpiece_roundtrip" ->
       """SELECT doc_id,
         |  CAST(length(sq) AS BIGINT) AS n_chars_squeezed,
         |  md5(sq) AS roundtrip_hash
@@ -4936,6 +5180,38 @@ object LlmQueries {
         |  CASE WHEN p.source IS NOT NULL THEN p.pcap ELSE f.anyfull END AS capped
         |FROM fl f LEFT JOIN part p USING (source)
         |ORDER BY source""".stripMargin,
+
+    // DoReMi mirror: per-source loss, then the 3 multiplicative-weight
+    // rounds unrolled in HUGEINT — g = m·(10^6 + η·excess), m' =
+    // floor(g·10^9 / Σg) — plus the two-floor smoothing sum
+    "llm_doremi_weights" -> {
+      val round = (i: Int) =>
+        s"""r$i AS (SELECT source, ex, n,
+          |    (m * (1000000 + 200 * ex)) * 1000000000
+          |      // sum(m * (1000000 + 200 * ex)) OVER () AS m
+          |  FROM r${i - 1})""".stripMargin
+      s"""WITH l AS (SELECT source,
+        |    (1000 * sum(CASE WHEN text IS NULL THEN 0 ELSE length(text) END))
+        |      // sum(CASE WHEN text IS NULL THEN 0
+        |             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS loss
+        |  FROM documents GROUP BY source),
+        |e AS (SELECT source, loss,
+        |    CAST(loss - min(loss) OVER () AS HUGEINT) AS ex,
+        |    CAST(count(*) OVER () AS HUGEINT) AS n FROM l),
+        |r0 AS (SELECT source, ex, n,
+        |    CAST(1000000000 AS HUGEINT) // n AS m FROM e),
+        |${round(1)},
+        |${round(2)},
+        |${round(3)}
+        |SELECT r3.source, CAST(l.loss AS BIGINT) AS loss_milli,
+        |  CAST(r3.ex AS BIGINT) AS excess_milli,
+        |  CAST(r3.m AS BIGINT) AS weight_giga,
+        |  CAST(r3.m * 900 // 1000
+        |       + CAST(1000000000 AS HUGEINT) * 100 // (1000 * r3.n)
+        |       AS BIGINT) AS weight_smoothed_giga
+        |FROM r3 JOIN l ON l.source = r3.source
+        |ORDER BY r3.source""".stripMargin
+    },
 
     // epoch-shuffle mirror: the same FNV CTE over the ':'-salted id
     // strings for epochs 1 and 2, each epoch ranked independently,
@@ -5584,6 +5860,64 @@ object LlmQueries {
     "llm_retrieval_persisted" -> retrievalOracleSql,
     "llm_retrieval_append" -> retrievalOracleSql,
     "llm_retrieval_optimize" -> retrievalOracleSql,
+
+    // hybrid-RRF mirror: the Okapi top-10 lists (retrieval-mirror
+    // arithmetic, queries 0/1), the exact cosine top-10 lists
+    // (sim-topk arithmetic, probes = vectors 0/1), then the integer
+    // fusion — contribution 10^12 // (60 + rn) with rn the 1-based
+    // row_number rank, summed per (query, doc), re-ranked under
+    // (rrf DESC, doc_id)
+    "llm_hybrid_rrf" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ntok FROM documents),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(ntok) AS DOUBLE) / count(*) AS avgdl,
+        |    CAST(sum(CASE WHEN list_contains(toks, 'key') THEN 1 ELSE 0 END) AS BIGINT) AS dfa,
+        |    CAST(sum(CASE WHEN list_contains(toks, 'dup') THEN 1 ELSE 0 END) AS BIGINT) AS dfb,
+        |    CAST(sum(CASE WHEN list_contains(toks, 'batch') THEN 1 ELSE 0 END) AS BIGINT) AS dfc,
+        |    CAST(sum(CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END) AS BIGINT) AS dfd,
+        |    CAST(sum(CASE WHEN list_contains(toks, 'merge') THEN 1 ELSE 0 END) AS BIGINT) AS dfe
+        |  FROM d),
+        |tf AS (SELECT doc_id, CAST(ntok AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(toks, x -> x = 'key')) AS DOUBLE) AS tfa,
+        |    CAST(len(list_filter(toks, x -> x = 'dup')) AS DOUBLE) AS tfb,
+        |    CAST(len(list_filter(toks, x -> x = 'batch')) AS DOUBLE) AS tfc,
+        |    CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) AS tfd,
+        |    CAST(len(list_filter(toks, x -> x = 'merge')) AS DOUBLE) AS tfe
+        |  FROM d),
+        |s0 AS (SELECT CAST(0 AS BIGINT) AS query_id, doc_id,
+        |    ln((n - dfa + 0.5) / (dfa + 0.5) + 1.0) * tfa * (1.2 + 1.0) / (tfa + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |  + ln((n - dfb + 0.5) / (dfb + 0.5) + 1.0) * tfb * (1.2 + 1.0) / (tfb + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS score,
+        |    tfa + tfb AS th FROM tf, st),
+        |s1 AS (SELECT CAST(1 AS BIGINT) AS query_id, doc_id,
+        |    ln((n - dfc + 0.5) / (dfc + 0.5) + 1.0) * tfc * (1.2 + 1.0) / (tfc + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |  + ln((n - dfd + 0.5) / (dfd + 0.5) + 1.0) * tfd * (1.2 + 1.0) / (tfd + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |  + ln((n - dfe + 0.5) / (dfe + 0.5) + 1.0) * tfe * (1.2 + 1.0) / (tfe + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS score,
+        |    tfc + tfd + tfe AS th FROM tf, st),
+        |lexu AS (SELECT query_id, doc_id, score FROM s0 WHERE th > 0
+        |      UNION ALL SELECT query_id, doc_id, score FROM s1 WHERE th > 0),
+        |lexr AS (SELECT query_id, doc_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn FROM lexu),
+        |q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, unnest(embedding) AS qx,
+        |      generate_subscripts(embedding, 1) AS i FROM embeddings WHERE vec_id <= 1),
+        |e AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |en AS (SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm FROM e GROUP BY vec_id),
+        |dots AS (SELECT q.query_id, e.vec_id, sum(CAST(e.x AS DOUBLE) * CAST(q.qx AS DOUBLE)) AS dot
+        |      FROM e JOIN q USING (i) GROUP BY 1, 2),
+        |cos AS (SELECT dt.query_id, CAST(dt.vec_id AS BIGINT) AS doc_id,
+        |      dt.dot / (ec.nrm * eq.nrm) AS cosine
+        |      FROM dots dt JOIN en ec ON ec.vec_id = dt.vec_id
+        |      JOIN en eq ON eq.vec_id = dt.query_id),
+        |semr AS (SELECT query_id, doc_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rn FROM cos),
+        |contrib AS (SELECT query_id, doc_id, 1000000000000 // (60 + rn) AS c FROM lexr WHERE rn <= 10
+        |      UNION ALL SELECT query_id, doc_id, 1000000000000 // (60 + rn) FROM semr WHERE rn <= 10),
+        |fused AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_score,
+        |      CAST(count(*) AS BIGINT) AS n_lists FROM contrib GROUP BY 1, 2),
+        |fr AS (SELECT query_id, doc_id, rrf_score, n_lists,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rn FROM fused)
+        |SELECT query_id, CAST(rn - 1 AS BIGINT) AS "rank", doc_id, rrf_score, n_lists
+        |FROM fr WHERE rn <= 10 ORDER BY query_id, "rank"""".stripMargin,
 
     // JSONL round-trip mirror: the parquet truth directly — any
     // write/read defect (encoding, type, torn line) breaks a column

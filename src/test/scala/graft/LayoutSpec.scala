@@ -83,6 +83,91 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  /** Driver-side Hilbert reference: the textbook xy2d loop. */
+  private def hRef(x0: Long, y0: Long, nBits: Int): Long = {
+    val n = 1L << nBits
+    var (x, y, d) = (x0, y0, 0L)
+    var s = n / 2
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
+  }
+
+  test("hilbertValue: matches the reference transform, is a bijection " +
+      "on the grid, and consecutive indices are grid-adjacent (r15)") {
+    import spark.implicits._
+    // the full 16×16 grid in one pass
+    val grid = (for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y))
+    val got = grid.toDF("x", "y")
+      .select(col("x"), col("y"),
+        Layout.hilbertValue(col("x"), col("y"), 4).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // reference agreement on every cell
+    grid.foreach { case (x, y) =>
+      assert(got((x, y)) == hRef(x, y, 4), s"($x,$y)")
+    }
+    // bijection: every d in [0, 256) exactly once
+    assert(got.values.toSeq.sorted == (0L until 256L))
+    // THE Hilbert property (and what zValue lacks): walking d = 0..255
+    // never jumps — each step moves one grid unit. This is what makes
+    // a curve range cover a compact blob of the plane
+    val byD = got.map(_.swap)
+    (0L until 255L).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump at d=$d: ($x1,$y1) → ($x2,$y2)")
+    }
+    // out-of-range inputs mask like zValue
+    val m = Seq((17L, 33L)).toDF("x", "y")
+      .select(Layout.hilbertValue(col("x"), col("y"), 4)).as[Long].head()
+    assert(m == hRef(1L, 1L, 4))
+    intercept[IllegalArgumentException] {
+      Layout.hilbertValue(col("x"), col("y"), 32)
+    }
+  }
+
+  test("hilbertWrite: disjoint per-file curve ranges; the z-order " +
+      "optimize lifecycle is curve-agnostic (r15)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hilbert")
+      .toString + "/t"
+    val df = (0L until 4096L).toDF("id")
+      .select(col("id"), pmod(col("id") * 37, lit(256)).as("x"),
+        pmod(col("id") * 91, lit(256)).as("y"))
+    Layout.hilbertWrite(df, "x", "y", dir, nFiles = 8, nBits = 8)
+    val ranges = Layout.fileZRanges(spark, dir, "h_value")
+    assert(ranges.length >= 4)
+    assert(!Layout.zRangesOverlap(ranges))
+    // nothing lost; h recomputes to the same curve
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 4096)
+    assert(back.filter(Layout.hilbertValue(col("x"), col("y"), 8)
+      =!= col("h_value")).count() == 0)
+    // append decays, optimize restores — same lifecycle, value column
+    // selected by name
+    val df2 = (4096L until 8192L).toDF("id")
+      .select(col("id"), pmod(col("id") * 37, lit(256)).as("x"),
+        pmod(col("id") * 91, lit(256)).as("y"))
+    df2.withColumn("h_value",
+        Layout.hilbertValue(col("x"), col("y"), 8))
+      .repartitionByRange(8, col("h_value"))
+      .sortWithinPartitions("h_value")
+      .write.mode("append").parquet(dir)
+    assert(Layout.zRangesOverlap(Layout.fileZRanges(spark, dir, "h_value")))
+    assert(Layout.zorderOptimize(spark, dir, "h_value") >= 2)
+    assert(!Layout.zRangesOverlap(Layout.fileZRanges(spark, dir, "h_value")))
+    assert(spark.read.parquet(dir).count() == 8192)
+  }
+
   test("zorderAppend decays disjointness; zorderOptimize restores it " +
       "rewriting only overlapping files, results unchanged") {
     import spark.implicits._

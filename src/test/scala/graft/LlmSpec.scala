@@ -1502,6 +1502,62 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("reweightDomains: exact MW rounds, invariants — uniform fixed " +
+      "point, hardest-domain monotonicity, smoothing conservation (r15)") {
+    import spark.implicits._
+    val S = Mixing.WeightScale
+    def run(rows: Seq[(String, Long)], rounds: Int, eta: Long,
+        smooth: Long = 0L): Map[String, (Long, Long, Long)] =
+      Mixing.reweightDomains(rows.toDF("source", "loss"),
+          "source", "loss", rounds, eta, smooth)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // hand-derived 2-domain, 1-round case: losses 100/300 → excess
+    // 0/200, g = (S/2)·10^6 and (S/2)·(10^6 + 200·200),
+    // m' = floor(g·S / Σg)
+    val h = run(Seq(("a", 100L), ("b", 300L)), 1, 200L)
+    val ga = BigInt(S / 2) * 1000000
+    val gb = BigInt(S / 2) * (1000000 + 200 * 200)
+    assert(h("a") == (0L, (ga * S / (ga + gb)).toLong, (ga * S / (ga + gb)).toLong))
+    assert(h("b") == (200L, (gb * S / (ga + gb)).toLong, (gb * S / (ga + gb)).toLong))
+    // rounds = 0 → the uniform init, untouched by losses
+    val z = run(Seq(("a", 5L), ("b", 999L), ("c", 1L)), 0, 500L)
+    assert(z.values.forall(_._2 == S / 3))
+    // η = 0 → multiplicative no-op: stays uniform at any depth
+    val e0 = run(Seq(("a", 5L), ("b", 999L)), 7, 0L)
+    assert(e0.values.forall(_._2 == S / 2))
+    // equal losses → uniform is a FIXED point (excess all 0)
+    val u = run(Seq(("a", 42L), ("b", 42L), ("c", 42L)), 5, 300L)
+    assert(u.values.forall(v => v._1 == 0L && v._2 == S / 3))
+    // property sweep: ordering follows losses, totals conserve
+    val rnd = new scala.util.Random(20260816L)
+    (0 until 25).foreach { trial =>
+      val n = 2 + rnd.nextInt(5)
+      val rows = (0 until n).map(i =>
+        (s"s$i", rnd.nextInt(100000).toLong))
+      val rounds = rnd.nextInt(5)
+      val eta = rnd.nextInt(500).toLong
+      val smooth = rnd.nextInt(1001).toLong
+      val got = run(rows, rounds, eta, smooth)
+      // weights sum to WeightScale up to n floors, never over
+      val tot = got.values.map(_._2).sum
+      assert(tot <= S && tot > S - n, s"trial $trial: raw total $tot")
+      val tots = got.values.map(_._3).sum
+      assert(tots <= S && tots > S - 2L * n,
+        s"trial $trial: smoothed total $tots")
+      // monotone: a domain with the larger loss never ends lighter
+      // (multiplier strictly ordered by excess, shared normalizer)
+      rows.combinations(2).foreach { case Seq((sa, la), (sb, lb)) =>
+        if (la > lb) assert(got(sa)._2 >= got(sb)._2 - 1,
+          s"trial $trial: $sa (loss $la) lighter than $sb (loss $lb)")
+      }
+      // full smoothing (u = 1000) pins every domain to the uniform term
+      val flat = run(rows, rounds, eta, 1000L)
+      assert(flat.values.map(_._3).toSet.size == 1,
+        s"trial $trial: full smoothing not uniform")
+    }
+  }
+
   test("shardShuffle: fnv shard, dense in-shard pos, repartition-stable") {
     val d = spark.range(0, 200).toDF("doc_id")
     val got = Mixing.shardShuffle(d, "doc_id", 4)
@@ -1894,6 +1950,54 @@ class LlmSpec extends SparkSpec {
         "query_id", "terms", k = 10)
       .orderBy("rank").collect().map(r => (r.getLong(2), r.getDouble(3)))
     assert(servedHealed.toSeq == got.toSeq)
+  }
+
+  test("rrfFuse: exact integer fusion, consensus audit, tie-break, " +
+      "k bound, hybridTopK wiring (r15)") {
+    import spark.implicits._
+    def ranked(rows: (Long, Long, Long)*) = // (query, rank, doc)
+      rows.toDF("query_id", "rank", "doc_id")
+    // hand-derived: query 0 — doc 7 in both lists (ranks 0 and 1),
+    // doc 8 lexical-only rank 1, doc 9 semantic-only rank 0
+    val lex = ranked((0L, 0L, 7L), (0L, 1L, 8L))
+    val sem = ranked((0L, 0L, 9L), (0L, 1L, 7L))
+    val S = Rank.RrfScale
+    val fused = Rank.rrfFuse(Seq(lex, sem), k = 10)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(fused.toSeq == Seq(
+      (0L, 7L, S / 61 + S / 62, 2L), // consensus: both contributions
+      (1L, 9L, S / 61, 1L),
+      (2L, 8L, S / 62, 1L))) // equal rank, lower id wins ties below
+    // tie-break: two docs with the SAME total score order by doc id
+    val tie = Rank.rrfFuse(
+      Seq(ranked((0L, 0L, 5L), (0L, 1L, 3L)),
+        ranked((0L, 0L, 3L), (0L, 1L, 5L))), k = 10)
+      .orderBy("rank").collect().map(_.getLong(2))
+    assert(tie.toSeq == Seq(3L, 5L)) // equal rrf → id ASC
+    // k bound and per-query independence
+    val multi = Rank.rrfFuse(Seq(ranked(
+      (0L, 0L, 1L), (0L, 1L, 2L), (0L, 2L, 3L), (1L, 0L, 4L))), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(multi.count(_._1 == 0L) == 2 && multi.count(_._1 == 1L) == 1)
+    // single-list fusion preserves the input ranking (monotone in rank)
+    val single = Rank.rrfFuse(Seq(ranked(
+      (0L, 0L, 11L), (0L, 1L, 12L), (0L, 2L, 13L))), k = 3)
+      .orderBy("rank").collect().map(_.getLong(2))
+    assert(single.toSeq == Seq(11L, 12L, 13L))
+    // hybridTopK renames the Similarity corpus_id column seam
+    val semC = Seq((0L, 0L, 0.9, 9L), (0L, 1L, 0.8, 7L))
+      .toDF("query_id", "rank", "cosine", "corpus_id")
+    val hy = Rank.hybridTopK(lex, semC, k = 10)
+      .orderBy("rank").collect().map(r => (r.getLong(2), r.getLong(4)))
+    assert(hy.toSeq == Seq((7L, 2L), (9L, 1L), (8L, 1L)))
+    // stable under repartitioning (the aggregate is order-insensitive)
+    val again = Rank.rrfFuse(Seq(lex.repartition(7), sem.repartition(3)),
+        k = 10).orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(again.toSeq == fused.toSeq)
   }
 
   test("IVF index lifecycle: frozen quantizer, append ≡ one-shot, " +

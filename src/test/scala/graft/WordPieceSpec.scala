@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{WordPieceKernel, WordPieceVocab}
+import graft.llm.WordPiece
+
+/** The WordPiece tokenizer family (r15): greedy longest-match encode,
+  * the likelihood-scored merge training, the three-range id scheme,
+  * and the round-trip equation — the [[graft.llm.Bpe]]/[[graft.llm.Unigram]]
+  * gate families' third sibling. */
+class WordPieceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def v(ps: String*): WordPieceVocab =
+    new WordPieceVocab(ps.toArray)
+
+  test("greedy: longest match first, no lookahead — the un-Viterbi") {
+    // "unhappy": greedy takes "unha" if present even though
+    // (un, ##happy) would be 2 pieces — longest-match has no DP
+    val voc = v("un", "##happy", "unha")
+    val ids = WordPieceKernel.segmentWord("unhappy", voc)
+    // unha (rank 2), then singles ##p ##p ##y
+    assert(ids.toSeq == Seq(
+      WordPieceKernel.MultiBase + 2,
+      WordPieceKernel.ContBase + 'p'.toInt,
+      WordPieceKernel.ContBase + 'p'.toInt,
+      WordPieceKernel.ContBase + 'y'.toInt))
+    // without the greedy trap the 2-piece segmentation appears
+    val voc2 = v("un", "##happy")
+    assert(WordPieceKernel.segmentWord("unhappy", voc2).toSeq == Seq(
+      WordPieceKernel.MultiBase + 0, WordPieceKernel.MultiBase + 1))
+  }
+
+  test("continuation marking: the same content matches only in its " +
+      "position's form; totality via singles") {
+    val voc = v("ab", "##ab")
+    // "abab": initial "ab" (rank 0), continuation "##ab" (rank 1)
+    assert(WordPieceKernel.segmentWord("abab", voc).toSeq == Seq(
+      WordPieceKernel.MultiBase + 0, WordPieceKernel.MultiBase + 1))
+    // "xab": x is an unseen single (initial form = raw code point),
+    // then the continuation piece
+    assert(WordPieceKernel.segmentWord("xab", voc).toSeq == Seq(
+      'x'.toInt, WordPieceKernel.MultiBase + 1))
+    // an initial-only piece never matches mid-word
+    val vi = v("ab")
+    assert(WordPieceKernel.segmentWord("xab", vi).toSeq == Seq(
+      'x'.toInt, WordPieceKernel.ContBase + 'a'.toInt,
+      WordPieceKernel.ContBase + 'b'.toInt))
+    assert(WordPieceKernel.segmentWord("", voc).isEmpty)
+  }
+
+  test("non-BMP code points stay whole through singles and pieces") {
+    val emoji = new String(Character.toChars(0x1F600))
+    val voc = v(emoji + emoji)
+    val ids = WordPieceKernel.segmentWord(emoji * 3, voc)
+    assert(ids.toSeq == Seq(
+      WordPieceKernel.MultiBase + 0,
+      WordPieceKernel.ContBase + 0x1F600))
+    val back = Seq(Tuple1(emoji * 3)).toDF("t")
+      .select(WordPiece.decode(WordPiece.encode(col("t"), voc), voc))
+      .as[String].head()
+    assert(back == emoji * 3)
+  }
+
+  test("learnMerges: likelihood score beats raw count; pinned " +
+      "tie-break; repartition-invariant; '##' corpus refused") {
+    // 'xq' pair: 3 co-occurrences of two rare symbols (x:3, q:3 →
+    // score 3e12/9). 'th' pair: 6 co-occurrences of common symbols
+    // (t:8, h:8 → score 6e12/64). BPE would merge 'th' first;
+    // WordPiece must take 'xq'.
+    val docs = Seq(
+      (0L, "xq xq xq th th th th th th"),
+      (1L, "t h t h")).toDF("doc_id", "text")
+    val merges = WordPiece.learnMerges(docs, "text", nMerges = 2)
+    assert(merges.head._1 == "x" && merges.head._2 == "##q")
+    assert(merges.head._3 == 3L) // pair count
+    assert(merges.head._4 == 3000000000000L / 9L) // exact score_q
+    assert(merges(1)._1 == "t" && merges(1)._2 == "##h")
+    // stable under repartitioning
+    val again = WordPiece.learnMerges(docs.repartition(5), "text", 2)
+    assert(again == merges)
+    // loud refusal of marker-colliding corpora
+    val ex = intercept[IllegalArgumentException] {
+      WordPiece.learnMerges(
+        Seq((0L, "a##b c")).toDF("doc_id", "text"), "text", 1)
+    }
+    assert(ex.getMessage.contains("##"))
+  }
+
+  test("learned vocab encodes the corpus; round trip squeezes " +
+      "whitespace; foreign ids are loud") {
+    val docs = Seq(
+      (0L, "the then there the then"),
+      (1L, "other feather the")).toDF("doc_id", "text")
+    val voc = WordPiece.vocabFromMerges(
+      WordPiece.learnMerges(docs, "text", nMerges = 4))
+    val rt = docs.select(col("doc_id"),
+        WordPiece.decode(WordPiece.encode(col("text"), voc), voc)
+          .as("d"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rt(0L) == "thethentherethethen")
+    assert(rt(1L) == "otherfeatherthe")
+    // count is the id-stream length
+    val n = docs.select(sum(WordPiece.count(col("text"), voc)))
+      .head().getLong(0)
+    val ids = docs.select(explode(WordPiece.encode(col("text"), voc)))
+      .count()
+    assert(n == ids)
+    // a rank beyond the vocabulary fails loudly in decode
+    val bad = intercept[IllegalArgumentException] {
+      voc.contentOfRank(999)
+    }
+    assert(bad.getMessage.contains("wrong vocabulary"))
+  }
+}
