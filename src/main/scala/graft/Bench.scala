@@ -240,7 +240,9 @@ object Bench {
         "llm_ann_pq", "llm_ann_ivfpq", "llm_tar_roundtrip", "llm_zorder",
         "llm_c4_clean", "llm_gopher_repetition", "llm_retrieval_topk",
         "llm_token_drift", "llm_ccnet_paragraphs", "llm_pack_ffd",
-        "llm_lm_shuffle", "llm_epoch_shuffle", "llm_unigram_encode")
+        "llm_lm_shuffle", "llm_epoch_shuffle", "llm_unigram_encode",
+        "llm_hybrid_rrf", "llm_wordpiece_encode", "llm_hilbert_curve",
+        "llm_doremi_weights", "llm_suffix_dedup", "llm_mix_epochs")
       val qs = byQuery.collect {
         case (name, _, med, _, _) if headline(name) =>
           "\"" + name + "\":" + jnum(med)

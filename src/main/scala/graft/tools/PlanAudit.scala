@@ -251,22 +251,27 @@ object PlanAudit {
         s"(2-4 partial/final plan nodes on key=[k#..]), found $nKAgg")
       bad += 1
     }
-    // tokenizer fertility (r14, pinned r15): both subword kernels ride
-    // ONE corpus scan into ONE group-sized aggregate — no Window, no
-    // Generate, no ScalaUDF, and no exchanges beyond the aggregate's
+    // tokenizer fertility (r14, pinned r15; wordpiece added r15): all
+    // THREE subword kernels ride ONE corpus scan into ONE group-sized
+    // aggregate — no Window, no Generate, no ScalaUDF, and no
+    // exchanges beyond the aggregate's
     {
       val fdocs = spark.read.parquet(s"$dir/documents.parquet")
       val fvoc = graft.llm.Unigram.learn(fdocs, "text")
+      val wvoc = graft.llm.WordPiece.vocabFromMerges(
+        graft.llm.WordPiece.learnMerges(fdocs, "text", nMerges = 4))
       val fert = graft.llm.TokenizerEval.fertility(fdocs, "text", "source",
         Seq("bpe" -> ((c: org.apache.spark.sql.Column) =>
           graft.llm.Bpe.count(c)),
           "unigram" -> ((c: org.apache.spark.sql.Column) =>
-            graft.llm.Unigram.count(c, fvoc))))
+            graft.llm.Unigram.count(c, fvoc)),
+          "wordpiece" -> ((c: org.apache.spark.sql.Column) =>
+            graft.llm.WordPiece.count(c, wvoc))))
       val fPlan = fert.queryExecution.executedPlan.toString
       if (fPlan.contains("Window") || fPlan.contains("Generate") ||
           fPlan.toLowerCase.contains("scalaudf")) {
         println("!! tokenizer fertility: window/generate/udf regressed " +
-          "into the two-kernel pass")
+          "into the three-kernel pass")
         bad += 1
       }
       val nFx = "Exchange".r.findAllIn(fPlan).length
@@ -275,6 +280,54 @@ object PlanAudit {
           s"(the group aggregate), found $nFx")
         bad += 1
       }
+    }
+    // wordpiece encode (r15): the greedy kernel must stay a MAP-ONLY
+    // codegen'd expression, exactly like the unigram/bpe encode audits
+    {
+      val wdocs = spark.read.parquet(s"$dir/documents.parquet")
+      val wv = graft.llm.WordPiece.vocabFromMerges(
+        graft.llm.WordPiece.learnMerges(wdocs, "text", nMerges = 4))
+      val wp = wdocs.select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.llm.WordPiece.encode(
+          org.apache.spark.sql.functions.col("text"), wv).as("ids"))
+      val wpPlan = wp.queryExecution.executedPlan.toString
+      if (wpPlan.contains("Exchange") || wpPlan.contains("Generate") ||
+          wpPlan.contains("Window") ||
+          wpPlan.toLowerCase.contains("scalaudf")) {
+        println("!! wordpiece encode: kernel plan is not map-only " +
+          "(exchange/generate/window/udf found)")
+        bad += 1
+      }
+    }
+    // hilbert value (r15): the bit-plane fold is ONE codegen'd
+    // expression — a bare scan→hilbert plan carries no exchange, no
+    // Generate/Window, no ScalaUDF
+    {
+      val hdocs = spark.read.parquet(s"$dir/documents.parquet")
+      val c = org.apache.spark.sql.functions.col _
+      val hp = hdocs.select(c("doc_id"),
+        graft.core.Layout.hilbertValue(
+          org.apache.spark.sql.functions.pmod(c("doc_id"),
+            org.apache.spark.sql.functions.lit(64L)),
+          org.apache.spark.sql.functions.pmod(c("n_chars"),
+            org.apache.spark.sql.functions.lit(64L)), 6).as("h"))
+      val hPlan = hp.queryExecution.executedPlan.toString
+      if (hPlan.contains("Exchange") || hPlan.contains("Generate") ||
+          hPlan.contains("Window") ||
+          hPlan.toLowerCase.contains("scalaudf")) {
+        println("!! hilbert value: fold plan is not map-only " +
+          "(exchange/generate/window/udf found)")
+        bad += 1
+      }
+    }
+    // hybrid RRF (r15): the fusion never re-sorts — candidates are
+    // k-bounded upstream, the per-query top-k is the bounded aggregate,
+    // so the fused plan must carry NO Window (a row_number fusion would
+    // put every candidate of a query on one task)
+    val hy = graft.SparkEntry.queries("llm_hybrid_rrf")(spark, dir)
+    if (hy.queryExecution.executedPlan.toString.contains("Window")) {
+      println("!! llm_hybrid_rrf: a Window regressed into the fusion")
+      bad += 1
     }
     println(s"\naudit ${if (bad == 0) "CLEAN" else s"$bad issue(s)"}")
     spark.stop()

@@ -315,6 +315,25 @@ object ScaleStress {
           force(spark.read.parquet(outDir)
             .select(col("doc_id"), col("z_value")))
         }
+        // Hilbert write (r15): the same one-range-exchange shape as the
+        // z-order write with the per-row bit-plane fold on top — the
+        // fold is a map-only codegen'd expression, so the curve must
+        // track the zorder write row above it
+        time(s"hilbert write x$mult") {
+          val outDir = s"target/scale_stress/hilbert_x$mult"
+          def rmrf(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rmrf)
+            f.delete(); ()
+          }
+          rmrf(new java.io.File(outDir))
+          graft.core.Layout.hilbertWrite(
+            d.select(col("doc_id"),
+              pmod(col("doc_id") * 37, lit(65536)).as("x"),
+              pmod(col("doc_id") * 91, lit(65536)).as("y")),
+            "x", "y", outDir, nFiles = 32)
+          force(spark.read.parquet(outDir)
+            .select(col("doc_id"), col("h_value")))
+        }
         // z-order OPTIMIZE (r13): worst case — an append overlapping
         // EVERYTHING, so optimize rewrites the whole table (steady
         // state rewrites only the overlap; LayoutSpec's sentinel pins
@@ -424,11 +443,33 @@ object ScaleStress {
           force(d.select(col("doc_id"),
             size(graft.llm.Unigram.encode(col("text"), uniVocab))
               .as("n_tokens"))))
-        time(s"tokenizer fertility x$mult")(
+        // wordpiece (r15): training is the unigram story — two bounded
+        // aggregates per round over the distinct-word table, so the
+        // learn curve must be ~FLAT under replication; encode is the
+        // greedy map-only kernel with the same per-thread word memo
+        var wpVocab: graft.functions.WordPieceVocab = null
+        time(s"wordpiece learn x$mult") {
+          wpVocab = graft.llm.WordPiece.vocabFromMerges(
+            graft.llm.WordPiece.learnMerges(d, "text", nMerges = 4))
+          wpVocab.pieces.length.toLong
+        }
+        time(s"wordpiece encode x$mult")(
+          force(d.select(col("doc_id"),
+            size(graft.llm.WordPiece.encode(col("text"), wpVocab))
+              .as("n_tokens"))))
+        time(s"tokenizer fertility x$mult") {
+          // self-sufficient under the label filter: train whatever the
+          // filtered-out learn rows above did not
+          if (uniVocab == null) uniVocab = graft.llm.Unigram.learn(d, "text")
+          if (wpVocab == null) wpVocab = graft.llm.WordPiece.vocabFromMerges(
+            graft.llm.WordPiece.learnMerges(d, "text", nMerges = 4))
           force(graft.llm.TokenizerEval.fertility(d, "text", "source",
             Seq("bpe" -> (c => graft.llm.Bpe.count(c)),
               "unigram" -> ((c: org.apache.spark.sql.Column) =>
-                graft.llm.Unigram.count(c, uniVocab))))))
+                graft.llm.Unigram.count(c, uniVocab)),
+              "wordpiece" -> ((c: org.apache.spark.sql.Column) =>
+                graft.llm.WordPiece.count(c, wpVocab)))))
+        }
         // Gopher repetition rule set (r13): map-only single-pass
         // kernel (the explode formulation it replaced benched
         // 10.8/18.0/77.8 s over this decade)
@@ -552,6 +593,26 @@ object ScaleStress {
         val cents = Similarity.ivfCentroidsLloyd(
           e, "embedding", "vec_id", k = 8 * mult, iters = 1)
         Dedup.dedupSemantic(e, "embedding", "vec_id", cents, 0.35).count()
+      }
+      spark.catalog.clearCache()
+    }
+
+    // r15: RRF fusion in isolation — the upstream ranked lists are
+    // timed above (retrieval topk, ann lsh); fusion itself must scale
+    // linearly in QUERY COUNT (every stage is candidate-sized: union,
+    // (query, doc) aggregate, k-bounded top-k, join-back). Synthetic
+    // lists keep the decade about the fuse, not the retrievers.
+    println("\n--- rrf fuse (query-count decade) ---")
+    Seq(1, 4, 16).foreach { mult =>
+      val nq = 20000L * mult
+      time(s"rrf fuse x$mult") {
+        def ranked(salt: Int) = spark.range(0, nq * 10).select(
+          (col("id") / 10).cast("long").as("query_id"),
+          pmod(col("id"), lit(10L)).as("rank"),
+          pmod(col("id") * (37 + salt), lit(5000L)).as("doc_id"))
+          // per-list-unique (query, doc): synthetic collisions dropped
+          .dropDuplicates("query_id", "doc_id")
+        force(graft.llm.Rank.rrfFuse(Seq(ranked(0), ranked(4)), k = 10))
       }
       spark.catalog.clearCache()
     }
