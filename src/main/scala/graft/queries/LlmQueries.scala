@@ -254,6 +254,17 @@ object LlmQueries {
       |  FROM wpid)""".stripMargin
   }
 
+  /** Per-doc WordPiece token counts off the shared CTE chain — the
+    * stream_wordpiece_tokens mirror (bounded replay ≡ the batch
+    * counter). */
+  private[queries] lazy val wordpieceTokenCountOracleSql: String =
+    s"""WITH RECURSIVE $wordpieceCtes,
+      |wptc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+      |  FROM wpout GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(c.n_tokens, 0) AS n_tokens
+      |FROM documents d LEFT JOIN wptc c ON c.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** IVF ANN mirror (shared by llm_ann_ivf and its persisted-index
     * twin): the fixed-depth Lloyd training unrolled round by round —
     * init = the 8 smallest ids' embeddings, each round = argmin
@@ -3783,6 +3794,77 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // Count-Min sketch bounds (r15) — the canonical point-query
+    // frequency sketch next to MG/HLL/KLL, gated the a5/recall way
+    // (error-BOUND oracle — the cells are hash-layout, the CONTRACT is
+    // the bounds): never underestimates, stays within the e·N/w
+    // overestimate bound on the top-30 truth terms, and the per-half
+    // merged sketch is BIT-IDENTICAL to the one-shot sketch (merge =
+    // element-wise addition — the per-day persisted-sketch path)
+    "llm_cms_bounds" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val W = 2048
+      val D = 4
+      val direct = graft.functions.CmsQuery.fromRow(
+        docs.agg(graft.functions.CountMinTerms(col("text"), W, D)
+          .as("sk")).head().getStruct(0), W, D)
+      val merged = graft.functions.CmsQuery.fromRow(
+        docs.withColumn("half", pmod(col("doc_id"), lit(2)))
+          .groupBy("half")
+          .agg(graft.functions.CountMinTerms(col("text"), W, D).as("sk"))
+          .agg(graft.functions.MergeCmsSketches(col("sk"), W, D).as("m"))
+          .head().getStruct(0), W, D)
+      val mergedEq = direct.total == merged.total &&
+        java.util.Arrays.equals(direct.counts, merged.counts)
+      // 2× the textbook e·N/w: the per-term textbook bound only holds
+      // with probability 1−e^(−depth) ≈ 98%, so over 30 gated terms
+      // the gate would flake across hash-family edits; at 2e the
+      // per-term odds are (1/2e)^4 ≈ 10⁻³ and the FIXED corpus is
+      // verified to satisfy it (deterministic thereafter)
+      val bound = math.ceil(2.0 * math.E * direct.total / W).toLong
+      val est = graft.functions.CmsQuery(col("term"), direct)
+      docs.filter(col("text").isNotNull)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("term")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("true_cnt"))
+        .orderBy(desc("true_cnt"), asc("term")).limit(30)
+        .select(col("term"), col("true_cnt"),
+          (est >= col("true_cnt")).as("never_underestimates"),
+          (est <= col("true_cnt") + lit(bound)).as("within_eps_bound"),
+          lit(mergedEq).as("merged_equals_direct"))
+        .orderBy(desc("true_cnt"), asc("term"))
+    }),
+
+    // Hilbert pruning economics (r15) — the llm_zorder_prune twin on
+    // the locality-tighter curve: write the clustered files at query
+    // time, run a selective curve-range query (h < 4096 = 1/16 of the
+    // curve), assert via input_file_name() that it touched a strict
+    // subset of the files. n_selected's oracle REPLAYS the bit-plane
+    // transform per row (a curve range is NOT a coordinate box — that
+    // asymmetry is the whole point of Hilbert)
+    "llm_hilbert_prune" -> ((s, dir) => {
+      val outDir = "target/hilbert_prune"
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmrf)
+        f.delete(); ()
+      }
+      rmrf(new java.io.File(outDir))
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        pmod(col("doc_id") * 37, lit(256L)).as("x"),
+        pmod(col("doc_id") * 91, lit(256L)).as("y"))
+      graft.core.Layout.hilbertWrite(docs, "x", "y", outDir,
+        nFiles = 8, nBits = 8)
+      val all = s.read.parquet(outDir)
+      val nFiles = all.select(input_file_name()).distinct().count()
+      val hit = all.filter(col("h_value") < 4096)
+      val touched = hit.select(input_file_name()).distinct().count()
+      hit.agg(org.apache.spark.sql.functions.count(lit(1))
+          .as("n_selected"))
+        .select(col("n_selected"),
+          lit(touched < nFiles && touched >= 1).as("files_pruned"))
+    }),
+
     // text canonicalization (pre-dedup normalize): NFC + case fold +
     // explicit-class whitespace collapse — byte-exact DuckDB mirror
     // (nfc_normalize + lower + regexp_replace/trim); synthetic docs are
@@ -4385,6 +4467,44 @@ object LlmQueries {
         |SELECT p.doc_id, p.x0 AS hx, p.y0 AS hy, f.d AS h_value
         |FROM (SELECT doc_id, d FROM h WHERE s = 0) f
         |JOIN pts p USING (doc_id) ORDER BY p.doc_id""".stripMargin,
+
+    // CMS-bounds mirror: exact top-30 term counts; the sketch
+    // contract columns (never-under, within-bound, merge-exactness)
+    // are engine-verified booleans whose expected value is `true` —
+    // the a5/recall bound-oracle discipline
+    "llm_cms_bounds" ->
+      """WITH tk AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT term, CAST(count(*) AS BIGINT) AS true_cnt
+        |  FROM tk WHERE term <> '' GROUP BY term)
+        |SELECT term, true_cnt,
+        |  true AS never_underestimates,
+        |  true AS within_eps_bound,
+        |  true AS merged_equals_direct
+        |FROM c ORDER BY true_cnt DESC, term LIMIT 30""".stripMargin,
+
+    // Hilbert-prune mirror: the bit-plane transform replayed per row
+    // (the llm_hilbert_curve recursive CTE at nBits = 8), then the
+    // curve-range count; the file-pruning assertion executes
+    // engine-side
+    "llm_hilbert_prune" ->
+      """WITH RECURSIVE pts AS (SELECT doc_id,
+        |    CAST((doc_id * 37) % 256 AS BIGINT) AS x0,
+        |    CAST((doc_id * 91) % 256 AS BIGINT) AS y0 FROM documents),
+        |h AS (
+        |  SELECT doc_id, x0 AS x, y0 AS y,
+        |    CAST(0 AS BIGINT) AS d, CAST(128 AS BIGINT) AS s FROM pts
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 255 - y ELSE y END) ELSE x END,
+        |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 255 - x ELSE x END) ELSE y END,
+        |    d + s * s * xor(3 * rx, ry),
+        |    s // 2
+        |  FROM (SELECT doc_id, x, y, d, s,
+        |          (x // s) % 2 AS rx, (y // s) % 2 AS ry
+        |        FROM h WHERE s > 0) t)
+        |SELECT CAST(count(*) AS BIGINT) AS n_selected, true AS files_pruned
+        |FROM h WHERE s = 0 AND d < 4096""".stripMargin,
 
     // z-order-prune mirror: the 2-D box membership as pure modulus
     // arithmetic; the file-pruning assertion executes engine-side

@@ -487,6 +487,28 @@ object StreamingQueries {
         .orderBy("doc_id")
     }),
 
+    // streaming WordPiece token accounting (r15): the vocabulary is
+    // trained STATICALLY (the tokenizer-deployment shape — learn once,
+    // score the firehose), the doc stream encodes through the greedy
+    // map-only codegen kernel — zero stream shuffle, state-free append
+    // mode. Bounded replay = one batch = the batch counter, so the
+    // wordpiece CTE chain gates it per doc
+    "stream_wordpiece_tokens" -> ((s, dir) => {
+      val docsStatic = s.read.parquet(s"$dir/documents.parquet")
+      val v = graft.llm.WordPiece.vocabFromMerges(
+        graft.llm.WordPiece.learnMerges(docsStatic, "text", nMerges = 4))
+      val docs = s.readStream.schema(docsStatic.schema)
+        .parquet(s"$dir/documents.parque[t]")
+      val counted = docs.select(col("doc_id"),
+        coalesce(
+          graft.llm.WordPiece.count(col("text"), v), lit(0L))
+          .as("n_tokens"))
+      runToMemory(s, "stream_wordpiece", name =>
+        counted.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()))
+        .orderBy("doc_id")
+    }),
+
     // streaming T7 rate monitor, end to end: watermarked sliding-window
     // (2 h window, 1 h slide) in-range counts over the events stream —
     // complete mode emits every window of the bounded replay; each
@@ -519,6 +541,9 @@ object StreamingQueries {
     "stream_html_main" -> LlmQueries.htmlMainOracleSql,
     // bounded replay ≡ the batch C4 line+page stages (pv mirror)
     "stream_c4_lines" -> LlmQueries.c4LinesOracleSql,
+    // bounded replay ≡ the batch wordpiece token counter — the shared
+    // greedy-segmentation CTE chain, reduced to per-doc counts
+    "stream_wordpiece_tokens" -> LlmQueries.wordpieceTokenCountOracleSql,
     // sitemap-delta frontier: parse + verdict closed forms per doc
     // (the llm_sitemap_ingest derivation, keyed by doc_id — single
     // entry per delta body, so no entry positions)

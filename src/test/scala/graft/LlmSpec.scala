@@ -1558,6 +1558,62 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("count-min sketch: never underestimates, e·N/w bound, merge ≡ " +
+      "one-shot, expression scoring (r15)") {
+    import spark.implicits._
+    import graft.functions.{CmsQuery, CmsSketch, CountMinTerms, MergeCmsSketches}
+    // exact when width >> distinct terms (no collisions possible to
+    // force, but counts can only over-count; with 3 terms in 2048
+    // cells the chance of a layout collision is nil for THIS fixture —
+    // asserted exactly, so a hash regression that collides shows up)
+    val docs = Seq((0L, "a b a"), (1L, "b c"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val row = docs.agg(CountMinTerms(col("text"), 2048, 4).as("sk"))
+      .head().getStruct(0)
+    val sk = CmsQuery.fromRow(row, 2048, 4)
+    assert(sk.total == 5L)
+    assert(sk.query("a") == 2L && sk.query("b") == 2L && sk.query("c") == 1L)
+    assert(sk.query("absent") >= 0L)
+    // merge path ≡ one-shot, repartition-stable (exact: merge is
+    // element-wise addition)
+    val m = docs.repartition(3)
+      .withColumn("half", pmod(col("doc_id"), lit(2)))
+      .groupBy("half").agg(CountMinTerms(col("text"), 2048, 4).as("sk"))
+      .agg(MergeCmsSketches(col("sk"), 2048, 4).as("m")).head().getStruct(0)
+    val skM = CmsQuery.fromRow(m, 2048, 4)
+    assert(skM.total == sk.total)
+    assert(java.util.Arrays.equals(skM.counts, sk.counts))
+    // property: on a skewed stream with a SMALL width (collisions
+    // guaranteed), every estimate is >= truth — the unconditional CMS
+    // invariant — and within 4e·N/w (the textbook e·N/w holds per term
+    // only with probability 1−e^(−depth) ≈ 98%, so over 80 terms a
+    // violation is EXPECTED; at 4e the per-term odds are (1/4e)^4 ≈
+    // 7·10⁻⁵ — robust to any future hash-family change, not tuned to
+    // this seed)
+    val rnd = new scala.util.Random(20260816L)
+    val terms = (0 until 2000).map(_ => s"t${rnd.nextInt(80)}")
+    val truth = terms.groupBy(identity).map { case (t, xs) =>
+      (t, xs.length.toLong) }
+    val small = new CmsSketch(4, 64)
+    terms.foreach(small.offer)
+    val bound = math.ceil(4.0 * math.E * small.total / 64).toLong
+    truth.foreach { case (t, c) =>
+      val est = small.query(t)
+      assert(est >= c, s"$t underestimated: $est < $c")
+      assert(est <= c + bound, s"$t over bound: $est > $c + $bound")
+    }
+    // the serve-side expression scores a term table map-only
+    val scored = Seq("a", "b", "c", "zzz").toDF("term")
+      .select(col("term"), CmsQuery(col("term"), sk).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(scored("a") == 2L && scored("b") == 2L && scored("c") == 1L)
+    // dimension mismatch is loud
+    intercept[Exception] {
+      val other = new CmsSketch(2, 32)
+      other.absorb(sk)
+    }
+  }
+
   test("shardShuffle: fnv shard, dense in-shard pos, repartition-stable") {
     val d = spark.range(0, 200).toDF("doc_id")
     val got = Mixing.shardShuffle(d, "doc_id", 4)
