@@ -158,6 +158,8 @@ object Bench {
       "llm_retrieval_optimize", // append+compact lifecycle (side-effect)
       "llm_ann_append",      // IVF append+compact lifecycle (side-effect)
       "llm_jsonl_roundtrip", // egest+ingest lifecycle (side-effect)
+      "llm_wordpiece_persisted", // vocab write+read lifecycle (side-effect)
+      "llm_unigram_persisted", // vocab write+read lifecycle (side-effect)
       "llm_dedup_recall") // recall gate: planted dups + LSH + verify (r14)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => verifyOnly(q._1))

@@ -100,6 +100,46 @@ object Unigram {
     new UnigramVocab(singles ++ top, maxPieceLen)
   }
 
+  /** Persist a vocabulary as a SERVABLE artifact (the
+    * [[WordPiece.writeVocab]] discipline): one parquet of
+    * `(piece, count, max_piece_len)` rows — counts because the Viterbi
+    * objective ranks on them, the window bound as a constant column so
+    * the artifact is self-describing. Refuses a non-empty target. */
+  def writeVocab(
+      spark: org.apache.spark.sql.SparkSession,
+      vocab: UnigramVocab,
+      path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(p) || fs.listStatus(p).isEmpty,
+      s"vocabulary target $path exists and is not empty")
+    import spark.implicits._
+    vocab.pieces.toSeq
+      .map { case (piece, c) => (piece, c, vocab.maxPieceLen) }
+      .toDF("piece", "count", "max_piece_len")
+      .coalesce(1).write.parquet(path)
+  }
+
+  /** Load a vocabulary written by [[writeVocab]]; the constant
+    * `max_piece_len` column must be unanimous (loud otherwise). */
+  def readVocab(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): UnigramVocab = {
+    val rows = spark.read.parquet(path)
+      .select("piece", "count", "max_piece_len").collect()
+    require(rows.nonEmpty, s"vocabulary at $path is empty")
+    val mls = rows.map(_.getInt(2)).distinct
+    require(mls.length == 1,
+      s"vocabulary at $path carries ${mls.length} distinct " +
+        "max_piece_len values — torn or foreign artifact")
+    // piece order in the file is irrelevant: UnigramVocab ranks by
+    // (count DESC, piece ASC) internally, so the rebuilt vocabulary is
+    // id-identical to the trainer's
+    new UnigramVocab(
+      rows.map(r => (r.getString(0), r.getLong(1))).sortBy(_._1),
+      mls(0))
+  }
+
   /** `array<int>` of unigram token ids (null text → null). */
   def encode(text: Column, vocab: UnigramVocab): Column =
     UnigramEncode(text, vocab)

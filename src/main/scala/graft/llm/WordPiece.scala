@@ -128,6 +128,44 @@ object WordPiece {
       l + r.substring(2)
     }.toArray)
 
+  /** Persist a vocabulary as a SERVABLE artifact — the tokenizer.json
+    * of this engine: one parquet of `(rank, piece)` rows (rank = the
+    * merge order the id scheme is defined by). Refuses a non-empty
+    * target (the index/WET/tar commit discipline). A stored vocabulary
+    * makes serving reproducible across sessions and clusters: encode
+    * under [[readVocab]] is bit-identical to encode under the trainer's
+    * in-memory vocabulary, which the llm_wordpiece_persisted gate pins
+    * with the same oracle as the direct path. */
+  def writeVocab(
+      spark: org.apache.spark.sql.SparkSession,
+      vocab: graft.functions.WordPieceVocab,
+      path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(p) || fs.listStatus(p).isEmpty,
+      s"vocabulary target $path exists and is not empty")
+    import spark.implicits._
+    vocab.pieces.zipWithIndex
+      .map { case (piece, i) => (i.toLong, piece) }.toSeq
+      .toDF("rank", "piece")
+      .coalesce(1).write.parquet(path)
+  }
+
+  /** Load a vocabulary written by [[writeVocab]]; ranks must be dense
+    * 0..n−1 (a hole means a torn or foreign artifact — loud). */
+  def readVocab(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): graft.functions.WordPieceVocab = {
+    val rows = spark.read.parquet(path).select("rank", "piece")
+      .collect().sortBy(_.getLong(0))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      require(r.getLong(0) == i,
+        s"vocabulary at $path has non-dense rank ${r.getLong(0)} " +
+          s"at position $i — torn or foreign artifact")
+    }
+    new graft.functions.WordPieceVocab(rows.map(_.getString(1)))
+  }
+
   /** `array<int>` of WordPiece token ids (null text → null). */
   def encode(text: Column, vocab: WordPieceVocab): Column =
     WordPieceEncode(text, vocab)

@@ -254,6 +254,22 @@ object LlmQueries {
       |  FROM wpid)""".stripMargin
   }
 
+  /** Unigram-encode mirror shared by the direct and persisted-vocab
+    * gates (bit-identical by contract). */
+  private[queries] lazy val unigramEncodeOracleSql: String =
+    s"""WITH RECURSIVE $unigramCtes
+      |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |  CAST(token_id AS INT) AS token_id
+      |FROM uout ORDER BY doc_id, pos""".stripMargin
+
+  /** WordPiece-encode mirror shared by the direct and persisted-vocab
+    * gates (bit-identical by contract). */
+  private[queries] lazy val wordpieceEncodeOracleSql: String =
+    s"""WITH RECURSIVE $wordpieceCtes
+      |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |  CAST(token_id AS INT) AS token_id
+      |FROM wpout ORDER BY doc_id, pos""".stripMargin
+
   /** Per-doc WordPiece token counts off the shared CTE chain — the
     * stream_wordpiece_tokens mirror (bounded replay ≡ the batch
     * counter). */
@@ -2463,6 +2479,51 @@ object LlmQueries {
         WordPiece.learnMerges(docs, "text", nMerges = 4))
       docs.select(col("doc_id"),
           posexplode(WordPiece.encode(col("text"), v))
+            .as(Seq("pos", "token_id")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("token_id"))
+        .orderBy("doc_id", "pos")
+    }),
+
+    // persisted WordPiece vocabulary (r15): learn → write the
+    // (rank, piece) artifact → read back → serve — encode under the
+    // stored vocabulary must be BIT-IDENTICAL to the direct path (the
+    // retrieval/IVF lifecycle discipline applied to tokenizers), so
+    // the SAME encode mirror gates it
+    "llm_wordpiece_persisted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val v = WordPiece.vocabFromMerges(
+        WordPiece.learnMerges(docs, "text", nMerges = 4))
+      val path = s"target/wordpiece_vocab/${new java.io.File(dir).getName}"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      WordPiece.writeVocab(s, v, path)
+      val v2 = WordPiece.readVocab(s, path)
+      docs.select(col("doc_id"),
+          posexplode(WordPiece.encode(col("text"), v2))
+            .as(Seq("pos", "token_id")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("token_id"))
+        .orderBy("doc_id", "pos")
+    }),
+
+    // persisted unigram vocabulary (r15): the same lifecycle on the
+    // Viterbi family — the artifact carries (piece, count,
+    // max_piece_len) because the objective ranks on counts; the
+    // rebuilt vocabulary is id-identical regardless of file row order
+    // (ranking is internal), and the direct encode mirror gates it
+    "llm_unigram_persisted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val v = Unigram.learn(docs, "text")
+      val path = s"target/unigram_vocab/${new java.io.File(dir).getName}"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      Unigram.writeVocab(s, v, path)
+      val v2 = Unigram.readVocab(s, path)
+      docs.select(col("doc_id"),
+          posexplode(Unigram.encode(col("text"), v2))
             .as(Seq("pos", "token_id")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           col("token_id"))
@@ -4706,12 +4767,11 @@ object LlmQueries {
 
     // unigram-encode mirror: the final-vocabulary Viterbi pass over the
     // distinct words, joined back onto per-doc word positions — the
-    // bpeCte's id/position shape
-    "llm_unigram_encode" ->
-      s"""WITH RECURSIVE $unigramCtes
-        |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-        |  CAST(token_id AS INT) AS token_id
-        |FROM uout ORDER BY doc_id, pos""".stripMargin,
+    // bpeCte's id/position shape. The persisted-vocabulary twin must be
+    // bit-identical (the retrieval/IVF lifecycle discipline), so the
+    // SAME mirror gates both
+    "llm_unigram_encode" -> unigramEncodeOracleSql,
+    "llm_unigram_persisted" -> unigramEncodeOracleSql,
 
     // unigram packing mirror: per-doc REAL token counts from the
     // shared encode CTE, then the llm_pack_bpe closed-form prefix-sum
@@ -4786,12 +4846,11 @@ object LlmQueries {
 
     // WordPiece-encode mirror: the greedy longest-match pass over the
     // distinct words under the learned vocabulary, joined back onto
-    // per-doc word positions (the unigram-encode shape)
-    "llm_wordpiece_encode" ->
-      s"""WITH RECURSIVE $wordpieceCtes
-        |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-        |  CAST(token_id AS INT) AS token_id
-        |FROM wpout ORDER BY doc_id, pos""".stripMargin,
+    // per-doc word positions (the unigram-encode shape). The
+    // persisted-vocabulary twin shares it — bit-identity is the
+    // contract
+    "llm_wordpiece_encode" -> wordpieceEncodeOracleSql,
+    "llm_wordpiece_persisted" -> wordpieceEncodeOracleSql,
 
     // WordPiece round-trip mirror: the squeezed-identity equation
     // (the family discipline — the mirror never replays the tokenizer)

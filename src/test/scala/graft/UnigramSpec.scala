@@ -137,4 +137,38 @@ class UnigramSpec extends SparkSpec {
     val n = docs.select(sum(Unigram.count(col("text"), voc))).head().getLong(0)
     assert(n > 0)
   }
+
+  test("persisted vocabulary: rebuilt ranking and encode are " +
+      "id-identical regardless of file row order; guards are loud (r15)") {
+    val docs = Seq(
+      (1L, "banana bandana banana"),
+      (2L, " ban  ban banana "),
+      (3L, "an and band banana")).toDF("doc_id", "text")
+    val voc = Unigram.learn(docs, "text", seedSize = 20, vocabSize = 8)
+    val dir = java.nio.file.Files.createTempDirectory("univocab")
+      .toString + "/v"
+    Unigram.writeVocab(spark, voc, dir)
+    val back = Unigram.readVocab(spark, dir)
+    // ranking (and therefore the id scheme) is internal to the vocab —
+    // identical even though readVocab re-orders the piece array
+    assert(back.rankedWithCounts == voc.rankedWithCounts)
+    assert(back.maxPieceLen == voc.maxPieceLen)
+    val a = docs.select(Unigram.encode(col("text"), voc).as("ids"))
+      .collect().map(_.getSeq[Int](0).toSeq).toSeq
+    val b = docs.select(Unigram.encode(col("text"), back).as("ids"))
+      .collect().map(_.getSeq[Int](0).toSeq).toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      Unigram.writeVocab(spark, voc, dir)
+    }
+    // a torn artifact (two max_piece_len values) is loud
+    val torn = java.nio.file.Files.createTempDirectory("univocab2")
+      .toString + "/v"
+    Seq(("ab", 3L, 4), ("cd", 2L, 5)).toDF("piece", "count", "max_piece_len")
+      .write.parquet(torn)
+    val ex = intercept[IllegalArgumentException] {
+      Unigram.readVocab(spark, torn)
+    }
+    assert(ex.getMessage.contains("max_piece_len"))
+  }
 }

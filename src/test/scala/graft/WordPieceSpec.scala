@@ -112,4 +112,37 @@ class WordPieceSpec extends SparkSpec {
     }
     assert(bad.getMessage.contains("wrong vocabulary"))
   }
+
+  test("persisted vocabulary: round trip is id-identical, clobber and " +
+      "torn artifacts are loud (r15)") {
+    import spark.implicits._
+    val docs = Seq((0L, "the then there the then"),
+      (1L, "other feather the")).toDF("doc_id", "text")
+    val voc = WordPiece.vocabFromMerges(
+      WordPiece.learnMerges(docs, "text", nMerges = 4))
+    val dir = java.nio.file.Files.createTempDirectory("wpvocab").toString +
+      "/v"
+    WordPiece.writeVocab(spark, voc, dir)
+    val back = WordPiece.readVocab(spark, dir)
+    assert(back == voc) // array order IS the rank order — exact
+    // encode under the stored vocabulary is bit-identical
+    val a = docs.select(WordPiece.encode(col("text"), voc).as("ids"))
+      .collect().map(_.getSeq[Int](0))
+    val b = docs.select(WordPiece.encode(col("text"), back).as("ids"))
+      .collect().map(_.getSeq[Int](0))
+    assert(a.toSeq.map(_.toSeq) == b.toSeq.map(_.toSeq))
+    // refuses to clobber
+    intercept[IllegalArgumentException] {
+      WordPiece.writeVocab(spark, voc, dir)
+    }
+    // a torn artifact (non-dense ranks) is loud
+    val torn = java.nio.file.Files.createTempDirectory("wpvocab2")
+      .toString + "/v"
+    Seq((0L, "ab"), (2L, "cd")).toDF("rank", "piece")
+      .write.parquet(torn)
+    val ex = intercept[IllegalArgumentException] {
+      WordPiece.readVocab(spark, torn)
+    }
+    assert(ex.getMessage.contains("non-dense rank"))
+  }
 }
