@@ -443,6 +443,13 @@ object ScaleStress {
           force(d.select(col("doc_id"),
             size(graft.llm.Unigram.encode(col("text"), uniVocab))
               .as("n_tokens"))))
+        // count-min sketch (r15): the matrix IS the aggregate state —
+        // the exchange carries one depth×width matrix per partition
+        // regardless of rows, so the curve must be ~linear in tokens
+        // with a constant-size shuffle
+        time(s"cms sketch x$mult")(
+          force(d.agg(graft.functions.CountMinTerms(col("text"), 2048, 4)
+            .as("sk"))))
         // wordpiece (r15): training is the unigram story — two bounded
         // aggregates per round over the distinct-word table, so the
         // learn curve must be ~FLAT under replication; encode is the
