@@ -246,4 +246,70 @@ object Packing {
     packed.groupBy("seq_id")
       .agg(count(lit(1)).as("n_docs_starting"),
         sum("n_tokens").as("n_tokens_starting"))
+
+  /** Length-bucketed curriculum batching (r15) — the THIRD packing
+    * regime next to head-to-tail splitting ([[packSequences]]) and
+    * no-split binning ([[packBinsDecreasing]]): docs group into
+    * power-of-two LENGTH BUCKETS (`bucket = ⌊log₂ n_tokens⌋` — batches
+    * of similar lengths waste ≤ 2× padding by construction), buckets
+    * order ascending (short → long, the classic easy-first length
+    * curriculum), and within each bucket the order is the
+    * deterministic FNV id-hash shuffle (the [[Mixing.shardShuffle]]
+    * key — reproducible, RNG-free). Batch boundaries RESET per bucket
+    * (a batch never mixes buckets; each bucket's final batch may run
+    * short — the padded-tail every bucketed trainer schedules).
+    *
+    * Pinned integer rule (both engines): `bucket =
+    * length(bin(greatest(n_tokens, 1))) − 1` — binary digit count,
+    * never a float log2 (log(8)/log(2) can land below 3.0 and floor
+    * wrong); `bucket_pos` = dense 0-based rank under the total order
+    * (bucket, fnv64(id), id); `batch_id = bucket_pos div batchSize`,
+    * `slot = bucket_pos mod batchSize`.
+    *
+    * Scale shape: buckets are FEW (≤ 64) and huge, so a per-bucket
+    * window is one task per bucket — the exact skew cliff the r14
+    * packing de-skew removed. Ranks ride the shared
+    * [[graft.stats.GlobalOrder]] decomposition instead (one narrow
+    * range exchange, P-row partials), and the per-bucket offset comes
+    * from a bucket-bounded aggregate broadcast back. Returns
+    * (idCol, n_tokens, bucket, bucket_pos, batch_id, slot) plus the
+    * prefix cache's release handle. */
+  def lengthCurriculumBatchesReleasable(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      batchSize: Int,
+      tokenCounter: org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column = c => TextAnalysis.tokenCount(c))
+      : (DataFrame, () => Unit) = {
+    require(batchSize > 0, "batchSize must be positive")
+    val narrow = df.select(col(idCol),
+        coalesce(tokenCounter(col(textCol)), lit(0L)).as("n_tokens"))
+      .withColumn("bucket",
+        (length(bin(greatest(col("n_tokens"), lit(1L)))) - 1).cast("long"))
+      .withColumn("__hv",
+        graft.functions.Fnv64(col(idCol).cast("string")))
+    val (ranked, _, release) =
+      graft.stats.GlobalOrder.exclusivePrefixReleasable(
+        narrow, Seq(col("bucket"), col("__hv"), col(idCol)),
+        lit(1L), "__gpos")
+    val starts = ranked.groupBy("bucket")
+      .agg(min("__gpos").as("__bstart"))
+    val out = ranked.join(broadcast(starts), Seq("bucket"))
+      .withColumn("bucket_pos", col("__gpos") - col("__bstart"))
+      .select(col(idCol), col("n_tokens"), col("bucket"),
+        col("bucket_pos"),
+        expr(s"bucket_pos div $batchSize").as("batch_id"),
+        pmod(col("bucket_pos"), lit(batchSize.toLong)).as("slot"))
+    (out, release)
+  }
+
+  /** [[lengthCurriculumBatchesReleasable]] without the handle (the
+    * short-lived-session form). */
+  def lengthCurriculumBatches(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      batchSize: Int): DataFrame =
+    lengthCurriculumBatchesReleasable(df, textCol, idCol, batchSize)._1
 }

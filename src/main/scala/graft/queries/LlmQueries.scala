@@ -2418,6 +2418,18 @@ object LlmQueries {
       collectAndRelease(s, packed.orderBy("doc_id"))(release)
     }),
 
+    // length-bucketed curriculum batching (r15) — the third packing
+    // regime: power-of-two length buckets (integer binary-digit rule,
+    // never float log2), ascending-bucket curriculum, deterministic
+    // FNV in-bucket shuffle, per-bucket batch boundaries; ranks ride
+    // the GlobalOrder decomposition (a per-bucket window would be one
+    // task per bucket — buckets are few and huge)
+    "llm_length_curriculum" -> ((s, dir) => {
+      val (out, release) = Packing.lengthCurriculumBatchesReleasable(
+        t(s, dir, "documents"), "text", "doc_id", batchSize = 32)
+      collectAndRelease(s, out.orderBy("doc_id"))(release)
+    }),
+
     // tokenizer-fertility report (r14; wordpiece added r15):
     // tokens-per-1000-words by source for ALL THREE trained subword
     // families — every statistic an exact integer, one corpus pass,
@@ -5416,6 +5428,36 @@ object LlmQueries {
         |FROM r a JOIN r b ON a.doc_id = b.doc_id AND b.e = 2
         |WHERE a.e = 1
         |ORDER BY a.doc_id""".stripMargin,
+    // length-curriculum mirror: the FNV CTE over id strings, the
+    // binary-digit bucket rule, per-bucket row_number under (hv, id),
+    // div/mod batch arithmetic
+    "llm_length_curriculum" ->
+      """WITH RECURSIVE
+        |ids AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS s,
+        |  CASE WHEN text IS NULL THEN 0
+        |       ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n
+        |  FROM documents),
+        |hx AS (SELECT DISTINCT s FROM ids),
+        |hh AS (SELECT s, hex(encode(s)) AS hs, octet_length(encode(s)) AS nb FROM hx),
+        |fnv AS (
+        |  SELECT s, hs, nb, 0 AS i, CAST(14695981039346656037 AS HUGEINT) AS h FROM hh
+        |  UNION ALL
+        |  SELECT s, hs, nb, i + 1,
+        |    (xor(h, CAST((strpos('0123456789ABCDEF', substring(hs, 2*i+1, 1))-1)*16 + strpos('0123456789ABCDEF', substring(hs, 2*i+2, 1))-1 AS HUGEINT)) * 1099511628211) % 18446744073709551616
+        |  FROM fnv WHERE i < nb),
+        |sgn AS (SELECT s, CAST(h - CASE WHEN h >= 9223372036854775808 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS hv
+        |        FROM fnv WHERE i = nb),
+        |b AS (SELECT i.doc_id, i.n AS n_tokens,
+        |    CAST(length(bin(greatest(i.n, 1))) - 1 AS BIGINT) AS bucket, sg.hv
+        |  FROM ids i JOIN sgn sg ON sg.s = i.s),
+        |r AS (SELECT doc_id, n_tokens, bucket,
+        |    CAST(row_number() OVER (PARTITION BY bucket ORDER BY hv, doc_id) - 1 AS BIGINT) AS bucket_pos
+        |  FROM b)
+        |SELECT doc_id, n_tokens, bucket, bucket_pos,
+        |  CAST(bucket_pos // 32 AS BIGINT) AS batch_id,
+        |  CAST(bucket_pos % 32 AS BIGINT) AS slot
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     // stratified mirror: the same FNV hash as rank key (full signed
     // value, ties on id), row_number ≤ 10 per source
     // sequential Poisson mirror: same FNV CTE, u = hv mod 2^52,

@@ -1558,6 +1558,51 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("lengthCurriculumBatches: binary-digit buckets, dense per-bucket " +
+      "positions, per-bucket batch reset, repartition-stable (r15)") {
+    import spark.implicits._
+    // word counts 1, 2, 3, 4, 7, 8, 9 → buckets 0, 1, 1, 2, 2, 3, 3
+    def words(k: Int) = (1 to k).map(i => s"w$i").mkString(" ")
+    val docs = Seq(1, 2, 3, 4, 7, 8, 9).zipWithIndex.map {
+      case (k, i) => (i.toLong, words(k))
+    }.toDF("doc_id", "text")
+    val (out, release) = Packing.lengthCurriculumBatchesReleasable(
+      docs, "text", "doc_id", batchSize = 2)
+    val got = out.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    release()
+    val byId = got.toMap
+    assert(byId(0L)._2 == 0L) // 1 word  → bucket 0
+    assert(byId(1L)._2 == 1L && byId(2L)._2 == 1L) // 2-3 words
+    assert(byId(3L)._2 == 2L && byId(4L)._2 == 2L) // 4-7 words
+    assert(byId(5L)._2 == 3L && byId(6L)._2 == 3L) // 8-15 words
+    // positions dense per bucket; batch arithmetic; no cross-bucket mix
+    got.groupBy(_._2._2).foreach { case (_, rows) =>
+      val ps = rows.map(_._2._3).sorted.toSeq
+      assert(ps == (0L until rows.length).toSeq)
+    }
+    got.foreach { case (_, (_, _, p, b, s0)) =>
+      assert(b == p / 2 && s0 == p % 2)
+    }
+    // null text → 0 tokens → bucket 0
+    val withNull = docs.unionByName(
+      Seq((99L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val (out2, rel2) = Packing.lengthCurriculumBatchesReleasable(
+      withNull, "text", "doc_id", 2)
+    val nullRow = out2.filter(col("doc_id") === 99L).collect()(0)
+    rel2()
+    assert(nullRow.getLong(1) == 0L && nullRow.getLong(2) == 0L)
+    // stable under repartitioning (hash order, GlobalOrder ranks)
+    val (out3, rel3) = Packing.lengthCurriculumBatchesReleasable(
+      docs.repartition(5), "text", "doc_id", 2)
+    val again = out3.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    rel3()
+    assert(again.toMap == byId)
+  }
+
   test("count-min sketch: never underestimates, e·N/w bound, merge ≡ " +
       "one-shot, expression scoring (r15)") {
     import spark.implicits._
