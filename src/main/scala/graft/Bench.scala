@@ -244,7 +244,8 @@ object Bench {
         "llm_token_drift", "llm_ccnet_paragraphs", "llm_pack_ffd",
         "llm_lm_shuffle", "llm_epoch_shuffle", "llm_unigram_encode",
         "llm_hybrid_rrf", "llm_wordpiece_encode", "llm_hilbert_curve",
-        "llm_doremi_weights", "llm_suffix_dedup", "llm_mix_epochs")
+        "llm_doremi_weights", "llm_suffix_dedup", "llm_mix_epochs",
+        "llm_cms_bounds", "llm_length_curriculum")
       val qs = byQuery.collect {
         case (name, _, med, _, _) if headline(name) =>
           "\"" + name + "\":" + jnum(med)

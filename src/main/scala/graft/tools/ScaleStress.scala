@@ -443,6 +443,16 @@ object ScaleStress {
           force(d.select(col("doc_id"),
             size(graft.llm.Unigram.encode(col("text"), uniVocab))
               .as("n_tokens"))))
+        // length-curriculum batching (r15): one narrow range exchange
+        // (GlobalOrder) + a bucket-bounded offset aggregate — linear in
+        // rows; replication is also the BUCKET-DEGENERATE worst case
+        // (replica texts share lengths, so a few buckets hold ~all
+        // rows — the shape that melts a per-bucket window)
+        time(s"length curriculum x$mult") {
+          val (out, rel) = graft.llm.Packing
+            .lengthCurriculumBatchesReleasable(d, "text", "doc_id", 2048)
+          val n = force(out); rel(); n
+        }
         // count-min sketch (r15): the matrix IS the aggregate state —
         // the exchange carries one depth×width matrix per partition
         // regardless of rows, so the curve must be ~linear in tokens
