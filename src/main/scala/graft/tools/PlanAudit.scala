@@ -320,6 +320,27 @@ object PlanAudit {
         bad += 1
       }
     }
+    // length-curriculum batching (r15): buckets are few and huge, so
+    // every window in the plan must partition on __pid (the GlobalOrder
+    // range-partition id), NEVER on the bucket — the llm_pack_ffd
+    // de-skew contract applied to the third packing regime
+    {
+      val cdocs = spark.read.parquet(s"$dir/documents.parquet")
+      val (lc, lcRel) = graft.llm.Packing
+        .lengthCurriculumBatchesReleasable(cdocs, "text", "doc_id", 32)
+      val lcPlan = lc.queryExecution.executedPlan.toString
+      lcRel()
+      val nW = "windowspecdefinition\\(".r.findAllIn(lcPlan).length
+      val nPid = "windowspecdefinition\\(__pid".r.findAllIn(lcPlan).length
+      if (lcPlan.contains("windowspecdefinition(bucket")) {
+        println("!! length curriculum: per-bucket window regressed " +
+          "(one task per bucket)"); bad += 1
+      }
+      if (nW == 0 || nW != nPid) {
+        println(s"!! length curriculum: expected every window " +
+          s"partitioned by __pid, found $nPid/$nW"); bad += 1
+      }
+    }
     // hybrid RRF (r15): the fusion never re-sorts — candidates are
     // k-bounded upstream, the per-query top-k is the bounded aggregate,
     // so the fused plan must carry NO Window (a row_number fusion would
