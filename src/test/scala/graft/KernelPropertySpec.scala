@@ -354,6 +354,100 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: WordPiece greedy segmentation ≡ brute reference over " +
+      "random vocabularies and words (r15)") {
+    val rnd = new scala.util.Random(20260816L)
+    val alphabet = "abcdeé" + new String(Character.toChars(0x1F600))
+    def cps(s: String): Array[String] = {
+      val out = Seq.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        val n = Character.charCount(s.codePointAt(i))
+        out += s.substring(i, i + n)
+        i += n
+      }
+      out.result().toArray
+    }
+    val alpha = cps(alphabet)
+    def randWord(maxLen: Int): String =
+      (0 until (1 + rnd.nextInt(maxLen))).map(_ =>
+        alpha(rnd.nextInt(alpha.length))).mkString
+    (0 until 200).foreach { trial =>
+      // random multi-piece vocab (content 2..4 cps, mixed forms)
+      val nP = rnd.nextInt(8)
+      val pieceList = (0 until nP).map { _ =>
+        val content = (0 until 2 + rnd.nextInt(3)).map(_ =>
+          alpha(rnd.nextInt(alpha.length))).mkString
+        if (rnd.nextBoolean()) "##" + content else content
+      }.distinct
+      val voc = new graft.functions.WordPieceVocab(pieceList.toArray)
+      val rankOf = pieceList.zipWithIndex.toMap
+      (0 until 10).foreach { _ =>
+        val w = randWord(8)
+        val got = graft.functions.WordPieceKernel.segmentWord(w, voc).toSeq
+        // brute reference: at each position the longest vocab match
+        // (content ≥ 2, form by position), else the single code point
+        val cs = cps(w)
+        val maxLen = voc.maxContentLen
+        val exp = Seq.newBuilder[Int]
+        var pos = 0
+        while (pos < cs.length) {
+          var l = math.min(maxLen, cs.length - pos)
+          var rank = -1
+          while (l >= 2 && rank < 0) {
+            val content = cs.slice(pos, pos + l).mkString
+            val formed = if (pos == 0) content else "##" + content
+            rank = rankOf.getOrElse(formed, -1)
+            if (rank < 0) l -= 1
+          }
+          if (rank >= 0) {
+            exp += graft.functions.WordPieceKernel.MultiBase + rank
+            pos += l
+          } else {
+            val cp = cs(pos).codePointAt(0)
+            exp += (if (pos == 0) cp
+              else graft.functions.WordPieceKernel.ContBase + cp)
+            pos += 1
+          }
+        }
+        assert(got == exp.result(),
+          s"trial $trial word '$w' vocab $pieceList")
+      }
+    }
+  }
+
+  test("property: hilbertValue ≡ reference xy2d at every nBits 1..16 " +
+      "on random points (r15)") {
+    def hRef(x0: Long, y0: Long, nBits: Int): Long = {
+      val n = 1L << nBits
+      var (x, y, d) = (x0, y0, 0L)
+      var s = n / 2
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s /= 2
+      }
+      d
+    }
+    val rnd = new scala.util.Random(16160816L)
+    (1 to 16).foreach { nBits =>
+      val n = 1L << nBits
+      val pts = (0 until 40).map(_ =>
+        (math.abs(rnd.nextLong()) % n, math.abs(rnd.nextLong()) % n))
+      val got = pts.toDF("x", "y")
+        .select(graft.core.Layout.hilbertValue(col("x"), col("y"), nBits))
+        .as[Long].collect()
+      pts.zip(got).foreach { case ((x, y), d) =>
+        assert(d == hRef(x, y, nBits), s"nBits=$nBits ($x,$y)")
+      }
+    }
+  }
+
   test("property: truncated HDF5 reads throw or agree — never misread") {
     val d = java.nio.file.Files.createTempDirectory("trunc").toString
     val longs = Array.tabulate(64)(i => i.toLong * 13 - 7)
