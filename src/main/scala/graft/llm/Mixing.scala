@@ -448,7 +448,17 @@ object Mixing {
     val rows = losses
       .select(col(sourceCol).cast("string"), col(lossCol).cast("long"))
       .collect()
-      .map(r => (r.getString(0), r.getLong(1)))
+      .map { r =>
+        require(!r.isNullAt(0), "null domain name in losses table")
+        // a zero-token domain's upstream `chars div toks` is null —
+        // surface it as a domain-level error, not an opaque NPE
+        // (ADVICE r15)
+        require(!r.isNullAt(1),
+          s"null $lossCol for domain '${r.getString(0)}' — every " +
+            "domain needs a measured loss (a zero-token domain " +
+            "divides to null upstream)")
+        (r.getString(0), r.getLong(1))
+      }
       .sortBy(_._1)
     require(rows.nonEmpty, "losses table is empty")
     require(rows.map(_._1).distinct.length == rows.length,

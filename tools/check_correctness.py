@@ -133,4 +133,23 @@ for name, v in results.items():
     mark = "✓" if v == "OK" else "✗"
     print(f"{mark} {name}: {v}")
 print(f"\n{n_ok}/{len(results)} exact-match")
+
+# Regenerate COVERAGE.md's gate-count header from the checker's own
+# output so it can never drift by hand again (VERDICT r15 §wrong 1).
+# Only a FULL clean run rewrites it: a name-filtered Verify produces a
+# small oracle_sql.json which must not shrink the advertised count.
+cov = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "COVERAGE.md")
+if n_ok == len(results) and os.path.exists(cov):
+    import re
+    text = open(cov).read()
+    m = re.search(r"\*\*(\d+)/(\d+) oracle queries\s+exact-match\*\*", text)
+    if m and n_ok >= int(m.group(2)):
+        new = re.sub(r"\*\*\d+/\d+ oracle queries\s+exact-match\*\*",
+                     f"**{n_ok}/{n_ok} oracle queries exact-match**",
+                     text, count=1)
+        if new != text:
+            open(cov, "w").write(new)
+            print(f"COVERAGE.md gate count regenerated: {n_ok}/{n_ok}")
+
 sys.exit(0 if n_ok == len(results) else 1)
