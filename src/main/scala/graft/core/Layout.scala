@@ -90,6 +90,88 @@ object Layout {
       }).getField("d")
   }
 
+  /** d-DIMENSIONAL Hilbert-curve value (VERDICT r15 "Next round" 4):
+    * Skilling's transpose-form transform ("Programming the Hilbert
+    * curve", AIP Conf. Proc. 707, 2004) — the d-D generalization next
+    * to the classic 2-D [[hilbertValue]]. The two are DIFFERENT (each
+    * a valid Hilbert curve; orientation conventions differ), so 2-D
+    * callers keep [[hilbertValue]] and its oracle unchanged; this
+    * function owns d ≥ 2 with the same masked-input contract and the
+    * same locality guarantee (consecutive indices are grid-adjacent
+    * unit steps — LayoutSpec pins bijection + adjacency at d = 3
+    * against an independent loop reference).
+    *
+    * Mechanics, all inside ONE expression (map-only, no UDF):
+    *  - the "inverse undo" pass folds over the `nBits−1` high bit
+    *    planes via `aggregate` (a lambda VARIABLE carries the d
+    *    coordinates between planes, so the tree stays linear in
+    *    nBits; within a plane the d-step exchange chain is unrolled —
+    *    d ≤ 6 keeps that subtree small);
+    *  - the finish lambda applies the Gray prefix-XOR, the top-coord
+    *    suffix-parity correction `t = invGray(g_{d−1}) >> 1` (the
+    *    shift-doubling closed form of Skilling's Q-loop), and the
+    *    transpose-to-index bit interleave (coordinate 0 is the MOST
+    *    significant dim of each plane group — the mirror of
+    *    [[zValue]]'s layout). */
+  def hilbertValueN(cols: Seq[Column], nBits: Int): Column = {
+    val n = cols.length
+    require(n >= 2 && n <= 6,
+      s"hilbertValueN supports 2–6 dimensions, got $n")
+    require(nBits >= 1 && n * nBits <= 62,
+      s"n·nBits = ${n * nBits} exceeds the long hilbert-value budget")
+    val side = 1L << nBits
+    val masked = cols.map(c => pmod(c.cast("long"), lit(side)))
+    val init = struct(masked.zipWithIndex.map { case (c, i) =>
+      c.as(s"x$i")
+    }: _*)
+    val planes = (nBits - 1 to 1 by -1).map(b => lit(1L << b))
+    val planesArr =
+      if (planes.isEmpty) array().cast("array<bigint>")
+      else array(planes: _*)
+    aggregate(
+      planesArr, init,
+      (st, q) => {
+        val p = q - 1L
+        var cur: IndexedSeq[Column] =
+          (0 until n).map(i => st.getField(s"x$i"))
+        // i = 0: the exchange branch is a self-XOR no-op, only invert
+        cur = cur.updated(0,
+          when(cur(0).bitwiseAND(q) =!= 0L, cur(0).bitwiseXOR(p))
+            .otherwise(cur(0)))
+        (1 until n).foreach { i =>
+          // t from the CURRENT X[0] and the untouched X[i]
+          val inv = cur(i).bitwiseAND(q) =!= 0L
+          val t = cur(0).bitwiseXOR(cur(i)).bitwiseAND(p)
+          val nx0 = when(inv, cur(0).bitwiseXOR(p))
+            .otherwise(cur(0).bitwiseXOR(t))
+          val nxi = when(inv, cur(i)).otherwise(cur(i).bitwiseXOR(t))
+          cur = cur.updated(0, nx0).updated(i, nxi)
+        }
+        struct(cur.zipWithIndex.map { case (c, i) => c.as(s"x$i") }: _*)
+      },
+      acc => {
+        val xs = (0 until n).map(i => acc.getField(s"x$i"))
+        // Gray encode: the sequential X[i] ^= X[i−1] loop telescopes
+        // to the prefix XOR g(i) = x0 ^ … ^ xi
+        val g = xs.tail.scanLeft(xs.head)((a, b) => a.bitwiseXOR(b))
+        // t_j = parity of g(n−1)'s bits above j = (invGray >> 1)_j
+        var z = g(n - 1)
+        var sft = 1
+        while (sft < nBits) {
+          z = z.bitwiseXOR(shiftright(z, sft))
+          sft *= 2
+        }
+        val t = shiftright(z, 1)
+        val terms = for {
+          p <- 0 until nBits
+          i <- 0 until n
+        } yield shiftleft(
+          shiftright(g(i).bitwiseXOR(t), p).bitwiseAND(lit(1L)),
+          p * n + (n - 1 - i))
+        terms.reduce(_ + _)
+      })
+  }
+
   /** [[zorderWrite]] on the Hilbert curve: cluster by
     * [[hilbertValue]] of `(xCol, yCol)` and write `nFiles` files with
     * globally disjoint per-file curve ranges. The whole downstream

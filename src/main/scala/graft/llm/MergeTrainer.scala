@@ -252,7 +252,16 @@ private[llm] object MergeTrainer {
       nMerges: Int,
       minPairCount: Long): Seq[(String, String, Long, Long)] = {
     val st = new State(words, marker = true)
-    val trillion = BigInt(1000000000000L)
+    // sq ≤ 10^12 always fits a Long (c ≤ min(cl, cr)); the fast path
+    // computes it in Long arithmetic when the intermediate products
+    // fit, falling back to BigInt for web-scale counts — same floor
+    // quotient either way
+    def scoreQ(c: Long, cl: Long, cr: Long): Long =
+      if (c <= 9000000L && cl <= Long.MaxValue / cr)
+        (c * 1000000000000L) / (cl * cr)
+      else
+        ((BigInt(c) * 1000000000000L) /
+          (BigInt(cl) * BigInt(cr))).toLong
     val out = Seq.newBuilder[(String, String, Long, Long)]
     var round = 0
     var done = false
@@ -262,21 +271,17 @@ private[llm] object MergeTrainer {
       var bl: String = null
       var br: String = null
       var bc = 0L
-      var bsq = BigInt(-1)
+      var bsq = -1L
       st.pairCount.foreach { case ((l, r), c) =>
         if (c >= minPairCount) {
-          val sq = (BigInt(c) * trillion) /
-            (BigInt(st.symCount(l)) * BigInt(st.symCount(r)))
+          val sq = scoreQ(c, st.symCount(l), st.symCount(r))
           val better =
             if (bl == null) true
+            else if (sq != bsq) sq > bsq
+            else if (c != bc) c > bc
             else {
-              val s = sq.compare(bsq)
-              if (s != 0) s > 0
-              else if (c != bc) c > bc
-              else {
-                val lc = utf8Compare(l, bl)
-                if (lc != 0) lc < 0 else utf8Compare(r, br) < 0
-              }
+              val lc = utf8Compare(l, bl)
+              if (lc != 0) lc < 0 else utf8Compare(r, br) < 0
             }
           if (better) { bl = l; br = r; bc = c; bsq = sq }
         }
@@ -286,7 +291,7 @@ private[llm] object MergeTrainer {
         require(br.startsWith("##"),
           s"right merge symbol '$br' is not a continuation form")
         val merged = bl + br.substring(2)
-        out += ((bl, br, bc, bsq.toLong))
+        out += ((bl, br, bc, bsq))
         st.applyMerge(bl, br, merged)
       }
       round += 1

@@ -586,6 +586,56 @@ object Similarity {
     books
   }
 
+  /** Persist PQ codebooks as a SERVABLE artifact (VERDICT r15 "Next
+    * round" 3 — the [[graft.llm.WordPiece.writeVocab]] discipline
+    * applied to the remaining session-local model state): one parquet
+    * of `(sub, code, centroid)` rows. Doubles round-trip bit-exactly
+    * through parquet, so serve-side [[pqEncode]] under [[readPqCodebooks]]
+    * is BIT-IDENTICAL to encode under the trainer's in-memory books —
+    * the llm_ann_pq_persisted gate pins that with the SAME oracle as
+    * llm_ann_pq. Refuses a non-empty target (the index/vocab commit
+    * discipline); [[readPqCodebooks]] refuses torn artifacts (any
+    * missing (sub, code) cell or ragged subspace width). */
+  def writePqCodebooks(
+      spark: org.apache.spark.sql.SparkSession,
+      books: Array[Array[Array[Double]]],
+      path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(p) || fs.listStatus(p).isEmpty,
+      s"codebook target $path exists and is not empty")
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (book, mi) =>
+      book.zipWithIndex.map { case (c, ci) => (mi, ci, c.toSeq) }
+    }.toSeq.toDF("sub", "code", "centroid")
+      .coalesce(1).write.parquet(path)
+  }
+
+  /** Load codebooks written by [[writePqCodebooks]]; (sub, code) must
+    * tile a dense m×k grid with one fixed subDim (a hole or ragged
+    * row means a torn or foreign artifact — loud). */
+  def readPqCodebooks(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(path).select("sub", "code", "centroid")
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        r.getSeq[Double](2).toArray))
+    require(rows.nonEmpty, s"codebook artifact at $path is empty")
+    val m = rows.map(_._1._1).max + 1
+    val k = rows.map(_._1._2).max + 1
+    val subDim = rows.head._2.length
+    require(rows.length == m * k &&
+        rows.map(_._1).distinct.length == m * k,
+      s"codebook at $path is not a dense ${m}x$k grid — torn or " +
+        "foreign artifact")
+    require(rows.forall(_._2.length == subDim),
+      s"codebook at $path has ragged subspace widths — torn or " +
+        "foreign artifact")
+    val byCell = rows.toMap
+    Array.tabulate(m, k)((mi, ci) => byCell((mi, ci)))
+  }
+
   /** Stamp each vector with its PQ code array (`pq_codes`,
     * array<int> of length m) — m map-only codegen'd kernels, the
     * ingest-time encode that makes the corpus scannable at m lookups

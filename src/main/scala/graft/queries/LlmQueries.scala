@@ -2122,6 +2122,22 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // d-dimensional Hilbert (r16): the Skilling transpose transform
+    // over a 3-column layout key at 4 bits/dim — real layout keys are
+    // often 3–4 columns (VERDICT r15 "Next round" 4). The oracle
+    // replays the plane loop in a recursive CTE and the Gray/
+    // suffix-parity/interleave closing steps in closed form;
+    // LayoutSpec pins bijection + unit-step adjacency at d=3/d=4
+    "llm_hilbert3d" -> ((s, dir) => {
+      val x = pmod(col("doc_id") * 37L, lit(16L))
+      val y = pmod(col("n_chars"), lit(16L))
+      val z = pmod(col("doc_id") * 91L, lit(16L))
+      t(s, dir, "documents")
+        .select(col("doc_id"), x.as("hx"), y.as("hy"), z.as("hz"),
+          graft.core.Layout.hilbertValueN(Seq(x, y, z), 4).as("h_value"))
+        .orderBy("doc_id")
+    }),
+
     // z-order pruning economics (r12) — the layout CONTRACT gated end
     // to end: write the real clustered files at query time, run a
     // selective 2-D range query (z < 2¹² ⟺ x < 64 ∧ y < 64 — the
@@ -3313,6 +3329,30 @@ object LlmQueries {
         .map(_.toDouble).toArray
       val enc = Similarity.pqEncode(emb, "embedding", books)
       Similarity.pqTopK(enc, "embedding", "vec_id", q, books,
+        k = 5, pool = 40)
+    }),
+
+    // persisted PQ codebooks (r16): train → write → read → encode →
+    // serve, gated with the SAME oracle as llm_ann_pq — the
+    // bit-identity contract (the llm_ann_append / wordpiece_persisted
+    // pattern). Doubles round-trip bit-exactly through parquet, so a
+    // serve-side encode across sessions reproduces the trainer's
+    // codes exactly (VERDICT r15 "Next round" 3)
+    "llm_ann_pq_persisted" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val books = Similarity.pqCodebooks(emb, "embedding", "vec_id",
+        m = 4, k = 8, iters = 2)
+      val path = s"target/pq_codebooks/${new java.io.File(dir).getName}"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      Similarity.writePqCodebooks(s, books, path)
+      val books2 = Similarity.readPqCodebooks(s, path)
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+        .map(_.toDouble).toArray
+      val enc = Similarity.pqEncode(emb, "embedding", books2)
+      Similarity.pqTopK(enc, "embedding", "vec_id", q, books2,
         k = 5, pool = 40)
     }),
 
@@ -4542,6 +4582,56 @@ object LlmQueries {
         |SELECT p.doc_id, p.x0 AS hx, p.y0 AS hy, f.d AS h_value
         |FROM (SELECT doc_id, d FROM h WHERE s = 0) f
         |JOIN pts p USING (doc_id) ORDER BY p.doc_id""".stripMargin,
+
+    // d=3 Hilbert mirror (r16): the Skilling transpose loop replayed
+    // plane by plane in a recursive CTE (the per-plane 3-step
+    // invert/exchange chain bound through nested FROM subqueries),
+    // then the Gray prefix-XOR, the suffix-parity correction
+    // t = invGray(g2) >> 1 (shift-doubling closed form), and the
+    // plane-group interleave in closed form
+    "llm_hilbert3d" ->
+      """WITH RECURSIVE pts AS (SELECT doc_id,
+        |    CAST((doc_id * 37) % 16 AS BIGINT) AS x0,
+        |    CAST(n_chars % 16 AS BIGINT) AS y0,
+        |    CAST((doc_id * 91) % 16 AS BIGINT) AS z0 FROM documents),
+        |hh AS (
+        |  SELECT doc_id, x0 AS a, y0 AS b, z0 AS c,
+        |    CAST(8 AS BIGINT) AS q FROM pts
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    CASE WHEN (c & q) <> 0 THEN xor(b0, q - 1)
+        |         ELSE xor(b0, xor(b0, c) & (q - 1)) END,
+        |    b1,
+        |    CASE WHEN (c & q) <> 0 THEN c
+        |         ELSE xor(c, xor(b0, c) & (q - 1)) END,
+        |    q // 2
+        |  FROM (
+        |    SELECT doc_id, q, c,
+        |      CASE WHEN (b & q) <> 0 THEN xor(a0, q - 1)
+        |           ELSE xor(a0, xor(a0, b) & (q - 1)) END AS b0,
+        |      CASE WHEN (b & q) <> 0 THEN b
+        |           ELSE xor(b, xor(a0, b) & (q - 1)) END AS b1
+        |    FROM (
+        |      SELECT doc_id, q, b, c,
+        |        CASE WHEN (a & q) <> 0 THEN xor(a, q - 1) ELSE a END AS a0
+        |      FROM hh WHERE q > 1) t1) t2),
+        |fin AS (SELECT doc_id, a AS g0, xor(a, b) AS g1,
+        |    xor(xor(a, b), c) AS g2
+        |  FROM hh WHERE q = 1),
+        |tc AS (SELECT doc_id, g0, g1, g2,
+        |    (xor(xor(g2, g2 // 2), xor(g2, g2 // 2) // 4)) // 2 AS t
+        |  FROM fin)
+        |SELECT p.doc_id, p.x0 AS hx, p.y0 AS hy, p.z0 AS hz,
+        |  CAST(
+        |      (xor(g0, t) % 2) * 4 + (xor(g1, t) % 2) * 2
+        |    + (xor(g2, t) % 2)
+        |    + ((xor(g0, t) // 2) % 2) * 32 + ((xor(g1, t) // 2) % 2) * 16
+        |    + ((xor(g2, t) // 2) % 2) * 8
+        |    + ((xor(g0, t) // 4) % 2) * 256 + ((xor(g1, t) // 4) % 2) * 128
+        |    + ((xor(g2, t) // 4) % 2) * 64
+        |    + ((xor(g0, t) // 8) % 2) * 2048 + ((xor(g1, t) // 8) % 2) * 1024
+        |    + ((xor(g2, t) // 8) % 2) * 512 AS BIGINT) AS h_value
+        |FROM tc JOIN pts p USING (doc_id) ORDER BY p.doc_id""".stripMargin,
 
     // CMS-bounds mirror: exact top-30 term counts; the sketch
     // contract columns (never-under, within-bound, merge-exactness)
@@ -6415,6 +6505,9 @@ object LlmQueries {
     // PQ-ANN mirror: per-subspace unrolled Lloyd + encode + ADC +
     // exact rerank
     "llm_ann_pq" -> annPqOracleSql,
+    // bit-identity contract: the persisted-codebook serve answers the
+    // SAME oracle as the in-session path (r16)
+    "llm_ann_pq_persisted" -> annPqOracleSql,
     // IVF-PQ mirror: coarse chain ∘ residual-PQ chain ∘ per-list ADC
     "llm_ann_ivfpq" -> annIvfPqOracleSql,
     // recall-gate mirror: n_queries is the verifiable fact; the

@@ -319,6 +319,24 @@ object PlanAudit {
           "(exchange/generate/window/udf found)")
         bad += 1
       }
+      // d-D Skilling transform (r16): same contract — the plane fold +
+      // finish lambda is one expression, no exchange/generate/window/udf
+      val h3 = hdocs.select(c("doc_id"),
+        graft.core.Layout.hilbertValueN(Seq(
+          org.apache.spark.sql.functions.pmod(c("doc_id") * 37L,
+            org.apache.spark.sql.functions.lit(16L)),
+          org.apache.spark.sql.functions.pmod(c("n_chars"),
+            org.apache.spark.sql.functions.lit(16L)),
+          org.apache.spark.sql.functions.pmod(c("doc_id") * 91L,
+            org.apache.spark.sql.functions.lit(16L))), 4).as("h"))
+      val h3Plan = h3.queryExecution.executedPlan.toString
+      if (h3Plan.contains("Exchange") || h3Plan.contains("Generate") ||
+          h3Plan.contains("Window") ||
+          h3Plan.toLowerCase.contains("scalaudf")) {
+        println("!! hilbertN value: d-D fold plan is not map-only " +
+          "(exchange/generate/window/udf found)")
+        bad += 1
+      }
     }
     // length-curriculum batching (r15): buckets are few and huge, so
     // every window in the plan must partition on __pid (the GlobalOrder

@@ -657,6 +657,88 @@ object ScaleStress {
       }
       spark.catalog.clearCache()
     }
+
+    // r16: star contraction at ADVERSARIAL shapes beyond the chain —
+    // (a) star-of-chains: one hub fanning into 64 chains (hub degree +
+    // depth at once); (b) two mega-components: two hubs holding ~all
+    // edges between them — the groupBy(min)-hot-key skew case the
+    // map-side combine must absorb (VERDICT r15 "Next round" 7).
+    println("\n--- star contraction adversarial shapes (r16) ---")
+    Seq(1, 4, 16).foreach { mult =>
+      val clen = 256L * mult
+      val chains = 64L
+      time(s"star-of-chains components x$mult") {
+        // chain c occupies nodes [c·clen+1, (c+1)·clen]; node 0 is the
+        // hub wired to every chain head → ONE component of 64·clen+1
+        val intra = spark.range(0, chains * clen)
+          .filter(pmod(col("id"), lit(clen)) =!= lit(clen - 1))
+          .select((col("id") + 1).as("ida"), (col("id") + 2).as("idb"))
+        val hub = spark.range(0, chains)
+          .select(lit(0L).as("ida"), (col("id") * clen + 1).as("idb"))
+        val (labels, rounds) =
+          Dedup.starContractComponents(intra.unionByName(hub))
+        val comps = labels.select("component").distinct().count()
+        val cnt = labels.count()
+        labels.unpersist()
+        println(s"  star-of-chains x$mult: n=${chains * clen + 1} " +
+          s"rounds=$rounds components=$comps")
+        cnt
+      }
+      time(s"two-mega-components x$mult") {
+        // two hub stars, each with half the nodes as direct leaves —
+        // maximal min-key skew: every edge of a component lands on one
+        // grouping key in the first rounds
+        val half = 16384L * mult
+        val s1 = spark.range(1, half + 1)
+          .select(lit(0L).as("ida"), col("id").as("idb"))
+        val s2 = spark.range(1, half + 1)
+          .select(lit(half + 1).as("ida"), (col("id") + half + 1).as("idb"))
+        val (labels, rounds) =
+          Dedup.starContractComponents(s1.unionByName(s2))
+        val comps = labels.select("component").distinct().count()
+        val cnt = labels.count()
+        labels.unpersist()
+        println(s"  two-mega x$mult: n=${2 * half + 2} rounds=$rounds " +
+          s"components=$comps")
+        cnt
+      }
+      spark.catalog.clearCache()
+    }
+
+    // r16: batched merge training at a production-shaped vocabulary —
+    // 1024 merges through the driver path (one histogram aggregate +
+    // one collect + the in-memory loop). The measured quantity is the
+    // SCHEDULED JOB COUNT next to the wall: the distributed loop costs
+    // 2 jobs per merge (2048+ here), the batched path a handful total
+    // regardless of nMerges (VERDICT r15 "Next round" 1).
+    println("\n--- batched tokenizer training (1024 merges) ---")
+    val sc = spark.sparkContext
+    def jobCounted(group: String)(f: => Long): Long = {
+      sc.setJobGroup(group, group)
+      val n = f
+      sc.clearJobGroup()
+      println(s"  $group: result=$n spark_jobs=" +
+        s"${sc.statusTracker.getJobIdsForGroup(group).length}")
+      n
+    }
+    // the fixture corpus's vocabulary exhausts after ~90 merges, so a
+    // production-depth loop needs a WORDY synthetic corpus: 20 distinct
+    // 8-hex words per doc (~100k distinct words over a 16-char
+    // alphabet) keeps >1024 merges eligible at minPairCount = 1
+    val wordy = base.select(col("doc_id"), concat_ws(" ",
+      (0 until 20).map(i => substring(
+        md5(concat(col("doc_id").cast("string"), lit(s"_$i"))),
+        1, 8)): _*).as("text"))
+    time(s"bpe learn 1024 merges") {
+      jobCounted("bpe1024")(
+        graft.llm.Bpe.learnMerges(wordy, "text", 1024, minPairCount = 1L)
+          .length.toLong)
+    }
+    time(s"wordpiece learn 1024 merges") {
+      jobCounted("wp1024")(
+        graft.llm.WordPiece.learnMerges(wordy, "text", 1024,
+          minPairCount = 1L).length.toLong)
+    }
     spark.stop()
   }
 }

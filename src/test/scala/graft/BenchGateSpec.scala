@@ -114,4 +114,32 @@ class BenchGateSpec extends AnyFunSuite {
     assert(r.contains("selection power") && r.contains("gate-clean"))
     assert(!r.contains("\""))
   }
+
+  test("planAttempt: budget-aware mode × runs shape — full preferred, " +
+      "valid headline-subset beats invalid full (r16)") {
+    // the r15 driver regime replayed: full pass ~270 s, subset ~70 s,
+    // 7 runs wanted, 2400 s budget. Full@7 = 1890 s fits an empty
+    // budget; at 1500 s remaining full@7 does not fit but full@5 does;
+    // at 1200 s full@5 (1350) misses and subset@7 (490) takes over —
+    // VALID, where the old protocol degraded to an invalid full@3
+    def plan(remain: Double, have: Boolean = false) =
+      Bench.planAttempt(remain, 270.0, 70.0, 7, have)
+    assert(plan(2400.0) == Some((false, 7)))
+    assert(plan(1500.0) == Some((false, 5)))
+    assert(plan(1200.0) == Some((true, 7)))
+    assert(plan(400.0) == Some((true, 5)))
+    // below subset@5: first attempt shrinks to whatever fits (≥ 3,
+    // possibly invalid but SOME driver-visible number)…
+    assert(plan(250.0) == Some((true, 3)))
+    assert(plan(10.0) == Some((true, 3)))
+    // …but with a series already recorded, nothing further runs
+    assert(plan(250.0, have = true).isEmpty)
+    // runsWanted ≤ 5 never "degrades" upward to 5
+    assert(Bench.planAttempt(1000.0, 270.0, 70.0, 3, false) ==
+      Some((false, 3)))
+    // subset mode retains selection power exactly when runs do
+    assert(Bench.headlineInvalidReason(7).isEmpty)
+    assert(Bench.headlineInvalidReason(5).isEmpty)
+    assert(Bench.headlineInvalidReason(3).isDefined)
+  }
 }

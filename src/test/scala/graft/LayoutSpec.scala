@@ -135,6 +135,86 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  // independent d-D reference: the published transpose-form loops
+  // (Skilling 2004) followed by the plane-group bit interleave —
+  // deliberately the LOOP formulation so the engine's fold+finish
+  // expression is checked against a different shape of the same math
+  private def hNRef(coords: Array[Long], b: Int): Long = {
+    val n = coords.length
+    val x = coords.clone()
+    var q = 1L << (b - 1)
+    while (q > 1) {
+      val p = q - 1
+      var i = 0
+      while (i < n) {
+        if ((x(i) & q) != 0) x(0) ^= p
+        else { val t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
+        i += 1
+      }
+      q >>= 1
+    }
+    var i = 1
+    while (i < n) { x(i) ^= x(i - 1); i += 1 }
+    var t = 0L
+    q = 1L << (b - 1)
+    while (q > 1) {
+      if ((x(n - 1) & q) != 0) t ^= q - 1
+      q >>= 1
+    }
+    i = 0
+    while (i < n) { x(i) ^= t; i += 1 }
+    var h = 0L
+    for (p <- 0 until b; j <- 0 until n)
+      h |= ((x(j) >> p) & 1L) << (p * n + (n - 1 - j))
+    h
+  }
+
+  test("hilbertValueN: matches the Skilling reference, full-grid " +
+      "bijection and unit-step adjacency at d=3 and d=4 (r16)") {
+    import spark.implicits._
+    val b = 3 // 8×8×8 grid, 512 cells
+    val grid =
+      for (x <- 0L until 8L; y <- 0L until 8L; z <- 0L until 8L)
+        yield (x, y, z)
+    val got = grid.toDF("x", "y", "z")
+      .select(col("x"), col("y"), col("z"),
+        Layout.hilbertValueN(Seq(col("x"), col("y"), col("z")), b)
+          .as("h"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    grid.foreach { case (x, y, z) =>
+      assert(got((x, y, z)) == hNRef(Array(x, y, z), b), s"($x,$y,$z)")
+    }
+    assert(got.values.toSeq.sorted == (0L until 512L))
+    val byD = got.map(_.swap)
+    (0L until 511L).foreach { d =>
+      val (x1, y1, z1) = byD(d)
+      val (x2, y2, z2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) + math.abs(z1 - z2) == 1,
+        s"jump at d=$d: ($x1,$y1,$z1) → ($x2,$y2,$z2)")
+    }
+    // d = 4 at 2 bits: 256 cells — bijection + adjacency again
+    val g4 = for (a <- 0L until 4L; c <- 0L until 4L;
+      d <- 0L until 4L; e <- 0L until 4L) yield (a, c, d, e)
+    val got4 = g4.toDF("a", "b", "c", "d")
+      .select(Layout.hilbertValueN(
+        Seq(col("a"), col("b"), col("c"), col("d")), 2).as("h"))
+      .as[Long].collect().sorted.toSeq
+    assert(got4 == (0L until 256L))
+    // masking matches zValue's contract; guards are loud
+    val m = Seq((9L, 3L, 17L)).toDF("x", "y", "z")
+      .select(Layout.hilbertValueN(
+        Seq(col("x"), col("y"), col("z")), 3)).as[Long].head()
+    assert(m == hNRef(Array(1L, 3L, 1L), 3))
+    intercept[IllegalArgumentException] {
+      Layout.hilbertValueN(Seq(col("x")), 4)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.hilbertValueN(Seq(col("x"), col("y"), col("z")), 21)
+    }
+  }
+
   test("hilbertWrite: disjoint per-file curve ranges; the z-order " +
       "optimize lifecycle is curve-agnostic (r15)") {
     import spark.implicits._

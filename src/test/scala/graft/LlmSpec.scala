@@ -1721,6 +1721,53 @@ class LlmSpec extends SparkSpec {
     assert(sk.query("a") == 2L && sk.query("b") == 2L && sk.query("c") == 1L)
   }
 
+  test("persisted PQ codebooks: round trip bit-identical, clobber and " +
+      "torn artifacts are loud (r16)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val df = (0L until 40L).map(i => (i, Seq.fill(8)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val books = Similarity.pqCodebooks(df, "embedding", "vec_id",
+      m = 2, k = 4, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("pqbooks")
+      .toString + "/b"
+    Similarity.writePqCodebooks(spark, books, dir)
+    val back = Similarity.readPqCodebooks(spark, dir)
+    // bit-exact: doubles round-trip through parquet unchanged
+    assert(back.length == books.length)
+    back.zip(books).foreach { case (a, b) =>
+      assert(a.length == b.length)
+      a.zip(b).foreach { case (c, d) => assert(c.sameElements(d)) }
+    }
+    val codesA = Similarity.pqEncode(df, "embedding", books)
+      .select("pq_codes").collect().map(_.getSeq[Int](0).toSeq)
+    val codesB = Similarity.pqEncode(df, "embedding", back)
+      .select("pq_codes").collect().map(_.getSeq[Int](0).toSeq)
+    assert(codesA.toSeq == codesB.toSeq)
+    // refuses to clobber
+    intercept[IllegalArgumentException] {
+      Similarity.writePqCodebooks(spark, books, dir)
+    }
+    // a torn artifact (hole in the (sub, code) grid) is loud
+    val torn = java.nio.file.Files.createTempDirectory("pqbooks2")
+      .toString + "/b"
+    Seq((0, 0, Seq(1.0, 2.0)), (1, 1, Seq(3.0, 4.0)))
+      .toDF("sub", "code", "centroid").write.parquet(torn)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.readPqCodebooks(spark, torn)
+    }
+    assert(ex.getMessage.contains("torn"))
+    // ragged subspace widths are loud
+    val rag = java.nio.file.Files.createTempDirectory("pqbooks3")
+      .toString + "/b"
+    Seq((0, 0, Seq(1.0)), (0, 1, Seq(1.0, 2.0)),
+      (1, 0, Seq(1.0)), (1, 1, Seq(2.0)))
+      .toDF("sub", "code", "centroid").write.parquet(rag)
+    intercept[IllegalArgumentException] {
+      Similarity.readPqCodebooks(spark, rag)
+    }
+  }
+
   test("shardShuffle: fnv shard, dense in-shard pos, repartition-stable") {
     val d = spark.range(0, 200).toDF("doc_id")
     val got = Mixing.shardShuffle(d, "doc_id", 4)
