@@ -214,6 +214,7 @@ object Bench {
       "llm_wordpiece_persisted", // vocab write+read lifecycle (side-effect)
       "llm_unigram_persisted", // vocab write+read lifecycle (side-effect)
       "llm_ann_pq_persisted", // codebook write+read lifecycle (side-effect)
+      "llm_ann_ivfpq_persisted", // full IVF-PQ index lifecycle (side-effect)
       "llm_dedup_recall") // recall gate: planted dups + LSH + verify (r14)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => verifyOnly(q._1))

@@ -194,6 +194,26 @@ object Layout {
       .write.mode("error").parquet(path)
   }
 
+  /** [[hilbertWrite]] for d-dimensional keys: cluster by
+    * [[hilbertValueN]] and write `nFiles` files with globally
+    * disjoint per-file curve ranges — the same one-range-exchange
+    * write; the whole downstream lifecycle ([[fileZRanges]],
+    * [[zRangesOverlap]], [[zorderOptimize]]) stays curve-agnostic by
+    * value-column name. */
+  def hilbertWriteN(
+      df: DataFrame,
+      cols: Seq[String],
+      path: String,
+      nFiles: Int,
+      nBits: Int = 10,
+      hColName: String = "h_value"): Unit = {
+    require(nFiles >= 1, "nFiles must be positive")
+    df.withColumn(hColName, hilbertValueN(cols.map(col), nBits))
+      .repartitionByRange(nFiles, col(hColName))
+      .sortWithinPartitions(hColName)
+      .write.mode("error").parquet(path)
+  }
+
   /** Cluster `df` by the z-order of `zCols` and write `nFiles`
     * parquet files under `path`: one range exchange on the z value
     * (per-file z ranges come out globally disjoint), rows sorted by z

@@ -767,6 +767,58 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist the full IVF-PQ composition (r16): the corpus assigned
+    * to coarse lists, RESIDUAL-encoded to `pq_codes` at ingest, and
+    * written partitioned by `ivf_list` with BOTH model artifacts
+    * frozen inside the index — `_quantizer` ([[writeIvfIndex]]'s
+    * discipline) and `_pq_codebooks` ([[writePqCodebooks]]) — so a
+    * serve needs nothing session-local and is bit-identical to the
+    * in-session path (llm_ann_ivfpq_persisted gates that with the
+    * SAME oracle as llm_ann_ivfpq). At 100 TB the probe reads only
+    * the probed list directories AND, until the pool rerank, only the
+    * m-int codes column — the two compressions compose with partition
+    * pruning multiplicatively. */
+  def writeIvfPqIndex(
+      df: DataFrame,
+      embCol: String,
+      cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]],
+      path: String): Unit = {
+    val spark = df.sparkSession
+    pqEncode(ivfResiduals(ivfAssign(df, embCol, cents), embCol, cents),
+        "residual", books)
+      .drop("residual")
+      .write.mode("overwrite").partitionBy("ivf_list").parquet(path)
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("ivf_list", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_quantizer")
+    writePqCodebooks(spark, books, s"$path/_pq_codebooks")
+  }
+
+  /** [[ivfPqTopK]] against a PERSISTED composition: quantizer and
+    * codebooks come from the index itself; same stranded-list serve
+    * guard as [[ivfTopKIndexed]]. */
+  def ivfPqTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      embCol: String,
+      idCol: String,
+      query: Array[Double],
+      k: Int,
+      nprobe: Int = 2,
+      pool: Int = 40): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.BucketSwap.requireNoStranded(fs, dir,
+      s"IVF-PQ index $path")
+    val cents = readIvfQuantizer(spark, path)
+    val books = readPqCodebooks(spark, s"$path/_pq_codebooks")
+    ivfPqTopK(spark.read.parquet(path), embCol, idCol, query, cents,
+      books, k, nprobe, pool)
+  }
+
   /** IVF ANN top-k: probe the `nprobe` nearest lists to the query, exact
     * cosine rerank inside — scans nprobe/k of the corpus. At 100 TB the
     * assignment is computed once at ingest and the list id is a Parquet

@@ -3380,6 +3380,30 @@ object LlmQueries {
         books, k = 5, nprobe = 2, pool = 40)
     }),
 
+    // persisted IVF-PQ composition (r16): same training as
+    // llm_ann_ivfpq, then the whole model — assigned+encoded corpus,
+    // frozen quantizer, frozen codebooks — written as ONE index dir
+    // and served from disk (partition-pruned probe reading only the
+    // codes column until the rerank). Same oracle as llm_ann_ivfpq:
+    // bit-identity is the contract
+    "llm_ann_ivfpq_persisted" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val coarse = Similarity.ivfCentroidsLloyd(emb, "embedding",
+        "vec_id", k = 8, iters = 2)
+      val withRes = Similarity.ivfResiduals(
+        Similarity.ivfAssign(emb, "embedding", coarse),
+        "embedding", coarse)
+      val books = Similarity.pqCodebooks(withRes, "residual", "vec_id",
+        m = 4, k = 8, iters = 2)
+      val path = s"target/ivfpq_index/${new java.io.File(dir).getName}"
+      Similarity.writeIvfPqIndex(emb, "embedding", coarse, books, path)
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+        .map(_.toDouble).toArray
+      Similarity.ivfPqTopKIndexed(s, path, "embedding", "vec_id", q,
+        k = 5, nprobe = 2, pool = 40)
+    }),
+
     // corpus-vs-corpus ANN bucket join (r09 oracle coverage for the
     // capped BIPARTITE pair expansion): the 8 smallest ids as the
     // query table against the rest as corpus, 6-plane signatures
@@ -6510,6 +6534,9 @@ object LlmQueries {
     "llm_ann_pq_persisted" -> annPqOracleSql,
     // IVF-PQ mirror: coarse chain ∘ residual-PQ chain ∘ per-list ADC
     "llm_ann_ivfpq" -> annIvfPqOracleSql,
+    // bit-identity: the persisted composition serves the SAME oracle
+    // as the in-session path (r16)
+    "llm_ann_ivfpq_persisted" -> annIvfPqOracleSql,
     // recall-gate mirror: n_queries is the verifiable fact; the
     // recall/exactness assertions execute ENGINE-side (brute-force
     // ground truth vs each ANN path) and ride as booleans — the

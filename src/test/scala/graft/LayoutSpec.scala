@@ -213,6 +213,19 @@ class LayoutSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Layout.hilbertValueN(Seq(col("x"), col("y"), col("z")), 21)
     }
+    // d-D clustered write: disjoint per-file curve ranges, lifecycle
+    // shared with z-order by value-column name
+    val dir = java.nio.file.Files.createTempDirectory("hilbertN")
+      .toString + "/t"
+    val df3 = (0L until 4096L).toDF("id")
+      .select(col("id"), pmod(col("id") * 7L, lit(16L)).as("x"),
+        pmod(col("id") * 13L, lit(16L)).as("y"),
+        pmod(col("id") * 29L, lit(16L)).as("z"))
+    Layout.hilbertWriteN(df3, Seq("x", "y", "z"), dir, nFiles = 8,
+      nBits = 4)
+    val ranges = Layout.fileZRanges(spark, dir, "h_value")
+    assert(ranges.length == 8)
+    assert(!Layout.zRangesOverlap(ranges))
   }
 
   test("hilbertWrite: disjoint per-file curve ranges; the z-order " +

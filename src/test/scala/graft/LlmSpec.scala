@@ -1768,6 +1768,41 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("persisted IVF-PQ composition: served top-k ≡ in-session " +
+      "bit-for-bit; artifacts live inside the index (r16)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11L)
+    val df = (0L until 60L).map(i => (i, Seq.fill(8)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val coarse = Similarity.ivfCentroidsLloyd(df, "embedding", "vec_id",
+      k = 4, iters = 2)
+    val withRes = Similarity.ivfResiduals(
+      Similarity.ivfAssign(df, "embedding", coarse), "embedding", coarse)
+    val books = Similarity.pqCodebooks(withRes, "residual", "vec_id",
+      m = 2, k = 4, iters = 2)
+    val q = df.filter(col("vec_id") === 0).select("embedding").head()
+      .getSeq[Float](0).map(_.toDouble).toArray
+    val direct = Similarity.ivfPqTopK(
+      Similarity.pqEncode(withRes, "residual", books),
+      "embedding", "vec_id", q, coarse, books, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq")
+      .toString + "/idx"
+    Similarity.writeIvfPqIndex(df, "embedding", coarse, books, dir)
+    val served = Similarity.ivfPqTopKIndexed(spark, dir, "embedding",
+        "vec_id", q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served == direct)
+    // both model artifacts are inside the index and read back exactly
+    val cents2 = Similarity.readIvfQuantizer(spark, dir)
+    assert(cents2.length == coarse.length &&
+      cents2.zip(coarse).forall { case (a, b) => a.sameElements(b) })
+    val books2 = Similarity.readPqCodebooks(spark, s"$dir/_pq_codebooks")
+    books2.zip(books).foreach { case (a, b) =>
+      a.zip(b).foreach { case (c, d) => assert(c.sameElements(d)) }
+    }
+  }
+
   test("shardShuffle: fnv shard, dense in-shard pos, repartition-stable") {
     val d = spark.range(0, 200).toDF("doc_id")
     val got = Mixing.shardShuffle(d, "doc_id", 4)
